@@ -1,0 +1,92 @@
+"""Text expressions for the LLM-pipeline operators (L1-L4).
+
+All pure Catalyst expressions (string/array higher-order functions) —
+the hot path of a 100 TB dedup job must not cross into Python per row.
+The language-ID / quality heuristics are deliberately defined as data
+(marker tables, regexes) shared with the DuckDB oracle generator in
+queries/llm.py so Spark and oracle always agree by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+#: token regex: word chars or a single non-space symbol (BPE-ish greedy chunks)
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+#: marker stopwords per language for the n-gram/stopword langid heuristic.
+#: Deterministic tie-break: first language in this tuple wins.
+LANGID_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "is", "a")),
+    ("de", ("der", "die", "und", "ist", "nicht", "das")),
+    ("es", ("el", "la", "los", "es", "y", "que")),
+    ("fr", ("le", "la", "les", "est", "et", "une")),
+    ("zh", ("的", "是", "了", "在", "我", "有")),
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup (L1): lowercase, collapse
+    whitespace, strip. Deliberately mirrors common LLM-corpus dedup
+    normalizers (lowercase+whitespace) — punctuation retained."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text, as array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish token count: word runs + individual symbols."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), 0))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles (arrays of space-joined k-grams) of the
+    normalized text. Rows with < k tokens yield a single shingle of the
+    whole text so they still participate in MinHash."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return grams
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-grams of normalized text (SimHash / fingerprinting)."""
+    s = normalize_text(col)
+    n = F.length(s)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substring(s, i, k),
+    )
+
+
+def langid_scores(col: Column | str) -> list[tuple[str, Column]]:
+    """(lang, marker-hit-count) pairs; count = occurrences of any marker
+    word, bounded regex so it stays in codegen."""
+    out = []
+    for lang, words in LANGID_MARKERS:
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out.append((lang, F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 0))))
+    return out
+
+
+def langid(col: Column | str) -> Column:
+    """argmax language with deterministic tie-break (LANGID_MARKERS
+    order); 'und' when no marker hits at all."""
+    scores = langid_scores(col)
+    best = F.greatest(*[s for _, s in scores])
+    expr: Column = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when(score == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))

@@ -1,0 +1,534 @@
+"""Relational operator coverage: P*, F*, J*, A*, O*, T* (SURVEY.md §2.2).
+
+Conventions (see registry.py):
+- double SUMs go through DECIMAL(18,6) casts on both sides so the
+  result is exact and independent of partition/accumulation order —
+  a float sum over a shuffled 100 TB table is not reproducible, a
+  decimal sum is.
+- AVG stays double, rounded to 4 decimals on both sides.
+- every LIMIT/top-k has a total order with a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+DEC = T.DecimalType(18, 6)
+
+
+def _dec_sum(col, alias):
+    return F.sum(F.col(col).cast(DEC)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# P1-P3 projection / cast / derive  (reference R5-R7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_p3_project_cast_derive",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS INTEGER)                                   AS qty_int,
+           CAST(l_extendedprice AS DECIMAL(18,6))
+             * CAST(1.0 - l_discount AS DECIMAL(18,6))                   AS disc_price,
+           'L'                                                           AS src_tag
+    FROM lineitem
+    """,
+    doc="P1 select/rename + P2 cast + P3 derived/literal column (reference R5: walletDataConsumer.py:92-104)",
+)
+def p1_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).alias("disc_price"),
+        F.lit("L").alias("src_tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F3 filters  (reference R2 block-range predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+       OR (o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 50000.0 AND 100000.0)
+    """,
+    doc="F1 comparison/boolean/IN/BETWEEN predicates (generalizes R2 startblock/endblock, walletDataConsumer.py:57)",
+)
+def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        | (F.col("o_orderstatus").isin("F", "P") & F.col("o_totalprice").between(50000.0, 100000.0))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "f2_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CAST(NULLIF(o_orderstatus, 'O') IS NULL AS INTEGER) AS was_open
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'P') IS NOT NULL
+    """,
+    doc="F2 IS NULL / coalesce / nullif",
+)
+def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.filter(F.nullif(F.col("o_orderstatus"), F.lit("P")).isNotNull())
+        .select(
+            "o_orderkey",
+            F.coalesce(nulled, F.lit("OPEN")).alias("status_or_open"),
+            nulled.isNull().cast("int").alias("was_open"),
+        )
+    )
+
+
+@register(
+    "f3_like_rlike",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '(S|D)$')
+    """,
+    doc="F3 LIKE and regexp predicates",
+)
+def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%") & F.col("p_type").rlike("(S|D)$")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J5 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_equijoin",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="J1 inner equi-join (Catalyst picks SMJ/SHJ/broadcast; AQE may convert at runtime)",
+)
+def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), _dec_sum("l_extendedprice", "total_price"))
+    )
+
+
+@register(
+    "j2_left_outer_join",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc="J2 left outer join; unmatched customers keep NULL aggregates",
+)
+def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"), _dec_sum("o_totalprice", "total_spend"))
+    )
+
+
+@register(
+    "j3_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    """,
+    doc="J3 left semi join (EXISTS): customers with at least one big order",
+)
+def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j3_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+    """,
+    doc="J3 left anti join (NOT EXISTS): customers with no quarter-million order",
+)
+def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_broadcast_dim_join",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="J4 broadcast dimension join (region/nation ≙ the reference's 29-wallet dim, walletDataConsumer.py:11-41); broadcast() avoids shuffling the fact side",
+)
+def j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), _dec_sum("c_acctbal", "total_acctbal"))
+    )
+
+
+@register(
+    "j5_range_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_shipped_60d,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_shipped_60d
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    doc="J5 non-equi (range) join condition composed with an equi key; equi part keeps it a hash/SMJ join, range applied as post-condition",
+)
+def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("interval 60 days"))
+    )
+    return (
+        li.join(o, cond, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_shipped_60d"), _dec_sum("l_quantity", "qty_shipped_60d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-A4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_groupby_agg",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6)))        AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6)))   AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                     AS avg_qty,
+           ROUND(AVG(l_discount), 4)                     AS avg_disc,
+           CAST(count(*) AS BIGINT)                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 hash group-by sum/count/avg — TPC-H Q1 shape (flagship); partial (map-side) agg is automatic",
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="A2 exact distinct count (expands to a two-stage agg under the hood)",
+)
+def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "a2_approx_count_distinct",
+    oracle=None,  # sketch-based; no cross-engine oracle (HLL params differ) — rows-only check
+    doc="A2 approx_count_distinct (HyperLogLog++): the 100 TB path for distinct counts; validated vs exact in tests/test_aggregates.py",
+)
+def a2_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+@register(
+    "a3_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="A3 rollup with grouping id disambiguating NULL-as-subtotal from NULL-as-value",
+)
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dec_sum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "a3_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="A3 cube (all grouping-set combinations)",
+)
+def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n_rows")
+    )
+
+
+@register(
+    "a4_global_agg",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+    doc="A4 global (no-group) aggregate",
+)
+def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        _dec_sum("l_extendedprice", "total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O2 sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_multi_key_sort",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+               ) AS BIGINT) AS pos
+        FROM orders
+    ) WHERE pos <= 100
+    """,
+    doc="O1 multi-key order-by; the position column materializes the order so the order-insensitive hash still verifies it. At scale this is a range-partitioned sort (TakeOrderedAndProject for the top-k form).",
+)
+def o1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 100)
+    )
+
+
+@register(
+    "o2_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+    doc="O2 per-group top-k via ranking window + filter (scales: per-key heaps after a single shuffle, no global sort)",
+)
+def o2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T3 set ops / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    """,
+    doc="T1 union all (reference R8: list.extend fan-in across wallets, walletDataConsumer.py:133); overlapping rows kept",
+)
+def t1_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b)
+
+
+@register(
+    "t1_union_distinct",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    """,
+    doc="T1 union distinct",
+)
+def t1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "t2_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="T2 intersect (distinct semantics)",
+)
+def t2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "t2_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="T2 except (distinct semantics): customers with finished but no open orders",
+)
+def t2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .subtract(o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+@register(
+    "t3_dedup_exact_key",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="T3 deterministic dedup-by-key: keep the min-orderkey row per (custkey,status). dropDuplicates keeps an arbitrary row — non-reproducible across runs/cluster sizes — so the engine's dedup is rank-1 (fixes the reference's dedup-by-TRUNCATE, resources/redshift.py:124)",
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,184 @@
+"""Scalar-function coverage: X1 strings, X2 dates, X3 math, X4 arrays,
+X5 JSON, X6 conditionals — all codegen'd JVM expressions (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+
+@register(
+    "x1_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           lower(p_type)                                    AS type_lower,
+           substr(p_name, 1, 10)                            AS name_prefix,
+           CAST(length(p_name) AS INTEGER)                  AS name_len,
+           concat(p_brand, ':', p_type)                     AS brand_type,
+           trim(concat('  ', p_name, '  '))                 AS trimmed,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER)  AS n_words,
+           regexp_extract(p_brand, 'Brand#?(\\d+)', 1)      AS brand_num,
+           replace(p_type, ' ', '_')                        AS type_snake
+    FROM part
+    """,
+    doc="X1 concat/substring/upper/lower/trim/length/split/regexp_extract/replace (reference R5 string handling)",
+)
+def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.size(F.split(F.col("p_name"), " ")).cast("int").alias("n_words"),
+        F.regexp_extract("p_brand", r"Brand#?(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+    )
+
+
+@register(
+    "x2_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS INTEGER)       AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)       AS order_month,
+           CAST(day(o_orderdate)   AS INTEGER)       AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+                                                     AS days_since_1995,
+           make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + 86400000000)
+                                                     AS next_day
+    FROM orders
+    """,
+    doc="X2 year/month/day/date_trunc/date_format/datediff + epoch round-trip (reference R6: walletDataConsumer.py:96 epoch→UTC string; session TZ pinned UTC)",
+)
+def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since_1995"),
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp(F.col("o_orderdate")) + 86400)).alias("next_day"),
+    )
+
+
+@register(
+    "x3_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2)                    AS price_round,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
+           CAST(ceil(l_quantity)  AS BIGINT)            AS qty_ceil,
+           ROUND(power(1.0 + l_tax, 2), 6)              AS tax_sq,
+           CAST(mod(l_orderkey, 7) AS BIGINT)           AS key_mod7,
+           ROUND(sqrt(l_extendedprice), 6)              AS price_sqrt
+    FROM lineitem
+    """,
+    doc="X3 round/abs/floor/ceil/pow/pmod/sqrt (reference R7 arithmetic, walletDataConsumer.py:103)",
+)
+def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+    )
+
+
+@register(
+    "x4_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)              AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)       AS first_val,
+           ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+    doc="X4 array ops via higher-order functions (size/element_at/aggregate/filter) over array<float> embeddings — the L3 building blocks, all in codegen",
+)
+def x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
+        F.round(F.element_at(dbl, F.size("embedding")), 6).alias("last_val"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(F.array_max(dbl), 6).alias("vec_max"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "x5_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+    doc="X5 JSON extraction from the events.props string column (reference R1 raw JSON payloads)",
+)
+def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@register(
+    "x6_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000.0 THEN 'large'
+                WHEN o_totalprice >= 100000.0 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_label
+    FROM orders
+    """,
+    doc="X6 CASE WHEN (searched + simple forms)",
+)
+def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000.0, "large")
+        .when(F.col("o_totalprice") >= 100000.0, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_label"),
+    )

@@ -1,0 +1,97 @@
+"""Window-function coverage: W1 (ranking), W2 (analytic), W3 (frames).
+
+Every window carries a TOTAL order within its partition (unique
+tie-break key) — rank()/lag() over a partial order is non-deterministic
+under shuffle and will not reproduce across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+DEC = T.DecimalType(18, 6)
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc="W1 row_number/rank/dense_rank/ntile per customer",
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "w2_analytic",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type,
+           ROUND(value - lag(value) OVER w, 4) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="W2 lag/lead/first_value over per-user event timelines",
+)
+def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+@register(
+    "w3_framed_agg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS DECIMAL(18,6)))
+               OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+           ROUND(AVG(l_quantity)
+               OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_qty
+    FROM lineitem
+    """,
+    doc="W3 running sum (unbounded-preceding frame) + moving average (bounded frame); decimal running sum is order-exact",
+)
+def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_qty"),
+        F.round(F.avg("l_quantity").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg_qty"),
+    )
