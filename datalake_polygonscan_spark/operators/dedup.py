@@ -1,0 +1,298 @@
+"""Deduplication operators for LLM-corpus pipelines (L1, L2).
+
+Five dedup families, each a pure DataFrame composition:
+
+- ``exact_dedup``         — hash-of-normalized-text, rank-1 survivor
+- ``minhash_lsh_*``       — MinHash signatures + LSH banding (Broder '97;
+                            the GPT-3/C4-style fuzzy dedup)
+- ``simhash``             — Charikar '02 bitwise fingerprint
+- ``ngram_jaccard_pairs`` — exact shingle-set Jaccard verification
+- ``embedding_near_duplicates`` — cosine threshold over embeddings
+
+Scale notes (the 100 TB story):
+- MinHash here is deterministic: permutation *i* of shingle *s* is
+  ``md5(i || ':' || s)`` and "min" is the lexicographic min of the hex
+  digest — md5 hex strings of equal length order exactly like their
+  128-bit values, so this is a true min-wise scheme with no RNG state
+  to ship to executors, and any engine (DuckDB included) reproduces it.
+- LSH banding turns the quadratic all-pairs problem into an equi-join
+  on (band_id, band_signature): Spark shuffles both sides on the band
+  key — a linear shuffle, never a cross join.
+- The Jaccard verify step joins candidate pairs back to exploded
+  shingle sets; candidate count is bounded by band collisions, not n².
+- Common-shingle hot keys (stop-phrases) are the classic skew source:
+  ``ngram_jaccard_pairs`` drops shingles with document frequency above
+  ``max_doc_freq`` before pairing (standard trick; AQE skew-join
+  handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.functions.text import char_shingles, normalize_text, word_shingles
+from datalake_polygonscan_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """L1 — exact dedup on md5(normalized text); survivor = min id.
+
+    Deterministic by construction (dropDuplicates keeps an arbitrary
+    row; rank-1-by-id reproduces across runs and cluster sizes).
+    Output: input rows + ``text_hash``, survivors only.
+    """
+    hashed = df.withColumn("text_hash", F.md5(normalize_text(text_col)))
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _perm_hash(perm: int, shingle_col) -> "F.Column":
+    return F.md5(F.concat(F.lit(f"{perm}:"), shingle_col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: array of ``num_perm`` minima of
+    deterministic md5 permutations over word shingles.
+
+    Stays entirely in codegen: shingling, per-permutation hashing and
+    the min-reduce are higher-order array expressions — no shuffle at
+    all until someone aggregates the signatures.
+    """
+    shingled = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("shingles"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)))),
+    )
+    return shingled.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal rows,
+    hash each band, equi-join on (band, band_hash) to get candidate
+    pairs (doc_a < doc_b). One explode + one shuffle join — linear in
+    corpus size, never quadratic.
+    """
+    sig_len = F.size("signature")
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws("|", F.slice("signature", b * rows_per_band + 1, rows_per_band))).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates``: pairs = docs sharing >=1 (non-hot) shingle,
+    found by a self-equi-join on the exploded shingle table — with
+    ``max_doc_freq`` pruning stop-phrase hot keys so no reduce key
+    explodes. With ``candidates`` (e.g. from LSH): verify only those.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    shingle_sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles"),
+    )
+    sizes = shingle_sets.select("doc_id", F.size("shingles").alias("set_size"))
+    exploded = shingle_sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        doc_freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+        exploded = exploded.join(doc_freq.filter(F.col("df") <= max_doc_freq), "shingle", "inner").select(
+            "doc_id", "shingle"
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection") / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """L2 end-to-end: LSH candidates -> exact Jaccard verify -> greedy
+    survivor choice (drop the larger id of each duplicate pair).
+
+    Note: survivor selection is min-id within each *pairwise* dup
+    relation (no transitive closure — connected components on 100 TB is
+    an iterative job; the standard corpus-dedup practice of dropping
+    any doc that duplicates a lower id is what's implemented).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cand = minhash_lsh_candidate_pairs(sigs, bands)
+    dups = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand)
+    to_drop = dups.select(F.col("doc_b").alias("_drop_id")).distinct()
+    return df.join(to_drop, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """L2 — SimHash fingerprint (Charikar '02): per-token 64-bit hash
+    (xxhash64, JVM built-in), bitwise ±1 vote weighted by nothing
+    (uniform), sign of each bit-sum -> fingerprint bits.
+
+    Explode-free: per-document the bit-votes are computed by a single
+    aggregate over the token array per bit position (higher-order
+    expressions; 64 positions x tokens per doc, all codegen).
+    Output: (id, simhash as bigint, n_tokens).
+    """
+    from datalake_polygonscan_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), F.array_distinct(tokens(text_col)).alias("toks"))
+    hashes = toks.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes"))
+    # vote(bit) = sum over tokens of (bit set ? 1 : -1); fingerprint bit
+    # = vote > 0. Python loop emits one codegen'd aggregate per bit —
+    # shift amounts must be literals for the JVM shift builtins.
+    def bit_set(h, i: int):
+        # mask test instead of shiftright (whose py4j wrapper rejects
+        # lambda-scoped Columns in Spark 4); bit 63 == sign bit
+        return (h < 0) if i == 63 else h.bitwiseAND(F.lit(1 << i)) != 0
+
+    def vote_merge(i: int):
+        # factory closure: pyspark inspects lambda arity, so the bit
+        # index can't ride along as a default argument
+        return lambda acc, h: acc + F.when(bit_set(h, i), 1).otherwise(-1)
+
+    fingerprint = None
+    for i in range(bits):
+        vote = F.aggregate("hashes", F.lit(0), vote_merge(i))
+        bit_value = F.lit(-(2**63) if i == 63 else 1 << i).cast("long")
+        contrib = F.when(vote > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        fingerprint = contrib if fingerprint is None else fingerprint + contrib
+    return hashes.select("doc_id", fingerprint.alias("simhash"), F.size("hashes").alias("n_tokens"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (a pair
+    within hamming distance 3 must agree on >=1 of 4 chunks — pigeonhole),
+    equi-join per chunk, verify exact hamming via bit_count(xor).
+    """
+    n_blocks = 64 // block_bits
+    blocks = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.expr(f"shiftright(simhash, {b * block_bits}) & {(1 << block_bits) - 1}").alias("chunk"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.block", "bc.chunk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """L2 — embedding-cosine near-dup pairs (id_a < id_b, cos >= t).
+
+    All-pairs form; at scale gate it behind LSH bucketing
+    (similarity.lsh_bucketed_topk's bucketer) so the join is on bucket
+    keys instead of a cross product.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def fingerprint_bottom_k(df: DataFrame, text_col: str, id_col: str, k: int = 8, char_k: int = 5) -> DataFrame:
+    """L4 — document fingerprint: bottom-k sketch of md5'd character
+    k-grams (a winnowing-style rolling fingerprint; bottom-k of a
+    min-wise hash family is an unbiased Jaccard estimator between
+    sketches). Output: (id, fingerprint array<string> ascending).
+    """
+    grams = df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, char_k).alias("grams"))
+    return grams.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(F.transform("grams", F.md5))), 1, k).alias("fingerprint"),
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (L3).
+
+Three tiers:
+- ``brute_force_topk`` — exact: broadcast the (small) query set against
+  the corpus, cosine in codegen, per-query top-k via ranking window.
+  The correct baseline, and the verifier for the approximate tiers.
+- ``lsh_bucketed_topk`` — signed-random-projection LSH: deterministic
+  hyperplanes (seeded numpy, shipped as literal arrays — no RNG state
+  on executors), bucket = sign bits; candidates are corpus vectors in
+  any probed bucket. Sub-linear candidate sets; the 100 TB path where
+  the corpus side is bucketed once (write-time partitioning by bucket)
+  and each query probes a handful of partitions.
+- ``ivf_topk`` — inverted-file index: coarse centroids (deterministic
+  farthest-point-ish sample), corpus assigned to nearest centroid
+  (broadcast argmin, no shuffle), query probes ``nprobe`` nearest
+  lists. The FAISS-IVF pattern in DataFrame form.
+
+Recall of both approximate tiers vs brute force is asserted in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.functions.vectors import cosine_similarity, dot
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast-cross-join queries x corpus.
+
+    Shuffle-free: the query side is broadcast, cosine is a codegen'd
+    array expression, and the final top-k is one shuffle on query_id
+    (or none under AQE when the scored set is small).
+    """
+    q = F.broadcast(queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding"))
+    scored = c.crossJoin(q).withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    return _topk_per_query(scored, k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket id: bit i set iff plane_i . v > 0. Planes are
+    literal arrays, so the dot products are pure codegen."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe_bits: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via signed random projections.
+
+    Corpus is hashed once into 2^n_planes buckets; each query probes
+    its own bucket plus every bucket at hamming distance <=
+    ``multiprobe_bits`` (flip-one-bit multiprobe — the standard recall
+    fix for boundary vectors). Join is an equi-join on bucket id.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")).withColumn(
+        "bucket", _bucket_expr("embedding", planes)
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")).withColumn(
+        "bucket0", _bucket_expr("query_vec", planes)
+    )
+    probes = [F.col("bucket0")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
+    scored = c.join(F.broadcast(q), "bucket").withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    return _topk_per_query(scored, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF: centroids = deterministic stride sample of the corpus
+    (vec_id-ordered; a k-means refinement slot-in later), corpus rows
+    assigned to their nearest centroid via broadcast argmin, queries
+    probe the ``nprobe`` nearest lists.
+    """
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding"))
+    n = c.count()
+    stride = max(n // nlist, 1)
+    sampled = (
+        c.withColumn("_rn", F.row_number().over(Window.orderBy(F.col("vec_id").asc())))
+        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * nlist))
+    )
+    centroids = sampled.select(
+        F.row_number().over(Window.orderBy(F.col("vec_id").asc())).alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cent = F.broadcast(centroids)
+
+    def nearest_lists(df: DataFrame, key: str, vcol: str, out: str, take: int) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn("_sim", cosine_similarity(vcol, "centroid_vec"))
+        w = Window.partitionBy(key).orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= take)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest_lists(c, "vec_id", "embedding", "list_id", 1)
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec"))
+    probed = nearest_lists(q, "query_id", "query_vec", "list_id", nprobe)
+    scored = assigned.join(F.broadcast(probed), "list_id").withColumn(
+        "cosine", cosine_similarity("query_vec", "embedding")
+    )
+    return _topk_per_query(scored, k)

@@ -1,1 +1,337 @@
-"""placeholder — filled in this round."""
+"""LLM-pipeline operator coverage: L1-L4 + multimodal plumbing.
+
+Oracle strategy: the dedup/fingerprint operators are built on
+*deterministic, engine-neutral* hashing — md5 of normalized text /
+seed-prefixed shingles, with "min" as lexicographic min over fixed-width
+hex — so DuckDB can replay the exact same MinHash/LSH computation in
+SQL. Where an operator is inherently engine-specific (xxhash64 SimHash,
+LSH/IVF ANN with literal hyperplanes), the entry is rows-only for the
+driver and its quality (recall vs brute force, hamming vs edit
+distance) is asserted in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.functions.text import (
+    LANGID_MARKERS,
+    langid,
+    normalize_text,
+    token_count_regex,
+    TOKEN_REGEX,
+)
+from datalake_polygonscan_spark.functions.vectors import cosine_similarity
+from datalake_polygonscan_spark.operators import dedup as D
+from datalake_polygonscan_spark.operators import similarity as S
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+# DuckDB replica of functions.text.normalize_text
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "l1_exact_dedup",
+    oracle=f"""
+    SELECT doc_id, lang, text_hash FROM (
+        SELECT doc_id, lang,
+               md5({_NORM_SQL}) AS text_hash,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="L1 exact dedup: md5(normalized text), deterministic min-id survivor (operators/dedup.py:exact_dedup)",
+)
+def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "text_hash")
+
+
+@register(
+    "l2_minhash_signatures",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), shingles AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               ) AS sh
+        FROM norm
+    )
+    SELECT doc_id,
+           list_min(list_transform(sh, s -> md5('0:' || s))) AS h0,
+           list_min(list_transform(sh, s -> md5('1:' || s))) AS h1,
+           list_min(list_transform(sh, s -> md5('2:' || s))) AS h2,
+           list_min(list_transform(sh, s -> md5('3:' || s))) AS h3
+    FROM shingles
+    """,
+    doc="L2 MinHash signatures over 3-word shingles; deterministic md5 permutations reproduce exactly in any engine (operators/dedup.py:minhash_signatures)",
+)
+def l2_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_perm=4, shingle_k=3)
+    return sigs.select(
+        "doc_id",
+        F.element_at("signature", 1).alias("h0"),
+        F.element_at("signature", 2).alias("h1"),
+        F.element_at("signature", 3).alias("h2"),
+        F.element_at("signature", 4).alias("h3"),
+    )
+
+
+@register(
+    "l2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), shingle_sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               )) AS sh
+        FROM norm
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shingle_sets
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS set_size FROM shingle_sets)
+    SELECT doc_a, doc_b,
+           ROUND(intersection / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE intersection / (sa.set_size + sb.set_size - intersection) >= 0.2
+    """,
+    doc="L2 exact n-gram Jaccard pairs >= 0.2 via exploded shingle self-join (operators/dedup.py:ngram_jaccard_pairs)",
+)
+def l2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "l2_minhash_lsh_dedup",
+    oracle=None,  # banding layout is engine-tunable; end-to-end validated in tests/test_dedup.py
+    doc="L2 end-to-end MinHash-LSH dedup: signatures -> banded candidates -> Jaccard verify -> min-id survivors (operators/dedup.py:minhash_lsh_dedup)",
+)
+def l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.minhash_lsh_dedup(docs, "text", "doc_id", num_perm=16, bands=8, shingle_k=3, threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "l2_simhash_near_pairs",
+    oracle=None,  # xxhash64-based; cross-engine oracle not applicable — quality asserted in tests/test_dedup.py
+    doc="L2 SimHash fingerprints + blocked hamming-distance pairs (operators/dedup.py:simhash, simhash_near_pairs)",
+)
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "text", "doc_id")
+    pairs = D.simhash_near_pairs(fp, max_hamming=10)
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+@register(
+    "l2_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
+    """,
+    doc="L2 embedding-cosine near-duplicate pairs (operators/dedup.py:embedding_near_duplicates)",
+)
+def l2_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(emb, threshold=0.8)
+
+
+@register(
+    "l3_knn_brute_force",
+    oracle="""
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                   c.vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    doc="L3 exact brute-force top-10 cosine for query vectors vec_id<5 (operators/similarity.py:brute_force_topk)",
+)
+def l3_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk(queries_df, emb, k=10)
+
+
+@register(
+    "l3_lsh_ann",
+    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
+    doc="L3 LSH-bucketed ANN (signed random projections, multiprobe) — the sub-linear scale path (operators/similarity.py:lsh_bucketed_topk)",
+)
+def l3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.lsh_bucketed_topk(queries_df, emb, k=10, n_planes=8, dim=64)
+
+
+@register(
+    "l3_ivf_ann",
+    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
+    doc="L3 IVF ANN (coarse quantizer + nprobe lists) (operators/similarity.py:ivf_topk)",
+)
+def l3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(queries_df, emb, k=10, nlist=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# L4 text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "l4_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           ROUND(avg(length(text)), 4) AS avg_chars,
+           CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) AS total_re_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="L4 per-(lang,source) corpus stats: doc counts, char counts, whitespace + BPE-ish regex token counts",
+)
+def l4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.sum(F.size(F.split(normalize_text("text"), " "))).alias("total_ws_tokens"),
+            F.sum(token_count_regex("text")).alias("total_re_tokens"),
+        )
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """Generate the DuckDB replica of functions.text.langid from the
+    same LANGID_MARKERS table — oracle and engine agree by construction."""
+    scores = []
+    for lang, words in LANGID_MARKERS:
+        pat = r"\b(" + "|".join(words) + r")\b"
+        scores.append((lang, f"len(regexp_extract_all(lower(text), '{pat}'))"))
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    case = "'und'"
+    for lang, s in reversed(scores):
+        case = f"CASE WHEN {s} = best THEN '{lang}' ELSE {case} END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN best > 0 THEN {case} ELSE 'und' END AS predicted_lang
+    FROM scored
+    """
+
+
+@register(
+    "l4_langid",
+    oracle=_langid_oracle_sql(),
+    doc="L4 language-ID: marker-stopword argmax heuristic, deterministic tie-break; oracle generated from the same marker table (functions/text.py:langid)",
+)
+def l4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"), langid("text").alias("predicted_lang"))
+
+
+@register(
+    "l4_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+           ROUND(len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter(string_split({_NORM_SQL}, ' '),
+                     t -> list_contains(['the','a','of','to','and','is','in','that'], t)))
+                 / greatest(len(string_split({_NORM_SQL}, ' ')), 1), 6) AS stopword_ratio,
+           CAST(
+             length(text) BETWEEN 50 AND 10000
+             AND len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1) < 0.2
+           AS INTEGER) AS passes_quality
+    FROM documents
+    """,
+    doc="L4 quality scoring: length/punctuation/stopword-ratio gates (C4-style heuristics)",
+)
+def l4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "is", "in", "that"]])
+    toks = F.split(normalize_text("text"), " ")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\p{Punct}]"), 0))
+    punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        (F.length("text").between(50, 10000) & (punct_ratio < 0.2)).cast("int").alias("passes_quality"),
+    )
+
+
+@register(
+    "l4_fingerprint",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(t) - 4, 1)),
+                   i -> md5(substr(t, CAST(i AS INTEGER), 5))
+               )) AS hashed
+        FROM norm
+    )
+    SELECT doc_id, array_to_string(list_sort(hashed)[1:8], ',') AS fingerprint
+    FROM grams
+    """,
+    doc="L4 document fingerprint: bottom-8 sketch of md5'd char-5-grams (winnowing-style; Jaccard-estimating) (operators/dedup.py:fingerprint_bottom_k)",
+)
+def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.fingerprint_bottom_k(docs, "text", "doc_id", k=8, char_k=5)
+    return fp.select("doc_id", F.concat_ws(",", "fingerprint").alias("fingerprint"))
