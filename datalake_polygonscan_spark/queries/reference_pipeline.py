@@ -1,1 +1,121 @@
-"""placeholder — filled in this round."""
+"""Reference-semantics parity entry (R5-R8): the exact column logic of
+``process_erc20_token_transfers`` (walletDataConsumer.py:86-105)
+exercised over driver testdata.
+
+A tokentx-shaped frame (all-string fields, like the PolygonScan API
+emits) is derived deterministically from ``lineitem``, pushed through
+the engine's real ingest projection (pipeline/wallet_ingest.py), and
+the oracle replays the same derivation + transform in SQL. This proves
+the cast/derive/scale/timestamp semantics — the part of the reference
+that actually computes — on data the driver controls.
+
+Column mapping (derivation, not semantics):
+    wallet_address <- 'w' || l_suppkey      (the injected loop variable, :93)
+    tx_hash        <- 'h' || orderkey || '-' || linenumber   (:94)
+    blockNumber    <- l_orderkey            (:95)
+    timeStamp      <- epoch(l_shipdate)     (:96)
+    value          <- floor(l_extendedprice * 100)  with tokenDecimal=2 (:103)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.pipeline.wallet_ingest import process_token_transfers, wallet_summary
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+
+def _derive_raw_tokentx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("w"), F.col("l_suppkey").cast("string")).alias("wallet_address"),
+        F.concat(F.lit("h"), F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")).alias(
+            "hash"
+        ),
+        F.col("l_orderkey").cast("string").alias("blockNumber"),
+        F.unix_timestamp("l_shipdate").cast("string").alias("timeStamp"),
+        F.concat(F.lit("0xf"), F.col("l_partkey").cast("string")).alias("from"),
+        F.concat(F.lit("0xt"), F.col("l_suppkey").cast("string")).alias("to"),
+        F.concat(F.lit("0xc"), F.col("l_partkey").cast("string")).alias("contractAddress"),
+        F.lit("Part Token").alias("tokenName"),
+        F.lit("PRT").alias("tokenSymbol"),
+        F.lit("2").alias("tokenDecimal"),
+        F.floor(F.col("l_extendedprice") * 100).cast("string").alias("value"),
+    )
+
+
+@register(
+    "r5_r7_wallet_pipeline",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           'h' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS tx_hash,
+           l_orderkey AS block_number,
+           l_shipdate AS tx_time,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS tx_time_str,
+           CAST(2 AS INTEGER) AS token_decimal,
+           ROUND(CAST(floor(l_extendedprice * 100) AS BIGINT) / 100.0, 6) AS quantity
+    FROM lineitem
+    """,
+    doc="R5-R7 parity: project/rename + string->long cast + epoch->UTC timestamp (R6, walletDataConsumer.py:96) + decimal scaling (R7, :103, lossless DecimalType(38,18) upgraded from the reference's float division)",
+)
+def r5_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _derive_raw_tokentx(spark, sf_dir)
+    txs = process_token_transfers(raw)
+    return txs.select(
+        "wallet_address",
+        "tx_hash",
+        "block_number",
+        "tx_time",
+        F.date_format("tx_time", "yyyy-MM-dd HH:mm:ss").alias("tx_time_str"),
+        "token_decimal",
+        F.round(F.col("quantity").cast("double"), 6).alias("quantity"),
+    )
+
+
+@register(
+    "r8_r13_wallet_summary",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           CAST(count(*) AS BIGINT) AS n_transfers,
+           SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(20,0))) AS total_raw_value,
+           CAST(max(l_orderkey) AS BIGINT) AS max_block
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="R8 fan-in + flagship wallet report (per-wallet transfer count/total; the reference's end product). The 29-wallet union loop (walletDataConsumer.py:126-133) is a single partitioned scan here",
+)
+def r8_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _derive_raw_tokentx(spark, sf_dir)
+    txs = process_token_transfers(raw)
+    return (
+        txs.groupBy("wallet_address")
+        .agg(
+            F.count("*").alias("n_transfers"),
+            F.sum((F.col("quantity") * F.pow(F.lit(10.0), F.col("token_decimal"))).cast("decimal(20,0)")).alias(
+                "total_raw_value"
+            ),
+            F.max("block_number").alias("max_block"),
+        )
+    )
+
+
+@register(
+    "entry_flagship",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           CAST(count(*) AS BIGINT) AS n_transfers,
+           ROUND(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS total_quantity
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Flagship: the reference's own question — per-wallet transfer counts and total quantity — asked of the engine (used by __spark_entry__.entry)",
+)
+def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _derive_raw_tokentx(spark, sf_dir)
+    txs = process_token_transfers(raw)
+    return txs.groupBy("wallet_address").agg(
+        F.count("*").alias("n_transfers"),
+        F.round(F.sum("quantity").cast("double"), 4).alias("total_quantity"),
+    )

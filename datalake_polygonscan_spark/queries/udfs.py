@@ -1,1 +1,124 @@
-"""placeholder — filled in this round."""
+"""UDF-surface coverage: U1 (pandas UDF), U2 (grouped UDAF via
+applyInPandas), U3 (table function via mapInPandas).
+
+UDFs are the engine's slow path by policy — everything else in this
+repo is Catalyst expressions. When Python is genuinely needed, it is
+always Arrow-batched (pandas UDF / applyInPandas / mapInPandas), never
+row-at-a-time: the reference's per-row Python loop
+(``process_erc20_token_transfers``, walletDataConsumer.py:86-105) is
+the anti-pattern these replace. The computations here are chosen so a
+SQL oracle can verify the UDF machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+
+@pandas_udf(T.DoubleType())
+def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """U1 — vectorized scalar: price after discount and tax. One Arrow
+    batch in, one out; numpy arithmetic, no per-row Python."""
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "u1_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) / 10000 AS net_price
+    FROM lineitem
+    """,
+    doc="U1 Arrow-vectorized pandas UDF (scalar). The oracle rounds via floor(x*1e4+0.5): both engines compute bitwise-identical IEEE doubles, so floor-rounding is exactly reproducible where ROUND's engine-specific decimal conversion is not",
+)
+def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(_net_price("l_extendedprice", "l_discount", "l_tax") * 10000 + 0.5) / 10000).alias("net_price"),
+    )
+
+
+_U2_SCHEMA = T.StructType(
+    [
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("n_items", T.LongType()),
+        T.StructField("weighted_avg_discount", T.DoubleType()),
+    ]
+)
+
+
+def _weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+    """U2 — per-group pandas UDAF: quantity-weighted mean discount."""
+    w = pdf["l_quantity"].sum()
+    wavg = float((pdf["l_discount"] * pdf["l_quantity"]).sum() / w) if w else None
+    return pd.DataFrame(
+        {"l_suppkey": [pdf["l_suppkey"].iloc[0]], "n_items": [len(pdf)], "weighted_avg_discount": [round(wavg, 6)]}
+    )
+
+
+@register(
+    "u2_grouped_udaf",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS weighted_avg_discount
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="U2 grouped pandas UDAF via applyInPandas (one Arrow batch per group). NOTE: a full-group shuffle — partial aggregation is impossible for opaque Python, which is why built-in aggs are preferred at scale",
+)
+def u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_suppkey", "l_quantity", "l_discount").groupBy("l_suppkey").applyInPandas(
+        _weighted_avg, schema=_U2_SCHEMA
+    )
+
+
+_U3_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("token_len", T.IntegerType()),
+    ]
+)
+
+
+def _tokenize_docs(batches):
+    """U3 — table function: one input doc row -> N token rows, streamed
+    per Arrow batch through mapInPandas (never materializes the whole
+    expansion)."""
+    for pdf in batches:
+        toks = (
+            pdf.assign(token=pdf["text"].str.lower().str.strip().str.split(r"\s+"))[["doc_id", "token"]]
+            .explode("token", ignore_index=True)
+            .dropna(subset=["token"])
+        )
+        toks = toks[toks["token"] != ""]
+        toks["token_len"] = toks["token"].str.len().astype("int32")
+        yield toks
+
+
+@register(
+    "u3_udtf_tokenize",
+    oracle="""
+    SELECT doc_id, token, CAST(length(token) AS INTEGER) AS token_len FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ) WHERE token != ''
+    """,
+    doc="U3 UDTF (explode-style table function) via mapInPandas: doc -> token rows",
+)
+def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_tokenize_docs, schema=_U3_SCHEMA)

@@ -1,0 +1,114 @@
+"""Streaming operators E1-E4 (Structured Streaming).
+
+Each operator is defined ONCE as a DataFrame transformation that is
+valid on both batch and streaming DataFrames — the Structured
+Streaming model (same logical plan, incrementalized physical plan).
+That means:
+- batch mode gives the DuckDB-oracle-checkable semantics,
+- ``run_stream_available_now`` executes the *same* transformation as a
+  real incremental stream (file source -> memory sink,
+  Trigger.AvailableNow) for the tests that prove watermark/state
+  behavior.
+
+At scale the file source becomes Kafka/object-store listing; the
+memory sink becomes a Delta/parquet ``foreachBatch`` writer; state
+store semantics (watermark eviction, dedup TTL) are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "10 minutes", watermark: str | None = None) -> DataFrame:
+    """E1 — non-overlapping event-time windows: count + sum per
+    (window, event_type)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """E1 — overlapping windows (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), F.col("win.end").alias("window_end"), "n_events")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
+    """E3 — per-user session windows: a session extends while
+    consecutive events are < gap apart; window end = last event + gap."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str | None = None) -> DataFrame:
+    """E4 — drop duplicate events by key; with a watermark the state
+    store evicts keys older than the horizon (bounded state — the only
+    way dedup state survives an unbounded stream)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    cols = keys + ["ts"] if watermark else keys
+    return src.dropDuplicates(cols)
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute ``transform`` as a real incremental stream over parquet
+    files in ``source_dir`` (schema-enforced file source), collecting
+    into a memory sink with Trigger.AvailableNow; returns the result
+    table as a batch DataFrame.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per file, which
+    is how the tests drive watermark eviction / late-data drops across
+    batch boundaries.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    out = transform(stream)
+    name = "mem_" + uuid.uuid4().hex[:12]
+    chk_root = checkpoint_dir or os.path.join(os.path.dirname(source_dir.rstrip("/")), "_checkpoints")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(chk_root, f"_chk_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
