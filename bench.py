@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization of every output row on executors, no driver collect
+skew). Times include plan+execute, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_polygonscan_spark.queries import queries  # noqa: E402
+from datalake_polygonscan_spark.session import get_spark  # noqa: E402
+
+#: headline set: scan-heavy agg, shuffle join, window top-k, set op,
+#: streaming-shape window agg, and the LLM-pipeline ops (dedup families,
+#: ANN) that define this engine's extended surface.
+HEADLINE = [
+    "a1_groupby_agg",
+    "j1_inner_equijoin",
+    "j4_broadcast_dim_join",
+    "j5_range_join",
+    "w3_framed_agg",
+    "o2_topk_per_group",
+    "t3_dedup_exact_key",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_dedup",
+    "l3_knn_brute_force",
+    "l4_text_stats",
+    "r8_r13_wallet_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    qs = queries()
+
+    # JVM/codegen warmup on the smallest SF so headline times measure
+    # the query, not first-call JIT (one tiny scan+agg+join).
+    warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
+    qs["a1_groupby_agg"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

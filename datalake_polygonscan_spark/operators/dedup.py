@@ -35,6 +35,19 @@ from datalake_polygonscan_spark.functions.text import char_shingles, normalize_t
 from datalake_polygonscan_spark.functions.vectors import cosine_similarity
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """CPU-heavy per-row stages (shingle hashing, bit votes) must not
+    run on a handful of input splits: a single small parquet file would
+    serialize the whole corpus onto one core. Round-robin repartition
+    to the session's shuffle parallelism when the input has fewer
+    partitions. (At real scale inputs already arrive well-split and
+    this is a no-op.)"""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """L1 — exact dedup on md5(normalized text); survivor = min id.
 
@@ -65,7 +78,9 @@ def minhash_signatures(
     the min-reduce are higher-order array expressions — no shuffle at
     all until someone aggregates the signatures.
     """
-    shingled = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("shingles"))
+    shingled = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("shingles"))
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda p: F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)))),
@@ -130,10 +145,29 @@ def ngram_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    shingle_sets = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles"),
+    shingle_sets = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles"),
+        )
     )
+    if candidates is not None:
+        # candidate-verify path: join the (small) pair list to the
+        # shingle sets and intersect arrays in codegen — no exploded
+        # self-join, cost = O(|candidates| * shingles-per-doc)
+        sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        return (
+            candidates.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("intersection", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("intersection") / (F.size("sh_a") + F.size("sh_b") - F.col("intersection")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     sizes = shingle_sets.select("doc_id", F.size("shingles").alias("set_size"))
     exploded = shingle_sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
@@ -148,8 +182,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("intersection"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
@@ -200,7 +232,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """
     from datalake_polygonscan_spark.functions.text import tokens
 
-    toks = df.select(F.col(id_col).alias("doc_id"), F.array_distinct(tokens(text_col)).alias("toks"))
+    toks = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.array_distinct(tokens(text_col)).alias("toks"))
+    )
     hashes = toks.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes"))
     # vote(bit) = sum over tokens of (bit set ? 1 : -1); fingerprint bit
     # = vote > 0. Python loop emits one codegen'd aggregate per bit —
@@ -291,7 +325,7 @@ def fingerprint_bottom_k(df: DataFrame, text_col: str, id_col: str, k: int = 8, 
     min-wise hash family is an unbiased Jaccard estimator between
     sketches). Output: (id, fingerprint array<string> ascending).
     """
-    grams = df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, char_k).alias("grams"))
+    grams = _ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, char_k).alias("grams")))
     return grams.select(
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(F.transform("grams", F.md5))), 1, k).alias("fingerprint"),
