@@ -34,10 +34,22 @@ def epoch_to_utc_string(epoch_seconds: Column | str) -> Column:
 
 
 def scale_token_amount(raw_value: Column | str, decimals: Column | str) -> Column:
-    """R7: ``raw / 10^decimals`` as DecimalType(38,18), exact."""
-    v = F.col(raw_value) if isinstance(raw_value, str) else raw_value
-    d = F.col(decimals) if isinstance(decimals, str) else decimals
-    unscaled = v.cast(T.DecimalType(38, 0))
-    return (unscaled / F.pow(F.lit(10.0), d.cast(T.IntegerType())).cast(T.DecimalType(38, 0))).cast(
-        T.DecimalType(38, 18)
-    )
+    """R7: ``raw / 10^decimals`` as DecimalType(38,18), exact.
+
+    Implemented as decimal-point insertion on the digit string (lpad +
+    substring + cast), not decimal division: Spark's division scale
+    rule (max(6, ...) with precision capping) truncates 1e-18 to zero
+    for 38-digit operands. String surgery keeps every digit, stays in
+    codegen, and amounts too large for (38,18) — uint256 can reach
+    ~1.2e77 — overflow to NULL on the cast for quarantine.
+    """
+    v = (F.col(raw_value) if isinstance(raw_value, str) else raw_value).cast(T.StringType())
+    d = (F.col(decimals) if isinstance(decimals, str) else decimals).cast(T.IntegerType())
+    # unconditional 38-zero prefix avoids a data-dependent lpad width;
+    # leading zeros are harmless to the decimal cast
+    padded = F.concat(F.lit("0" * 38), v)
+    n = F.length(padded)
+    int_part = padded.substr(F.lit(1), n - d)
+    frac_part = padded.substr(n - d + 1, d)
+    # try_cast: overflow -> NULL under ANSI mode too (Spark 4 default)
+    return F.concat(int_part, F.lit("."), frac_part).try_cast(T.DecimalType(38, 18))

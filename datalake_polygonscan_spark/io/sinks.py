@@ -69,9 +69,12 @@ def atomic_overwrite(
         json.dump({"snapshot": snap}, f)
     os.replace(tmp, _pointer_path(table_path))
 
+    # retain the immediately-previous snapshot as a grace window for
+    # in-flight readers (Spark scans open files lazily); prune older
+    keep = {snap, f"snapshot={prev_n}"}
     for entry in os.listdir(table_path):
         full = os.path.join(table_path, entry)
-        if entry.startswith("snapshot=") and entry != snap and os.path.isdir(full):
+        if entry.startswith("snapshot=") and entry not in keep and os.path.isdir(full):
             import shutil
 
             shutil.rmtree(full, ignore_errors=True)

@@ -44,7 +44,8 @@ def read_json(
     quarantine table (see ``quarantine_split``).
     """
     if permissive:
-        full = schema.add(CORRUPT_COL, T.StringType())
+        # copy: StructType.add mutates the receiver in place
+        full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
         return (
             spark.read.schema(full)
             .option("mode", "PERMISSIVE")
@@ -70,9 +71,16 @@ def read_csv(
 
 
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (clean, quarantined) DataFrames."""
+    """Split a PERMISSIVE read into (clean, quarantined) DataFrames.
+
+    Caches the parsed batch first: Spark (by design) refuses plans that
+    query only ``_corrupt_record`` straight off a raw file scan, and a
+    one-pass materialization is also what you want at scale — parse the
+    raw zone once, route both outputs from the same pass.
+    """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

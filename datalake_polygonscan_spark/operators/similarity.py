@@ -79,6 +79,7 @@ def lsh_bucketed_topk(
     corpus: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     multiprobe_bits: int = 1,
     query_id: str = "query_id",
@@ -89,23 +90,37 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k via signed random projections.
 
-    Corpus is hashed once into 2^n_planes buckets; each query probes
-    its own bucket plus every bucket at hamming distance <=
-    ``multiprobe_bits`` (flip-one-bit multiprobe — the standard recall
-    fix for boundary vectors). Join is an equi-join on bucket id.
+    ``n_tables`` independent hash tables (OR-amplification — one b-bit
+    table alone has vanishing recall on high-dim data: per-bit collision
+    p for a true neighbor gives p^b per table, so recall is built by
+    probing several independent tables); within each table every query
+    probes its own bucket plus, with ``multiprobe_bits >= 1``, every
+    bucket at hamming distance 1 (flip-one-bit multiprobe for boundary
+    vectors). The corpus is hashed once per table (a write-time
+    partitioning at scale); the candidate join is an equi-join on
+    (table, bucket), candidates deduped before scoring so a vector found
+    by two tables is scored once.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")).withColumn(
-        "bucket", _bucket_expr("embedding", planes)
-    )
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")).withColumn(
-        "bucket0", _bucket_expr("query_vec", planes)
-    )
-    probes = [F.col("bucket0")]
-    if multiprobe_bits >= 1:
-        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    q = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
-    scored = c.join(F.broadcast(q), "bucket").withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding"))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec"))
+
+    c_buckets = []
+    q_probes = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_buckets.append(F.struct(F.lit(t).alias("t"), _bucket_expr("embedding", planes).alias("b")))
+        b0 = _bucket_expr("query_vec", planes)
+        q_probes.append(F.struct(F.lit(t).alias("t"), b0.alias("b")))
+        if multiprobe_bits >= 1:
+            q_probes += [
+                F.struct(F.lit(t).alias("t"), b0.bitwiseXOR(F.lit(1 << i)).alias("b"))
+                for i in range(n_planes)
+            ]
+
+    c = c.withColumn("tb", F.explode(F.array(*c_buckets)))
+    q = q.withColumn("tb", F.explode(F.array(*q_probes)))
+    candidates = c.join(F.broadcast(q), "tb").dropDuplicates(["query_id", "vec_id"])
+    scored = candidates.withColumn("cosine", cosine_similarity("query_vec", "embedding"))
     return _topk_per_query(scored, k)
 
 

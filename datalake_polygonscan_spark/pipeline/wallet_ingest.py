@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.functions.scalars import epoch_to_timestamp, scale_token_amount
 from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table
 from datalake_polygonscan_spark.io.sources import read_json
-from datalake_polygonscan_spark.schemas import RAW_TOKENTX_SCHEMA
+from datalake_polygonscan_spark.schemas import raw_tokentx_with_wallet
 
 
 def process_token_transfers(raw: DataFrame, wallet_col: str = "wallet_address") -> DataFrame:
@@ -64,8 +64,7 @@ def run_snapshot_refresh(
     DataFrame filter it reaches the file scan via Catalyst instead of a
     query-string parameter.
     """
-    schema = RAW_TOKENTX_SCHEMA.add("wallet_address", "string")
-    raw = read_json(spark, raw_json_path, schema)
+    raw = read_json(spark, raw_json_path, raw_tokentx_with_wallet())
     txs = process_token_transfers(raw)
     if block_range is not None:
         lo, hi = block_range

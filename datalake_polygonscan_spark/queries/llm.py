@@ -199,7 +199,7 @@ def l3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.lsh_bucketed_topk(queries_df, emb, k=10, n_planes=8, dim=64)
+    return S.lsh_bucketed_topk(queries_df, emb, k=10, n_planes=6, n_tables=8, dim=64)
 
 
 @register(

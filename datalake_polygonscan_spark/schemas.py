@@ -56,6 +56,13 @@ WALLET_TXS_SCHEMA = T.StructType(
     ]
 )
 
+def raw_tokentx_with_wallet() -> T.StructType:
+    """RAW_TOKENTX_SCHEMA + the landing-time wallet column. A fresh
+    StructType every call — StructType.add mutates in place, so the
+    module-level constant must never be extended directly."""
+    return T.StructType(list(RAW_TOKENTX_SCHEMA.fields) + [T.StructField("wallet_address", T.StringType())])
+
+
 # ---------------------------------------------------------------------------
 # Driver testdata schemas (TESTDATA.md / FIXTURES.md §B) — used when a
 # format round-trip (JSON/CSV) must re-read without inference.

@@ -1,0 +1,103 @@
+"""Dedup operator quality tests (L1/L2): idempotence, MinHash accuracy,
+SimHash locality, planted near-duplicates recovered end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    minhash_lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")  # one-token edit => high jaccard
+    far = "completely different content about spark shuffles and columnar execution engines at scale"
+    rows = [
+        (1, base),
+        (2, base),                     # exact dup of 1 (after normalization)
+        (3, "  THE  quick brown fox jumps over the lazy dog and runs far away into the woods tonight "),
+        (4, near),                     # near dup of 1
+        (5, far),
+        (6, far.upper()),              # exact dup of 5 after normalization
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_min_id_survivor_and_idempotent(spark):
+    docs = _docs(spark)
+    out = exact_dedup(docs, "text", "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 4, 5]  # {1,2,3} -> 1, {5,6} -> 5, 4 unique
+    again = sorted(r.doc_id for r in exact_dedup(out.drop("text_hash"), "text", "doc_id").collect())
+    assert again == kept  # dedup(dedup(x)) == dedup(x)
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64, shingle_k=3)
+    rows = {r.doc_id: r.signature for r in sigs.collect()}
+    est_same = sum(a == b for a, b in zip(rows[1], rows[3])) / 64.0
+    est_near = sum(a == b for a, b in zip(rows[1], rows[4])) / 64.0
+    est_far = sum(a == b for a, b in zip(rows[1], rows[5])) / 64.0
+    assert est_same == 1.0
+    assert est_near > 0.5
+    assert est_far < 0.2
+
+
+def test_lsh_candidates_find_planted_pair(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=16, shingle_k=3)
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidate_pairs(sigs, bands=8).collect()}
+    assert (1, 2) in cand and (1, 3) in cand
+    assert (1, 4) in cand  # near-dup must surface as candidate
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs or pairs[(1, 5)] < 0.1
+
+
+def test_minhash_lsh_dedup_end_to_end(spark):
+    docs = _docs(spark)
+    kept = sorted(r.doc_id for r in minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5).collect())
+    assert kept == [1, 5]  # 2,3 exact dups; 4 near dup of 1; 6 dup of 5
+
+
+def test_simhash_locality(spark):
+    docs = _docs(spark)
+    fp = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(fp[1], fp[3]) == 0  # same normalized token set
+    assert ham(fp[1], fp[4]) <= 12  # one-token edit: few bits flip
+    assert ham(fp[1], fp[5]) > 12  # unrelated docs: ~32 expected
+
+
+def test_simhash_near_pairs_blocking(spark):
+    docs = _docs(spark)
+    fp = simhash(docs, "text", "doc_id")
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(fp, max_hamming=12).collect()}
+    assert (1, 3) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_embedding_near_duplicates_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,63 @@
+"""Similarity-search quality: exact top-k vs numpy; ANN recall vs the
+brute-force baseline on real testdata embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_bucketed_topk
+from datalake_polygonscan_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    from collections import defaultdict
+
+    exact, approx = defaultdict(set), defaultdict(set)
+    for r in exact_rows:
+        exact[r.query_id].add(r.vec_id)
+    for r in approx_rows:
+        approx[r.query_id].add(r.vec_id)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+def test_brute_force_matches_numpy(spark):
+    emb = load_table(spark, SF, "embeddings")
+    got = brute_force_topk(_queries(emb, 3), emb, k=5).collect()
+    mat = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for qid in range(3):
+        q = mat[qid]
+        sims = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))) for vid, v in mat.items()
+        }
+        want = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+        have = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert have == want
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = _queries(emb, 10)
+    exact = brute_force_topk(q, emb, k=10).collect()
+    approx = lsh_bucketed_topk(q, emb, k=10, n_planes=6, n_tables=8, dim=64, multiprobe_bits=1).collect()
+    # random embeddings are the adversarial case for SRP-LSH (all angles
+    # near 90°): 6-bit signatures x 8 OR'd tables + flip-1 multiprobe
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = _queries(emb, 10)
+    exact = brute_force_topk(q, emb, k=10).collect()
+    approx = ivf_topk(q, emb, k=10, nlist=8, nprobe=4).collect()
+    assert _recall(approx, exact) >= 0.6  # probing half the lists

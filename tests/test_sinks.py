@@ -1,0 +1,58 @@
+"""Atomic snapshot sink semantics (S4/S5): pointer swap, crash safety,
+append, partitioned layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalake_polygonscan_spark.io.sinks import (
+    append,
+    atomic_overwrite,
+    current_snapshot_path,
+    read_table,
+    write_partitioned,
+)
+
+
+def test_overwrite_replaces_atomically(spark, tmp_table):
+    df1 = spark.range(10)
+    df2 = spark.range(100, 105)
+    atomic_overwrite(df1, tmp_table)
+    assert read_table(spark, tmp_table).count() == 10
+    atomic_overwrite(df2, tmp_table)
+    assert sorted(r.id for r in read_table(spark, tmp_table).collect()) == [100, 101, 102, 103, 104]
+
+
+def test_failed_write_keeps_previous_snapshot(spark, tmp_table):
+    """A crash mid-write must leave the old snapshot live — the exact
+    failure the reference's TRUNCATE-then-COPY cannot survive
+    (resources/redshift.py:80,98-104)."""
+    atomic_overwrite(spark.range(7), tmp_table)
+    bad = spark.range(10).selectExpr("assert_true(id < 5) as x", "id")
+    with pytest.raises(Exception):
+        atomic_overwrite(bad, tmp_table)
+    # pointer still resolves to the good snapshot
+    assert read_table(spark, tmp_table).count() == 7
+
+
+def test_append_accumulates(spark, tmp_table):
+    atomic_overwrite(spark.range(5), tmp_table)
+    append(spark.range(5, 8), tmp_table)
+    assert read_table(spark, tmp_table).count() == 8
+
+
+def test_snapshot_pruning(spark, tmp_table):
+    for i in range(3):
+        atomic_overwrite(spark.range(i + 1), tmp_table)
+    snaps = sorted(e for e in os.listdir(tmp_table) if e.startswith("snapshot="))
+    assert snaps == ["snapshot=1", "snapshot=2"]  # current + one-reader grace
+    assert current_snapshot_path(tmp_table).endswith("snapshot=2")
+
+
+def test_partitioned_write_layout(spark, tmp_table):
+    df = spark.createDataFrame([(i, "ab"[i % 2]) for i in range(10)], ["id", "part"])
+    write_partitioned(df, tmp_table, ["part"])
+    entries = {e for e in os.listdir(tmp_table) if e.startswith("part=")}
+    assert entries == {"part=a", "part=b"}

@@ -1,0 +1,100 @@
+"""Structured Streaming behavior that batch oracles cannot check:
+watermark eviction across micro-batches, streaming dedup state,
+incremental session windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+from datalake_polygonscan_spark.streaming.windows import (
+    run_stream_available_now,
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+def _write_events_file(spark, path, rows):
+    """Write rows as ONE bare parquet file at ``path`` (the streaming
+    file source lists plain files; a .parquet output *directory* would
+    confuse per-file triggering)."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+    tmp = path + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+def _ev(eid, ts_minutes, user=1, etype="click", value=1.0):
+    return (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=ts_minutes), user, etype, value, "{}")
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """File 1 advances event time to t+120m; file 2 (processed in a
+    later micro-batch via maxFilesPerTrigger=1) carries an event 2h
+    older than the watermark horizon (10m) — it must be dropped.
+    In one batch (no watermark lag), it would be counted."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "f1.parquet"), [_ev(1, 0), _ev(2, 120)])
+    _write_events_file(spark, os.path.join(src, "f2.parquet"), [_ev(3, 1)])  # late by ~2h
+
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: tumbling_window_agg(s, "10 minutes", watermark="10 minutes"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2  # event 3 dropped by the watermark
+
+    # batch mode over the same files counts all 3 (no lateness concept)
+    batch = tumbling_window_agg(spark.read.schema(EVENTS_SCHEMA).parquet(src + "/*"), "10 minutes")
+    assert batch.agg(F.sum("n_events")).collect()[0][0] == 3
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """The same event_id arriving in a later micro-batch is dropped
+    while its key is within the watermark-retained state."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "f1.parquet"), [_ev(1, 0), _ev(2, 1)])
+    _write_events_file(spark, os.path.join(src, "f2.parquet"), [_ev(1, 0), _ev(4, 2)])
+
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stream_dedup(s.withWatermark("ts", "1 hour"), keys=["event_id"]),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 4]
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [_ev(1, 0), _ev(2, 10), _ev(3, 60), _ev(4, 65), _ev(5, 200)]
+    _write_events_file(spark, os.path.join(src, "f1.parquet"), rows)
+
+    stream_out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: session_window_agg(s, "30 minutes", watermark="1 hour"),
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    batch_out = session_window_agg(spark.read.schema(EVENTS_SCHEMA).parquet(src + "/*"), "30 minutes")
+    assert sorted(map(str, stream_out.collect())) == sorted(map(str, batch_out.collect()))
+    assert stream_out.count() == 3  # sessions: {1,2}, {3,4}, {5}
