@@ -33,13 +33,15 @@ HEADLINE = [
     "w3_framed_agg",
     "o2_topk_per_group",
     "t3_dedup_exact_key",
-    "e1_tumbling_window",
+    "e1_windowed_agg",
     "e3_session_window",
     "l1_exact_dedup",
     "l2_minhash_lsh_dedup",
+    "l2_embedding_near_dup",
     "l3_knn_brute_force",
     "l4_text_stats",
-    "r8_r13_wallet_summary",
+    "m1_media_metadata",
+    "entry_flagship",
 ]
 
 

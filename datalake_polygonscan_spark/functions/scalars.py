@@ -44,10 +44,20 @@ def scale_token_amount(raw_value: Column | str, decimals: Column | str) -> Colum
     ~1.2e77 — overflow to NULL on the cast for quarantine.
     """
     v = (F.col(raw_value) if isinstance(raw_value, str) else raw_value).cast(T.StringType())
-    d = (F.col(decimals) if isinstance(decimals, str) else decimals).cast(T.IntegerType())
-    # unconditional 38-zero prefix avoids a data-dependent lpad width;
-    # leading zeros are harmless to the decimal cast
-    padded = F.concat(F.lit("0" * 38), v)
+    d_raw = (F.col(decimals) if isinstance(decimals, str) else decimals).cast(T.IntegerType())
+    # ERC-20 tokenDecimal is uint8 (0..255 legal on-chain). Clamp to
+    # [0, 280]: below 0 is malformed; above 280 the result is < 1e-200
+    # for any uint256 value, which rounds to the same 0E-18 the clamped
+    # division produces — and the clamp bounds the zero-pad length so
+    # the pad is never data-controlled unbounded.
+    d = F.greatest(F.least(d_raw, F.lit(280)), F.lit(0))
+    # data-dependent zero pad to length >= d+1 so the integer part
+    # always keeps >= 1 digit — a fixed-width pad makes the substring
+    # indices negative for d >= width + len(value), and Spark's substr
+    # counts negative starts from the string END, silently producing a
+    # wrong-magnitude value instead of the right one
+    zeros_needed = F.greatest(d + F.lit(1) - F.length(v), F.lit(0))
+    padded = F.concat(F.lit("0" * 281).substr(F.lit(1), zeros_needed), v)
     n = F.length(padded)
     int_part = padded.substr(F.lit(1), n - d)
     frac_part = padded.substr(n - d + 1, d)

@@ -71,12 +71,25 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def langid_pattern(words: tuple[str, ...]) -> str:
+    """Marker regex for one language, shared verbatim with the DuckDB
+    oracle generator (queries/llm.py) so both engines agree by
+    construction. ``\\b`` is ASCII-word-boundary in both Java and RE2
+    regexes — around CJK characters it would require an adjacent ASCII
+    word char and never match, so non-ASCII marker sets use plain
+    containment instead of word boundaries."""
+    body = "(" + "|".join(words) + ")"
+    if all(w.isascii() for w in words):
+        return r"\b" + body + r"\b"
+    return body
+
+
 def langid_scores(col: Column | str) -> list[tuple[str, Column]]:
     """(lang, marker-hit-count) pairs; count = occurrences of any marker
     word, bounded regex so it stays in codegen."""
     out = []
     for lang, words in LANGID_MARKERS:
-        pattern = r"\b(" + "|".join(words) + r")\b"
+        pattern = langid_pattern(words)
         out.append((lang, F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 0))))
     return out
 

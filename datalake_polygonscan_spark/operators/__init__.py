@@ -7,6 +7,7 @@ in Catalyst expressions, and Python only orchestrates.
 
 from datalake_polygonscan_spark.operators.dedup import (
     exact_dedup,
+    shingle_sets,
     minhash_signatures,
     minhash_lsh_candidate_pairs,
     minhash_lsh_dedup,
@@ -19,9 +20,22 @@ from datalake_polygonscan_spark.operators.similarity import (
     lsh_bucketed_topk,
     ivf_topk,
 )
+from datalake_polygonscan_spark.operators.media import (
+    media_table,
+    sniff_mime,
+    media_metadata,
+    media_dedup_by_payload,
+    image_meta_pandas,
+)
 
 __all__ = [
     "exact_dedup",
+    "shingle_sets",
+    "media_table",
+    "sniff_mime",
+    "media_metadata",
+    "media_dedup_by_payload",
+    "image_meta_pandas",
     "minhash_signatures",
     "minhash_lsh_candidate_pairs",
     "minhash_lsh_dedup",

@@ -39,13 +39,14 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """CPU-heavy per-row stages (shingle hashing, bit votes) must not
     run on a handful of input splits: a single small parquet file would
     serialize the whole corpus onto one core. Round-robin repartition
-    to the session's shuffle parallelism when the input has fewer
-    partitions. (At real scale inputs already arrive well-split and
-    this is a no-op.)"""
+    to the session's shuffle parallelism. The extra exchange is cheap
+    relative to the md5/bit-vote work it parallelizes; checking the
+    current partition count would force a plan->RDD conversion
+    (``df.rdd``), which is itself a planning cost, so repartition
+    unconditionally. (At real scale, drop this and rely on well-split
+    inputs.)"""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,6 +65,27 @@ def _perm_hash(perm: int, shingle_col) -> "F.Column":
     return F.md5(F.concat(F.lit(f"{perm}:"), shingle_col))
 
 
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """(doc_id, distinct word-shingle array) — the shared input of the
+    MinHash-LSH pipeline. Computed ONCE and reused by both the
+    signature and the verify stages (minhash_lsh_dedup persists it so
+    the shingling CPU isn't paid twice)."""
+    return _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles"),
+        )
+    )
+
+
+def _signatures_from_shingles(shingled: DataFrame, num_perm: int) -> DataFrame:
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)))),
+    )
+    return shingled.select("doc_id", sig.alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -72,20 +94,15 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: array of ``num_perm`` minima of
-    deterministic md5 permutations over word shingles.
+    deterministic md5 permutations over word shingles (the min over the
+    distinct shingle set equals the min over the multiset, so the
+    shared distinct shingle table feeds this too).
 
     Stays entirely in codegen: shingling, per-permutation hashing and
     the min-reduce are higher-order array expressions — no shuffle at
     all until someone aggregates the signatures.
     """
-    shingled = _ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_k).alias("shingles"))
-    )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)))),
-    )
-    return shingled.select("doc_id", sig.alias("signature"))
+    return _signatures_from_shingles(shingle_sets(df, text_col, id_col, shingle_k), num_perm)
 
 
 def minhash_lsh_candidate_pairs(
@@ -135,6 +152,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     candidates: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -142,21 +160,18 @@ def ngram_jaccard_pairs(
     found by a self-equi-join on the exploded shingle table — with
     ``max_doc_freq`` pruning stop-phrase hot keys so no reduce key
     explodes. With ``candidates`` (e.g. from LSH): verify only those.
+    ``shingled`` (from :func:`shingle_sets`) lets callers reuse an
+    already-computed (possibly persisted) shingle table.
 
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    shingle_sets = _ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(word_shingles(text_col, shingle_k)).alias("shingles"),
-        )
-    )
+    sets = shingled if shingled is not None else shingle_sets(df, text_col, id_col, shingle_k)
     if candidates is not None:
         # candidate-verify path: join the (small) pair list to the
         # shingle sets and intersect arrays in codegen — no exploded
         # self-join, cost = O(|candidates| * shingles-per-doc)
-        sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-        sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
         return (
             candidates.join(sa, "doc_a")
             .join(sb, "doc_b")
@@ -168,8 +183,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    sizes = shingle_sets.select("doc_id", F.size("shingles").alias("set_size"))
-    exploded = shingle_sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("set_size"))
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
         doc_freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
         exploded = exploded.join(doc_freq.filter(F.col("df") <= max_doc_freq), "shingle", "inner").select(
@@ -212,10 +227,16 @@ def minhash_lsh_dedup(
     relation (no transitive closure — connected components on 100 TB is
     an iterative job; the standard corpus-dedup practice of dropping
     any doc that duplicates a lower id is what's implemented).
+
+    The shingle table is computed ONCE and persisted across its two
+    consumers (signatures, Jaccard verify) — the md5 shingling is the
+    CPU-dominant stage, so recomputing it doubled the job's cost. At
+    100 TB the persist becomes a checkpoint to the object store.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sets = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    sigs = _signatures_from_shingles(sets, num_perm)
     cand = minhash_lsh_candidate_pairs(sigs, bands)
-    dups = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand)
+    dups = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand, shingled=sets)
     to_drop = dups.select(F.col("doc_b").alias("_drop_id")).distinct()
     return df.join(to_drop, df[id_col] == F.col("_drop_id"), "left_anti")
 
@@ -302,19 +323,73 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """L2 — embedding-cosine near-dup pairs (id_a < id_b, cos >= t).
 
-    All-pairs form; at scale gate it behind LSH bucketing
-    (similarity.lsh_bucketed_topk's bucketer) so the join is on bucket
-    keys instead of a cross product.
+    ``method='lsh'`` (default, the scale path): candidate pairs come
+    from self-equi-joins on signed-random-projection buckets
+    (similarity.py's hyperplane bucketer) across ``n_tables``
+    independent tables — a linear shuffle on (table, bucket) keys,
+    never an n² theta join — then exact cosine verifies candidates.
+    Recall for a pair at cosine t is 1-(1-p^b)^T with
+    p = 1 - acos(t)/π: at the defaults (b=6, T=16) that is >0.99 for
+    t>=0.8 and ~1 for t>=0.95. At corpus scale, join candidate IDs
+    back to vectors instead of carrying vectors through the pair
+    dedup (narrower shuffle rows).
+
+    ``method='exact'`` is the all-pairs theta-join form — the oracle /
+    small-data verifier, quadratic by construction.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if method == "exact":
+        a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+        scored = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+            "cosine", cosine_similarity("vec_a", "vec_b")
+        )
+    elif method == "lsh":
+        from datalake_polygonscan_spark.functions.vectors import dot_pandas, l2_norm
+        from datalake_polygonscan_spark.operators.similarity import lsh_table_buckets
+
+        # normalize ONCE per vector (zero-norm vectors have no cosine
+        # and are dropped), so each candidate pair is scored with a
+        # single dot product instead of dot + two norms
+        normed = (
+            base.withColumn("_n", l2_norm("vec"))
+            .filter(F.col("_n") > 0)
+            .select("vec_id", F.transform("vec", lambda x: x.cast("double") / F.col("_n")).alias("vec"))
+        )
+        # all table buckets in one Arrow/numpy matmul per batch (see
+        # lsh_table_buckets: the expression form's codegen compile time
+        # dominated the whole query); element = table<<32 | bucket.
+        # Vectors ride along through the ONE bucket-key shuffle, the
+        # dot scores right at the join, and only pairs past the
+        # threshold reach the distinct — minimal stage count (each
+        # extra exchange costs a barrier; the join-ids-back variant
+        # spent more time in stage orchestration than in math)
+        tb = normed.select(
+            "vec_id", "vec", F.explode(lsh_table_buckets(F.col("vec"), dim, n_planes, n_tables, seed)).alias("tb")
+        )
+        a, b = tb.alias("a"), tb.alias("b")
+        scored = (
+            a.join(b, (F.col("a.tb") == F.col("b.tb")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                dot_pandas(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; expected 'lsh' or 'exact'")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity("vec_a", "vec_b"))
-        .filter(F.col("cosine") >= threshold)
+        scored.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 

@@ -1,0 +1,202 @@
+"""Multimodal (binary) column operators.
+
+Treats image/audio/video as opaque ``BinaryType`` content columns with
+typed metadata — the schema pattern for a training-data lake:
+
+    media_id BIGINT, mime STRING, content BINARY
+
+Operators:
+- ``media_table``        — derive a deterministic media fixture from the
+                           ``documents`` table (driver testdata has no
+                           binary column, so the fixture constructs one:
+                           real magic bytes + big-endian dimension
+                           fields + UTF-8 payload). Deterministic, so a
+                           DuckDB oracle reconstructs the same bytes.
+- ``sniff_mime``         — magic-byte container detection from content
+                           alone (never trusts declared metadata).
+- ``media_metadata``     — size / content hash / sniffed mime /
+                           header-parsed dimensions, all codegen (hex
+                           string surgery + ``conv``) — no Python.
+- ``media_dedup_by_payload`` — exact dedup on the md5 of the payload
+                           bytes (content minus container header): the
+                           same image wrapped in different containers
+                           still collapses. Min-id survivor.
+- ``image_meta_pandas``  — the Arrow-batched UDF tier: parse header
+                           bytes in pandas (``int.from_bytes``) with a
+                           typed struct result; the slot where a real
+                           decoder (PIL/ffmpeg) plugs in at deployment.
+- ``decode_image``       — the genuine pixel-decode step, STUBBED: the
+                           container ships no image libraries, so this
+                           raises NotImplementedError by design; the
+                           Spark-side plumbing (schema, batching,
+                           partitioning) around it is real and tested.
+
+Magic bytes are the public file-format signatures (PNG: 89 50 4E 47 0D
+0A 1A 0A; JPEG/JFIF: FF D8 FF; RIFF/WAV: 52 49 46 46).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PNG_MAGIC = "89504E470D0A1A0A"  # 8 bytes
+JPEG_MAGIC = "FFD8FFE0"  # 4 bytes
+RIFF_MAGIC = "52494646"  # 4 bytes
+
+#: header byte length per sniffed mime (magic + dimension/rate fields)
+HEADER_LEN = {"image/png": 16, "image/jpeg": 12, "audio/wav": 8}
+
+
+def _hex4(col: Column) -> Column:
+    """4-byte big-endian hex encoding of an integer column."""
+    return F.lpad(F.hex(col.cast("long")), 8, "0")
+
+
+def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media fixture: one binary blob per document.
+
+    kind = id % 3 (png / jpeg / wav); image dims and audio sample rate
+    are fixed functions of the id so the oracle can recompute them;
+    payload = UTF-8 bytes of the text.
+    """
+    mid = F.col(id_col).cast("long")
+    width = (mid * 37) % 1920 + 16
+    height = (mid * 53) % 1080 + 16
+    rate = (mid % 5) * 8000 + 8000
+    header_hex = (
+        F.when(mid % 3 == 0, F.concat(F.lit(PNG_MAGIC), _hex4(width), _hex4(height)))
+        .when(mid % 3 == 1, F.concat(F.lit(JPEG_MAGIC), _hex4(width), _hex4(height)))
+        .otherwise(F.concat(F.lit(RIFF_MAGIC), _hex4(rate)))
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.when(mid % 3 == 0, "image/png")
+        .when(mid % 3 == 1, "image/jpeg")
+        .otherwise("audio/wav")
+        .alias("mime"),
+        F.concat(F.unhex(header_hex), F.encode(F.col(text_col), "UTF-8")).alias("content"),
+    )
+
+
+def sniff_mime(content: Column | str) -> Column:
+    """Container type from magic bytes of the content itself."""
+    h = F.hex(F.col(content) if isinstance(content, str) else content)
+    return (
+        F.when(h.startswith(PNG_MAGIC), "image/png")
+        .when(h.startswith("FFD8FF"), "image/jpeg")
+        .when(h.startswith(RIFF_MAGIC), "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+
+
+def _hex_to_long(hexstr: Column) -> Column:
+    return F.conv(hexstr, 16, 10).cast("long")
+
+
+def media_metadata(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata extracted from the binary column, all codegen:
+    byte size, md5 of the hex form (engine-neutral), sniffed mime, and
+    dimensions parsed from the container header bytes (NULL for
+    non-image containers)."""
+    h = F.hex(F.col(content_col))
+    mime = sniff_mime(content_col)
+    width_hex = F.when(mime == "image/png", h.substr(17, 8)).when(mime == "image/jpeg", h.substr(9, 8))
+    height_hex = F.when(mime == "image/png", h.substr(25, 8)).when(mime == "image/jpeg", h.substr(17, 8))
+    return media.select(
+        "media_id",
+        F.length(F.col(content_col)).cast("long").alias("n_bytes"),
+        F.md5(h).alias("content_md5"),
+        mime.alias("sniffed_mime"),
+        _hex_to_long(width_hex).alias("width"),
+        _hex_to_long(height_hex).alias("height"),
+    )
+
+
+def payload_md5(content_col: str = "content") -> Column:
+    """md5 of the payload bytes (content minus container header),
+    computed on the hex form so any engine reproduces it."""
+    h = F.hex(F.col(content_col))
+    mime = sniff_mime(content_col)
+    hdr_chars = (
+        F.when(mime == "image/png", F.lit(2 * HEADER_LEN["image/png"]))
+        .when(mime == "image/jpeg", F.lit(2 * HEADER_LEN["image/jpeg"]))
+        .when(mime == "audio/wav", F.lit(2 * HEADER_LEN["audio/wav"]))
+        .otherwise(F.lit(0))
+    )
+    return F.md5(h.substr(hdr_chars + 1, F.length(h)))
+
+
+def media_dedup_by_payload(media: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Exact media dedup on payload bytes: the same underlying asset in
+    different containers (png vs jpeg wrapper) collapses to one row —
+    min-id survivor (deterministic), same rank-1 pattern as L1."""
+    from pyspark.sql import Window
+
+    hashed = media.withColumn("payload_md5", payload_md5(content_col))
+    w = Window.partitionBy("payload_md5").orderBy(F.col(id_col).asc())
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+_IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sniffed_mime", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def image_meta_pandas(media: DataFrame) -> DataFrame:
+    """Arrow-batched header parse (the pandas-UDF tier of the media
+    pipeline): per batch, parse magic + big-endian dims with
+    ``int.from_bytes``. This is where a real decoder (PIL, libvips,
+    ffmpeg) plugs in at deployment; per-batch columnar transfer and the
+    typed struct schema are the production plumbing."""
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                if b[:8] == bytes.fromhex(PNG_MAGIC):
+                    mime, w, h, hdr = "image/png", int.from_bytes(b[8:12], "big"), int.from_bytes(b[12:16], "big"), 16
+                elif b[:3] == bytes.fromhex("FFD8FF"):
+                    mime, w, h, hdr = "image/jpeg", int.from_bytes(b[4:8], "big"), int.from_bytes(b[8:12], "big"), 12
+                elif b[:4] == bytes.fromhex(RIFF_MAGIC):
+                    mime, w, h, hdr = "audio/wav", None, None, 8
+                else:
+                    mime, w, h, hdr = "application/octet-stream", None, None, 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sniffed_mime": mime,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": (w * h) if (w is not None and h is not None) else None,
+                        "payload_bytes": len(b) - hdr,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _IMAGE_META_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(parse, schema=_IMAGE_META_SCHEMA)
+
+
+def decode_image(content: bytes):  # pragma: no cover - stub by design
+    """Pixel decode — STUB. The execution container ships no image
+    codecs (no PIL/opencv); a deployment wires the real decoder here.
+    Everything around this call (binary schema, Arrow batching,
+    partitioning) is real and tested with the deterministic fake
+    headers above."""
+    raise NotImplementedError(
+        "image decoding requires an image library (e.g. PIL) not present in this environment; "
+        "use image_meta_pandas for header metadata or plug a decoder in here at deployment"
+    )

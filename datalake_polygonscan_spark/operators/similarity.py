@@ -22,9 +22,11 @@ tests/test_similarity.py.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.functions.vectors import cosine_similarity, dot
 
@@ -62,6 +64,38 @@ def brute_force_topk(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_table_buckets(vec_col, dim: int, n_planes: int, n_tables: int, seed: int):
+    """All ``n_tables`` sign-bit bucket ids for one vector, as
+    ``array<long>`` with element t encoding ``t * 2^32 + bucket_t``.
+
+    Computed as ONE Arrow-batched numpy matmul (batch_rows x dim @
+    dim x (tables*planes)) instead of tables*planes inlined
+    ``zip_with``/``aggregate`` expressions: the expression form
+    generates megabytes of Java whose janino compilation dominates the
+    query (10+ s observed at 16x6), while the BLAS path is
+    milliseconds. The planes are seeded literals baked into the UDF
+    closure — no RNG state on executors, deterministic across runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + 1000 * t)) for t in range(n_tables)]
+    )  # (n_tables*n_planes) x dim
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    table_tag = (np.arange(n_tables).astype(np.int64) << 32)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.zeros((len(vecs), dim))
+        for i, v in enumerate(vecs.values):
+            a = np.asarray(v, dtype=float)
+            mat[i, : min(dim, a.shape[0])] = a[:dim]
+        signs = (mat @ planes.T) > 0  # n x (tables*planes)
+        ids = signs.reshape(len(vecs), n_tables, n_planes) @ weights + table_tag
+        return pd.Series(list(ids))
+
+    return _buckets(vec_col)
 
 
 def _bucket_expr(vec_col: str, planes: list[list[float]]):
@@ -135,36 +169,59 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """IVF: centroids = deterministic stride sample of the corpus
-    (vec_id-ordered; a k-means refinement slot-in later), corpus rows
-    assigned to their nearest centroid via broadcast argmin, queries
-    probe the ``nprobe`` nearest lists.
+    """IVF (FAISS-style inverted file) in DataFrame form, built to scale:
+
+    - centroids: one representative per hash bucket —
+      ``pmod(xxhash64(id), nlist)`` buckets, ``min_by(vec, id)`` per
+      bucket (a partial-aggregating groupBy over nlist keys; a k-means
+      refinement can slot in later). Deterministic, NO driver-side
+      ``count()``/collect, NO partition-less window.
+    - assignment: the nlist centroids are collected into ONE array row,
+      broadcast, and the per-row argmax runs as a codegen'd
+      ``aggregate`` over that array — zero shuffle on the corpus side.
+    - probing: queries (the small side) rank centroids with a window
+      partitioned by query_id and keep ``nprobe`` lists; candidates come
+      from a broadcast equi-join on list_id.
     """
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding"))
-    n = c.count()
-    stride = max(n // nlist, 1)
-    sampled = (
-        c.withColumn("_rn", F.row_number().over(Window.orderBy(F.col("vec_id").asc())))
-        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * nlist))
+    bucketed = c.withColumn("_bkt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nlist)))
+    centroids = bucketed.groupBy("_bkt").agg(F.min_by("embedding", "vec_id").alias("centroid_vec")).select(
+        F.col("_bkt").cast("long").alias("centroid_id"), "centroid_vec"
     )
-    centroids = sampled.select(
-        F.row_number().over(Window.orderBy(F.col("vec_id").asc())).alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
+    # one row holding all centroids, sorted by id (struct sort is
+    # lexicographic -> first field = centroid_id), so the argmax scan
+    # below keeps the LOWEST centroid id on cosine ties
+    centroid_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "centroid_vec"))).alias("cents")
     )
-    cent = F.broadcast(centroids)
 
-    def nearest_lists(df: DataFrame, key: str, vcol: str, out: str, take: int) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn("_sim", cosine_similarity(vcol, "centroid_vec"))
-        w = Window.partitionBy(key).orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
-        return (
-            scored.withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= take)
-            .select(*df.columns, F.col("centroid_id").alias(out))
+    def argmax_list(vec_col: str):
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).cast("long").alias("cid")),
+            lambda acc, cent: F.when(
+                F.coalesce(cosine_similarity(F.col(vec_col), cent["centroid_vec"]), F.lit(-2.0)) > acc["sim"],
+                F.struct(
+                    F.coalesce(cosine_similarity(F.col(vec_col), cent["centroid_vec"]), F.lit(-2.0)).alias("sim"),
+                    cent["centroid_id"].alias("cid"),
+                ),
+            ).otherwise(acc),
         )
+        return best["cid"]
 
-    assigned = nearest_lists(c, "vec_id", "embedding", "list_id", 1)
+    assigned = c.crossJoin(F.broadcast(centroid_arr)).withColumn("list_id", argmax_list("embedding")).drop("cents")
+
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec"))
-    probed = nearest_lists(q, "query_id", "query_vec", "list_id", nprobe)
+    probe_scored = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_similarity("query_vec", "centroid_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    probed = (
+        probe_scored.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "query_vec", F.col("centroid_id").alias("list_id"))
+    )
     scored = assigned.join(F.broadcast(probed), "list_id").withColumn(
         "cosine", cosine_similarity("query_vec", "embedding")
     )

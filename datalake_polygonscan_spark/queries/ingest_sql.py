@@ -1,0 +1,73 @@
+"""S6 incremental MERGE ingest + the spark.sql(...) entry point.
+
+- ``s6_incremental_merge`` exercises io/merge.py end-to-end under the
+  driver: seed a stale/corrupted snapshot, merge a correction batch
+  keyed on the primary key, read the live table. The oracle states the
+  expected FINAL table directly (CASE over which keys the batch
+  covered), so the whole upsert protocol — anti-join, union, atomic
+  pointer swap — is value-checked. Idempotency (merge twice == once)
+  and the max-block watermark are asserted in tests/test_merge.py.
+- ``q_sql_passthrough`` proves SURVEY §3's entry point 2: the same
+  engine queried as SQL text over registered views
+  (tables.py:register_views) rather than the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.merge import merge_upsert
+from datalake_polygonscan_spark.io.sinks import atomic_overwrite
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+from datalake_polygonscan_spark.tables import load_table, register_views
+
+
+@register(
+    "s6_incremental_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice ELSE o_totalprice + 1000.0 END, 2) AS o_totalprice
+    FROM orders
+    """,
+    doc="S6 Delta-style MERGE upsert (io/merge.py:merge_upsert; SURVEY §4.3/§7.3(6), upgrades the reference's TRUNCATE+COPY full refresh at resources/redshift.py:80,98-104): snapshot with +1000-corrupted prices, then an update batch of the true rows for orderkey%3==0 merges in keyed on o_orderkey; result read from the live atomic snapshot",
+)
+def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    table = _scratch("s6_merge", "orders_snap")
+    stale = o.withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2))
+    atomic_overwrite(stale, table)  # reset state: fresh snapshot each run
+    batch = o.filter(F.col("o_orderkey") % 3 == 0)
+    live = merge_upsert(spark, table, batch, keys=["o_orderkey"])
+    return live.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+@register(
+    "q_sql_passthrough",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend,
+           ROUND(AVG(o_totalprice), 4) AS avg_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="SQL entry point (SURVEY §3 entry 2): the identical ANSI text runs through spark.sql over register_views (tables.py:register_views) and through DuckDB — same parser-level surface a reference user would type",
+)
+def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend,
+               ROUND(AVG(o_totalprice), 4) AS avg_spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -1,28 +1,28 @@
-"""LLM-pipeline operator coverage: L1-L4 + multimodal plumbing.
+"""LLM-pipeline operator coverage: L1-L4 (oracled entries).
 
 Oracle strategy: the dedup/fingerprint operators are built on
 *deterministic, engine-neutral* hashing — md5 of normalized text /
 seed-prefixed shingles, with "min" as lexicographic min over fixed-width
 hex — so DuckDB can replay the exact same MinHash/LSH computation in
 SQL. Where an operator is inherently engine-specific (xxhash64 SimHash,
-LSH/IVF ANN with literal hyperplanes), the entry is rows-only for the
-driver and its quality (recall vs brute force, hamming vs edit
-distance) is asserted in tests/.
+LSH/IVF ANN with literal hyperplanes), the entry lives in
+queries/extras.py (rows-only for the driver; quality — recall vs brute
+force, hamming vs edit distance — asserted in tests/).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.functions.text import (
     LANGID_MARKERS,
     langid,
+    langid_pattern,
     normalize_text,
     token_count_regex,
     TOKEN_REGEX,
 )
-from datalake_polygonscan_spark.functions.vectors import cosine_similarity
 from datalake_polygonscan_spark.operators import dedup as D
 from datalake_polygonscan_spark.operators import similarity as S
 from datalake_polygonscan_spark.queries.registry import register
@@ -120,29 +120,6 @@ def l2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "l2_minhash_lsh_dedup",
-    oracle=None,  # banding layout is engine-tunable; end-to-end validated in tests/test_dedup.py
-    doc="L2 end-to-end MinHash-LSH dedup: signatures -> banded candidates -> Jaccard verify -> min-id survivors (operators/dedup.py:minhash_lsh_dedup)",
-)
-def l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    kept = D.minhash_lsh_dedup(docs, "text", "doc_id", num_perm=16, bands=8, shingle_k=3, threshold=0.5)
-    return kept.select("doc_id", "lang", "source")
-
-
-@register(
-    "l2_simhash_near_pairs",
-    oracle=None,  # xxhash64-based; cross-engine oracle not applicable — quality asserted in tests/test_dedup.py
-    doc="L2 SimHash fingerprints + blocked hamming-distance pairs (operators/dedup.py:simhash, simhash_near_pairs)",
-)
-def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    fp = D.simhash(docs, "text", "doc_id")
-    pairs = D.simhash_near_pairs(fp, max_hamming=10)
-    return pairs.select("doc_a", "doc_b", "hamming")
-
-
-@register(
     "l2_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -154,11 +131,11 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
     """,
-    doc="L2 embedding-cosine near-duplicate pairs (operators/dedup.py:embedding_near_duplicates)",
+    doc="L2 embedding-cosine near-duplicate pairs via LSH bucketing (operators/dedup.py:embedding_near_duplicates, method='lsh': candidates from sign-bit bucket equi-joins — linear, never all-pairs; 16 tables x 6 planes gives >99% recall at cos>=0.8). The all-pairs oracle is exact; superset-recall on a seeded near-dup fixture asserted in tests/test_dedup.py",
 )
 def l2_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_duplicates(emb, threshold=0.8)
+    return D.embedding_near_duplicates(emb, threshold=0.8, method="lsh")
 
 
 @register(
@@ -187,32 +164,6 @@ def l3_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.brute_force_topk(queries_df, emb, k=10)
-
-
-@register(
-    "l3_lsh_ann",
-    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
-    doc="L3 LSH-bucketed ANN (signed random projections, multiprobe) — the sub-linear scale path (operators/similarity.py:lsh_bucketed_topk)",
-)
-def l3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return S.lsh_bucketed_topk(queries_df, emb, k=10, n_planes=6, n_tables=8, dim=64)
-
-
-@register(
-    "l3_ivf_ann",
-    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
-    doc="L3 IVF ANN (coarse quantizer + nprobe lists) (operators/similarity.py:ivf_topk)",
-)
-def l3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return S.ivf_topk(queries_df, emb, k=10, nlist=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -247,39 +198,35 @@ def l4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle_sql() -> str:
-    """Generate the DuckDB replica of functions.text.langid from the
-    same LANGID_MARKERS table — oracle and engine agree by construction."""
+def _langid_case_sql() -> str:
+    """DuckDB replica of functions.text.langid generated from the same
+    marker table + pattern builder — oracle and engine agree by
+    construction."""
     scores = []
     for lang, words in LANGID_MARKERS:
-        pat = r"\b(" + "|".join(words) + r")\b"
-        scores.append((lang, f"len(regexp_extract_all(lower(text), '{pat}'))"))
+        scores.append((lang, f"len(regexp_extract_all(lower(text), '{langid_pattern(words)}'))"))
     best = "greatest(" + ", ".join(s for _, s in scores) + ")"
     case = "'und'"
     for lang, s in reversed(scores):
         case = f"CASE WHEN {s} = best THEN '{lang}' ELSE {case} END"
-    return f"""
-    WITH scored AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN best > 0 THEN {case} ELSE 'und' END AS predicted_lang
-    FROM scored
-    """
+    return best, case
 
 
 @register(
-    "l4_langid",
-    oracle=_langid_oracle_sql(),
-    doc="L4 language-ID: marker-stopword argmax heuristic, deterministic tie-break; oracle generated from the same marker table (functions/text.py:langid)",
-)
-def l4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.col("lang").alias("labeled_lang"), langid("text").alias("predicted_lang"))
-
-
-@register(
-    "l4_quality_score",
-    oracle=f"""
-    SELECT doc_id,
+    "l4_doc_profile",
+    oracle=(lambda best_case: f"""
+    WITH scored AS (SELECT doc_id, lang, text, {best_case[0]} AS best FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length({_NORM_SQL}) - 4, 1)),
+                   i -> md5(substr({_NORM_SQL}, CAST(i AS INTEGER), 5))
+               )) AS hashed
+        FROM documents
+    )
+    SELECT s.doc_id,
+           s.lang AS labeled_lang,
+           CASE WHEN best > 0 THEN {best_case[1]} ELSE 'und' END AS predicted_lang,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
            ROUND(len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1), 6) AS punct_ratio,
@@ -289,19 +236,23 @@ def l4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(
              length(text) BETWEEN 50 AND 10000
              AND len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1) < 0.2
-           AS INTEGER) AS passes_quality
-    FROM documents
-    """,
-    doc="L4 quality scoring: length/punctuation/stopword-ratio gates (C4-style heuristics)",
+           AS INTEGER) AS passes_quality,
+           array_to_string(list_sort(g.hashed)[1:8], ',') AS fingerprint
+    FROM scored s JOIN grams g ON s.doc_id = g.doc_id
+    """)(_langid_case_sql()),
+    doc="L4 per-document profile: language-ID (marker-stopword argmax, deterministic tie-break, oracle generated from the same marker table — functions/text.py:langid), C4-style quality gates (length/punct/stopword ratios), and a bottom-8 md5 char-5-gram fingerprint (winnowing-style; operators/dedup.py:fingerprint_bottom_k)",
 )
-def l4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "is", "in", "that"]])
     toks = F.split(normalize_text("text"), " ")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\p{Punct}]"), 0))
     punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1))
-    return docs.select(
+    fp = D.fingerprint_bottom_k(docs, "text", "doc_id", k=8, char_k=5)
+    profiled = docs.select(
         "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        langid("text").alias("predicted_lang"),
         F.length("text").cast("long").alias("n_chars"),
         n_punct.cast("long").alias("n_punct"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -312,26 +263,6 @@ def l4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stopword_ratio"),
         (F.length("text").between(50, 10000) & (punct_ratio < 0.2)).cast("int").alias("passes_quality"),
     )
-
-
-@register(
-    "l4_fingerprint",
-    oracle=f"""
-    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-    grams AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(length(t) - 4, 1)),
-                   i -> md5(substr(t, CAST(i AS INTEGER), 5))
-               )) AS hashed
-        FROM norm
+    return profiled.join(
+        fp.select("doc_id", F.concat_ws(",", "fingerprint").alias("fingerprint")), "doc_id"
     )
-    SELECT doc_id, array_to_string(list_sort(hashed)[1:8], ',') AS fingerprint
-    FROM grams
-    """,
-    doc="L4 document fingerprint: bottom-8 sketch of md5'd char-5-grams (winnowing-style; Jaccard-estimating) (operators/dedup.py:fingerprint_bottom_k)",
-)
-def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    fp = D.fingerprint_bottom_k(docs, "text", "doc_id", k=8, char_k=5)
-    return fp.select("doc_id", F.concat_ws(",", "fingerprint").alias("fingerprint"))

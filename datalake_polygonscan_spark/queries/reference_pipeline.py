@@ -1,5 +1,5 @@
-"""Reference-semantics parity entry (R5-R8): the exact column logic of
-``process_erc20_token_transfers`` (walletDataConsumer.py:86-105)
+"""Reference-semantics parity entries (R5-R13): the exact column logic
+of ``process_erc20_token_transfers`` (walletDataConsumer.py:86-105)
 exercised over driver testdata.
 
 A tokentx-shaped frame (all-string fields, like the PolygonScan API
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_polygonscan_spark.pipeline.wallet_ingest import process_token_transfers, wallet_summary
+from datalake_polygonscan_spark.pipeline.wallet_ingest import process_token_transfers
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
 
@@ -75,42 +75,17 @@ def r5_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r8_r13_wallet_summary",
-    oracle="""
-    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
-           CAST(count(*) AS BIGINT) AS n_transfers,
-           SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(20,0))) AS total_raw_value,
-           CAST(max(l_orderkey) AS BIGINT) AS max_block
-    FROM lineitem
-    GROUP BY 1
-    """,
-    doc="R8 fan-in + flagship wallet report (per-wallet transfer count/total; the reference's end product). The 29-wallet union loop (walletDataConsumer.py:126-133) is a single partitioned scan here",
-)
-def r8_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _derive_raw_tokentx(spark, sf_dir)
-    txs = process_token_transfers(raw)
-    return (
-        txs.groupBy("wallet_address")
-        .agg(
-            F.count("*").alias("n_transfers"),
-            F.sum((F.col("quantity") * F.pow(F.lit(10.0), F.col("token_decimal"))).cast("decimal(20,0)")).alias(
-                "total_raw_value"
-            ),
-            F.max("block_number").alias("max_block"),
-        )
-    )
-
-
-@register(
     "entry_flagship",
     oracle="""
     SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
            CAST(count(*) AS BIGINT) AS n_transfers,
-           ROUND(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS total_quantity
+           ROUND(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS total_quantity,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_raw_value,
+           CAST(max(l_orderkey) AS BIGINT) AS max_block
     FROM lineitem
     GROUP BY 1
     """,
-    doc="Flagship: the reference's own question — per-wallet transfer counts and total quantity — asked of the engine (used by __spark_entry__.entry)",
+    doc="Flagship + R8-R13: the reference's own question — per-wallet transfer counts, total quantity, total raw (wei-style) value, max block (the MERGE watermark input) — asked of the engine. The 29-wallet union loop (walletDataConsumer.py:126-133) is a single partitioned scan; used by __spark_entry__.entry",
 )
 def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _derive_raw_tokentx(spark, sf_dir)
@@ -118,4 +93,9 @@ def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txs.groupBy("wallet_address").agg(
         F.count("*").alias("n_transfers"),
         F.round(F.sum("quantity").cast("double"), 4).alias("total_quantity"),
+        # raw integer units: exact at any magnitude the fixture produces
+        F.sum((F.col("quantity") * F.pow(F.lit(10.0), F.col("token_decimal"))).cast("decimal(20,0)"))
+        .cast("long")
+        .alias("total_raw_value"),
+        F.max("block_number").alias("max_block"),
     )

