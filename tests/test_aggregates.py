@@ -1,0 +1,37 @@
+"""A2 approx_count_distinct validation: the HLL++ estimate must land
+within a small multiple of the requested relative standard deviation of
+the exact distinct count (the sketch's accuracy contract — the reason
+it is safe to substitute for countDistinct at 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    li = load_table(spark, SF, "lineitem")
+    rsd = 0.01
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+    ).collect()[0]
+    for col in ("orders", "parts"):
+        exact, approx = row[f"exact_{col}"], row[f"approx_{col}"]
+        # 5 sigma: deterministic sketch, so this either passes forever
+        # or flags a real regression
+        assert abs(approx - exact) <= max(5 * rsd * exact, 1), (col, exact, approx)
+
+
+def test_approx_count_distinct_coarser_rsd_still_bounded(spark):
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_suppkey").alias("exact"),
+        F.approx_count_distinct("l_suppkey", 0.05).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(5 * 0.05 * row["exact"], 1)

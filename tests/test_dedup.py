@@ -101,3 +101,25 @@ def test_embedding_near_duplicates_planted(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_embedding_lsh_recovers_all_exact_pairs(spark):
+    """The LSH-bucketed path (the registry/scale default) must find
+    every pair the exact all-pairs oracle finds at the registry's
+    threshold — this is the recall contract behind keeping the exact
+    SQL oracle on l2_embedding_near_dup."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((2 * i, v))
+        if i % 3 == 0:  # planted near-dup: tiny perturbation
+            rows.append((2 * i + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, threshold=0.8, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_duplicates(df, threshold=0.8, method="lsh").collect()}
+    assert exact, "fixture must plant at least one near-dup pair"
+    assert lsh >= exact  # superset: LSH candidates verified exactly
+    assert lsh == exact  # and no false positives (cosine verify)

@@ -1,0 +1,76 @@
+"""Multimodal (binary column) operator tests: fixture construction,
+magic-byte sniffing, codegen header parsing, payload dedup across
+containers, the Arrow-batched UDF tier, and the documented decode stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.operators.media import (
+    decode_image,
+    image_meta_pandas,
+    media_dedup_by_payload,
+    media_metadata,
+    media_table,
+    sniff_mime,
+)
+
+
+def _docs(spark):
+    rows = [(0, "a png-backed doc"), (1, "a jpeg-backed doc"), (2, "a wav-backed doc"), (3, "another png doc")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_media_table_is_binary_with_magic(spark):
+    media = media_table(_docs(spark))
+    assert isinstance(media.schema["content"].dataType, T.BinaryType)
+    rows = {r.media_id: (r.mime, bytes(r.content)) for r in media.collect()}
+    assert rows[0][0] == "image/png" and rows[0][1][:8] == bytes.fromhex("89504E470D0A1A0A")
+    assert rows[1][0] == "image/jpeg" and rows[1][1][:3] == bytes.fromhex("FFD8FF")
+    assert rows[2][0] == "audio/wav" and rows[2][1][:4] == b"RIFF"
+    # payload is the UTF-8 text after the header
+    assert rows[0][1][16:] == b"a png-backed doc"
+
+
+def test_media_metadata_parses_header_dims(spark):
+    meta = {r.media_id: r for r in media_metadata(media_table(_docs(spark))).collect()}
+    # dims must match the fixture formulas, parsed from actual bytes
+    assert meta[0].width == 16 and meta[0].height == 16
+    assert meta[3].width == (3 * 37) % 1920 + 16 and meta[3].height == (3 * 53) % 1080 + 16
+    assert meta[2].width is None and meta[2].height is None  # audio: no dims
+    assert meta[0].n_bytes == 16 + len("a png-backed doc")
+    assert meta[0].sniffed_mime == "image/png" and meta[2].sniffed_mime == "audio/wav"
+
+
+def test_sniff_rejects_unknown_container(spark):
+    df = spark.createDataFrame([(1, bytearray(b"plain bytes, no magic"))], "id long, content binary")
+    out = df.select(sniff_mime("content").alias("mime")).collect()[0]
+    assert out.mime == "application/octet-stream"
+
+
+def test_payload_dedup_collapses_rewrapped_asset(spark):
+    docs = _docs(spark)
+    original = media_table(docs)
+    # same payload, different container (id shift changes mime + header)
+    rewrapped = media_table(docs.select((F.col("doc_id") + 100).alias("doc_id"), "text"))
+    kept = media_dedup_by_payload(original.unionByName(rewrapped))
+    ids = sorted(r.media_id for r in kept.collect())
+    assert ids == [0, 1, 2, 3]  # min-id survivor: originals win
+
+
+def test_image_meta_udf_matches_codegen_parse(spark):
+    media = media_table(_docs(spark))
+    udf_meta = {r.media_id: r for r in image_meta_pandas(media).collect()}
+    exp_meta = {r.media_id: r for r in media_metadata(media).collect()}
+    for mid, exp in exp_meta.items():
+        got = udf_meta[mid]
+        assert (got.sniffed_mime, got.width, got.height) == (exp.sniffed_mime, exp.width, exp.height)
+        if exp.width is not None:
+            assert got.n_pixels == exp.width * exp.height
+
+
+def test_decode_image_is_documented_stub():
+    with pytest.raises(NotImplementedError, match="image library"):
+        decode_image(b"\x89PNG....")
