@@ -50,37 +50,43 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "l2_minhash_signatures",
+    "l2_minhash_lsh_dedup",
     oracle=f"""
     WITH norm AS (
-        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
-    ), shingles AS (
-        SELECT doc_id,
-               list_transform(
+        SELECT doc_id, lang, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), shset AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
                    generate_series(1, greatest(len(toks) - 2, 1)),
                    i -> array_to_string(toks[i:i+2], ' ')
-               ) AS sh
+               )) AS sh
         FROM norm
+    ), sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   p -> list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)))) AS sig
+        FROM shset
+    ), bands AS (
+        SELECT doc_id, unnest(generate_series(0, 7)) AS b, sig FROM sig
+    ), bh AS (
+        SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS band_hash FROM bands
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+        FROM bh a JOIN bh c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+    ), dup AS (
+        SELECT DISTINCT c.db
+        FROM cand c JOIN shset x ON x.doc_id = c.da JOIN shset y ON y.doc_id = c.db
+        WHERE len(list_intersect(x.sh, y.sh))
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
     )
-    SELECT doc_id,
-           list_min(list_transform(sh, s -> md5('0:' || s))) AS h0,
-           list_min(list_transform(sh, s -> md5('1:' || s))) AS h1,
-           list_min(list_transform(sh, s -> md5('2:' || s))) AS h2,
-           list_min(list_transform(sh, s -> md5('3:' || s))) AS h3
-    FROM shingles
+    SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN (SELECT db FROM dup)
     """,
-    doc="L2 MinHash signatures over 3-word shingles; deterministic md5 permutations reproduce exactly in any engine (operators/dedup.py:minhash_signatures)",
+    doc="L2 end-to-end MinHash-LSH dedup: shared shingle table -> 16 md5-permutation signatures -> 8-band LSH candidates -> exact Jaccard verify (>=0.5) -> min-id survivors (operators/dedup.py:minhash_lsh_dedup). Every stage is deterministic md5, so the oracle replays the ENTIRE pipeline in SQL — signatures, banding, candidate join, verify, drop — and value-checks the e2e result",
 )
-def l2_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "text", "doc_id", num_perm=4, shingle_k=3)
-    return sigs.select(
-        "doc_id",
-        F.element_at("signature", 1).alias("h0"),
-        F.element_at("signature", 2).alias("h1"),
-        F.element_at("signature", 3).alias("h2"),
-        F.element_at("signature", 4).alias("h3"),
-    )
+    kept = D.minhash_lsh_dedup(docs, "text", "doc_id", num_perm=16, bands=8, shingle_k=3, threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
 
 
 @register(
