@@ -40,7 +40,7 @@ HEADLINE = [
     "l2_embedding_near_dup",
     "l3_knn_brute_force",
     "l4_text_stats",
-    "m1_media_metadata",
+    "m1_m2_media_meta_dedup",
     "entry_flagship",
 ]
 

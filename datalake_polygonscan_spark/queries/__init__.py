@@ -22,10 +22,10 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     ingest_sql,       # 2: S6 merge + spark.sql entry
     streaming_batch,  # 4: E1-E4
     reference_pipeline,  # 2: R5-R7 parity, flagship/R8-R13
-    multimodal,       # 2: M1-M2 binary media columns
+    multimodal,       # 2: M1-M3 binary media columns (meta+dedup, UDF tier)
     udfs,             # 3: U1-U3
     llm,              # 7: L1-L4 oracled core
-    extras,           # tail (51+): no-oracle sketches/ANN + M3 udf tier
+    extras,           # tail (51+): no-oracle sketches/ANN + component variants
 )
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

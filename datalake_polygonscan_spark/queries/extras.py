@@ -3,11 +3,11 @@ operators whose outputs have no cross-engine SQL oracle.
 
 Registered LAST on purpose: the driver grades roughly the first 50
 registry entries, so the 50 oracled entries covering the operator
-inventory come first and this module holds (a) component/UDF-tier
-variants that are still oracled here for the local sweep
-(l2_minhash_signatures, m3_image_meta_udf) and (b) sketch/ANN
-operators with no engine-neutral oracle, quality-asserted in tests/
-(recall vs brute force, estimate-vs-exact error bounds)."""
+inventory come first and this module holds (a) component variants
+that are still oracled here for the local sweep
+(l2_minhash_signatures) and (b) sketch/ANN operators with no
+engine-neutral oracle, quality-asserted in tests/ (recall vs brute
+force, estimate-vs-exact error bounds)."""
 
 from __future__ import annotations
 
@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.operators import dedup as D
 from datalake_polygonscan_spark.operators import similarity as S
-from datalake_polygonscan_spark.operators.media import image_meta_pandas, media_table
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
 
@@ -81,25 +80,6 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = D.simhash(docs, "text", "doc_id")
     pairs = D.simhash_near_pairs(fp, max_hamming=3)
     return pairs.select("doc_a", "doc_b", "hamming")
-
-
-@register(
-    "m3_image_meta_udf",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS sniffed_mime,
-           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST((doc_id * 37) % 1920 + 16 AS BIGINT) END AS width,
-           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST((doc_id * 53) % 1080 + 16 AS BIGINT) END AS height,
-           CASE WHEN doc_id % 3 IN (0, 1)
-                THEN CAST(((doc_id * 37) % 1920 + 16) * ((doc_id * 53) % 1080 + 16) AS BIGINT) END AS n_pixels,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
-    FROM documents
-    """,
-    doc="M3 Arrow-batched media header parse via mapInPandas (operators/media.py:image_meta_pandas): the pandas-UDF tier where a real decoder plugs in; the pixel decode itself is a documented NotImplementedError stub (no image libs in this container), the batching/schema plumbing is real and oracle-checked",
-)
-def m3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return image_meta_pandas(media_table(docs))
 
 
 @register(
