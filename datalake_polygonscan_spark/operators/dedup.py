@@ -10,11 +10,13 @@ Five dedup families, each a pure DataFrame composition:
 - ``embedding_near_duplicates`` — cosine threshold over embeddings
 
 Scale notes (the 100 TB story):
-- MinHash here is deterministic: permutation *i* of shingle *s* is
-  ``md5(i || ':' || s)`` and "min" is the lexicographic min of the hex
-  digest — md5 hex strings of equal length order exactly like their
-  128-bit values, so this is a true min-wise scheme with no RNG state
-  to ship to executors, and any engine (DuckDB included) reproduces it.
+- MinHash here is deterministic AND cheap: ONE md5 per distinct shingle
+  (its first 60 bits as an int), then ``num_perm`` universal-hash
+  permutations ``(a_p*h + b_p) mod (2^31-1)`` with fixed constants —
+  integer multiply-adds instead of ``num_perm`` md5 calls per shingle
+  (16x less hashing at the defaults). No RNG state ships to executors,
+  and any engine (DuckDB included) reproduces it bit-for-bit because
+  the constants come from one shared Python generator.
 - LSH banding turns the quadratic all-pairs problem into an equi-join
   on (band_id, band_signature): Spark shuffles both sides on the band
   key — a linear shuffle, never a cross join.
@@ -61,8 +63,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def _perm_hash(perm: int, shingle_col) -> "F.Column":
-    return F.md5(F.concat(F.lit(f"{perm}:"), shingle_col))
+#: universal-hash modulus for MinHash permutations (Mersenne prime 2^31-1):
+#: base hashes are reduced mod P first, so a_p*h + b_p < 2^62 — exact in
+#: int64 arithmetic in every engine, no overflow, no float rounding.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) pairs for the universal-hash MinHash
+    permutations, from a fixed-seed 64-bit LCG. The DuckDB oracle SQL
+    (queries/llm.py) is generated from THIS function, so both engines
+    agree by construction."""
+    state = 0x5DEECE66D
+    consts = []
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        a_p = state % (MINHASH_PRIME - 1) + 1  # in [1, P-1], never 0
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        b_p = state % MINHASH_PRIME
+        consts.append((a_p, b_p))
+    return consts
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
@@ -78,12 +98,26 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) 
     )
 
 
+def _shingle_base_hash(shingle_col) -> "F.Column":
+    """md5(shingle) -> first 15 hex chars (60 bits) -> int64, reduced
+    mod MINHASH_PRIME. ``conv`` in Spark == ``CAST('0x'||hex AS BIGINT)``
+    in DuckDB; 60 bits always fits signed 64-bit, so no truncation
+    ambiguity between engines."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long") % F.lit(MINHASH_PRIME)
+
+
 def _signatures_from_shingles(shingled: DataFrame, num_perm: int) -> DataFrame:
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)))),
+    def perm(a: int, b: int):
+        # factory closure: pyspark inspects lambda arity, so the
+        # constants can't ride along as default arguments
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    bases = F.transform(F.col("shingles"), _shingle_base_hash)
+    based = shingled.select("doc_id", bases.alias("_bases"))
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_bases"), perm(a, b))) for a, b in minhash_perm_constants(num_perm)]
     )
-    return shingled.select("doc_id", sig.alias("signature"))
+    return based.select("doc_id", sig.alias("signature"))
 
 
 def minhash_signatures(
@@ -94,13 +128,14 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: array of ``num_perm`` minima of
-    deterministic md5 permutations over word shingles (the min over the
+    universal-hash permutations ``(a_p*base + b_p) mod 2^31-1`` over the
+    md5-derived base hash of each word shingle (the min over the
     distinct shingle set equals the min over the multiset, so the
     shared distinct shingle table feeds this too).
 
-    Stays entirely in codegen: shingling, per-permutation hashing and
-    the min-reduce are higher-order array expressions — no shuffle at
-    all until someone aggregates the signatures.
+    Stays entirely in codegen, and the md5 cost is paid ONCE per
+    shingle (the permutations are integer multiply-adds) — no shuffle
+    at all until someone aggregates the signatures.
     """
     return _signatures_from_shingles(shingle_sets(df, text_col, id_col, shingle_k), num_perm)
 
@@ -123,9 +158,17 @@ def minhash_lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(F.concat_ws("|", F.slice("signature", b * rows_per_band + 1, rows_per_band))).alias(
-                        "band_hash"
-                    ),
+                    # signature elements are int64; stringify for a
+                    # deterministic engine-neutral band digest
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
                 ),
             )
         ).alias("bh"),

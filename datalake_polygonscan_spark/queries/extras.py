@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.operators import dedup as D
+from datalake_polygonscan_spark.operators.dedup import MINHASH_PRIME, minhash_perm_constants
 from datalake_polygonscan_spark.operators import similarity as S
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
@@ -48,15 +49,16 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
                    i -> array_to_string(toks[i:i+2], ' ')
                ) AS sh
         FROM norm
+    ), based AS (
+        SELECT doc_id,
+               list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}) AS bases
+        FROM shingles
     )
     SELECT doc_id,
-           list_min(list_transform(sh, s -> md5('0:' || s))) AS h0,
-           list_min(list_transform(sh, s -> md5('1:' || s))) AS h1,
-           list_min(list_transform(sh, s -> md5('2:' || s))) AS h2,
-           list_min(list_transform(sh, s -> md5('3:' || s))) AS h3
-    FROM shingles
+           {", ".join(f"list_min(list_transform(bases, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS h{i}" for i, (a, b) in enumerate(minhash_perm_constants(4)))}
+    FROM based
     """,
-    doc="L2 MinHash signatures over 3-word shingles (the component op; the e2e pipeline is oracled as l2_minhash_lsh_dedup); deterministic md5 permutations reproduce exactly in any engine (operators/dedup.py:minhash_signatures)",
+    doc="L2 MinHash signatures over 3-word shingles (the component op; the e2e pipeline is oracled as l2_minhash_lsh_dedup); one md5 base hash per shingle + universal-hash permutations with constants shared between engines (operators/dedup.py:minhash_signatures)",
 )
 def l2_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

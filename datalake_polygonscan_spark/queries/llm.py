@@ -24,12 +24,25 @@ from datalake_polygonscan_spark.functions.text import (
     TOKEN_REGEX,
 )
 from datalake_polygonscan_spark.operators import dedup as D
+from datalake_polygonscan_spark.operators.dedup import MINHASH_PRIME, minhash_perm_constants
 from datalake_polygonscan_spark.operators import similarity as S
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
 
 # DuckDB replica of functions.text.normalize_text
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _minhash_sig_sql(num_perm: int = 16) -> str:
+    """DuckDB list literal computing the MinHash signature from a
+    ``bases`` int64 list — generated from the SAME constants function
+    the Spark operator uses (operators/dedup.py:minhash_perm_constants),
+    so both engines agree by construction."""
+    mins = ", ".join(
+        f"list_min(list_transform(bases, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_perm_constants(num_perm)
+    )
+    return f"[{mins}]"
 
 
 @register(
@@ -61,11 +74,12 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> array_to_string(toks[i:i+2], ' ')
                )) AS sh
         FROM norm
-    ), sig AS (
+    ), based AS (
         SELECT doc_id,
-               list_transform(generate_series(0, 15),
-                   p -> list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)))) AS sig
+               list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}) AS bases
         FROM shset
+    ), sig AS (
+        SELECT doc_id, {_minhash_sig_sql(16)} AS sig FROM based
     ), bands AS (
         SELECT doc_id, unnest(generate_series(0, 7)) AS b, sig FROM sig
     ), bh AS (
@@ -81,7 +95,7 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN (SELECT db FROM dup)
     """,
-    doc="L2 end-to-end MinHash-LSH dedup: shared shingle table -> 16 md5-permutation signatures -> 8-band LSH candidates -> exact Jaccard verify (>=0.5) -> min-id survivors (operators/dedup.py:minhash_lsh_dedup). Every stage is deterministic md5, so the oracle replays the ENTIRE pipeline in SQL — signatures, banding, candidate join, verify, drop — and value-checks the e2e result",
+    doc="L2 end-to-end MinHash-LSH dedup: shared shingle table -> ONE md5 base hash per shingle + 16 universal-hash permutations ((a*h+b) mod 2^31-1, constants shared with the oracle generator) -> 8-band LSH candidates -> exact Jaccard verify (>=0.5) -> min-id survivors (operators/dedup.py:minhash_lsh_dedup). Every stage is deterministic, so the oracle replays the ENTIRE pipeline in SQL — signatures, banding, candidate join, verify, drop — and value-checks the e2e result",
 )
 def l2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
