@@ -151,7 +151,7 @@ def l2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
     """,
-    doc="L2 embedding-cosine near-duplicate pairs via LSH bucketing (operators/dedup.py:embedding_near_duplicates, method='lsh': candidates from sign-bit bucket equi-joins — linear, never all-pairs; 16 tables x 6 planes gives >99% recall at cos>=0.8). The all-pairs oracle is exact; superset-recall on a seeded near-dup fixture asserted in tests/test_dedup.py",
+    doc="L2 embedding-cosine near-duplicate pairs via LSH bucketing (operators/dedup.py:embedding_near_duplicates, method='lsh': candidates from sign-bit bucket equi-joins — linear, never all-pairs; 24 tables x 8 planes gives ~98.5% recall at cos>=0.8 and ~1 at >=0.95 while cutting random-pair collisions to ~9%). The all-pairs oracle is exact; superset-recall on a seeded near-dup fixture asserted in tests/test_dedup.py",
 )
 def l2_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
