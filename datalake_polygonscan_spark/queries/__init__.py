@@ -26,6 +26,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     udfs,             # 3: U1-U3
     llm,              # 7: L1-L4 oracled core
     extras,           # tail (51+): no-oracle sketches/ANN + component variants
+    corpus_ops,       # tail: L5 curation (decontaminate/sample/repetition), fully oracled
 )
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,117 @@
+"""L5 corpus-curation registry entries (decontamination, deterministic
+sampling, repetition filtering) — tail entries with FULL DuckDB oracles
+(the graded top-50 covers the SURVEY §2.2 inventory; these extend the
+training-pipeline surface and are value-checked by the local sweep and
+tests/test_curation.py).
+
+The benchmark set for the decontamination entry is carved from the
+documents table itself (doc_id % 25 == 7) so the op runs on driver
+testdata without a second table; in production the benchmark side is
+its own (small) table and the operator takes it as a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.operators import curation as C
+from datalake_polygonscan_spark.operators.curation import SAMPLE_DENOM
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: per-language sample rates for the stratified-sample entry, shared
+#: with the oracle CASE generator below.
+SAMPLE_RATES: dict[str, float] = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+
+_HASH_SQL = f"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {SAMPLE_DENOM}"
+
+
+def _rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(round(r * SAMPLE_DENOM))}" for k, r in SAMPLE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@register(
+    "l5_decontaminate",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               )) AS sh
+        FROM norm
+    ), bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 25 = 7
+    ), corpus AS (
+        SELECT doc_id, sh FROM sh WHERE doc_id % 25 <> 7
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS s FROM corpus
+    ), ov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM ex JOIN bench USING (s) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           ROUND(coalesce(o.n_overlap, 0) / len(c.sh), 6) AS overlap_frac,
+           CAST(coalesce(o.n_overlap, 0) / len(c.sh) >= 0.5 AS INTEGER) AS contaminated
+    FROM corpus c LEFT JOIN ov o USING (doc_id)
+    """,
+    doc="L5 benchmark decontamination: distinct 3-word-shingle overlap of each corpus doc against the union shingle set of a benchmark split (doc_id%25==7), contaminated at >=50% overlap; benchmark side deduped + BROADCAST so corpus shingles never shuffle (operators/curation.py:benchmark_decontaminate)",
+)
+def l5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 7)
+    corpus = docs.filter(F.col("doc_id") % 25 != 7)
+    return C.benchmark_decontaminate(corpus, bench, "text", "doc_id", shingle_k=3, threshold=0.5)
+
+
+@register(
+    "l5_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, {_HASH_SQL} AS sample_bucket
+    FROM documents
+    WHERE {_HASH_SQL} < {_rates_case_sql()}
+    """,
+    doc="L5 deterministic stratified sampling: per-language keep rates gated on md5(doc_id) mod 10000 — seedless, reproducible across engines/runs/cluster sizes, pure codegen filter (operators/curation.py:deterministic_stratified_sample)",
+)
+def l5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.deterministic_stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES).select(
+        "doc_id", "lang", "source", "sample_bucket"
+    )
+
+
+@register(
+    "l5_repetition_score",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               ) AS g
+        FROM norm
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           CAST(len(g) AS BIGINT) AS n_shingles,
+           ROUND(1.0 - len(list_distinct(g)) / len(g), 6) AS dup_shingle_frac,
+           CAST(1.0 - len(list_distinct(g)) / len(g) > 0.2 AS INTEGER) AS flagged_repetitive
+    FROM grams
+    """,
+    doc="L5 repetition / boilerplate signal: duplicate 3-gram fraction over the shingle MULTISET (Gopher-style quality filter), flag at >20%; per-row array expressions, zero shuffle (operators/curation.py:repetition_stats)",
+)
+def l5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "text", "doc_id", shingle_k=3, flag_frac=0.2)
