@@ -1,0 +1,98 @@
+"""Extended analytics registry entries (tail, fully oracled):
+
+- ``j6_asof_join``     — point-in-time as-of join (operators/temporal.py)
+- ``a5_percentiles``   — exact grouped percentiles (sort-based; the
+                         100 TB path is approx_percentile, entry
+                         a2_approx_count_distinct's HLL analog)
+- ``p4_pivot``         — pivot with EXPLICIT value list (no extra
+                         discovery pass over the fact table)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.operators.temporal import asof_join
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.tables import load_table
+
+DEC = T.DecimalType(18, 6)
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, ROUND(c.value, 4) AS value,
+           e.event_id AS asof_event_id,
+           e.ts       AS asof_ts,
+           ROUND(e.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts, value
+        FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id AND e.ts <= c.ts
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) e ON TRUE
+    """,
+    doc="J6 as-of (point-in-time) join: each click event matched to the latest error event at-or-before it for the same user, NULL when none — union+sorted-window formulation, ONE shuffle on user_id, no range-join pair blowup (operators/temporal.py:asof_join); oracle = DuckDB LATERAL top-1",
+)
+def j6_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", F.round("value", 4).alias("value")
+    )
+    return asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts", right_tiebreak="event_id"
+    )
+
+
+@register(
+    "a5_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)       AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4)       AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+           CAST(count(*) AS BIGINT)                       AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A5 exact grouped percentiles (linear interpolation, identical in Spark percentile() and DuckDB quantile_cont). Exact percentile is a sort-based aggregate — fine per group; at 100 TB swap to approx_percentile (t-digest) the same way A2 swaps count_distinct for HLL",
+)
+def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "p4_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS qty_O,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="P4 pivot with an EXPLICIT value list (skips Spark's value-discovery pass over the fact table — one aggregate, no extra job); decimal-exact sums inside, rounded-double boundary; oracle = conditional aggregation",
+)
+def p4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 4))
+    )
+    return pv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )

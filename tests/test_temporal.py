@@ -1,0 +1,61 @@
+"""as-of join semantics (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from datalake_polygonscan_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(1)), (3, 20, _ts(9)), (4, 30, _ts(4))],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts(2), 1.0),
+            (101, 10, _ts(5), 2.0),   # equal-ts: inclusive match for left id=1
+            (102, 10, _ts(7), 3.0),   # after id=1 -> never matched
+            (103, 20, _ts(3), 4.0),
+        ],
+        ["event_id", "key", "ts", "v"],
+    )
+    out = {
+        r.id: r
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts", right_tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1].asof_event_id == 101 and out[1].asof_v == 2.0  # inclusive <=
+    assert out[2].asof_event_id is None  # no right row at-or-before ts=1
+    assert out[3].asof_event_id == 103  # different key partition
+    assert out[4].asof_event_id is None  # key with no right rows at all
+    assert len(out) == 4  # every left row exactly once
+
+
+def test_asof_join_equal_ts_tiebreak(spark):
+    left = spark.createDataFrame([(1, 10, _ts(5))], ["id", "key", "ts"])
+    right = spark.createDataFrame(
+        [(100, 10, _ts(5), 1.0), (101, 10, _ts(5), 2.0)], ["event_id", "key", "ts", "v"]
+    )
+    row = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts", right_tiebreak="event_id"
+    ).collect()[0]
+    assert row.asof_event_id == 101  # greatest tiebreak wins deterministically
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The formulation is union+window: the physical plan must contain
+    a window over the key sort and NO join operator — that's the scale
+    contract (no per-key pair blowup)."""
+    left = spark.createDataFrame([(1, 10, _ts(5))], ["id", "key", "ts"])
+    right = spark.createDataFrame([(100, 10, _ts(2), 1.0)], ["event_id", "key", "ts", "v"])
+    out = asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts", right_tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Join" not in plan
