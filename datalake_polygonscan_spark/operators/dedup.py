@@ -254,6 +254,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_lsh_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified duplicate pairs (doc_a < doc_b, jaccard >= threshold)
+    from the full MinHash-LSH pipeline: shared shingle table ->
+    signatures -> banded candidates -> exact Jaccard verify.
+
+    The shingle table is computed ONCE and persisted across its two
+    consumers (signatures, Jaccard verify) — the md5 shingling is the
+    CPU-dominant stage, so recomputing it doubled the job's cost. At
+    100 TB the persist becomes a checkpoint to the object store.
+    """
+    sets = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    sigs = _signatures_from_shingles(sets, num_perm)
+    cand = minhash_lsh_candidate_pairs(sigs, bands)
+    return ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand, shingled=sets)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -267,19 +291,13 @@ def minhash_lsh_dedup(
     survivor choice (drop the larger id of each duplicate pair).
 
     Note: survivor selection is min-id within each *pairwise* dup
-    relation (no transitive closure — connected components on 100 TB is
-    an iterative job; the standard corpus-dedup practice of dropping
-    any doc that duplicates a lower id is what's implemented).
-
-    The shingle table is computed ONCE and persisted across its two
-    consumers (signatures, Jaccard verify) — the md5 shingling is the
-    CPU-dominant stage, so recomputing it doubled the job's cost. At
-    100 TB the persist becomes a checkpoint to the object store.
+    relation (standard corpus-dedup practice: drop any doc that
+    duplicates a lower id). For full transitive-closure GROUPS, feed
+    :func:`minhash_lsh_duplicate_pairs` to
+    :func:`operators.graph.connected_components` (registry entry
+    ``l2_dedup_groups``).
     """
-    sets = shingle_sets(df, text_col, id_col, shingle_k).persist()
-    sigs = _signatures_from_shingles(sets, num_perm)
-    cand = minhash_lsh_candidate_pairs(sigs, bands)
-    dups = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand, shingled=sets)
+    dups = minhash_lsh_duplicate_pairs(df, text_col, id_col, num_perm, bands, shingle_k, threshold)
     to_drop = dups.select(F.col("doc_b").alias("_drop_id")).distinct()
     return df.join(to_drop, df[id_col] == F.col("_drop_id"), "left_anti")
 

@@ -62,10 +62,12 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "text_hash")
 
 
-@register(
-    "l2_minhash_lsh_dedup",
-    oracle=f"""
-    WITH norm AS (
+# shared CTE prefix replaying the MinHash-LSH pipeline (norm -> shingle
+# sets -> base hashes -> 16-perm signatures -> 8-band LSH -> candidate
+# pairs); suffixed differently by l2_minhash_lsh_dedup (drop survivors)
+# and graph_ops.l2_dedup_groups (connected components over pairs).
+MINHASH_PIPELINE_CTE = f"""
+    norm AS (
         SELECT doc_id, lang, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents
     ), shset AS (
         SELECT doc_id, lang, source,
@@ -79,7 +81,7 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}) AS bases
         FROM shset
     ), sig AS (
-        SELECT doc_id, {_minhash_sig_sql(16)} AS sig FROM based
+        SELECT doc_id, {{sig_expr}} AS sig FROM based
     ), bands AS (
         SELECT doc_id, unnest(generate_series(0, 7)) AS b, sig FROM sig
     ), bh AS (
@@ -87,7 +89,14 @@ def l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
         SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
         FROM bh a JOIN bh c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
-    ), dup AS (
+    )
+""".format(sig_expr=_minhash_sig_sql(16))
+
+
+@register(
+    "l2_minhash_lsh_dedup",
+    oracle=f"""
+    WITH {MINHASH_PIPELINE_CTE}, dup AS (
         SELECT DISTINCT c.db
         FROM cand c JOIN shset x ON x.doc_id = c.da JOIN shset y ON y.doc_id = c.db
         WHERE len(list_intersect(x.sh, y.sh))
