@@ -29,6 +29,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     corpus_ops,       # tail: L5 curation (decontaminate/sample/repetition), fully oracled
     analytics_ext,    # tail: J6 as-of join, A5 percentiles, P4 pivot, fully oracled
     graph_ops,        # tail: connected-components dedup groups, fully oracled
+    streaming_ext,    # tail: E5 applyInPandasWithState custom stateful op, oracled
 )
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,55 @@
+"""E5: custom stateful streaming operator (tail entry, fully oracled).
+
+Runs a REAL two-micro-batch Structured Streaming job inside the query
+callable: the per-user running totals only equal the batch group-by if
+the ``applyInPandasWithState`` state genuinely carries across batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+from datalake_polygonscan_spark.streaming.windows import (
+    run_stream_available_now,
+    stateful_running_totals,
+)
+from datalake_polygonscan_spark.tables import load_table
+
+
+@register(
+    "e5_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="E5 CUSTOM stateful streaming operator (applyInPandasWithState): per-user running (count, sum) carried in the state store across TWO real micro-batches (2-file source, maxFilesPerTrigger=1, update mode); the graded result takes each user's final update, which must equal the batch group-by — proving cross-batch state (streaming/windows.py:stateful_running_totals)",
+)
+def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e5_stream", "events_two_files")
+    chk = _scratch("e5_stream", "chk")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    updates = run_stream_available_now(
+        spark,
+        src,
+        stateful_running_totals,
+        output_mode="update",
+        max_files_per_trigger=1,
+        checkpoint_dir=os.path.join(chk, "e5"),
+    )
+    # one update row per (user, micro-batch); the final state per user
+    # is the row with the greatest running count
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )

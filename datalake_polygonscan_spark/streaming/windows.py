@@ -86,6 +86,39 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str | None = Non
     return src.dropDuplicates(cols)
 
 
+def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """E5 — CUSTOM stateful streaming operator via
+    ``applyInPandasWithState``: per-key running (count, sum-of-value)
+    carried in the state store across micro-batches, one updated row
+    emitted per key per batch.
+
+    This is the escape hatch for stateful logic Spark's built-ins
+    can't express (built-in windows/dedup cover E1-E4; anything with
+    bespoke state transitions lands here). State is explicit and
+    bounded: one (bigint, double) pair per key; with unbounded key
+    cardinality add a GroupStateTimeout instead of NoTimeout so idle
+    keys evict. Arrow-batched per group — no per-row Python.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame({"user_id": [key_tuple[0]], "n_events": [cnt], "total_value": [tot]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="cnt bigint, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_available_now(
     spark: SparkSession,
     source_dir: str,

@@ -98,3 +98,26 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     batch_out = session_window_agg(spark.read.schema(EVENTS_SCHEMA).parquet(src + "/*"), "30 minutes")
     assert sorted(map(str, stream_out.collect())) == sorted(map(str, batch_out.collect()))
     assert stream_out.count() == 3  # sessions: {1,2}, {3,4}, {5}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must accumulate across
+    micro-batches — user 1's second-batch update reflects batch 1's
+    rows, and the update stream contains one row per (user, batch)."""
+    from datalake_polygonscan_spark.streaming.windows import stateful_running_totals
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "f1.parquet"),
+                       [_ev(1, 0, user=1, value=2.0), _ev(2, 1, user=1, value=3.0), _ev(3, 2, user=2, value=1.0)])
+    _write_events_file(spark, os.path.join(src, "f2.parquet"),
+                       [_ev(4, 3, user=1, value=5.0)])
+    updates = run_stream_available_now(
+        spark, src, stateful_running_totals,
+        output_mode="update", max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    ).collect()
+    rows = sorted(((r.user_id, r.n_events, r.total_value) for r in updates))
+    # user 1: batch-1 update (2 events, 5.0) then batch-2 update
+    # carrying prior state (3 events, 10.0); user 2 only in batch 1
+    assert rows == [(1, 2, 5.0), (1, 3, 10.0), (2, 1, 1.0)]
