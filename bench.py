@@ -41,6 +41,10 @@ HEADLINE = [
     "l3_knn_brute_force",
     "l4_text_stats",
     "m1_m2_media_meta_dedup",
+    "j6_asof_join",
+    "a5_percentiles",
+    "l5_decontaminate",
+    "l5_stratified_sample",
     "entry_flagship",
 ]
 

@@ -61,23 +61,32 @@ def benchmark_decontaminate(
 
     The benchmark shingle set is deduplicated then BROADCAST: corpus
     shingles never shuffle, the overlap count partial-aggregates
-    map-side.
+    map-side. SINGLE PASS over the corpus shingles: because the
+    per-doc shingle set is distinct, ``n_shingles`` is just the
+    per-doc row count of the exploded table, so one broadcast
+    left-join with a hit flag + one aggregation computes both counts
+    — the corpus side is shingled exactly once.
     """
-    corpus_sh = shingle_sets(corpus, text_col, id_col, shingle_k)
     bench_sh = (
         shingle_sets(benchmark, text_col, id_col, shingle_k)
         .select(F.explode("shingles").alias("s"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    ex = corpus_sh.select("doc_id", F.explode("shingles").alias("s"))
-    ov = ex.join(F.broadcast(bench_sh), "s").groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    ex = shingle_sets(corpus, text_col, id_col, shingle_k).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    counts = (
+        ex.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_overlap"),
+        )
+    )
     frac = F.col("n_overlap") / F.col("n_shingles")
-    return (
-        corpus_sh.select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
-        .join(ov, "doc_id", "left")
-        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
-        .withColumn("overlap_frac", F.round(frac, 6))
-        .withColumn("contaminated", (frac >= threshold).cast("int"))
+    return counts.withColumn("overlap_frac", F.round(frac, 6)).withColumn(
+        "contaminated", (frac >= threshold).cast("int")
     )
 
 
