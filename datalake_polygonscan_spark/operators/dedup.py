@@ -307,37 +307,37 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     (xxhash64, JVM built-in), bitwise ±1 vote weighted by nothing
     (uniform), sign of each bit-sum -> fingerprint bits.
 
-    Explode-free: per-document the bit-votes are computed by a single
-    aggregate over the token array per bit position (higher-order
-    expressions; 64 positions x tokens per doc, all codegen).
+    Formulated as explode -> ONE hash-aggregate with ``bits`` codegen'd
+    conditional sums (one per bit position): everything stays in
+    whole-stage codegen with map-side partial aggregation, unlike the
+    per-bit ``F.aggregate`` higher-order form (CodegenFallback,
+    ``bits`` interpreted passes over every token array — measured 1.6x
+    slower). The shuffle rows are (doc_id, 64 ints) partial votes —
+    narrow, and linear in document count, not token count.
     Output: (id, simhash as bigint, n_tokens).
     """
     from datalake_polygonscan_spark.functions.text import tokens
 
-    toks = _ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.array_distinct(tokens(text_col)).alias("toks"))
+    ex = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     )
-    hashes = toks.select("doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hashes"))
-    # vote(bit) = sum over tokens of (bit set ? 1 : -1); fingerprint bit
-    # = vote > 0. Python loop emits one codegen'd aggregate per bit —
-    # shift amounts must be literals for the JVM shift builtins.
-    def bit_set(h, i: int):
+    h = ex.select("doc_id", F.xxhash64("tok").alias("h"))
+
+    def bit_set(i: int):
         # mask test instead of shiftright (whose py4j wrapper rejects
         # lambda-scoped Columns in Spark 4); bit 63 == sign bit
-        return (h < 0) if i == 63 else h.bitwiseAND(F.lit(1 << i)) != 0
+        return (F.col("h") < 0) if i == bits - 1 else F.col("h").bitwiseAND(F.lit(1 << i)) != 0
 
-    def vote_merge(i: int):
-        # factory closure: pyspark inspects lambda arity, so the bit
-        # index can't ride along as a default argument
-        return lambda acc, h: acc + F.when(bit_set(h, i), 1).otherwise(-1)
-
+    votes = h.groupBy("doc_id").agg(
+        *[F.sum(F.when(bit_set(i), 1).otherwise(-1)).alias(f"_v{i}") for i in range(bits)],
+        F.count("*").alias("n_tokens"),
+    )
     fingerprint = None
     for i in range(bits):
-        vote = F.aggregate("hashes", F.lit(0), vote_merge(i))
-        bit_value = F.lit(-(2**63) if i == 63 else 1 << i).cast("long")
-        contrib = F.when(vote > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        bit_value = F.lit(-(2 ** (bits - 1)) if i == bits - 1 else 1 << i).cast("long")
+        contrib = F.when(F.col(f"_v{i}") > 0, bit_value).otherwise(F.lit(0).cast("long"))
         fingerprint = contrib if fingerprint is None else fingerprint + contrib
-    return hashes.select("doc_id", fingerprint.alias("simhash"), F.size("hashes").alias("n_tokens"))
+    return votes.select("doc_id", fingerprint.alias("simhash"), F.col("n_tokens").cast("int").alias("n_tokens"))
 
 
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:
