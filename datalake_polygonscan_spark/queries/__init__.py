@@ -30,6 +30,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     analytics_ext,    # tail: J6 as-of join, A5 percentiles, P4 pivot, fully oracled
     graph_ops,        # tail: connected-components dedup groups, fully oracled
     streaming_ext,    # tail: E5 applyInPandasWithState custom stateful op, oracled
+    sources_ext,      # tail: S7 ORC round-trip, S8 bucketed co-located join, oracled
 )
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,83 @@
+"""Extended source/sink coverage (tail entries, fully oracled):
+
+- ``s7_orc_roundtrip``   — ORC write + schema-preserving read-back
+- ``s8_bucketed_join``   — bucketed `saveAsTable` on both join sides,
+                           then a co-located join with NO shuffle
+                           exchange (the plan contract is asserted in
+                           tests/test_plans.py)
+
+Bucketing is THE Spark answer to repeated big-table equi-joins at
+100 TB: pre-shuffle once at write time into N hash buckets per side,
+and every subsequent join on the bucket key skips both the exchange
+and (with sortBy) the sort — the scan itself is the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+from datalake_polygonscan_spark.tables import load_table
+
+DEC = T.DecimalType(18, 6)
+
+
+@register(
+    "s7_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey < 100
+    """,
+    doc="S7 ORC sink + source round-trip: columnar-format parity beyond parquet/csv/json — write a subset as ORC, read it back schema-preserved; oracle checks the round-trip is lossless against the parquet original (io path: plain spark.read/write.orc)",
+)
+def s7_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    path = _scratch("s7_orc", "orders_orc")
+    o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@register(
+    "s8_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="S8 bucketed co-located join: both sides written bucketBy(8, orderkey).sortBy into table format, then joined WITHOUT any shuffle exchange on the join key (bucket-pruned sort-merge; no-Exchange plan asserted in tests/test_plans.py) — the write-once/join-many pattern for repeated 100 TB fact joins",
+)
+def s8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    bo, bl = _bucketed_tables(spark, o, li)
+    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 4).alias("sum_price"),
+    )
+
+
+def _bucketed_tables(spark: SparkSession, o: DataFrame, li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(Re)write both sides as 8-bucket sorted tables and return the
+    table-backed DataFrames (shared with the plan-lock test)."""
+    for name, df, key in (("s8_orders", o, "o_orderkey"), ("s8_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch("s8_bucketed", name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table("s8_orders"), spark.table("s8_lineitem")

@@ -140,3 +140,27 @@ def test_no_decimal_at_query_output_boundary(spark):
             if isinstance(field.dataType, T.DecimalType):
                 offenders.append((name, field.name))
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """S8 contract: both sides bucketed 8-way on the join key =>
+    the sort-merge join reads buckets directly — NO shuffle Exchange
+    anywhere in the plan (the write pre-paid the shuffle). At sf0.001
+    the planner would rightly broadcast the tiny side instead, so
+    broadcast is disabled here to expose the big-big join shape that
+    bucketing exists for."""
+    from datalake_polygonscan_spark.queries.sources_ext import _bucketed_tables
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    bo, bl = _bucketed_tables(spark, o, li)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
