@@ -107,17 +107,19 @@ def _shingle_base_hash(shingle_col) -> "F.Column":
 
 
 def _signatures_from_shingles(shingled: DataFrame, num_perm: int) -> DataFrame:
-    def perm(a: int, b: int):
-        # factory closure: pyspark inspects lambda arity, so the
-        # constants can't ride along as default arguments
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    bases = F.transform(F.col("shingles"), _shingle_base_hash)
-    based = shingled.select("doc_id", bases.alias("_bases"))
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_bases"), perm(a, b))) for a, b in minhash_perm_constants(num_perm)]
-    )
-    return based.select("doc_id", sig.alias("signature"))
+    # explode -> codegen base hash -> ONE hash-aggregate with num_perm
+    # min() columns: everything whole-stage-codegen with map-side
+    # partial mins (the higher-order transform/array_min form is
+    # CodegenFallback — measured ~30% slower); shuffle rows are
+    # (doc_id, num_perm longs) partials, linear in docs not shingles
+    ex = shingled.select("doc_id", F.explode("shingles").alias("_s"))
+    h = ex.select("doc_id", _shingle_base_hash(F.col("_s")).alias("_h"))
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"_p{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    ]
+    flat = h.groupBy("doc_id").agg(*mins)
+    return flat.select("doc_id", F.array(*[f"_p{i}" for i in range(num_perm)]).alias("signature"))
 
 
 def minhash_signatures(
