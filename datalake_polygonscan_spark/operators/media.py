@@ -190,6 +190,123 @@ def image_meta_pandas(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(parse, schema=_IMAGE_META_SCHEMA)
 
 
+def sample_frames(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame_bytes: int = 256,
+    every_nth: int = 4,
+) -> DataFrame:
+    """Frame sampling over the binary payload — pure codegen: the
+    payload (content minus container header) is treated as fixed-size
+    frames and every ``every_nth`` frame is emitted as its own row
+    (media_id, frame_idx, frame BINARY, frame_md5).
+
+    This is the video/audio frame-sample shape: explode(sequence) over
+    the frame index + ``Column.substr`` on the BINARY column — no
+    Python, no decode; a real container swaps byte-striding for codec
+    frame boundaries inside the same plumbing. Row count is linear in
+    sampled frames; the binary column never passes through Python.
+    """
+    def header_len(col: Column) -> Column:
+        mime = sniff_mime(col)
+        return (
+            F.when(mime == "image/png", F.lit(HEADER_LEN["image/png"]))
+            .when(mime == "image/jpeg", F.lit(HEADER_LEN["image/jpeg"]))
+            .when(mime == "audio/wav", F.lit(HEADER_LEN["audio/wav"]))
+            .otherwise(F.lit(0))
+        )
+
+    content = F.col(content_col)
+    payload_len = F.length(content) - header_len(content)
+    n_frames = F.floor((payload_len + F.lit(frame_bytes - 1)) / F.lit(frame_bytes)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i % every_nth == 0,
+    )
+    hdr_c = header_len(F.col("_c"))
+    return (
+        media.filter(payload_len > 0)
+        .select(F.col(id_col).alias("media_id"), content.alias("_c"), F.explode(idx).alias("frame_idx"))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.col("_c").substr(hdr_c + F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes)).alias("frame"),
+        )
+        .withColumn("frame_md5", F.md5(F.hex("frame")))
+    )
+
+
+def resize_image_headers(media: DataFrame, content_col: str = "content", factor: int = 2) -> DataFrame:
+    """Resize step of a thumbnail pipeline, Arrow-batched
+    (binary-in/binary-out ``mapInPandas``): parse the header, divide
+    the dimension fields by ``factor``, re-emit the blob with the new
+    header and the payload untouched. With no codecs in this container
+    the pixel resample is a header rewrite on the deterministic fake
+    format; a real deployment decodes/resamples/re-encodes inside the
+    same batched plumbing (see :func:`decode_image`). Non-image rows
+    pass through unchanged."""
+
+    def rewrite(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(blob: bytes) -> bytes:
+            b = bytes(blob)
+            if b[:8] == bytes.fromhex(PNG_MAGIC):
+                hdr, off = 16, 8
+            elif b[:3] == bytes.fromhex("FFD8FF"):
+                hdr, off = 12, 4
+            else:
+                return b
+            w = int.from_bytes(b[off : off + 4], "big") // factor
+            h = int.from_bytes(b[off + 4 : off + 8], "big") // factor
+            return b[:off] + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b[hdr:]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": [one(x) for x in pdf["content"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("content", T.BinaryType())]
+    )
+    return media.select("media_id", F.col(content_col).alias("content")).mapInPandas(rewrite, schema=schema)
+
+
+def media_byte_features(media: DataFrame, content_col: str = "content", dim: int = 8) -> DataFrame:
+    """Feature extraction over the payload bytes, Arrow-batched: a
+    deterministic ``dim``-element float vector (byte-value mean/std +
+    evenly-spaced quantiles, scaled to [0,1]). The embedding slot of a
+    media pipeline — a real deployment swaps the byte statistics for a
+    vision/audio model forward pass over the decoded tensor; schema
+    (array<float>), batching and partitioning are identical."""
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n_quant = dim - 2
+
+        def one(blob: bytes):
+            a = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+            if a.size == 0:
+                return [0.0] * dim
+            qs = np.quantile(a, np.linspace(0.0, 1.0, n_quant))
+            return [float(x) / 255.0 for x in (a.mean(), a.std(), *qs)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": [one(x) for x in pdf["content"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    return media.select("media_id", F.col(content_col).alias("content")).mapInPandas(
+        featurize, schema=schema
+    )
+
+
 def decode_image(content: bytes):  # pragma: no cover - stub by design
     """Pixel decode — STUB. The execution container ships no image
     codecs (no PIL/opencv); a deployment wires the real decoder here.

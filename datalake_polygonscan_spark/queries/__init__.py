@@ -31,6 +31,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     graph_ops,        # tail: connected-components dedup groups, fully oracled
     streaming_ext,    # tail: E5 applyInPandasWithState custom stateful op, oracled
     sources_ext,      # tail: S7 ORC round-trip, S8 bucketed co-located join, oracled
+    multimodal_ext,   # tail: M4 media frame sampling, oracled
 )
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -74,3 +74,52 @@ def test_image_meta_udf_matches_codegen_parse(spark):
 def test_decode_image_is_documented_stub():
     with pytest.raises(NotImplementedError, match="image library"):
         decode_image(b"\x89PNG....")
+
+
+def test_sample_frames_strides_payload(spark):
+    from datalake_polygonscan_spark.operators.media import sample_frames
+
+    docs = spark.createDataFrame([(0, "x" * 1000)], ["doc_id", "text"])  # png, 1000-byte payload
+    media = media_table(docs)
+    frames = sample_frames(media, frame_bytes=256, every_nth=2).collect()
+    # 1000 bytes -> 4 frames (256,256,256,232); every 2nd -> idx 0, 2
+    assert [r.frame_idx for r in frames] == [0, 2]
+    assert len(bytes(frames[0].frame)) == 256
+    assert bytes(frames[0].frame) == b"x" * 256
+    assert len(bytes(frames[1].frame)) == 256
+    assert all(r.frame_md5 is not None for r in frames)
+
+
+def test_resize_image_headers_halves_dims_keeps_payload(spark):
+    from datalake_polygonscan_spark.operators.media import (
+        media_dedup_by_payload,
+        payload_md5,
+        resize_image_headers,
+    )
+
+    docs = _docs(spark)
+    media = media_table(docs)
+    before = {r.media_id: (r.width, r.height) for r in media_metadata(media).collect()}
+    resized = resize_image_headers(media, factor=2)
+    after = {r.media_id: (r.width, r.height) for r in media_metadata(resized).collect()}
+    for mid, (w, h) in after.items():
+        if before[mid][0] is not None:  # image rows halve
+            assert (w, h) == (before[mid][0] // 2, before[mid][1] // 2)
+        else:  # wav passes through
+            assert (w, h) == (None, None)
+    # payload untouched: payload hash identical before/after
+    pb = {r.media_id: r.p for r in media.select("media_id", payload_md5().alias("p")).collect()}
+    pa = {r.media_id: r.p for r in resized.select("media_id", payload_md5().alias("p")).collect()}
+    assert pb == pa
+
+
+def test_media_byte_features_deterministic_vectors(spark):
+    from datalake_polygonscan_spark.operators.media import media_byte_features
+
+    media = media_table(_docs(spark))
+    v1 = {r.media_id: r.features for r in media_byte_features(media).collect()}
+    v2 = {r.media_id: r.features for r in media_byte_features(media).collect()}
+    assert v1 == v2  # deterministic
+    assert all(len(v) == 8 for v in v1.values())
+    assert all(0.0 <= x <= 1.0 for v in v1.values() for x in v)
+    assert v1[0] != v1[1]  # distinct payloads -> distinct features
