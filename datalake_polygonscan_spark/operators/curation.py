@@ -111,6 +111,44 @@ def deterministic_stratified_sample(
     return df.withColumn("sample_bucket", _id_hash(id_col)).filter(F.col("sample_bucket") < rate_col)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count: F.Column,
+    context_len: int = 4096,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Contiguous greedy sequence packing: assign documents to
+    fixed-token-budget packs (training context windows) by running
+    token count within each stratum, ordered by id — fully
+    deterministic and replayable in SQL.
+
+    A doc belongs to the pack where its first token lands
+    (``floor(exclusive-cumsum / context_len)``); real packers split or
+    truncate boundary-spanning docs downstream — the assignment here is
+    the distributed part.
+
+    Scale: ONE shuffle on the stratum key + a running-sum window
+    (streaming evaluation, O(1) state per row). Strata (language,
+    source, date bucket) bound per-partition size and give
+    parallelism; an unstratified global pack would funnel the corpus
+    through one task — pass a stratum for real corpora.
+
+    Output: (doc_id, [stratum], n_tokens, pack_id, pack_offset).
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    w = part.orderBy(F.col(id_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cols = [F.col(id_col).alias("doc_id")] + ([strata_col] if strata_col else [])
+    return (
+        df.select(*cols, token_count.cast("long").alias("n_tokens"))
+        .withColumn("pack_id", F.floor(cum_before / context_len).cast("long"))
+        .withColumn("pack_offset", (cum_before % context_len).cast("long"))
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, flag_frac: float = 0.2) -> DataFrame:
     """Within-document repetition signal: duplicate-shingle fraction
     over the n-gram MULTISET (1 - distinct/total), the Gopher quality

@@ -91,6 +91,34 @@ def l5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l5_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(coalesce(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack_id,
+           CAST(coalesce(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048 AS BIGINT) AS pack_offset
+    FROM toks
+    """,
+    doc="L5 sequence packing: per-language contiguous greedy assignment of docs to 2048-token context-window packs via an exclusive running token sum — one stratum shuffle + a streaming window, deterministic and SQL-replayable (operators/curation.py:pack_sequences)",
+)
+def l5_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F2
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F2.size(F2.split(normalize_text("text"), " "))
+    return C.pack_sequences(docs, "doc_id", n_tokens, context_len=2048, strata_col="lang")
+
+
+@register(
     "l5_repetition_score",
     oracle=f"""
     WITH norm AS (

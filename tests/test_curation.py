@@ -9,6 +9,7 @@ from datalake_polygonscan_spark.operators.curation import (
     SAMPLE_DENOM,
     benchmark_decontaminate,
     deterministic_stratified_sample,
+    pack_sequences,
     repetition_stats,
 )
 
@@ -53,6 +54,25 @@ def test_stratified_sample_unknown_stratum_uses_default(spark):
     df = spark.createDataFrame([(1, "xx"), (2, "xx")], ["doc_id", "lang"])
     assert deterministic_stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 0
     assert deterministic_stratified_sample(df, "doc_id", "lang", {}, default_rate=1.0).count() == 2
+
+
+def test_pack_sequences_boundaries_and_strata(spark):
+    # en: 3 docs of 600 tokens into 1000-token packs -> cumsum-before 0/600/1200
+    # => packs 0,0,1 with offsets 0,600,200. zh gets its own pack numbering.
+    df = spark.createDataFrame(
+        [(1, "en", 600), (2, "en", 600), (3, "en", 600), (4, "zh", 999)],
+        ["doc_id", "lang", "n"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), context_len=1000, strata_col="lang"
+        ).collect()
+    }
+    assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
+    assert (rows[2].pack_id, rows[2].pack_offset) == (0, 600)
+    assert (rows[3].pack_id, rows[3].pack_offset) == (1, 200)
+    assert (rows[4].pack_id, rows[4].pack_offset) == (0, 0)  # zh stratum restarts
 
 
 def test_repetition_stats(spark):
