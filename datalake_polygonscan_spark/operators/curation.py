@@ -1,6 +1,6 @@
 """Corpus-curation operators for training-data pipelines (L5).
 
-Three ops every large-scale pretraining pipeline runs besides dedup:
+The ops every large-scale pretraining pipeline runs besides dedup:
 
 - ``benchmark_decontaminate`` — flag/drop corpus documents whose
   n-grams overlap an evaluation benchmark (PaLM/GPT-4-style
@@ -11,6 +11,14 @@ Three ops every large-scale pretraining pipeline runs besides dedup:
   engines and cluster sizes (no RNG state, no sampleBy seed drift).
 - ``repetition_stats`` — Gopher-style within-document repetition
   signal: duplicate n-gram fraction over the shingle *multiset*.
+- ``pack_sequences`` — contiguous context-window packing via an
+  exclusive per-stratum running token sum.
+- ``pii_redact`` — regex PII scrubbing (email/IPv4/phone) with
+  per-type counts; zero shuffle.
+- ``vocab_top_terms`` / ``tfidf_top_terms`` — tokenizer-vocab
+  induction and per-doc keyword extraction.
+- ``boilerplate_ngrams`` — corpus-level hot-n-gram (stop-shingle)
+  detection by document frequency.
 
 Scale notes (the 100 TB story):
 - Decontamination joins the exploded corpus shingles against the
@@ -146,6 +154,133 @@ def pack_sequences(
         df.select(*cols, token_count.cast("long").alias("n_tokens"))
         .withColumn("pack_id", F.floor(cum_before / context_len).cast("long"))
         .withColumn("pack_offset", (cum_before % context_len).cast("long"))
+    )
+
+
+#: PII patterns, Java-regex AND RE2 compatible (no lookaround, ASCII
+#: \b only) so the Spark redactor and the DuckDB oracle share them
+#: verbatim. Redaction order = this tuple's order; counts are taken on
+#: the ORIGINAL text so earlier replacements can't mask later counts.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2} \d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4 addresses / intl phone
+    numbers with typed placeholders and report per-type match counts.
+
+    Output: (doc_id, redacted, n_email, n_ipv4, n_phone).
+
+    Scale: pure per-row regexp codegen — a narrow map with zero
+    shuffle, so it composes with any downstream op at full scan speed.
+    Counts come from the original text (regexp_extract_all size), the
+    redacted text applies the patterns in PII_PATTERNS order.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return df.select(
+        F.col(id_col).alias("doc_id"), redacted.alias("redacted"), *counts
+    )
+
+
+def vocab_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
+    """Vocabulary induction: corpus-wide top-k terms by total
+    occurrence count, with document frequency. Output: (rank, term,
+    n_occurrences, doc_freq), deterministic tie-break on term.
+
+    Scale: explode -> ONE hash aggregation keyed on term (partial
+    map-side combine collapses the token stream before the shuffle;
+    distinct-doc count rides the same shuffle), then
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k + driver merge, no global sort. The rank
+    window runs over the k surviving rows only.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("term"))
+    agg = tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("_doc").cast("long").alias("doc_freq"),
+    )
+    order = [F.desc("n_occurrences"), F.asc("term")]
+    top = agg.orderBy(*order).limit(k)
+    return top.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        "term",
+        "n_occurrences",
+        "doc_freq",
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    min_df_frac: float = 0.05,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet-style): n-grams whose
+    DOCUMENT frequency exceeds ``min_df_frac`` of the corpus — the
+    repeated headers/footers/navigation text a crawl pipeline strips
+    before training. Output: (shingle, doc_freq, n_docs, df_frac).
+
+    Scale: per-doc DISTINCT shingles (so a looping doc can't inflate
+    df) -> explode -> one hash aggregation on the shingle key with
+    map-side partial combine; the corpus total is a 1-row aggregate
+    cross-joined back (broadcast, no shuffle of the freq table). The
+    hot tail this emits is exactly the stop-shingle list
+    ``jaccard``'s ``max_doc_freq`` pruning consumes upstream
+    (dedup.py) — one pass feeds both curation and dedup.
+    """
+    ex = shingle_sets(df, text_col, id_col, shingle_k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count("*").cast("long").alias("doc_freq"))
+    total = df.agg(F.count("*").cast("long").alias("n_docs"))
+    frac = F.col("doc_freq") / F.col("n_docs")
+    return (
+        dfreq.crossJoin(F.broadcast(total))
+        .withColumn("df_frac", F.round(frac, 6))
+        .filter(frac >= min_df_frac)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF
+    (``tf * ln((N+1)/(df+1))``), deterministic tie-break on term.
+    Output: (doc_id, term, tf, doc_freq, tfidf, rank).
+
+    Scale: two hash aggregations — (doc, term) term frequencies, then
+    term document frequencies off the ALREADY-AGGREGATED tf table
+    (vocab-sized input, not the token stream) — and a broadcast join
+    of the vocab-sized df/N side back onto tf, so the big table
+    shuffles once on (doc, term). Ranking is a per-doc window over
+    <= vocab-per-doc rows. Both engines compute the score in IEEE
+    double with the same operation order, so ordering agrees exactly.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("doc_freq"))
+    total = df.agg(F.count("*").cast("long").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq.crossJoin(total)), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", F.round(score, 6).alias("tfidf"), "rank")
     )
 
 

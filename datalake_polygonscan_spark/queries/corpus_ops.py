@@ -118,6 +118,137 @@ def l5_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, "doc_id", n_tokens, context_len=2048, strata_col="lang")
 
 
+#: deterministic synthetic PII injected per doc_id so the redactor has
+#: real matches to scrub on the (PII-free) synthetic corpus; shared
+#: shape between the Spark derivation and the oracle SQL below.
+_PII_EMAIL_COND = "doc_id % 3 = 0"
+_PII_IP_COND = "doc_id % 4 = 1"
+_PII_PHONE_COND = "doc_id % 5 = 2"
+
+
+@register(
+    "l5_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN {_PII_EMAIL_COND}
+                       THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+               || CASE WHEN {_PII_IP_COND}
+                       THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+               || CASE WHEN {_PII_PHONE_COND}
+                       THEN ' call +1 555-123-4567' ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+\\d{{1,2}} \\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\\+\\d{{1,2}} \\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone
+    FROM pii
+    """,
+    doc="L5 PII scrubbing: email/IPv4/phone regex redaction with per-type counts over deterministically-injected synthetic PII (the corpus itself is PII-free); patterns are Java+RE2 compatible and shared verbatim with the oracle; pure per-row codegen, zero shuffle (operators/curation.py:pii_redact)",
+)
+def l5_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" mail user"), did.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 5 == 2, F.lit(" call +1 555-123-4567")).otherwise(F.lit("")),
+    )
+    return C.pii_redact(docs.select("doc_id", pii_text.alias("text")), "text", "doc_id")
+
+
+@register(
+    "l5_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ), agg AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM tok GROUP BY term
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, term ASC) AS BIGINT) AS rank,
+           term, n_occurrences, doc_freq
+    FROM agg
+    ORDER BY n_occurrences DESC, term ASC
+    LIMIT 100
+    """,
+    doc="L5 vocabulary induction: corpus top-100 terms by occurrence count with doc frequency — explode + one map-side-combined hash agg, then orderBy().limit() = TakeOrderedAndProject (no global sort); rank numbered over the 100 survivors only (operators/curation.py:vocab_top_terms)",
+)
+def l5_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.vocab_top_terms(docs, "text", "doc_id", k=100)
+
+
+@register(
+    "l5_boilerplate_ngrams",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 1)),
+                   i -> array_to_string(toks[i:i+1], ' ')
+               )) AS g
+        FROM norm
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS shingle FROM sh
+    ), dfreq AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq FROM ex GROUP BY shingle
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT shingle, doc_freq, n_docs, ROUND(doc_freq / n_docs, 6) AS df_frac
+    FROM dfreq, n
+    WHERE doc_freq / n_docs >= 0.05
+    """,
+    doc="L5 corpus boilerplate detection (CCNet-style): 2-grams present in >=5% of documents — per-doc DISTINCT shingles so loops can't inflate df, explode + one hash agg on the shingle key, 1-row corpus total broadcast back; emits the stop-shingle list dedup's max_doc_freq pruning consumes (operators/curation.py:boilerplate_ngrams)",
+)
+def l5_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.boilerplate_ngrams(docs, "text", "doc_id", shingle_k=2, min_df_frac=0.05)
+
+
+@register(
+    "l5_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+               tf.tf * ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, doc_freq, s,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, doc_freq, ROUND(s, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="L5 per-doc keyword extraction: top-3 terms by TF-IDF (tf * ln((N+1)/(df+1))) — (doc,term) hash agg, doc-freq off the already-aggregated tf table (vocab-sized), broadcast df/N back, per-doc ranking window; identical IEEE-double op order on both engines so ordering agrees exactly (operators/curation.py:tfidf_top_terms)",
+)
+def l5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
 @register(
     "l5_repetition_score",
     oracle=f"""

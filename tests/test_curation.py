@@ -8,9 +8,13 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.operators.curation import (
     SAMPLE_DENOM,
     benchmark_decontaminate,
+    boilerplate_ngrams,
     deterministic_stratified_sample,
     pack_sequences,
+    pii_redact,
     repetition_stats,
+    tfidf_top_terms,
+    vocab_top_terms,
 )
 
 
@@ -73,6 +77,55 @@ def test_pack_sequences_boundaries_and_strata(spark):
     assert (rows[2].pack_id, rows[2].pack_offset) == (0, 600)
     assert (rows[3].pack_id, rows[3].pack_offset) == (1, 200)
     assert (rows[4].pack_id, rows[4].pack_offset) == (0, 0)  # zh stratum restarts
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@corp.io or bob.smith@mail.example.org host 192.168.1.20 call +44 020-794-6000"),
+            (2, "no personal data in this row at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert rows[1].redacted == "mail <EMAIL> or <EMAIL> host <IP> call <PHONE>"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 1, 1)
+    assert rows[2].redacted == "no personal data in this row at all"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+
+
+def test_vocab_top_terms_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "red red blue"), (2, "red green blue")], ["doc_id", "text"]
+    )
+    rows = vocab_top_terms(df, "text", "doc_id", k=10).collect()
+    assert [(r.rank, r.term, r.n_occurrences, r.doc_freq) for r in rows] == [
+        (1, "red", 3, 2),
+        (2, "blue", 2, 2),  # blue before green: tie on count, term asc
+        (3, "green", 1, 1),
+    ]
+
+
+def test_boilerplate_ngrams_df_threshold(spark):
+    # "click here" appears in 2/3 docs (df_frac 0.667 >= 0.5);
+    # doc 3 repeats "spam spam" internally but DISTINCT-per-doc keeps its df at 1/3.
+    df = spark.createDataFrame(
+        [(1, "click here now"), (2, "click here today"), (3, "spam spam spam spam")],
+        ["doc_id", "text"],
+    )
+    out = {r.shingle: r for r in boilerplate_ngrams(df, "text", "doc_id", 2, 0.5).collect()}
+    assert "click here" in out and out["click here"].doc_freq == 2
+    assert round(out["click here"].df_frac, 3) == 0.667
+    assert "spam spam" not in out
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [(1, "common zebra common"), (2, "common common plain"), (3, "common words only")],
+        ["doc_id", "text"],
+    )
+    rows = [r for r in tfidf_top_terms(df, "text", "doc_id", k=1).collect() if r.doc_id == 1]
+    assert rows[0].term == "zebra"  # df=1 beats 'common' (df=3) despite tf 1 vs 2
 
 
 def test_repetition_stats(spark):
