@@ -82,3 +82,71 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Hypertable-style rollup with gap fill: downsample each key's
+    event stream onto a fixed epoch-aligned grid (``step_seconds``
+    buckets), keep the LAST value per bucket (ordered by
+    ``(ts, tiebreak)`` — deterministic), emit EVERY bucket between the
+    key's first and last event, and forward-fill empty buckets from
+    the latest earlier bucket.
+
+    Output: (key, bucket_start epoch-seconds, value, is_gap) —
+    ``is_gap=1`` marks carried-forward rows.
+
+    Scale notes (the 100 TB story):
+    - last-per-bucket is ``max_by`` in a hash aggregate — map-side
+      partial combine collapses the raw stream BEFORE the shuffle, so
+      the shuffle carries one row per (key, bucket), not per event.
+    - The grid comes from per-key min/max + ``sequence``/``explode``
+      — array size is span/step per key (bounded by retention/step
+      choice; for pathological spans generate the grid from a range
+      join instead). No driver-side actions anywhere.
+    - The forward fill is ONE running window per key (streaming
+      evaluation, O(1) state); everything shuffles on the key exactly
+      once after the pre-aggregation.
+    """
+    step = int(step_seconds)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket_start"),
+            F.struct(F.col(ts_col), F.col(tiebreak_col)).alias("_ord"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("key", "bucket_start")
+        .agg(F.max_by("_v", "_ord").alias("_v"))
+    )
+    grid = (
+        per_bucket.groupBy("key")
+        .agg(F.min("bucket_start").alias("_mn"), F.max("bucket_start").alias("_mx"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step).cast("long"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    w_ff = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket_start"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_start",
+            F.last("_v", ignorenulls=True).over(w_ff).alias(value_col),
+            F.col("_v").isNull().cast("int").alias("is_gap"),
+        )
+    )

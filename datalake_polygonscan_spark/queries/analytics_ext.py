@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalake_polygonscan_spark.operators.temporal import asof_join
+from datalake_polygonscan_spark.operators.temporal import asof_join, resample_forward_fill
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
 
@@ -50,6 +50,45 @@ def j6_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts", right_tiebreak="event_id"
     )
+
+
+@register(
+    "ts1_resample_gapfill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(CAST(ts AS TIMESTAMP)) AS es, ts, event_id, value
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT user_id,
+               CAST(floor(es / 3600) * 3600 AS BIGINT) AS bucket_start,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(es / 3600) * 3600 AS BIGINT)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    ), last_b AS (
+        SELECT user_id, bucket_start, value FROM b WHERE rn = 1
+    ), rng AS (
+        SELECT user_id, min(bucket_start) AS mn, max(bucket_start) AS mx
+        FROM last_b GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket_start FROM rng
+    )
+    SELECT g.user_id, g.bucket_start,
+           ROUND(last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+           CAST(l.value IS NULL AS INTEGER) AS is_gap
+    FROM grid g LEFT JOIN last_b l USING (user_id, bucket_start)
+    """,
+    doc="TS1 hypertable rollup + gap fill: per-user 'error' stream onto an hourly epoch grid — max_by last-per-bucket (map-side combine BEFORE the shuffle), per-key sequence/explode grid, one running forward-fill window; is_gap marks carried-forward buckets (operators/temporal.py:resample_forward_fill)",
+)
+def ts1_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    out = resample_forward_fill(
+        ev, "user_id", "ts", "value", "event_id", step_seconds=3600
+    )
+    return out.withColumn("value", F.round("value", 4))
 
 
 @register(

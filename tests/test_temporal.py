@@ -59,3 +59,29 @@ def test_asof_join_plan_has_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_resample_forward_fill_grid_and_gaps(spark):
+    from datalake_polygonscan_spark.operators.temporal import resample_forward_fill
+
+    # key 10: events in hours 0 and 2 -> hour-1 row is a gap carrying 1.0;
+    # within hour 2 the later event (tiebreak on equal ts) must win.
+    def _h(hour, minute):
+        return dt.datetime(2024, 1, 1, hour, minute, 0)
+
+    rows = [
+        (1, 10, _h(0, 30), 1.0),
+        (2, 10, _h(2, 10), 5.0),
+        (3, 10, _h(2, 10), 7.0),  # same ts as event 2, higher id -> wins
+        (4, 20, _h(1, 0), 9.0),   # single-bucket key: 1-row grid
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "v"])
+    out = {
+        (r.key, r.bucket_start): r
+        for r in resample_forward_fill(df, "key", "ts", "v", "event_id", 3600).collect()
+    }
+    base = int(_h(0, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    k10 = [out[(10, base + h * 3600)] for h in range(3)]
+    assert [(r.v, r.is_gap) for r in k10] == [(1.0, 0), (1.0, 1), (7.0, 0)]
+    assert len(out) == 4  # 3 grid rows for key 10 + 1 for key 20
+    assert out[(20, base + 3600)].v == 9.0
