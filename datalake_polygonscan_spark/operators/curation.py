@@ -298,3 +298,66 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str, shingle_k: int =
         F.round(dup_frac, 6).alias("dup_shingle_frac"),
         (dup_frac > flag_frac).cast("int").alias("flagged_repetitive"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    min_chars: int = 50,
+    max_chars: int = 10_000,
+    max_punct_ratio: float = 0.2,
+    shingle_k: int = 3,
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """End-to-end corpus curation verdict: every document with its
+    keep/drop decision and the FIRST failing gate as the reason, in
+    fixed precedence:
+
+    ``quality`` (C4-style length/punct gates) -> ``repetitive``
+    (Gopher duplicate-shingle fraction) -> ``duplicate`` (exact
+    dedup on md5 of normalized text, min-id survivor over ALL docs)
+    -> ``sampled_out`` (deterministic per-stratum hash gate) ->
+    ``kept``.
+
+    Output: (doc_id, stratum, kept, reason).
+
+    Scale: every gate except dedup is per-row codegen; dedup is ONE
+    shuffle on the content hash (the whole pipeline's only exchange).
+    The verdict-with-reason form — rather than a filtered corpus —
+    is what production pipelines persist: it makes every drop
+    auditable and the kept set reproducible as a trivial filter.
+    """
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    norm = normalize_text(text_col)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[\p{Punct}]"), 0))
+    punct_ratio = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    passes_quality = F.length(text_col).between(min_chars, max_chars) & (
+        punct_ratio < max_punct_ratio
+    )
+    grams = word_shingles(text_col, shingle_k)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+
+    rate_col: F.Column = F.lit(0)
+    for key, rate in rates.items():
+        rate_col = F.when(F.col(strata_col) == key, F.lit(int(round(rate * SAMPLE_DENOM)))).otherwise(rate_col)
+    sampled_in = _id_hash(id_col) < rate_col
+
+    from pyspark.sql import Window
+
+    survivor = F.col(id_col) == F.min(id_col).over(Window.partitionBy(F.md5(norm)))
+    reason = (
+        F.when(~passes_quality, F.lit("quality"))
+        .when(dup_frac > max_dup_frac, F.lit("repetitive"))
+        .when(~survivor, F.lit("duplicate"))
+        .when(~sampled_in, F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        reason.alias("reason"),
+    ).withColumn("kept", (F.col("reason") == "kept").cast("int"))

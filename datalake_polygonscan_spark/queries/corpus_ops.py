@@ -250,6 +250,45 @@ def l5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l6_curate_corpus",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, text, {_NORM_SQL} AS norm FROM documents
+    ), metrics AS (
+        SELECT doc_id, lang, text, norm,
+               len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1) AS punct_ratio,
+               min(doc_id) OVER (PARTITION BY md5(norm)) AS survivor_id,
+               {_HASH_SQL} AS bucket
+        FROM base
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(string_split(norm, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')
+               ) AS g
+        FROM base
+    ), verdict AS (
+        SELECT m.doc_id, m.lang,
+               CASE WHEN NOT (length(m.text) BETWEEN 50 AND 10000 AND m.punct_ratio < 0.2)
+                         THEN 'quality'
+                    WHEN 1.0 - len(list_distinct(g.g)) / len(g.g) > 0.2 THEN 'repetitive'
+                    WHEN m.doc_id <> m.survivor_id THEN 'duplicate'
+                    WHEN m.bucket >= {_rates_case_sql()} THEN 'sampled_out'
+                    ELSE 'kept' END AS reason
+        FROM metrics m JOIN grams g ON m.doc_id = g.doc_id
+    )
+    SELECT doc_id, lang AS stratum, reason,
+           CAST(reason = 'kept' AS INTEGER) AS kept
+    FROM verdict
+    """,
+    doc="L6 end-to-end corpus curation verdict: C4 quality gates -> Gopher repetition -> exact-dedup survivor -> deterministic stratified sample, first failing gate as auditable reason; every gate is per-row codegen except dedup's single content-hash shuffle (operators/curation.py:curate_corpus)",
+)
+def l6_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.curate_corpus(docs, "text", "doc_id", "lang", SAMPLE_RATES)
+
+
+@register(
     "l5_repetition_score",
     oracle=f"""
     WITH norm AS (

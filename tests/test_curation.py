@@ -139,3 +139,24 @@ def test_repetition_stats(spark):
     rows = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
     assert rows[1].flagged_repetitive == 1 and rows[1].dup_shingle_frac > 0.9
     assert rows[2].flagged_repetitive == 0 and rows[2].dup_shingle_frac == 0.0
+
+
+def test_curate_corpus_reason_precedence(spark):
+    from datalake_polygonscan_spark.operators.curation import curate_corpus
+
+    good = "each word here appears exactly once with no repeated trigram anywhere today ok"
+    rows = [
+        (1, "en", good),                      # survivor of the 1/3 pair, en rate 1.0 -> kept
+        (3, "en", good),                      # same normalized text, higher id -> duplicate
+        (5, "en", "too short"),               # quality gate fires first
+        (7, "en", ("loop loop " * 12).strip()),  # repetitive
+        (9, "xx", good + " unique tail"),     # stratum with rate 0 -> sampled_out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in curate_corpus(df, "text", "doc_id", "lang", {"en": 1.0}).collect()}
+    assert out[1].reason == "kept" and out[1].kept == 1
+    assert out[3].reason == "duplicate"
+    assert out[5].reason == "quality"
+    assert out[7].reason == "repetitive"
+    assert out[9].reason == "sampled_out"
+    assert all(r.kept == 0 for d, r in out.items() if d != 1)

@@ -164,3 +164,41 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_vocab_topk_uses_take_ordered_and_partial_agg(spark):
+    """Vocabulary induction must partial-aggregate the token stream
+    map-side (two HashAggregate phases) and pick top-k via
+    TakeOrderedAndProject, never a global sort of the vocab."""
+    from datalake_polygonscan_spark.operators.curation import vocab_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    plan = vocab_top_terms(docs, "text", "doc_id", k=100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_broadcasts_vocab_side(spark):
+    """The df/N side of the TF-IDF join is vocab-sized: it must
+    broadcast so the (doc, term) tf table never reshuffles for the
+    join."""
+    from datalake_polygonscan_spark.operators.curation import tfidf_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    plan = tfidf_top_terms(docs, "text", "doc_id", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_resample_preaggregates_before_shuffle(spark):
+    """last-per-bucket must be a hash aggregate (map-side partial
+    combine collapses events before the shuffle), not a row_number
+    window over the raw stream."""
+    from datalake_polygonscan_spark.operators.temporal import resample_forward_fill
+
+    ev = load_table(spark, SF, "events")
+    out = resample_forward_fill(ev, "user_id", "ts", "value", "event_id", 3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan or "HashAggregate" in plan
+    # exactly one forward-fill window, partitioned by key (never global)
+    assert "Window" in plan and "partial_max_by" in plan.replace("partial max_by", "partial_max_by")
