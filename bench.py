@@ -45,6 +45,8 @@ HEADLINE = [
     "a5_percentiles",
     "l5_decontaminate",
     "l5_stratified_sample",
+    "l6_curate_corpus",
+    "ts1_resample_gapfill",
     "entry_flagship",
 ]
 
