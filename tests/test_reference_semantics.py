@@ -122,3 +122,24 @@ def test_r8_union_fan_in(spark):
     b = spark.createDataFrame([("y", 2)], ["v", "k"])
     got = {tuple(r) for r in a.unionByName(b.select("k", "v")).collect()}
     assert got == {(1, "x"), (2, "y")}
+
+
+def test_r7_decimals_exceeding_value_width(spark):
+    """decimals >= 38+len(value) (legal on-chain: tokenDecimal is
+    uint8) must produce the mathematically-right magnitude — the
+    data-dependent pad keeps substring indices positive where a fixed
+    38-zero pad would silently count from the string end."""
+    rows = [
+        ("5", "45"),    # 5e-45: below (38,18) resolution -> 0
+        ("5", "19"),    # 5e-19: rounds half-up to the nearest scale-18 value
+        ("5", "255"),   # uint8 max
+    ]
+    df = spark.createDataFrame(rows, ["value", "dec"])
+    got = [r.q for r in df.select(scale_token_amount("value", "dec").alias("q")).collect()]
+    # nearest (38,18) representation every time — never a
+    # wrong-magnitude value like 0.00005 (the fixed-pad bug)
+    assert got == [
+        decimal.Decimal("0E-18"),
+        decimal.Decimal("1E-18"),
+        decimal.Decimal("0E-18"),
+    ], got
