@@ -29,7 +29,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     corpus_ops,       # tail: L5 curation (decontaminate/sample/repetition), fully oracled
     analytics_ext,    # tail: J6 as-of join, A5 percentiles, P4 pivot, fully oracled
     graph_ops,        # tail: connected-components dedup groups, fully oracled
-    streaming_ext,    # tail: E5 applyInPandasWithState custom stateful op, oracled
+    streaming_ext,    # tail: E5 applyInPandasWithState stateful op + E6 stream-stream interval join, oracled
     sources_ext,      # tail: S7 ORC round-trip, S8 bucketed co-located join, oracled
     multimodal_ext,   # tail: M4 media frame sampling, oracled
 )

@@ -137,3 +137,4 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ev.unionByName(ev)
     out = stream_dedup(doubled, keys=list(ev.columns))
     return out.withColumn("value", F.round("value", 4))
+

@@ -53,3 +53,38 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
     )
+
+
+@register(
+    "e6_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS l_event_id, CAST(c.ts AS TIMESTAMP) AS l_ts,
+           e.event_id AS r_event_id, CAST(e.ts AS TIMESTAMP) AS r_ts,
+           ROUND(e.value, 4) AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="E6 REAL stream-stream interval join: two file-source streams (clicks, errors), both watermarked 1h, inner-joined on user_id with error.ts in [click.ts, click.ts+30m] — the two-sided time bound is what lets Spark evict join state; AvailableNow single batch => batch range-join oracle exact (streaming/windows.py:interval_join); cross-batch buffering proven in tests/test_streaming.py",
+)
+def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    l_src = _scratch("e6_stream", "clicks")
+    r_src = _scratch("e6_stream", "errors")
+    chk = _scratch("e6_stream", "chk")
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode("overwrite").parquet(l_src)
+    ev.filter(F.col("event_type") == "error").coalesce(1).write.mode("overwrite").parquet(r_src)
+    from datalake_polygonscan_spark.streaming.windows import interval_join, run_two_stream_available_now
+
+    out = run_two_stream_available_now(
+        spark,
+        l_src,
+        r_src,
+        lambda l, r: interval_join(l, r, "user_id", upper="30 minutes", watermark="1 hour"),
+        output_mode="append",
+        checkpoint_dir=os.path.join(chk, "e6"),
+    )
+    return out.withColumn("r_value", F.round("r_value", 4))

@@ -153,3 +153,82 @@ def run_stream_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    upper: str = "30 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    watermark: str | None = None,
+) -> DataFrame:
+    """E6 — stream-stream interval (time-bounded) inner join: each
+    left event matched to right events of the same key with
+    ``left.ts <= right.ts <= left.ts + upper``.
+
+    Batch/stream-polymorphic like the rest of this module. In
+    streaming mode BOTH sides carry watermarks and the join condition
+    bounds event time in both directions — exactly what Spark's state
+    cleanup needs to evict buffered rows once the watermark passes
+    ``ts + upper`` (without the bounds, join state grows forever).
+    Inner-join matches emit immediately (append mode); the watermark
+    only drives eviction.
+
+    Output: (key, <l_prefix>event_id, <l_prefix>ts, <r_prefix>event_id,
+    <r_prefix>ts, <r_prefix>value).
+    """
+    l = left.select(
+        F.col(key).alias(key),
+        F.col("event_id").alias(f"{left_prefix}event_id"),
+        F.col("ts").alias(f"{left_prefix}ts"),
+    )
+    r = right.select(
+        F.col(key).alias(f"_r_{key}"),
+        F.col("event_id").alias(f"{right_prefix}event_id"),
+        F.col("ts").alias(f"{right_prefix}ts"),
+        F.col("value").alias(f"{right_prefix}value"),
+    )
+    if watermark:
+        l = l.withWatermark(f"{left_prefix}ts", watermark)
+        r = r.withWatermark(f"{right_prefix}ts", watermark)
+    cond = (
+        (F.col(key) == F.col(f"_r_{key}"))
+        & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
+        & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(f"_r_{key}")
+
+
+def run_two_stream_available_now(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    transform,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Like :func:`run_stream_available_now` but for binary (two-input)
+    stream transformations — e.g. the stream-stream interval join."""
+
+    def reader(d: str) -> DataFrame:
+        r = spark.readStream.schema(EVENTS_SCHEMA)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(d)
+
+    out = transform(reader(left_dir), reader(right_dir))
+    name = "mem_" + uuid.uuid4().hex[:12]
+    chk_root = checkpoint_dir or os.path.join(os.path.dirname(left_dir.rstrip("/")), "_checkpoints")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(chk_root, f"_chk_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -121,3 +121,41 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # user 1: batch-1 update (2 events, 5.0) then batch-2 update
     # carrying prior state (3 events, 10.0); user 2 only in batch 1
     assert rows == [(1, 2, 5.0), (1, 3, 10.0), (2, 1, 1.0)]
+
+
+def test_interval_join_matches_across_batches(spark, tmp_path):
+    """A right-side (error) event arriving in a LATER micro-batch must
+    still join with a buffered left (click) row from batch 1 — that's
+    the join-state retention stream-stream joins exist for. A right
+    event outside the 30m interval must not match."""
+    from datalake_polygonscan_spark.streaming.windows import (
+        interval_join,
+        run_two_stream_available_now,
+    )
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(l_src)
+    os.makedirs(r_src)
+    _write_events_file(spark, os.path.join(l_src, "f1.parquet"), [_ev(1, 0, etype="click")])
+    # right side split over two files => two micro-batches
+    _write_events_file(
+        spark, os.path.join(r_src, "f1.parquet"), [_ev(10, 5, etype="error", value=2.0)]
+    )
+    _write_events_file(
+        spark,
+        os.path.join(r_src, "f2.parquet"),
+        [_ev(11, 20, etype="error", value=3.0), _ev(12, 45, etype="error", value=9.0)],
+    )
+
+    out = run_two_stream_available_now(
+        spark,
+        l_src + "/*",
+        r_src + "/*",
+        lambda l, r: interval_join(l, r, "user_id", upper="30 minutes", watermark="1 hour"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    got = sorted((r.l_event_id, r.r_event_id) for r in out.collect())
+    # event 11 (batch 2, t=20m) matched the batch-1 click; 12 (t=45m) is out of range
+    assert got == [(1, 10), (1, 11)]
