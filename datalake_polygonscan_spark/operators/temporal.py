@@ -150,3 +150,50 @@ def resample_forward_fill(
             F.col("_v").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: per key, the earliest step-1 event,
+    then the earliest step-2 event AT-OR-AFTER it, and so on —
+    ``t_<step>`` is NULL from the first step the key never completes,
+    and ``funnel_depth`` counts completed steps.
+
+    Output: (key, t_<step>..., funnel_depth).
+
+    Scale: the chained step times are windows over the SAME
+    ``partitionBy(key)`` — Catalyst plans ONE exchange and evaluates
+    the per-key mins in a single pass per window stage (no orderBy =
+    no sort). The final per-key row is a distinct over columns that
+    are constant within the key. Event streams with billions of rows
+    funnel fine: everything is keyed by user, nothing is global.
+    """
+    w = Window.partitionBy(key_col)
+    proj = df
+    prev: str | None = None
+    ts_cols: list[str] = []
+    for step in steps:
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        name = f"t_{step}"
+        proj = proj.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+        ts_cols.append(name)
+    # deepest completed step wins: ascending build wraps the deepest
+    # check outermost (the chain is monotone anyway — step i+1's
+    # condition references t_<step i>, so a null can never be followed
+    # by a non-null)
+    depth: F.Column = F.lit(0)
+    for i, name in enumerate(ts_cols):
+        depth = F.when(F.col(name).isNotNull(), F.lit(i + 1)).otherwise(depth)
+    return (
+        proj.select(F.col(key_col), *ts_cols)
+        .distinct()
+        .withColumn("funnel_depth", depth.cast("int"))
+    )

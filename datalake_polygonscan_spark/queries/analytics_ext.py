@@ -135,3 +135,39 @@ def p4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
     )
+
+
+@register(
+    "an1_funnel_steps",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_type FROM events
+    ), w1 AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM base GROUP BY user_id
+    ), w2 AS (
+        SELECT b.user_id, w1.t_view,
+               min(CASE WHEN b.event_type = 'click' AND b.ts >= w1.t_view THEN b.ts END) AS t_click
+        FROM base b JOIN w1 USING (user_id) GROUP BY b.user_id, w1.t_view
+    ), w3 AS (
+        SELECT b.user_id, w2.t_view, w2.t_click,
+               min(CASE WHEN b.event_type = 'purchase' AND b.ts >= w2.t_click THEN b.ts END) AS t_purchase
+        FROM base b JOIN w2 USING (user_id) GROUP BY b.user_id, w2.t_view, w2.t_click
+    )
+    SELECT user_id,
+           CAST(t_view AS TIMESTAMP) AS t_view,
+           CAST(t_click AS TIMESTAMP) AS t_click,
+           CAST(t_purchase AS TIMESTAMP) AS t_purchase,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2
+                WHEN t_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM w3
+    """,
+    doc="AN1 ordered funnel (view -> click -> purchase): per-user earliest step-1 time, earliest step-2 at-or-after it, etc., with completed-step depth — chained per-key windows over ONE exchange, no orderBy/sort, final distinct over key-constant columns (operators/temporal.py:funnel)",
+)
+def an1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -85,3 +85,25 @@ def test_resample_forward_fill_grid_and_gaps(spark):
     assert [(r.v, r.is_gap) for r in k10] == [(1.0, 0), (1.0, 1), (7.0, 0)]
     assert len(out) == 4  # 3 grid rows for key 10 + 1 for key 20
     assert out[(20, base + 3600)].v == 9.0
+
+
+def test_funnel_order_matters_and_depth(spark):
+    from datalake_polygonscan_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, _ts(1), "view"), (2, 1, _ts(3), "click"), (3, 1, _ts(5), "purchase"),
+        # user 2: purchase BEFORE click -> depth stops at 2
+        (4, 2, _ts(1), "view"), (5, 2, _ts(4), "click"), (6, 2, _ts(2), "purchase"),
+        # user 3: click without a prior view -> depth 0
+        (7, 3, _ts(1), "click"), (8, 3, _ts(2), "purchase"),
+        # user 4: click at the SAME ts as view counts (inclusive >=)
+        (9, 4, _ts(6), "view"), (10, 4, _ts(6), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r.user_id: r for r in funnel(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out[1].funnel_depth == 3 and out[1].t_purchase == _ts(5)
+    assert out[2].funnel_depth == 2 and out[2].t_purchase is None
+    assert out[3].funnel_depth == 0 and out[3].t_view is None
+    assert out[4].funnel_depth == 2 and out[4].t_click == _ts(6)
+    assert len(out) == 4  # one row per key
