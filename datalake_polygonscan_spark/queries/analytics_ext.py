@@ -171,3 +171,36 @@ def an1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+#: columns profiled by pr1 — long/string/date only (double min/max
+#: string-formatting differs between engines; profile numerics via the
+#: typed A-family aggregates instead).
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _profile_oracle_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "pr1_table_profile",
+    oracle=_profile_oracle_sql(),
+    doc="PR1 table profiling: per-column n_rows/nulls/distinct/min/max over orders in ONE scan (single agg with Expand for the exact multi-column distinct; at 100 TB swap to approx_count_distinct per column and Expand disappears), stack-unpivoted to long format (operators/profiling.py:profile_table)",
+)
+def pr1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.profiling import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)

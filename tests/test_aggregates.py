@@ -35,3 +35,18 @@ def test_approx_count_distinct_coarser_rsd_still_bounded(spark):
         F.approx_count_distinct("l_suppkey", 0.05).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(5 * 0.05 * row["exact"], 1)
+
+
+def test_profile_table_one_scan_stats(spark):
+    from datalake_polygonscan_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        ["k", "s"],
+    )
+    out = {r.col_name: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1
+    assert out["k"].n_distinct == 2          # distinct excludes NULL
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
