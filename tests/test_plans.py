@@ -202,3 +202,16 @@ def test_resample_preaggregates_before_shuffle(spark):
     assert "max_by" in plan or "HashAggregate" in plan
     # exactly one forward-fill window, partitioned by key (never global)
     assert "Window" in plan and "partial_max_by" in plan.replace("partial max_by", "partial_max_by")
+
+
+def test_curate_corpus_single_exchange(spark):
+    """The end-to-end curation verdict's only exchange is the dedup
+    window's content-hash shuffle — every other gate must stay a
+    per-row projection so the pipeline scans the corpus once."""
+    from datalake_polygonscan_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, SF, "documents")
+    out = curate_corpus(docs, "text", "doc_id", "lang", {"en": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
