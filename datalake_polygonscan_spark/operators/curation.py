@@ -361,3 +361,29 @@ def curate_corpus(
         F.col(strata_col).alias("stratum"),
         reason.alias("reason"),
     ).withColumn("kept", (F.col("reason") == "kept").cast("int"))
+
+
+def deterministic_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: F.Column,
+) -> DataFrame:
+    """Importance sampling with per-ROW keep probability: keep iff
+    ``hash(id) mod 10000 < floor(weight * 10000)`` — the weighted
+    generalization of :func:`deterministic_stratified_sample` (whose
+    rates are per-stratum constants). ``weight`` is any expression in
+    [0, 1]: quality score, inverse duplication count, recency decay.
+
+    Same reproducibility contract: seedless, engine-independent,
+    cluster-size-independent; a row's fate never changes across runs.
+    ``floor`` (not round) quantizes the gate so both engines cut at
+    identical integers. Pure codegen filter, zero shuffle.
+
+    Output: input rows + (sample_bucket, keep_gate), kept rows only.
+    """
+    gate = F.floor(weight * SAMPLE_DENOM).cast("long")
+    return (
+        df.withColumn("sample_bucket", _id_hash(id_col))
+        .withColumn("keep_gate", gate)
+        .filter(F.col("sample_bucket") < F.col("keep_gate"))
+    )

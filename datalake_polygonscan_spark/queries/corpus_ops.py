@@ -250,6 +250,23 @@ def l5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l5_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           {_HASH_SQL} AS sample_bucket,
+           CAST(floor(least(1.0, n_chars / 500.0) * {SAMPLE_DENOM}) AS BIGINT) AS keep_gate
+    FROM documents
+    WHERE {_HASH_SQL} < CAST(floor(least(1.0, n_chars / 500.0) * {SAMPLE_DENOM}) AS BIGINT)
+    """,
+    doc="L5 deterministic WEIGHTED sampling: per-row keep probability least(1, n_chars/500) gated on md5(doc_id) — importance sampling (quality/recency/inverse-dup weights) with the stratified sampler's reproducibility contract; floor-quantized gate so both engines cut at identical integers; pure codegen filter, zero shuffle (operators/curation.py:deterministic_weighted_sample)",
+)
+def l5_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    weight = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    return C.deterministic_weighted_sample(docs, "doc_id", weight)
+
+
+@register(
     "l6_curate_corpus",
     oracle=f"""
     WITH base AS (

@@ -160,3 +160,16 @@ def test_curate_corpus_reason_precedence(spark):
     assert out[7].reason == "repetitive"
     assert out[9].reason == "sampled_out"
     assert all(r.kept == 0 for d, r in out.items() if d != 1)
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from datalake_polygonscan_spark.operators.curation import deterministic_weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0 if i < 1000 else 0.1) for i in range(2000)], ["doc_id", "w"])
+    kept = deterministic_weighted_sample(df, "doc_id", F.col("w")).collect()
+    full = sum(1 for r in kept if r.doc_id < 1000)
+    tenth = sum(1 for r in kept if r.doc_id >= 1000)
+    assert full == 1000            # weight 1.0 keeps everything
+    assert 50 <= tenth <= 180      # ~100 expected at weight 0.1
+    again = deterministic_weighted_sample(df, "doc_id", F.col("w")).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)  # reproducible
