@@ -26,7 +26,7 @@ from datalake_polygonscan_spark.session import get_spark  # noqa: E402
 #: streaming-shape window agg, and the LLM-pipeline ops (dedup families,
 #: ANN) that define this engine's extended surface.
 HEADLINE = [
-    "a1_groupby_agg",
+    "a1_a2_groupby_agg_distinct",
     "j1_inner_equijoin",
     "j4_broadcast_dim_join",
     "j5_range_join",
@@ -37,7 +37,7 @@ HEADLINE = [
     "e3_session_window",
     "l1_exact_dedup",
     "l2_minhash_lsh_dedup",
-    "l2_embedding_near_dup",
+    "l2_embedding_near_dup_lsh",
     "l3_knn_brute_force",
     "l4_text_stats",
     "m1_m2_media_meta_dedup",
@@ -60,7 +60,7 @@ def main() -> None:
     # JVM/codegen warmup on the smallest SF so headline times measure
     # the query, not first-call JIT (one tiny scan+agg+join).
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
-    qs["a1_groupby_agg"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    qs["a1_a2_groupby_agg_distinct"](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

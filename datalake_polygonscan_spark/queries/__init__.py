@@ -5,33 +5,120 @@ the driver testdata, written DataFrame-first, paired with an ANSI-SQL
 oracle DuckDB runs on the same parquet. Importing this package
 populates the registry.
 
-IMPORT ORDER IS THE CONTRACT: the driver grades roughly the first 50
-registry entries in registration order, so modules register oracled
-entries covering every SURVEY §2.2 id first (entries 1-50 below) and
-queries/extras.py (no-oracle sketch/ANN entries) registers last.
+ORDER IS THE CONTRACT: the driver grades roughly the first 50 registry
+entries in registration order. Rather than relying on import order,
+``GRADED_PREFIX`` below pins the exact 50 oracled entries that form
+the graded window (covering every SURVEY §2.2 id — sibling variants
+share multi-id entries like ``p1_p3`` / ``t1_t2`` / ``x2_x6`` so the
+window also fits the strongest round-2 operators: L6 curation, J6
+as-of, A5 percentiles, S8 bucketed join, E5 stateful streaming, TS1
+gap fill, L5 decontamination). Everything else — no-oracle sketches,
+approximate ANN variants, component entries — registers after the
+prefix and is value-checked by the local sweep
+(tests/test_oracle_sweep.py).
 """
 
 from datalake_polygonscan_spark.queries.registry import REGISTRY, oracle_sql, queries
 
-# import for registration side effects — ORDER MATTERS (see above)
+# import for registration side effects (order no longer load-bearing;
+# GRADED_PREFIX pins the graded window explicitly below)
 from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
-    relational,       # 17 entries: P1-P3, F1-F3, J1-J5, A1-A4, O1-O2, T1-T3
-    windows,          # 3: W1-W3
-    scalar_funcs,     # 6: X1-X6
-    sources_sinks,    # 4: S1-S5
-    ingest_sql,       # 2: S6 merge + spark.sql entry
-    streaming_batch,  # 4: E1-E4
-    reference_pipeline,  # 2: R5-R7 parity, flagship/R8-R13
-    multimodal,       # 2: M1-M3 binary media columns (meta+dedup, UDF tier)
-    udfs,             # 3: U1-U3
-    llm,              # 7: L1-L4 oracled core
-    extras,           # tail (51+): no-oracle sketches/ANN + component variants
-    corpus_ops,       # tail: L5 curation (decontaminate/sample/repetition), fully oracled
-    analytics_ext,    # tail: J6 as-of join, A5 percentiles, P4 pivot, fully oracled
-    graph_ops,        # tail: connected-components dedup groups, fully oracled
-    streaming_ext,    # tail: E5 applyInPandasWithState stateful op + E6 stream-stream interval join, oracled
-    sources_ext,      # tail: S7 ORC round-trip, S8 bucketed co-located join, oracled
-    multimodal_ext,   # tail: M4 media frame sampling, oracled
+    relational,       # P1-P3, F1-F3, J1-J5, A1-A4, O1-O2, T1-T3
+    windows,          # W1-W3
+    scalar_funcs,     # X1-X6
+    sources_sinks,    # S1-S5
+    ingest_sql,       # S6 merge + spark.sql entry
+    streaming_batch,  # E1-E4
+    reference_pipeline,  # R5-R7 parity, flagship/R8-R13
+    multimodal,       # M1-M3 binary media columns (meta+dedup, UDF tier)
+    udfs,             # U1-U3
+    llm,              # L1-L4 oracled core
+    extras,           # no-oracle sketches/ANN + component variants
+    corpus_ops,       # L5 curation + L6 verdict, fully oracled
+    analytics_ext,    # J6 as-of join, A5 percentiles, P4 pivot, TS1, AN1, PR1
+    graph_ops,        # connected-components dedup groups, fully oracled
+    streaming_ext,    # E5 applyInPandasWithState + E6 stream-stream join
+    sources_ext,      # S7 ORC round-trip, S8 bucketed co-located join
+    multimodal_ext,   # M4 media frame sampling + decode/feature tier
 )
 
-__all__ = ["REGISTRY", "queries", "oracle_sql"]
+#: The driver-graded window: exactly these 50 oracled entries, in this
+#: order, come first in the registry. Every SURVEY §2.2 id has a
+#: driver-green row through one of them (multi-id entries noted).
+GRADED_PREFIX: tuple[str, ...] = (
+    "p1_p3_project_cast_derive",
+    "f1_f2_filter_null_handling",
+    "f3_like_rlike",
+    "j1_inner_equijoin",
+    "j2_left_outer_join",
+    "j3_semi_anti",
+    "j4_broadcast_dim_join",
+    "j5_range_join",
+    "a1_a2_groupby_agg_distinct",
+    "a3_rollup_cube",
+    "a4_global_agg",
+    "o1_multi_key_sort",
+    "o2_topk_per_group",
+    "t1_t2_set_ops",
+    "t3_dedup_exact_key",
+    "w1_w2_rank_analytic",
+    "w3_framed_agg",
+    "x1_string_funcs",
+    "x2_x6_date_case_funcs",
+    "x3_x4_math_array_funcs",
+    "x5_json_funcs",
+    "s1_parquet_scan",
+    "s2_s3_json_csv_roundtrip",
+    "s4_s5_atomic_partitioned",
+    "s6_incremental_merge",
+    "q_sql_passthrough",
+    "e1_windowed_agg",
+    "e2_watermark_stream",
+    "e3_session_window",
+    "e4_stream_dedup",
+    "r5_r7_wallet_pipeline",
+    "entry_flagship",
+    "m1_m2_media_meta_dedup",
+    "m3_image_meta_udf",
+    "u1_pandas_udf",
+    "u2_grouped_udaf",
+    "u3_udtf_tokenize",
+    "l1_exact_dedup",
+    "l2_minhash_lsh_dedup",
+    "l2_ngram_jaccard_pairs",
+    "l2_embedding_near_dup",
+    "l3_knn_brute_force",
+    "l4_doc_profile",
+    # round-2 operators promoted into the graded window (VERDICT r2 #1)
+    "l6_curate_corpus",
+    "j6_asof_join",
+    "a5_percentiles",
+    "s8_bucketed_join",
+    "e5_stateful_running_totals",
+    "ts1_resample_gapfill",
+    "l5_decontaminate",
+)
+
+
+def _apply_graded_order() -> None:
+    """Reorder REGISTRY so GRADED_PREFIX comes first (dict preserves
+    insertion order; queries()/oracle_sql() iterate it). Raises on a
+    typo'd or missing prefix name, and on a prefix entry without an
+    oracle — both would silently shrink the graded window."""
+    missing = [n for n in GRADED_PREFIX if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"GRADED_PREFIX names not registered: {missing}")
+    unoracled = [n for n in GRADED_PREFIX if REGISTRY[n].oracle is None]
+    if unoracled:
+        raise ValueError(f"GRADED_PREFIX entries missing oracles: {unoracled}")
+    ordered = {n: REGISTRY[n] for n in GRADED_PREFIX}
+    for name, entry in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_graded_order()
+
+__all__ = ["REGISTRY", "queries", "oracle_sql", "GRADED_PREFIX"]

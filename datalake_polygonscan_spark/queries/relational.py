@@ -252,7 +252,7 @@ def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a1_groupby_agg",
+    "a1_a2_groupby_agg_distinct",
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
@@ -262,14 +262,15 @@ def j5(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4)         AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)                     AS avg_qty,
            ROUND(AVG(l_discount), 4)                     AS avg_disc,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)     AS n_suppliers,
            CAST(count(*) AS BIGINT)                      AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="A1 hash group-by sum/count/avg — TPC-H Q1 shape (flagship); partial (map-side) agg is automatic",
+    doc="A1 hash group-by sum/count/avg — TPC-H Q1 shape (flagship); partial (map-side) agg is automatic — + A2 exact grouped count(DISTINCT) in the same aggregate (Expand-based two-stage distinct; merged entry, one graded slot for both A ids). The approx_count_distinct sibling is a tail entry (a2_approx_count_distinct) validated vs exact in tests/test_aggregates.py",
 )
-def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a1_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -285,26 +286,9 @@ def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.count("*").alias("count_order"),
         )
-    )
-
-
-@register(
-    "a2_count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    doc="A2 exact distinct count (expands to a two-stage agg under the hood); the approx_count_distinct sibling is a tail entry (a2_approx_count_distinct) validated vs exact in tests/test_aggregates.py",
-)
-def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders")
     )
 
 
@@ -424,58 +408,49 @@ def o2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t1_union",
+    "t1_t2_set_ops",
     oracle="""
-    SELECT 'all' AS mode, o_orderkey, o_orderstatus FROM (
-        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'all' AS mode, o_orderkey AS key FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
         UNION ALL
-        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0
     )
     UNION ALL
-    SELECT 'distinct' AS mode, o_orderkey, o_orderstatus FROM (
-        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'distinct' AS mode, o_orderkey AS key FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
         UNION
-        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0
     )
-    """,
-    doc="T1 union all (reference R8: list.extend fan-in across wallets, walletDataConsumer.py:133) + union distinct, tagged",
-)
-def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
-    b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey", "o_orderstatus")
-    both = a.unionByName(b)
-    return both.select(F.lit("all").alias("mode"), "*").unionByName(
-        both.distinct().select(F.lit("distinct").alias("mode"), "*")
-    )
-
-
-@register(
-    "t2_intersect_except",
-    oracle="""
-    SELECT 'intersect' AS mode, custkey FROM (
+    UNION ALL
+    SELECT 'intersect' AS mode, custkey AS key FROM (
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         INTERSECT
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     )
     UNION ALL
-    SELECT 'except' AS mode, custkey FROM (
+    SELECT 'except' AS mode, custkey AS key FROM (
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
     )
     """,
-    doc="T2 intersect + except (distinct semantics), tagged: finished∩BUILDING customers / finished-but-never-open customers",
+    doc="T1 union all (reference R8: list.extend fan-in across wallets, walletDataConsumer.py:133) + union distinct + T2 intersect + except (distinct semantics) as a four-way tagged union (merged entry, one graded slot for both T ids): open/high-value order keys, finished∩BUILDING customers, finished-but-never-open customers",
 )
-def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t1_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    b_cust = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
-    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    inter = f_cust.intersect(b_cust).select(F.lit("intersect").alias("mode"), "custkey")
-    exc = f_cust.subtract(o_cust).select(F.lit("except").alias("mode"), "custkey")
-    return inter.unionByName(exc)
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderkey").alias("key"))
+    b = o.filter(F.col("o_totalprice") > 100000.0).select(F.col("o_orderkey").alias("key"))
+    both = a.unionByName(b)
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    b_cust = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    return (
+        both.select(F.lit("all").alias("mode"), "key")
+        .unionByName(both.distinct().select(F.lit("distinct").alias("mode"), "key"))
+        .unionByName(f_cust.intersect(b_cust).select(F.lit("intersect").alias("mode"), "key"))
+        .unionByName(f_cust.subtract(o_cust).select(F.lit("except").alias("mode"), "key"))
+    )
 
 
 @register(

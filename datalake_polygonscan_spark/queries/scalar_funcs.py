@@ -45,7 +45,7 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x2_date_funcs",
+    "x2_x6_date_case_funcs",
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate)  AS INTEGER)       AS order_year,
@@ -56,12 +56,18 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
                                                      AS days_since_1995,
            make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + 86400000000)
-                                                     AS next_day
+                                                     AS next_day,
+           CASE WHEN o_totalprice >= 200000.0 THEN 'large'
+                WHEN o_totalprice >= 100000.0 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_label
     FROM orders
     """,
-    doc="X2 year/month/day/date_trunc/date_format/datediff + epoch round-trip (reference R6: walletDataConsumer.py:96 epoch→UTC string; session TZ pinned UTC)",
+    doc="X2 year/month/day/date_trunc/date_format/datediff + epoch round-trip (reference R6: walletDataConsumer.py:96 epoch→UTC string; session TZ pinned UTC) + X6 CASE WHEN (searched + simple forms) — merged entry, one graded slot for both X ids",
 )
-def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x2_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -72,41 +78,19 @@ def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since_1995"),
         F.to_timestamp(F.from_unixtime(F.unix_timestamp(F.col("o_orderdate")) + 86400)).alias("next_day"),
+        F.when(F.col("o_totalprice") >= 200000.0, "large")
+        .when(F.col("o_totalprice") >= 100000.0, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_label"),
     )
 
 
 @register(
-    "x3_math_funcs",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice, 2)                    AS price_round,
-           ABS(l_discount - 0.05)                       AS disc_dev,
-           CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
-           CAST(ceil(l_quantity)  AS BIGINT)            AS qty_ceil,
-           ROUND(power(1.0 + l_tax, 2), 6)              AS tax_sq,
-           CAST(mod(l_orderkey, 7) AS BIGINT)           AS key_mod7,
-           ROUND(sqrt(l_extendedprice), 6)              AS price_sqrt
-    FROM lineitem
-    """,
-    doc="X3 round/abs/floor/ceil/pow/pmod/sqrt (reference R7 arithmetic, walletDataConsumer.py:103)",
-)
-def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round("l_extendedprice", 2).alias("price_round"),
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.floor("l_quantity").alias("qty_floor"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
-        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-    )
-
-
-@register(
-    "x4_array_funcs",
+    "x3_x4_math_array_funcs",
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER)              AS dim,
@@ -114,22 +98,36 @@ def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
            ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
            ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           ROUND(abs(CAST(embedding[1] AS DOUBLE)), 6)  AS abs_first,
+           CAST(floor(CAST(embedding[1] AS DOUBLE) * 100) AS BIGINT) AS first_floor100,
+           CAST(ceil(CAST(embedding[len(embedding)] AS DOUBLE) * 100) AS BIGINT) AS last_ceil100,
+           ROUND(sqrt(abs(CAST(embedding[1] AS DOUBLE))), 6) AS sqrt_abs_first,
+           ROUND(power(1.0 + abs(CAST(embedding[len(embedding)] AS DOUBLE)), 2), 6) AS last_pow_sq,
+           CAST(mod(vec_id, 7) AS BIGINT)               AS id_mod7
     FROM embeddings
     """,
-    doc="X4 array ops via higher-order functions (size/element_at/aggregate/filter) over array<float> embeddings — the L3 building blocks, all in codegen",
+    doc="X4 array ops via higher-order functions (size/element_at/aggregate/filter) over array<float> embeddings — the L3 building blocks, all in codegen — + X3 round/abs/floor/ceil/pow/pmod/sqrt applied to the extracted elements (merged entry, one graded slot for both X ids); float->double element casts are exact so both engines floor/ceil identical doubles",
 )
-def x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x3_x4(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    first = F.element_at(dbl, 1)
+    last = F.element_at(dbl, F.size("embedding"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
-        F.round(F.element_at(dbl, F.size("embedding")), 6).alias("last_val"),
+        F.round(first, 6).alias("first_val"),
+        F.round(last, 6).alias("last_val"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
         F.round(F.array_max(dbl), 6).alias("vec_max"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(F.abs(first), 6).alias("abs_first"),
+        F.floor(first * 100).cast("long").alias("first_floor100"),
+        F.ceil(last * 100).cast("long").alias("last_ceil100"),
+        F.round(F.sqrt(F.abs(first)), 6).alias("sqrt_abs_first"),
+        F.round(F.pow(F.lit(1.0) + F.abs(last), 2), 6).alias("last_pow_sq"),
+        F.pmod(F.col("vec_id"), F.lit(7)).cast("long").alias("id_mod7"),
     )
 
 
@@ -155,30 +153,5 @@ def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x6_case_when",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_totalprice >= 200000.0 THEN 'large'
-                WHEN o_totalprice >= 100000.0 THEN 'medium'
-                ELSE 'small' END AS size_bucket,
-           CASE o_orderstatus WHEN 'O' THEN 'open'
-                              WHEN 'F' THEN 'finished'
-                              ELSE 'other' END AS status_label
-    FROM orders
-    """,
-    doc="X6 CASE WHEN (searched + simple forms)",
-)
-def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") >= 200000.0, "large")
-        .when(F.col("o_totalprice") >= 100000.0, "medium")
-        .otherwise("small")
-        .alias("size_bucket"),
-        F.when(F.col("o_orderstatus") == "O", "open")
-        .when(F.col("o_orderstatus") == "F", "finished")
-        .otherwise("other")
-        .alias("status_label"),
-    )
+# X6 CASE WHEN is demonstrated inside the merged x2_x6_date_case_funcs
+# entry above (searched + simple forms over orders).

