@@ -273,11 +273,23 @@ def minhash_lsh_duplicate_pairs(
     consumers (signatures, Jaccard verify) — the md5 shingling is the
     CPU-dominant stage, so recomputing it doubled the job's cost. At
     100 TB the persist becomes a checkpoint to the object store.
+
+    The verified pair list is eagerly materialized (localCheckpoint —
+    pairs are tiny relative to the corpus) so the shingle cache can be
+    unpersisted before returning: repeated calls in a long-lived
+    session (e.g. the dedup AND dedup-groups registry entries) no
+    longer accumulate cached shingle blocks in executor storage.
     """
     sets = shingle_sets(df, text_col, id_col, shingle_k).persist()
-    sigs = _signatures_from_shingles(sets, num_perm)
-    cand = minhash_lsh_candidate_pairs(sigs, bands)
-    return ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, candidates=cand, shingled=sets)
+    try:
+        sigs = _signatures_from_shingles(sets, num_perm)
+        cand = minhash_lsh_candidate_pairs(sigs, bands)
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_k, threshold, candidates=cand, shingled=sets
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
 
 
 def minhash_lsh_dedup(
@@ -316,38 +328,62 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     ``bits`` interpreted passes over every token array — measured 1.6x
     slower). The shuffle rows are (doc_id, 64 ints) partial votes —
     narrow, and linear in document count, not token count.
-    Output: (id, simhash as bigint, n_tokens).
+    Output: (id, simhash as bigint, n_tokens); documents with an empty
+    token array (empty/whitespace-only text) get simhash=0, n_tokens=0
+    rather than vanishing through the explode.
     """
     from datalake_polygonscan_spark.functions.text import tokens
 
+    # explode_outer keeps a (doc_id, NULL) row for empty token arrays
+    # (empty/whitespace-only/NULL text tokenizes to no real tokens), so
+    # those docs survive to the output (simhash=0, n_tokens=0) without
+    # a second join back to the id list
+    real_tokens = F.filter(F.array_distinct(tokens(text_col)), lambda t: t != "")
     ex = _ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode_outer(real_tokens).alias("tok"))
     )
-    h = ex.select("doc_id", F.xxhash64("tok").alias("h"))
+    # xxhash64(NULL) returns the seed (a real value), so gate on the
+    # token's own nullity to keep h NULL for the empty-doc marker rows
+    h = ex.select("doc_id", F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"))
 
     def bit_set(i: int):
         # mask test instead of shiftright (whose py4j wrapper rejects
-        # lambda-scoped Columns in Spark 4); bit 63 == sign bit
-        return (F.col("h") < 0) if i == bits - 1 else F.col("h").bitwiseAND(F.lit(1 << i)) != 0
+        # lambda-scoped Columns in Spark 4); only bit 63 of the xxhash64
+        # value is the sign bit — lower requested widths (bits < 64)
+        # test their top bit with a plain mask like any other position
+        return (F.col("h") < 0) if i == 63 else F.col("h").bitwiseAND(F.lit(1 << i)) != 0
 
     votes = h.groupBy("doc_id").agg(
-        *[F.sum(F.when(bit_set(i), 1).otherwise(-1)).alias(f"_v{i}") for i in range(bits)],
-        F.count("*").alias("n_tokens"),
+        # NULL hash (empty doc) votes 0, so its fingerprint stays 0
+        *[
+            F.sum(F.when(F.col("h").isNull(), 0).when(bit_set(i), 1).otherwise(-1)).alias(f"_v{i}")
+            for i in range(bits)
+        ],
+        F.count("h").alias("n_tokens"),
     )
     fingerprint = None
     for i in range(bits):
-        bit_value = F.lit(-(2 ** (bits - 1)) if i == bits - 1 else 1 << i).cast("long")
+        # the i=63 bit would overflow a signed long as +2^63; every
+        # narrower fingerprint's top bit fits as a positive value
+        bit_value = F.lit(-(2**63) if i == 63 else 1 << i).cast("long")
         contrib = F.when(F.col(f"_v{i}") > 0, bit_value).otherwise(F.lit(0).cast("long"))
         fingerprint = contrib if fingerprint is None else fingerprint + contrib
     return votes.select("doc_id", fingerprint.alias("simhash"), F.col("n_tokens").cast("int").alias("n_tokens"))
 
 
-def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, block_bits: int = 16) -> DataFrame:
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, block_bits: int = 16, bits: int = 64
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (a pair
     within hamming distance 3 must agree on >=1 of 4 chunks — pigeonhole),
     equi-join per chunk, verify exact hamming via bit_count(xor).
+
+    ``bits`` must match the fingerprint width used in :func:`simhash`:
+    blocking only over the meaningful chunks — a 64-bit block plan over
+    32-bit fingerprints would make the all-zero upper chunks collide
+    for every document (an accidental all-pairs join).
     """
-    n_blocks = 64 // block_bits
+    n_blocks = bits // block_bits
     blocks = fingerprints.select(
         "doc_id",
         "simhash",

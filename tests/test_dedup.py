@@ -123,3 +123,25 @@ def test_embedding_lsh_recovers_all_exact_pairs(spark):
     assert exact, "fixture must plant at least one near-dup pair"
     assert lsh >= exact  # superset: LSH candidates verified exactly
     assert lsh == exact  # and no false positives (cosine verify)
+
+
+def test_simhash_narrow_bits_and_empty_docs(spark):
+    # bits<64: the top bit of a 32-bit fingerprint is a plain mask test
+    # (bit 31), never the int64 sign bit; the value fits in [0, 2^32)
+    docs = _docs(spark)
+    fp32 = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id", bits=32).collect()}
+    assert all(0 <= v < 2**32 for v in fp32.values())
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp32[1], fp32[3]) == 0
+    assert ham(fp32[1], fp32[5]) > 6
+    # blocking over 32-bit fingerprints only uses the meaningful chunks
+    pairs = simhash_near_pairs(simhash(docs, "text", "doc_id", bits=32), max_hamming=6, bits=32)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 3) in got and (1, 5) not in got
+
+    # empty / whitespace-only docs keep a row (simhash=0, n_tokens=0)
+    with_empty = spark.createDataFrame([(1, "real content here"), (2, ""), (3, "   ")], ["doc_id", "text"])
+    out = {r.doc_id: (r.simhash, r.n_tokens) for r in simhash(with_empty, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[1][1] > 0
