@@ -8,26 +8,77 @@ because it never tracks what it already has. Here:
 - ``merge_upsert`` — Delta-style ``MERGE`` keyed on arbitrary columns
   (for wallet_txs: ``wallet_address``, ``tx_hash``): matched rows are
   replaced by the update, unmatched current rows are kept, new rows are
-  inserted. Implemented as ``current LEFT ANTI updates ∪ updates`` —
-  two narrow stages (one shuffle on the key) — and committed via the
-  atomic pointer-swap sink, so readers never see a partial merge and
-  the operation is idempotent (merging the same batch twice equals
-  once).
+  inserted. The live snapshot is laid out in ``n_buckets`` hash-bucket
+  directories of the merge key (``_bucket = pmod(xxhash64(keys), N)``),
+  so a merge REWRITES ONLY THE BUCKETS ITS UPDATE BATCH TOUCHES: the
+  anti-join reads just those bucket directories (hive partition
+  pruning) and the untouched buckets are carried into the new snapshot
+  as hard links (the local-FS analog of Delta re-listing unchanged
+  files in the new table version — no data movement). At 100 TB a
+  weekly batch touching 1% of key-space rewrites ~1% of the table
+  instead of all of it.
+- Commits go through the CAS pointer swap (io/sinks.commit_snapshot):
+  a concurrent writer that finished first makes this merge raise-and-
+  retry against the refreshed snapshot instead of silently dropping
+  the other writer's rows (optimistic concurrency, Delta-style).
+- Within one batch, duplicate keys collapse to one row BEFORE the
+  union (last-writer-wins): highest ``version_col`` if given, else a
+  deterministic content-hash tie-break — so the live table never holds
+  duplicate keys.
 - ``next_start_block`` — the high-watermark the reference hand-rolls as
   ``startblock`` (walletDataConsumer.py:57): 1 + max(block_number) of
   the live snapshot, so each incremental pull fetches only new blocks.
-
-At 100 TB the anti-join side is the full table — exactly what Delta's
-MERGE does under the hood (rewrite touched files); with the table
-bucketed/partitioned by the merge key only matching partitions rewrite.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datalake_polygonscan_spark.io.sinks import atomic_overwrite, current_snapshot_path, read_table
+from datalake_polygonscan_spark.io.sinks import (
+    SnapshotConflict,
+    commit_snapshot,
+    new_snapshot_name,
+    read_pointer,
+    read_table,
+)
+
+
+def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def _dedup_batch(updates: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
+    """Last-writer-wins per key WITHIN the batch: keep the highest
+    ``version_col`` row per key (deterministic content-hash tie-break
+    when absent / tied), so two same-key rows in one batch can't both
+    land in the snapshot."""
+    tie = F.xxhash64(*[F.col(c) for c in updates.columns]).asc()
+    order = [F.col(version_col).desc(), tie] if version_col else [tie]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return updates.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _link_bucket_dirs(prev_snap: str, new_snap: str, skip: set[str]) -> None:
+    """Carry untouched ``_bucket=K`` directories from the previous
+    snapshot into the new one as hard links (falls back to copy on
+    filesystems without link support) — the no-data-movement path for
+    unchanged buckets."""
+    for entry in os.listdir(prev_snap):
+        if not entry.startswith("_bucket=") or entry in skip:
+            continue
+        src, dst = os.path.join(prev_snap, entry), os.path.join(new_snap, entry)
+        os.makedirs(dst, exist_ok=True)
+        for fname in os.listdir(src):
+            if fname.startswith(("_", ".")):
+                continue
+            try:
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+            except OSError:
+                shutil.copy2(os.path.join(src, fname), os.path.join(dst, fname))
 
 
 def merge_upsert(
@@ -35,18 +86,77 @@ def merge_upsert(
     table_path: str,
     updates: DataFrame,
     keys: list[str],
+    n_buckets: int = 64,
+    version_col: str | None = None,
+    max_retries: int = 5,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
-    on ``keys``; returns the new live snapshot. Last-writer-wins per
-    key: an update row fully replaces the current row with its key."""
-    if current_snapshot_path(table_path) is None:
-        atomic_overwrite(updates, table_path)
-        return read_table(spark, table_path)
-    current = read_table(spark, table_path)
-    kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(updates.select(*current.columns))
-    atomic_overwrite(merged, table_path)
-    return read_table(spark, table_path)
+    on ``keys``; returns the new live snapshot (logical schema — the
+    internal ``_bucket`` column stays in the layout). Last-writer-wins
+    per key. Retries against the refreshed snapshot when a concurrent
+    writer commits first."""
+    last_conflict: SnapshotConflict | None = None
+    for _ in range(max_retries):
+        try:
+            _merge_once(spark, table_path, updates, keys, n_buckets, version_col)
+            return read_table(spark, table_path)
+        except SnapshotConflict as e:
+            last_conflict = e
+    raise last_conflict  # type: ignore[misc]
+
+
+def _merge_once(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    version_col: str | None,
+) -> None:
+    os.makedirs(table_path, exist_ok=True)
+    base = read_pointer(table_path)
+    batch = _dedup_batch(updates, keys, version_col).withColumn("_bucket", _bucket_col(keys, n_buckets))
+    snap_name = new_snapshot_name(base)
+    new_snap = os.path.join(table_path, snap_name)
+    meta = {"merge_buckets": n_buckets}
+
+    if base is None:
+        # bootstrap: the batch IS the table
+        batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+        _commit_or_cleanup(table_path, snap_name, base, meta)
+        return
+
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    if base.get("merge_buckets") != n_buckets:
+        # unbucketed (plain atomic_overwrite) or differently-bucketed
+        # snapshot: one-time full rewrite migrates it into this layout
+        current = read_table(spark, table_path)
+        kept = current.join(batch.select(*keys).distinct(), keys, "left_anti").withColumn(
+            "_bucket", _bucket_col(keys, n_buckets)
+        )
+        merged = kept.unionByName(batch.select(*kept.columns))
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+        _commit_or_cleanup(table_path, snap_name, base, meta)
+        return
+
+    # pruned path: touch only the buckets present in the batch
+    touched = sorted(r["_bucket"] for r in batch.select("_bucket").distinct().collect())
+    current_touched = (
+        spark.read.parquet(prev_snap).filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+    )
+    kept = current_touched.join(batch.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(batch.select(*kept.columns))
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+    _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
+    _commit_or_cleanup(table_path, snap_name, base, meta)
+
+
+def _commit_or_cleanup(table_path: str, snap_name: str, base: dict | None, meta: dict) -> None:
+    try:
+        commit_snapshot(table_path, snap_name, base, meta)
+    except SnapshotConflict:
+        shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
+        raise
 
 
 def next_start_block(snapshot: DataFrame, block_col: str = "block_number") -> int:

@@ -70,3 +70,66 @@ def test_next_start_block_watermark(spark, tmp_table):
     assert next_start_block(read_table(spark, tmp_table)) == 98
     empty = spark.createDataFrame([], "wallet_address string, tx_hash string, block_number long, qty double")
     assert next_start_block(empty) == 0
+
+
+def test_merge_batch_duplicate_keys_collapse(spark, tmp_table):
+    """ADVICE: two same-key rows in one batch must not both land.
+    version_col picks the winner; without it the collapse is still
+    deterministic."""
+    cols = ["wallet_address", "tx_hash", "block_number", "qty"]
+    atomic_overwrite(spark.createDataFrame([("w1", "h1", 10, 1.0)], cols), tmp_table)
+    batch = spark.createDataFrame(
+        [("w1", "h1", 11, 5.0), ("w1", "h1", 12, 9.0)], cols  # same key twice
+    )
+    live = merge_upsert(
+        spark, tmp_table, batch, keys=["wallet_address", "tx_hash"], version_col="block_number"
+    )
+    assert _rows(live) == [("w1", "h1", 12, 9.0)]  # highest version wins, one row
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_table):
+    """Scale contract: an update batch touching one hash bucket rewrites
+    ONLY that bucket directory; every other bucket is carried into the
+    new snapshot as hard links to the previous snapshot's files."""
+    import os
+
+    from datalake_polygonscan_spark.io.merge import _bucket_col
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+
+    cols = ["wallet_address", "tx_hash", "block_number", "qty"]
+    n_buckets = 8
+    seed = spark.createDataFrame(
+        [(f"w{i}", f"h{i}", i, float(i)) for i in range(200)], cols
+    )
+    # bootstrap through merge so the snapshot is bucket-laid-out
+    merge_upsert(spark, tmp_table, seed, keys=["wallet_address", "tx_hash"], n_buckets=n_buckets)
+    prev_snap = current_snapshot_path(tmp_table)
+    prev_inodes = {
+        d: {f: os.stat(os.path.join(prev_snap, d, f)).st_ino
+            for f in os.listdir(os.path.join(prev_snap, d)) if not f.startswith(("_", "."))}
+        for d in os.listdir(prev_snap) if d.startswith("_bucket=")
+    }
+
+    one = spark.createDataFrame([("w7", "h7", 999, 42.0)], cols)
+    touched = one.select(_bucket_col(["wallet_address", "tx_hash"], n_buckets).alias("b")).collect()[0]["b"]
+    live = merge_upsert(spark, tmp_table, one, keys=["wallet_address", "tx_hash"], n_buckets=n_buckets)
+
+    new_snap = current_snapshot_path(tmp_table)
+    assert new_snap != prev_snap
+    for d, files in prev_inodes.items():
+        new_dir = os.path.join(new_snap, d)
+        new_inodes = {
+            f: os.stat(os.path.join(new_dir, f)).st_ino
+            for f in os.listdir(new_dir) if not f.startswith(("_", "."))
+        }
+        if d == f"_bucket={touched}":
+            # rewritten: no file carried over by inode
+            assert not (set(new_inodes.values()) & set(files.values()))
+        else:
+            # untouched: identical files, same inodes (hard links)
+            assert new_inodes == files
+    # and the merge itself is correct
+    got = {tuple(r) for r in live.collect()}
+    assert ("w7", "h7", 999, 42.0) in got
+    assert ("w7", "h7", 7, 7.0) not in got
+    assert len(got) == 200

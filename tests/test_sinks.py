@@ -46,9 +46,47 @@ def test_append_accumulates(spark, tmp_table):
 def test_snapshot_pruning(spark, tmp_table):
     for i in range(3):
         atomic_overwrite(spark.range(i + 1), tmp_table)
-    snaps = sorted(e for e in os.listdir(tmp_table) if e.startswith("snapshot="))
-    assert snaps == ["snapshot=1", "snapshot=2"]  # current + one-reader grace
-    assert current_snapshot_path(tmp_table).endswith("snapshot=2")
+    versions = sorted(
+        int(e.split("=")[1].split("-")[0]) for e in os.listdir(tmp_table) if e.startswith("snapshot=")
+    )
+    assert versions == [1, 2]  # current + one-reader grace
+    assert os.path.basename(current_snapshot_path(tmp_table)).startswith("snapshot=2-")
+
+
+def test_concurrent_commit_raises_and_preserves_winner(spark, tmp_table):
+    """CAS pointer swap: a writer whose base pointer went stale must
+    get SnapshotConflict (not silently clobber the winner), and a
+    merge-level retry must land BOTH writers' rows."""
+    import pytest
+
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import (
+        SnapshotConflict,
+        commit_snapshot,
+        new_snapshot_name,
+        read_pointer,
+    )
+
+    cols = ["k", "v"]
+    atomic_overwrite(spark.createDataFrame([("a", 1)], cols), tmp_table)
+
+    # writer A reads its base, then writer B commits first
+    stale_base = read_pointer(tmp_table)
+    merge_upsert(spark, tmp_table, spark.createDataFrame([("b", 2)], cols), keys=["k"], n_buckets=4)
+
+    # A's commit against the stale base must be rejected...
+    orphan = new_snapshot_name(stale_base)
+    os.makedirs(os.path.join(tmp_table, orphan))
+    with pytest.raises(SnapshotConflict):
+        commit_snapshot(tmp_table, orphan, stale_base, None)
+    # ...and B's rows are still live
+    assert sorted(tuple(r) for r in read_table(spark, tmp_table).collect()) == [("a", 1), ("b", 2)]
+
+    # A retries through merge_upsert (internal re-read + CAS): both land
+    merge_upsert(spark, tmp_table, spark.createDataFrame([("c", 3)], cols), keys=["k"], n_buckets=4)
+    assert sorted(tuple(r) for r in read_table(spark, tmp_table).collect()) == [
+        ("a", 1), ("b", 2), ("c", 3),
+    ]
 
 
 def test_partitioned_write_layout(spark, tmp_table):
