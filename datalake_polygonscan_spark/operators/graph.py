@@ -19,8 +19,11 @@ Scale notes (the 100 TB story):
 - ``localCheckpoint`` truncates the growing lineage each round
   (iterative DataFrame plans otherwise re-analyze O(rounds²)); on a
   real cluster use reliable ``checkpoint`` to survive executor loss.
-- The per-round convergence check is a driver-side count — inherent
-  to any iterate-until-fixpoint algorithm, one scalar per round.
+- Convergence detection is FOLDED into the propagation pass: labels
+  only ever decrease, so "changed" is ``new_comp < comp`` computed in
+  the same projection, and the per-round driver scalar is one
+  ``max(_changed)`` aggregate over the just-checkpointed result — no
+  extra join, no second pass over the edges.
 - For adversarial long-chain graphs (diameter ~ n), swap the body for
   alternating large-star/small-star (Kiveris et al., O(log n)
   rounds); corpus dedup does not need it.
@@ -51,18 +54,16 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        new_comp = F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
+        # labels are monotone non-increasing, so "changed" folds into
+        # the propagation projection itself (no compare-join afterward)
         new = (
             comp.join(nbr_min, "node", "left")
-            .select("node", F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"))
+            .select("node", new_comp.alias("comp"), (new_comp < F.col("comp")).alias("_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new
-        if changed == 0:
+        changed = new.agg(F.max("_changed").alias("any")).collect()[0]["any"]
+        comp = new.drop("_changed")
+        if not changed:
             return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
