@@ -307,6 +307,130 @@ def media_byte_features(media: DataFrame, content_col: str = "content", dim: int
     )
 
 
+def _le_hex(value: Column, n_bytes: int) -> Column:
+    """Little-endian hex encoding of an integer column (BMP header
+    fields are LE, unlike the PNG-style big-endian fixtures above)."""
+    parts = [
+        F.lpad(F.hex((value / F.lit(256**i)).cast("long") % 256), 2, "0") for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+#: fixed BMP fixture width: 4 px * 3 B/px = 12-byte rows, a multiple of
+#: 4, so the fixture needs no row padding (the decoder still handles
+#: padded widths generally).
+BMP_WIDTH = 4
+
+_BMP_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def bmp_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-format image fixture: a valid uncompressed
+    24-bit BMP per document (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR pixel rows), 4 px wide x (id%3 + 1) rows; pixel bytes
+    are the document's first ``12*h`` UTF-8 bytes, space-padded. Built
+    entirely in codegen hex surgery so a DuckDB oracle reconstructs the
+    byte-exact file — and any external BMP reader can open it.
+    """
+    mid = F.col(id_col).cast("long")
+    height = mid % 3 + 1
+    npix_bytes = height * F.lit(BMP_WIDTH * 3)
+    file_size = npix_bytes + 54
+    # rpad truncates-or-pads to the max payload (3 rows = 36 bytes) in
+    # both Spark and DuckDB; then cut to this row count's actual bytes
+    payload_hex = F.rpad(F.hex(F.encode(F.col(text_col), "UTF-8")), 6 * BMP_WIDTH * 3, "20").substr(
+        F.lit(1), npix_bytes * 2
+    )
+    header_hex = F.concat(
+        F.lit("424D"),                      # 'BM'
+        _le_hex(file_size, 4),              # file size
+        F.lit("00000000"),                  # reserved
+        _le_hex(F.lit(54), 4),              # pixel data offset
+        _le_hex(F.lit(40), 4),              # BITMAPINFOHEADER size
+        _le_hex(F.lit(BMP_WIDTH), 4),       # width (LE, signed)
+        _le_hex(height, 4),                 # height (bottom-up)
+        F.lit("0100"),                      # planes = 1
+        F.lit("1800"),                      # 24 bpp
+        F.lit("00000000"),                  # BI_RGB (uncompressed)
+        _le_hex(npix_bytes, 4),             # image size
+        F.lit("00000000" * 4),              # ppm + palette fields
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("image/bmp").alias("mime"),
+        F.unhex(F.concat(header_hex, payload_hex)).alias("content"),
+    )
+
+
+def decode_bmp_pixels(media: DataFrame) -> DataFrame:
+    """The REAL pixel-decode tier, no external codecs: parse the BMP
+    container (LE header fields, bottom-up rows, 4-byte row padding)
+    and decode the 24-bit BGR pixel array into per-channel statistics —
+    Arrow-batched ``mapInPandas``, the same plumbing slot where
+    PIL/libvips plugs in for compressed formats (see
+    :func:`decode_image`). Output: per-image dimensions, pixel count,
+    per-channel byte sums and mean luminance (ITU-R BT.601 weights).
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(mid: int, blob: bytes) -> dict:
+            b = bytes(blob)
+            if b[:2] != b"BM":
+                raise ValueError(f"media_id {mid}: not a BMP container")
+            offset = int.from_bytes(b[10:14], "little")
+            width = int.from_bytes(b[18:22], "little", signed=True)
+            height = int.from_bytes(b[22:26], "little", signed=True)
+            bpp = int.from_bytes(b[28:30], "little")
+            if bpp != 24:
+                raise ValueError(f"media_id {mid}: only 24-bit BMP supported, got {bpp}")
+            row_bytes = width * 3
+            stride = (row_bytes + 3) // 4 * 4  # rows pad to 4-byte multiples
+            rows = []
+            for r in range(abs(height)):
+                start = offset + r * stride
+                rows.append(np.frombuffer(b[start : start + row_bytes], dtype=np.uint8))
+            # bottom-up storage when height > 0
+            px = np.stack(rows[::-1] if height > 0 else rows).reshape(-1, 3).astype(np.int64)
+            bsum, gsum, rsum = (int(px[:, i].sum()) for i in range(3))
+            n = px.shape[0]
+            # computed from the exact integer channel sums in the same
+            # expression order an SQL oracle uses, so the double is
+            # bit-identical cross-engine (never a numpy pairwise mean)
+            luma = (0.299 * rsum + 0.587 * gsum + 0.114 * bsum) / n
+            return {
+                "media_id": mid,
+                "width": width,
+                "height": abs(height),
+                "n_pixels": n,
+                "sum_b": bsum,
+                "sum_g": gsum,
+                "sum_r": rsum,
+                "mean_luma": float(luma),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(m, c) for m, c in zip(pdf["media_id"], pdf["content"])],
+                columns=[f.name for f in _BMP_PIXEL_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(decode, schema=_BMP_PIXEL_SCHEMA)
+
+
 def decode_image(content: bytes):  # pragma: no cover - stub by design
     """Pixel decode — STUB. The execution container ships no image
     codecs (no PIL/opencv); a deployment wires the real decoder here.

@@ -204,3 +204,28 @@ def pr1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return profile_table(o, _PROFILE_COLS)
+
+
+@register(
+    "sk_salted_join",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="SK explicit skew-salted join (operators/skew.py:salted_join): the fact side gets a deterministic content-derived salt in [0,8), the dim side replicates 8x via explode(sequence), and the join key becomes (key, salt) so one pathological hot key spreads over 8 reduce partitions; the oracle is the PLAIN unsalted join — salting must be semantically invisible, which is exactly what the value check proves",
+)
+def sk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(c, dim, on="c_nationkey", salt_n=8)
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 4).alias("total_acctbal"),
+    )

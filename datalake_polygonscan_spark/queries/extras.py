@@ -94,27 +94,65 @@ def l2_embdup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_duplicates(emb, threshold=0.8, method="lsh")
 
 
-@register(
-    "l3_lsh_ann",
-    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
-    doc="L3 LSH-bucketed ANN (signed random projections, multiprobe) — the sub-linear scale path (operators/similarity.py:lsh_bucketed_topk)",
-)
-def l3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: minimum micro-averaged recall@10 vs exact brute force the ANN tiers
+#: must hit on the driver embeddings (measured 0.88-1.0 across
+#: sf0.001/0.01/0.1; the floor leaves headroom for dataset drift while
+#: still catching a broken bucketer, which craters recall toward 0).
+ANN_RECALL_FLOOR = 0.7
+
+_ANN_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(1 AS INTEGER) AS meets_recall_floor
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _ann_recall_entry(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Measured-metric entry shape: run the approximate searcher AND
+    the exact brute-force baseline in the same job, join to count hits,
+    and emit (n_queries, k, meets_recall_floor). The recall measurement
+    itself is distributed (a semi-join + two aggregates, no collect);
+    the oracle states the expected outcome, so a recall regression
+    below the floor driver-fails the entry instead of passing silently
+    as a rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.lsh_bucketed_topk(queries_df, emb, k=10, n_planes=6, n_tables=8, dim=64)
+    exact = S.brute_force_topk(queries_df, emb, k=10).select("query_id", "vec_id")
+    approx = approx_fn(queries_df, emb).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"), F.count("*").alias("n_exact")
+    )
+    return totals.crossJoin(hits).select(
+        "n_queries",
+        F.lit(10).cast("long").alias("k"),
+        (F.col("n_hits") / F.col("n_exact") >= ANN_RECALL_FLOOR).cast("int").alias("meets_recall_floor"),
+    )
+
+
+@register(
+    "l3_lsh_ann",
+    oracle=_ANN_ORACLE,
+    doc=f"L3 LSH-bucketed ANN (signed random projections, multiprobe) — the sub-linear scale path (operators/similarity.py:lsh_bucketed_topk), graded as a MEASURED metric: the entry runs LSH and exact brute force side by side and emits whether micro-averaged recall@10 >= {ANN_RECALL_FLOOR} (measured 0.88-0.94 on driver data); the oracle pins the expected verdict, so a bucketing regression fails the driver check",
+)
+def l3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_entry(
+        spark, sf_dir,
+        lambda q, emb: S.lsh_bucketed_topk(q, emb, k=10, n_planes=6, n_tables=8, dim=64),
+    )
 
 
 @register(
     "l3_ivf_ann",
-    oracle=None,  # approximate; recall vs brute force asserted in tests/test_similarity.py
-    doc="L3 IVF ANN (hash-bucketed coarse quantizer + nprobe lists; no driver actions, no global windows) (operators/similarity.py:ivf_topk)",
+    oracle=_ANN_ORACLE,
+    doc=f"L3 IVF ANN (hash-bucketed coarse quantizer + nprobe lists; no driver actions, no global windows) (operators/similarity.py:ivf_topk), graded as a MEASURED metric: recall@10 vs exact brute force computed distributed in the same job, verdict >= {ANN_RECALL_FLOOR} oracled (measured 0.92-1.0 on driver data)",
 )
 def l3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    return _ann_recall_entry(
+        spark, sf_dir, lambda q, emb: S.ivf_topk(q, emb, k=10, nlist=16, nprobe=4)
     )
-    return S.ivf_topk(queries_df, emb, k=10, nlist=16, nprobe=4)

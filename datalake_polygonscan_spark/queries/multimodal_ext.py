@@ -1,8 +1,11 @@
-"""M4: media frame sampling (tail entry, fully oracled).
+"""M4-M6 + decode tier: media frame sampling, header-rewrite resize,
+byte-feature extraction, and the REAL BMP pixel decode (tail entries,
+fully oracled).
 
-Frame extraction stays entirely in codegen — explode over the frame
-index + ``substr`` on the BINARY column — so the oracle can replay it
-as hex-string surgery on the reconstructed fixture bytes.
+Frame extraction and resize stay entirely in codegen / hex surgery so
+the oracles replay them on the reconstructed fixture bytes; the byte
+features and BMP decode run through the Arrow-batched ``mapInPandas``
+tier, oracled via DuckDB byte arithmetic over the same hex.
 """
 
 from __future__ import annotations
@@ -10,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_polygonscan_spark.operators.media import media_table, sample_frames
+from datalake_polygonscan_spark.operators.media import (
+    BMP_WIDTH,
+    bmp_table,
+    decode_bmp_pixels,
+    media_byte_features,
+    media_metadata,
+    media_table,
+    resize_image_headers,
+    sample_frames,
+)
 from datalake_polygonscan_spark.queries.multimodal import _hex_content_sql
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
@@ -51,3 +63,116 @@ def m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("frame").alias("frame_hex"),
         "frame_md5",
     )
+
+
+_RESIZED_HEX = """
+    CASE (media_id) % 3
+      WHEN 0 THEN '89504E470D0A1A0A'
+                  || lpad(hex((((media_id) * 37) % 1920 + 16) // 2), 8, '0')
+                  || lpad(hex((((media_id) * 53) % 1080 + 16) // 2), 8, '0')
+                  || hex(encode(text))
+      WHEN 1 THEN 'FFD8FFE0'
+                  || lpad(hex((((media_id) * 37) % 1920 + 16) // 2), 8, '0')
+                  || lpad(hex((((media_id) * 53) % 1080 + 16) // 2), 8, '0')
+                  || hex(encode(text))
+      ELSE '52494646' || lpad(hex(((media_id) % 5) * 8000 + 8000), 8, '0') || hex(encode(text))
+    END
+"""
+
+
+@register(
+    "m5_media_resize",
+    oracle=f"""
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text FROM documents)
+    SELECT media_id,
+           CASE media_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS sniffed_mime,
+           CASE WHEN media_id % 3 IN (0, 1)
+                THEN CAST(((media_id * 37) % 1920 + 16) // 2 AS BIGINT) END AS width,
+           CASE WHEN media_id % 3 IN (0, 1)
+                THEN CAST(((media_id * 53) % 1080 + 16) // 2 AS BIGINT) END AS height,
+           md5({_RESIZED_HEX}) AS content_md5
+    FROM ids
+    """,
+    doc="M5 thumbnail-pipeline resize step (Arrow-batched binary-in/binary-out mapInPandas): image headers rewritten with halved dimensions, payload untouched, non-image rows pass through (operators/media.py:resize_image_headers); the oracle reconstructs the resized blob hex byte-for-byte and checks the md5 — a hex-replay oracle for the full binary round trip through Python",
+)
+def m5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_image_headers(media_table(docs), factor=2)
+    meta = media_metadata(resized)
+    return meta.select("media_id", "sniffed_mime", "width", "height", "content_md5")
+
+
+@register(
+    "m6_media_byte_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id, {_hex_content_sql("doc_id")} AS hx FROM documents
+    ), pos AS (
+        SELECT media_id, hx, unnest(generate_series(1, CAST(length(hx) // 2 AS BIGINT))) AS i FROM m
+    ), b AS (
+        SELECT media_id, CAST(concat('0x', substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2)) AS INT) AS v
+        FROM pos
+    )
+    SELECT media_id,
+           ROUND(CAST(CAST(avg(v) / 255.0 AS REAL) AS DOUBLE), 5)                   AS f_mean,
+           ROUND(CAST(CAST(stddev_pop(v) / 255.0 AS REAL) AS DOUBLE), 5)            AS f_std,
+           ROUND(CAST(CAST(quantile_cont(v, 0.0) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q0,
+           ROUND(CAST(CAST(quantile_cont(v, 0.2) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q1,
+           ROUND(CAST(CAST(quantile_cont(v, 0.4) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q2,
+           ROUND(CAST(CAST(quantile_cont(v, 0.6) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q3,
+           ROUND(CAST(CAST(quantile_cont(v, 0.8) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q4,
+           ROUND(CAST(CAST(quantile_cont(v, 1.0) / 255.0 AS REAL) AS DOUBLE), 5)    AS f_q5
+    FROM b GROUP BY media_id
+    """,
+    doc="M6 media feature extraction (the embedding slot of a media pipeline): deterministic 8-dim byte-statistics vector (mean/std + 6 evenly-spaced quantiles, scaled to [0,1]) over the blob, Arrow-batched numpy in mapInPandas (operators/media.py:media_byte_features); oracle recomputes the identical statistics with DuckDB byte arithmetic over the same hex — both sides quantized through float32 (REAL) so engine-level float64 summation-order differences vanish",
+)
+def m6_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = media_byte_features(media_table(docs), dim=8)
+    f = [F.round(F.element_at("features", i + 1).cast("double"), 5) for i in range(8)]
+    return feats.select(
+        "media_id",
+        f[0].alias("f_mean"), f[1].alias("f_std"),
+        f[2].alias("f_q0"), f[3].alias("f_q1"), f[4].alias("f_q2"),
+        f[5].alias("f_q3"), f[6].alias("f_q4"), f[7].alias("f_q5"),
+    )
+
+
+@register(
+    "m_bmp_pixel_decode",
+    oracle=f"""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+               substr(rpad(hex(encode(text)), {6 * BMP_WIDTH * 3}, '20'),
+                      1, CAST((doc_id % 3 + 1) * {BMP_WIDTH * 3} * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, h, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, h, i,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    ), sums AS (
+        SELECT media_id, h,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        FROM b GROUP BY media_id, h
+    )
+    SELECT media_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           h AS height,
+           h * {BMP_WIDTH} AS n_pixels,
+           sum_b, sum_g, sum_r,
+           ROUND((0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / (h * {BMP_WIDTH}), 6) AS mean_luma
+    FROM sums
+    """,
+    doc="REAL pixel decode through the media UDF tier (closes the decode-stub gap): each doc becomes a valid uncompressed 24-bit BMP (codegen hex construction, operators/media.py:bmp_table — LE headers, bottom-up BGR rows), then decode_bmp_pixels parses the container and decodes the pixel array in Arrow-batched mapInPandas with zero external codecs; oracle recomputes width/height/pixel-count/channel-sums/luma from the same payload bytes via DuckDB integer arithmetic — an exact, value-checked decode, not a header stub",
+)
+def m_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_bmp_pixels(bmp_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))

@@ -123,3 +123,37 @@ def test_media_byte_features_deterministic_vectors(spark):
     assert all(len(v) == 8 for v in v1.values())
     assert all(0.0 <= x <= 1.0 for v in v1.values() for x in v)
     assert v1[0] != v1[1]  # distinct payloads -> distinct features
+
+
+def test_bmp_decode_handles_padding_and_bottom_up(spark):
+    """decode_bmp_pixels must honor the general BMP container: 4-byte
+    row stride padding (width=1 -> 3 data bytes + 1 pad byte per row)
+    and bottom-up row order; pad bytes must not leak into the sums."""
+    import struct
+
+    from datalake_polygonscan_spark.operators.media import bmp_table, decode_bmp_pixels
+
+    width, height = 1, 2
+    stride = (width * 3 + 3) // 4 * 4
+    rows_bottom_up = [bytes([10, 20, 30]) + b"\xff", bytes([1, 2, 3]) + b"\xff"]  # pad=0xff
+    pixel_data = b"".join(rows_bottom_up)
+    header = (
+        b"BM" + struct.pack("<I", 54 + len(pixel_data)) + b"\x00\x00\x00\x00" + struct.pack("<I", 54)
+        + struct.pack("<I", 40) + struct.pack("<i", width) + struct.pack("<i", height)
+        + struct.pack("<H", 1) + struct.pack("<H", 24) + struct.pack("<I", 0)
+        + struct.pack("<I", len(pixel_data)) + b"\x00" * 16
+    )
+    media = spark.createDataFrame([(1, bytearray(header + pixel_data))], "media_id long, content binary")
+    r = decode_bmp_pixels(media).collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (1, 2, 2)
+    # bottom-up: file row 0 is the image's BOTTOM row; sums ignore pads
+    assert (r.sum_b, r.sum_g, r.sum_r) == (10 + 1, 20 + 2, 30 + 3)
+    assert abs(r.mean_luma - (0.299 * 33 + 0.587 * 22 + 0.114 * 11) / 2) < 1e-9
+    assert stride == 4
+
+    # and the codegen fixture parses to the advertised shape
+    docs = spark.createDataFrame([(5, "abcdefghijklmnopqrstuvwxyz0123456789")], ["doc_id", "text"])
+    f = decode_bmp_pixels(bmp_table(docs)).collect()[0]
+    assert (f.width, f.height, f.n_pixels) == (4, 5 % 3 + 1, 4 * (5 % 3 + 1))
+    payload = "abcdefghijklmnopqrstuvwxyz0123456789".encode()[: f.n_pixels * 3]
+    assert f.sum_b == sum(payload[0::3]) and f.sum_g == sum(payload[1::3]) and f.sum_r == sum(payload[2::3])
