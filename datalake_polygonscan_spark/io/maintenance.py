@@ -1,0 +1,110 @@
+"""Table maintenance — small-file compaction (OPTIMIZE) over the
+atomic snapshot tables (io/sinks.py, io/merge.py).
+
+The 100 TB failure mode this addresses: incremental ingest (S6 merge,
+streaming foreachBatch) accretes many small parquet files per bucket —
+at scale the NameNode/object-store listing and per-file open cost
+dominates scan time long before data volume does. ``compact_snapshot``
+is Delta's ``OPTIMIZE``: rewrite the live snapshot's data into
+size-targeted files, commit the result as a NEW version through the
+same CAS pointer swap (readers never see a half-compacted table; a
+concurrent merge makes the compaction lose the race and raise, never
+corrupt), and leave row content bit-identical.
+
+Layout is preserved: a hive-partitioned snapshot (``_bucket=K`` merge
+layout or user partition columns) compacts each partition directory to
+its own size-targeted file count, so partition pruning keeps working
+afterwards; an unpartitioned snapshot compacts to ``ceil(bytes /
+target)`` files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.sinks import (
+    SnapshotConflict,
+    commit_snapshot,
+    new_snapshot_name,
+    read_pointer,
+)
+
+
+def _data_files(root: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under a snapshot dir (skips
+    _SUCCESS / hidden / CRC files)."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fname in filenames:
+            if fname.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, fname)
+            out.append((full, os.path.getsize(full)))
+    return out
+
+
+def _partition_cols(root: str) -> list[str]:
+    """Hive partition columns of a snapshot dir, outermost first
+    (directories named ``col=value``)."""
+    cols = []
+    cur = root
+    while True:
+        subdirs = [e for e in os.listdir(cur) if "=" in e and os.path.isdir(os.path.join(cur, e))]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    retain: int = 2,
+) -> dict:
+    """Rewrite the live snapshot into size-targeted files and commit it
+    as a new version (row content unchanged — verified by the s10
+    oracle). Returns ``{"files_before", "files_after", "bytes",
+    "version"}``. Raises :class:`SnapshotConflict` if another writer
+    commits first (compaction is always safe to retry or skip)."""
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    before = _data_files(prev_snap)
+    total_bytes = sum(sz for _, sz in before)
+    part_cols = _partition_cols(prev_snap)
+
+    df = spark.read.parquet(prev_snap)
+    snap_name = new_snapshot_name(base)
+    new_snap = os.path.join(table_path, snap_name)
+    if part_cols:
+        # one shuffle on the partition cols -> each partition dir lands
+        # in one task -> one size-targeted file per dir (a 100 TB table
+        # compacts per-partition, embarrassingly parallel)
+        writer = df.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(*part_cols)
+    else:
+        n_files = max(1, math.ceil(total_bytes / max(target_file_bytes, 1)))
+        writer = df.repartition(n_files).write
+    writer.mode("overwrite").parquet(new_snap)
+
+    # carry non-snapshot metadata forward (e.g. merge_buckets, so
+    # future merges keep pruning against the compacted layout)
+    meta = {k: v for k, v in base.items() if k != "snapshot"}
+    meta["compacted_from"] = base["snapshot"]
+    try:
+        commit_snapshot(table_path, snap_name, base, meta, retain=retain)
+    except SnapshotConflict:
+        shutil.rmtree(new_snap, ignore_errors=True)
+        raise
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(new_snap)),
+        "bytes": total_bytes,
+        "version": int(snap_name.split("=")[1].split("-")[0]),
+    }

@@ -25,6 +25,10 @@ because it never tracks what it already has. Here:
   union (last-writer-wins): highest ``version_col`` if given, else a
   deterministic content-hash tie-break — so the live table never holds
   duplicate keys.
+- ``deletes=`` is the ``WHEN MATCHED THEN DELETE`` arm (same atomic
+  commit, delete buckets counted as touched so pruning holds), and
+  ``change_feed`` derives the typed CDC rows (insert/update/delete) a
+  batch produces — the subscription surface for incremental consumers.
 - ``next_start_block`` — the high-watermark the reference hand-rolls as
   ``startblock`` (walletDataConsumer.py:57): 1 + max(block_number) of
   the live snapshot, so each incremental pull fetches only new blocks.
@@ -89,20 +93,69 @@ def merge_upsert(
     n_buckets: int = 64,
     version_col: str | None = None,
     max_retries: int = 5,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
     on ``keys``; returns the new live snapshot (logical schema — the
     internal ``_bucket`` column stays in the layout). Last-writer-wins
     per key. Retries against the refreshed snapshot when a concurrent
-    writer commits first."""
+    writer commits first.
+
+    ``deletes`` (rows carrying at least the key columns) is Delta's
+    ``WHEN MATCHED THEN DELETE`` arm: matching current rows are dropped
+    in the same atomic commit. A key in BOTH ``deletes`` and
+    ``updates`` nets out to the update (delete-then-insert). Delete-key
+    buckets count as touched, so the rewrite stays bucket-pruned."""
     last_conflict: SnapshotConflict | None = None
     for _ in range(max_retries):
         try:
-            _merge_once(spark, table_path, updates, keys, n_buckets, version_col)
+            _merge_once(spark, table_path, updates, keys, n_buckets, version_col, deletes)
             return read_table(spark, table_path)
         except SnapshotConflict as e:
             last_conflict = e
     raise last_conflict  # type: ignore[misc]
+
+
+def change_feed(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """CDC: the typed change rows a merge batch produces against
+    ``current`` (Delta's table change feed). One row per net change:
+
+    - ``insert`` — batch key absent from ``current`` (row = new values)
+    - ``update`` — batch key present in ``current`` (row = new values)
+    - ``delete`` — delete key present in ``current`` and NOT re-inserted
+      by the batch (row = the old values being removed)
+
+    Pure derivation over (current, batch) — no table mutation, so
+    downstream consumers (incremental aggregates, replication, audit)
+    can subscribe to exactly what a merge did. Columns: the batch
+    schema + ``_change_type``."""
+    b = _dedup_batch(updates, keys, version_col)
+    cur_keys = current.select(*keys).distinct().withColumn("_exists", F.lit(1))
+    out = (
+        b.join(cur_keys, keys, "left")
+        .withColumn(
+            "_change_type",
+            F.when(F.col("_exists").isNotNull(), F.lit("update")).otherwise(F.lit("insert")),
+        )
+        .drop("_exists")
+    )
+    if deletes is not None:
+        net_del_keys = (
+            deletes.select(*keys).distinct().join(b.select(*keys).distinct(), keys, "left_anti")
+        )
+        deleted_rows = (
+            current.join(net_del_keys, keys, "left_semi")
+            .select(*b.columns)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        out = out.unionByName(deleted_rows)
+    return out
 
 
 def _merge_once(
@@ -112,16 +165,24 @@ def _merge_once(
     keys: list[str],
     n_buckets: int,
     version_col: str | None,
+    deletes: DataFrame | None = None,
 ) -> None:
     os.makedirs(table_path, exist_ok=True)
     base = read_pointer(table_path)
     batch = _dedup_batch(updates, keys, version_col).withColumn("_bucket", _bucket_col(keys, n_buckets))
+    del_keys = None if deletes is None else deletes.select(*keys).distinct()
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
     meta = {"merge_buckets": n_buckets}
 
+    def _drop_removed(current_rows: DataFrame) -> DataFrame:
+        kept = current_rows.join(batch.select(*keys).distinct(), keys, "left_anti")
+        if del_keys is not None:
+            kept = kept.join(del_keys, keys, "left_anti")
+        return kept
+
     if base is None:
-        # bootstrap: the batch IS the table
+        # bootstrap: the batch IS the table (deletes against empty = noop)
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
@@ -131,20 +192,23 @@ def _merge_once(
         # unbucketed (plain atomic_overwrite) or differently-bucketed
         # snapshot: one-time full rewrite migrates it into this layout
         current = read_table(spark, table_path)
-        kept = current.join(batch.select(*keys).distinct(), keys, "left_anti").withColumn(
-            "_bucket", _bucket_col(keys, n_buckets)
-        )
+        kept = _drop_removed(current).withColumn("_bucket", _bucket_col(keys, n_buckets))
         merged = kept.unionByName(batch.select(*kept.columns))
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
 
-    # pruned path: touch only the buckets present in the batch
-    touched = sorted(r["_bucket"] for r in batch.select("_bucket").distinct().collect())
+    # pruned path: touch only the buckets present in the batch/deletes
+    touch_src = batch.select("_bucket")
+    if del_keys is not None:
+        touch_src = touch_src.unionByName(
+            del_keys.select(_bucket_col(keys, n_buckets).alias("_bucket"))
+        )
+    touched = sorted(r["_bucket"] for r in touch_src.distinct().collect())
     current_touched = (
         spark.read.parquet(prev_snap).filter(F.col("_bucket").isin(touched))  # partition-pruned scan
     )
-    kept = current_touched.join(batch.select(*keys).distinct(), keys, "left_anti")
+    kept = _drop_removed(current_touched)
     merged = kept.unionByName(batch.select(*kept.columns))
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})

@@ -22,6 +22,13 @@ Snapshot directory names carry a per-writer token, so two racing
 writers never interleave files in one directory; the loser's orphan
 directory is pruned by the next successful commit.
 
+Every successful commit appends one immutable JSON entry to the
+table's ``_log/`` directory — a minimal commit log giving FULL TABLE
+HISTORY: :func:`history` lists every version, :func:`read_version`
+time-travels (``VERSION AS OF``), :func:`vacuum` prunes old data dirs
+while the log survives. Retention is per-commit (``retain=``): the
+default keeps the live + previous snapshot; maintenance jobs pass more.
+
 On a real deployment these become ``df.write.format("delta")`` — the
 API here is shaped so that swap is one line.
 """
@@ -39,12 +46,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 _LOCK = "._pointer_lock"
+_LOG = "_log"
 
 
 class SnapshotConflict(RuntimeError):
     """The table's pointer moved between a writer's read and its
     commit — the optimistic-concurrency rejection (retry by re-reading
     the table and re-deriving the write)."""
+
+
+class SnapshotVacuumed(FileNotFoundError):
+    """Time-travel target exists in the commit log but its data
+    directory was pruned by retention — the log proves the version
+    happened; only its files are gone."""
 
 
 def _pointer_path(table_path: str) -> str:
@@ -107,16 +121,28 @@ def commit_snapshot(
     snapshot_name: str,
     base_meta: dict | None,
     extra_meta: dict | None = None,
+    retain: int = 2,
 ) -> None:
     """CAS pointer swap: atomically repoint ``_CURRENT`` to
     ``snapshot_name`` iff the pointer still equals ``base_meta`` (the
     state the writer read before deriving its snapshot). Raises
     :class:`SnapshotConflict` on mismatch — the caller re-reads the
-    table and retries. On success, prunes all snapshot dirs except the
-    new one and the immediately-previous one (grace window for
-    in-flight readers; Spark scans open files lazily and POSIX/S3-like
-    stores keep open/listed objects readable past unlink)."""
+    table and retries.
+
+    Every successful commit also appends an immutable entry to the
+    ``_log/`` commit log (version -> snapshot dir + writer metadata) —
+    the table's full history, Delta-``_delta_log`` style, readable via
+    :func:`history` / :func:`read_version`.
+
+    On success, prunes snapshot dirs older than the newest ``retain``
+    versions (the default 2 keeps the new one plus the
+    immediately-previous one as a grace window for in-flight readers;
+    Spark scans open files lazily and POSIX/S3-like stores keep
+    open/listed objects readable past unlink). Pass a larger ``retain``
+    to keep time-travel targets readable; the log itself is never
+    pruned."""
     meta = {"snapshot": snapshot_name, **(extra_meta or {})}
+    new_version = snapshot_version(meta)
     with _pointer_lock(table_path):
         live = read_pointer(table_path)
         if live != base_meta:
@@ -127,19 +153,100 @@ def commit_snapshot(
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, _pointer_path(table_path))
-    keep = {snapshot_name}
-    if base_meta is not None:
-        keep.add(base_meta["snapshot"])
-    new_version = snapshot_version(meta)
-    for entry in os.listdir(table_path):
-        full = os.path.join(table_path, entry)
-        if not (entry.startswith("snapshot=") and entry not in keep and os.path.isdir(full)):
+        # commit-log entry: written under the lock so version files
+        # appear in commit order; one immutable JSON per version
+        log_dir = os.path.join(table_path, _LOG)
+        os.makedirs(log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._log_tmp_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": new_version, **meta}, f)
+        os.replace(tmp, os.path.join(log_dir, f"{new_version:012d}.json"))
+    _prune_snapshots(table_path, new_version, keep_names={snapshot_name} | ({base_meta["snapshot"]} if base_meta else set()), retain=retain)
+
+
+def _prune_snapshots(table_path: str, new_version: int, keep_names: set[str], retain: int) -> None:
+    """Remove snapshot dirs outside the newest ``retain`` versions.
+    Only STRICTLY older versions are touched: a racing writer may still
+    be writing data into its own same-version directory — it removes
+    that orphan itself when its commit conflicts."""
+    dirs = [
+        (int(e.split("=")[1].split("-")[0]), e)
+        for e in os.listdir(table_path)
+        if e.startswith("snapshot=") and os.path.isdir(os.path.join(table_path, e))
+    ]
+    versions = sorted({v for v, _ in dirs} | {new_version}, reverse=True)
+    retained_versions = set(versions[: max(retain, 1)])
+    for version, entry in dirs:
+        if entry in keep_names or version in retained_versions:
             continue
-        # prune only STRICTLY older versions: a racing writer may still
-        # be writing data into its own same-version directory — it will
-        # remove that orphan itself when its commit conflicts
-        if int(entry.split("=")[1].split("-")[0]) < new_version:
-            shutil.rmtree(full, ignore_errors=True)
+        if version < new_version:
+            shutil.rmtree(os.path.join(table_path, entry), ignore_errors=True)
+
+
+def history(table_path: str) -> list[dict]:
+    """The table's commit log, oldest first: one dict per committed
+    version (``version``, ``snapshot``, writer metadata) plus
+    ``available`` — whether that version's data files still exist or
+    retention pruned them (the log outlives the data, like Delta's)."""
+    log_dir = os.path.join(table_path, _LOG)
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, fname)) as f:
+            entry = json.load(f)
+        entry["available"] = os.path.isdir(os.path.join(table_path, entry["snapshot"]))
+        out.append(entry)
+    return out
+
+
+def read_version(spark: SparkSession, table_path: str, version: int) -> DataFrame:
+    """Time travel: read the table AS OF commit ``version`` (Delta's
+    ``VERSION AS OF``). Negative versions index from the latest
+    (``-1`` = live). Raises :class:`SnapshotVacuumed` when the version
+    committed but retention already pruned its files, ``ValueError``
+    when the version never happened."""
+    log = history(table_path)
+    if not log:
+        raise FileNotFoundError(f"no commit log at {table_path}")
+    by_version = {e["version"]: e for e in log}
+    if version < 0:
+        version = max(by_version) + 1 + version
+    entry = by_version.get(version)
+    if entry is None:
+        raise ValueError(f"version {version} never committed at {table_path} (log has {sorted(by_version)})")
+    if not entry["available"]:
+        raise SnapshotVacuumed(
+            f"version {version} ({entry['snapshot']}) was pruned by retention — "
+            f"commit with a larger retain= to keep time-travel targets"
+        )
+    df = spark.read.parquet(os.path.join(table_path, entry["snapshot"]))
+    return df.drop("_bucket") if "_bucket" in df.columns else df
+
+
+def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
+    """Prune data directories of all but the newest ``keep_last``
+    versions (never the live snapshot); the commit log is kept in
+    full. Returns the versions whose data was removed."""
+    meta = read_pointer(table_path)
+    live = set() if meta is None else {meta["snapshot"]}
+    dirs = sorted(
+        (
+            (int(e.split("=")[1].split("-")[0]), e)
+            for e in os.listdir(table_path)
+            if e.startswith("snapshot=") and os.path.isdir(os.path.join(table_path, e))
+        ),
+        reverse=True,
+    )
+    removed = []
+    for version, entry in dirs[max(keep_last, 1):]:
+        if entry in live:
+            continue
+        shutil.rmtree(os.path.join(table_path, entry), ignore_errors=True)
+        removed.append(version)
+    return sorted(removed)
 
 
 def atomic_overwrite(
@@ -147,6 +254,7 @@ def atomic_overwrite(
     table_path: str,
     partition_by: list[str] | None = None,
     extra_meta: dict | None = None,
+    retain: int = 2,
 ) -> str:
     """S4 overwrite — write a new snapshot, then atomically repoint.
 
@@ -162,7 +270,7 @@ def atomic_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(table_path, snap))
     try:
-        commit_snapshot(table_path, snap, base, extra_meta)
+        commit_snapshot(table_path, snap, base, extra_meta, retain=retain)
     except SnapshotConflict:
         shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
         raise

@@ -1,0 +1,144 @@
+"""Lakehouse table-management coverage (tail entries, fully oracled):
+
+- ``s9_time_travel`` — the ``_log/`` commit log + ``VERSION AS OF``
+  reads (io/sinks.py:history/read_version). The reference's TRUNCATE+
+  COPY refresh (resources/redshift.py:80,98-104) destroys history
+  every week; here every commit is a readable version.
+- ``s10_compaction`` — small-file OPTIMIZE (io/maintenance.py): a
+  64-file snapshot compacts to size-targeted files through the CAS
+  commit path, row content bit-identical (the oracle proves it).
+- ``s11_merge_cdc`` — MERGE with a DELETE arm + the typed change feed
+  (io/merge.py:change_feed): insert/update/delete rows are derived,
+  the merge applies them atomically, and the oracle states the
+  expected feed AND final table in closed form.
+
+All three run against scratch tables rebuilt from driver parquet each
+call, so the oracle on the ORIGINAL tables value-checks the entire
+write -> commit -> read cycle.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.maintenance import compact_snapshot
+from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
+from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, read_version
+from datalake_polygonscan_spark.queries.registry import register
+from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
+from datalake_polygonscan_spark.tables import load_table
+
+
+@register(
+    "s9_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v0,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_live,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="S9 time travel (io/sinks.py:read_version over the _log/ commit log): commit v0 = orders, commit v1 = +1000 repricing of orderkey%5==0; the query reads VERSION AS OF 0 and the live table from the SAME table path and aggregates both — the oracle states v0 (original) and v1 (repriced) in closed form, proving versioned reads return bit-faithful history; n_versions checks the commit log length",
+)
+def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s9_time_travel", "orders_tt")
+    shutil.rmtree(table, ignore_errors=True)  # deterministic version numbers per run
+    atomic_overwrite(o, table, retain=10)  # version 0
+    repriced = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    atomic_overwrite(repriced, table, retain=10)  # version 1 (live)
+    v0 = (
+        read_version(spark, table, 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_v0"))
+    )
+    live = (
+        read_table(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(_dbl_sum("o_totalprice", "sum_live"))
+    )
+    n_versions = len(history(table))
+    return v0.join(live, "o_orderstatus").withColumn("n_versions", F.lit(n_versions).cast("long"))
+
+
+@register(
+    "s10_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           TRUE AS compacted_fewer_files
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="S10 small-file compaction / OPTIMIZE (io/maintenance.py:compact_snapshot): a snapshot written as 64 shuffled files is compacted to ceil(bytes/target) size-targeted files via a new CAS-committed version; the oracle proves row content identical through the rewrite, and compacted_fewer_files carries the file-count drop through the driver's value hash",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    table = _scratch("s10_compaction", "lineitem_smallfiles")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(li.repartition(64), table)  # the small-file problem: 64 files
+    stats = compact_snapshot(spark, table, target_file_bytes=128 << 20)
+    back = read_table(spark, table)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "sum_qty"))
+        .withColumn("compacted_fewer_files", F.lit(stats["files_after"] < stats["files_before"]))
+    )
+
+
+@register(
+    "s11_merge_cdc",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'update', CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+    FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 0
+    UNION ALL
+    SELECT 'delete', CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,6))) AS DOUBLE), 4)
+    FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 4 <> 0 AND o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'live', CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+                                    ELSE o_totalprice + 1000.0 END AS DECIMAL(18,6))) AS DOUBLE), 4)
+    FROM o WHERE o_orderkey % 3 = 0 OR (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0)
+    """,
+    doc="S11 MERGE with DELETE arm + CDC change feed (io/merge.py:change_feed, merge_upsert(deletes=)): seed = stale-priced orders missing orderkey%4==0; batch = true prices for orderkey%3==0; deletes = orderkey%7==0. The feed types every net change (insert = new key, update = matched key, delete = matched-and-not-reinserted key carrying the OLD row), the merge applies all three arms in one atomic commit, and the oracle states feed AND final live table in closed form over the original orders",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = _scratch("s11_merge_cdc", "orders_cdc")
+    shutil.rmtree(table, ignore_errors=True)
+    seed = o.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    atomic_overwrite(seed, table)
+    batch = o.filter(F.col("o_orderkey") % 3 == 0)
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+
+    current = read_table(spark, table)
+    feed = change_feed(current, batch, keys=["o_orderkey"], deletes=dels)
+    feed_agg = feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "total")
+    )
+    live = merge_upsert(spark, table, batch, keys=["o_orderkey"], deletes=dels)
+    live_agg = live.agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "total")).select(
+        F.lit("live").alias("change_type"), "n_rows", "total"
+    )
+    return feed_agg.unionByName(live_agg)
