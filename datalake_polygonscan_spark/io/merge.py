@@ -122,6 +122,7 @@ def change_feed(
     keys: list[str],
     version_col: str | None = None,
     deletes: DataFrame | None = None,
+    retractions: bool = False,
 ) -> DataFrame:
     """CDC: the typed change rows a merge batch produces against
     ``current`` (Delta's table change feed). One row per net change:
@@ -131,20 +132,34 @@ def change_feed(
     - ``delete`` — delete key present in ``current`` and NOT re-inserted
       by the batch (row = the old values being removed)
 
+    With ``retractions=True`` the feed is Delta-CDF shaped: each update
+    splits into ``update_preimage`` (the OLD row being retracted) and
+    ``update_postimage`` (the new row) — the form incremental aggregate
+    maintenance needs, since a sum can only be adjusted by subtracting
+    the old value and adding the new one (io/mview.py consumes this).
+
     Pure derivation over (current, batch) — no table mutation, so
     downstream consumers (incremental aggregates, replication, audit)
     can subscribe to exactly what a merge did. Columns: the batch
     schema + ``_change_type``."""
     b = _dedup_batch(updates, keys, version_col)
     cur_keys = current.select(*keys).distinct().withColumn("_exists", F.lit(1))
+    update_type = "update_postimage" if retractions else "update"
     out = (
         b.join(cur_keys, keys, "left")
         .withColumn(
             "_change_type",
-            F.when(F.col("_exists").isNotNull(), F.lit("update")).otherwise(F.lit("insert")),
+            F.when(F.col("_exists").isNotNull(), F.lit(update_type)).otherwise(F.lit("insert")),
         )
         .drop("_exists")
     )
+    if retractions:
+        preimages = (
+            current.join(b.select(*keys).distinct(), keys, "left_semi")
+            .select(*b.columns)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        out = out.unionByName(preimages)
     if deletes is not None:
         net_del_keys = (
             deletes.select(*keys).distinct().join(b.select(*keys).distinct(), keys, "left_anti")

@@ -11,6 +11,12 @@
   (io/merge.py:change_feed): insert/update/delete rows are derived,
   the merge applies them atomically, and the oracle states the
   expected feed AND final table in closed form.
+- ``mv1_incremental_agg`` — incremental materialized-view maintenance
+  (io/mview.py): an aggregate MV built once, then refreshed purely
+  from the retraction-shaped change feed of a merge batch (inserts,
+  update pre/postimages, deletes as signed contributions) without
+  rescanning the base table; the oracle is the FULL recompute over the
+  final table state, proving delta maintenance exact.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -26,6 +32,7 @@ from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.io.maintenance import compact_snapshot
 from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
+from datalake_polygonscan_spark.io.mview import build_aggregate, refresh_aggregate
 from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, read_version
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
@@ -142,3 +149,46 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("live").alias("change_type"), "n_rows", "total"
     )
     return feed_agg.unionByName(live_agg)
+
+
+@register(
+    "mv1_incremental_agg",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1000.0 END AS v
+      FROM o
+      WHERE o_orderkey % 3 = 0 OR (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="MV1 incremental materialized-view maintenance (io/mview.py): per-status count+sum MV built once over the seed table, then refreshed ONLY from the retraction-shaped CDC feed (change_feed(retractions=True): insert / update_preimage / update_postimage / delete as signed decimal contributions) of the same merge batch s11 applies — the base table is never rescanned. The oracle is the full recompute over the final table state in closed form: delta maintenance must be exactly equal (decimal arithmetic, no drift)",
+)
+def mv1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base_tbl = _scratch("mv1_incremental_agg", "orders_base")
+    mv_tbl = _scratch("mv1_incremental_agg", "orders_mv")
+    shutil.rmtree(base_tbl, ignore_errors=True)
+    shutil.rmtree(mv_tbl, ignore_errors=True)
+
+    seed = o.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    merge_upsert(spark, base_tbl, seed, keys=["o_orderkey"])
+    build_aggregate(spark, mv_tbl, seed, ["o_orderstatus"], ["o_totalprice"])
+
+    batch = o.filter(F.col("o_orderkey") % 3 == 0)
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    current = read_table(spark, base_tbl)
+    feed = change_feed(current, batch, keys=["o_orderkey"], deletes=dels, retractions=True)
+    mv = refresh_aggregate(spark, mv_tbl, feed, ["o_orderstatus"], ["o_totalprice"])
+    return mv.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("sum_o_totalprice").cast("double"), 4).alias("sum_price"),
+    )

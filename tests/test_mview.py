@@ -1,0 +1,151 @@
+"""Incremental materialized-view maintenance (io/mview.py): an
+aggregate MV refreshed purely from retraction-shaped change feeds must
+stay exactly equal to a full recompute over the evolving base table —
+across inserts, value updates, deletes, group births and group deaths.
+The base table is never rescanned by a refresh (the plan reads only
+the MV's touched buckets and the feed)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
+from datalake_polygonscan_spark.io.mview import build_aggregate, refresh_aggregate
+from datalake_polygonscan_spark.io.sinks import read_table
+
+COLS = ["k", "grp", "v"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(int(k), str(g), float(v)) for k, g, v in rows], COLS)
+
+
+def _mv_rows(mv):
+    return sorted(
+        (r["grp"], int(r["n_rows"]), str(r["sum_v"])) for r in mv.collect()
+    )
+
+
+def _recompute(base):
+    return sorted(
+        (r["grp"], int(r["n"]), str(r["s"]))
+        for r in base.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("decimal(38,6)").alias("s"),
+        )
+        .collect()
+    )
+
+
+def _apply_and_refresh(spark, base_tbl, mv_tbl, batch, deletes=None):
+    current = read_table(spark, base_tbl)
+    feed = change_feed(current, batch, keys=["k"], deletes=deletes, retractions=True)
+    mv = refresh_aggregate(spark, mv_tbl, feed, ["grp"], ["v"], n_buckets=8)
+    merge_upsert(spark, base_tbl, batch, keys=["k"], n_buckets=8, deletes=deletes)
+    return mv
+
+
+def test_refresh_matches_full_recompute(spark, tmp_path):
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+
+    # update k=2 (a: retract 20, add 25), insert k=4 into b, delete k=3 (b dies? no — b gains k=4)
+    batch = _df(spark, [(2, "a", 25), (4, "b", 40)])
+    dels = _df(spark, [(3, "b", 0)]).select("k")
+    mv = _apply_and_refresh(spark, base_tbl, mv_tbl, batch, deletes=dels)
+    assert _mv_rows(mv) == _recompute(read_table(spark, base_tbl))
+    got = {r["grp"]: (r["n_rows"], float(r["sum_v"])) for r in mv.collect()}
+    assert got == {"a": (2, 35.0), "b": (1, 40.0)}
+
+
+def test_group_birth_and_death(spark, tmp_path):
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+
+    # delete the only row of b (group death) and insert a brand-new group c
+    batch = _df(spark, [(3, "c", 3)])
+    dels = _df(spark, [(2, "b", 0)]).select("k")
+    mv = _apply_and_refresh(spark, base_tbl, mv_tbl, batch, deletes=dels)
+    groups = {r["grp"] for r in mv.collect()}
+    assert groups == {"a", "c"}
+    assert _mv_rows(mv) == _recompute(read_table(spark, base_tbl))
+
+
+def test_update_moves_row_between_groups(spark, tmp_path):
+    # an update that CHANGES the group column: preimage retracts from the
+    # old group, postimage contributes to the new one
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 10), (2, "a", 20)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+
+    batch = _df(spark, [(1, "b", 11)])
+    mv = _apply_and_refresh(spark, base_tbl, mv_tbl, batch)
+    got = {r["grp"]: (r["n_rows"], float(r["sum_v"])) for r in mv.collect()}
+    assert got == {"a": (1, 20.0), "b": (1, 11.0)}
+    assert _mv_rows(mv) == _recompute(read_table(spark, base_tbl))
+
+
+def test_randomized_merge_sequence_stays_exact(spark, tmp_path):
+    rng = random.Random(7)
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    keys = list(range(40))
+    seed_rows = [(k, rng.choice("abcd"), rng.randint(1, 500) / 7.0) for k in keys[:25]]
+    seed = _df(spark, seed_rows)
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+
+    live_keys = set(keys[:25])
+    for _round in range(3):
+        batch_keys = rng.sample(keys, 10)
+        batch = _df(
+            spark, [(k, rng.choice("abcde"), rng.randint(1, 500) / 7.0) for k in batch_keys]
+        )
+        del_pool = [k for k in live_keys if k not in batch_keys]
+        del_keys = rng.sample(del_pool, min(4, len(del_pool)))
+        dels = _df(spark, [(k, "x", 0) for k in del_keys]).select("k") if del_keys else None
+        mv = _apply_and_refresh(spark, base_tbl, mv_tbl, batch, deletes=dels)
+        live_keys = (live_keys | set(batch_keys)) - set(del_keys)
+        assert _mv_rows(mv) == _recompute(read_table(spark, base_tbl))
+
+
+def test_inconsistent_feed_raises(spark, tmp_path):
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 1)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+    # a feed deleting 2 rows from a 1-row group cannot have been derived
+    # against this MV's base state
+    bogus = spark.createDataFrame(
+        [(1, "a", 1.0, "delete"), (2, "a", 1.0, "delete")], COLS + ["_change_type"]
+    )
+    try:
+        refresh_aggregate(spark, mv_tbl, bogus, ["grp"], ["v"], n_buckets=8)
+        raise AssertionError("expected ValueError for negative group count")
+    except ValueError:
+        pass
+
+
+def test_refresh_reads_only_touched_mv_buckets(spark, tmp_path):
+    # the MV-side read of a refresh is partition-pruned to the buckets
+    # of the delta groups — the refresh plan never scans the full MV
+    from datalake_polygonscan_spark.io.mview import _read_touched_groups
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(k, f"g{k % 16}", float(k)) for k in range(64)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_aggregate(spark, mv_tbl, seed, ["grp"], ["v"], n_buckets=8)
+
+    deltas = spark.createDataFrame([("g0", 1)], ["grp", "_d_rows"])
+    touched = _read_touched_groups(spark, mv_tbl, deltas, ["grp"], ["v"], 8)
+    plan = touched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    # only groups living in g0's hash bucket come back — a strict subset
+    assert 0 < touched.count() < 16
