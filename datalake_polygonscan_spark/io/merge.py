@@ -25,6 +25,13 @@ because it never tracks what it already has. Here:
   union (last-writer-wins): highest ``version_col`` if given, else a
   deterministic content-hash tie-break — so the live table never holds
   duplicate keys.
+- ACROSS batches, ``version_col`` makes the merge CONDITIONAL (Delta's
+  ``WHEN MATCHED AND s.v >= t.v THEN UPDATE``): a matched current row
+  survives when it carries a strictly newer version than the update —
+  so out-of-order delivery (a stale batch arriving after the revision
+  it predates) cannot clobber newer data, and the final table state is
+  independent of batch arrival order. Without ``version_col`` the
+  merge stays unconditional last-writer-wins.
 - ``deletes=`` is the ``WHEN MATCHED THEN DELETE`` arm (same atomic
   commit, delete buckets counted as touched so pruning holds), and
   ``change_feed`` derives the typed CDC rows (insert/update/delete) a
@@ -141,8 +148,18 @@ def change_feed(
     Pure derivation over (current, batch) — no table mutation, so
     downstream consumers (incremental aggregates, replication, audit)
     can subscribe to exactly what a merge did. Columns: the batch
-    schema + ``_change_type``."""
+    schema + ``_change_type``. With a ``version_col``, batch rows that
+    LOSE the conditional merge (a matched current row carries a
+    strictly newer version) are no-ops and produce no change row —
+    the feed describes exactly what :func:`merge_upsert` would do."""
     b = _dedup_batch(updates, keys, version_col)
+    if version_col is not None:
+        cv = current.select(*keys, F.col(version_col).alias("_cv"))
+        b = (
+            b.join(cv, keys, "left")
+            .filter(F.col("_cv").isNull() | (F.col(version_col) >= F.col("_cv")))
+            .drop("_cv")
+        )
     cur_keys = current.select(*keys).distinct().withColumn("_exists", F.lit(1))
     update_type = "update_postimage" if retractions else "update"
     out = (
@@ -190,11 +207,32 @@ def _merge_once(
     new_snap = os.path.join(table_path, snap_name)
     meta = {"merge_buckets": n_buckets}
 
-    def _drop_removed(current_rows: DataFrame) -> DataFrame:
-        kept = current_rows.join(batch.select(*keys).distinct(), keys, "left_anti")
+    def _merge_arms(current_rows: DataFrame) -> DataFrame:
+        """kept-current ∪ surviving-batch. Without a version column:
+        matched current rows are unconditionally replaced. With one:
+        the HIGHER version survives (ties -> the update), so stale
+        batches can't clobber newer table state (``version_col`` must
+        be non-null). Delete keys drop from the kept side either way;
+        a delete key re-inserted by the batch nets to the insert."""
+        if version_col is None:
+            kept = current_rows.join(batch.select(*keys).distinct(), keys, "left_anti")
+            ins = batch
+        else:
+            bv = batch.select(*keys, F.col(version_col).alias("_bv"))
+            kept = (
+                current_rows.join(bv, keys, "left")
+                .filter(F.col("_bv").isNull() | (F.col(version_col) > F.col("_bv")))
+                .drop("_bv")
+            )
+            cv = current_rows.select(*keys, F.col(version_col).alias("_cv"))
+            ins = (
+                batch.join(cv, keys, "left")
+                .filter(F.col("_cv").isNull() | (F.col(version_col) >= F.col("_cv")))
+                .drop("_cv")
+            )
         if del_keys is not None:
             kept = kept.join(del_keys, keys, "left_anti")
-        return kept
+        return kept, ins
 
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
@@ -206,9 +244,9 @@ def _merge_once(
     if base.get("merge_buckets") != n_buckets:
         # unbucketed (plain atomic_overwrite) or differently-bucketed
         # snapshot: one-time full rewrite migrates it into this layout
-        current = read_table(spark, table_path)
-        kept = _drop_removed(current).withColumn("_bucket", _bucket_col(keys, n_buckets))
-        merged = kept.unionByName(batch.select(*kept.columns))
+        current = read_table(spark, table_path).withColumn("_bucket", _bucket_col(keys, n_buckets))
+        kept, ins = _merge_arms(current)
+        merged = kept.unionByName(ins.select(*kept.columns))
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
@@ -223,8 +261,8 @@ def _merge_once(
     current_touched = (
         spark.read.parquet(prev_snap).filter(F.col("_bucket").isin(touched))  # partition-pruned scan
     )
-    kept = _drop_removed(current_touched)
-    merged = kept.unionByName(batch.select(*kept.columns))
+    kept, ins = _merge_arms(current_touched)
+    merged = kept.unionByName(ins.select(*kept.columns))
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
     _commit_or_cleanup(table_path, snap_name, base, meta)

@@ -17,6 +17,12 @@
   update pre/postimages, deletes as signed contributions) without
   rescanning the base table; the oracle is the FULL recompute over the
   final table state, proving delta maintenance exact.
+- ``e7_stream_merge_ingest`` — continuous ingestion
+  (streaming/ingest.py): a REAL multi-micro-batch AvailableNow stream
+  whose every batch MERGEs into the atomic bucketed table
+  (``foreachBatch`` + keyed upsert = exactly-once by idempotent sink);
+  late re-deliveries of updated keys resolve by ``version_col`` event
+  time regardless of batch order.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -33,6 +39,7 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.io.maintenance import compact_snapshot
 from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
 from datalake_polygonscan_spark.io.mview import build_aggregate, refresh_aggregate
+from datalake_polygonscan_spark.streaming.ingest import stream_merge_ingest
 from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, read_version
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
@@ -191,4 +198,40 @@ def mv1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "n_rows",
         F.round(F.col("sum_o_totalprice").cast("double"), 4).alias("sum_price"),
+    )
+
+
+@register(
+    "e7_stream_merge_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 5.0
+                                    ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="E7 continuous ingestion (streaming/ingest.py:stream_merge_ingest): a REAL AvailableNow stream over a 4-file source (maxFilesPerTrigger=1 -> 4 micro-batches), each batch MERGEd into the atomic bucketed table via foreachBatch. The source holds every event PLUS a revised copy (value+5, ts+1h) of event_id%10==0, scattered randomly across files — the keyed upsert with version_col='ts' must land the revision regardless of which micro-batch delivers it, so the final table is closed-form: original values except %10 keys revised. Exactly-once by idempotent sink",
+)
+def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e7_stream_ingest", "events_src")
+    table = _scratch("e7_stream_ingest", "events_table")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(table, ignore_errors=True)
+    revised = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 5.0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    ev.unionByName(revised).repartition(4).write.mode("overwrite").parquet(src)
+    live = stream_merge_ingest(
+        spark,
+        src,
+        table,
+        keys=["event_id"],
+        version_col="ts",
+        max_files_per_trigger=1,
+    )
+    return live.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_value")
     )

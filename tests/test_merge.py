@@ -133,3 +133,39 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_table):
     assert ("w7", "h7", 999, 42.0) in got
     assert ("w7", "h7", 7, 7.0) not in got
     assert len(got) == 200
+
+
+def test_versioned_merge_is_conditional_across_batches(spark, tmp_table):
+    # WHEN MATCHED AND s.v >= t.v THEN UPDATE: a stale batch arriving
+    # AFTER the revision it predates must not clobber newer data —
+    # final state is independent of batch arrival order
+    cols = ["wallet_address", "tx_hash", "block_number", "qty"]
+    fresh = spark.createDataFrame([("w1", "h1", 20, 9.0), ("w2", "h2", 20, 2.0)], cols)
+    merge_upsert(spark, tmp_table, fresh, keys=["wallet_address", "tx_hash"], version_col="block_number")
+    stale = spark.createDataFrame([("w1", "h1", 10, 1.0), ("w3", "h3", 10, 3.0)], cols)
+    live = merge_upsert(spark, tmp_table, stale, keys=["wallet_address", "tx_hash"], version_col="block_number")
+    got = {(r["wallet_address"], r["block_number"], r["qty"]) for r in live.collect()}
+    # w1 keeps the newer block-20 row; w3 (new key) inserts fine
+    assert got == {("w1", 20, 9.0), ("w2", 20, 2.0), ("w3", 10, 3.0)}
+    # equal versions: the update wins (deterministic tie -> new row)
+    tie = spark.createDataFrame([("w2", "h2", 20, 99.0)], cols)
+    live = merge_upsert(spark, tmp_table, tie, keys=["wallet_address", "tx_hash"], version_col="block_number")
+    got = {(r["wallet_address"], r["qty"]) for r in live.collect()}
+    assert ("w2", 99.0) in got
+
+
+def test_versioned_change_feed_skips_losing_rows(spark, tmp_table):
+    from datalake_polygonscan_spark.io.merge import change_feed
+    from datalake_polygonscan_spark.io.sinks import read_table
+
+    cols = ["wallet_address", "tx_hash", "block_number", "qty"]
+    fresh = spark.createDataFrame([("w1", "h1", 20, 9.0)], cols)
+    merge_upsert(spark, tmp_table, fresh, keys=["wallet_address", "tx_hash"], version_col="block_number")
+    stale_plus_new = spark.createDataFrame([("w1", "h1", 10, 1.0), ("w3", "h3", 10, 3.0)], cols)
+    feed = change_feed(
+        read_table(spark, tmp_table), stale_plus_new,
+        keys=["wallet_address", "tx_hash"], version_col="block_number",
+    )
+    got = {(r["wallet_address"], r["_change_type"]) for r in feed.collect()}
+    # the stale w1 row is a no-op (no change row); w3 is an insert
+    assert got == {("w3", "insert")}
