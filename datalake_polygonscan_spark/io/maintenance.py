@@ -32,6 +32,7 @@ from datalake_polygonscan_spark.io.sinks import (
     commit_snapshot,
     new_snapshot_name,
     read_pointer,
+    read_snapshot,
 )
 
 
@@ -80,7 +81,9 @@ def compact_snapshot(
     total_bytes = sum(sz for _, sz in before)
     part_cols = _partition_cols(prev_snap)
 
-    df = spark.read.parquet(prev_snap)
+    # log-schema-aware read: compacting a mixed-schema snapshot (after a
+    # schema-evolving merge) must rewrite every row in the WIDENED schema
+    df = read_snapshot(spark, prev_snap, base)
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
     if part_cols:

@@ -52,8 +52,10 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.io.sinks import (
     SnapshotConflict,
     commit_snapshot,
+    logical_schema_json,
     new_snapshot_name,
     read_pointer,
+    read_snapshot,
     read_table,
 )
 
@@ -101,6 +103,7 @@ def merge_upsert(
     version_col: str | None = None,
     max_retries: int = 5,
     deletes: DataFrame | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
     on ``keys``; returns the new live snapshot (logical schema — the
@@ -112,11 +115,22 @@ def merge_upsert(
     ``WHEN MATCHED THEN DELETE`` arm: matching current rows are dropped
     in the same atomic commit. A key in BOTH ``deletes`` and
     ``updates`` nets out to the update (delete-then-insert). Delete-key
-    buckets count as touched, so the rewrite stays bucket-pruned."""
+    buckets count as touched, so the rewrite stays bucket-pruned.
+
+    ``schema_evolution=True`` is Delta's ``mergeSchema``: a batch
+    carrying NEW columns widens the table schema in the same commit —
+    kept current rows surface the new columns as NULL, the widened
+    schema lands in the commit log, and untouched buckets are still
+    hard-linked (their old-schema files read correctly because every
+    read uses the log-tracked schema, never footer merging). Without
+    the flag a widening batch raises."""
     last_conflict: SnapshotConflict | None = None
     for _ in range(max_retries):
         try:
-            _merge_once(spark, table_path, updates, keys, n_buckets, version_col, deletes)
+            _merge_once(
+                spark, table_path, updates, keys, n_buckets, version_col, deletes,
+                schema_evolution,
+            )
             return read_table(spark, table_path)
         except SnapshotConflict as e:
             last_conflict = e
@@ -198,55 +212,88 @@ def _merge_once(
     n_buckets: int,
     version_col: str | None,
     deletes: DataFrame | None = None,
+    schema_evolution: bool = False,
 ) -> None:
+    from pyspark.sql import types as T
+
     os.makedirs(table_path, exist_ok=True)
     base = read_pointer(table_path)
     batch = _dedup_batch(updates, keys, version_col).withColumn("_bucket", _bucket_col(keys, n_buckets))
     del_keys = None if deletes is None else deletes.select(*keys).distinct()
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
-    meta = {"merge_buckets": n_buckets}
-
-    def _merge_arms(current_rows: DataFrame) -> DataFrame:
-        """kept-current ∪ surviving-batch. Without a version column:
-        matched current rows are unconditionally replaced. With one:
-        the HIGHER version survives (ties -> the update), so stale
-        batches can't clobber newer table state (``version_col`` must
-        be non-null). Delete keys drop from the kept side either way;
-        a delete key re-inserted by the batch nets to the insert."""
-        if version_col is None:
-            kept = current_rows.join(batch.select(*keys).distinct(), keys, "left_anti")
-            ins = batch
-        else:
-            bv = batch.select(*keys, F.col(version_col).alias("_bv"))
-            kept = (
-                current_rows.join(bv, keys, "left")
-                .filter(F.col("_bv").isNull() | (F.col(version_col) > F.col("_bv")))
-                .drop("_bv")
-            )
-            cv = current_rows.select(*keys, F.col(version_col).alias("_cv"))
-            ins = (
-                batch.join(cv, keys, "left")
-                .filter(F.col("_cv").isNull() | (F.col(version_col) >= F.col("_cv")))
-                .drop("_cv")
-            )
-        if del_keys is not None:
-            kept = kept.join(del_keys, keys, "left_anti")
-        return kept, ins
+    batch_fields = [f for f in batch.schema.fields if f.name != "_bucket"]
 
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
+        meta = {"merge_buckets": n_buckets, "table_schema": T.StructType(batch_fields).json()}
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
 
     prev_snap = os.path.join(table_path, base["snapshot"])
+    cur_fields = [
+        f
+        for f in read_snapshot(spark, prev_snap, base).schema.fields
+        if f.name != "_bucket"
+    ]
+    cur_names = {f.name for f in cur_fields}
+    batch_names = {f.name for f in batch_fields}
+    if cur_names != batch_names and not schema_evolution:
+        raise ValueError(
+            f"merge batch schema {sorted(batch_names)} != table schema "
+            f"{sorted(cur_names)}; pass schema_evolution=True to widen "
+            "(batch-missing columns become NULL in replaced rows)"
+        )
+    # widened schema: current columns first, then batch-new columns —
+    # this lands in the commit log, so every future read (including the
+    # hard-linked old-schema buckets) resolves against it
+    target_fields = cur_fields + [f for f in batch_fields if f.name not in cur_names]
+    meta = {"merge_buckets": n_buckets, "table_schema": T.StructType(target_fields).json()}
+
+    def _align(df: DataFrame) -> DataFrame:
+        cols = [
+            F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_fields
+        ]
+        if "_bucket" in df.columns:
+            cols.append(F.col("_bucket"))
+        return df.select(*cols)
+
+    def _merge_arms(current_rows: DataFrame) -> DataFrame:
+        """kept-current ∪ surviving-batch over schema-aligned frames.
+        Without a version column: matched current rows are
+        unconditionally replaced. With one: the HIGHER version survives
+        (ties -> the update), so stale batches can't clobber newer
+        table state (``version_col`` must be non-null). Delete keys
+        drop from the kept side either way; a delete key re-inserted by
+        the batch nets to the insert."""
+        cur, b = _align(current_rows), _align(batch)
+        if version_col is None:
+            kept = cur.join(b.select(*keys).distinct(), keys, "left_anti")
+            ins = b
+        else:
+            bv = b.select(*keys, F.col(version_col).alias("_bv"))
+            kept = (
+                cur.join(bv, keys, "left")
+                .filter(F.col("_bv").isNull() | (F.col(version_col) > F.col("_bv")))
+                .drop("_bv")
+            )
+            cv = cur.select(*keys, F.col(version_col).alias("_cv"))
+            ins = (
+                b.join(cv, keys, "left")
+                .filter(F.col("_cv").isNull() | (F.col(version_col) >= F.col("_cv")))
+                .drop("_cv")
+            )
+        if del_keys is not None:
+            kept = kept.join(del_keys, keys, "left_anti")
+        return kept.unionByName(ins.select(*kept.columns))
+
     if base.get("merge_buckets") != n_buckets:
         # unbucketed (plain atomic_overwrite) or differently-bucketed
         # snapshot: one-time full rewrite migrates it into this layout
         current = read_table(spark, table_path).withColumn("_bucket", _bucket_col(keys, n_buckets))
-        kept, ins = _merge_arms(current)
-        merged = kept.unionByName(ins.select(*kept.columns))
+        merged = _merge_arms(current)
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
@@ -259,10 +306,10 @@ def _merge_once(
         )
     touched = sorted(r["_bucket"] for r in touch_src.distinct().collect())
     current_touched = (
-        spark.read.parquet(prev_snap).filter(F.col("_bucket").isin(touched))  # partition-pruned scan
+        # partition-pruned, log-schema-aware scan of only the touched buckets
+        read_snapshot(spark, prev_snap, base).filter(F.col("_bucket").isin(touched))
     )
-    kept, ins = _merge_arms(current_touched)
-    merged = kept.unionByName(ins.select(*kept.columns))
+    merged = _merge_arms(current_touched)
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
     _commit_or_cleanup(table_path, snap_name, base, meta)

@@ -222,7 +222,9 @@ def read_version(spark: SparkSession, table_path: str, version: int) -> DataFram
             f"version {version} ({entry['snapshot']}) was pruned by retention — "
             f"commit with a larger retain= to keep time-travel targets"
         )
-    df = spark.read.parquet(os.path.join(table_path, entry["snapshot"]))
+    # each log entry carries the schema AS OF its commit, so time
+    # travel returns the historical schema, not the current one
+    df = read_snapshot(spark, os.path.join(table_path, entry["snapshot"]), entry)
     return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
@@ -270,7 +272,8 @@ def atomic_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(table_path, snap))
     try:
-        commit_snapshot(table_path, snap, base, extra_meta, retain=retain)
+        meta = {"table_schema": logical_schema_json(df), **(extra_meta or {})}
+        commit_snapshot(table_path, snap, base, meta, retain=retain)
     except SnapshotConflict:
         shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
         raise
@@ -295,12 +298,39 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> None
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def logical_schema_json(df: DataFrame) -> str:
+    """The table's logical schema as JSON for the commit metadata — the
+    layout-internal ``_bucket`` column is not part of it."""
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name != "_bucket"]
+    return T.StructType(fields).json()
+
+
+def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> DataFrame:
+    """Read one snapshot directory. When the commit metadata carries
+    ``table_schema`` (every commit since schema tracking), the read
+    uses that EXPLICIT schema — files missing newer columns (untouched
+    buckets hard-linked across a schema-evolving merge) surface them as
+    NULL without any ``mergeSchema`` footer-merging scan, and hive
+    partition columns (``_bucket``, user partitions) are appended from
+    the directory names as usual. Falls back to footer discovery for
+    pre-tracking snapshots."""
+    if meta and meta.get("table_schema"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["table_schema"]))
+        return spark.read.schema(schema).parquet(snap_dir)
+    return spark.read.parquet(snap_dir)
+
+
 def read_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read the live snapshot of an atomic table. The internal
-    ``_bucket`` layout column of merge-bucketed tables (io/merge.py) is
-    not part of the logical schema and is dropped."""
-    snap = current_snapshot_path(table_path)
-    if snap is None:
+    """Read the live snapshot of an atomic table (schema from the
+    commit metadata when tracked). The internal ``_bucket`` layout
+    column of merge-bucketed tables (io/merge.py) is not part of the
+    logical schema and is dropped."""
+    meta = read_pointer(table_path)
+    if meta is None:
         raise FileNotFoundError(f"no snapshot at {table_path}")
-    df = spark.read.parquet(snap)
+    df = read_snapshot(spark, os.path.join(table_path, meta["snapshot"]), meta)
     return df.drop("_bucket") if "_bucket" in df.columns else df

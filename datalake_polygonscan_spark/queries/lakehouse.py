@@ -23,6 +23,11 @@
   (``foreachBatch`` + keyed upsert = exactly-once by idempotent sink);
   late re-deliveries of updated keys resolve by ``version_col`` event
   time regardless of batch order.
+- ``s12_schema_evolution`` — widening MERGE with log-tracked schemas
+  (Delta's mergeSchema): a batch carrying a new column widens the
+  table in one commit, untouched buckets stay hard-linked, every read
+  resolves against the commit log's schema (no footer merging), and
+  time travel returns each version's historical schema.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -234,4 +239,41 @@ def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return live.groupBy("event_type").agg(
         F.count("*").alias("n_rows"), _dbl_sum("value", "sum_value")
+    )
+
+
+@register(
+    "s12_schema_evolution",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    final AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus ELSE '<none>' END AS status_slot,
+             o_totalprice AS v
+      FROM o WHERE o_orderkey % 3 = 0 OR o_orderkey % 4 <> 0
+    )
+    SELECT status_slot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           CAST(2 AS BIGINT) AS v0_n_cols
+    FROM final GROUP BY status_slot
+    """,
+    doc="S12 schema evolution (io/merge.py:merge_upsert(schema_evolution=True) + log-tracked schemas in io/sinks.py): seed table = (o_orderkey, o_totalprice) for orderkey%4!=0; a widening batch adds o_orderstatus for orderkey%3==0 in ONE atomic commit. Kept rows surface the new column as NULL ('<none>' slot) because reads use the commit log's widened schema over the hard-linked old-schema buckets — never mergeSchema footer scans; v0_n_cols proves time travel returns the 2-column historical schema",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import read_version
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s12_schema_evolution", "orders_evolve")
+    shutil.rmtree(table, ignore_errors=True)
+    seed = o.filter(F.col("o_orderkey") % 4 != 0).select("o_orderkey", "o_totalprice")
+    merge_upsert(spark, table, seed, keys=["o_orderkey"])
+    wide = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    live = merge_upsert(spark, table, wide, keys=["o_orderkey"], schema_evolution=True)
+    v0_n_cols = len(read_version(spark, table, 0).columns)
+    return (
+        live.groupBy(F.coalesce(F.col("o_orderstatus"), F.lit("<none>")).alias("status_slot"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("v0_n_cols", F.lit(v0_n_cols).cast("long"))
     )
