@@ -1,0 +1,175 @@
+"""File-level data skipping — per-file column statistics in the
+snapshot, stats-pruned scans, and range-clustered writes.
+
+Hive partitioning (io/sinks.py, io/merge.py) prunes DIRECTORIES; this
+module prunes FILES inside a snapshot by min/max column statistics,
+Delta data-skipping style. The 100 TB argument: a predicate on a
+clustered column should not even OPEN the files it cannot match — on
+object storage, per-file GET/footer latency dominates a selective scan
+long before bytes do. Spark's parquet reader already skips ROW GROUPS
+by footer stats, but only after listing and opening every file; the
+stats manifest moves that decision into the planner.
+
+Three pieces:
+
+- ``cluster_by`` — range-partition + sort the frame on the skipping
+  columns before writing (``repartitionByRange`` + ``
+  sortWithinPartitions``), so each output file covers a narrow value
+  range. Without clustering, every file spans the whole domain and
+  stats prune nothing — skipping is a LAYOUT property.
+- ``write_file_stats`` — one pass over the snapshot's parquet FOOTERS
+  (pyarrow metadata, no row reads) collecting per-file min/max/nulls
+  into an immutable ``_stats.json`` beside the data. Footer-only cost:
+  at scale this runs as part of the write (the writer already knows its
+  stats); here it is a post-commit step against the live snapshot.
+- ``pruned_scan`` — keep only files whose [min, max] interval
+  intersects the predicate ranges; returns the DataFrame over the kept
+  files (log-tracked schema) plus the prune decision
+  ``{"files_total", "files_read"}``. Callers still apply the exact
+  filter — pruning is a superset by construction, so correctness never
+  depends on the stats (the s13 oracle proves it).
+
+Values are normalized for JSON (numbers as-is; dates/timestamps as ISO
+strings — ISO order == chronological order, so string comparison is
+faithful). Snapshots created by later commits (merge, compaction) don't
+carry the manifest; ``pruned_scan`` then falls back to reading all
+files — stale stats can never be applied to the wrong snapshot because
+the manifest lives INSIDE its snapshot directory.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_polygonscan_spark.io.sinks import read_pointer, read_snapshot
+
+_STATS = "_stats.json"
+
+
+def cluster_by(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+    """Arrange ``df`` so a subsequent write produces ``n_files`` files
+    each covering a narrow range of ``cols`` (lexicographic): range
+    shuffle + in-partition sort. This is the layout step that makes
+    file stats selective; one shuffle, no driver work.
+
+    Also forces modern timestamp output (TIMESTAMP_MICROS) for the
+    session: legacy INT96 timestamps carry no parquet min/max
+    statistics, which would silently disable skipping on time
+    columns."""
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+
+
+def _norm(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def write_file_stats(table_path: str, stat_cols: list[str]) -> dict:
+    """Collect per-file min/max/null_count for ``stat_cols`` from the
+    parquet footers of the LIVE snapshot (no row reads) into
+    ``<snapshot>/_stats.json``. Returns the manifest:
+    ``{rel_path: {col: {"min": v, "max": v, "nulls": n}}}``."""
+    import pyarrow.parquet as pq
+
+    meta = read_pointer(table_path)
+    if meta is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    snap = os.path.join(table_path, meta["snapshot"])
+    manifest: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(snap):
+        for fname in files:
+            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fname)
+            md = pq.ParquetFile(full).metadata
+            idx = {md.row_group(0).column(j).path_in_schema: j for j in range(md.num_columns)}
+            per_col: dict[str, dict] = {}
+            for col in stat_cols:
+                if col not in idx:
+                    continue
+                lo = hi = None
+                nulls = 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                    nulls += st.null_count or 0
+                if lo is not None:
+                    per_col[col] = {"min": _norm(lo), "max": _norm(hi), "nulls": nulls}
+            manifest[os.path.relpath(full, snap)] = per_col
+    tmp = os.path.join(snap, f".{_STATS}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(snap, _STATS))
+    return manifest
+
+
+def pruned_scan(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, dict]:
+    """Plan a scan of the live snapshot keeping only files whose
+    [min, max] stats intersect every ``col: (lo, hi)`` range (``None``
+    bound = unbounded; files without stats for a column are kept —
+    pruning is always a superset). Returns ``(df, {"files_total",
+    "files_read"})``; the caller applies the exact predicate on top."""
+    meta = read_pointer(table_path)
+    if meta is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    snap = os.path.join(table_path, meta["snapshot"])
+    stats_path = os.path.join(snap, _STATS)
+    all_files = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(snap)
+        for f in fs
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    ]
+    if not os.path.exists(stats_path):
+        df = read_snapshot(spark, snap, meta)
+        return df, {"files_total": len(all_files), "files_read": len(all_files)}
+    with open(stats_path) as f:
+        manifest = json.load(f)
+
+    def _keep(rel: str) -> bool:
+        per_col = manifest.get(rel)
+        if per_col is None:
+            return True
+        for col, (lo, hi) in ranges.items():
+            st = per_col.get(col)
+            if st is None:
+                continue
+            if lo is not None and _norm(st["max"]) < _norm(lo):
+                return False
+            if hi is not None and _norm(st["min"]) > _norm(hi):
+                return False
+        return True
+
+    kept = [p for p in all_files if _keep(os.path.relpath(p, snap))]
+    decision = {"files_total": len(all_files), "files_read": len(kept)}
+    if not kept:
+        from pyspark.sql import types as T
+
+        schema = (
+            T.StructType.fromJson(json.loads(meta["table_schema"]))
+            if meta.get("table_schema")
+            else read_snapshot(spark, snap, meta).schema
+        )
+        return spark.createDataFrame([], schema), decision
+    reader = spark.read
+    if meta.get("table_schema"):
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(json.loads(meta["table_schema"])))
+    return reader.parquet(*kept), decision

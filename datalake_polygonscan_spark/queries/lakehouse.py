@@ -28,6 +28,10 @@
   table in one commit, untouched buckets stay hard-linked, every read
   resolves against the commit log's schema (no footer merging), and
   time travel returns each version's historical schema.
+- ``s13_data_skipping`` — file-level data skipping (io/skipping.py):
+  range-clustered write, per-file min/max manifest from parquet
+  footers, stats-pruned scan that provably reads a strict subset of
+  files while returning exactly the predicate's rows.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -276,4 +280,34 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.groupBy(F.coalesce(F.col("o_orderstatus"), F.lit("<none>")).alias("status_slot"))
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
         .withColumn("v0_n_cols", F.lit(v0_n_cols).cast("long"))
+    )
+
+
+@register(
+    "s13_data_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS files_pruned
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="S13 file-level data skipping (io/skipping.py): orders range-clustered on o_orderdate into 16 files (repartitionByRange + sortWithinPartitions), per-file min/max manifest collected from parquet FOOTERS only, and a Q1-1996 scan planned from the manifest — it opens a strict subset of files (files_pruned rides the value hash) yet aggregates exactly the predicate's rows; pruning is superset-safe by construction, the exact filter runs on top",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from datalake_polygonscan_spark.io.skipping import cluster_by, pruned_scan, write_file_stats
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    table = _scratch("s13_data_skipping", "orders_clustered")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(cluster_by(o, ["o_orderdate"], 16), table)
+    write_file_stats(table, ["o_orderdate"])
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    df, decision = pruned_scan(spark, table, {"o_orderdate": (lo, hi)})
+    return (
+        df.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("files_pruned", F.lit(decision["files_read"] < decision["files_total"]))
     )

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) writes NO min/max statistics —
+        # breaks both row-group skipping and io/skipping.py manifests
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long, convert in tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

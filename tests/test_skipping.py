@@ -1,0 +1,78 @@
+"""File-level data skipping (io/skipping.py): stats-pruned scans must
+be a strict superset of the predicate (correctness never depends on
+stats), prune aggressively on clustered layouts, and fall back to
+reading everything when no manifest exists."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.sinks import atomic_overwrite
+from datalake_polygonscan_spark.io.skipping import cluster_by, pruned_scan, write_file_stats
+
+
+def _table(spark, path, n_files=8):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    atomic_overwrite(cluster_by(df, ["k"], n_files), path)
+    return df
+
+
+def test_pruned_scan_matches_full_filter_and_skips_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    _table(spark, tbl)
+    write_file_stats(tbl, ["k"])
+    df, decision = pruned_scan(spark, tbl, {"k": (100, 199)})
+    got = sorted(r["k"] for r in df.filter(F.col("k").between(100, 199)).collect())
+    assert got == list(range(100, 200))
+    assert decision["files_total"] == 8
+    assert 0 < decision["files_read"] < 8
+
+
+def test_no_manifest_falls_back_to_all_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    _table(spark, tbl)
+    df, decision = pruned_scan(spark, tbl, {"k": (100, 199)})
+    assert decision["files_read"] == decision["files_total"] == 8
+    assert df.filter(F.col("k").between(100, 199)).count() == 100
+
+
+def test_empty_intersection_reads_zero_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df_in = _table(spark, tbl)
+    write_file_stats(tbl, ["k"])
+    df, decision = pruned_scan(spark, tbl, {"k": (5000, 6000)})
+    assert decision["files_read"] == 0
+    assert df.count() == 0
+    assert df.columns == df_in.columns
+
+
+def test_open_bounds_and_unstatted_columns_are_superset(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    _table(spark, tbl)
+    write_file_stats(tbl, ["k"])
+    # lower bound only
+    df, decision = pruned_scan(spark, tbl, {"k": (900, None)})
+    assert df.filter(F.col("k") >= 900).count() == 100
+    assert decision["files_read"] < decision["files_total"]
+    # predicate on a column with no stats: nothing pruned, all rows there
+    df2, decision2 = pruned_scan(spark, tbl, {"v": (0, 1)})
+    assert decision2["files_read"] == decision2["files_total"]
+    assert df2.count() == 1000
+
+
+def test_timestamp_stats_prune_date_ranges(spark, tmp_path):
+    import datetime
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 365).select(
+        F.col("id").alias("k"),
+        (F.lit("2020-01-01").cast("timestamp") + F.make_interval(days=F.col("id").cast("int"))).alias("ts"),
+    )
+    atomic_overwrite(cluster_by(df, ["ts"], 8), tbl)
+    write_file_stats(tbl, ["ts"])
+    lo, hi = datetime.datetime(2020, 3, 1), datetime.datetime(2020, 3, 31, 23, 59, 59)
+    pruned, decision = pruned_scan(spark, tbl, {"ts": (lo, hi)})
+    assert pruned.filter(F.col("ts").between(lo, hi)).count() == 31
+    assert 0 < decision["files_read"] < decision["files_total"]
