@@ -64,6 +64,43 @@ def cluster_by(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
 
 
+def zorder_by(df: DataFrame, cols: list[str], n_files: int, bits: int = 16) -> DataFrame:
+    """Multi-dimensional clustering (Delta's ``OPTIMIZE ZORDER BY``):
+    lexicographic ``cluster_by`` only makes stats selective on the
+    LEADING column; Z-ordering interleaves the bits of every column's
+    quantized value into one space-filling-curve key, so a range
+    predicate on ANY of ``cols`` prunes files.
+
+    Per column: min/max-normalize into ``2**bits`` buckets (one tiny
+    metadata agg for the bounds — nulls map to bucket 0), then build
+    the Z-value with pure codegen bit arithmetic (``shiftright``/``&``
+    /``shiftleft`` — no UDF) and range-cluster on it. Quantization by
+    value rather than rank keeps it one-pass; heavily skewed columns
+    trade some balance for that (Delta makes the same trade)."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    max_bucket = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        num = F.coalesce(F.col(c), F.lit(lo)).cast("double") - F.lit(lo).cast("double")
+        den = F.lit(hi).cast("double") - F.lit(lo).cast("double")
+        q = F.when(F.lit(lo is None or hi is None or lo == hi), F.lit(0)).otherwise(
+            F.floor(num / den * max_bucket)
+        )
+        quantized.append(F.least(F.greatest(q, F.lit(0)), F.lit(max_bucket)).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, q in enumerate(quantized):
+            z = z + F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + ci)
+    tagged = df.withColumn("_z", z)
+    return tagged.repartitionByRange(n_files, "_z").sortWithinPartitions("_z").drop("_z")
+
+
 def _norm(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()

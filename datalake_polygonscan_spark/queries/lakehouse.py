@@ -311,3 +311,58 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
         .withColumn("files_pruned", F.lit(decision["files_read"] < decision["files_total"]))
     )
+
+
+@register(
+    "s14_zorder_skipping",
+    oracle="""
+    SELECT 'custkey_range' AS dim,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS files_pruned
+    FROM orders WHERE o_custkey >= 100 AND o_custkey <= 400
+    UNION ALL
+    SELECT 'orderdate_range',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    """,
+    doc="S14 Z-order multi-dimensional skipping (io/skipping.py:zorder_by): orders clustered on the interleaved-bit Z-curve of (o_custkey, o_orderdate) into 16 files — pure codegen bit arithmetic, no UDF. BOTH a custkey-only range and an orderdate-only range then prune files from the same layout (lexicographic clustering would only serve the leading column); each row's files_pruned flag rides the value hash, exact filters on top keep the aggregates closed-form",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from datalake_polygonscan_spark.io.skipping import pruned_scan, write_file_stats, zorder_by
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    table = _scratch("s14_zorder_skipping", "orders_zorder")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(zorder_by(o, ["o_custkey", "o_orderdate"], 16), table)
+    write_file_stats(table, ["o_custkey", "o_orderdate"])
+
+    ck_df, ck_dec = pruned_scan(spark, table, {"o_custkey": (100, 400)})
+    ck = (
+        ck_df.filter(F.col("o_custkey").between(100, 400))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("custkey_range").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(ck_dec["files_read"] < ck_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    od_df, od_dec = pruned_scan(spark, table, {"o_orderdate": (lo, hi)})
+    od = (
+        od_df.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("orderdate_range").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(od_dec["files_read"] < od_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+    return ck.unionByName(od)

@@ -76,3 +76,47 @@ def test_timestamp_stats_prune_date_ranges(spark, tmp_path):
     pruned, decision = pruned_scan(spark, tbl, {"ts": (lo, hi)})
     assert pruned.filter(F.col("ts").between(lo, hi)).count() == 31
     assert 0 < decision["files_read"] < decision["files_total"]
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    from datalake_polygonscan_spark.io.skipping import zorder_by
+
+    tbl_z, tbl_lex = str(tmp_path / "z"), str(tmp_path / "lex")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    atomic_overwrite(zorder_by(df, ["a", "b"], 16), tbl_z)
+    write_file_stats(tbl_z, ["a", "b"])
+    atomic_overwrite(cluster_by(df, ["a", "b"], 16), tbl_lex)
+    write_file_stats(tbl_lex, ["a", "b"])
+
+    # leading column: both layouts prune
+    _, dz = pruned_scan(spark, tbl_z, {"a": (0, 7)})
+    _, dl = pruned_scan(spark, tbl_lex, {"a": (0, 7)})
+    assert dz["files_read"] < dz["files_total"]
+    assert dl["files_read"] < dl["files_total"]
+
+    # NON-leading column: only the Z-order layout prunes
+    dfz, dz2 = pruned_scan(spark, tbl_z, {"b": (0, 7)})
+    _, dl2 = pruned_scan(spark, tbl_lex, {"b": (0, 7)})
+    assert dz2["files_read"] < dz2["files_total"]
+    assert dl2["files_read"] == dl2["files_total"]
+
+    # and the pruned scan is still exact
+    assert dfz.filter(F.col("b").between(0, 7)).count() == 64 * 8
+
+
+def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
+    from datalake_polygonscan_spark.io.skipping import zorder_by
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("a"),
+        F.lit(5).alias("c"),
+    )
+    atomic_overwrite(zorder_by(df, ["a", "c"], 4), tbl)
+    from datalake_polygonscan_spark.io.sinks import read_table
+
+    out = read_table(spark, tbl)
+    assert out.count() == 100
+    assert out.filter(F.col("a").isNull()).count() == 10
