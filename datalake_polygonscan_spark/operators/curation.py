@@ -428,3 +428,46 @@ def deterministic_weighted_sample(
         .withColumn("keep_gate", gate)
         .filter(F.col("sample_bucket") < F.col("keep_gate"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    long-document -> training-sequence step (each chunk fits a context
+    window; ``overlap`` tokens of continuity across boundaries).
+
+    Pure codegen: one whitespace tokenization, ``sequence`` of chunk
+    starts exploded per document, ``slice`` + ``array_join`` per chunk
+    — no UDF, no shuffle (embarrassingly parallel per document; row
+    count grows ~n_tokens/stride per doc). A trailing window that only
+    re-covers the previous chunk's overlap is suppressed
+    (``start < n - overlap``), so every emitted chunk contributes new
+    tokens. Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    starts = base.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+        ).alias("_start"),
+    ).filter((F.col("_start") == 0) | (F.col("_start") < F.col("_n") - overlap))
+    chunk = F.slice("_toks", F.col("_start") + 1, F.lit(chunk_tokens))
+    return starts.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -330,3 +330,29 @@ def l6_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.repetition_stats(docs, "text", "doc_id", shingle_k=3, flag_frac=0.2)
+
+
+@register(
+    "l5_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 48)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+    FROM s
+    WHERE start = 0 OR start < n - 16
+    """,
+    doc="L5 document chunking for training sequences (operators/curation.py:chunk_documents): each doc split into 64-token windows with 16-token overlap (stride 48) — one tokenization, sequence-of-starts explode, slice + array_join, all codegen, zero shuffle; trailing windows that add no new tokens are suppressed. Oracle replays the identical slicing in DuckDB list arithmetic",
+)
+def l5_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)

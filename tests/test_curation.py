@@ -173,3 +173,26 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert 50 <= tenth <= 180      # ~100 expected at weight 0.1
     again = deterministic_weighted_sample(df, "doc_id", F.col("w")).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)  # reproducible
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    import pytest
+    from datalake_polygonscan_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    # doc 1: stride 2, starts 0,2,4,6 (start=8 suppressed: adds no new
+    # tokens beyond overlap) -> every consecutive pair shares 2 tokens
+    chunks = [t.split() for _, t in sorted(by_doc[1])]
+    assert [c[:2] for c in chunks[1:]] == [c[-2:] for c in chunks[:-1]]
+    assert chunks[0][0] == "t0" and chunks[-1][-1] == "t9"
+    assert len(chunks) == 4
+    # short and empty docs still emit exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == "a b"
+    assert len(by_doc[3]) == 1
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
