@@ -104,6 +104,7 @@ def merge_upsert(
     max_retries: int = 5,
     deletes: DataFrame | None = None,
     schema_evolution: bool = False,
+    extra_meta: dict | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
     on ``keys``; returns the new live snapshot (logical schema — the
@@ -129,7 +130,7 @@ def merge_upsert(
         try:
             _merge_once(
                 spark, table_path, updates, keys, n_buckets, version_col, deletes,
-                schema_evolution,
+                schema_evolution, extra_meta,
             )
             return read_table(spark, table_path)
         except SnapshotConflict as e:
@@ -213,6 +214,7 @@ def _merge_once(
     version_col: str | None,
     deletes: DataFrame | None = None,
     schema_evolution: bool = False,
+    extra_meta: dict | None = None,
 ) -> None:
     from pyspark.sql import types as T
 
@@ -226,7 +228,11 @@ def _merge_once(
 
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
-        meta = {"merge_buckets": n_buckets, "table_schema": T.StructType(batch_fields).json()}
+        meta = {
+            "merge_buckets": n_buckets,
+            "table_schema": T.StructType(batch_fields).json(),
+            **(extra_meta or {}),
+        }
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
         _commit_or_cleanup(table_path, snap_name, base, meta)
         return
@@ -249,7 +255,11 @@ def _merge_once(
     # this lands in the commit log, so every future read (including the
     # hard-linked old-schema buckets) resolves against it
     target_fields = cur_fields + [f for f in batch_fields if f.name not in cur_names]
-    meta = {"merge_buckets": n_buckets, "table_schema": T.StructType(target_fields).json()}
+    meta = {
+        "merge_buckets": n_buckets,
+        "table_schema": T.StructType(target_fields).json(),
+        **(extra_meta or {}),
+    }
 
     def _align(df: DataFrame) -> DataFrame:
         cols = [

@@ -78,6 +78,7 @@ def refresh_aggregate(
     group_cols: list[str],
     sum_cols: list[str],
     n_buckets: int = 64,
+    txn_id: int | None = None,
 ) -> DataFrame:
     """Fold one merge batch's retraction-shaped change feed
     (``change_feed(retractions=True)``) into the MV at ``mv_path``.
@@ -88,7 +89,17 @@ def refresh_aggregate(
     The base table is never read. Groups whose row count reaches zero
     are deleted from the MV (a served aggregate must not report empty
     groups); negative counts raise — they mean the feed was not derived
-    against the MV's base state."""
+    against the MV's base state.
+
+    ``txn_id`` is Delta's ``txnAppId/txnVersion`` idempotence pattern
+    for streaming writers: the id of the last applied refresh rides the
+    MV's commit metadata, and a refresh whose ``txn_id`` is <= the
+    applied one is a NO-OP — a replayed micro-batch (at-least-once
+    delivery) cannot double-count its deltas."""
+    if txn_id is not None:
+        applied = (read_pointer(mv_path) or {}).get("applied_txn", -1)
+        if txn_id <= applied:
+            return read_table(spark, mv_path)
     sign = (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
         .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
@@ -130,7 +141,8 @@ def refresh_aggregate(
     upserts = refreshed.filter(F.col("n_rows") > 0)
     emptied = refreshed.filter(F.col("n_rows") == 0).select(*group_cols)
     return merge_upsert(
-        spark, mv_path, upserts, keys=group_cols, n_buckets=n_buckets, deletes=emptied
+        spark, mv_path, upserts, keys=group_cols, n_buckets=n_buckets, deletes=emptied,
+        extra_meta=None if txn_id is None else {"applied_txn": txn_id},
     )
 
 

@@ -48,7 +48,10 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.io.maintenance import compact_snapshot
 from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
 from datalake_polygonscan_spark.io.mview import build_aggregate, refresh_aggregate
-from datalake_polygonscan_spark.streaming.ingest import stream_merge_ingest
+from datalake_polygonscan_spark.streaming.ingest import (
+    stream_merge_ingest,
+    stream_merge_ingest_with_mv,
+)
 from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, read_version
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
@@ -243,6 +246,48 @@ def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return live.groupBy("event_type").agg(
         F.count("*").alias("n_rows"), _dbl_sum("value", "sum_value")
+    )
+
+
+@register(
+    "mv2_streaming_agg_mv",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 5.0
+                                    ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="MV2 streaming materialized view (streaming/ingest.py:stream_merge_ingest_with_mv): the e7 source (4 micro-batches, event_id%10 revised with later ts) drives BOTH the base merge and a per-event_type count+sum MV refreshed purely from each batch's retraction-shaped CDC feed — txn-gated (Delta txnVersion pattern) so replays can't double-count, version-conditional so stale deliveries are no-ops. The graded result is the MV ITSELF, whose oracle is the closed-form recompute over the final base state — the MV tracked the base exactly without ever rescanning it",
+)
+def mv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("mv2_streaming_mv", "events_src")
+    base_tbl = _scratch("mv2_streaming_mv", "events_table")
+    mv_tbl = _scratch("mv2_streaming_mv", "events_mv")
+    for p in (src, base_tbl, mv_tbl):
+        shutil.rmtree(p, ignore_errors=True)
+    revised = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 5.0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    ev.unionByName(revised).repartition(4).write.mode("overwrite").parquet(src)
+    _live, mv = stream_merge_ingest_with_mv(
+        spark,
+        src,
+        base_tbl,
+        mv_tbl,
+        keys=["event_id"],
+        group_cols=["event_type"],
+        sum_cols=["value"],
+        version_col="ts",
+        max_files_per_trigger=1,
+    )
+    return mv.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
     )
 
 

@@ -27,8 +27,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from datalake_polygonscan_spark.io.merge import merge_upsert
-from datalake_polygonscan_spark.io.sinks import read_table
+from datalake_polygonscan_spark.io.merge import change_feed, merge_upsert
+from datalake_polygonscan_spark.io.mview import refresh_aggregate
+from datalake_polygonscan_spark.io.sinks import read_pointer, read_table
 from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
 
 
@@ -79,3 +80,69 @@ def stream_merge_ingest(
     )
     q.awaitTermination()
     return read_table(spark, table_path)
+
+
+def stream_merge_ingest_with_mv(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    mv_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    version_col: str | None = None,
+    schema: StructType = EVENTS_SCHEMA,
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end incremental pipeline: every micro-batch derives
+    its CDC feed against the CURRENT base table, folds it into the
+    aggregate MV, then MERGEs into the base — so the MV tracks the
+    base exactly, batch by batch, without ever rescanning it.
+
+    Exactly-once on BOTH tables under at-least-once micro-batch
+    delivery, via two complementary mechanisms:
+
+    - the MV refresh is gated on the micro-batch id (Delta's
+      ``txnVersion`` pattern — ``refresh_aggregate(txn_id=...)``), so a
+      replayed batch cannot double-count its deltas;
+    - the base merge is an idempotent keyed upsert, so replaying it is
+      a no-op. Refresh commits BEFORE the base merge: a crash between
+      the two replays the batch, skips the (already-applied) refresh,
+      and redoes only the merge.
+
+    Returns ``(live_base, live_mv)`` after the stream drains."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        current = (
+            read_table(s, table_path)
+            if read_pointer(table_path) is not None
+            else batch_df.limit(0)
+        )
+        feed = change_feed(
+            current, batch_df, keys, version_col=version_col, retractions=True
+        )
+        refresh_aggregate(
+            s, mv_path, feed, group_cols, sum_cols, n_buckets=n_buckets, txn_id=batch_id
+        )
+        merge_upsert(
+            s, table_path, batch_df, keys, n_buckets=n_buckets, version_col=version_col
+        )
+
+    chk = checkpoint_dir or os.path.join(table_path, "_stream_chk")
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return read_table(spark, table_path), read_table(spark, mv_path)

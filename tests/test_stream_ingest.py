@@ -23,13 +23,27 @@ SCHEMA = T.StructType(
     ]
 )
 
+SCHEMA2 = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("grp", T.StringType()),
+    ]
+)
+
 
 def _ts(minute: int) -> datetime.datetime:
     return datetime.datetime(2024, 1, 1, 12, minute, 0)
 
 
 def _write_file(spark, src_dir: str, rows, name: str) -> None:
-    df = spark.createDataFrame([(int(k), _ts(m), float(v)) for k, m, v in rows], SCHEMA)
+    if len(rows[0]) == 4:
+        df = spark.createDataFrame(
+            [(int(k), _ts(m), float(v), str(g)) for k, m, v, g in rows], SCHEMA2
+        )
+    else:
+        df = spark.createDataFrame([(int(k), _ts(m), float(v)) for k, m, v in rows], SCHEMA)
     df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/_stage_{name}")
     # move the part file in as one stable file so each file = one batch
     import glob
@@ -95,3 +109,56 @@ def test_full_replay_after_checkpoint_loss_converges(spark, tmp_path):
         schema=SCHEMA, n_buckets=4, max_files_per_trigger=1,
     )
     assert _state(live2) == state1
+
+
+def test_streaming_mv_tracks_base_and_survives_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.io.mview import refresh_aggregate
+    from datalake_polygonscan_spark.io.sinks import read_pointer
+    from datalake_polygonscan_spark.streaming.ingest import stream_merge_ingest_with_mv
+
+    src, tbl, mv = str(tmp_path / "src"), str(tmp_path / "tbl"), str(tmp_path / "mv")
+    # grp = parity of event_id; file b revises key 1 (later ts) and
+    # MOVES it from group odd to group even — pre/postimage retractions
+    _write_file(spark, src, [(1, 10, 1.0, "odd"), (2, 10, 2.0, "even"), (4, 10, 4.0, "even")], "a")
+    _write_file(spark, src, [(1, 20, 9.0, "even"), (3, 10, 3.0, "odd")], "b")
+
+    def run():
+        return stream_merge_ingest_with_mv(
+            spark, src, tbl, mv,
+            keys=["event_id"], group_cols=["grp"], sum_cols=["value"],
+            version_col="ts", schema=SCHEMA2, n_buckets=4, max_files_per_trigger=1,
+        )
+
+    base, mv_df = run()
+    def recompute(b):
+        return sorted(
+            (r["grp"], r["n"], str(r["s"]))
+            for r in b.groupBy("grp").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("s"),
+            ).collect()
+        )
+    def mv_rows(m):
+        return sorted((r["grp"], r["n_rows"], str(r["sum_value"])) for r in m.collect())
+    base_state = sorted(map(tuple, base.collect()))
+    mv_state = mv_rows(mv_df)
+    assert mv_state == recompute(base)
+    assert read_pointer(mv)["applied_txn"] == 1
+
+    # replay after checkpoint loss: base merge idempotent, MV refresh
+    # produces a zero feed / is txn-gated -> both tables unchanged
+    import shutil
+    shutil.rmtree(f"{tbl}/_stream_chk")
+    base2, mv2 = run()
+    assert mv_rows(mv2) == mv_state
+    assert sorted(map(tuple, base2.collect())) == base_state
+
+    # direct txn idempotence: re-applying an old txn_id is a no-op
+    bogus = spark.createDataFrame(
+        [(99, "odd", 100.0, "insert")], ["event_id", "grp", "value", "_change_type"]
+    )
+    mv3 = refresh_aggregate(spark, mv, bogus.select("grp", "value", "_change_type"),
+                            ["grp"], ["value"], n_buckets=4, txn_id=0)
+    assert mv_rows(mv3) == mv_state
