@@ -38,9 +38,13 @@ from datalake_polygonscan_spark.io.sinks import (
 
 def _data_files(root: str) -> list[tuple[str, int]]:
     """(path, bytes) of every data file under a snapshot dir (skips
-    _SUCCESS / hidden / CRC files)."""
+    _SUCCESS / hidden / CRC files and hidden directories — e.g. the
+    ``_tombstones/`` key sets, which are metadata, not data)."""
     out = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        # hidden dirs are metadata (_tombstones) — EXCEPT hive
+        # partition dirs, whose names contain '=' (e.g. _bucket=3)
+        dirnames[:] = [d for d in dirnames if "=" in d or not d.startswith(("_", "."))]
         for fname in filenames:
             if fname.startswith(("_", ".")):
                 continue
@@ -97,8 +101,11 @@ def compact_snapshot(
     writer.mode("overwrite").parquet(new_snap)
 
     # carry non-snapshot metadata forward (e.g. merge_buckets, so
-    # future merges keep pruning against the compacted layout)
+    # future merges keep pruning against the compacted layout); the
+    # rewrite MATERIALIZES merge-on-read tombstones (read_snapshot
+    # applied them), so the compacted version carries none
     meta = {k: v for k, v in base.items() if k != "snapshot"}
+    meta.pop("has_tombstones", None)
     meta["compacted_from"] = base["snapshot"]
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)

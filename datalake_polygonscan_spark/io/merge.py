@@ -238,6 +238,10 @@ def _merge_once(
         return
 
     prev_snap = os.path.join(table_path, base["snapshot"])
+    if base.get("has_tombstones") and base.get("merge_keys") != keys:
+        raise ValueError(
+            f"table tombstones are keyed on {base.get('merge_keys')}, not {keys}"
+        )
     cur_fields = [
         f
         for f in read_snapshot(spark, prev_snap, base).schema.fields
@@ -322,7 +326,37 @@ def _merge_once(
     merged = _merge_arms(current_touched)
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
+    _carry_tombstones(spark, prev_snap, new_snap, batch, keys, meta)
     _commit_or_cleanup(table_path, snap_name, base, meta)
+
+
+def _carry_tombstones(
+    spark: SparkSession,
+    prev_snap: str,
+    new_snap: str,
+    batch: DataFrame,
+    keys: list[str],
+    meta: dict,
+) -> None:
+    """Merge-on-read interplay (io/tombstones.py): tombstones of keys
+    the batch re-inserts are CLEARED (their buckets were rewritten with
+    the new rows — a stale tombstone would kill them); all other
+    tombstones carry forward, since untouched hard-linked buckets still
+    hold their deleted rows. Tombstone sets are small (O(deleted
+    keys)), so the rewrite is one cheap anti-join."""
+    from datalake_polygonscan_spark.io.tombstones import tombstone_dirs
+
+    dirs = tombstone_dirs(prev_snap)
+    if not dirs:
+        return
+    remaining = (
+        spark.read.parquet(*dirs)
+        .join(batch.select(*keys).distinct(), keys, "left_anti")
+    )
+    remaining.write.mode("overwrite").parquet(
+        os.path.join(new_snap, "_tombstones", "batch-0")
+    )
+    meta.update({"has_tombstones": True, "merge_keys": keys})
 
 
 def _commit_or_cleanup(table_path: str, snap_name: str, base: dict | None, meta: dict) -> None:

@@ -315,13 +315,27 @@ def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> Data
     NULL without any ``mergeSchema`` footer-merging scan, and hive
     partition columns (``_bucket``, user partitions) are appended from
     the directory names as usual. Falls back to footer discovery for
-    pre-tracking snapshots."""
+    pre-tracking snapshots.
+
+    Merge-on-read deletes (io/tombstones.py): when the commit carries
+    ``has_tombstones``, the snapshot's key tombstones are anti-joined
+    out here — EVERY consumer (live reads, time travel, merge
+    internals, compaction) sees deletes applied, from one place."""
     if meta and meta.get("table_schema"):
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["table_schema"]))
-        return spark.read.schema(schema).parquet(snap_dir)
-    return spark.read.parquet(snap_dir)
+        df = spark.read.schema(schema).parquet(snap_dir)
+    else:
+        df = spark.read.parquet(snap_dir)
+    if meta and meta.get("has_tombstones"):
+        from datalake_polygonscan_spark.io.tombstones import tombstone_dirs
+
+        dirs = tombstone_dirs(snap_dir)
+        if dirs:
+            tomb = spark.read.parquet(*dirs)
+            df = df.join(tomb, meta["merge_keys"], "left_anti")
+    return df
 
 
 def read_table(spark: SparkSession, table_path: str) -> DataFrame:

@@ -121,7 +121,8 @@ def write_file_stats(table_path: str, stat_cols: list[str]) -> dict:
         raise FileNotFoundError(f"no snapshot at {table_path}")
     snap = os.path.join(table_path, meta["snapshot"])
     manifest: dict[str, dict] = {}
-    for dirpath, _dirs, files in os.walk(snap):
+    for dirpath, dirs, files in os.walk(snap):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
         for fname in files:
             if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
                 continue
@@ -167,12 +168,14 @@ def pruned_scan(
         raise FileNotFoundError(f"no snapshot at {table_path}")
     snap = os.path.join(table_path, meta["snapshot"])
     stats_path = os.path.join(snap, _STATS)
-    all_files = [
-        os.path.join(dp, f)
-        for dp, _dirs, fs in os.walk(snap)
-        for f in fs
-        if not f.startswith(("_", ".")) and f.endswith(".parquet")
-    ]
+    all_files = []
+    for dp, dirs, fs in os.walk(snap):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        all_files.extend(
+            os.path.join(dp, f)
+            for f in fs
+            if not f.startswith(("_", ".")) and f.endswith(".parquet")
+        )
     if not os.path.exists(stats_path):
         df = read_snapshot(spark, snap, meta)
         return df, {"files_total": len(all_files), "files_read": len(all_files)}

@@ -1,0 +1,108 @@
+"""Merge-on-read DELETE — key tombstones instead of data rewrites.
+
+The copy-on-write delete (io/merge.py's ``deletes=`` arm) rewrites
+every touched bucket; fine for deletes that ride an update batch, but
+a standalone delete of K keys from a 100 TB table should cost O(K),
+not O(touched buckets). ``delete_keys`` commits a NEW table version
+whose data directories are all HARD LINKS of the previous snapshot
+(zero data movement) plus a small ``_tombstones/`` key set; every read
+(``read_table``, time travel, merge internals, compaction) anti-joins
+the tombstones via the log-tracked ``merge_keys`` — Delta/Iceberg's
+delete-vector / positional-delete idea expressed at key granularity.
+
+Lifecycle:
+- reads apply tombstones (io/sinks.py:read_snapshot — one broadcast
+  anti-join; tombstones are small by construction);
+- a later MERGE re-inserting a tombstoned key CLEARS its tombstone in
+  the same commit (no resurrection, no zombie-delete);
+- ``compact_snapshot`` (OPTIMIZE) materializes: rows drop out of the
+  rewritten files and the new version carries no tombstones.
+
+The underscore directory name keeps Spark's file index from ever
+listing tombstone files as data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_polygonscan_spark.io.sinks import (
+    SnapshotConflict,
+    commit_snapshot,
+    new_snapshot_name,
+    read_pointer,
+    read_table,
+)
+
+_TOMB = "_tombstones"
+
+
+def tombstone_dirs(snap_dir: str) -> list[str]:
+    root = os.path.join(snap_dir, _TOMB)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, e) for e in os.listdir(root) if e.startswith("batch-")
+    )
+
+
+def _link_tree(src: str, dst: str, skip: set[str]) -> None:
+    """Hard-link every data file of ``src`` into ``dst`` preserving the
+    directory layout (copy fallback); top-level names in ``skip`` and
+    hidden files are left out."""
+    for entry in os.listdir(src):
+        if entry in skip or entry.startswith("."):
+            continue
+        s = os.path.join(src, entry)
+        if os.path.isdir(s):
+            _link_tree(s, os.path.join(dst, entry), set())
+        else:
+            os.makedirs(dst, exist_ok=True)
+            try:
+                os.link(s, os.path.join(dst, entry))
+            except OSError:
+                shutil.copy2(s, os.path.join(dst, entry))
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    deletes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge-on-read DELETE: commit a new version that removes every
+    row matching ``deletes``' key set WITHOUT rewriting any data file
+    (all data hard-linked; one small tombstone batch written). Returns
+    the new live table. Raises if the table already has tombstones
+    under a DIFFERENT key set (one key space per table)."""
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    existing_keys = base.get("merge_keys")
+    if base.get("has_tombstones") and existing_keys != keys:
+        raise ValueError(
+            f"table tombstones are keyed on {existing_keys}, not {keys}"
+        )
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    snap_name = new_snapshot_name(base)
+    new_snap = os.path.join(table_path, snap_name)
+    os.makedirs(new_snap, exist_ok=True)
+    # zero data movement: link data AND any prior tombstone batches
+    _link_tree(prev_snap, new_snap, skip={_TOMB})
+    for d in tombstone_dirs(prev_snap):
+        _link_tree(d, os.path.join(new_snap, _TOMB, os.path.basename(d)), set())
+    batch_dir = os.path.join(new_snap, _TOMB, f"batch-{snap_name.split('-')[-1]}")
+    deletes.select(*keys).distinct().write.mode("overwrite").parquet(batch_dir)
+    meta = {
+        k: v for k, v in base.items() if k != "snapshot"
+    }
+    meta.update({"has_tombstones": True, "merge_keys": keys})
+    try:
+        commit_snapshot(table_path, snap_name, base, meta)
+    except SnapshotConflict:
+        shutil.rmtree(new_snap, ignore_errors=True)
+        raise
+    return read_table(spark, table_path)

@@ -32,6 +32,16 @@
   range-clustered write, per-file min/max manifest from parquet
   footers, stats-pruned scan that provably reads a strict subset of
   files while returning exactly the predicate's rows.
+- ``s14_zorder_skipping`` — Z-order clustering: interleaved-bit
+  space-filling-curve key (pure codegen) so range predicates on ANY
+  clustered column prune files from one layout.
+- ``mv2_streaming_agg_mv`` — exactly-once streaming materialized view:
+  per-micro-batch CDC feed -> txn-gated MV refresh -> idempotent base
+  merge (streaming/ingest.py:stream_merge_ingest_with_mv).
+- ``s15_mor_delete`` — merge-on-read DELETE (io/tombstones.py): key
+  tombstones commit a zero-rewrite version (all data hard-linked);
+  reads anti-join them, re-inserting merges clear them, OPTIMIZE
+  materializes them.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -325,6 +335,62 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.groupBy(F.coalesce(F.col("o_orderstatus"), F.lit("<none>")).alias("status_slot"))
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
         .withColumn("v0_n_cols", F.lit(v0_n_cols).cast("long"))
+    )
+
+
+@register(
+    "s15_mor_delete",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS v
+      FROM o WHERE o_orderkey % 7 <> 0 OR o_orderkey % 14 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS zero_rewrite_delete
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="S15 merge-on-read DELETE (io/tombstones.py:delete_keys): dropping orderkey%7==0 commits a new version whose data files are ALL hard links (zero_rewrite_delete verifies inode identity — O(deleted keys) cost, no bucket rewrites); reads anti-join the tombstone key set. A later MERGE re-inserts orderkey%14==0 at +1000 and CLEARS their tombstones in the same commit (no resurrection, no zombie-delete); odd multiples of 7 stay deleted. Oracle states the final table in closed form",
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+    from datalake_polygonscan_spark.io.tombstones import delete_keys
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s15_mor_delete", "orders_mor")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_upsert(spark, table, o, keys=["o_orderkey"])
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    before = _inodes(current_snapshot_path(table))
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    delete_keys(spark, table, dels, keys=["o_orderkey"])
+    zero_rewrite = _inodes(current_snapshot_path(table)) == before
+
+    reinsert = o.filter(F.col("o_orderkey") % 14 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    live = merge_upsert(spark, table, reinsert, keys=["o_orderkey"])
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("zero_rewrite_delete", F.lit(zero_rewrite))
     )
 
 
