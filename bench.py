@@ -47,6 +47,7 @@ HEADLINE = [
     "l5_stratified_sample",
     "l6_curate_corpus",
     "ts1_resample_gapfill",
+    "s13_data_skipping",
     "entry_flagship",
 ]
 
