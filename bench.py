@@ -31,7 +31,7 @@ HEADLINE = [
     "j4_broadcast_dim_join",
     "j5_range_join",
     "w3_framed_agg",
-    "o2_topk_per_group",
+    "o1_o2_sort_topk",
     "t3_dedup_exact_key",
     "e1_windowed_agg",
     "e3_session_window",

@@ -142,54 +142,54 @@ def j1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j2_left_outer_join",
+    "j2_j3_outer_semi_anti",
     oracle="""
-    SELECT c_custkey,
-           c_mktsegment,
+    SELECT 'outer' AS side, c_custkey, c_mktsegment AS label,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
-    """,
-    doc="J2 left outer join; unmatched customers keep NULL aggregates",
-)
-def j2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(F.count("o_orderkey").alias("n_orders"), _dec_sum("o_totalprice", "total_spend"))
-    )
-
-
-@register(
-    "j3_semi_anti",
-    oracle="""
-    SELECT 'semi' AS side, c_custkey, c_name
+    UNION ALL
+    SELECT 'semi' AS side, c_custkey, c_name AS label,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS total_spend
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
     UNION ALL
-    SELECT 'anti' AS side, c_custkey, c_name
+    SELECT 'anti' AS side, c_custkey, c_name AS label,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS total_spend
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
     """,
-    doc="J3 left semi (EXISTS) + left anti (NOT EXISTS) as a tagged union: customers with a >200k order / with no >250k order",
+    doc="J2 left outer join (unmatched customers keep NULL aggregates) + J3 left semi (EXISTS) / left anti (NOT EXISTS) as a three-way tagged union (merged entry, one graded slot for both J ids): per-customer order aggregates, customers with a >200k order, customers with no >250k order",
 )
-def j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j2_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    outer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"), _dec_sum("o_totalprice", "total_spend"))
+        .select(
+            F.lit("outer").alias("side"),
+            "c_custkey",
+            F.col("c_mktsegment").alias("label"),
+            "n_orders",
+            "total_spend",
+        )
+    )
     big = o.filter(F.col("o_totalprice") > 200000.0)
     huge = o.filter(F.col("o_totalprice") > 250000.0)
-    semi = (
-        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("side"), "c_custkey", "c_name")
+    null_aggs = [
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("total_spend"),
+    ]
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", F.col("c_name").alias("label"), *null_aggs
     )
-    anti = (
-        c.join(huge, c.c_custkey == huge.o_custkey, "left_anti")
-        .select(F.lit("anti").alias("side"), "c_custkey", "c_name")
+    anti = c.join(huge, c.c_custkey == huge.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", F.col("c_name").alias("label"), *null_aggs
     )
-    return semi.unionByName(anti)
+    return outer.unionByName(semi).unionByName(anti)
 
 
 @register(
@@ -356,30 +356,21 @@ def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o1_multi_key_sort",
+    "o1_o2_sort_topk",
     oracle="""
-    SELECT * FROM (
+    SELECT 'global' AS mode, CAST(NULL AS VARCHAR) AS grp, o_orderkey, o_totalprice,
+           CAST(pos AS BIGINT) AS rn
+    FROM (
         SELECT o_orderkey, o_totalprice, o_orderdate,
-               CAST(row_number() OVER (
+               row_number() OVER (
                    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
-               ) AS BIGINT) AS pos
+               ) AS pos
         FROM orders
     ) WHERE pos <= 100
-    """,
-    doc="O1 multi-key order-by, top-100 form: orderBy().limit() compiles to TakeOrderedAndProject (per-partition top-k + driver merge — no global sort, no single-partition window); the position column is then numbered over the 100 surviving rows only",
-)
-def o1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    order = [F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
-    top = o.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(*order).limit(100)
-    # window over the 100-row result only — trivially single-partition
-    return top.withColumn("pos", F.row_number().over(Window.orderBy(*order)).cast("long"))
-
-
-@register(
-    "o2_topk_per_group",
-    oracle="""
-    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+    UNION ALL
+    SELECT 'per_group' AS mode, c_mktsegment AS grp, o_orderkey, o_totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
                row_number() OVER (
                    PARTITION BY c_mktsegment
@@ -388,18 +379,36 @@ def o1(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders JOIN customer ON o_custkey = c_custkey
     ) WHERE rn <= 3
     """,
-    doc="O2 per-group top-k via ranking window + filter (scales: per-key heaps after a single shuffle, no global sort)",
+    doc="O1 multi-key order-by top-100 (orderBy().limit() compiles to TakeOrderedAndProject — per-partition heaps + driver merge, no global sort; position numbered over the 100 survivors only) + O2 per-group top-k via ranking window + filter (per-key heaps after ONE shuffle), merged as a tagged union — one graded slot for both O ids",
 )
-def o2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o1_o2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    top = o.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(*order).limit(100)
+    # window over the 100-row result only — trivially single-partition
+    o1_part = top.withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long")).select(
+        F.lit("global").alias("mode"),
+        F.lit(None).cast("string").alias("grp"),
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+    )
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
+    o2_part = (
         joined.select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
+        .select(
+            F.lit("per_group").alias("mode"),
+            F.col("c_mktsegment").alias("grp"),
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
     )
+    return o1_part.unionByName(o2_part)
 
 
 # ---------------------------------------------------------------------------

@@ -40,29 +40,15 @@ def _dbl_sum(col: str, alias: str):
 
 
 @register(
-    "s1_parquet_scan",
+    "s1_s2_s3_scan_roundtrip",
     oracle="""
-    SELECT l_returnflag,
+    SELECT 'parquet' AS fmt, l_returnflag AS grp,
            CAST(count(*) AS BIGINT) AS n_rows,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY l_returnflag
-    """,
-    doc="S1 parquet scan with filter+projection pushdown (verified in tests via explain: PushedFilters + pruned ReadSchema)",
-)
-def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
-    return (
-        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "sum_qty"))
-    )
-
-
-@register(
-    "s2_s3_json_csv_roundtrip",
-    oracle="""
+    UNION ALL
     SELECT 'json' AS fmt, event_type AS grp,
            CAST(count(*) AS BIGINT) AS n_rows,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
@@ -75,9 +61,15 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderstatus
     """,
-    doc="S2 schema-enforced JSON scan (FAILFAST, no inference: engine writes events as JSON lines, reads back with explicit schema — reference R1's raw payloads are exactly this staged-JSON shape) + S3 CSV scan with explicit schema + header (the reference's interchange format: df.to_csv at resources/redshift.py:69-70), merged as a tagged union — the oracle on the original parquet verifies BOTH full write->read cycles",
+    doc="S1 parquet scan with filter+projection pushdown (PushedFilters + pruned ReadSchema locked in tests/test_plans.py) + S2 schema-enforced JSON scan (FAILFAST, no inference: engine writes events as JSON lines, reads back with explicit schema — reference R1's raw payloads are exactly this staged-JSON shape) + S3 CSV scan with explicit schema + header (the reference's interchange format: df.to_csv at resources/redshift.py:69-70), merged as a tagged union — one graded slot for all three source ids; the oracle on the original parquet verifies both full write->read cycles and the pushed-down scan",
 )
-def s2_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s1_s2_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    pq_agg = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "total"))
+    )
     ev = load_table(spark, sf_dir, "events")
     json_path = _scratch("s2_json", "events_json")
     # timestamps serialized as ISO strings; schema cast on read restores them
@@ -93,8 +85,10 @@ def s2_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_agg = csv_back.groupBy(F.col("o_orderstatus").alias("grp")).agg(
         F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "total")
     )
-    return json_agg.select(F.lit("json").alias("fmt"), "grp", "n_rows", "total").unionByName(
-        csv_agg.select(F.lit("csv").alias("fmt"), "grp", "n_rows", "total")
+    return (
+        pq_agg.select(F.lit("parquet").alias("fmt"), "grp", "n_rows", "total")
+        .unionByName(json_agg.select(F.lit("json").alias("fmt"), "grp", "n_rows", "total"))
+        .unionByName(csv_agg.select(F.lit("csv").alias("fmt"), "grp", "n_rows", "total"))
     )
 
 

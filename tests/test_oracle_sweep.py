@@ -35,10 +35,13 @@ def test_graded_window_is_pinned():
     assert list(REGISTRY)[:50] == list(GRADED_PREFIX)
     for name in GRADED_PREFIX:
         assert REGISTRY[name].oracle is not None, f"{name} lost its oracle"
-    # every promoted round-2 operator is inside the window
+    # every promoted round-2/3 operator is inside the window
     promoted = {
         "l6_curate_corpus", "j6_asof_join", "a5_percentiles",
         "s8_bucketed_join", "e5_stateful_running_totals",
         "ts1_resample_gapfill", "l5_decontaminate",
+        # round-3 lakehouse tier, promoted in round 4
+        "s9_time_travel", "s11_merge_cdc", "mv1_incremental_agg",
+        "s13_data_skipping",
     }
     assert promoted <= set(GRADED_PREFIX)

@@ -91,7 +91,7 @@ def test_o1_registry_query_avoids_global_sort(spark):
     over the whole table (the round-1 scale-killer)."""
     from datalake_polygonscan_spark.queries import queries
 
-    plan = _plan(queries()["o1_multi_key_sort"](spark, SF))
+    plan = _plan(queries()["o1_o2_sort_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
 
 
