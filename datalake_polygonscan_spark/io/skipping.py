@@ -40,14 +40,17 @@ the manifest lives INSIDE its snapshot directory.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datalake_polygonscan_spark.io.sinks import read_pointer, read_snapshot
 
 _STATS = "_stats.json"
+_BLOOM = "_bloom.json"
 
 
 def cluster_by(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
@@ -153,21 +156,131 @@ def write_file_stats(table_path: str, stat_cols: list[str]) -> dict:
     return manifest
 
 
+def _bloom_spark_positions(col: str, m_bits: int, k: int):
+    """The k bloom bit positions of a column value as a Spark array
+    expression — pure codegen (md5 + conv), no UDF. The SAME hash is
+    computed Python-side at planning time (:func:`_bloom_py_positions`):
+    position_i(v) = int(md5(f"{i}:{v}")[:15 hex], 16) % m. 15 hex
+    digits = 60 bits, safely inside a signed long on both engines; the
+    value is hashed through its canonical string form, so bloom columns
+    must be string or integral (document types whose Spark/Python
+    string forms differ — float, timestamp — are rejected at build)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .__mod__(m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def _bloom_py_positions(value, m_bits: int, k: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def write_bloom_filters(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> dict:
+    """Per-file Bloom filters for point-lookup skipping (Delta's
+    ``delta.bloomFilter`` / Iceberg puffin blobs). Min/max stats
+    (:func:`write_file_stats`) only prune columns the LAYOUT is
+    clustered by — a high-cardinality key that spans the whole domain
+    in every file (the common case for every non-leading column) gets
+    zero pruning from ranges. A bloom answers "might this file contain
+    key = v?" with no false negatives, so an equality probe opens only
+    the files that actually hold the key (plus an fpp-sized tail).
+
+    Build is fully distributed and reads ONLY the bloom columns: one
+    scan tagging rows with ``input_file_name()``, k codegen md5
+    positions per value, ``collect_set`` per file (bounded by m, not by
+    rows), bitmap packed driver-side into ``_bloom.json`` inside the
+    snapshot (same stale-proofing as ``_stats.json``: later commits
+    produce a new snapshot dir without the manifest, so stale blooms
+    can never veto a file they didn't index). At 100 TB the writer
+    folds this into the write itself — the aggregation shape
+    (per-output-file set of bit positions) is exactly what the task
+    that wrote the file already holds in memory.
+
+    Sizing: default m = 128 Ki bits ≈ 16 KiB/file/col; at ~10 bits per
+    distinct key that holds fpp ≈ 1% up to ~13k distinct keys per
+    file. Returns the manifest ``{rel_path: {col: {"m", "k",
+    "bitmap"(hex)}}}``."""
+    from pyspark.sql import functions as F
+
+    meta = read_pointer(table_path)
+    if meta is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    snap = os.path.join(table_path, meta["snapshot"])
+    df = read_snapshot(spark, snap, meta)
+    for col in cols:
+        kind = dict(df.dtypes)[col]
+        if kind not in ("string", "tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"bloom column {col!r} has type {kind}; only string/integral "
+                "columns have engine-portable canonical string forms"
+            )
+    df = df.withColumn("_file", F.input_file_name())
+    manifest: dict[str, dict] = {}
+    for col in cols:
+        per_file = (
+            df.filter(F.col(col).isNotNull())
+            .select("_file", F.explode(_bloom_spark_positions(col, m_bits, k)).alias("p"))
+            .groupBy("_file")
+            .agg(F.collect_set("p").alias("ps"))
+        )
+        for row in per_file.collect():
+            rel = os.path.relpath(urllib.parse.urlparse(row["_file"]).path, snap)
+            bitmap = bytearray(m_bits // 8)
+            for p in row["ps"]:
+                bitmap[p // 8] |= 1 << (p % 8)
+            manifest.setdefault(rel, {})[col] = {
+                "m": m_bits,
+                "k": k,
+                "bitmap": bytes(bitmap).hex(),
+            }
+    tmp = os.path.join(snap, f".{_BLOOM}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(snap, _BLOOM))
+    return manifest
+
+
 def pruned_scan(
     spark: SparkSession,
     table_path: str,
-    ranges: dict[str, tuple],
+    ranges: dict[str, tuple] | None = None,
+    equals: dict[str, object] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Plan a scan of the live snapshot keeping only files whose
     [min, max] stats intersect every ``col: (lo, hi)`` range (``None``
     bound = unbounded; files without stats for a column are kept —
-    pruning is always a superset). Returns ``(df, {"files_total",
+    pruning is always a superset) AND whose bloom filter admits every
+    ``col: value`` equality in ``equals`` (a file is dropped only when
+    its bloom PROVES the key absent — false negatives are impossible,
+    so this too is superset-safe). Returns ``(df, {"files_total",
     "files_read"})``; the caller applies the exact predicate on top."""
+    ranges = ranges or {}
+    equals = equals or {}
     meta = read_pointer(table_path)
     if meta is None:
         raise FileNotFoundError(f"no snapshot at {table_path}")
     snap = os.path.join(table_path, meta["snapshot"])
     stats_path = os.path.join(snap, _STATS)
+    bloom_path = os.path.join(snap, _BLOOM)
     all_files = []
     for dp, dirs, fs in os.walk(snap):
         dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
@@ -176,24 +289,39 @@ def pruned_scan(
             for f in fs
             if not f.startswith(("_", ".")) and f.endswith(".parquet")
         )
-    if not os.path.exists(stats_path):
+    stats_manifest = {}
+    if ranges and os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats_manifest = json.load(f)
+    bloom_manifest = {}
+    if equals and os.path.exists(bloom_path):
+        with open(bloom_path) as f:
+            bloom_manifest = json.load(f)
+    if not stats_manifest and not bloom_manifest:
         df = read_snapshot(spark, snap, meta)
         return df, {"files_total": len(all_files), "files_read": len(all_files)}
-    with open(stats_path) as f:
-        manifest = json.load(f)
 
     def _keep(rel: str) -> bool:
-        per_col = manifest.get(rel)
-        if per_col is None:
-            return True
-        for col, (lo, hi) in ranges.items():
-            st = per_col.get(col)
-            if st is None:
-                continue
-            if lo is not None and _norm(st["max"]) < _norm(lo):
-                return False
-            if hi is not None and _norm(st["min"]) > _norm(hi):
-                return False
+        per_col = stats_manifest.get(rel)
+        if per_col is not None:
+            for col, (lo, hi) in ranges.items():
+                st = per_col.get(col)
+                if st is None:
+                    continue
+                if lo is not None and _norm(st["max"]) < _norm(lo):
+                    return False
+                if hi is not None and _norm(st["min"]) > _norm(hi):
+                    return False
+        per_bloom = bloom_manifest.get(rel)
+        if per_bloom is not None:
+            for col, value in equals.items():
+                b = per_bloom.get(col)
+                if b is None or value is None:
+                    continue
+                bitmap = bytes.fromhex(b["bitmap"])
+                for p in _bloom_py_positions(value, b["m"], b["k"]):
+                    if not (bitmap[p // 8] >> (p % 8)) & 1:
+                        return False
         return True
 
     kept = [p for p in all_files if _keep(os.path.relpath(p, snap))]

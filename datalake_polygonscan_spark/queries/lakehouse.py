@@ -42,6 +42,10 @@
   tombstones commit a zero-rewrite version (all data hard-linked);
   reads anti-join them, re-inserting merges clear them, OPTIMIZE
   materializes them.
+- ``s16_bloom_skipping`` — bloom-filter point-lookup skipping
+  (io/skipping.py:write_bloom_filters): distributed per-file blooms
+  over keys the layout is NOT clustered by; equality probes open only
+  the files that can hold the key.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -453,7 +457,7 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic_overwrite(zorder_by(o, ["o_custkey", "o_orderdate"], 16), table)
     write_file_stats(table, ["o_custkey", "o_orderdate"])
 
-    ck_df, ck_dec = pruned_scan(spark, table, {"o_custkey": (100, 400)})
+    ck_df, ck_dec = pruned_scan(spark, table, ranges={"o_custkey": (100, 400)})
     ck = (
         ck_df.filter(F.col("o_custkey").between(100, 400))
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
@@ -465,7 +469,7 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
-    od_df, od_dec = pruned_scan(spark, table, {"o_orderdate": (lo, hi)})
+    od_df, od_dec = pruned_scan(spark, table, ranges={"o_orderdate": (lo, hi)})
     od = (
         od_df.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
@@ -477,3 +481,42 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ck.unionByName(od)
+
+
+@register(
+    "s16_bloom_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS price,
+           TRUE AS files_pruned
+    FROM orders
+    WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+    doc="S16 bloom-filter point-lookup skipping (io/skipping.py:write_bloom_filters): orders range-clustered on o_orderdate (so o_orderkey spans the whole domain in EVERY file and min/max stats prune nothing for it), per-file blooms built distributed (codegen md5 positions, collect_set bounded by m, bitmap packed driver-side), then an o_orderkey equality probe plans from the blooms alone and opens only the files that can hold the key — Delta bloomFilter / Iceberg puffin semantics; superset-safe (no false negatives), exact filter on top, files_pruned rides the value hash",
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.skipping import (
+        cluster_by,
+        pruned_scan,
+        write_bloom_filters,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    table = _scratch("s16_bloom_skipping", "orders_bloom")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(cluster_by(o, ["o_orderdate"], 16), table)
+    write_bloom_filters(spark, table, ["o_orderkey"])
+    probe_key = o.agg(F.min("o_orderkey")).collect()[0][0]  # the point lookup's literal
+    df, decision = pruned_scan(spark, table, equals={"o_orderkey": probe_key})
+    return (
+        df.filter(F.col("o_orderkey") == probe_key)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("price"),
+        )
+        .withColumn("files_pruned", F.lit(decision["files_read"] < decision["files_total"]))
+    )

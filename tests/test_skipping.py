@@ -120,3 +120,70 @@ def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
     out = read_table(spark, tbl)
     assert out.count() == 100
     assert out.filter(F.col("a").isNull()).count() == 10
+
+
+def test_bloom_point_lookup_prunes_unclustered_key(spark, tmp_path):
+    from datalake_polygonscan_spark.io.skipping import write_bloom_filters
+
+    tbl = str(tmp_path / "t")
+    # cluster by v so k spans the whole domain in every file: min/max
+    # stats on k are useless, only the bloom can prune the point lookup
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("v")
+    )
+    atomic_overwrite(cluster_by(df, ["v"], 8), tbl)
+    write_file_stats(tbl, ["k"])
+    _, d_stats = pruned_scan(spark, tbl, ranges={"k": (777, 777)})
+    assert d_stats["files_read"] == d_stats["files_total"]  # stats can't help
+
+    write_bloom_filters(spark, tbl, ["k"], m_bits=1 << 14)
+    got, d_bloom = pruned_scan(spark, tbl, equals={"k": 777})
+    assert d_bloom["files_read"] < d_bloom["files_total"]
+    rows = got.filter(F.col("k") == 777).collect()  # no false negatives
+    assert [(r["k"], r["v"]) for r in rows] == [(777, 777 % 8)]
+
+
+def test_bloom_absent_key_reads_zero_files(spark, tmp_path):
+    from datalake_polygonscan_spark.io.skipping import write_bloom_filters
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") % 4).alias("v"))
+    atomic_overwrite(cluster_by(df, ["v"], 4), tbl)
+    write_bloom_filters(spark, tbl, ["k"], m_bits=1 << 14)
+    got, decision = pruned_scan(spark, tbl, equals={"k": 99999})
+    # fpp at this sizing is ~0 for 125 keys/file; every file proves absence
+    assert decision["files_read"] == 0
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]
+
+
+def test_bloom_string_keys_and_combined_with_ranges(spark, tmp_path):
+    from datalake_polygonscan_spark.io.skipping import write_bloom_filters
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("name"),
+        F.col("id").alias("k"),
+    )
+    atomic_overwrite(cluster_by(df, ["k"], 8), tbl)
+    write_file_stats(tbl, ["k"])
+    write_bloom_filters(spark, tbl, ["name"], m_bits=1 << 14)
+    # range on the clustered col AND bloom on the string col compose
+    got, decision = pruned_scan(
+        spark, tbl, ranges={"k": (0, 499)}, equals={"name": "user-42"}
+    )
+    assert decision["files_read"] <= 1
+    rows = got.filter(F.col("name") == "user-42").collect()
+    assert [(r["name"], r["k"]) for r in rows] == [("user-42", 42)]
+
+
+def test_bloom_rejects_unportable_column_types(spark, tmp_path):
+    import pytest
+
+    from datalake_polygonscan_spark.io.skipping import write_bloom_filters
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("x"))
+    atomic_overwrite(df, tbl)
+    with pytest.raises(TypeError):
+        write_bloom_filters(spark, tbl, ["x"])
