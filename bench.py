@@ -48,6 +48,7 @@ HEADLINE = [
     "l6_curate_corpus",
     "ts1_resample_gapfill",
     "s13_data_skipping",
+    "ml2_semantic_dedup",
     "entry_flagship",
 ]
 

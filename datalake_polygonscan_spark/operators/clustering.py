@@ -1,0 +1,221 @@
+"""Embedding clustering + semantic dedup (SemDeDup-style).
+
+K-means over an embedding column, built for the 100 TB shape of the
+problem:
+
+- **assignment is embarrassingly parallel**: the k centroids (k x dim
+  doubles — kilobytes) ride to every task inside an Arrow-batched
+  pandas UDF closure; each batch computes all distances as ONE numpy
+  matmul (``|v|^2 - 2 vC^T + |c|^2`` row-wise argmin). No shuffle, no
+  driver round-trip per row, no k x dim literal expression tree (the
+  codegen compile time of literal-heavy expressions dominated the LSH
+  bucketer before it moved to the same matmul form —
+  operators/similarity.py:lsh_table_buckets).
+- **the update step is a partial-aggregating groupBy**: per-dimension
+  means via ``posexplode`` + ``avg`` — map-side combine collapses each
+  executor's contribution to at most k x dim rows before the exchange,
+  so the shuffle is O(partitions x k x dim), independent of row count.
+- **the driver holds k x dim floats per iteration**, never vectors.
+  Iteration count is a fixed small constant (Lloyd's converges fast;
+  SemDeDup uses single-digit iterations at trillion-token scale).
+
+Determinism: seeds are either caller-provided ids (``init_ids``) or
+the k rows with the smallest ``md5(id)`` — engine-portable, no RNG.
+Distance ties break to the lowest cluster id (numpy argmin keeps the
+first index).
+
+``semantic_dedup`` is the SemDeDup recipe (Abbas et al. 2023): cluster
+the (normalized) embeddings, generate candidate pairs only WITHIN a
+cluster — turning the quadratic all-pairs search into per-cluster
+blocks — and verify with the exact cosine. Near-boundary pairs are
+covered by soft assignment: each vector lands in its ``nprobe``
+nearest clusters for candidate generation (dedup survivors are still
+computed once per vector). Survivor rule matches the repo's other
+dedup tiers: a vector survives iff it never appears as the larger id
+of a verified pair.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_polygonscan_spark.functions.vectors import dot_pandas, l2_norm
+
+
+def _assign_udf(centroids: list[list[float]], nprobe: int = 1):
+    """Pandas UDF: vector -> its nprobe nearest centroid ids (squared
+    L2, ties to the lowest id), one numpy matmul per Arrow batch."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")  # k x dim
+    c_sq = (C * C).sum(axis=1)  # |c|^2, shape k
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype="float64")  # n x dim
+        # |v|^2 is constant per row -> argmin needs only -2vC^T + |c|^2
+        d = -2.0 * (V @ C.T) + c_sq  # n x k
+        if nprobe == 1:
+            out = d.argmin(axis=1)[:, None]
+        else:
+            p = min(nprobe, d.shape[1])
+            part = np.argpartition(d, p - 1, axis=1)[:, :p]
+            order = np.take_along_axis(d, part, axis=1).argsort(axis=1, kind="stable")
+            out = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in out])
+
+    return _assign
+
+
+def _min_dist_udf(centroids: list[list[float]]):
+    """Pandas UDF: vector -> TRUE squared L2 distance to its nearest
+    centroid (the |v|^2 term matters here, unlike for the argmin)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.DoubleType())
+    def _dist(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype="float64")
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    return _dist
+
+
+def kmeans(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    init_ids: list | None = None,
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Distributed Lloyd's k-means. Returns ``(assignments, centroids,
+    inertia_per_iter)`` where assignments is ``(id_col, cluster)`` —
+    cluster of the FINAL centroids, so the output is always
+    self-consistent — centroids is the k x dim python list, and
+    inertia_per_iter holds the post-update sum of squared distances
+    for each iteration (non-increasing for fixed data).
+
+    Input vectors should be pre-cast to a numeric array; rows with a
+    null/empty vector are excluded. ``init_ids`` pins the seed rows
+    explicitly (tests, warm starts); default seeds are the k rows with
+    the smallest ``md5(id)`` — deterministic and engine-portable."""
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") > 0))
+    base = base.persist()
+    try:
+        if init_ids is not None:
+            seed_rows = base.filter(F.col("_id").isin(list(init_ids))).collect()
+            seed_rows.sort(key=lambda r: list(init_ids).index(r["_id"]))
+        else:
+            seed_rows = (
+                base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+                .limit(k)
+                .collect()
+            )
+        centroids = [list(r["_vec"]) for r in seed_rows]
+        if len(centroids) < k:
+            raise ValueError(f"need {k} seed vectors, found {len(centroids)}")
+
+        inertia_per_iter: list[float] = []
+        for _ in range(n_iter):
+            assign = _assign_udf(centroids)
+            assigned = base.withColumn("cluster", assign(F.col("_vec"))[0])
+            # per-dimension means: partial agg collapses to <= k x dim
+            # rows per map task before the exchange
+            stats = (
+                assigned.select("cluster", F.posexplode("_vec").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("mean"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+            centroids = [
+                [by_cluster[c][p] for p in range(len(centroids[0]))]
+                if c in by_cluster
+                else centroids[c]  # empty cluster keeps its centroid
+                for c in range(k)
+            ]
+            dist = _min_dist_udf(centroids)
+            inertia = base.agg(F.sum(dist(F.col("_vec")))).collect()[0][0]
+            inertia_per_iter.append(float(inertia))
+
+        final_assign = _assign_udf(centroids)
+        out = base.select(
+            F.col("_id").alias(id_col), final_assign(F.col("_vec"))[0].alias("cluster")
+        )
+        return out, centroids, inertia_per_iter
+    finally:
+        base.unpersist()
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    k: int = 8,
+    n_iter: int = 3,
+    nprobe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup: cluster-bounded semantic near-duplicate detection.
+
+    Vectors are L2-normalized (cosine == dot), clustered with
+    :func:`kmeans`, then candidate pairs are generated ONLY within a
+    cluster — each vector joins its ``nprobe`` nearest clusters so
+    boundary-straddling pairs stay reachable — and verified with the
+    exact dot product. Returns ``(pairs, marked)``:
+
+    - pairs: ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >=
+      threshold, each pair once (dedup across probe replicas);
+    - marked: ``(id_col, cluster, is_survivor)`` — survivor iff the id
+      never appears as ``id_b`` (keep-lowest-id, the same rule as the
+      MinHash tier).
+
+    Scale: the join key is (cluster), so candidate volume is
+    sum_c n_c^2 instead of n^2 — the clustering IS the blocking
+    structure. Skewed clusters are the known failure mode; cap k high
+    enough that n_c stays bounded (SemDeDup uses k in the tens of
+    thousands at web scale)."""
+    normed = (
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
+        )
+        .withColumn("_n", l2_norm("_vec"))
+        .filter(F.col("_n") > 0)
+        .select("_id", F.transform("_vec", lambda x: x / F.col("_n")).alias("_vec"))
+    )
+    assigned, centroids, _ = kmeans(normed, "_id", "_vec", k=k, n_iter=n_iter)
+    probe = _assign_udf(centroids, nprobe=nprobe)
+    replicated = normed.select(
+        "_id", "_vec", F.explode(probe(F.col("_vec"))).alias("cluster")
+    )
+    a, b = replicated.alias("a"), replicated.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dot_pandas(F.col("a._vec"), F.col("b._vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    losers = pairs.select(F.col("id_b").alias("_id")).distinct()
+    marked = assigned.join(losers, assigned["_id"] == losers["_id"], "left_anti").withColumn(
+        "is_survivor", F.lit(True)
+    ).unionByName(
+        assigned.join(losers, assigned["_id"] == losers["_id"], "left_semi").withColumn(
+            "is_survivor", F.lit(False)
+        )
+    ).select(F.col("_id").alias(id_col), "cluster", "is_survivor")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")), marked

@@ -41,6 +41,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     sources_ext,      # S7 ORC round-trip, S8 bucketed co-located join
     multimodal_ext,   # M4 media frame sampling + decode/feature tier
     lakehouse,        # S9 time travel, S10 compaction, S11 merge CDC
+    ml_ops,           # ML1 k-means clustering, ML2 SemDeDup
 )
 
 #: The driver-graded window: exactly these 50 oracled entries, in this
