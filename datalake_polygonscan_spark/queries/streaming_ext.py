@@ -7,6 +7,7 @@ the ``applyInPandasWithState`` state genuinely carries across batches.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,6 +53,90 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
+@register(
+    "e8_stateful_sessionize",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="E8 sessionization with EVENT-TIME TIMEOUTS (streaming/windows.py:stateful_sessionize; applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): a REAL 5-micro-batch run — events split into 3 ts-ranged files plus 2 far-future sentinel batches that advance the watermark so every idle key's timer fires and every session flushes; sessions close by gap-proof OR timeout with IDENTICAL content, so the exact oracle is batch gaps-and-islands sessionization; idle-key state eviction is the unbounded-cardinality story E5's NoTimeout lacks; timeout-vs-gap mechanics asserted in tests/test_streaming.py",
+)
+def e8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+    from datalake_polygonscan_spark.streaming.windows import stateful_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e8_stream", "events_ordered")
+    chk = _scratch("e8_stream", "chk")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    os.makedirs(src)
+
+    def _one_file(df, name: str, mtime: int) -> None:
+        tmp = os.path.join(src, f".{name}.tmpdir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))  # file source triggers oldest-first
+
+    # 3 ts-ranged batches: cross-batch event time is monotone per key,
+    # so the 1-minute watermark never drops a row
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bounds = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    _one_file(ev.filter(F.col("ts") < bounds[0]), "f1.parquet", 1_000_000_000)
+    _one_file(ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])), "f2.parquet", 1_000_000_100)
+    _one_file(ev.filter(F.col("ts") >= bounds[1]), "f3.parquet", 1_000_000_200)
+    # sentinel batches (user_id=-1, excluded from output): batch 4
+    # advances the watermark past every session's last+gap horizon,
+    # batch 5 gives the timers a batch to fire in
+    sent = [
+        (-1, hi + dt.timedelta(hours=24), -1, "sentinel", 0.0, "{}"),
+        (-2, hi + dt.timedelta(hours=48), -1, "sentinel", 0.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sdf = spark.createDataFrame([dict(zip(cols, s)) for s in sent], EVENTS_SCHEMA)
+    _one_file(sdf.filter(F.col("event_id") == -1), "f4.parquet", 1_000_000_300)
+    _one_file(sdf.filter(F.col("event_id") == -2), "f5.parquet", 1_000_000_400)
+
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stateful_sessionize(s, key="user_id", gap="6 hours", watermark="1 minute"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=os.path.join(chk, "e8"),
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("session_value", 4).alias("session_value"),
     )
 
 

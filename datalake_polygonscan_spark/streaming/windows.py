@@ -119,6 +119,113 @@ def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFram
     )
 
 
+_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    n, unit = spec.split()
+    return int(n) * _UNITS_US[unit]
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    key: str = "user_id",
+    gap: str = "6 hours",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """E8 — sessionization with EVENT-TIME TIMEOUTS
+    (``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``).
+
+    The built-in ``session_window`` (E3) closes a session only when the
+    watermark passes its end inside the aggregation operator; this
+    custom operator demonstrates the full arbitrary-stateful API: a
+    session also closes when its key goes SILENT — ``state.hasTimedOut``
+    fires once the watermark passes ``last_event + gap`` with no new
+    data for the key — which is what per-entity TTL logic (abandoned
+    carts, connection liveness, fraud windows) needs and windowed
+    aggregation cannot express.
+
+    Per key the state is four scalars (session start/last epoch-micros,
+    count, value sum) — bounded regardless of stream length; idle keys
+    EVICT on timeout, so state size tracks live keys, not ever-seen
+    keys (the unbounded-cardinality fix NoTimeout operators lack).
+
+    A session's emitted content is identical whether a later same-key
+    event proves the gap or the timer fires first (``closed_by`` =
+    'gap' | 'timeout' records which); content is therefore exactly the
+    batch gaps-and-islands sessionization of the input — the oracle.
+    Open sessions at end-of-stream are never emitted (append
+    semantics); drive the watermark past ``last + gap`` to flush.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _interval_us(gap)
+
+    def _emit(key_val, st, last, n, tot, how):
+        return {
+            key: key_val,
+            "session_start": pd.Timestamp(st, unit="us"),
+            "session_end": pd.Timestamp(last, unit="us"),
+            "n_events": n,
+            "session_value": tot,
+            "closed_by": how,
+        }
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        key_val = key_tuple[0]
+        closed: list[dict] = []
+        if state.hasTimedOut:
+            st, last, n, tot = state.get
+            closed.append(_emit(key_val, st, last, n, tot, "timeout"))
+            state.remove()
+        else:
+            st, last, n, tot = state.get if state.exists else (None, None, 0, 0.0)
+            pdfs = [pdf for pdf in pdf_iter if len(pdf)]
+            if pdfs:
+                batch = pd.concat(pdfs).sort_values(["ts", "event_id"])
+                for ts, v in zip(batch["ts"], batch["value"]):
+                    ts_us = pd.Timestamp(ts).value // 1000
+                    if st is None:
+                        st, last, n, tot = ts_us, ts_us, 1, float(v)
+                    elif ts_us - last > gap_us:
+                        closed.append(_emit(key_val, st, last, n, tot, "gap"))
+                        st, last, n, tot = ts_us, ts_us, 1, float(v)
+                    else:
+                        last, n, tot = max(last, ts_us), n + 1, tot + float(v)
+            if st is not None:
+                state.update((st, last, n, tot))
+                # fire once the WATERMARK (event time, not wall clock)
+                # passes the session's gap horizon
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[key, "session_start", "session_end", "n_events", "session_value", "closed_by"],
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{key} bigint, session_start timestamp, session_end timestamp, "
+                "n_events bigint, session_value double, closed_by string"
+            ),
+            stateStructType="st bigint, last bigint, n bigint, tot double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_available_now(
     spark: SparkSession,
     source_dir: str,

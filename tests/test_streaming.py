@@ -159,3 +159,77 @@ def test_interval_join_matches_across_batches(spark, tmp_path):
     got = sorted((r.l_event_id, r.r_event_id) for r in out.collect())
     # event 11 (batch 2, t=20m) matched the batch-1 click; 12 (t=45m) is out of range
     assert got == [(1, 10), (1, 11)]
+
+
+def test_stateful_sessionize_timeout_and_gap_close(spark, tmp_path):
+    """E8: a session must close EITHER when a later same-key event
+    proves the gap OR when the watermark passes last+gap with the key
+    silent (EventTimeTimeout) — and the content is identical either
+    way. user 2 goes silent forever: only the timer can close it."""
+    from datalake_polygonscan_spark.streaming.windows import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    H = 60  # minutes per hour
+    _write_events_file(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [_ev(1, 0, user=1), _ev(2, 10, user=1), _ev(3, 0, user=2, value=5.0)],
+    )
+    _write_events_file(spark, os.path.join(src, "f2.parquet"), [_ev(4, 10 * H, user=1)])
+    # sentinels: two far-future batches so every timer observes an
+    # advanced watermark in a LATER batch and fires
+    _write_events_file(spark, os.path.join(src, "f3.parquet"), [_ev(5, 30 * H, user=99)])
+    _write_events_file(spark, os.path.join(src, "f4.parquet"), [_ev(6, 60 * H, user=99)])
+
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stateful_sessionize(s, key="user_id", gap="6 hours", watermark="1 minute"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    ).filter(F.col("user_id") < 99)
+
+    rows = {
+        (r["user_id"], r["session_start"].isoformat()): r
+        for r in out.collect()
+    }
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    assert len(rows) == 3
+
+    s1 = rows[(1, t0.isoformat())]  # u1 first session: 2 events, gap-closed by event 4
+    assert s1["n_events"] == 2 and s1["closed_by"] == "gap"
+    assert s1["session_end"] == t0 + dt.timedelta(minutes=10)
+
+    s2 = rows[(2, t0.isoformat())]  # u2: silent forever -> ONLY the timer closes it
+    assert s2["n_events"] == 1 and s2["closed_by"] == "timeout"
+    assert s2["session_value"] == 5.0
+
+    s3 = rows[(1, (t0 + dt.timedelta(hours=10)).isoformat())]  # u1 second session
+    assert s3["n_events"] == 1 and s3["closed_by"] == "timeout"
+
+
+def test_stateful_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
+    """Two gap closures inside a single micro-batch must both emit."""
+    from datalake_polygonscan_spark.streaming.windows import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    H = 60
+    _write_events_file(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [_ev(1, 0, user=1), _ev(2, 8 * H, user=1), _ev(3, 16 * H, user=1)],
+    )
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stateful_sessionize(s, key="user_id", gap="6 hours", watermark="1 minute"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    got = sorted((r["session_start"], r["closed_by"]) for r in out.collect())
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    # sessions at t0 and t0+8h closed by in-batch gaps; t0+16h stays open
+    assert got == [(t0, "gap"), (t0 + dt.timedelta(hours=8), "gap")]
