@@ -57,11 +57,53 @@ from datalake_polygonscan_spark.io.sinks import (
     read_pointer,
     read_snapshot,
     read_table,
+    snapshot_version,
 )
+
+#: per-commit persisted change feeds live beside the snapshots (like
+#: the _log/), one dir per version — they survive snapshot pruning
+_CHANGES = "_changes"
 
 
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def changes_glob(table_path: str) -> str:
+    """Path glob a (batch or streaming) parquet file source can read to
+    consume the persisted change feed; new commits land as new files
+    under it, so ``spark.readStream`` discovers them incrementally."""
+    return os.path.join(table_path, _CHANGES, "*", "*.parquet")
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Replay the persisted change feed (Delta's ``table_changes``):
+    every typed change row with ``_commit_version`` in
+    ``[from_version, to_version]``. Requires the feed to exist for the
+    requested range (merges ran with ``write_changes=True``); raises
+    on a gap — a consumer that silently skipped a commit would
+    reconstruct the wrong table."""
+    root = os.path.join(table_path, _CHANGES)
+    have = sorted(
+        int(d) for d in os.listdir(root) if not d.startswith(".")
+    ) if os.path.isdir(root) else []
+    hi = to_version if to_version is not None else (have[-1] if have else -1)
+    want = list(range(from_version, hi + 1))
+    missing = [v for v in want if v not in have]
+    if missing:
+        raise FileNotFoundError(
+            f"no persisted change feed for versions {missing} at {table_path} "
+            "(merge with write_changes=True)"
+        )
+    dirs = [os.path.join(root, f"{v:012d}") for v in want]
+    if not dirs:
+        raise FileNotFoundError(f"no persisted change feed at {table_path}")
+    return spark.read.parquet(*dirs)
 
 
 def _dedup_batch(updates: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
@@ -105,6 +147,7 @@ def merge_upsert(
     deletes: DataFrame | None = None,
     schema_evolution: bool = False,
     extra_meta: dict | None = None,
+    write_changes: bool = False,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
     on ``keys``; returns the new live snapshot (logical schema — the
@@ -124,13 +167,24 @@ def merge_upsert(
     schema lands in the commit log, and untouched buckets are still
     hard-linked (their old-schema files read correctly because every
     read uses the log-tracked schema, never footer merging). Without
-    the flag a widening batch raises."""
+    the flag a widening batch raises.
+
+    ``write_changes=True`` is Delta's Change Data Feed: the merge also
+    PERSISTS its typed change feed (:func:`change_feed` rows + a
+    ``_commit_version`` column) under ``<table>/_changes/<version>/``
+    — outside the snapshot dirs, so it survives snapshot pruning like
+    the commit log does. Downstream consumers replay history with
+    :func:`read_changes` or subscribe continuously by streaming
+    ``changes_glob(table)`` (a file source discovers each new commit's
+    feed as it lands). The feed files are fully written BEFORE the
+    pointer CAS and exposed (dir rename) just after it, so a conflicted
+    commit never leaks feed rows."""
     last_conflict: SnapshotConflict | None = None
     for _ in range(max_retries):
         try:
             _merge_once(
                 spark, table_path, updates, keys, n_buckets, version_col, deletes,
-                schema_evolution, extra_meta,
+                schema_evolution, extra_meta, write_changes,
             )
             return read_table(spark, table_path)
         except SnapshotConflict as e:
@@ -215,6 +269,7 @@ def _merge_once(
     deletes: DataFrame | None = None,
     schema_evolution: bool = False,
     extra_meta: dict | None = None,
+    write_changes: bool = False,
 ) -> None:
     from pyspark.sql import types as T
 
@@ -226,6 +281,31 @@ def _merge_once(
     new_snap = os.path.join(table_path, snap_name)
     batch_fields = [f for f in batch.schema.fields if f.name != "_bucket"]
 
+    def _stage_feed(current_logical: DataFrame) -> str | None:
+        """Write this commit's change feed to a hidden staging dir
+        (never visible to readers); returns the staging path."""
+        if not write_changes:
+            return None
+        version = snapshot_version(base) + 1
+        feed = change_feed(
+            current_logical, updates, keys, version_col=version_col, deletes=deletes
+        ).withColumn("_commit_version", F.lit(version).cast("long"))
+        staged = os.path.join(table_path, _CHANGES, f".tmp-{snap_name}")
+        feed.write.mode("overwrite").parquet(staged)
+        return staged
+
+    def _commit_with_feed(current_logical: DataFrame, meta: dict) -> None:
+        staged = _stage_feed(current_logical)
+        try:
+            _commit_or_cleanup(table_path, snap_name, base, meta)
+        except SnapshotConflict:
+            if staged:
+                shutil.rmtree(staged, ignore_errors=True)
+            raise
+        if staged:
+            final = os.path.join(table_path, _CHANGES, f"{snapshot_version(base) + 1:012d}")
+            os.replace(staged, final)
+
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
         meta = {
@@ -234,7 +314,7 @@ def _merge_once(
             **(extra_meta or {}),
         }
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
-        _commit_or_cleanup(table_path, snap_name, base, meta)
+        _commit_with_feed(batch.drop("_bucket").limit(0), meta)
         return
 
     prev_snap = os.path.join(table_path, base["snapshot"])
@@ -306,10 +386,11 @@ def _merge_once(
     if base.get("merge_buckets") != n_buckets:
         # unbucketed (plain atomic_overwrite) or differently-bucketed
         # snapshot: one-time full rewrite migrates it into this layout
-        current = read_table(spark, table_path).withColumn("_bucket", _bucket_col(keys, n_buckets))
+        current_logical = read_table(spark, table_path)
+        current = current_logical.withColumn("_bucket", _bucket_col(keys, n_buckets))
         merged = _merge_arms(current)
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
-        _commit_or_cleanup(table_path, snap_name, base, meta)
+        _commit_with_feed(current_logical, meta)
         return
 
     # pruned path: touch only the buckets present in the batch/deletes
@@ -327,7 +408,9 @@ def _merge_once(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
     _carry_tombstones(spark, prev_snap, new_snap, batch, keys, meta)
-    _commit_or_cleanup(table_path, snap_name, base, meta)
+    # feed derivation is bucket-pruned too: rows matching batch/delete
+    # keys can only live in the touched buckets
+    _commit_with_feed(current_touched.drop("_bucket"), meta)
 
 
 def _carry_tombstones(

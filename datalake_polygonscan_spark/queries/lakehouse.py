@@ -46,6 +46,10 @@
   (io/skipping.py:write_bloom_filters): distributed per-file blooms
   over keys the layout is NOT clustered by; equality probes open only
   the files that can hold the key.
+- ``s17_change_data_feed`` — persisted CDF + streaming CDC
+  replication (io/merge.py:write_changes): merges persist their typed
+  feed per version; a downstream consumer rebuilds the table from the
+  feed alone via readStream + foreachBatch.
 
 All three run against scratch tables rebuilt from driver parquet each
 call, so the oracle on the ORIGINAL tables value-checks the entire
@@ -519,4 +523,84 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice").cast("double"), 4).alias("price"),
         )
         .withColumn("files_pruned", F.lit(decision["files_read"] < decision["files_total"]))
+    )
+
+
+@register(
+    "s17_change_data_feed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+                                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS replica_matches_source
+    FROM orders
+    WHERE o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+    doc="S17 persisted Change Data Feed + streaming CDC replication (io/merge.py:write_changes/read_changes/changes_glob; Delta CDF): three merges (bootstrap inserts keys%3=0, then +1000 repricing of %6=0 plus %3=1 inserts, then %3=2 inserts with a %9=0 DELETE arm) each persist their typed feed under _changes/<version>/ in the commit flow; a DOWNSTREAM CONSUMER then rebuilds the table from the feed ALONE — readStream over changes_glob, foreachBatch applying each version's upserts+deletes in order to a replica — and the replica must equal the source exactly (replica_matches_source rides the value hash); the aggregates state the closed-form final state",
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.merge import changes_glob
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    src_tbl = _scratch("s17_cdf", "source")
+    rep_tbl = _scratch("s17_cdf", "replica")
+    chk = _scratch("s17_cdf", "chk")
+    for p in (src_tbl, rep_tbl, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    k = F.col("o_orderkey")
+    merge_upsert(spark, src_tbl, o.filter(k % 3 == 0), ["o_orderkey"], n_buckets=8, write_changes=True)
+    b1 = o.filter(k % 6 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0).unionByName(
+        o.filter(k % 3 == 1)
+    )
+    merge_upsert(spark, src_tbl, b1, ["o_orderkey"], n_buckets=8, write_changes=True)
+    merge_upsert(
+        spark,
+        src_tbl,
+        o.filter(k % 3 == 2),
+        ["o_orderkey"],
+        n_buckets=8,
+        deletes=o.filter(k % 9 == 0).select("o_orderkey"),
+        write_changes=True,
+    )
+
+    # ---- downstream consumer: replica built from the feed ALONE ----
+    feed_schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "_change_type string, _commit_version long"
+    )
+
+    def _apply(bdf, _bid):
+        versions = sorted(r[0] for r in bdf.select("_commit_version").distinct().collect())
+        for v in versions:
+            sub = bdf.filter(F.col("_commit_version") == v)
+            ups = sub.filter(F.col("_change_type") != "delete").drop("_change_type", "_commit_version")
+            dels = sub.filter(F.col("_change_type") == "delete").select("o_orderkey")
+            merge_upsert(
+                spark, rep_tbl, ups, ["o_orderkey"], n_buckets=8,
+                deletes=dels if dels.limit(1).count() else None,
+            )
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_glob(src_tbl))
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(chk, "s17"))
+        .start()
+    )
+    q.awaitTermination()
+
+    rep, src = read_table(spark, rep_tbl), read_table(spark, src_tbl)
+    matches = rep.exceptAll(src).count() == 0 and src.exceptAll(rep).count() == 0
+    return (
+        rep.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("replica_matches_source", F.lit(matches))
     )
