@@ -146,6 +146,149 @@ def refresh_aggregate(
     )
 
 
+def build_minmax(
+    spark: SparkSession,
+    mv_path: str,
+    base: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One-time build of a MIN/MAX MV (``n_rows``, ``min_v``, ``max_v``
+    per group). Values are quantized to ``DECIMAL(18,6)`` so the MV and
+    any oracle recompute compare exactly."""
+    mv = base.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.col(value_col).cast(_QUANT)).alias("min_v"),
+        F.max(F.col(value_col).cast(_QUANT)).alias("max_v"),
+    )
+    return merge_upsert(spark, mv_path, mv, keys=group_cols, n_buckets=n_buckets)
+
+
+def refresh_minmax(
+    spark: SparkSession,
+    mv_path: str,
+    feed: DataFrame,
+    base_after: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, dict]:
+    """Fold one merge batch's retraction-shaped change feed into a
+    MIN/MAX MV. Unlike count/sum (MV1), MIN/MAX is NOT self-maintainable
+    under deletion — removing a non-extreme row is a pure delta, but
+    removing the row HOLDING the extremum leaves the new extremum
+    unknown without looking at the data. The classic IVM treatment:
+
+    - inserts / update_postimages only IMPROVE extrema -> fold with
+      ``least``/``greatest`` (no base access);
+    - a delete / update_preimage strictly INSIDE the group's current
+      (min, max) open interval -> pure count delta (no base access);
+    - a delete touching the group's current min or max -> that group
+      lands in the RECOMPUTE set, re-aggregated from ``base_after``
+      restricted to those groups (a semi-join — with the base clustered
+      or partitioned by the group key this scan is pruned I/O; it is
+      never the full table unless every group lost its extremum).
+
+    Returns ``(mv, {"groups_refreshed", "groups_recomputed"})`` so
+    callers can observe that the cheap path carried the batch.
+
+    Groups whose count reaches zero are deleted from the MV; negative
+    counts raise (feed not derived against this MV's base state)."""
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(None))
+    )
+    v = F.col(value_col).cast(_QUANT)
+    deltas = (
+        feed.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").alias("_d_rows"),
+            F.min(F.when(F.col("_sign") == 1, v)).alias("_ins_min"),
+            F.max(F.when(F.col("_sign") == 1, v)).alias("_ins_max"),
+            F.min(F.when(F.col("_sign") == -1, v)).alias("_del_min"),
+            F.max(F.when(F.col("_sign") == -1, v)).alias("_del_max"),
+        )
+    )
+    current = _read_touched_mv(spark, mv_path, deltas, group_cols, n_buckets)
+    joined = deltas.join(current, group_cols, "left").withColumn(
+        "_new_rows", F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_rows")
+    )
+    bad = joined.filter(F.col("_new_rows") < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"negative group count after refresh ({bad[0].asDict()}): "
+            "the feed was not derived against this MV's base state"
+        )
+    # a delete at (or beyond — impossible on a consistent feed, but <=
+    # is the safe direction) the stored extremum invalidates it
+    needs_recompute = (
+        F.col("n_rows").isNotNull()
+        & (F.col("_new_rows") > 0)
+        & (
+            (F.col("_del_min").isNotNull() & (F.col("_del_min") <= F.col("min_v")))
+            | (F.col("_del_max").isNotNull() & (F.col("_del_max") >= F.col("max_v")))
+        )
+    )
+    folded = joined.filter(~needs_recompute & (F.col("_new_rows") > 0)).select(
+        *group_cols,
+        F.col("_new_rows").alias("n_rows"),
+        F.least(F.coalesce(F.col("min_v"), F.col("_ins_min")), F.coalesce(F.col("_ins_min"), F.col("min_v"))).alias("min_v"),
+        F.greatest(F.coalesce(F.col("max_v"), F.col("_ins_max")), F.coalesce(F.col("_ins_max"), F.col("max_v"))).alias("max_v"),
+    )
+    recompute_keys = joined.filter(needs_recompute).select(*group_cols)
+    n_recompute = recompute_keys.count()
+    if n_recompute:
+        recomputed = (
+            base_after.join(recompute_keys, group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+        )
+        upserts = folded.unionByName(recomputed)
+    else:
+        upserts = folded
+    emptied = joined.filter(F.col("_new_rows") == 0).select(*group_cols)
+    mv = merge_upsert(
+        spark, mv_path, upserts, keys=group_cols, n_buckets=n_buckets, deletes=emptied,
+    )
+    stats = {"groups_refreshed": deltas.count(), "groups_recomputed": n_recompute}
+    return mv, stats
+
+
+def _read_touched_mv(
+    spark: SparkSession,
+    mv_path: str,
+    deltas: DataFrame,
+    group_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Current (n_rows, min_v, max_v) MV rows for the delta groups'
+    buckets only — same bucket-pruned scan as :func:`_read_touched_groups`."""
+    base = read_pointer(mv_path)
+    if base is None:
+        return (
+            deltas.select(*group_cols)
+            .limit(0)
+            .withColumn("n_rows", F.lit(0).cast("long"))
+            .withColumn("min_v", F.lit(None).cast(_QUANT))
+            .withColumn("max_v", F.lit(None).cast(_QUANT))
+        )
+    if base.get("merge_buckets") != n_buckets:
+        return read_table(spark, mv_path)
+    touched = sorted(
+        r["_b"]
+        for r in deltas.select(_bucket_col(group_cols, n_buckets).alias("_b")).distinct().collect()
+    )
+    snap = os.path.join(mv_path, base["snapshot"])
+    return spark.read.parquet(snap).filter(F.col("_bucket").isin(touched)).drop("_bucket")
+
+
 def _read_touched_groups(
     spark: SparkSession,
     mv_path: str,

@@ -604,3 +604,81 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
         .withColumn("replica_matches_source", F.lit(matches))
     )
+
+
+@register(
+    "mv3_minmax_mv",
+    oracle="""
+    WITH q AS (SELECT o_orderkey, o_orderpriority AS p,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS v FROM orders),
+    mx AS (SELECT p, max(v) AS m FROM q GROUP BY p),
+    kept AS (SELECT q.p, q.v FROM q JOIN mx ON q.p = mx.p WHERE q.v < mx.m),
+    ins AS (SELECT DISTINCT p, CAST(1.0 AS DECIMAL(18,6)) AS v FROM q),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT p AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(min(v) AS DOUBLE), 4) AS min_v,
+           ROUND(CAST(max(v) AS DOUBLE), 4) AS max_v,
+           TRUE AS recompute_exercised,
+           TRUE AS fold_only_exercised
+    FROM final GROUP BY p
+    """,
+    doc="MV3 MIN/MAX materialized view with delete-aware PARTIAL recompute (io/mview.py:refresh_minmax): min/max is not self-maintainable under deletion, so inserts fold with least/greatest (no base access), interior deletes are count-only deltas, and ONLY groups whose stored extremum was deleted re-aggregate from the base restricted to those groups (semi-join — pruned I/O under group-key clustering). The entry deletes EVERY group's max-price rows (all 5 groups must take the recompute path) then inserts one price-1.0 row per group (pure fold, zero recomputes) — both path verdicts ride the value hash; the oracle is the closed-form full recompute of the final state",
+)
+def mv3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_polygonscan_spark.io.mview import build_minmax, refresh_minmax
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+    )
+    base_tbl = _scratch("mv3_minmax", "orders_base")
+    mv_tbl = _scratch("mv3_minmax", "mv")
+    for p in (base_tbl, mv_tbl):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cur = merge_upsert(spark, base_tbl, o, ["o_orderkey"], n_buckets=16)
+    build_minmax(spark, mv_tbl, cur, ["o_orderpriority"], "o_totalprice", n_buckets=16)
+
+    # batch 1: delete every row holding its group's max price -> ALL
+    # groups lose their stored extremum -> recompute path
+    gmax = Window.partitionBy("o_orderpriority")
+    dels = (
+        cur.withColumn("_mx", F.max("o_totalprice").over(gmax))
+        .filter(F.col("o_totalprice") == F.col("_mx"))
+        .select("o_orderkey")
+    )
+    empty_updates = cur.limit(0)
+    feed1 = change_feed(cur, empty_updates, ["o_orderkey"], deletes=dels)
+    base_after1 = merge_upsert(spark, base_tbl, empty_updates, ["o_orderkey"], n_buckets=16, deletes=dels)
+    _, stats1 = refresh_minmax(
+        spark, mv_tbl, feed1, base_after1, ["o_orderpriority"], "o_totalprice", n_buckets=16
+    )
+
+    # batch 2: one new price-1.0 row per group -> a new global min via
+    # the least/greatest fold, ZERO recomputes. Materialized as
+    # literals: a lazy plan over the v0 snapshot would be evaluated
+    # after v2 commits, when retention has pruned v0's files.
+    prios = sorted(r[0] for r in base_after1.select("o_orderpriority").distinct().collect())
+    ins = spark.createDataFrame(
+        [(-(i + 1), p, 1.0) for i, p in enumerate(prios)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)"))
+    feed2 = change_feed(base_after1, ins, ["o_orderkey"])
+    base_after2 = merge_upsert(spark, base_tbl, ins, ["o_orderkey"], n_buckets=16)
+    mv, stats2 = refresh_minmax(
+        spark, mv_tbl, feed2, base_after2, ["o_orderpriority"], "o_totalprice", n_buckets=16
+    )
+
+    n_groups = ins.count()
+    return mv.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("min_v").cast("double"), 4).alias("min_v"),
+        F.round(F.col("max_v").cast("double"), 4).alias("max_v"),
+        F.lit(stats1["groups_recomputed"] == n_groups).alias("recompute_exercised"),
+        F.lit(stats2["groups_recomputed"] == 0).alias("fold_only_exercised"),
+    )

@@ -149,3 +149,128 @@ def test_refresh_reads_only_touched_mv_buckets(spark, tmp_path):
     assert "PartitionFilters" in plan and "_bucket" in plan
     # only groups living in g0's hash bucket come back — a strict subset
     assert 0 < touched.count() < 16
+
+
+# ---------------- MIN/MAX MV (refresh_minmax) ----------------
+
+
+def _minmax_recompute(base):
+    return sorted(
+        (r["grp"], int(r["n"]), str(r["lo"]), str(r["hi"]))
+        for r in base.groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("v").cast("decimal(18,6)")).alias("lo"),
+            F.max(F.col("v").cast("decimal(18,6)")).alias("hi"),
+        )
+        .collect()
+    )
+
+
+def _minmax_rows(mv):
+    return sorted(
+        (r["grp"], int(r["n_rows"]), str(r["min_v"]), str(r["max_v"])) for r in mv.collect()
+    )
+
+
+def _apply_minmax(spark, base_tbl, mv_tbl, batch, deletes=None):
+    from datalake_polygonscan_spark.io.mview import refresh_minmax
+
+    current = read_table(spark, base_tbl)
+    feed = change_feed(current, batch, keys=["k"], deletes=deletes, retractions=True)
+    base_after = merge_upsert(spark, base_tbl, batch, keys=["k"], n_buckets=8, deletes=deletes)
+    return refresh_minmax(spark, mv_tbl, feed, base_after, ["grp"], "v", n_buckets=8)
+
+
+def test_minmax_interior_delete_folds_without_recompute(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_minmax
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_minmax(spark, mv_tbl, seed, ["grp"], "v", n_buckets=8)
+
+    # delete the INTERIOR row (20): count drops, extrema untouched
+    mv, stats = _apply_minmax(
+        spark, base_tbl, mv_tbl, _df(spark, [(0, "a", 0)]).limit(0), deletes=_df(spark, [(2, "a", 0)]).select("k")
+    )
+    assert stats["groups_recomputed"] == 0
+    assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
+
+
+def test_minmax_extremum_delete_triggers_partial_recompute(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_minmax
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 10), (2, "a", 30), (3, "b", 5), (4, "b", 7)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_minmax(spark, mv_tbl, seed, ["grp"], "v", n_buckets=8)
+
+    # delete a's MAX row; b untouched -> exactly ONE group recomputes
+    mv, stats = _apply_minmax(
+        spark, base_tbl, mv_tbl, _df(spark, [(0, "a", 0)]).limit(0), deletes=_df(spark, [(2, "a", 0)]).select("k")
+    )
+    assert stats["groups_recomputed"] == 1
+    assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
+    got = {r["grp"]: str(r["max_v"]) for r in mv.collect()}
+    assert got["a"] == "10.000000"
+
+
+def test_minmax_insert_improves_extrema_fold_only(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_minmax
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 10), (2, "a", 20)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_minmax(spark, mv_tbl, seed, ["grp"], "v", n_buckets=8)
+
+    # new min (1) and new max (99) via inserts: least/greatest fold
+    mv, stats = _apply_minmax(spark, base_tbl, mv_tbl, _df(spark, [(3, "a", 1), (4, "a", 99)]))
+    assert stats["groups_recomputed"] == 0
+    assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
+
+
+def test_minmax_group_birth_and_death(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_minmax
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    seed = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_minmax(spark, mv_tbl, seed, ["grp"], "v", n_buckets=8)
+
+    mv, _ = _apply_minmax(
+        spark, base_tbl, mv_tbl, _df(spark, [(3, "c", 3)]), deletes=_df(spark, [(2, "b", 0)]).select("k")
+    )
+    assert {r["grp"] for r in mv.collect()} == {"a", "c"}
+    assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
+
+
+def test_minmax_randomized_sequence_matches_recompute(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_minmax
+
+    base_tbl, mv_tbl = str(tmp_path / "base"), str(tmp_path / "mv")
+    rng = random.Random(11)
+    rows = [(k, rng.choice("abc"), rng.randint(1, 50)) for k in range(30)]
+    seed = _df(spark, rows)
+    merge_upsert(spark, base_tbl, seed, keys=["k"], n_buckets=8)
+    build_minmax(spark, mv_tbl, seed, ["grp"], "v", n_buckets=8)
+
+    live = {k: (g, v) for k, g, v in rows}
+    next_k = 30
+    for _ in range(4):
+        ups = []
+        for _ in range(rng.randint(1, 4)):  # mix of updates and inserts
+            if live and rng.random() < 0.5:
+                k = rng.choice(list(live))
+                ups.append((k, rng.choice("abc"), rng.randint(1, 50)))
+            else:
+                ups.append((next_k, rng.choice("abc"), rng.randint(1, 50)))
+                next_k += 1
+        del_keys = rng.sample(sorted(live), k=min(len(live), rng.randint(0, 3)))
+        dels = _df(spark, [(k, "x", 0) for k in del_keys]).select("k") if del_keys else None
+        mv, _ = _apply_minmax(spark, base_tbl, mv_tbl, _df(spark, ups), deletes=dels)
+        for k in del_keys:
+            live.pop(k, None)
+        for k, g, v in ups:
+            live[k] = (g, v)
+        assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
