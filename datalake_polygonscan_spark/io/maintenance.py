@@ -106,6 +106,7 @@ def compact_snapshot(
     # applied them), so the compacted version carries none
     meta = {k: v for k, v in base.items() if k != "snapshot"}
     meta.pop("has_tombstones", None)
+    meta.pop("has_deltas", None)  # MoR upserts materialize too
     meta["compacted_from"] = base["snapshot"]
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)

@@ -310,6 +310,7 @@ def _merge_once(
         # bootstrap: the batch IS the table (deletes against empty = noop)
         meta = {
             "merge_buckets": n_buckets,
+            "merge_keys": keys,
             "table_schema": T.StructType(batch_fields).json(),
             **(extra_meta or {}),
         }
@@ -320,7 +321,8 @@ def _merge_once(
     prev_snap = os.path.join(table_path, base["snapshot"])
     if base.get("has_tombstones") and base.get("merge_keys") != keys:
         raise ValueError(
-            f"table tombstones are keyed on {base.get('merge_keys')}, not {keys}"
+            f"table key space is {base.get('merge_keys')}, not {keys} "
+            "(tombstones cannot be re-keyed)"
         )
     cur_fields = [
         f
@@ -341,6 +343,7 @@ def _merge_once(
     target_fields = cur_fields + [f for f in batch_fields if f.name not in cur_names]
     meta = {
         "merge_buckets": n_buckets,
+        "merge_keys": keys,
         "table_schema": T.StructType(target_fields).json(),
         **(extra_meta or {}),
     }
@@ -383,9 +386,17 @@ def _merge_once(
             kept = kept.join(del_keys, keys, "left_anti")
         return kept.unionByName(ins.select(*kept.columns))
 
-    if base.get("merge_buckets") != n_buckets:
-        # unbucketed (plain atomic_overwrite) or differently-bucketed
-        # snapshot: one-time full rewrite migrates it into this layout
+    if (
+        base.get("merge_buckets") != n_buckets
+        or base.get("has_deltas")
+        or (base.get("merge_keys") is not None and base.get("merge_keys") != keys)
+    ):
+        # unbucketed (plain atomic_overwrite), differently-bucketed,
+        # differently-KEYED, or MoR-delta-carrying snapshot: one-time
+        # full rewrite migrates it into this layout (for deltas, the
+        # rewrite MATERIALIZES them — the pruned path's hard-linking of
+        # untouched buckets cannot carry delta rows; for a key-space
+        # change, the old bucket layout cannot prune the new keys)
         current_logical = read_table(spark, table_path)
         current = current_logical.withColumn("_bucket", _bucket_col(keys, n_buckets))
         merged = _merge_arms(current)

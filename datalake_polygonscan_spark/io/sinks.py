@@ -320,14 +320,54 @@ def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> Data
     Merge-on-read deletes (io/tombstones.py): when the commit carries
     ``has_tombstones``, the snapshot's key tombstones are anti-joined
     out here — EVERY consumer (live reads, time travel, merge
-    internals, compaction) sees deletes applied, from one place."""
+    internals, compaction) sees deletes applied, from one place.
+
+    Merge-on-read upserts (io/tombstones.py:append_upserts): when the
+    commit carries ``has_deltas``, the ``_deltas/`` batches resolve
+    latest-batch-wins per key in ONE scan (batch sequence parsed from
+    the file path, a per-key window — no per-batch union), base rows
+    shadowed by a delta key drop out, and delta rows of a bucketed
+    layout get their ``_bucket`` recomputed so partition-dependent
+    consumers (pruned merges, per-bucket compaction) stay correct.
+    Tombstones apply AFTER delta resolution: a surviving tombstone
+    postdates every delta batch (upserts clear their keys' tombstones
+    at commit), so it must kill delta rows too."""
     if meta and meta.get("table_schema"):
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["table_schema"]))
         df = spark.read.schema(schema).parquet(snap_dir)
+        logical_reader = spark.read.schema(schema)
     else:
         df = spark.read.parquet(snap_dir)
+        logical_reader = spark.read
+    if meta and meta.get("has_deltas"):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from datalake_polygonscan_spark.io.tombstones import delta_dirs
+
+        ddirs = delta_dirs(snap_dir)
+        if ddirs:
+            keys = meta["merge_keys"]
+            deltas = logical_reader.parquet(*ddirs).withColumn(
+                "_seq",
+                F.regexp_extract(F.input_file_name(), r"batch-(\d{6})-", 1).cast("int"),
+            )
+            w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc())
+            resolved = (
+                deltas.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
+            if "_bucket" in df.columns:
+                resolved = resolved.withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(meta["merge_buckets"])),
+                )
+            df = df.join(resolved.select(*keys).distinct(), keys, "left_anti").unionByName(
+                resolved.select(*df.columns)
+            )
     if meta and meta.get("has_tombstones"):
         from datalake_polygonscan_spark.io.tombstones import tombstone_dirs
 

@@ -289,6 +289,12 @@ def pruned_scan(
             for f in fs
             if not f.startswith(("_", ".")) and f.endswith(".parquet")
         )
+    if meta.get("has_tombstones") or meta.get("has_deltas"):
+        # merge-on-read state must be resolved row-wise; raw kept-file
+        # reads would resurrect deleted rows / miss delta rows. Serve
+        # the resolved read unpruned (OPTIMIZE restores skipping).
+        df = read_snapshot(spark, snap, meta)
+        return df, {"files_total": len(all_files), "files_read": len(all_files)}
     stats_manifest = {}
     if ranges and os.path.exists(stats_path):
         with open(stats_path) as f:

@@ -38,10 +38,22 @@ from datalake_polygonscan_spark.io.sinks import (
 )
 
 _TOMB = "_tombstones"
+_DELTAS = "_deltas"
 
 
 def tombstone_dirs(snap_dir: str) -> list[str]:
     root = os.path.join(snap_dir, _TOMB)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, e) for e in os.listdir(root) if e.startswith("batch-")
+    )
+
+
+def delta_dirs(snap_dir: str) -> list[str]:
+    """MoR upsert delta batches of a snapshot, oldest first (the
+    6-digit sequence embedded in the name is the resolution order)."""
+    root = os.path.join(snap_dir, _DELTAS)
     if not os.path.isdir(root):
         return []
     return sorted(
@@ -82,9 +94,9 @@ def delete_keys(
     if base is None:
         raise FileNotFoundError(f"no snapshot at {table_path}")
     existing_keys = base.get("merge_keys")
-    if base.get("has_tombstones") and existing_keys != keys:
+    if existing_keys is not None and existing_keys != keys:
         raise ValueError(
-            f"table tombstones are keyed on {existing_keys}, not {keys}"
+            f"table key space is {existing_keys}, not {keys}"
         )
     prev_snap = os.path.join(table_path, base["snapshot"])
     snap_name = new_snapshot_name(base)
@@ -100,6 +112,83 @@ def delete_keys(
         k: v for k, v in base.items() if k != "snapshot"
     }
     meta.update({"has_tombstones": True, "merge_keys": keys})
+    try:
+        commit_snapshot(table_path, snap_name, base, meta)
+    except SnapshotConflict:
+        shutil.rmtree(new_snap, ignore_errors=True)
+        raise
+    return read_table(spark, table_path)
+
+
+def append_upserts(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge-on-read UPSERT (Hudi MOR / Iceberg v2 equality-delete+
+    append): commit a new version whose data files are ALL hard links
+    of the previous snapshot plus one small ``_deltas/`` batch — write
+    cost O(batch), zero write amplification. Readers resolve
+    latest-batch-wins per key (io/sinks.py:read_snapshot), deferring
+    the merge cost to reads; ``compact_snapshot`` (OPTIMIZE)
+    materializes the deltas back into data files, and a copy-on-write
+    MERGE on a delta-carrying table takes the full-rewrite path (the
+    same materialization). This is the write-heavy end of the
+    CoW/MoR tradeoff — the bucket-pruned ``merge_upsert`` is the
+    read-heavy end; both commit through the same CAS pointer.
+
+    Within a batch, duplicate keys collapse deterministically
+    (io/merge.py's batch dedup). Tombstones of upserted keys CLEAR in
+    the same commit (no resurrection) — surviving tombstones postdate
+    every delta batch by construction, so reads apply them AFTER delta
+    resolution. ``keys`` must be the table's one key space (enforced
+    against the commit metadata)."""
+    from datalake_polygonscan_spark.io.merge import _dedup_batch
+
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    existing_keys = base.get("merge_keys")
+    if existing_keys is not None and existing_keys != keys:
+        raise ValueError(f"table key space is {existing_keys}, not {keys}")
+    import json as _json
+
+    if base.get("table_schema"):
+        table_cols = {f["name"] for f in _json.loads(base["table_schema"])["fields"]}
+        if set(updates.columns) != table_cols:
+            raise ValueError(
+                f"MoR upsert batch columns {sorted(updates.columns)} != table "
+                f"schema {sorted(table_cols)} (no schema evolution on the MoR path)"
+            )
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    snap_name = new_snapshot_name(base)
+    new_snap = os.path.join(table_path, snap_name)
+    os.makedirs(new_snap, exist_ok=True)
+    _link_tree(prev_snap, new_snap, skip={_TOMB, _DELTAS})
+    for d in delta_dirs(prev_snap):
+        _link_tree(d, os.path.join(new_snap, _DELTAS, os.path.basename(d)), set())
+    seq = len(delta_dirs(prev_snap))
+    batch_dir = os.path.join(
+        new_snap, _DELTAS, f"batch-{seq:06d}-{snap_name.split('-')[-1]}"
+    )
+    _dedup_batch(updates, keys, None).write.mode("overwrite").parquet(batch_dir)
+
+    meta = {k: v for k, v in base.items() if k != "snapshot"}
+    meta.update({"has_deltas": True, "merge_keys": keys})
+    # no-resurrection rule: tombstones of re-upserted keys clear now
+    if base.get("has_tombstones"):
+        remaining = (
+            spark.read.parquet(*tombstone_dirs(prev_snap))
+            .join(updates.select(*keys).distinct(), keys, "left_anti")
+        )
+        kept = remaining.collect()
+        if kept:
+            spark.createDataFrame(kept, remaining.schema).write.mode("overwrite").parquet(
+                os.path.join(new_snap, _TOMB, "batch-0")
+            )
+        else:
+            meta.pop("has_tombstones", None)
     try:
         commit_snapshot(table_path, snap_name, base, meta)
     except SnapshotConflict:

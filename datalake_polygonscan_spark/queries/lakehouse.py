@@ -682,3 +682,64 @@ def mv3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(stats1["groups_recomputed"] == n_groups).alias("recompute_exercised"),
         F.lit(stats2["groups_recomputed"] == 0).alias("fold_only_exercised"),
     )
+
+
+@register(
+    "s18_mor_upsert",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS p FROM orders),
+    final AS (
+      SELECT o_orderstatus,
+             CASE WHEN k % 24 = 0 THEN p + 7.0
+                  WHEN k % 8 = 0 THEN p + 900.0
+                  WHEN k % 4 = 0 THEN p + 500.0
+                  ELSE p END AS v
+      FROM o WHERE k % 12 <> 0 OR k % 24 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS zero_rewrite_upserts
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc="S18 merge-on-read UPSERT (io/tombstones.py:append_upserts; Hudi MOR / Iceberg v2 shape): two upsert batches (+500 on keys%4==0, then +900 on keys%8==0 — the LATER delta batch must win per key) commit as hard-link-only versions plus small _deltas/ batches (zero_rewrite_upserts verifies every base data file inode-identical through BOTH commits); readers resolve latest-batch-wins in one scan (sequence from the file path, per-key window). A MoR DELETE of keys%12==0 then kills base AND delta rows (tombstones apply after delta resolution), and a final upsert of keys%24==0 at +7 clears their tombstones (no resurrection of %12 keys that stay dead). Oracle states the final table in closed form",
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+    from datalake_polygonscan_spark.io.tombstones import append_upserts, delete_keys
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s18_mor_upsert", "orders_mor_up")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_upsert(spark, table, o, keys=["o_orderkey"], n_buckets=16)
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    k = F.col("o_orderkey")
+    before = _inodes(current_snapshot_path(table))
+    b1 = o.filter(k % 4 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+    append_upserts(spark, table, b1, ["o_orderkey"])
+    b2 = o.filter(k % 8 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 900.0)
+    append_upserts(spark, table, b2, ["o_orderkey"])
+    after = _inodes(current_snapshot_path(table))
+    zero_rewrite = all(after.get(p) == i for p, i in before.items())
+
+    delete_keys(spark, table, o.filter(k % 12 == 0).select("o_orderkey"), ["o_orderkey"])
+    b3 = o.filter(k % 24 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+    live = append_upserts(spark, table, b3, ["o_orderkey"])
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("zero_rewrite_upserts", F.lit(zero_rewrite))
+    )

@@ -88,9 +88,9 @@ def test_mismatched_tombstone_keys_raise(spark, tmp_path):
     tbl = str(tmp_path / "t")
     _seed(spark, tbl, n=10)
     delete_keys(spark, tbl, spark.createDataFrame([(1,)], ["k"]), keys=["k"])
-    with pytest.raises(ValueError, match="tombstones are keyed"):
+    with pytest.raises(ValueError, match="key space"):
         delete_keys(spark, tbl, spark.createDataFrame([(2.0,)], ["v"]), keys=["v"])
-    with pytest.raises(ValueError, match="tombstones are keyed"):
+    with pytest.raises(ValueError, match="key space"):
         merge_upsert(
             spark, tbl,
             spark.createDataFrame([(1, 1.0)], ["k", "v"]).withColumnRenamed("k", "k2"),
@@ -108,3 +108,84 @@ def test_deleted_rows_cannot_resurrect_through_merge_kept_arm(spark, tmp_path):
     live = merge_upsert(spark, tbl, batch, keys=["k"], n_buckets=8)
     assert 4 not in {r["k"] for r in live.collect()}
     assert live.count() == 15 + 8
+
+
+# ---------------- MoR UPSERT (append_upserts) ----------------
+
+
+def _rows(spark, tbl):
+    return sorted((r["k"], r["v"]) for r in read_table(spark, tbl).collect())
+
+
+def test_mor_upsert_zero_rewrite_and_latest_batch_wins(spark, tmp_path):
+    from datalake_polygonscan_spark.io.tombstones import append_upserts
+
+    tbl = str(tmp_path / "t")
+    _seed(spark, tbl, n=10)
+    before = _data_inodes(current_snapshot_path(tbl))
+    up = lambda rows: spark.createDataFrame(rows, ["k", "v"])  # noqa: E731
+    append_upserts(spark, tbl, up([(2, 20.0), (100, 100.0)]), ["k"])
+    append_upserts(spark, tbl, up([(2, 200.0)]), ["k"])
+    after = _data_inodes(current_snapshot_path(tbl))
+    assert all(after.get(p) == i for p, i in before.items())  # zero rewrite
+    got = dict(_rows(spark, tbl))
+    assert got[2] == 200.0  # later delta batch wins
+    assert got[100] == 100.0  # insert visible
+    assert len(got) == 11
+
+
+def test_mor_upsert_tombstone_interplay(spark, tmp_path):
+    from datalake_polygonscan_spark.io.tombstones import append_upserts
+
+    tbl = str(tmp_path / "t")
+    _seed(spark, tbl, n=10)
+    up = lambda rows: spark.createDataFrame(rows, ["k", "v"])  # noqa: E731
+    append_upserts(spark, tbl, up([(3, 30.0), (50, 50.0)]), ["k"])
+    # delete kills the BASE row 4 and the DELTA rows 3 and 50
+    delete_keys(spark, tbl, up([(3, 0.0), (4, 0.0), (50, 0.0)]), ["k"])
+    got = dict(_rows(spark, tbl))
+    assert 3 not in got and 4 not in got and 50 not in got
+    # re-upserting 3 clears ONLY its tombstone
+    append_upserts(spark, tbl, up([(3, 33.0)]), ["k"])
+    got = dict(_rows(spark, tbl))
+    assert got[3] == 33.0 and 4 not in got and 50 not in got
+
+
+def test_mor_upsert_optimize_materializes(spark, tmp_path):
+    from datalake_polygonscan_spark.io.tombstones import append_upserts, delta_dirs
+
+    tbl = str(tmp_path / "t")
+    _seed(spark, tbl, n=10)
+    up = spark.createDataFrame([(1, 11.0), (77, 77.0)], ["k", "v"])
+    append_upserts(spark, tbl, up, ["k"])
+    expect = _rows(spark, tbl)
+    compact_snapshot(spark, tbl)
+    snap = current_snapshot_path(tbl)
+    assert delta_dirs(snap) == []  # deltas folded into data files
+    assert _rows(spark, tbl) == expect
+
+
+def test_mor_upsert_cow_merge_materializes(spark, tmp_path):
+    from datalake_polygonscan_spark.io.tombstones import append_upserts, delta_dirs
+
+    tbl = str(tmp_path / "t")
+    _seed(spark, tbl, n=10)
+    append_upserts(spark, tbl, spark.createDataFrame([(5, 55.0)], ["k", "v"]), ["k"])
+    merge_upsert(spark, tbl, spark.createDataFrame([(200, 2.0)], ["k", "v"]), keys=["k"], n_buckets=8)
+    got = dict(_rows(spark, tbl))
+    assert got[5] == 55.0 and got[200] == 2.0
+    assert delta_dirs(current_snapshot_path(tbl)) == []
+
+
+def test_mor_upsert_guards(spark, tmp_path):
+    from datalake_polygonscan_spark.io.tombstones import append_upserts
+
+    tbl = str(tmp_path / "t")
+    _seed(spark, tbl, n=5)
+    with pytest.raises(ValueError, match="key space"):
+        append_upserts(spark, tbl, spark.createDataFrame([(1, 1.0)], ["k", "v"]), ["v"])
+    with pytest.raises(ValueError, match="schema"):
+        append_upserts(
+            spark, tbl,
+            spark.createDataFrame([(1, 1.0, "x")], ["k", "v", "extra"]), ["k"],
+        )
