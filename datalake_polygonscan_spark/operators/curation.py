@@ -471,3 +471,81 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """L7 — bigram language-model perplexity scoring (the CCNet-style
+    quality signal: score documents by how surprising they are to a
+    model trained on a trusted slice of the corpus; high perplexity ->
+    low quality / out of domain).
+
+    Train: unigram + bigram counts over ``train_docs`` — two exploded
+    hash aggregates, map-side combined, so the shuffle carries at most
+    the vocabulary (resp. bigram vocabulary), not the corpus. Score:
+    each document's bigrams left-join the count tables (broadcast: a
+    pruned model is small by construction — at web scale keep the
+    top-N vocabulary and let everything else hit the OOV mass, which
+    this add-alpha smoothing already models) and fold into
+    avg-negative-log-likelihood per document.
+
+    Model: add-alpha smoothed bigram probabilities
+    ``P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V)`` with
+    ``V = |vocab| + 1`` (the +1 is the OOV type). Documents with fewer
+    than 2 tokens produce no bigrams and are excluded. Every step is
+    integer counts + one closed-form float expression, so an oracle
+    can replay it exactly.
+
+    Output: (doc_id, n_bigrams, nll, ppl) with nll/ppl rounded to 4.
+    """
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+        )
+
+    def _pairs(toks: DataFrame) -> DataFrame:
+        return (
+            toks.filter(F.size("t") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(slice(t, 1, size(t)-1), (x, i) -> struct(x AS w1, t[i+1] AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.w1", "p.w2")
+        )
+
+    train_toks = _toks(train_docs)
+    c1 = (
+        train_toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    c2 = _pairs(train_toks).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab_v = c1.count() + 1  # +1 = the OOV type
+
+    scored = (
+        _pairs(_toks(docs))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1.withColumnRenamed("w", "w1")), ["w1"], "left")
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(float(vocab_v)))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.col("_lp")), 4).alias("nll"),
+        F.round(F.exp(F.avg(-F.col("_lp"))), 4).alias("ppl"),
+    )

@@ -356,3 +356,45 @@ def l5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l5_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "l7_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    c1 AS (
+      SELECT u AS w, count(*) AS c FROM toks, UNNEST(t) AS z(u)
+      WHERE doc_id % 2 = 0 GROUP BY u
+    ),
+    c2 AS (
+      SELECT w1, w2, count(*) AS c FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    v AS (SELECT count(*) + 1 AS v FROM c1),
+    scored AS (
+      SELECT p.doc_id,
+             ln((COALESCE(c2.c, 0) + 0.5) / (COALESCE(c1.c, 0) + 0.5 * v.v)) AS lp
+      FROM pairs p
+      LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      LEFT JOIN c1 ON p.w1 = c1.w
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-lp), 4) AS nll,
+           ROUND(EXP(AVG(-lp)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="L7 bigram language-model perplexity scoring (operators/curation.py:ngram_lm_perplexity; the CCNet quality signal): unigram+bigram counts trained on the doc_id%2==0 half of the corpus (two map-side-combined hash aggregates — the shuffle carries the vocabulary, not the corpus), add-0.5 smoothing with V=|vocab|+1 (the OOV type), every document scored by avg negative log-likelihood over its bigrams via two BROADCAST model joins. Integer counts + one closed-form float expression, so the oracle replays the identical arithmetic in DuckDB SQL",
+)
+def l7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return C.ngram_lm_perplexity(docs, train, "doc_id", "text", alpha=0.5)

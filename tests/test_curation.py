@@ -196,3 +196,29 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert len(by_doc[3]) == 1
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_lm_perplexity_orders_quality_and_handles_oov(spark):
+    from datalake_polygonscan_spark.operators.curation import ngram_lm_perplexity
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),          # in-domain
+            (101, "zzz qqq xxx vvv www yyy"),          # all OOV
+            (102, "the"),                              # 1 token: no bigrams
+            (103, ""),                                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_perplexity(docs, train).collect()}
+    assert set(out) == {100, 101}  # <2-token docs excluded
+    assert out[100]["nll"] < out[101]["nll"]  # in-domain scores better
+    assert out[100]["ppl"] < out[101]["ppl"]
+    assert out[100]["n_bigrams"] == 5 and out[101]["n_bigrams"] == 5
+    # smoothing keeps OOV finite
+    import math
+    assert math.isfinite(out[101]["ppl"])
