@@ -241,3 +241,72 @@ def test_pack_sequences_never_partitionless_window(spark):
         assert "Window" in plan
         assert "Exchange SinglePartition" not in plan
         assert "Exchange hashpartitioning" in plan
+
+
+def test_lm_perplexity_broadcasts_model_and_combines_counts(spark):
+    from datalake_polygonscan_spark.operators.curation import ngram_lm_perplexity
+
+    docs = load_table(spark, SF, "documents")
+    q = ngram_lm_perplexity(docs, docs.filter(F.col("doc_id") % 2 == 0))
+    plan = _plan(q)
+    # both model joins are broadcast (the model is vocabulary-sized)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # count aggregates are map-side combined (partial + final per agg)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bloom_build_prunes_to_bloom_columns(spark, tmp_path):
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_pointer, read_snapshot
+
+    tbl = str(tmp_path / "t")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_discount"
+    )
+    atomic_overwrite(li, tbl)
+    # the bloom build scan must read ONLY the bloom column (+ layout):
+    # replicate its read shape and check ReadSchema
+    meta = read_pointer(tbl)
+    df = read_snapshot(spark, os.path.join(tbl, meta["snapshot"]), meta)
+    from datalake_polygonscan_spark.io.skipping import _bloom_spark_positions
+
+    shaped = (
+        df.withColumn("_file", F.input_file_name())
+        .filter(F.col("l_orderkey").isNotNull())
+        .select("_file", F.explode(_bloom_spark_positions("l_orderkey", 1 << 14, 5)).alias("p"))
+        .groupBy("_file")
+        .agg(F.collect_set("p"))
+    )
+    read_schema = [ln for ln in _plan(shaped).splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema
+    assert "l_discount" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_mor_read_resolves_with_single_window_and_no_extra_exchange(spark, tmp_path):
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import read_table
+    from datalake_polygonscan_spark.io.tombstones import append_upserts
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], ["k", "v"])
+    merge_upsert(spark, tbl, df, keys=["k"], n_buckets=4)
+    append_upserts(spark, tbl, spark.createDataFrame([(1, 10.0)], ["k", "v"]), ["k"])
+    plan = _plan(read_table(spark, tbl))
+    # latest-batch-wins resolves through the WindowGroupLimit (top-1
+    # per key) optimization, and the key anti-join broadcasts the tiny
+    # delta key set — never a sort-merge over the base
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_not_cross(spark):
+    from datalake_polygonscan_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    pairs, _ = semantic_dedup(emb, threshold=0.8, k=4, n_iter=1, nprobe=2)
+    plan = _plan(pairs)
+    # candidate generation is an equi-join on the cluster id — the plan
+    # must not contain a cartesian/broadcast nested loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
