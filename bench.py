@@ -48,7 +48,8 @@ HEADLINE = [
     "l6_curate_corpus",
     "ts1_resample_gapfill",
     "s13_data_skipping",
-    "ml2_semantic_dedup",
+    "ml1_kmeans_clusters",
+    "l7_lm_perplexity",
     "entry_flagship",
 ]
 
