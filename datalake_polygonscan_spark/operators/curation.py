@@ -35,7 +35,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.functions.text import tokens, word_shingles
@@ -548,4 +548,70 @@ def ngram_lm_perplexity(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(-F.col("_lp")), 4).alias("nll"),
         F.round(F.exp(F.avg(-F.col("_lp"))), 4).alias("ppl"),
+    )
+
+
+def exact_quota_sample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """L5k — EXACT per-stratum quota sampling: exactly ``min(quota,
+    n_stratum)`` rows from every stratum, chosen by md5-hash order of
+    the id (deterministic, engine-portable, uniformly random w.r.t.
+    any data property not derived from the id — the same hash-as-RNG
+    contract as the rate-based samplers). Rate-based gates
+    (:func:`stratified_sample`) give each stratum a binomial DRAW
+    around the target; training-data budgets are usually hard counts
+    per language/source, which needs rank-below-quota instead.
+
+    One shuffle on the strata (the rank window); ties impossible (md5
+    of distinct ids collides only at 2^-64). At 100 TB this is the
+    same shape as top-k-per-group (O2): a WindowGroupLimit plan, no
+    global sort."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= quota)
+        .drop("_qr")
+    )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    token_count_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """L5m — data-mixture assembly to per-source TOKEN budgets: from
+    each source, take documents in md5-hash order until the source's
+    token budget is exhausted (the first document to CROSS the budget
+    is included, so every non-empty budget yields at least one
+    document and the overshoot is bounded by one document). This is
+    the training-mixture primitive — "200M tokens of code, 100M of
+    wiki" — where the unit of account is tokens, not documents.
+
+    One shuffle on the source (the running-sum window); the budget
+    gate compares the EXCLUSIVE prefix sum against the budget, all
+    codegen. Sources absent from ``budgets`` contribute nothing.
+    Output keeps the input columns plus ``_cum_tokens`` (the inclusive
+    running total within the source, for auditability)."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(source_col)]
+    prev = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return (
+        docs.withColumn("_prev_tokens", prev)
+        .filter(budget.isNotNull() & (F.col("_prev_tokens") < budget))
+        .withColumn("_cum_tokens", F.col("_prev_tokens") + F.col(token_count_col))
+        .drop("_prev_tokens")
     )

@@ -398,3 +398,51 @@ def l7(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     return C.ngram_lm_perplexity(docs, train, "doc_id", "text", alpha=0.5)
+
+
+@register(
+    "l5_quota_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 30
+    """,
+    doc="L5k EXACT per-stratum quota sampling (operators/curation.py:exact_quota_sample): exactly min(30, n) documents per language, chosen by md5-hash order of the id — hard per-stratum budgets (the usual training-data contract) instead of the binomial draw a rate gate gives; deterministic and engine-portable, one WindowGroupLimit-shaped shuffle, no global sort. Oracle replays the identical rank in DuckDB QUALIFY",
+)
+def l5_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.exact_quota_sample(docs, ["lang"], quota=30).select("doc_id", "lang")
+
+
+@register(
+    "l5_token_mixture",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE lang IN ('en', 'zh')
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, CAST(prev + n_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE prev < CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
+    """,
+    doc="L5m data-mixture assembly to per-source TOKEN budgets (operators/curation.py:token_budget_mixture): 5000 tokens of English, 2000 of Chinese, other languages excluded — documents taken in md5-hash order until the EXCLUSIVE prefix token sum crosses the budget (the crossing document is included, overshoot bounded by one doc); the training-mixture primitive where the unit of account is tokens, not documents. One running-sum window per language, all codegen; oracle replays the identical prefix-sum gate",
+)
+def l5_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("long"),
+    )
+    out = C.token_budget_mixture(
+        docs, "lang", {"en": 5000, "zh": 2000}, "n_tokens", "doc_id"
+    )
+    return out.select("doc_id", "lang", "n_tokens", F.col("_cum_tokens").cast("long").alias("cum_tokens"))

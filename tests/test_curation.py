@@ -222,3 +222,37 @@ def test_lm_perplexity_orders_quality_and_handles_oov(spark):
     # smoothing keeps OOV finite
     import math
     assert math.isfinite(out[101]["ppl"])
+
+
+def test_exact_quota_sample_hard_counts(spark):
+    from datalake_polygonscan_spark.operators.curation import exact_quota_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(60)], "doc_id long, lang string"
+    )
+    out = exact_quota_sample(docs, ["lang"], quota=20)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"a": 20, "b": 10}  # min(quota, n) exactly
+    # determinism: same result twice
+    again = exact_quota_sample(docs, ["lang"], quota=20)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_token_budget_mixture_semantics(spark):
+    from datalake_polygonscan_spark.operators.curation import token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh", 100) for i in range(40)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = token_budget_mixture(docs, "lang", {"en": 350}, "n_tokens").collect()
+    # zh has no budget -> excluded entirely
+    assert all(r["lang"] == "en" for r in out)
+    # 100-token docs against a 350 budget: 4 docs (the 4th crosses)
+    assert len(out) == 4
+    assert max(r["_cum_tokens"] for r in out) == 400  # overshoot <= one doc
+    # every non-empty budget yields at least one doc even if tiny
+    tiny = token_budget_mixture(docs, "lang", {"zh": 1}, "n_tokens").collect()
+    assert len(tiny) == 1 and tiny[0]["lang"] == "zh"
