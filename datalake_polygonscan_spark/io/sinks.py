@@ -388,3 +388,51 @@ def read_table(spark: SparkSession, table_path: str) -> DataFrame:
         raise FileNotFoundError(f"no snapshot at {table_path}")
     df = read_snapshot(spark, os.path.join(table_path, meta["snapshot"]), meta)
     return df.drop("_bucket") if "_bucket" in df.columns else df
+
+
+def restore_version(
+    spark: SparkSession, table_path: str, version: int, retain: int = 2
+) -> DataFrame:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF``: roll the table BACK
+    by rolling FORWARD — a new commit whose content AND commit
+    metadata (schema, bucket layout, MoR tombstone/delta state) are
+    those of ``version``, with every file hard-linked (zero data
+    movement). History is preserved: the commits being rolled back
+    stay in the log and remain time-travel-readable, and the restore
+    itself is a version with ``restored_from`` provenance. Negative
+    versions index from the latest. Raises :class:`SnapshotVacuumed`
+    if retention already pruned the target's files."""
+    from datalake_polygonscan_spark.io.tombstones import _link_tree
+
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    log = history(table_path)
+    by_version = {e["version"]: e for e in log}
+    if version < 0:
+        version = max(by_version) + 1 + version
+    entry = by_version.get(version)
+    if entry is None:
+        raise ValueError(
+            f"version {version} never committed at {table_path} (log has {sorted(by_version)})"
+        )
+    if not entry["available"]:
+        raise SnapshotVacuumed(
+            f"version {version} ({entry['snapshot']}) was pruned by retention"
+        )
+    snap_name = new_snapshot_name(base)
+    _link_tree(
+        os.path.join(table_path, entry["snapshot"]),
+        os.path.join(table_path, snap_name),
+        skip=set(),
+    )
+    meta = {
+        k: v for k, v in entry.items() if k not in ("version", "snapshot", "available")
+    }
+    meta["restored_from"] = version
+    try:
+        commit_snapshot(table_path, snap_name, base, meta, retain=retain)
+    except SnapshotConflict:
+        shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
+        raise
+    return read_table(spark, table_path)

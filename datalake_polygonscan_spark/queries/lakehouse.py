@@ -743,3 +743,36 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
         .withColumn("zero_rewrite_upserts", F.lit(zero_rewrite))
     )
+
+
+@register(
+    "s19_restore",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS bad_version_still_readable
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="S19 RESTORE / rollback (io/sinks.py:restore_version; Delta's RESTORE VERSION AS OF): v0 = orders, v1 = a corrupting x2 repricing, v2 = restore of v0 committed as a NEW hard-link-only version — rolling back by rolling forward. The live read must equal the ORIGINAL table exactly (the oracle), the log holds 3 versions, and the corrupt v1 stays time-travel-readable for forensics (its sum differs from v0's — verdict rides the hash)",
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history, restore_version
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s19_restore", "orders_restore")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(o, table, retain=10)  # v0
+    corrupted = o.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    atomic_overwrite(corrupted, table, retain=10)  # v1: the bad deploy
+    live = restore_version(spark, table, 0, retain=10)  # v2 = v0 content
+
+    good = read_version(spark, table, 0).agg(F.sum("o_totalprice")).collect()[0][0]
+    bad = read_version(spark, table, 1).agg(F.sum("o_totalprice")).collect()[0][0]
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("n_versions", F.lit(len(history(table))).cast("long"))
+        .withColumn("bad_version_still_readable", F.lit(bad is not None and bad != good))
+    )

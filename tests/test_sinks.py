@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.io.sinks import (
     append,
@@ -94,3 +95,41 @@ def test_partitioned_write_layout(spark, tmp_table):
     write_partitioned(df, tmp_table, ["part"])
     entries = {e for e in os.listdir(tmp_table) if e.startswith("part=")}
     assert entries == {"part=a", "part=b"}
+
+
+def test_restore_rolls_back_by_rolling_forward(spark, tmp_path):
+    from datalake_polygonscan_spark.io.sinks import (
+        atomic_overwrite,
+        history,
+        read_table,
+        read_version,
+        restore_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    atomic_overwrite(v0, tbl, retain=10)
+    atomic_overwrite(v0.withColumn("v", F.col("v") * 100), tbl, retain=10)  # bad
+    live = restore_version(spark, tbl, 0, retain=10)
+    assert sorted((r.k, r.v) for r in live.collect()) == [(1, 10.0), (2, 20.0)]
+    log = history(tbl)
+    assert len(log) == 3 and log[-1]["restored_from"] == 0
+    # the rolled-back commit stays readable for forensics
+    assert sorted(r.v for r in read_version(spark, tbl, 1).collect()) == [1000.0, 2000.0]
+    # negative indexing: -3 = v0 content too
+    assert read_version(spark, tbl, -3).count() == 2
+
+
+def test_restore_preserves_mor_state(spark, tmp_path):
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import read_table, restore_version
+    from datalake_polygonscan_spark.io.tombstones import delete_keys
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "v"])
+    merge_upsert(spark, tbl, df, keys=["k"], n_buckets=4)  # v0
+    delete_keys(spark, tbl, spark.createDataFrame([(3, 0.0)], ["k", "v"]), ["k"])  # v1
+    merge_upsert(spark, tbl, spark.createDataFrame([(99, 99.0)], ["k", "v"]), keys=["k"], n_buckets=4)  # v2
+    live = restore_version(spark, tbl, 1, retain=10)  # back to: 3 deleted, no 99
+    got = sorted(r.k for r in live.collect())
+    assert 3 not in got and 99 not in got and len(got) == 9
