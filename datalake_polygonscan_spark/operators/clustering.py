@@ -87,6 +87,30 @@ def _min_dist_udf(centroids: list[list[float]]):
     return _dist
 
 
+def _assign_dist_udf(centroids: list[list[float]]):
+    """Pandas UDF: vector -> (nearest centroid id, true squared L2
+    distance to it) in one Arrow pass — the per-iteration workhorse,
+    so each Lloyd's iteration is ONE Spark job."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("cluster int, dist double")
+    def _ad(vecs: pd.Series) -> pd.DataFrame:
+        V = np.asarray(vecs.tolist(), dtype="float64")
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq
+        idx = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": idx.astype("int32"),
+                "dist": np.maximum(d[np.arange(len(idx)), idx], 0.0),
+            }
+        )
+
+    return _ad
+
+
 def kmeans(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -99,8 +123,11 @@ def kmeans(
     inertia_per_iter)`` where assignments is ``(id_col, cluster)`` —
     cluster of the FINAL centroids, so the output is always
     self-consistent — centroids is the k x dim python list, and
-    inertia_per_iter holds the post-update sum of squared distances
-    for each iteration (non-increasing for fixed data).
+    inertia_per_iter is ``[J(C_0), ..., J(C_n)]`` (the objective under
+    each iteration's centroids plus the final ones) — non-increasing
+    for fixed data by Lloyd's guarantee. Each iteration is ONE Spark
+    job: assignment + distance in one Arrow pass, per-dimension means
+    and the objective through the same partial-aggregating groupBy.
 
     Input vectors should be pre-cast to a numeric array; rows with a
     null/empty vector are excluded. ``init_ids`` pins the seed rows
@@ -124,30 +151,36 @@ def kmeans(
         if len(centroids) < k:
             raise ValueError(f"need {k} seed vectors, found {len(centroids)}")
 
+        dim = len(centroids[0])
         inertia_per_iter: list[float] = []
         for _ in range(n_iter):
-            assign = _assign_udf(centroids)
-            assigned = base.withColumn("cluster", assign(F.col("_vec"))[0])
-            # per-dimension means: partial agg collapses to <= k x dim
-            # rows per map task before the exchange
+            # ONE job per iteration: assignment + distance in one Arrow
+            # pass, then per-dimension means AND the objective J(C_i)
+            # through the same partial-aggregating groupBy (dist rides
+            # the exploded rows; dividing its sum by dim undoes the
+            # explode fan-out). The collected result is <= k x dim rows.
+            ad = _assign_dist_udf(centroids)
             stats = (
-                assigned.select("cluster", F.posexplode("_vec").alias("pos", "x"))
+                base.withColumn("_ad", ad(F.col("_vec")))
+                .select("_ad.cluster", "_ad.dist", F.posexplode("_vec").alias("pos", "x"))
                 .groupBy("cluster", "pos")
-                .agg(F.avg("x").alias("mean"))
+                .agg(F.avg("x").alias("mean"), F.sum("dist").alias("dsum"))
                 .collect()
             )
+            # J(C_i): Lloyd's guarantees J(C_0) >= J(C_1) >= ...
+            inertia_per_iter.append(sum(r["dsum"] for r in stats) / dim)
             by_cluster: dict[int, dict[int, float]] = {}
             for r in stats:
                 by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
             centroids = [
-                [by_cluster[c][p] for p in range(len(centroids[0]))]
+                [by_cluster[c][p] for p in range(dim)]
                 if c in by_cluster
                 else centroids[c]  # empty cluster keeps its centroid
                 for c in range(k)
             ]
-            dist = _min_dist_udf(centroids)
-            inertia = base.agg(F.sum(dist(F.col("_vec")))).collect()[0][0]
-            inertia_per_iter.append(float(inertia))
+        # close the sequence with the objective of the FINAL centroids
+        dist = _min_dist_udf(centroids)
+        inertia_per_iter.append(float(base.agg(F.sum(dist(F.col("_vec")))).collect()[0][0]))
 
         final_assign = _assign_udf(centroids)
         out = base.select(
