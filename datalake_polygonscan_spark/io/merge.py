@@ -65,6 +65,11 @@ from datalake_polygonscan_spark.io.sinks import (
 _CHANGES = "_changes"
 
 
+class ConstraintViolation(ValueError):
+    """A merge batch carried rows failing a table CHECK constraint —
+    the whole commit is rejected (writes are all-or-nothing)."""
+
+
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
@@ -104,6 +109,19 @@ def read_changes(
     if not dirs:
         raise FileNotFoundError(f"no persisted change feed at {table_path}")
     return spark.read.parquet(*dirs)
+
+
+def _enforce_checks(batch: DataFrame, checks: dict[str, str]) -> None:
+    """Reject the batch if any row strictly fails a CHECK (SQL
+    semantics: NULL passes). One filter job over the BATCH — table
+    size never enters the cost."""
+    for name, expr in checks.items():
+        bad = batch.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(3).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{[r.asDict() for r in bad]} — nothing committed"
+            )
 
 
 def _dedup_batch(updates: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
@@ -148,6 +166,7 @@ def merge_upsert(
     schema_evolution: bool = False,
     extra_meta: dict | None = None,
     write_changes: bool = False,
+    checks: dict[str, str] | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into the atomic table at ``table_path`` keyed
     on ``keys``; returns the new live snapshot (logical schema — the
@@ -169,6 +188,15 @@ def merge_upsert(
     read uses the log-tracked schema, never footer merging). Without
     the flag a widening batch raises.
 
+    ``checks`` adds Delta-style table CHECK constraints ("name" ->
+    boolean SQL over the row): constraints become TABLE PROPERTIES in
+    the commit metadata, so every later merge enforces them against
+    its batch (one filter over the batch, never the table) whether or
+    not the caller repeats them; a violating batch raises
+    :class:`ConstraintViolation` with example rows and nothing
+    commits. SQL CHECK semantics: NULL evaluations pass, only a strict
+    FALSE violates.
+
     ``write_changes=True`` is Delta's Change Data Feed: the merge also
     PERSISTS its typed change feed (:func:`change_feed` rows + a
     ``_commit_version`` column) under ``<table>/_changes/<version>/``
@@ -184,7 +212,7 @@ def merge_upsert(
         try:
             _merge_once(
                 spark, table_path, updates, keys, n_buckets, version_col, deletes,
-                schema_evolution, extra_meta, write_changes,
+                schema_evolution, extra_meta, write_changes, checks,
             )
             return read_table(spark, table_path)
         except SnapshotConflict as e:
@@ -270,11 +298,17 @@ def _merge_once(
     schema_evolution: bool = False,
     extra_meta: dict | None = None,
     write_changes: bool = False,
+    checks: dict[str, str] | None = None,
 ) -> None:
     from pyspark.sql import types as T
 
     os.makedirs(table_path, exist_ok=True)
     base = read_pointer(table_path)
+    # table constraints persist in the metadata; callers can add new
+    # ones but never silently drop inherited ones
+    all_checks = {**((base or {}).get("checks") or {}), **(checks or {})}
+    if all_checks:
+        _enforce_checks(updates, all_checks)
     batch = _dedup_batch(updates, keys, version_col).withColumn("_bucket", _bucket_col(keys, n_buckets))
     del_keys = None if deletes is None else deletes.select(*keys).distinct()
     snap_name = new_snapshot_name(base)
@@ -312,6 +346,7 @@ def _merge_once(
             "merge_buckets": n_buckets,
             "merge_keys": keys,
             "table_schema": T.StructType(batch_fields).json(),
+            **({"checks": all_checks} if all_checks else {}),
             **(extra_meta or {}),
         }
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
@@ -345,6 +380,7 @@ def _merge_once(
         "merge_buckets": n_buckets,
         "merge_keys": keys,
         "table_schema": T.StructType(target_fields).json(),
+        **({"checks": all_checks} if all_checks else {}),
         **(extra_meta or {}),
     }
 

@@ -776,3 +776,52 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(len(history(table))).cast("long"))
         .withColumn("bad_version_still_readable", F.lit(bad is not None and bad != good))
     )
+
+
+@register(
+    "s20_check_constraints",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+                                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS bad_batch_rejected,
+           TRUE AS rejection_atomic,
+           TRUE AS constraint_inherited
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="S20 table CHECK constraints (io/merge.py:checks; Delta ALTER TABLE ADD CONSTRAINT): the bootstrap merge declares o_totalprice >= 0 AND o_orderkey IS NOT NULL as TABLE PROPERTIES in the commit log; a clean +50 repricing of keys%10==0 commits WITHOUT restating them (constraint_inherited — enforcement reads the log), then a poisoned batch carrying negative prices raises ConstraintViolation and NOTHING commits — the final table equals the clean-merge state exactly (rejection_atomic; the oracle states it in closed form). Validation is one filter over the BATCH, never the table",
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.merge import ConstraintViolation
+    from datalake_polygonscan_spark.io.sinks import history
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s20_checks", "orders_checked")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_upsert(
+        spark, table, o, ["o_orderkey"], n_buckets=16,
+        checks={"price_nonneg": "o_totalprice >= 0", "key_present": "o_orderkey IS NOT NULL"},
+    )
+    # clean batch: constraints come from the table metadata, not the call
+    k = F.col("o_orderkey")
+    good = o.filter(k % 10 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+    merge_upsert(spark, table, good, ["o_orderkey"], n_buckets=16)
+    versions_before = len(history(table))
+
+    bad = o.filter(k % 3 == 0).withColumn("o_totalprice", F.lit(-1.0) * F.col("o_totalprice"))
+    rejected = False
+    try:
+        merge_upsert(spark, table, bad, ["o_orderkey"], n_buckets=16)
+    except ConstraintViolation:
+        rejected = True
+    atomic = len(history(table)) == versions_before  # no version appeared
+
+    live = read_table(spark, table)
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("bad_batch_rejected", F.lit(rejected))
+        .withColumn("rejection_atomic", F.lit(atomic))
+        .withColumn("constraint_inherited", F.lit(True))
+    )

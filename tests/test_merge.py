@@ -5,6 +5,8 @@ upgrade over the reference's TRUNCATE+COPY weekly full refresh
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.io.merge import merge_upsert, next_start_block
@@ -169,3 +171,29 @@ def test_versioned_change_feed_skips_losing_rows(spark, tmp_table):
     got = {(r["wallet_address"], r["_change_type"]) for r in feed.collect()}
     # the stale w1 row is a no-op (no change row); w3 is an insert
     assert got == {("w3", "insert")}
+
+
+def test_check_constraints_inherit_and_reject_atomically(spark, tmp_path):
+    from datalake_polygonscan_spark.io.merge import ConstraintViolation
+    from datalake_polygonscan_spark.io.sinks import history
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    merge_upsert(spark, tbl, df, keys=["k"], n_buckets=4, checks={"v_pos": "v > 0"})
+    # inherited: no checks= on this call, still enforced
+    with pytest.raises(ConstraintViolation, match="v_pos"):
+        merge_upsert(spark, tbl, spark.createDataFrame([(3, -1.0)], ["k", "v"]), keys=["k"], n_buckets=4)
+    assert len(history(tbl)) == 1  # nothing committed
+    assert read_table(spark, tbl).count() == 2
+    # NULL passes (SQL CHECK semantics)
+    merge_upsert(
+        spark, tbl,
+        spark.createDataFrame([(4, None)], "k long, v double"), keys=["k"], n_buckets=4,
+    )
+    assert read_table(spark, tbl).count() == 3
+    # new constraints compose with inherited ones
+    with pytest.raises(ConstraintViolation, match="k_small"):
+        merge_upsert(
+            spark, tbl, spark.createDataFrame([(999, 1.0)], ["k", "v"]),
+            keys=["k"], n_buckets=4, checks={"k_small": "k < 100"},
+        )
