@@ -317,3 +317,90 @@ def _read_touched_groups(
     )
     snap = os.path.join(mv_path, base["snapshot"])
     return spark.read.parquet(snap).filter(F.col("_bucket").isin(touched)).drop("_bucket")
+
+
+def build_distinct_sketch(
+    spark: SparkSession,
+    mv_path: str,
+    base: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Approx-DISTINCT MV: per group, a DataSketches HLL sketch of the
+    values seen plus its estimate. COUNT(DISTINCT) is the canonical
+    non-self-maintainable aggregate — no per-row delta can tell you
+    whether an arriving value is new — but the SKETCH is mergeable
+    state: union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (HLL
+    registers merge by max), so incremental maintenance degrades to a
+    per-batch sketch + one union against the stored state. Deletes
+    cannot retract from an HLL (the MV answers "distinct values EVER
+    seen" — the append-stream semantics sketches exist for)."""
+    mv = base.groupBy(*group_cols).agg(F.hll_sketch_agg(distinct_col).alias("sketch"))
+    mv = mv.withColumn("n_distinct_est", F.hll_sketch_estimate("sketch"))
+    return merge_upsert(spark, mv_path, mv, keys=group_cols, n_buckets=n_buckets)
+
+
+def refresh_distinct_sketch(
+    spark: SparkSession,
+    mv_path: str,
+    batch: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fold an insert batch into the approx-distinct MV: sketch the
+    batch (one hash agg, map-side combined — HLL partials merge on the
+    combiners too), read ONLY the touched MV buckets, union the
+    sketches, merge back. Cost follows the batch; the base table is
+    never read. Update postimages count as inserts of their values;
+    deletes are no-ops by sketch semantics (documented in
+    :func:`build_distinct_sketch`)."""
+    deltas = batch.groupBy(*group_cols).agg(F.hll_sketch_agg(distinct_col).alias("_new_sketch"))
+    current = _read_touched_mv_generic(
+        spark, mv_path, deltas, group_cols, ["sketch", "n_distinct_est"], n_buckets
+    )
+    refreshed = (
+        deltas.join(current, group_cols, "left")
+        .withColumn(
+            "sketch",
+            F.when(
+                F.col("sketch").isNull(), F.col("_new_sketch")
+            ).otherwise(
+                # hll_union is the pairwise expression form of hll_union_agg
+                F.expr("hll_union(sketch, _new_sketch)")
+            ),
+        )
+        .withColumn("n_distinct_est", F.hll_sketch_estimate("sketch"))
+        .select(*group_cols, "sketch", "n_distinct_est")
+    )
+    return merge_upsert(spark, mv_path, refreshed, keys=group_cols, n_buckets=n_buckets)
+
+
+def _read_touched_mv_generic(
+    spark: SparkSession,
+    mv_path: str,
+    deltas: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Bucket-pruned read of arbitrary MV value columns (the shared
+    shape of _read_touched_groups / _read_touched_mv)."""
+    from pyspark.sql import types as T
+
+    base = read_pointer(mv_path)
+    if base is None:
+        empty = deltas.select(*group_cols).limit(0)
+        schema_map = {"sketch": T.BinaryType(), "n_distinct_est": T.LongType()}
+        for c in value_cols:
+            empty = empty.withColumn(c, F.lit(None).cast(schema_map.get(c, T.DoubleType())))
+        return empty
+    if base.get("merge_buckets") != n_buckets:
+        return read_table(spark, mv_path)
+    touched = sorted(
+        r["_b"]
+        for r in deltas.select(_bucket_col(group_cols, n_buckets).alias("_b")).distinct().collect()
+    )
+    snap = os.path.join(mv_path, base["snapshot"])
+    return spark.read.parquet(snap).filter(F.col("_bucket").isin(touched)).drop("_bucket")

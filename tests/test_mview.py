@@ -274,3 +274,34 @@ def test_minmax_randomized_sequence_matches_recompute(spark, tmp_path):
         for k, g, v in ups:
             live[k] = (g, v)
         assert _minmax_rows(mv) == _minmax_recompute(read_table(spark, base_tbl))
+
+
+# ---------------- approx-DISTINCT sketch MV ----------------
+
+
+def test_distinct_sketch_mv_incremental_accuracy(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import (
+        build_distinct_sketch,
+        refresh_distinct_sketch,
+    )
+
+    mv_tbl = str(tmp_path / "mv")
+    base = spark.range(3000).selectExpr("id % 3 AS g", "id % 700 AS u")
+    build_distinct_sketch(spark, mv_tbl, base.filter("u % 2 = 0"), ["g"], "u", n_buckets=8)
+    mv = refresh_distinct_sketch(spark, mv_tbl, base.filter("u % 2 = 1"), ["g"], "u", n_buckets=8)
+    exact = {r["g"]: r["c"] for r in base.groupBy("g").agg(F.count_distinct("u").alias("c")).collect()}
+    got = {r["g"]: r["n_distinct_est"] for r in mv.collect()}
+    assert set(got) == set(exact)
+    for g, est in got.items():
+        assert abs(est - exact[g]) / exact[g] <= 0.05
+    # new group arriving purely through a refresh
+    mv2 = refresh_distinct_sketch(
+        spark, mv_tbl, spark.createDataFrame([(9, 1), (9, 2)], ["g", "u"]), ["g"], "u", n_buckets=8
+    )
+    got2 = {r["g"]: r["n_distinct_est"] for r in mv2.collect()}
+    assert got2[9] == 2
+    # re-delivering already-seen values must not inflate the estimate
+    mv3 = refresh_distinct_sketch(
+        spark, mv_tbl, spark.createDataFrame([(9, 1), (9, 2)], ["g", "u"]), ["g"], "u", n_buckets=8
+    )
+    assert {r["g"]: r["n_distinct_est"] for r in mv3.collect()}[9] == 2
