@@ -108,6 +108,7 @@ def compact_snapshot(
     meta.pop("has_tombstones", None)
     meta.pop("has_deltas", None)  # MoR upserts materialize too
     meta["compacted_from"] = base["snapshot"]
+    meta["op"] = "OPTIMIZE"
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)
     except SnapshotConflict:

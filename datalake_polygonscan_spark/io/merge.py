@@ -343,6 +343,7 @@ def _merge_once(
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
         meta = {
+            "op": "MERGE",
             "merge_buckets": n_buckets,
             "merge_keys": keys,
             "table_schema": T.StructType(batch_fields).json(),
@@ -377,6 +378,7 @@ def _merge_once(
     # hard-linked old-schema buckets) resolves against it
     target_fields = cur_fields + [f for f in batch_fields if f.name not in cur_names]
     meta = {
+        "op": "MERGE",
         "merge_buckets": n_buckets,
         "merge_keys": keys,
         "table_schema": T.StructType(target_fields).json(),

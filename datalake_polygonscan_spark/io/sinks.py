@@ -272,7 +272,7 @@ def atomic_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(table_path, snap))
     try:
-        meta = {"table_schema": logical_schema_json(df), **(extra_meta or {})}
+        meta = {"op": "WRITE", "table_schema": logical_schema_json(df), **(extra_meta or {})}
         commit_snapshot(table_path, snap, base, meta, retain=retain)
     except SnapshotConflict:
         shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
@@ -430,6 +430,7 @@ def restore_version(
         k: v for k, v in entry.items() if k not in ("version", "snapshot", "available")
     }
     meta["restored_from"] = version
+    meta["op"] = "RESTORE"
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)
     except SnapshotConflict:

@@ -111,7 +111,7 @@ def delete_keys(
     meta = {
         k: v for k, v in base.items() if k != "snapshot"
     }
-    meta.update({"has_tombstones": True, "merge_keys": keys})
+    meta.update({"op": "DELETE", "has_tombstones": True, "merge_keys": keys})
     try:
         commit_snapshot(table_path, snap_name, base, meta)
     except SnapshotConflict:
@@ -175,7 +175,7 @@ def append_upserts(
     _dedup_batch(updates, keys, None).write.mode("overwrite").parquet(batch_dir)
 
     meta = {k: v for k, v in base.items() if k != "snapshot"}
-    meta.update({"has_deltas": True, "merge_keys": keys})
+    meta.update({"op": "MOR_UPSERT", "has_deltas": True, "merge_keys": keys})
     # no-resurrection rule: tombstones of re-upserted keys clear now
     if base.get("has_tombstones"):
         remaining = (

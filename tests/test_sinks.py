@@ -133,3 +133,20 @@ def test_restore_preserves_mor_state(spark, tmp_path):
     live = restore_version(spark, tbl, 1, retain=10)  # back to: 3 deleted, no 99
     got = sorted(r.k for r in live.collect())
     assert 3 not in got and 99 not in got and len(got) == 9
+
+
+def test_history_records_operations(spark, tmp_path):
+    from datalake_polygonscan_spark.io.maintenance import compact_snapshot
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import history, restore_version
+    from datalake_polygonscan_spark.io.tombstones import append_upserts, delete_keys
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    merge_upsert(spark, tbl, df, keys=["k"], n_buckets=4)
+    delete_keys(spark, tbl, spark.createDataFrame([(1, 0.0)], ["k", "v"]), ["k"])
+    append_upserts(spark, tbl, spark.createDataFrame([(3, 3.0)], ["k", "v"]), ["k"])
+    compact_snapshot(spark, tbl, retain=10)
+    restore_version(spark, tbl, 2, retain=10)  # v0/v1 pruned by default retain
+    ops = [e.get("op") for e in history(tbl)]
+    assert ops == ["MERGE", "DELETE", "MOR_UPSERT", "OPTIMIZE", "RESTORE"]
