@@ -50,10 +50,25 @@
   replication (io/merge.py:write_changes): merges persist their typed
   feed per version; a downstream consumer rebuilds the table from the
   feed alone via readStream + foreachBatch.
+- ``s18_mor_upsert`` — merge-on-read UPSERT
+  (io/tombstones.py:append_upserts): hard-link-only commits plus small
+  delta batches resolved latest-wins at read; tombstones interplay.
+- ``s19_restore`` — rollback by rolling forward
+  (io/sinks.py:restore_version): a new hard-link commit with the
+  target version's content; history and forensics preserved.
+- ``s20_check_constraints`` — table CHECK constraints
+  (io/merge.py:checks): persisted as table properties, enforced on
+  every batch, violating batches rejected atomically.
+- ``mv3_minmax_mv`` — MIN/MAX MV with delete-aware PARTIAL recompute
+  (io/mview.py:refresh_minmax): folds what it can, re-aggregates only
+  groups whose stored extremum was deleted.
+- ``mv4_distinct_sketch_mv`` — approx-DISTINCT MV via mergeable HLL
+  sketches (io/mview.py:refresh_distinct_sketch): per-batch sketch +
+  union against touched buckets; the base is never rescanned.
 
-All three run against scratch tables rebuilt from driver parquet each
-call, so the oracle on the ORIGINAL tables value-checks the entire
-write -> commit -> read cycle.
+Every entry runs against scratch tables rebuilt from driver parquet
+each call, so the oracle on the ORIGINAL tables value-checks the
+entire write -> commit -> read cycle.
 """
 
 from __future__ import annotations
