@@ -1,0 +1,182 @@
+"""R1 — the reference's paginated per-wallet source as a FIRST-CLASS
+Spark data source (the Spark 4 Python DataSource API).
+
+The reference fetches each wallet's transfer history as ascending
+pages from an HTTP API inside a serial Python loop
+(walletDataConsumer.py:51-83: ``page`` increments until a short page;
+``startblock``/``endblock`` restrict the scan server-side at :57;
+``sort=asc`` at :51; ``status != '1'`` ends the scan at :74-80). This
+module expresses the SAME contract Spark-natively:
+
+- one :class:`InputPartition` per wallet — the reference's serial
+  wallet loop becomes an embarrassingly parallel scan (a 1000-executor
+  cluster pulls 1000 wallets concurrently);
+- pagination is the in-partition read loop, ascending pages;
+- R2's server-side block range is genuine FILTER PUSHDOWN:
+  :meth:`WalletTransfersReader.pushFilters` consumes
+  ``blockNumber``/``timeStamp`` comparisons, skips whole PAGES via the
+  page-header block range (the pagination analog of file skipping),
+  and — because pages are ascending — stops a wallet's scan early once
+  the page floor passes the upper bound;
+- R4's error-as-end-of-scan: a page with ``status != "1"`` terminates
+  that wallet's read (the reference stops paging on API errors).
+
+The on-disk layout stands in for the HTTP API (this environment has no
+network): ``<root>/<wallet>/page-NNNN.json``, each file one API
+response ``{"status": "1", "wallet": w, "startblock": lo, "endblock":
+hi, "result": [tx, ...]}`` with all tx fields as strings, exactly the
+tokentx wire shape. ``write_wallet_pages`` builds such a dump from any
+raw-tokentx frame.
+
+Integral fields (``blockNumber``, ``timeStamp``) surface as LONG — the
+source-edge ``int()`` casts of walletDataConsumer.py:95-96 — which is
+also what makes the range pushdown typed; everything else stays string
+like the wire format.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA_DDL = (
+    "wallet_address string, tx_hash string, blockNumber long, timeStamp long, "
+    "from_address string, to_address string, contractAddress string, "
+    "tokenName string, tokenSymbol string, tokenDecimal string, value string"
+)
+
+#: wire-field order inside each page's ``result`` records
+_WIRE = (
+    "hash", "blockNumber", "timeStamp", "from", "to",
+    "contractAddress", "tokenName", "tokenSymbol", "tokenDecimal", "value",
+)
+
+#: columns the reader can consume range predicates on (source-side
+#: ints, like the reference's startblock/endblock)
+_PUSHABLE = {"blockNumber", "timeStamp"}
+
+
+class _WalletPartition(InputPartition):
+    def __init__(self, wallet_dir: str):
+        self.wallet_dir = wallet_dir
+
+
+class WalletTransfersReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        # per-column [lo, hi] bounds consumed from pushed filters
+        self.bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col not in _PUSHABLE:
+                yield f  # unsupported: Spark keeps evaluating it
+                continue
+            lo, hi = self.bounds.setdefault(col, [None, None])
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                v = f.value + 1 if isinstance(f, GreaterThan) else f.value
+                self.bounds[col][0] = v if lo is None else max(lo, v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                v = f.value - 1 if isinstance(f, LessThan) else f.value
+                self.bounds[col][1] = v if hi is None else min(hi, v)
+            elif isinstance(f, EqualTo):
+                self.bounds[col] = [f.value, f.value]
+            else:
+                yield f
+
+    def partitions(self):
+        wallets = sorted(
+            d for d in glob.glob(os.path.join(self.root, "*")) if os.path.isdir(d)
+        )
+        return [_WalletPartition(d) for d in wallets]
+
+    def _in_bounds(self, col: str, v: int) -> bool:
+        lo, hi = self.bounds.get(col, (None, None))
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+    def read(self, partition: _WalletPartition):
+        blo, bhi = self.bounds.get("blockNumber", (None, None))
+        for page_file in sorted(glob.glob(os.path.join(partition.wallet_dir, "page-*.json"))):
+            with open(page_file) as f:
+                page = json.load(f)
+            if page.get("status") != "1":
+                return  # R4: API error ends this wallet's scan
+            # page skipping on the header block range; ascending pages
+            # mean a floor past the upper bound ends the scan entirely
+            if blo is not None and page.get("endblock") is not None and page["endblock"] < blo:
+                continue
+            if bhi is not None and page.get("startblock") is not None and page["startblock"] > bhi:
+                return
+            wallet = page.get("wallet", os.path.basename(partition.wallet_dir))
+            for tx in page.get("result", ()):
+                block, ts = int(tx["blockNumber"]), int(tx["timeStamp"])
+                if not (self._in_bounds("blockNumber", block) and self._in_bounds("timeStamp", ts)):
+                    continue
+                yield (
+                    wallet, tx["hash"], block, ts, tx["from"], tx["to"],
+                    tx["contractAddress"], tx["tokenName"], tx["tokenSymbol"],
+                    tx["tokenDecimal"], tx["value"],
+                )
+
+
+class WalletTransfersDataSource(DataSource):
+    """``spark.read.format("wallet_transfers").option("path", root)``
+    after ``spark.dataSource.register(WalletTransfersDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "wallet_transfers"
+
+    def schema(self):
+        return SCHEMA_DDL
+
+    def reader(self, schema):
+        return WalletTransfersReader(self.options)
+
+
+def write_wallet_pages(df, root: str, page_size: int = 500) -> int:
+    """Materialize a raw-tokentx frame (``wallet_address`` + the wire
+    fields, all strings) as the paginated per-wallet JSON dump the
+    source reads — the stand-in for the external API. Pages are
+    ascending by block (R3 ``sort=asc``) and carry their block range in
+    the header for page skipping. Returns the page count. This is a
+    FIXTURE builder (it simulates the remote system), so a driver-side
+    pandas conversion is fine here and only here."""
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    pdf = df.toPandas()
+    pdf["_block"] = pdf["blockNumber"].astype("int64")
+    n_pages = 0
+    for wallet, grp in pdf.groupby("wallet_address"):
+        grp = grp.sort_values(["_block", "hash"])
+        wdir = os.path.join(root, str(wallet))
+        os.makedirs(wdir)
+        for i in range(0, len(grp), page_size):
+            chunk = grp.iloc[i : i + page_size]
+            page = {
+                "status": "1",
+                "wallet": str(wallet),
+                "startblock": int(chunk["_block"].min()),
+                "endblock": int(chunk["_block"].max()),
+                "result": [
+                    {k: str(row[k]) for k in _WIRE} for _, row in chunk.iterrows()
+                ],
+            }
+            with open(os.path.join(wdir, f"page-{i // page_size:04d}.json"), "w") as f:
+                json.dump(page, f)
+            n_pages += 1
+    return n_pages

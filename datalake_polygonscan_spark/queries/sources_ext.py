@@ -81,3 +81,37 @@ def _bucketed_tables(spark: SparkSession, o: DataFrame, li: DataFrame) -> tuple[
             .saveAsTable(name)
         )
     return spark.table("s8_orders"), spark.table("s8_lineitem")
+
+
+@register(
+    "r1_paginated_source",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           CAST(count(*) AS BIGINT) AS n_txs,
+           ROUND(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS total_quantity
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 3000
+    GROUP BY l_suppkey
+    """,
+    doc="R1 the reference's paginated per-wallet source as a FIRST-CLASS Spark 4 Python DataSource (io/paginated_source.py; walletDataConsumer.py:51-83): the lineitem-derived tokentx dump is materialized as per-wallet ascending JSON pages, read through spark.read.format('wallet_transfers') with one InputPartition per wallet (the reference's serial loop parallelized), and the l_orderkey/blockNumber range predicate is GENUINE filter pushdown — pushFilters consumes the comparisons, page headers skip whole pages, ascending order stops each wallet's scan early (R2's startblock/endblock semantics). Oracle states the aggregate from lineitem in closed form, independently of the JSON round-trip",
+)
+def r1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.paginated_source import (
+        WalletTransfersDataSource,
+        write_wallet_pages,
+    )
+    from datalake_polygonscan_spark.queries.reference_pipeline import _derive_raw_tokentx
+
+    root = _scratch("r1_source", "pages")
+    write_wallet_pages(_derive_raw_tokentx(spark, sf_dir), root, page_size=500)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WalletTransfersDataSource)
+    src = spark.read.format("wallet_transfers").option("path", root).load()
+    return (
+        src.filter((F.col("blockNumber") >= 1000) & (F.col("blockNumber") <= 3000))
+        .groupBy("wallet_address")
+        .agg(
+            F.count("*").alias("n_txs"),
+            F.round(F.sum(F.col("value").cast("long")) / 100.0, 4).alias("total_quantity"),
+        )
+    )

@@ -44,6 +44,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # INT96 (the legacy default) writes NO min/max statistics —
         # breaks both row-group skipping and io/skipping.py manifests
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
