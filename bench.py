@@ -47,6 +47,7 @@ HEADLINE = [
     "l5_stratified_sample",
     "l6_curate_corpus",
     "ts1_resample_gapfill",
+    "q3_shipping_priority",
     "s13_data_skipping",
     "ml1_kmeans_clusters",
     "l7_lm_perplexity",

@@ -484,3 +484,45 @@ def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="Q3-shape composite analytic (TPC-H shipping priority): the canonical 3-way join pipeline — selective dim filter on customer, date window split across orders and lineitem, revenue aggregation, top-10 by revenue. Exercises the whole relational stack in one plan: both join predicates pushed to the scans, the customer side broadcast, map-side partial aggregation, and TakeOrderedAndProject instead of a global sort. Decimal math internal, rounded-double at the boundary; deterministic (revenue, l_orderkey) ordering",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        )
+        .cast("double")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

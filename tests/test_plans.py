@@ -310,3 +310,14 @@ def test_semantic_dedup_pairs_join_on_cluster_not_cross(spark):
     # must not contain a cartesian/broadcast nested loop product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_composite_broadcasts_dim_and_takes_ordered(spark):
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    q = REGISTRY["q3_shipping_priority"].fn(spark, SF)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    assert "BroadcastHashJoin" in plan  # customer side broadcast
+    assert plan.count("HashAggregate") >= 2  # partial + final revenue agg
+    assert "PushedFilters" in plan
