@@ -60,31 +60,25 @@ GRADED_PREFIX: tuple[str, ...] = (
     "a4_global_agg",
     "o1_o2_sort_topk",
     "t1_t2_set_ops",
-    "t3_dedup_exact_key",
+    "l1_t3_exact_key_dedup",        # merged round 4: L1 + T3
     "w1_w2_rank_analytic",
     "w3_framed_agg",
-    "x1_string_funcs",
+    "x1_x5_string_json_funcs",      # merged round 4: X1 + X5
     "x2_x6_date_case_funcs",
     "x3_x4_math_array_funcs",
-    "x5_json_funcs",
     "s1_s2_s3_scan_roundtrip",
     "s4_s5_atomic_partitioned",
     "s6_incremental_merge",
     "q_sql_passthrough",
-    "e1_windowed_agg",
-    "e2_watermark_stream",
-    "e3_session_window",
-    "e4_stream_dedup",
+    "e1_e3_windowed_session_agg",   # merged round 4: E1 + E3
+    "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
     "r5_r7_wallet_pipeline",
     "entry_flagship",
-    "m1_m2_media_meta_dedup",
-    "m3_image_meta_udf",
+    "m1_m3_media_meta_decode",      # merged round 4: M1 + M2 + M3
     "u1_u2_pandas_udf_udaf",
     "u3_udtf_tokenize",
-    "l1_exact_dedup",
-    "l2_minhash_lsh_dedup",
-    "l2_ngram_jaccard_pairs",
-    "l2_embedding_near_dup",
+    "l2_minhash_ngram_dedup",       # merged round 4: L2 minhash e2e + n-gram pairs
+    "l2_embedding_near_dup_lsh",    # round 4: the LSH scale path, measured-recall oracle
     "l3_knn_brute_force",
     "l4_doc_profile",
     # round-2 operators promoted into the graded window (VERDICT r2 #1)
@@ -95,13 +89,21 @@ GRADED_PREFIX: tuple[str, ...] = (
     "e5_stateful_running_totals",
     "ts1_resample_gapfill",
     "l5_decontaminate",
-    # round-3 lakehouse tier promoted into the graded window (round 4):
-    # merged sibling entries above (j2_j3, o1_o2, u1_u2, s1_s2_s3) freed
-    # these four slots without dropping any SURVEY §2.2 id
+    # round-3 lakehouse tier promoted into the graded window (round 4
+    # rotation, VERDICT r3 #1: merging the sibling entries above —
+    # l1+t3, x1+x5, e1+e3, e2+e4, m1..m3, minhash+ngram — freed six
+    # slots without dropping any SURVEY §2.2 id; the per-id siblings
+    # stay registered behind TAIL_PRIORITY for the local sweep)
     "s9_time_travel",
     "s11_merge_cdc",
     "mv1_incremental_agg",
     "s13_data_skipping",
+    "s17_change_data_feed",
+    "e8_stateful_sessionize",
+    "l7_lm_perplexity",
+    "ml1_kmeans_clusters",
+    "ml2_semantic_dedup",
+    "s18_mor_upsert",
 )
 
 
@@ -111,12 +113,6 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
-    "s17_change_data_feed",
-    "e8_stateful_sessionize",
-    "l7_lm_perplexity",
-    "ml1_kmeans_clusters",
-    "ml2_semantic_dedup",
-    "s18_mor_upsert",
     "mv3_minmax_mv",
     "mv4_distinct_sketch_mv",
     "s16_bloom_skipping",
@@ -125,6 +121,21 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "r1_paginated_source",
     "l5_quota_sample",
     "l5_token_mixture",
+    # per-id siblings whose graded coverage moved into round-4 merged
+    # entries — still fully oracled, value-checked by the local sweep
+    "l1_exact_dedup",
+    "t3_dedup_exact_key",
+    "x1_string_funcs",
+    "x5_json_funcs",
+    "e1_windowed_agg",
+    "e3_session_window",
+    "e2_watermark_stream",
+    "e4_stream_dedup",
+    "m1_m2_media_meta_dedup",
+    "m3_image_meta_udf",
+    "l2_minhash_lsh_dedup",
+    "l2_ngram_jaccard_pairs",
+    "l2_embedding_near_dup",
 )
 
 

@@ -84,14 +84,83 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
+#: probe-recall parameters for the graded LSH near-dup entry: exact
+#: truth is computed ONLY for pairs incident to N_PROBES md5-selected
+#: vectors — O(N_PROBES x n) work with a broadcast probe side, never
+#: the O(n^2) all-pairs join — so the graded plan stays linear at any
+#: grading scale. Theoretical LSH recall at t=0.8 with 10 planes x 32
+#: tables is ~0.97; the 0.7 floor leaves headroom for dataset drift
+#: while still catching a broken bucketer.
+EMB_RECALL_FLOOR = 0.7
+N_PROBES = 64
+
+
 @register(
     "l2_embedding_near_dup_lsh",
-    oracle=None,  # approximate (recall ~0.97 at the 0.8 threshold edge); superset-recall on a seeded fixture asserted in tests/test_dedup.py
-    doc="L2 embedding-cosine near-dup pairs via LSH bucketing — the 100 TB scale path (operators/dedup.py:embedding_near_duplicates, method='lsh': hyperplane buckets from one Arrow-batched matmul, ONE shuffle on (table,bucket) keys with vectors riding along, exact-cosine verify on candidates only; 10 planes x 32 tables). The graded sibling l2_embedding_near_dup runs method='exact' so its all-pairs oracle can never vacuously or spuriously mismatch near the threshold",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(1 AS INTEGER) AS pairs_verified,
+           CAST(1 AS INTEGER) AS recall_ok
+    FROM embeddings
+    """,
+    doc=(
+        "L2 embedding-cosine near-dup via LSH bucketing — the 100 TB scale path, now the "
+        "GRADED entry (operators/dedup.py:embedding_near_duplicates, method='lsh': "
+        "hyperplane buckets from one Arrow-batched matmul, ONE shuffle on (table,bucket) "
+        "keys, exact-dot verify on candidates only; 10 planes x 32 tables). Graded as a "
+        "MEASURED metric like the ANN entries: pairs_verified = every emitted pair's "
+        "cosine >= 0.8 (precision exact by construction), recall_ok = recall vs exact "
+        "truth computed ONLY for pairs incident to 64 md5-selected probe vectors "
+        "(broadcast probe crossJoin, O(probes x n) — no quadratic stage anywhere in the "
+        "graded plan) >= 0.7. The exact all-pairs pair list stays value-checked in the "
+        "local sweep as l2_embedding_near_dup (queries/llm.py)"
+    ),
 )
 def l2_embdup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.vectors import cosine_similarity
+
+    threshold = 0.8
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_duplicates(emb, threshold=0.8, method="lsh")
+    pairs = D.embedding_near_duplicates(emb, threshold=threshold, method="lsh")
+
+    # deterministic probe set: first N_PROBES vec_ids in md5 order
+    # (a 64-row TakeOrdered, then broadcast — no full sort materializes)
+    probes = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(N_PROBES)
+        .select(F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_vec"))
+    )
+    # exact truth restricted to probe-incident pairs: broadcast the
+    # probes against every vector (O(probes x n) cosines), normalize
+    # pair ids to (id_a < id_b), distinct-dedup pairs where both
+    # endpoints are probes
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(probes), F.col("vec_id") != F.col("p_id"))
+        .withColumn("_cos", cosine_similarity("embedding", "p_vec"))
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            F.least("vec_id", "p_id").alias("id_a"),
+            F.greatest("vec_id", "p_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    truth_n = scored.agg(F.count("*").alias("n_truth"))
+    hits_n = scored.join(pairs, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("n_hits"))
+    bad_n = pairs.filter(F.col("cosine") < threshold).agg(F.count("*").alias("n_bad"))
+    totals = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        totals.crossJoin(truth_n).crossJoin(hits_n).crossJoin(bad_n)
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (F.col("n_bad") == 0).cast("int").alias("pairs_verified"),
+            F.when(F.col("n_truth") == 0, F.lit(True))
+            .otherwise(F.col("n_hits") / F.col("n_truth") >= EMB_RECALL_FLOOR)
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )
 
 
 #: minimum micro-averaged recall@10 vs exact brute force the ANN tiers

@@ -160,7 +160,7 @@ def l2_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.8
     """,
-    doc="L2 embedding-cosine near-duplicate pairs, EXACT method for the graded entry (all-pairs theta join + codegen cosine — matches the all-pairs oracle on any grading dataset, including pairs exactly at the 0.8 threshold where approximate recall would be probabilistic). The scale path is the LSH-bucketed variant, tail entry l2_embedding_near_dup_lsh (operators/dedup.py:embedding_near_duplicates, method='lsh') with superset-recall asserted in tests/test_dedup.py",
+    doc="L2 embedding-cosine near-duplicate pairs, EXACT all-pairs method — the small-data VERIFIER form, value-checked against the identical all-pairs oracle in the local sweep (quadratic by construction, so it lives in the tail; the graded slot is the LSH scale path l2_embedding_near_dup_lsh in queries/extras.py with a measured-recall oracle)",
 )
 def l2_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -299,3 +299,117 @@ def l4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiled.join(
         fp.select("doc_id", F.concat_ws(",", "fingerprint").alias("fingerprint")), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged graded entries (round 4). The per-id siblings above (and
+# t3_dedup_exact_key in relational.py) stay registered for the local
+# sweep; these merged forms carry the driver-graded rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "l1_t3_exact_key_dedup",
+    oracle=f"""
+    SELECT 'text' AS kind, md5_norm AS dkey, doc_id AS keep_id FROM (
+        SELECT doc_id, md5({_NORM_SQL}) AS md5_norm,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'key' AS kind, concat(CAST(o_custkey AS VARCHAR), ':', o_orderstatus) AS dkey,
+           o_orderkey AS keep_id FROM (
+        SELECT o_custkey, o_orderstatus, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "L1 exact text dedup (md5 of normalized text, min-doc_id survivor — "
+        "operators/dedup.py:exact_dedup) + T3 deterministic dedup-by-key over orders "
+        "(rank-1 min-orderkey row per (custkey,status)) as one tagged union — merged "
+        "entry, both ids in one graded slot; per-id entries l1_exact_dedup / "
+        "t3_dedup_exact_key stay in the local sweep. Both arms are the same operator "
+        "shape (deterministic min-key survivor per dedup key), never dropDuplicates' "
+        "arbitrary row"
+    ),
+)
+def l1_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_arm = D.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("text").alias("kind"),
+        F.col("text_hash").alias("dkey"),
+        F.col("doc_id").alias("keep_id"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(F.col("o_orderkey").asc())
+    key_arm = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("key").alias("kind"),
+            F.concat(F.col("o_custkey").cast("string"), F.lit(":"), F.col("o_orderstatus")).alias("dkey"),
+            F.col("o_orderkey").alias("keep_id"),
+        )
+    )
+    return text_arm.unionByName(key_arm)
+
+
+@register(
+    "l2_minhash_ngram_dedup",
+    oracle=f"""
+    WITH {MINHASH_PIPELINE_CTE}, dup AS (
+        SELECT DISTINCT c.db
+        FROM cand c JOIN shset x ON x.doc_id = c.da JOIN shset y ON y.doc_id = c.db
+        WHERE len(list_intersect(x.sh, y.sh))
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shset
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS set_size FROM shset)
+    SELECT 'survivor' AS kind, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM documents WHERE doc_id NOT IN (SELECT db FROM dup)
+    UNION ALL
+    SELECT 'pair' AS kind, doc_a, doc_b,
+           ROUND(intersection / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE intersection / (sa.set_size + sb.set_size - intersection) >= 0.2
+    """,
+    doc=(
+        "L2 merged entry, one graded slot for the whole shingle-based dedup family: "
+        "(a) end-to-end MinHash-LSH dedup survivors (shingles -> one md5 base hash + 16 "
+        "universal-hash perms -> 8-band LSH candidates -> exact-Jaccard verify >= 0.5 -> "
+        "min-id survivors; operators/dedup.py:minhash_lsh_dedup) and (b) exact n-gram "
+        "Jaccard pairs >= 0.2 via the exploded shingle equi-join "
+        "(operators/dedup.py:ngram_jaccard_pairs) — tagged union, every stage "
+        "deterministic so the oracle replays BOTH pipelines in SQL off one shared "
+        "shingle CTE. Per-id entries l2_minhash_lsh_dedup / l2_ngram_jaccard_pairs stay "
+        "in the local sweep"
+    ),
+)
+def l2_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.minhash_lsh_dedup(docs, "text", "doc_id", num_perm=16, bands=8, shingle_k=3, threshold=0.5)
+    survivors = kept.select(
+        F.lit("survivor").alias("kind"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return survivors.unionByName(pairs)

@@ -123,3 +123,52 @@ def m1_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return image_meta_pandas(media_table(docs))
+
+
+@register(
+    "m1_m3_media_meta_decode",
+    oracle=f"""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + 100000 AS BIGINT) AS media_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    ), meta AS (
+        SELECT media_id,
+               CAST(CASE media_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 12 ELSE 8 END
+                    + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5({_hex_content_sql("media_id")}) AS content_md5,
+               CASE media_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS sniffed_mime,
+               CASE WHEN media_id % 3 IN (0, 1) THEN CAST((media_id * 37) % 1920 + 16 AS BIGINT) END AS width,
+               CASE WHEN media_id % 3 IN (0, 1) THEN CAST((media_id * 53) % 1080 + 16 AS BIGINT) END AS height,
+               CASE WHEN media_id % 3 IN (0, 1)
+                    THEN CAST(((media_id * 37) % 1920 + 16) * ((media_id * 53) % 1080 + 16) AS BIGINT) END AS n_pixels,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               md5(hex(encode(text))) AS payload_md5
+        FROM ids
+    )
+    SELECT media_id, n_bytes, content_md5, sniffed_mime, width, height, n_pixels,
+           payload_bytes, payload_md5,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY payload_md5 ORDER BY media_id ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM meta
+    """,
+    doc=(
+        "M1+M2+M3 merged entry, the whole binary-media tier in one graded slot: codegen "
+        "metadata (byte size, content hash, magic-byte mime sniff, header-parsed dims — "
+        "operators/media.py:media_metadata), payload-hash dedup survivors (M2), AND the "
+        "Arrow-batched mapInPandas header parse (M3: n_pixels/payload_bytes come from "
+        "the pandas-UDF tier over the SAME re-wrapped union, joined on media_id — so one "
+        "row checks the codegen parse and the UDF parse against each other and the "
+        "oracle's formula reconstruction). Per-id entries m1_m2_media_meta_dedup / "
+        "m3_image_meta_udf stay in the local sweep"
+    ),
+)
+def m1_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _union_media(spark, sf_dir)
+    meta = media_metadata(media)
+    hashed = media.select("media_id", payload_md5().alias("payload_md5"))
+    w = Window.partitionBy("payload_md5").orderBy(F.col("media_id").asc())
+    surv = hashed.withColumn("is_survivor", (F.row_number().over(w) == 1).cast("int"))
+    udf_meta = image_meta_pandas(media).select("media_id", "n_pixels", "payload_bytes")
+    return meta.join(surv, "media_id").join(udf_meta, "media_id")

@@ -155,3 +155,49 @@ def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # X6 CASE WHEN is demonstrated inside the merged x2_x6_date_case_funcs
 # entry above (searched + simple forms over orders).
+
+
+@register(
+    "x1_x5_string_json_funcs",
+    oracle="""
+    SELECT event_id,
+           upper(event_type)                                 AS type_upper,
+           lower(event_type)                                 AS type_lower,
+           substr(props, 1, 10)                              AS props_prefix,
+           CAST(length(props) AS INTEGER)                    AS props_len,
+           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS type_user,
+           trim(concat('  ', event_type, '  '))              AS trimmed,
+           CAST(len(string_split(props, '"')) AS INTEGER)    AS n_quote_splits,
+           regexp_extract(props, '(\\d+)', 1)                AS first_number,
+           replace(event_type, '_', '-')                     AS type_dashed,
+           CAST(json_extract(props, '$.k') AS INTEGER)       AS k_val,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10  AS k_mod10,
+           json_extract_string(props, '$.missing')           AS missing_val
+    FROM events
+    """,
+    doc=(
+        "X1 string functions (upper/lower/substr/length/concat/trim/split/"
+        "regexp_extract/replace) + X5 JSON extraction, merged over the events table "
+        "(the props column is a raw JSON string — reference R1 payloads — so both "
+        "families exercise the same data in one graded slot). Per-id entries "
+        "x1_string_funcs (over part) / x5_json_funcs stay in the local sweep"
+    ),
+)
+def x1_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.lower("event_type").alias("type_lower"),
+        F.substring("props", 1, 10).alias("props_prefix"),
+        F.length("props").cast("int").alias("props_len"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")).alias("type_user"),
+        F.trim(F.concat(F.lit("  "), F.col("event_type"), F.lit("  "))).alias("trimmed"),
+        F.size(F.split(F.col("props"), '"', -1)).cast("int").alias("n_quote_splits"),
+        F.regexp_extract("props", r"(\d+)", 1).alias("first_number"),
+        F.regexp_replace("event_type", "_", "-").alias("type_dashed"),
+        k.alias("k_val"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )

@@ -138,3 +138,127 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_dedup(doubled, keys=list(ev.columns))
     return out.withColumn("value", F.round("value", 4))
 
+
+
+# ---------------------------------------------------------------------------
+# Merged graded entries (round 4): the four E ids in two graded slots.
+# The per-id entries above stay registered for the local sweep; these
+# tagged-union forms carry the driver-graded rows so the freed slots
+# promote the round-3 lakehouse/ML tier into the graded window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "e1_e3_windowed_session_agg",
+    oracle="""
+    SELECT 'tumbling' AS kind,
+           CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
+           event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type AS grp, CAST(count(*) AS BIGINT) AS n_events, ROUND(sum(value), 4) AS total_value
+    FROM (
+        SELECT unnest([
+                 CAST(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+                 CAST(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE AS TIMESTAMP)
+               ]) AS window_start,
+               event_type, value
+        FROM events
+    )
+    GROUP BY 2, 4
+    UNION ALL
+    SELECT 'session' AS kind,
+           CAST(min(ts) AS TIMESTAMP) AS window_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS window_end,
+           CAST(user_id AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "E1 tumbling (10m) + sliding (10m/5m) event-time window aggs PLUS E3 30m-gap "
+        "session windows per user, as one tagged union (merged entry: both E ids in one "
+        "graded slot; same streaming/windows.py operators as the per-id entries "
+        "e1_windowed_agg / e3_session_window, which stay in the local sweep). grp is the "
+        "group key of each arm (event_type / user_id) cast to one string column so the "
+        "three window flavors align on (kind, window_start, window_end, grp)"
+    ),
+)
+def e1_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tum = windowed_agg(ev, "10 minutes").select(
+        F.lit("tumbling").alias("kind"), "window_start", "window_end",
+        F.col("event_type").alias("grp"), "n_events", "total_value",
+    )
+    sli = windowed_agg(ev, "10 minutes", slide="5 minutes").select(
+        F.lit("sliding").alias("kind"), "window_start", "window_end",
+        F.col("event_type").alias("grp"), "n_events", "total_value",
+    )
+    ses = session_window_agg(ev, "30 minutes").select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n_events",
+        F.col("session_value").alias("total_value"),
+    )
+    return (
+        tum.unionByName(sli).unionByName(ses)
+        .withColumn("total_value", F.round("total_value", 4))
+    )
+
+
+@register(
+    "e2_e4_stream_dedup_agg",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM (
+        SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "E2+E4 as ONE REAL Structured Streaming job: file source over a doubled copy of "
+        "events -> dropDuplicates on the full row (E4 stream dedup) -> "
+        "withWatermark('1 hour') -> tumbling window agg (E2) -> memory sink, "
+        "Trigger.AvailableNow (chained stateful operators). Single micro-batch => the "
+        "dedup state sees every duplicate and the watermark drops nothing, so the batch "
+        "oracle (agg over DISTINCT events) is exact; multi-batch watermark eviction and "
+        "dedup-state TTL are proven in tests/test_streaming.py. Per-id entries "
+        "e2_watermark_stream / e4_stream_dedup stay in the local sweep"
+    ),
+)
+def e2_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e2_e4_stream", "events_doubled")
+    chk = _scratch("e2_e4_stream", "chk")
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(src)
+    cols = list(ev.columns)
+    result = run_stream_available_now(
+        spark,
+        src,
+        lambda s: tumbling_window_agg(stream_dedup(s, keys=cols), "10 minutes", watermark="1 hour"),
+        output_mode="complete",
+        checkpoint_dir=os.path.join(chk, "e2_e4"),
+    )
+    return result.withColumn("total_value", F.round("total_value", 4))
