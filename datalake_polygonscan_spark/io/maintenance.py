@@ -109,11 +109,33 @@ def compact_snapshot(
     meta.pop("has_deltas", None)  # MoR upserts materialize too
     meta["compacted_from"] = base["snapshot"]
     meta["op"] = "OPTIMIZE"
+    # CDF-enabled tables get an EMPTY feed for this version (OPTIMIZE
+    # changes no logical rows, but a feedless version would read as a
+    # gap to read_changes/streaming subscribers)
+    staged = None
+    if base.get("cdf_enabled"):
+        from datalake_polygonscan_spark.io.merge import _pending_feed_dir
+
+        version = int(snap_name.split("=")[1].split("-")[0])
+        logical = df.drop("_bucket") if "_bucket" in df.columns else df
+        feed = (
+            logical.limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(version).cast("long"))
+        )
+        staged = _pending_feed_dir(table_path, snap_name)
+        feed.coalesce(1).write.mode("overwrite").parquet(staged)
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)
     except SnapshotConflict:
         shutil.rmtree(new_snap, ignore_errors=True)
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
         raise
+    if staged:
+        from datalake_polygonscan_spark.io.merge import publish_feed
+
+        publish_feed(table_path, snap_name, version)
     return {
         "files_before": len(before),
         "files_after": len(_data_files(new_snap)),

@@ -77,8 +77,94 @@ def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
 def changes_glob(table_path: str) -> str:
     """Path glob a (batch or streaming) parquet file source can read to
     consume the persisted change feed; new commits land as new files
-    under it, so ``spark.readStream`` discovers them incrementally."""
+    under it, so ``spark.readStream`` discovers them incrementally.
+    Call :func:`repair_change_feed` before subscribing: it promotes
+    feeds whose publish rename was interrupted by a crash after the
+    pointer CAS, so the glob never silently skips a committed version
+    (staged feeds are dot-dirs, invisible to Spark's file listing)."""
     return os.path.join(table_path, _CHANGES, "*", "*.parquet")
+
+
+def _pending_feed_dir(table_path: str, snap_name: str) -> str:
+    """Hidden staging dir for a commit's change feed — written fully
+    BEFORE the pointer CAS (a conflicted commit just deletes it), and
+    renamed to the public ``<version:012d>`` dir right after. The dot
+    prefix keeps Spark's file index from ever listing staged rows."""
+    return os.path.join(table_path, _CHANGES, f".pending-{snap_name}")
+
+
+def publish_feed(table_path: str, snap_name: str, version: int) -> None:
+    """Expose a staged feed as ``_changes/<version>/`` (atomic dir
+    rename). No-op when the commit staged nothing."""
+    staged = _pending_feed_dir(table_path, snap_name)
+    if os.path.isdir(staged):
+        os.replace(staged, os.path.join(table_path, _CHANGES, f"{version:012d}"))
+
+
+def repair_change_feed(table_path: str) -> list[int]:
+    """Heal the crash window between the pointer CAS and the feed
+    publish rename: any staged feed whose snapshot DID commit (it
+    appears in the ``_log/``) is promoted to its public version dir;
+    staged feeds of snapshots that never committed AND whose snapshot
+    dir is gone (a conflicted writer that crashed before its own
+    cleanup) are garbage-collected. In-flight writers are never
+    touched — their snapshot dir exists before they stage. Returns the
+    promoted versions. ``read_changes`` calls this automatically;
+    streaming subscribers should call it before ``changes_glob``."""
+    from datalake_polygonscan_spark.io.sinks import history
+
+    root = os.path.join(table_path, _CHANGES)
+    if not os.path.isdir(root):
+        return []
+    committed = {e["snapshot"]: e["version"] for e in history(table_path)}
+    repaired = []
+    for d in os.listdir(root):
+        if not d.startswith(".pending-"):
+            continue
+        snap = d[len(".pending-"):]
+        if snap in committed:
+            os.replace(
+                os.path.join(root, d),
+                os.path.join(root, f"{committed[snap]:012d}"),
+            )
+            repaired.append(committed[snap])
+        elif not os.path.isdir(os.path.join(table_path, snap)):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return sorted(repaired)
+
+
+_PRUNED_MARKER = "_PRUNED_BEFORE"
+
+
+def prune_changes(table_path: str, before_version: int) -> list[int]:
+    """Retention for the change feed: drop ``_changes/<v>/`` dirs with
+    ``v < before_version`` and record the horizon in a marker file so
+    an over-pruned :func:`read_changes` raises the same explicit gap
+    error a missing feed does (never a silent partial replay). The
+    horizon only moves forward. Returns the pruned versions."""
+    root = os.path.join(table_path, _CHANGES)
+    if not os.path.isdir(root):
+        return []
+    horizon = max(before_version, _pruned_before(table_path))
+    pruned = []
+    for d in os.listdir(root):
+        if d.startswith((".", "_")):
+            continue
+        v = int(d)
+        if v < horizon:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            pruned.append(v)
+    with open(os.path.join(root, _PRUNED_MARKER), "w") as f:
+        f.write(str(horizon))
+    return sorted(pruned)
+
+
+def _pruned_before(table_path: str) -> int:
+    try:
+        with open(os.path.join(table_path, _CHANGES, _PRUNED_MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
 
 
 def read_changes(
@@ -89,17 +175,28 @@ def read_changes(
 ) -> DataFrame:
     """Replay the persisted change feed (Delta's ``table_changes``):
     every typed change row with ``_commit_version`` in
-    ``[from_version, to_version]``. Requires the feed to exist for the
-    requested range (merges ran with ``write_changes=True``); raises
-    on a gap — a consumer that silently skipped a commit would
-    reconstruct the wrong table."""
+    ``[from_version, to_version]``. Repairs interrupted publishes
+    first (:func:`repair_change_feed`), then requires the feed to
+    exist for the whole requested range; raises on a gap — a consumer
+    that silently skipped a commit would reconstruct the wrong table —
+    and distinguishes retention pruning (:func:`prune_changes`) from a
+    feed that was never written."""
+    repair_change_feed(table_path)
     root = os.path.join(table_path, _CHANGES)
     have = sorted(
-        int(d) for d in os.listdir(root) if not d.startswith(".")
+        int(d) for d in os.listdir(root) if not d.startswith((".", "_"))
     ) if os.path.isdir(root) else []
     hi = to_version if to_version is not None else (have[-1] if have else -1)
     want = list(range(from_version, hi + 1))
     missing = [v for v in want if v not in have]
+    horizon = _pruned_before(table_path)
+    pruned = [v for v in missing if v < horizon]
+    if pruned:
+        raise FileNotFoundError(
+            f"change feed for versions {pruned} at {table_path} was pruned by "
+            f"retention (horizon {horizon}) — replay from >= {horizon} or "
+            "re-seed the consumer from a table snapshot"
+        )
     if missing:
         raise FileNotFoundError(
             f"no persisted change feed for versions {missing} at {table_path} "
@@ -304,12 +401,23 @@ def _merge_once(
 
     os.makedirs(table_path, exist_ok=True)
     base = read_pointer(table_path)
+    # CDF is a TABLE PROPERTY once enabled: every later content-
+    # changing commit keeps emitting a feed (a version with no feed is
+    # a gap streaming consumers would silently skip — ADVICE r3)
+    write_changes = write_changes or bool((base or {}).get("cdf_enabled"))
     # table constraints persist in the metadata; callers can add new
     # ones but never silently drop inherited ones
     all_checks = {**((base or {}).get("checks") or {}), **(checks or {})}
+    deduped = _dedup_batch(updates, keys, version_col)
     if all_checks:
-        _enforce_checks(updates, all_checks)
-    batch = _dedup_batch(updates, keys, version_col).withColumn("_bucket", _bucket_col(keys, n_buckets))
+        # validate the rows that can actually land: within-batch
+        # last-writer-wins losers are never written, so they don't
+        # abort the commit (Delta validates written data the same way;
+        # rows that lose the CROSS-batch version gate are still
+        # checked — that gate needs the table side, and rejecting a
+        # whole batch over a stale-row violation is the safe default)
+        _enforce_checks(deduped, all_checks)
+    batch = deduped.withColumn("_bucket", _bucket_col(keys, n_buckets))
     del_keys = None if deletes is None else deletes.select(*keys).distinct()
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
@@ -324,7 +432,7 @@ def _merge_once(
         feed = change_feed(
             current_logical, updates, keys, version_col=version_col, deletes=deletes
         ).withColumn("_commit_version", F.lit(version).cast("long"))
-        staged = os.path.join(table_path, _CHANGES, f".tmp-{snap_name}")
+        staged = _pending_feed_dir(table_path, snap_name)
         feed.write.mode("overwrite").parquet(staged)
         return staged
 
@@ -337,8 +445,7 @@ def _merge_once(
                 shutil.rmtree(staged, ignore_errors=True)
             raise
         if staged:
-            final = os.path.join(table_path, _CHANGES, f"{snapshot_version(base) + 1:012d}")
-            os.replace(staged, final)
+            publish_feed(table_path, snap_name, snapshot_version(base) + 1)
 
     if base is None:
         # bootstrap: the batch IS the table (deletes against empty = noop)
@@ -348,6 +455,7 @@ def _merge_once(
             "merge_keys": keys,
             "table_schema": T.StructType(batch_fields).json(),
             **({"checks": all_checks} if all_checks else {}),
+            **({"cdf_enabled": True} if write_changes else {}),
             **(extra_meta or {}),
         }
         batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
@@ -383,6 +491,7 @@ def _merge_once(
         "merge_keys": keys,
         "table_schema": T.StructType(target_fields).json(),
         **({"checks": all_checks} if all_checks else {}),
+        **({"cdf_enabled": True} if write_changes else {}),
         **(extra_meta or {}),
     }
 

@@ -93,7 +93,11 @@ class WalletTransfersReader(DataSourceReader):
                 v = f.value - 1 if isinstance(f, LessThan) else f.value
                 self.bounds[col][1] = v if hi is None else min(hi, v)
             elif isinstance(f, EqualTo):
-                self.bounds[col] = [f.value, f.value]
+                # intersect, don't overwrite: consumed filters vanish
+                # from Spark's plan, so `col = 5 AND col > 10` must
+                # leave an empty interval (no rows), not reset to [5,5]
+                self.bounds[col][0] = f.value if lo is None else max(lo, f.value)
+                self.bounds[col][1] = f.value if hi is None else min(hi, f.value)
             else:
                 yield f
 

@@ -48,6 +48,14 @@ _POINTER = "_CURRENT"
 _LOCK = "._pointer_lock"
 _LOG = "_log"
 
+#: write a ``_log/checkpoint-<V>.json`` rollup every N commits: the
+#: accumulated metadata of every version <= V in ONE file, so history
+#: listing / time travel / CDF gap checks read O(N mod interval) + 1
+#: files instead of walking every per-version entry (Delta writes
+#: _last_checkpoint the same way). 32 keeps the tail short while
+#: amortizing the rollup write to ~3% of commits.
+CHECKPOINT_EVERY = 32
+
 
 class SnapshotConflict(RuntimeError):
     """The table's pointer moved between a writer's read and its
@@ -161,6 +169,15 @@ def commit_snapshot(
         with os.fdopen(fd, "w") as f:
             json.dump({"version": new_version, **meta}, f)
         os.replace(tmp, os.path.join(log_dir, f"{new_version:012d}.json"))
+        # periodic log checkpoint (still under the lock, so the rollup
+        # is consistent): one file holding every entry <= this version;
+        # building it reads only the previous checkpoint + the tail
+        if CHECKPOINT_EVERY and new_version > 0 and new_version % CHECKPOINT_EVERY == 0:
+            entries = _load_log_entries(table_path)
+            fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._cp_tmp_")
+            with os.fdopen(fd, "w") as f:
+                json.dump(entries, f)
+            os.replace(tmp, os.path.join(log_dir, f"checkpoint-{new_version:012d}.json"))
     _prune_snapshots(table_path, new_version, keep_names={snapshot_name} | ({base_meta["snapshot"]} if base_meta else set()), retain=retain)
 
 
@@ -183,23 +200,70 @@ def _prune_snapshots(table_path: str, new_version: int, keep_names: set[str], re
             shutil.rmtree(os.path.join(table_path, entry), ignore_errors=True)
 
 
+def _load_log_entries(table_path: str) -> list[dict]:
+    """Every commit-log entry, oldest first, reading
+    O(N mod CHECKPOINT_EVERY) + 1 files: the newest
+    ``checkpoint-<V>.json`` rollup (all entries <= V in one read) plus
+    only the per-version entries after it. Without a checkpoint (young
+    table) it walks the per-version files."""
+    log_dir = os.path.join(table_path, _LOG)
+    if not os.path.isdir(log_dir):
+        return []
+    names = os.listdir(log_dir)
+    cps = sorted(n for n in names if n.startswith("checkpoint-") and n.endswith(".json"))
+    entries: list[dict] = []
+    cp_version = -1
+    if cps:
+        with open(os.path.join(log_dir, cps[-1])) as f:
+            entries = json.load(f)
+        cp_version = entries[-1]["version"] if entries else -1
+    for fname in sorted(names):
+        if fname.startswith("checkpoint-") or not fname.endswith(".json"):
+            continue
+        if int(fname.split(".")[0]) <= cp_version:
+            continue
+        with open(os.path.join(log_dir, fname)) as f:
+            entries.append(json.load(f))
+    return entries
+
+
 def history(table_path: str) -> list[dict]:
     """The table's commit log, oldest first: one dict per committed
     version (``version``, ``snapshot``, writer metadata) plus
     ``available`` — whether that version's data files still exist or
-    retention pruned them (the log outlives the data, like Delta's)."""
-    log_dir = os.path.join(table_path, _LOG)
-    if not os.path.isdir(log_dir):
-        return []
+    retention pruned them (the log outlives the data, like Delta's).
+    Reads the newest log checkpoint + the entry tail, never every
+    per-version file (:func:`_load_log_entries`)."""
     out = []
-    for fname in sorted(os.listdir(log_dir)):
-        if not fname.endswith(".json"):
-            continue
-        with open(os.path.join(log_dir, fname)) as f:
-            entry = json.load(f)
+    for entry in _load_log_entries(table_path):
+        entry = dict(entry)
         entry["available"] = os.path.isdir(os.path.join(table_path, entry["snapshot"]))
         out.append(entry)
     return out
+
+
+def compact_log(table_path: str) -> int:
+    """Log retention: delete per-version entry files already covered
+    by the newest checkpoint rollup. ``history()`` output is identical
+    before and after (the checkpoint holds those entries); only the
+    directory listing shrinks — the knob for tables accumulating
+    millions of commits. Returns the number of files removed."""
+    log_dir = os.path.join(table_path, _LOG)
+    if not os.path.isdir(log_dir):
+        return 0
+    names = os.listdir(log_dir)
+    cps = sorted(n for n in names if n.startswith("checkpoint-") and n.endswith(".json"))
+    if not cps:
+        return 0
+    cp_version = int(cps[-1][len("checkpoint-"):].split(".")[0])
+    removed = 0
+    for n in names:
+        if n.startswith(("checkpoint-", ".", "_")) or not n.endswith(".json"):
+            continue
+        if int(n.split(".")[0]) <= cp_version:
+            os.unlink(os.path.join(log_dir, n))
+            removed += 1
+    return removed
 
 
 def read_version(spark: SparkSession, table_path: str, version: int) -> DataFrame:
@@ -431,9 +495,63 @@ def restore_version(
     }
     meta["restored_from"] = version
     meta["op"] = "RESTORE"
+    # the restore is CDF-enabled iff the table is (property rides the
+    # restored metadata): its feed is the keyed diff live -> target,
+    # so subscribers see the rollback as ordinary typed changes
+    meta["cdf_enabled"] = bool(base.get("cdf_enabled") or meta.get("cdf_enabled"))
+    if not meta["cdf_enabled"]:
+        meta.pop("cdf_enabled")
+    staged = None
+    if meta.get("cdf_enabled"):
+        from datalake_polygonscan_spark.io.merge import _pending_feed_dir
+        from pyspark.sql import functions as F
+
+        new_version = snapshot_version(base) + 1
+        live = read_table(spark, table_path)
+        target = read_snapshot(spark, os.path.join(table_path, entry["snapshot"]), entry)
+        target = target.drop("_bucket") if "_bucket" in target.columns else target
+        keys = meta.get("merge_keys") or base.get("merge_keys")
+        cols = target.columns
+        live_al = live.select(
+            *[F.col(c) if c in live.columns else F.lit(None).alias(c) for c in cols]
+        )
+        if keys:
+            # keyed diff (one full compare of the two snapshots — the
+            # price of making a rollback replayable, same as Delta):
+            # target-only keys -> insert, changed rows -> update,
+            # live-only keys -> delete
+            t_hash = target.withColumn("_h", F.xxhash64(*[F.col(c) for c in cols]))
+            l_hash = live_al.withColumn("_h", F.xxhash64(*[F.col(c) for c in cols]))
+            lk = l_hash.select(*keys, F.col("_h").alias("_lh"))
+            joined = t_hash.join(lk, keys, "left")
+            inserts = joined.filter(F.col("_lh").isNull()).select(*cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            updates_ = joined.filter(
+                F.col("_lh").isNotNull() & (F.col("_h") != F.col("_lh"))
+            ).select(*cols).withColumn("_change_type", F.lit("update"))
+            deletes_ = live_al.join(target.select(*keys).distinct(), keys, "left_anti").select(
+                *cols
+            ).withColumn("_change_type", F.lit("delete"))
+            feed = inserts.unionByName(updates_).unionByName(deletes_)
+        else:
+            # keyless table: the only faithful CDC form is
+            # retract-all/assert-all
+            feed = live_al.withColumn("_change_type", F.lit("delete")).unionByName(
+                target.select(*cols).withColumn("_change_type", F.lit("insert"))
+            )
+        feed = feed.withColumn("_commit_version", F.lit(new_version).cast("long"))
+        staged = _pending_feed_dir(table_path, snap_name)
+        feed.write.mode("overwrite").parquet(staged)
     try:
         commit_snapshot(table_path, snap_name, base, meta, retain=retain)
     except SnapshotConflict:
         shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
         raise
+    if staged:
+        from datalake_polygonscan_spark.io.merge import publish_feed
+
+        publish_feed(table_path, snap_name, snapshot_version(base) + 1)
     return read_table(spark, table_path)

@@ -112,11 +112,37 @@ def delete_keys(
         k: v for k, v in base.items() if k != "snapshot"
     }
     meta.update({"op": "DELETE", "has_tombstones": True, "merge_keys": keys})
+    # CDF-enabled tables emit a feed for EVERY content-changing commit
+    # (a feedless version would be a gap streaming consumers silently
+    # skip): the delete feed is the current rows being tombstoned —
+    # O(matched rows) output, one semi-join against the live read
+    staged = None
+    if base.get("cdf_enabled"):
+        from datalake_polygonscan_spark.io.merge import _pending_feed_dir, publish_feed
+        from datalake_polygonscan_spark.io.sinks import snapshot_version
+        from pyspark.sql import functions as F
+
+        version = snapshot_version(base) + 1
+        feed = (
+            read_table(spark, table_path)
+            .join(deletes.select(*keys).distinct(), keys, "left_semi")
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(version).cast("long"))
+        )
+        staged = _pending_feed_dir(table_path, snap_name)
+        feed.write.mode("overwrite").parquet(staged)
     try:
         commit_snapshot(table_path, snap_name, base, meta)
     except SnapshotConflict:
         shutil.rmtree(new_snap, ignore_errors=True)
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
         raise
+    if staged:
+        from datalake_polygonscan_spark.io.merge import publish_feed
+        from datalake_polygonscan_spark.io.sinks import snapshot_version
+
+        publish_feed(table_path, snap_name, snapshot_version(base) + 1)
     return read_table(spark, table_path)
 
 
@@ -176,22 +202,51 @@ def append_upserts(
 
     meta = {k: v for k, v in base.items() if k != "snapshot"}
     meta.update({"op": "MOR_UPSERT", "has_deltas": True, "merge_keys": keys})
-    # no-resurrection rule: tombstones of re-upserted keys clear now
+    # no-resurrection rule: tombstones of re-upserted keys clear now.
+    # The surviving set writes DISTRIBUTED straight to the new
+    # snapshot's _TOMB dir (a different directory than the source
+    # being read, so no read-overwrite hazard); only a 1-row
+    # existence probe touches the driver — never the full key set
     if base.get("has_tombstones"):
         remaining = (
             spark.read.parquet(*tombstone_dirs(prev_snap))
             .join(updates.select(*keys).distinct(), keys, "left_anti")
         )
-        kept = remaining.collect()
-        if kept:
-            spark.createDataFrame(kept, remaining.schema).write.mode("overwrite").parquet(
+        if remaining.limit(1).count():
+            remaining.write.mode("overwrite").parquet(
                 os.path.join(new_snap, _TOMB, "batch-0")
             )
         else:
             meta.pop("has_tombstones", None)
+    # CDF: typed insert/update feed for the upsert batch (cross-batch
+    # key existence resolved against the live read, same shape the
+    # CoW merge emits)
+    staged = None
+    if base.get("cdf_enabled"):
+        from datalake_polygonscan_spark.io.merge import (
+            _pending_feed_dir,
+            change_feed,
+            publish_feed,
+        )
+        from datalake_polygonscan_spark.io.sinks import snapshot_version
+        from pyspark.sql import functions as F
+
+        version = snapshot_version(base) + 1
+        feed = change_feed(
+            read_table(spark, table_path), updates, keys
+        ).withColumn("_commit_version", F.lit(version).cast("long"))
+        staged = _pending_feed_dir(table_path, snap_name)
+        feed.write.mode("overwrite").parquet(staged)
     try:
         commit_snapshot(table_path, snap_name, base, meta)
     except SnapshotConflict:
         shutil.rmtree(new_snap, ignore_errors=True)
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
         raise
+    if staged:
+        from datalake_polygonscan_spark.io.merge import publish_feed
+        from datalake_polygonscan_spark.io.sinks import snapshot_version
+
+        publish_feed(table_path, snap_name, snapshot_version(base) + 1)
     return read_table(spark, table_path)

@@ -199,7 +199,13 @@ def stateful_sessionize(
                         closed.append(_emit(key_val, st, last, n, tot, "gap"))
                         st, last, n, tot = ts_us, ts_us, 1, float(v)
                     else:
-                        last, n, tot = max(last, ts_us), n + 1, tot + float(v)
+                        # a late-but-within-watermark event can carry a
+                        # ts EARLIER than the stored session start (it
+                        # joined via the gap test against `last`); the
+                        # batch gaps-and-islands oracle would have
+                        # started the session there, so min-update st
+                        # alongside the max-update of last
+                        st, last, n, tot = min(st, ts_us), max(last, ts_us), n + 1, tot + float(v)
             if st is not None:
                 state.update((st, last, n, tot))
                 # fire once the WATERMARK (event time, not wall clock)

@@ -89,3 +89,26 @@ def test_pushdown_in_query_plan_matches_unpushed(spark, tmp_path):
         .collect()[0]
     )
     assert (got[0], got[1]) == (36, sum(range(15, 51)))
+
+
+def test_push_filters_equal_to_intersects_bounds(spark, tmp_path):
+    """EqualTo must INTERSECT previously-consumed range bounds, not
+    overwrite them: since consumed filters vanish from Spark's plan,
+    `blockNumber = 5 AND blockNumber > 10` has to yield an empty
+    interval (no rows), and `= 15` inside [10, 20) has to pin it."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    root = str(tmp_path / "pages")
+    write_wallet_pages(_raw(spark, 40, 2), root, page_size=5)
+
+    reader = WalletTransfersReader({"path": root})
+    assert list(reader.pushFilters([GreaterThan(("blockNumber",), 10), EqualTo(("blockNumber",), 5)])) == []
+    lo, hi = reader.bounds["blockNumber"]
+    assert lo > hi  # empty interval
+    assert [r for p in reader.partitions() for r in reader.read(p)] == []
+
+    reader2 = WalletTransfersReader({"path": root})
+    list(reader2.pushFilters([GreaterThanOrEqual(("blockNumber",), 10), EqualTo(("blockNumber",), 15)]))
+    assert reader2.bounds["blockNumber"] == [15, 15]
+    rows = [r for p in reader2.partitions() for r in reader2.read(p)]
+    assert sorted({r[2] for r in rows}) == [15]

@@ -150,3 +150,135 @@ def test_history_records_operations(spark, tmp_path):
     restore_version(spark, tbl, 2, retain=10)  # v0/v1 pruned by default retain
     ops = [e.get("op") for e in history(tbl)]
     assert ops == ["MERGE", "DELETE", "MOR_UPSERT", "OPTIMIZE", "RESTORE"]
+
+
+# ---------------------------------------------------------------------------
+# round 4: commit-log checkpointing + true multi-process CAS racing
+# ---------------------------------------------------------------------------
+
+def _commit_n(tbl: str, n: int) -> None:
+    """n cheap pointer-only commits (no Spark jobs — the log layer is
+    pure Python)."""
+    from datalake_polygonscan_spark.io.sinks import (
+        commit_snapshot,
+        new_snapshot_name,
+        read_pointer,
+    )
+
+    os.makedirs(tbl, exist_ok=True)
+    for _ in range(n):
+        base = read_pointer(tbl)
+        name = new_snapshot_name(base)
+        os.makedirs(os.path.join(tbl, name), exist_ok=True)
+        commit_snapshot(tbl, name, base, {"op": "WRITE"})
+
+
+def test_log_checkpoint_bounds_history_reads(tmp_path):
+    """120 commits -> checkpoints at 32/64/96; history() must read the
+    newest checkpoint + the 24-entry tail, NOT all 120 entry files."""
+    import builtins
+
+    from datalake_polygonscan_spark.io import sinks as S
+
+    tbl = str(tmp_path / "t")
+    _commit_n(tbl, 120)
+    log_dir = os.path.join(tbl, "_log")
+    cps = sorted(f for f in os.listdir(log_dir) if f.startswith("checkpoint-"))
+    assert [int(c[len("checkpoint-"):].split(".")[0]) for c in cps] == [32, 64, 96]
+
+    real_open = builtins.open
+    reads = []
+
+    def counting_open(path, *a, **kw):
+        if str(path).startswith(log_dir):
+            reads.append(str(path))
+        return real_open(path, *a, **kw)
+
+    builtins.open = counting_open
+    try:
+        log = S.history(tbl)
+    finally:
+        builtins.open = real_open
+    assert [e["version"] for e in log] == list(range(120))
+    # 1 checkpoint + versions 97..119 (23 files) = 24 reads
+    assert len(reads) == 24, reads
+    assert sum("checkpoint-" in p for p in reads) == 1
+
+
+def test_compact_log_preserves_history(tmp_path):
+    from datalake_polygonscan_spark.io import sinks as S
+
+    tbl = str(tmp_path / "t")
+    _commit_n(tbl, 70)  # checkpoints at 32, 64
+    before = S.history(tbl)
+    removed = S.compact_log(tbl)
+    assert removed == 65  # per-version files 0..64 covered by checkpoint-64
+    after = S.history(tbl)
+    assert [(e["version"], e["snapshot"]) for e in before] == [
+        (e["version"], e["snapshot"]) for e in after
+    ]
+    # and later commits keep extending the same log
+    _commit_n(tbl, 1)
+    assert S.history(tbl)[-1]["version"] == 70
+
+
+_RACER = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[3])
+from datalake_polygonscan_spark.io.sinks import (
+    SnapshotConflict, commit_snapshot, new_snapshot_name, read_pointer,
+)
+tbl, tag = sys.argv[1], sys.argv[2]
+base = read_pointer(tbl)
+name = new_snapshot_name(base)
+os.makedirs(os.path.join(tbl, name), exist_ok=True)
+go = os.path.join(tbl, "_go")
+deadline = time.monotonic() + 30
+while not os.path.exists(go):
+    if time.monotonic() > deadline:
+        sys.exit(2)
+    time.sleep(0.0005)
+try:
+    commit_snapshot(tbl, name, base, {"writer": tag})
+    print("FIRST")
+except SnapshotConflict:
+    base2 = read_pointer(tbl)
+    name2 = new_snapshot_name(base2)
+    os.makedirs(os.path.join(tbl, name2), exist_ok=True)
+    commit_snapshot(tbl, name2, base2, {"writer": tag})
+    print("RETRY")
+"""
+
+
+@pytest.mark.parametrize("round_", range(3))
+def test_two_process_cas_race(tmp_path, round_):
+    """TWO OS PROCESSES commit against the same table from the same
+    base pointer (the race Delta's protocol defends; in-process
+    interleaving is tested above): exactly one wins the CAS, the loser
+    gets SnapshotConflict and succeeds on retry, no commit is lost."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from datalake_polygonscan_spark.io.sinks import history
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = str(tmp_path / "t")
+    os.makedirs(tbl)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _RACER, tbl, f"w{i}", repo],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    _time.sleep(0.3)  # both racers parked on the go-file spin
+    with open(os.path.join(tbl, "_go"), "w") as f:
+        f.write("go")
+    outs = sorted(p.communicate(timeout=60)[0].strip() for p in procs)
+    assert all(p.returncode == 0 for p in procs)
+    assert outs == ["FIRST", "RETRY"]  # exactly one winner, one retried loser
+    log = history(tbl)
+    assert [e["version"] for e in log] == [0, 1]
+    assert {e["writer"] for e in log} == {"w0", "w1"}  # neither commit lost

@@ -233,3 +233,36 @@ def test_stateful_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0)
     # sessions at t0 and t0+8h closed by in-batch gaps; t0+16h stays open
     assert got == [(t0, "gap"), (t0 + dt.timedelta(hours=8), "gap")]
+
+
+def test_stateful_sessionize_late_event_extends_session_start(spark, tmp_path):
+    """A late-but-within-watermark event from a LATER micro-batch with
+    a ts EARLIER than the stored session start must min-update the
+    start — the batch gaps-and-islands oracle would have started the
+    session there (round-3 ADVICE)."""
+    from datalake_polygonscan_spark.streaming.windows import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    H = 60
+    # batch 1: u1 at t=60m; batch 2: u1 at t=30m (late, inside the 6h
+    # gap and the generous watermark) + the gap-prover at t=20h
+    _write_events_file(spark, os.path.join(src, "f1.parquet"), [_ev(1, H, user=1)])
+    _write_events_file(
+        spark,
+        os.path.join(src, "f2.parquet"),
+        [_ev(2, 30, user=1), _ev(3, 20 * H, user=1)],
+    )
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stateful_sessionize(s, key="user_id", gap="6 hours", watermark="24 hours"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    closed = {r["session_start"]: r for r in out.collect()}
+    first = closed[t0 + dt.timedelta(minutes=30)]  # start = the LATE event's ts
+    assert first["n_events"] == 2 and first["closed_by"] == "gap"
+    assert first["session_end"] == t0 + dt.timedelta(minutes=60)
