@@ -113,6 +113,9 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
+    "s6v_version_conditional_merge",
+    "s21_log_checkpoint",
+    "m_png_pixel_decode",
     "mv3_minmax_mv",
     "mv4_distinct_sketch_mv",
     "s16_bloom_skipping",

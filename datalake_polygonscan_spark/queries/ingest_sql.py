@@ -71,3 +71,52 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "s6v_version_conditional_merge",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN 3
+                     WHEN o_orderkey % 5 = 0 THEN 2
+                     ELSE 1 END AS BIGINT) AS rev,
+           ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                      WHEN o_orderkey % 5 = 0 THEN -1.0
+                      ELSE o_totalprice END, 2) AS val
+    FROM orders
+    """,
+    doc=(
+        "S6v VERSION-CONDITIONAL merge — stale-batch-proof out-of-order delivery "
+        "(io/merge.py:_merge_arms, Delta's WHEN MATCHED AND s.v >= t.v THEN UPDATE): "
+        "seed every key at rev 1, apply a rev-3 repricing of keys %10==0 FIRST, then a "
+        "STALE rev-2 batch covering keys %5==0 arrives late. The rev-2 rows land only "
+        "where no newer revision exists (%5==0 but not %10==0); the rev-3 rows survive "
+        "the stale clobber attempt. The oracle replays the closed-form final state, so "
+        "arrival-order independence is value-checked end-to-end, not just unit-tested"
+    ),
+)
+def s6v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).cast("long").alias("rev"),
+        F.round("o_totalprice", 2).alias("val"),
+    )
+    table = _scratch("s6v_merge", "orders_rev")
+    import shutil
+
+    shutil.rmtree(table, ignore_errors=True)  # reset state each run
+    merge_upsert(spark, table, base, keys=["k"], version_col="rev")
+    newer = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).cast("long").alias("rev"),
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("val"),
+    )
+    merge_upsert(spark, table, newer, keys=["k"], version_col="rev")
+    stale = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).cast("long").alias("rev"),
+        F.lit(-1.0).alias("val"),
+    )
+    live = merge_upsert(spark, table, stale, keys=["k"], version_col="rev")
+    return live.select("k", "rev", F.round("val", 2).alias("val"))

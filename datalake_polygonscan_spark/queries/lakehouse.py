@@ -875,3 +875,68 @@ def mv4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         F.lit(bool(all_ok)).alias("within_tolerance"),
     )
+
+
+@register(
+    "s21_log_checkpoint",
+    oracle="""
+    SELECT CAST(111 AS BIGINT) AS n_versions,
+           CAST(3 AS BIGINT) AS n_checkpoints,
+           CAST(14 AS BIGINT) AS n_entry_files,
+           CAST(count(*) AS BIGINT) AS live_rows,
+           CAST(1 AS INTEGER) AS content_ok
+    FROM nation
+    """,
+    doc=(
+        "S21 commit-log CHECKPOINTS + log retention (io/sinks.py: every 32nd commit "
+        "rolls the accumulated metadata into one _log/checkpoint-<V>.json, Delta "
+        "_last_checkpoint style): a 111-version table (v0 data write + 110 hard-link "
+        "commits, zero data movement) yields checkpoints at v32/v64/v96; compact_log "
+        "then prunes every per-version entry a checkpoint covers, so history()/time "
+        "travel list 111 versions while READING only 1 checkpoint + the 14-entry tail "
+        "— version listing is O(N mod interval), not O(N), at a million commits. "
+        "content_ok verifies the live read after 110 metadata-only commits still "
+        "equals the seeded table exactly (the read-count bound itself is asserted in "
+        "tests/test_sinks.py:test_log_checkpoint_bounds_history_reads)"
+    ),
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import (
+        commit_snapshot,
+        compact_log,
+        history,
+        new_snapshot_name,
+        read_pointer,
+    )
+    from datalake_polygonscan_spark.io.tombstones import _link_tree
+
+    seed = load_table(spark, sf_dir, "nation")
+    table = _scratch("s21_log", "tbl")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(seed, table)  # v0: the only data write
+    for _ in range(110):  # metadata-only commits: hard-link + CAS
+        base = read_pointer(table)
+        name = new_snapshot_name(base)
+        _link_tree(os.path.join(table, base["snapshot"]), os.path.join(table, name), set())
+        meta = {k: v for k, v in base.items() if k != "snapshot"}
+        meta["op"] = "WRITE"
+        commit_snapshot(table, name, base, meta)
+    compact_log(table)
+    log = history(table)
+    log_dir = os.path.join(table, "_log")
+    names = os.listdir(log_dir)
+    n_checkpoints = sum(n.startswith("checkpoint-") for n in names)
+    n_entry_files = sum(
+        n.endswith(".json") and not n.startswith(("checkpoint-", ".", "_")) for n in names
+    )
+    live = read_table(spark, table)
+    diff = live.exceptAll(seed).count() + seed.exceptAll(live).count()
+    return live.agg(F.count("*").alias("live_rows")).select(
+        F.lit(len(log)).cast("long").alias("n_versions"),
+        F.lit(n_checkpoints).cast("long").alias("n_checkpoints"),
+        F.lit(n_entry_files).cast("long").alias("n_entry_files"),
+        F.col("live_rows").cast("long"),
+        F.lit(diff == 0).cast("int").alias("content_ok"),
+    )

@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.operators.media import (
     BMP_WIDTH,
+    PNG_WIDTH,
     bmp_table,
     decode_bmp_pixels,
+    decode_png_pixels,
     media_byte_features,
     media_metadata,
     media_table,
+    png_table,
     resize_image_headers,
     sample_frames,
 )
@@ -175,4 +178,54 @@ def m6_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = decode_bmp_pixels(bmp_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+@register(
+    "m_png_pixel_decode",
+    oracle=f"""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+               substr(rpad(hex(encode(text)), {6 * PNG_WIDTH * 3}, '20'),
+                      1, CAST((doc_id % 3 + 1) * {PNG_WIDTH * 3} * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, h, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, h, i,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    ), sums AS (
+        SELECT media_id, h,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        FROM b GROUP BY media_id, h
+    )
+    SELECT media_id,
+           CAST({PNG_WIDTH} AS BIGINT) AS width,
+           h AS height,
+           h * {PNG_WIDTH} AS n_pixels,
+           sum_b, sum_g, sum_r,
+           ROUND((0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / (h * {PNG_WIDTH}), 6) AS mean_luma
+    FROM sums
+    """,
+    doc=(
+        "REAL COMPRESSED-codec decode with zero external image libraries "
+        "(operators/media.py:png_table/decode_png_pixels): each doc becomes a valid "
+        "8-bit RGB PNG — stdlib-zlib DEFLATE IDAT split across two chunks, row filters "
+        "cycling through ALL FIVE PNG filter types (None/Sub/Up/Average/Paeth) — and "
+        "the decoder reverses chunking, decompression and filtering in Arrow-batched "
+        "mapInPandas. The oracle recomputes channel sums/luma from the same payload "
+        "bytes (compression-invariant), so a filter-math or inflate bug value-fails; "
+        "upgrades the decode tier proven by m_bmp_pixel_decode from uncompressed "
+        "container parsing to an actual compressed format"
+    ),
+)
+def m_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_png_pixels(png_table(docs))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))

@@ -157,3 +157,57 @@ def test_bmp_decode_handles_padding_and_bottom_up(spark):
     assert (f.width, f.height, f.n_pixels) == (4, 5 % 3 + 1, 4 * (5 % 3 + 1))
     payload = "abcdefghijklmnopqrstuvwxyz0123456789".encode()[: f.n_pixels * 3]
     assert f.sum_b == sum(payload[0::3]) and f.sum_g == sum(payload[1::3]) and f.sum_r == sum(payload[2::3])
+
+
+def test_png_roundtrip_all_filter_types():
+    """Encode/decode round-trip exercising every PNG filter type
+    (row r of image mid uses filter (mid+r)%5) — a filter-math bug in
+    either direction breaks byte equality."""
+    from datalake_polygonscan_spark.operators.media import decode_png_bytes, png_bytes
+
+    used = set()
+    for mid in range(10):
+        h = mid % 3 + 1
+        raw = bytes((mid * 7 + i * 13) % 256 for i in range(12 * h))
+        w, hh, dec = decode_png_bytes(png_bytes(mid, raw))
+        assert (w, hh, dec) == (4, h, raw)
+        used.update((mid + r) % 5 for r in range(h))
+    assert used == {0, 1, 2, 3, 4}
+
+
+def test_png_decoder_rejects_non_png_and_interlaced():
+    import struct
+    import zlib
+
+    import pytest
+
+    from datalake_polygonscan_spark.operators.media import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_bytes,
+        png_bytes,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_bytes(b"BM" + b"\x00" * 60)
+    # flip the interlace flag: decoder must refuse, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 1)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b" " * 12))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png_bytes(blob)
+
+
+def test_png_spark_fixture_decodes(spark):
+    from datalake_polygonscan_spark.operators.media import decode_png_pixels, png_table
+
+    docs_df = _docs(spark)
+    out = decode_png_pixels(png_table(docs_df)).collect()
+    assert len(out) == docs_df.count()
+    for r in out:
+        assert r["width"] == 4 and r["n_pixels"] == 4 * r["height"]
+        assert 0 <= r["mean_luma"] <= 255
