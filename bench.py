@@ -52,6 +52,13 @@ HEADLINE = [
     "ml1_kmeans_clusters",
     "l7_lm_perplexity",
     "entry_flagship",
+    # lakehouse table layer (round 4): bucket-pruned MERGE commit,
+    # MoR-upsert write + delta-resolving read, CDF persist + streaming
+    # replication replay — so table-management perf is tracked
+    # round-over-round alongside the query layer.
+    "s6_incremental_merge",
+    "s18_mor_upsert",
+    "s17_change_data_feed",
 ]
 
 

@@ -601,9 +601,13 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
                 deletes=dels if dels.limit(1).count() else None,
             )
 
+    # NOTE: no maxFilesPerTrigger=1 — a commit's feed spans several
+    # parquet files, and one replica merge per FILE (not per version)
+    # multiplied the replication cost ~6x for nothing: _apply already
+    # orders and applies whole versions within a batch, and per-batch
+    # incremental feed-following is proven in tests/test_stream_ingest
     q = (
         spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(changes_glob(src_tbl))
         .writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)

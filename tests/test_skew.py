@@ -49,3 +49,49 @@ def test_rejects_unsupported_how(spark):
     fact, dim = _skewed(spark)
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="full")
+
+
+def test_auto_salt_detects_pathological_key(spark):
+    """salt_n=None derives the fan-out from a key-frequency sketch:
+    the hot key must auto-spread within 2x of a hand-tuned salt."""
+    from datalake_polygonscan_spark.operators.skew import detect_salt_n
+
+    fact, dim = _skewed(spark)  # key 1 carries 90% of rows
+    auto_n = detect_salt_n(fact, "k")
+    assert auto_n > 1  # the sketch saw the hot key
+
+    def max_task_rows(salt_n):
+        salted = fact.withColumn(
+            "_s", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_n))
+        )
+        per = salted.filter(F.col("k") == 1).groupBy("_s").count().collect()
+        return max(r["count"] for r in per)
+
+    hand = max_task_rows(16)  # the former hand-tuned constant
+    auto = max_task_rows(auto_n)
+    assert auto <= 2 * hand
+
+    # and the auto-salted join stays semantically invisible
+    plain = {tuple(r) for r in fact.join(dim, "k").select("row_id", "k", "v", "label").collect()}
+    auto_joined = {
+        tuple(r)
+        for r in salted_join(fact, dim, "k", salt_n=None)
+        .select("row_id", "k", "v", "label")
+        .collect()
+    }
+    assert auto_joined == plain
+
+
+def test_auto_salt_skips_replication_on_uniform_keys(spark):
+    from datalake_polygonscan_spark.operators.skew import detect_salt_n
+
+    fact = spark.createDataFrame(
+        [(i, i % 500, float(i)) for i in range(5000)], ["row_id", "k", "v"]
+    )
+    # 500 uniform keys, shuffle.partitions=32 in tests: hottest share
+    # ~1/500 -> ceil(0.002 * 32) = 1 -> no salting
+    assert detect_salt_n(fact, "k") == 1
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(500)], ["k", "label"])
+    out = salted_join(fact, dim, "k", salt_n=None)
+    assert out.count() == 5000
+    assert "_salt" not in out.columns
