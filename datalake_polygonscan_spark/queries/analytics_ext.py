@@ -215,7 +215,7 @@ def pr1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
-    doc="SK explicit skew-salted join (operators/skew.py:salted_join): the fact side gets a deterministic content-derived salt in [0,8), the dim side replicates 8x via explode(sequence), and the join key becomes (key, salt) so one pathological hot key spreads over 8 reduce partitions; the oracle is the PLAIN unsalted join — salting must be semantically invisible, which is exactly what the value check proves",
+    doc="SK skew-salted join with SELF-TUNING fan-out (operators/skew.py:salted_join, salt_n=None): a deterministic content-hash sample sketches the key-frequency distribution, sizes the salt from the hottest key's share (ceil(share x shuffle.partitions), capped), and skips replication when nothing is hot; the fact side then gets a content-derived salt, the dim side replicates via explode(sequence), and the join key becomes (key, salt). The oracle is the PLAIN unsalted join — detection and salting must both be semantically invisible, which is exactly what the value check proves",
 )
 def sk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_polygonscan_spark.operators.skew import salted_join
@@ -224,7 +224,7 @@ def sk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
-    joined = salted_join(c, dim, on="c_nationkey", salt_n=8)
+    joined = salted_join(c, dim, on="c_nationkey", salt_n=None)
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 4).alias("total_acctbal"),

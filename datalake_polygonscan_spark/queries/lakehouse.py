@@ -558,8 +558,6 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from datalake_polygonscan_spark.io.merge import changes_glob
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
     )
@@ -606,9 +604,10 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplied the replication cost ~6x for nothing: _apply already
     # orders and applies whole versions within a batch, and per-batch
     # incremental feed-following is proven in tests/test_stream_ingest
+    from datalake_polygonscan_spark.streaming.ingest import subscribe_changes
+
     q = (
-        spark.readStream.schema(feed_schema)
-        .parquet(changes_glob(src_tbl))
+        subscribe_changes(spark, src_tbl, feed_schema)
         .writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(chk, "s17"))

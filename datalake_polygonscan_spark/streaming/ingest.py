@@ -146,3 +146,18 @@ def stream_merge_ingest_with_mv(
     )
     q.awaitTermination()
     return read_table(spark, table_path), read_table(spark, mv_path)
+
+
+def subscribe_changes(spark: SparkSession, table_path: str, feed_schema: StructType | str):
+    """The documented continuous-CDC-subscribe surface: heal any
+    interrupted feed publish FIRST (io/merge.py:repair_change_feed —
+    a crash between a commit's pointer CAS and its feed rename must
+    not become a version the file source silently never sees), then
+    return the streaming reader over ``changes_glob``. Feed rows
+    carry the table schema + ``_change_type`` + ``_commit_version``;
+    consumers apply versions in ascending ``_commit_version`` order
+    within each micro-batch (see the s17 registry entry's applier)."""
+    from datalake_polygonscan_spark.io.merge import changes_glob, repair_change_feed
+
+    repair_change_feed(table_path)
+    return spark.readStream.schema(feed_schema).parquet(changes_glob(table_path))

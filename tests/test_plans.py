@@ -321,3 +321,41 @@ def test_q3_composite_broadcasts_dim_and_takes_ordered(spark):
     assert "BroadcastHashJoin" in plan  # customer side broadcast
     assert plan.count("HashAggregate") >= 2  # partial + final revenue agg
     assert "PushedFilters" in plan
+
+
+def test_graded_embedding_lsh_entry_has_no_quadratic_join(spark):
+    """The graded l2_embedding_near_dup_lsh plan (round 4): candidate
+    pairs come from an EQUI-join on (table,bucket) keys, and the only
+    nested-loop join is the 64-row broadcast probe side of the
+    measured-recall truth — never an unbroadcast theta self-join of
+    the full table against itself (the O(n^2) shape the exact method
+    uses and the graded plan must not)."""
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["l2_embedding_near_dup_lsh"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # every nested-loop join must be broadcast (the probe truth side);
+    # the LSH candidate join itself is hash/sort-merge on bucket keys
+    nlj = [ln for ln in plan.splitlines() if "NestedLoopJoin" in ln and "Broadcast" not in ln]
+    assert nlj == [], nlj
+
+
+def test_auto_salt_sketch_is_one_narrow_scan(spark):
+    """detect_salt_n's key-frequency sketch: the sampled count-by-key
+    aggregates partially before its shuffle (map-side combine), so the
+    sketch cost is one narrow fact scan, never a full-width shuffle."""
+    from datalake_polygonscan_spark.operators.skew import detect_salt_n
+
+    c = load_table(spark, SF, "customer")
+    denom = 1_000_000
+    sample = c.filter(
+        F.pmod(F.xxhash64(*[F.col(col) for col in c.columns]), F.lit(denom)) < F.lit(denom)
+    )
+    sketch = sample.groupBy("c_nationkey").count().agg(
+        F.max("count").alias("mx"), F.sum("count").alias("n")
+    )
+    plan = _plan(sketch)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    # and the end-to-end detector returns a sane fan-out on this data
+    assert 1 <= detect_salt_n(c, "c_nationkey") <= 64
