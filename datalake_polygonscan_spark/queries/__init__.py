@@ -49,34 +49,30 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
 #: driver-green row through one of them (multi-id entries noted).
 GRADED_PREFIX: tuple[str, ...] = (
     "p1_p3_project_cast_derive",
-    "f1_f2_filter_null_handling",
-    "f3_like_rlike",
+    "f1_f3_filter_predicates",      # merged round 4b: F1 + F2 + F3
     "j1_inner_equijoin",
     "j2_j3_outer_semi_anti",
     "j4_broadcast_dim_join",
     "j5_range_join",
     "a1_a2_groupby_agg_distinct",
-    "a3_rollup_cube",
-    "a4_global_agg",
+    "a3_a4_rollup_cube_global",     # merged round 4b: A3 + A4
     "o1_o2_sort_topk",
     "t1_t2_set_ops",
     "l1_t3_exact_key_dedup",        # merged round 4: L1 + T3
-    "w1_w2_rank_analytic",
-    "w3_framed_agg",
+    "w1_w3_window_suite",           # merged round 4b: W1 + W2 + W3
     "x1_x5_string_json_funcs",      # merged round 4: X1 + X5
     "x2_x6_date_case_funcs",
     "x3_x4_math_array_funcs",
-    "s1_s2_s3_scan_roundtrip",
+    "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
     "s4_s5_atomic_partitioned",
-    "s6_incremental_merge",
-    "q_sql_passthrough",
+    "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
+    "q_sql_q3_passthrough",         # merged round 4b: Q-SQL entry point runs the Q3 composite text
     "e1_e3_windowed_session_agg",   # merged round 4: E1 + E3
     "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
     "r5_r7_wallet_pipeline",
     "entry_flagship",
     "m1_m3_media_meta_decode",      # merged round 4: M1 + M2 + M3
-    "u1_u2_pandas_udf_udaf",
-    "u3_udtf_tokenize",
+    "u1_u3_udf_udaf_udtf",          # merged round 4b: U1 + U2 + U3
     "l2_minhash_ngram_dedup",       # merged round 4: L2 minhash e2e + n-gram pairs
     "l2_embedding_near_dup_lsh",    # round 4: the LSH scale path, measured-recall oracle
     "l3_knn_brute_force",
@@ -90,20 +86,25 @@ GRADED_PREFIX: tuple[str, ...] = (
     "ts1_resample_gapfill",
     "l5_decontaminate",
     # round-3 lakehouse tier promoted into the graded window (round 4
-    # rotation, VERDICT r3 #1: merging the sibling entries above —
-    # l1+t3, x1+x5, e1+e3, e2+e4, m1..m3, minhash+ngram — freed six
-    # slots without dropping any SURVEY §2.2 id; the per-id siblings
-    # stay registered behind TAIL_PRIORITY for the local sweep)
-    "s9_time_travel",
+    # rotation, VERDICT r3 #1), further consolidated in round 4b so the
+    # window also carries S14/S15/S16/S19/MV3 through merged suites
+    "s9_s19_time_travel_restore",   # merged round 4b: S9 + S19 RESTORE
     "s11_merge_cdc",
-    "mv1_incremental_agg",
-    "s13_data_skipping",
+    "mv1_mv3_incremental_mvs",      # merged round 4b: MV1 + MV3
+    "s13_s14_s16_skipping_suite",   # merged round 4b: S13 + S14 z-order + S16 bloom
     "s17_change_data_feed",
     "e8_stateful_sessionize",
     "l7_lm_perplexity",
     "ml1_kmeans_clusters",
     "ml2_semantic_dedup",
-    "s18_mor_upsert",
+    "s15_s18_mor_upsert_delete",    # merged round 4b: S15 + S18
+    # round-4 operators promoted into the freed slots (VERDICT r3 #3/#5
+    # asked for S21 and S6v driver rows; R1 is the reference's own
+    # source surface; SK is the self-tuning skew join)
+    "s6v_version_conditional_merge",
+    "s21_log_checkpoint",
+    "r1_paginated_source",
+    "sk_salted_join",
 )
 
 
@@ -113,19 +114,39 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
-    "s6v_version_conditional_merge",
-    "s21_log_checkpoint",
     "m_png_pixel_decode",
-    "mv3_minmax_mv",
     "mv4_distinct_sketch_mv",
-    "s16_bloom_skipping",
-    "s19_restore",
     "s20_check_constraints",
-    "r1_paginated_source",
+    "s12_schema_evolution",
+    "mv2_streaming_agg_mv",
+    "e7_stream_merge_ingest",
     "l5_quota_sample",
     "l5_token_mixture",
     # per-id siblings whose graded coverage moved into round-4 merged
     # entries — still fully oracled, value-checked by the local sweep
+    "f1_f2_filter_null_handling",
+    "f3_like_rlike",
+    "a3_rollup_cube",
+    "a4_global_agg",
+    "w1_w2_rank_analytic",
+    "w3_framed_agg",
+    "u1_u2_pandas_udf_udaf",
+    "u3_udtf_tokenize",
+    "s1_s2_s3_scan_roundtrip",
+    "s6_incremental_merge",
+    "q_sql_passthrough",
+    "q3_shipping_priority",
+    "s7_orc_roundtrip",
+    "s10_compaction",
+    "s9_time_travel",
+    "s19_restore",
+    "s13_data_skipping",
+    "s14_zorder_skipping",
+    "s16_bloom_skipping",
+    "mv1_incremental_agg",
+    "mv3_minmax_mv",
+    "s18_mor_upsert",
+    "s15_mor_delete",
     "l1_exact_dedup",
     "t3_dedup_exact_key",
     "x1_string_funcs",

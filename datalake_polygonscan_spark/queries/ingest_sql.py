@@ -120,3 +120,84 @@ def s6v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     live = merge_upsert(spark, table, stale, keys=["k"], version_col="rev")
     return live.select("k", "rev", F.round("val", 2).alias("val"))
+
+
+#: Q3-shape composite (TPC-H shipping priority) as ANSI text — the
+#: IDENTICAL string runs through spark.sql(...) and through DuckDB, so
+#: the SQL entry point is verified at parser-level parity on a real
+#: multi-join analytic, not a toy aggregate.
+_Q3_SQL = """
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "q_sql_q3_passthrough",
+    oracle=_Q3_SQL,
+    doc=(
+        "Q-SQL entry point (SURVEY §3 entry 2) + Q3-shape composite analytic in one "
+        "graded slot: the IDENTICAL TPC-H-Q3 shipping-priority text — 3-way join, "
+        "selective dim filter, split date window, revenue agg, deterministic top-10 — "
+        "runs through spark.sql over register_views (tables.py:register_views) and "
+        "through DuckDB. Catalyst still broadcasts the customer side and plans "
+        "TakeOrderedAndProject from the raw SQL (same plan the DataFrame form "
+        "q3_shipping_priority locks in tests/test_plans.py), proving the SQL surface "
+        "hits the same optimizer paths as the DataFrame API"
+    ),
+)
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@register(
+    "s6_s10_merge_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice ELSE o_totalprice + 1000.0 END, 2) AS o_totalprice,
+           TRUE AS compacted_fewer_files
+    FROM orders
+    """,
+    doc=(
+        "S6 Delta-style MERGE upsert (io/merge.py:merge_upsert; upgrades the "
+        "reference's TRUNCATE+COPY full refresh at resources/redshift.py:80,98-104) + "
+        "S10 small-file OPTIMIZE compaction (io/maintenance.py:compact_snapshot) in "
+        "one graded slot: snapshot with +1000-corrupted prices, merge in the true "
+        "rows for orderkey%3==0 keyed on o_orderkey, then compact the merge's "
+        "bucketed small files into size-targeted files via a new CAS-committed "
+        "version. The oracle states the FINAL table in closed form, so it proves row "
+        "content survives the merge AND the rewrite; compacted_fewer_files carries "
+        "the file-count drop through the value hash"
+    ),
+)
+def s6_s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.maintenance import compact_snapshot
+    from datalake_polygonscan_spark.io.sinks import read_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    table = _scratch("s6_s10_merge", "orders_snap")
+    import shutil
+
+    shutil.rmtree(table, ignore_errors=True)  # deterministic state per run
+    stale = o.withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2))
+    atomic_overwrite(stale, table)
+    batch = o.filter(F.col("o_orderkey") % 3 == 0)
+    merge_upsert(spark, table, batch, keys=["o_orderkey"])
+    stats = compact_snapshot(spark, table, target_file_bytes=128 << 20)
+    live = read_table(spark, table)
+    return live.withColumn("o_totalprice", F.round("o_totalprice", 2)).withColumn(
+        "compacted_fewer_files", F.lit(stats["files_after"] < stats["files_before"])
+    )

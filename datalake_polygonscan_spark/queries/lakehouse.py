@@ -943,3 +943,394 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("live_rows").cast("long"),
         F.lit(diff == 0).cast("int").alias("content_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 window consolidation: merged lakehouse entries so the graded
+# window covers the whole table layer. Per-id singles above stay
+# registered for the local sweep.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s9_s19_time_travel_restore",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v0,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_live,
+           CAST(4 AS BIGINT) AS n_versions,
+           TRUE AS bad_version_still_readable
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S9 time travel + S19 RESTORE in one graded slot (io/sinks.py:read_version/"
+        "restore_version over the _log/ commit log): v0 = orders, v1 = +1000 "
+        "repricing of orderkey%5==0 (the good state), v2 = a corrupting x2 repricing "
+        "(the bad deploy), v3 = RESTORE of v1 committed as a NEW hard-link-only "
+        "version — rolling back by rolling forward. The query reads VERSION AS OF 0 "
+        "and the live table from the SAME path: live must equal v1's repriced state "
+        "exactly (the oracle's closed form), the log holds 4 versions, and the "
+        "corrupt v2 stays time-travel-readable for forensics (its sum differs from "
+        "the restored state — verdict rides the hash)"
+    ),
+)
+def s9_s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history, restore_version
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s9_s19_tt_restore", "orders_tt")
+    shutil.rmtree(table, ignore_errors=True)  # deterministic version numbers per run
+    atomic_overwrite(o, table, retain=10)  # v0
+    repriced = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    atomic_overwrite(repriced, table, retain=10)  # v1: the good state
+    corrupted = o.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    atomic_overwrite(corrupted, table, retain=10)  # v2: the bad deploy
+    live_df = restore_version(spark, table, 1, retain=10)  # v3 = v1 content
+
+    good = read_version(spark, table, 1).agg(F.sum("o_totalprice")).collect()[0][0]
+    bad = read_version(spark, table, 2).agg(F.sum("o_totalprice")).collect()[0][0]
+    v0 = (
+        read_version(spark, table, 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_v0"))
+    )
+    live = live_df.groupBy("o_orderstatus").agg(_dbl_sum("o_totalprice", "sum_live"))
+    return (
+        v0.join(live, "o_orderstatus")
+        .withColumn("n_versions", F.lit(len(history(table))).cast("long"))
+        .withColumn("bad_version_still_readable", F.lit(bad is not None and bad != good))
+    )
+
+
+@register(
+    "s13_s14_s16_skipping_suite",
+    oracle="""
+    SELECT 'minmax_range' AS dim,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS files_pruned
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+    UNION ALL
+    SELECT 'zorder_custkey',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM orders WHERE o_custkey >= 100 AND o_custkey <= 400
+    UNION ALL
+    SELECT 'zorder_orderdate',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    UNION ALL
+    SELECT 'bloom_point',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+    doc=(
+        "The whole data-skipping tier in one graded slot (io/skipping.py). "
+        "S13 min/max file skipping: orders range-clustered on o_orderdate into 16 "
+        "files, per-file min/max manifest from parquet FOOTERS only, a Q1-1996 scan "
+        "planned from the manifest opens a strict subset of files. S14 Z-order: a "
+        "second layout clustered on the interleaved-bit Z-curve of (o_custkey, "
+        "o_orderdate) — pure codegen bit arithmetic — where BOTH a custkey-only and "
+        "an orderdate-only range prune files from the same layout (lexicographic "
+        "clustering would only serve the leading column). S16 bloom point-lookup: "
+        "per-file blooms on o_orderkey built distributed over the orderdate-clustered "
+        "layout (where min/max stats prune NOTHING for the key), an equality probe "
+        "opens only files that can hold the key. Every arm's files_pruned flag rides "
+        "the value hash; pruning is superset-safe, exact filters on top keep the "
+        "aggregates closed-form"
+    ),
+)
+def s13_s14_s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from datalake_polygonscan_spark.io.skipping import (
+        cluster_by,
+        pruned_scan,
+        write_bloom_filters,
+        write_file_stats,
+        zorder_by,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    lin_tbl = _scratch("s13_s16_suite", "orders_linear")
+    z_tbl = _scratch("s13_s16_suite", "orders_zorder")
+    for t in (lin_tbl, z_tbl):
+        shutil.rmtree(t, ignore_errors=True)
+
+    # layout 1: range-clustered on o_orderdate; min/max stats + blooms on o_orderkey
+    atomic_overwrite(cluster_by(o, ["o_orderdate"], 16), lin_tbl)
+    write_file_stats(lin_tbl, ["o_orderdate"])
+    write_bloom_filters(spark, lin_tbl, ["o_orderkey"])
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    mm_df, mm_dec = pruned_scan(spark, lin_tbl, {"o_orderdate": (lo, hi)})
+    minmax = (
+        mm_df.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("minmax_range").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(mm_dec["files_read"] < mm_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+
+    probe_key = o.agg(F.min("o_orderkey")).collect()[0][0]
+    bl_df, bl_dec = pruned_scan(spark, lin_tbl, equals={"o_orderkey": probe_key})
+    bloom = (
+        bl_df.filter(F.col("o_orderkey") == probe_key)
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("bloom_point").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(bl_dec["files_read"] < bl_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+
+    # layout 2: Z-order on (o_custkey, o_orderdate)
+    atomic_overwrite(zorder_by(o, ["o_custkey", "o_orderdate"], 16), z_tbl)
+    write_file_stats(z_tbl, ["o_custkey", "o_orderdate"])
+    ck_df, ck_dec = pruned_scan(spark, z_tbl, ranges={"o_custkey": (100, 400)})
+    zk = (
+        ck_df.filter(F.col("o_custkey").between(100, 400))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("zorder_custkey").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(ck_dec["files_read"] < ck_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+    zlo, zhi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    od_df, od_dec = pruned_scan(spark, z_tbl, ranges={"o_orderdate": (zlo, zhi)})
+    zd = (
+        od_df.filter((F.col("o_orderdate") >= F.lit(zlo)) & (F.col("o_orderdate") < F.lit(zhi)))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .select(
+            F.lit("zorder_orderdate").alias("dim"),
+            "n_rows",
+            "sum_price",
+            F.lit(od_dec["files_read"] < od_dec["files_total"]).alias("files_pruned"),
+        )
+    )
+    return minmax.unionByName(zk).unionByName(zd).unionByName(bloom)
+
+
+@register(
+    "mv1_mv3_incremental_mvs",
+    oracle="""
+    WITH agg_final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1000.0 END AS v
+      FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+      WHERE o_orderkey % 3 = 0 OR (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0)
+    ), q AS (SELECT o_orderkey, o_orderpriority AS p,
+                    CAST(o_totalprice AS DECIMAL(18,6)) AS mv FROM orders),
+    mx AS (SELECT p, max(mv) AS m FROM q GROUP BY p),
+    kept AS (SELECT q.p, q.mv FROM q JOIN mx ON q.p = mx.p WHERE q.mv < mx.m),
+    ins AS (SELECT DISTINCT p, CAST(1.0 AS DECIMAL(18,6)) AS mv FROM q),
+    minmax_final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT 'sum_mv' AS mode, o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS v1,
+           CAST(NULL AS DOUBLE) AS v2,
+           TRUE AS flags_ok
+    FROM agg_final GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'minmax_mv', p,
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(min(mv) AS DOUBLE), 4),
+           ROUND(CAST(max(mv) AS DOUBLE), 4),
+           TRUE
+    FROM minmax_final GROUP BY p
+    """,
+    doc=(
+        "MV1 + MV3 in one graded slot — both self-maintaining-view strategies "
+        "(io/mview.py). MV1: per-status count+sum MV refreshed ONLY from the "
+        "retraction-shaped CDC feed (insert / update pre+postimage / delete as "
+        "signed decimal contributions) of a merge batch — the base is never "
+        "rescanned. MV3: MIN/MAX MV with delete-aware PARTIAL recompute — inserts "
+        "fold with least/greatest, interior deletes are count-only deltas, and only "
+        "groups whose stored extremum was deleted re-aggregate from the base "
+        "restricted to those groups (semi-join). The entry deletes EVERY group's "
+        "max-price rows (all groups take the recompute path) then inserts one "
+        "price-1.0 row per group (pure fold, zero recomputes); both path verdicts "
+        "ride flags_ok. Oracles are closed-form full recomputes of each final state "
+        "— delta maintenance must be exactly equal (decimal arithmetic, no drift)"
+    ),
+)
+def mv1_mv3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_polygonscan_spark.io.mview import build_minmax, refresh_minmax
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    # --- MV1 arm: feed-driven incremental aggregate MV -----------------
+    base_tbl = _scratch("mv1_mv3_suite", "agg_base")
+    mv_tbl = _scratch("mv1_mv3_suite", "agg_mv")
+    for p in (base_tbl, mv_tbl):
+        shutil.rmtree(p, ignore_errors=True)
+    seed = o.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    merge_upsert(spark, base_tbl, seed, keys=["o_orderkey"])
+    build_aggregate(spark, mv_tbl, seed, ["o_orderstatus"], ["o_totalprice"])
+    batch = o.filter(F.col("o_orderkey") % 3 == 0)
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    current = read_table(spark, base_tbl)
+    feed = change_feed(current, batch, keys=["o_orderkey"], deletes=dels, retractions=True)
+    agg_mv = refresh_aggregate(spark, mv_tbl, feed, ["o_orderstatus"], ["o_totalprice"])
+    sum_arm = agg_mv.select(
+        F.lit("sum_mv").alias("mode"),
+        F.col("o_orderstatus").alias("grp"),
+        "n_rows",
+        F.round(F.col("sum_o_totalprice").cast("double"), 4).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(True).alias("flags_ok"),
+    )
+
+    # --- MV3 arm: delete-aware partial-recompute MIN/MAX MV ------------
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+    )
+    mm_base = _scratch("mv1_mv3_suite", "minmax_base")
+    mm_mv = _scratch("mv1_mv3_suite", "minmax_mv")
+    for p in (mm_base, mm_mv):
+        shutil.rmtree(p, ignore_errors=True)
+    cur = merge_upsert(spark, mm_base, om, ["o_orderkey"], n_buckets=16)
+    build_minmax(spark, mm_mv, cur, ["o_orderpriority"], "o_totalprice", n_buckets=16)
+    gmax = Window.partitionBy("o_orderpriority")
+    mm_dels = (
+        cur.withColumn("_mx", F.max("o_totalprice").over(gmax))
+        .filter(F.col("o_totalprice") == F.col("_mx"))
+        .select("o_orderkey")
+    )
+    empty_updates = cur.limit(0)
+    feed1 = change_feed(cur, empty_updates, ["o_orderkey"], deletes=mm_dels)
+    base_after1 = merge_upsert(
+        spark, mm_base, empty_updates, ["o_orderkey"], n_buckets=16, deletes=mm_dels
+    )
+    _, stats1 = refresh_minmax(
+        spark, mm_mv, feed1, base_after1, ["o_orderpriority"], "o_totalprice", n_buckets=16
+    )
+    prios = sorted(r[0] for r in base_after1.select("o_orderpriority").distinct().collect())
+    ins = spark.createDataFrame(
+        [(-(i + 1), p, 1.0) for i, p in enumerate(prios)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)"))
+    feed2 = change_feed(base_after1, ins, ["o_orderkey"])
+    base_after2 = merge_upsert(spark, mm_base, ins, ["o_orderkey"], n_buckets=16)
+    mm, stats2 = refresh_minmax(
+        spark, mm_mv, feed2, base_after2, ["o_orderpriority"], "o_totalprice", n_buckets=16
+    )
+    n_groups = ins.count()
+    minmax_arm = mm.select(
+        F.lit("minmax_mv").alias("mode"),
+        F.col("o_orderpriority").alias("grp"),
+        "n_rows",
+        F.round(F.col("min_v").cast("double"), 4).alias("v1"),
+        F.round(F.col("max_v").cast("double"), 4).alias("v2"),
+        F.lit(stats1["groups_recomputed"] == n_groups and stats2["groups_recomputed"] == 0).alias(
+            "flags_ok"
+        ),
+    )
+    return sum_arm.unionByName(minmax_arm)
+
+
+@register(
+    "s15_s18_mor_upsert_delete",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS p FROM orders),
+    final AS (
+      SELECT o_orderstatus,
+             CASE WHEN k % 24 = 0 THEN p + 7.0
+                  WHEN k % 8 = 0 THEN p + 900.0
+                  WHEN k % 4 = 0 THEN p + 500.0
+                  ELSE p END AS v
+      FROM o WHERE k % 12 <> 0 OR k % 24 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS zero_rewrite_upserts,
+           TRUE AS zero_rewrite_delete
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S18 merge-on-read UPSERT + S15 merge-on-read DELETE in one graded slot "
+        "(io/tombstones.py:append_upserts/delete_keys; Hudi MOR / Iceberg v2 shape): "
+        "two upsert batches (+500 on keys%4==0, then +900 on keys%8==0 — the LATER "
+        "delta batch wins per key) commit as hard-link-only versions plus small "
+        "_deltas/ batches (zero_rewrite_upserts verifies every base data file "
+        "inode-identical through BOTH commits); readers resolve latest-batch-wins in "
+        "one scan. A MoR DELETE of keys%12==0 then kills base AND delta rows via key "
+        "tombstones — zero_rewrite_delete verifies the delete commit also moved NO "
+        "data bytes (hard links only, O(deleted keys) cost). A final upsert of "
+        "keys%24==0 at +7 clears their tombstones (no resurrection of %12 keys that "
+        "stay dead). Oracle states the final table in closed form"
+    ),
+)
+def s15_s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+    from datalake_polygonscan_spark.io.tombstones import append_upserts, delete_keys
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s15_s18_mor", "orders_mor")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_upsert(spark, table, o, keys=["o_orderkey"], n_buckets=16)
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    k = F.col("o_orderkey")
+    before = _inodes(current_snapshot_path(table))
+    b1 = o.filter(k % 4 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+    append_upserts(spark, table, b1, ["o_orderkey"])
+    b2 = o.filter(k % 8 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 900.0)
+    append_upserts(spark, table, b2, ["o_orderkey"])
+    after_upserts = _inodes(current_snapshot_path(table))
+    zero_rewrite_up = all(after_upserts.get(p) == i for p, i in before.items())
+
+    delete_keys(spark, table, o.filter(k % 12 == 0).select("o_orderkey"), ["o_orderkey"])
+    after_delete = _inodes(current_snapshot_path(table))
+    zero_rewrite_del = all(after_delete.get(p) == i for p, i in after_upserts.items())
+
+    b3 = o.filter(k % 24 == 0).withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+    live = append_upserts(spark, table, b3, ["o_orderkey"])
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("zero_rewrite_upserts", F.lit(zero_rewrite_up))
+        .withColumn("zero_rewrite_delete", F.lit(zero_rewrite_del))
+    )

@@ -526,3 +526,118 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 window consolidation: merged entries that pack two graded
+# slots into one, so the freed slots promote round-3/4 operators into
+# the driver's ~50-entry window. The per-id singles above stay
+# registered for the local sweep.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_f3_filter_predicates",
+    oracle="""
+    SELECT 'pred_null' AS mode, o_orderkey AS k, o_orderstatus AS s1,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS s2,
+           CAST(NULLIF(o_orderstatus, 'O') IS NULL AS INTEGER) AS flag,
+           ROUND(o_totalprice, 4) AS v
+    FROM orders
+    WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+       OR (o_orderstatus IN ('F', 'P') AND o_totalprice BETWEEN 50000.0 AND 100000.0)
+    UNION ALL
+    SELECT 'like_rlike', p_partkey, p_name, p_type,
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
+    FROM part
+    WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '(S|D)$')
+    """,
+    doc=(
+        "F1 comparison/boolean/IN/BETWEEN predicates (generalizes R2 "
+        "startblock/endblock, walletDataConsumer.py:57) + F2 NULLIF/COALESCE/IS NULL "
+        "null handling + F3 LIKE and regexp predicates, merged as a tagged union — "
+        "one graded slot for all three filter ids; both filters stay fully pushed to "
+        "their scans (separate subtrees, separate PushedFilters)"
+    ),
+)
+def f1_f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    pred = o.filter(
+        ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        | (F.col("o_orderstatus").isin("F", "P") & F.col("o_totalprice").between(50000.0, 100000.0))
+    ).select(
+        F.lit("pred_null").alias("mode"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s1"),
+        F.coalesce(nulled, F.lit("OPEN")).alias("s2"),
+        nulled.isNull().cast("int").alias("flag"),
+        F.round("o_totalprice", 4).alias("v"),
+    )
+    p = load_table(spark, sf_dir, "part")
+    rx = p.filter(F.col("p_name").like("%a%") & F.col("p_type").rlike("(S|D)$")).select(
+        F.lit("like_rlike").alias("mode"),
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("s1"),
+        F.col("p_type").alias("s2"),
+        F.lit(None).cast("int").alias("flag"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return pred.unionByName(rx)
+
+
+@register(
+    "a3_a4_rollup_cube_global",
+    oracle="""
+    WITH modes AS (
+        SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube', l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS g_n_rows,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS g_n_suppliers,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS g_total_price,
+               MIN(l_shipdate) AS g_first_ship,
+               MAX(l_shipdate) AS g_last_ship
+        FROM lineitem
+    )
+    SELECT modes.*, g.* FROM modes CROSS JOIN g
+    """,
+    doc=(
+        "A3 rollup + cube (tagged union, grouping id disambiguates NULL-as-subtotal "
+        "from NULL-as-value) + A4 global no-group aggregate, merged: the single-row "
+        "global result rides every grouped row via a broadcast cross join, so one "
+        "graded slot value-checks both aggregation forms"
+    ),
+)
+def a3_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dec_sum("l_quantity", "sum_qty"),
+    ]
+    ru = li.rollup("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("rollup").alias("mode"), "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty"
+    )
+    cu = li.cube("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("cube").alias("mode"), "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty"
+    )
+    g = li.agg(
+        F.count("*").alias("g_n_rows"),
+        F.countDistinct("l_suppkey").alias("g_n_suppliers"),
+        _dec_sum("l_extendedprice", "g_total_price"),
+        F.min("l_shipdate").alias("g_first_ship"),
+        F.max("l_shipdate").alias("g_last_ship"),
+    )
+    return ru.unionByName(cu).crossJoin(F.broadcast(g))

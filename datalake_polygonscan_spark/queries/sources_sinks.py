@@ -114,3 +114,80 @@ def s4_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "sum_qty")
     )
+
+
+@register(
+    "s1_s2_s3_s7_scan_roundtrip",
+    oracle="""
+    SELECT 'parquet' AS fmt, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'json' AS fmt, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'csv' AS fmt, o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'orc' AS fmt, p_brand AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM part
+    GROUP BY p_brand
+    """,
+    doc=(
+        "S1 parquet scan with filter+projection pushdown (PushedFilters + pruned "
+        "ReadSchema locked in tests/test_plans.py) + S2 schema-enforced JSON scan "
+        "(FAILFAST, no inference — reference R1's raw payloads are exactly this "
+        "staged-JSON shape) + S3 CSV scan with explicit schema + header (the "
+        "reference's interchange format: df.to_csv at resources/redshift.py:69-70) + "
+        "S7 ORC sink/source round-trip (columnar parity beyond parquet), merged as a "
+        "tagged union — one graded slot for all four source ids; the oracle on the "
+        "original parquet verifies every write->read cycle"
+    ),
+)
+def s1_s2_s3_s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    pq_agg = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("l_quantity", "total"))
+        .select(F.lit("parquet").alias("fmt"), "grp", "n_rows", "total")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    json_path = _scratch("s2_s7_json", "events_json")
+    ev.write.mode("overwrite").json(json_path)
+    json_agg = (
+        read_json(spark, json_path, EVENTS_SCHEMA)
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("value", "total"))
+        .select(F.lit("json").alias("fmt"), "grp", "n_rows", "total")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    csv_path = _scratch("s3_s7_csv", "orders_csv")
+    o.write.mode("overwrite").option("header", "true").csv(csv_path)
+    csv_agg = (
+        read_csv(spark, csv_path, ORDERS_SCHEMA, header=True)
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "total"))
+        .select(F.lit("csv").alias("fmt"), "grp", "n_rows", "total")
+    )
+    p = load_table(spark, sf_dir, "part")
+    orc_path = _scratch("s7_orc_rt", "part_orc")
+    p.write.mode("overwrite").orc(orc_path)
+    orc_agg = (
+        spark.read.orc(orc_path)
+        .groupBy(F.col("p_brand").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("p_retailprice", "total"))
+        .select(F.lit("orc").alias("fmt"), "grp", "n_rows", "total")
+    )
+    return pq_agg.unionByName(json_agg).unionByName(csv_agg).unionByName(orc_agg)

@@ -126,3 +126,78 @@ def _tokenize_docs(batches):
 def u3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_tokenize_docs, schema=_U3_SCHEMA)
+
+
+@register(
+    "u1_u3_udf_udaf_udtf",
+    oracle="""
+    SELECT 'scalar' AS mode,
+           l_orderkey AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2,
+           floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) / 10000 AS val
+    FROM lineitem
+    UNION ALL
+    SELECT 'grouped' AS mode,
+           l_suppkey AS k1,
+           CAST(count(*) AS BIGINT) AS k2,
+           ROUND(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS val
+    FROM lineitem
+    GROUP BY l_suppkey
+    UNION ALL
+    SELECT 'udtf' AS mode,
+           doc_id AS k1,
+           CAST(count(*) AS BIGINT) AS k2,
+           ROUND(SUM(CAST(length(token) AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS val
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ) WHERE token != ''
+    GROUP BY doc_id
+    """,
+    doc=(
+        "The whole Python-surface tier in one graded slot: U1 Arrow-vectorized pandas "
+        "UDF (scalar net-price; floor(x*1e4+0.5) rounding is bitwise-reproducible "
+        "across IEEE engines) + U2 grouped pandas UDAF via applyInPandas "
+        "(quantity-weighted mean discount, one Arrow batch per group) + U3 UDTF-style "
+        "table function via mapInPandas (doc -> token rows, streamed per Arrow batch), "
+        "verified through per-doc token count and mean token length (exact int "
+        "sum/count, one IEEE division — engine-identical). Merged as a tagged union; "
+        "per-id entries u1_u2_pandas_udf_udaf / u3_udtf_tokenize stay in the local sweep"
+    ),
+)
+def u1_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scalar = li.select(
+        F.lit("scalar").alias("mode"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        (F.floor(_net_price("l_extendedprice", "l_discount", "l_tax") * 10000 + 0.5) / 10000).alias("val"),
+    )
+    grouped = (
+        li.select("l_suppkey", "l_quantity", "l_discount")
+        .groupBy("l_suppkey")
+        .applyInPandas(_weighted_avg, schema=_U2_SCHEMA)
+        .select(
+            F.lit("grouped").alias("mode"),
+            F.col("l_suppkey").alias("k1"),
+            F.col("n_items").alias("k2"),
+            F.col("weighted_avg_discount").alias("val"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    udtf = (
+        docs.mapInPandas(_tokenize_docs, schema=_U3_SCHEMA)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(F.col("token_len").cast("long")) / F.count("*").cast("double")).alias("mean_len"),
+        )
+        .select(
+            F.lit("udtf").alias("mode"),
+            F.col("doc_id").alias("k1"),
+            F.col("n_tokens").alias("k2"),
+            F.round("mean_len", 6).alias("val"),
+        )
+    )
+    return scalar.unionByName(grouped).unionByName(udtf)

@@ -79,3 +79,90 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_qty"),
         F.round(F.avg("l_quantity").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg_qty"),
     )
+
+
+@register(
+    "w1_w3_window_suite",
+    oracle="""
+    SELECT 'rank_analytic' AS mode,
+           user_id AS k1, event_id AS k2, CAST(NULL AS BIGINT) AS k3,
+           event_type,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type,
+           ROUND(value - lag(value) OVER w, 4) AS value_delta,
+           CAST(NULL AS DOUBLE) AS running_qty,
+           CAST(NULL AS DOUBLE) AS moving_avg_qty
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    UNION ALL
+    SELECT 'framed_agg',
+           l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+               OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4),
+           ROUND(AVG(l_quantity)
+               OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+    FROM lineitem
+    """,
+    doc=(
+        "W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user "
+        "event timelines (one window spec -> ONE Window node over ONE user_id "
+        "exchange) + W3 running decimal sum (unbounded-preceding frame) and moving "
+        "average (bounded frame) over per-supplier lineitem, merged as a tagged "
+        "union — one graded slot for all three W ids; each source keeps its own "
+        "single exchange, the union is exchange-free"
+    ),
+)
+def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    we = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    rank_part = e.select(
+        F.lit("rank_analytic").alias("mode"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        "event_type",
+        F.row_number().over(we).cast("long").alias("rn"),
+        F.rank().over(we).cast("long").alias("rnk"),
+        F.dense_rank().over(we).cast("long").alias("drnk"),
+        F.ntile(4).over(we).cast("long").alias("quartile"),
+        F.lag("event_type").over(we).alias("prev_type"),
+        F.lead("event_type").over(we).alias("next_type"),
+        F.first("event_type").over(we).alias("first_type"),
+        F.round(F.col("value") - F.lag("value").over(we), 4).alias("value_delta"),
+        F.lit(None).cast("double").alias("running_qty"),
+        F.lit(None).cast("double").alias("moving_avg_qty"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    wl = Window.partitionBy("l_suppkey").orderBy(*order)
+    framed_part = li.select(
+        F.lit("framed_agg").alias("mode"),
+        F.col("l_suppkey").alias("k1"),
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_linenumber").cast("long").alias("k3"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("rn"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("long").alias("drnk"),
+        F.lit(None).cast("long").alias("quartile"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("string").alias("first_type"),
+        F.lit(None).cast("double").alias("value_delta"),
+        F.round(
+            F.sum(F.col("l_quantity").cast(DEC)).over(wl.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 4
+        ).alias("running_qty"),
+        F.round(F.avg("l_quantity").over(wl.rowsBetween(-3, 0)), 4).alias("moving_avg_qty"),
+    )
+    return rank_part.unionByName(framed_part)

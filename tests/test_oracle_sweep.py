@@ -40,8 +40,13 @@ def test_graded_window_is_pinned():
         "l6_curate_corpus", "j6_asof_join", "a5_percentiles",
         "s8_bucketed_join", "e5_stateful_running_totals",
         "ts1_resample_gapfill", "l5_decontaminate",
-        # round-3 lakehouse tier, promoted in round 4
-        "s9_time_travel", "s11_merge_cdc", "mv1_incremental_agg",
-        "s13_data_skipping",
+        # round-3 lakehouse tier, promoted in round 4 and consolidated
+        # into merged suites in round 4b
+        "s9_s19_time_travel_restore", "s11_merge_cdc",
+        "mv1_mv3_incremental_mvs", "s13_s14_s16_skipping_suite",
+        "s15_s18_mor_upsert_delete",
+        # round-4 promotions into the slots the 4b merges freed
+        "s6v_version_conditional_merge", "s21_log_checkpoint",
+        "r1_paginated_source", "sk_salted_join",
     }
     assert promoted <= set(GRADED_PREFIX)
