@@ -232,6 +232,11 @@ tbl, tag = sys.argv[1], sys.argv[2]
 base = read_pointer(tbl)
 name = new_snapshot_name(base)
 os.makedirs(os.path.join(tbl, name), exist_ok=True)
+# handshake: base is read -> tell the test we're parked. Without this
+# a slow interpreter start can read the pointer AFTER the fast racer
+# committed, see the new base, and legitimately commit as FIRST too.
+with open(os.path.join(tbl, "_ready_" + tag), "w") as f:
+    f.write("ready")
 go = os.path.join(tbl, "_go")
 deadline = time.monotonic() + 30
 while not os.path.exists(go):
@@ -273,7 +278,12 @@ def test_two_process_cas_race(tmp_path, round_):
         )
         for i in range(2)
     ]
-    _time.sleep(0.3)  # both racers parked on the go-file spin
+    # wait until BOTH racers have read the base pointer and parked on
+    # the go-file spin (a fixed sleep raced against interpreter startup)
+    deadline = _time.monotonic() + 30
+    while not all(os.path.exists(os.path.join(tbl, f"_ready_w{i}")) for i in range(2)):
+        assert _time.monotonic() < deadline, "racers failed to start"
+        _time.sleep(0.005)
     with open(os.path.join(tbl, "_go"), "w") as f:
         f.write("go")
     outs = sorted(p.communicate(timeout=60)[0].strip() for p in procs)
