@@ -404,3 +404,104 @@ def _read_touched_mv_generic(
     )
     snap = os.path.join(mv_path, base["snapshot"])
     return spark.read.parquet(snap).filter(F.col("_bucket").isin(touched)).drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# MV5: incremental JOIN materialized view (delta-join maintenance)
+# ---------------------------------------------------------------------------
+
+
+def build_join(
+    spark: SparkSession,
+    mv_path: str,
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_keys: list[str],
+    join_keys: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One-time full build of a fact⋈dim JOIN MV — the denormalized
+    view ``fact LEFT JOIN dim ON join_keys`` stored as a keyed lakehouse
+    table (key = ``fact_keys``, the fact's primary key, so the join
+    must be N:1 fact->dim; a fact key maps to exactly one MV row).
+
+    This is the ONLY full scan of either input the MV ever needs:
+    every later change folds in through :func:`refresh_join` at cost
+    proportional to the change feed (fact side) or to the fan-out of
+    the changed dim keys (dim side), never a re-join of the bases.
+    """
+    mv = fact.join(dim, join_keys, "left")
+    return merge_upsert(spark, mv_path, mv, keys=fact_keys, n_buckets=n_buckets)
+
+
+def refresh_join(
+    spark: SparkSession,
+    mv_path: str,
+    fact_keys: list[str],
+    join_keys: list[str],
+    fact_feed: DataFrame | None = None,
+    dim_feed: DataFrame | None = None,
+    dim_current: DataFrame | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fold change feeds of the join's inputs into the MV — classic
+    delta-join view maintenance (ΔV = ΔR ⋈ S, then R' ⋈ ΔS), each side
+    expressed on the repo's lakehouse primitives.
+
+    Fact-side changes (``fact_feed`` = ``change_feed`` rows over the
+    fact table, types insert/update/delete):
+      * insert/update rows are re-joined against ``dim_current``
+        restricted to ONLY the dim keys the batch touches (broadcast
+        semi-filtered lookup — batch-sized, never a dim scan) and
+        merge-upserted by fact key.
+      * delete rows become MERGE delete keys.
+      Cost: O(batch) + bucket-pruned MV rewrite.
+
+    Dim-side changes (``dim_feed`` = ``change_feed`` rows over the dim
+    table): every MV row referencing a changed dim key is re-joined
+    against the feed's postimages (dim DELETEs null the dim columns,
+    preserving LEFT JOIN semantics — no fact row disappears because its
+    dimension did). Cost: O(fan-out of the changed dim keys) — the MV
+    read is a broadcast semi-join on ``join_keys``, the rewrite is
+    bucket-pruned by fact key. The base tables are never re-joined.
+
+    The 100 TB story: fact churn (the overwhelming majority of writes
+    in a fact⋈dim star) costs batch-sized work; dim churn costs its
+    true fan-out, which no maintenance scheme can beat — a repriced
+    customer OWNS those order rows. Apply order matters and mirrors
+    commit order: each feed folds against the MV state its
+    ``change_feed`` was derived on.
+    """
+    live = None
+    if fact_feed is not None:
+        if dim_current is None:
+            raise ValueError("fact_feed refresh needs dim_current for the lookup join")
+        upserts_fact = fact_feed.filter(
+            F.col("_change_type").isin("insert", "update", "update_postimage")
+        ).drop("_change_type")
+        deletes = (
+            fact_feed.filter(F.col("_change_type") == "delete")
+            .select(*fact_keys)
+        )
+        # dim lookup restricted to the batch's join keys: semi-filter
+        # then broadcast — batch-sized, never a dim-side scan
+        touched_dim = dim_current.join(
+            F.broadcast(upserts_fact.select(*join_keys).distinct()), join_keys, "leftsemi"
+        )
+        upserts = upserts_fact.join(F.broadcast(touched_dim), join_keys, "left")
+        live = merge_upsert(
+            spark, mv_path, upserts, keys=fact_keys, n_buckets=n_buckets, deletes=deletes
+        )
+    if dim_feed is not None:
+        post = dim_feed.filter(
+            F.col("_change_type").isin("insert", "update", "update_postimage")
+        ).drop("_change_type")
+        changed_keys = dim_feed.select(*join_keys).distinct()
+        mv_now = read_table(spark, mv_path)
+        dim_cols = [c for c in post.columns if c not in join_keys]
+        affected = mv_now.join(F.broadcast(changed_keys), join_keys, "leftsemi")
+        refreshed = affected.drop(*dim_cols).join(F.broadcast(post), join_keys, "left")
+        live = merge_upsert(spark, mv_path, refreshed, keys=fact_keys, n_buckets=n_buckets)
+    if live is None:
+        raise ValueError("refresh_join called with no feed")
+    return live

@@ -114,6 +114,7 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
+    "mv5_join_mv",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -1334,3 +1334,91 @@ def s15_s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_rewrite_upserts", F.lit(zero_rewrite_up))
         .withColumn("zero_rewrite_delete", F.lit(zero_rewrite_del))
     )
+
+
+@register(
+    "mv5_join_mv",
+    oracle="""
+    WITH fact_final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1000.0 END AS p
+      FROM orders
+      WHERE o_orderkey % 3 = 0 OR (o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0)
+    ), dim_final AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END AS a
+      FROM customer
+      WHERE NOT (c_custkey % 13 = 0 AND c_custkey % 5 <> 0)
+    )
+    SELECT f.o_orderkey, f.o_custkey, ROUND(f.p, 2) AS o_totalprice,
+           d.c_mktsegment, ROUND(d.a, 2) AS c_acctbal
+    FROM fact_final f LEFT JOIN dim_final d ON f.o_custkey = d.c_custkey
+    """,
+    doc=(
+        "MV5 incremental JOIN materialized view (io/mview.py:build_join/refresh_join) "
+        "— classic delta-join maintenance (ΔV = ΔR ⋈ S, then R' ⋈ ΔS) of a "
+        "denormalized orders⋈customer view keyed by the fact key, on lakehouse "
+        "primitives. Fact churn (a merge batch of inserts+updates+deletes) re-joins "
+        "ONLY the batch against a broadcast semi-filtered dim lookup and folds in "
+        "bucket-pruned; dim churn (a customer repricing + customer deletions) "
+        "rewrites exactly the fan-out rows of the changed dim keys, with dim DELETEs "
+        "nulling the dim columns (LEFT JOIN semantics preserved — no fact row "
+        "vanishes because its dimension did; a key in both the delete and update "
+        "set nets to the update, change_feed's no-resurrection rule). The bases are "
+        "never re-joined. Oracle: closed-form full join of both final states — delta "
+        "maintenance must be exactly equal"
+    ),
+)
+def mv5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.mview import build_join, refresh_join
+
+    fact_all = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim_all = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    fact_tbl = _scratch("mv5_join_mv", "fact")
+    mv_tbl = _scratch("mv5_join_mv", "mv")
+    for p in (fact_tbl, mv_tbl):
+        shutil.rmtree(p, ignore_errors=True)
+
+    seed = fact_all.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    merge_upsert(spark, fact_tbl, seed, keys=["o_orderkey"], n_buckets=16)
+    build_join(
+        spark, mv_tbl, seed, dim_all, fact_keys=["o_orderkey"], join_keys=["o_custkey"],
+        n_buckets=16,
+    )
+
+    # fact-side batch: true prices for %3==0 (inserts where %4==0 too,
+    # updates elsewhere), deletes for %7==0
+    batch = fact_all.filter(F.col("o_orderkey") % 3 == 0)
+    dels = fact_all.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    current_fact = read_table(spark, fact_tbl)
+    fact_feed = change_feed(current_fact, batch, keys=["o_orderkey"], deletes=dels)
+    merge_upsert(spark, fact_tbl, batch, keys=["o_orderkey"], n_buckets=16, deletes=dels)
+    refresh_join(
+        spark, mv_tbl, fact_keys=["o_orderkey"], join_keys=["o_custkey"],
+        fact_feed=fact_feed, dim_current=dim_all, n_buckets=16,
+    )
+
+    # dim-side batch: +500 repricing of custkey%5==0, delete custkey%13==0
+    dim_batch = dim_all.filter(F.col("o_custkey") % 5 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    dim_dels = dim_all.filter(F.col("o_custkey") % 13 == 0).select("o_custkey")
+    dim_feed = change_feed(dim_all, dim_batch, keys=["o_custkey"], deletes=dim_dels)
+    mv = refresh_join(
+        spark, mv_tbl, fact_keys=["o_orderkey"], join_keys=["o_custkey"],
+        dim_feed=dim_feed, n_buckets=16,
+    )
+    return mv.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )

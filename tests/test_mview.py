@@ -305,3 +305,113 @@ def test_distinct_sketch_mv_incremental_accuracy(spark, tmp_path):
         spark, mv_tbl, spark.createDataFrame([(9, 1), (9, 2)], ["g", "u"]), ["g"], "u", n_buckets=8
     )
     assert {r["g"]: r["n_distinct_est"] for r in mv3.collect()}[9] == 2
+
+
+# ---------------------------------------------------------------------------
+# MV5: incremental join MV (build_join / refresh_join)
+# ---------------------------------------------------------------------------
+
+JCOLS_F = ["fk", "dk", "fv"]
+JCOLS_D = ["dk", "dname", "dv"]
+
+
+def _fdf(spark, rows):
+    return spark.createDataFrame([(int(a), int(b), float(c)) for a, b, c in rows], JCOLS_F)
+
+
+def _ddf(spark, rows):
+    return spark.createDataFrame([(int(a), str(b), float(c)) for a, b, c in rows], JCOLS_D)
+
+
+def _join_rows(df):
+    return sorted(
+        (r["fk"], r["dk"], r["fv"], r["dname"], r["dv"]) for r in df.collect()
+    )
+
+
+def _full_join(fact, dim):
+    return _join_rows(fact.join(dim, "dk", "left").select("fk", "dk", "fv", "dname", "dv"))
+
+
+def test_join_mv_fact_churn_matches_full_join(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_join, refresh_join
+
+    fact = _fdf(spark, [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0)])
+    dim = _ddf(spark, [(10, "a", 0.1), (20, "b", 0.2), (30, "c", 0.3)])
+    mv_tbl = str(tmp_path / "mv")
+    build_join(spark, mv_tbl, fact, dim, ["fk"], ["dk"], n_buckets=4)
+
+    # batch: update fk=1 (moves to dim 30), insert fk=4 (dim 20), delete fk=2
+    batch = _fdf(spark, [(1, 30, 9.0), (4, 20, 4.0)])
+    dels = _fdf(spark, [(2, 10, 0.0)]).select("fk")
+    feed = change_feed(fact, batch, keys=["fk"], deletes=dels)
+    mv = refresh_join(
+        spark, mv_tbl, ["fk"], ["dk"], fact_feed=feed, dim_current=dim, n_buckets=4
+    )
+    fact2 = _fdf(spark, [(1, 30, 9.0), (3, 20, 3.0), (4, 20, 4.0)])
+    assert _join_rows(mv.select("fk", "dk", "fv", "dname", "dv")) == _full_join(fact2, dim)
+
+
+def test_join_mv_dim_churn_updates_fanout_and_nulls_deletes(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_join, refresh_join
+
+    fact = _fdf(spark, [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 40, 4.0)])
+    dim = _ddf(spark, [(10, "a", 0.1), (20, "b", 0.2), (40, "d", 0.4)])
+    mv_tbl = str(tmp_path / "mv")
+    build_join(spark, mv_tbl, fact, dim, ["fk"], ["dk"], n_buckets=4)
+
+    # dim batch: reprice dk=10 (fan-out 2 rows), delete dk=20 (LEFT
+    # JOIN nulls, fact row survives), dk=40 untouched
+    dim_batch = _ddf(spark, [(10, "a2", 9.9)])
+    dim_dels = _ddf(spark, [(20, "b", 0.0)]).select("dk")
+    dim_feed = change_feed(dim, dim_batch, keys=["dk"], deletes=dim_dels)
+    mv = refresh_join(spark, mv_tbl, ["fk"], ["dk"], dim_feed=dim_feed, n_buckets=4)
+    dim2 = _ddf(spark, [(10, "a2", 9.9), (40, "d", 0.4)])
+    assert _join_rows(mv.select("fk", "dk", "fv", "dname", "dv")) == _full_join(fact, dim2)
+    # the deleted dim's fact row is present with nulled dim columns
+    row3 = [r for r in mv.collect() if r["fk"] == 3]
+    assert len(row3) == 1 and row3[0]["dname"] is None and row3[0]["dv"] is None
+
+
+def test_join_mv_randomized_churn_stays_exact(spark, tmp_path):
+    from datalake_polygonscan_spark.io.mview import build_join, refresh_join
+
+    rng = random.Random(7)
+    fact_rows = {k: (k, rng.choice([10, 20, 30]), float(k)) for k in range(1, 21)}
+    dim_rows = {d: (d, f"n{d}", d / 10.0) for d in (10, 20, 30)}
+    fact = _fdf(spark, list(fact_rows.values()))
+    dim = _ddf(spark, list(dim_rows.values()))
+    mv_tbl = str(tmp_path / "mv")
+    build_join(spark, mv_tbl, fact, dim, ["fk"], ["dk"], n_buckets=4)
+
+    for step in range(4):
+        # fact churn: move/update 5 keys, delete 2, insert 2 fresh
+        ups = {}
+        for k in rng.sample(sorted(fact_rows), 5):
+            ups[k] = (k, rng.choice([10, 20, 30]), float(k) + step)
+        for k in (100 + step * 2, 101 + step * 2):
+            ups[k] = (k, rng.choice([10, 20, 30]), float(k))
+        del_keys = rng.sample([k for k in fact_rows if k not in ups], 2)
+        cur_fact = _fdf(spark, list(fact_rows.values()))
+        batch = _fdf(spark, list(ups.values()))
+        dels = _fdf(spark, [(k, 0, 0.0) for k in del_keys]).select("fk")
+        feed = change_feed(cur_fact, batch, keys=["fk"], deletes=dels)
+        mv = refresh_join(
+            spark, mv_tbl, ["fk"], ["dk"], fact_feed=feed, dim_current=_ddf(spark, list(dim_rows.values())), n_buckets=4
+        )
+        for k in del_keys:
+            fact_rows.pop(k)
+        fact_rows.update(ups)
+
+        # dim churn: reprice one dim key
+        d = rng.choice(sorted(dim_rows))
+        new_d = (d, f"n{d}s{step}", d / 10.0 + step)
+        cur_dim = _ddf(spark, list(dim_rows.values()))
+        dim_feed = change_feed(cur_dim, _ddf(spark, [new_d]), keys=["dk"])
+        mv = refresh_join(spark, mv_tbl, ["fk"], ["dk"], dim_feed=dim_feed, n_buckets=4)
+        dim_rows[d] = new_d
+
+        expect = _full_join(
+            _fdf(spark, list(fact_rows.values())), _ddf(spark, list(dim_rows.values()))
+        )
+        assert _join_rows(mv.select("fk", "dk", "fv", "dname", "dv")) == expect
