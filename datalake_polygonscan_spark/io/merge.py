@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.io.sinks import (
     SnapshotConflict,
     commit_snapshot,
+    history,
     logical_schema_json,
     new_snapshot_name,
     read_pointer,
@@ -436,13 +437,24 @@ def _merge_once(
         feed.write.mode("overwrite").parquet(staged)
         return staged
 
-    def _commit_with_feed(current_logical: DataFrame, meta: dict) -> None:
+    def _commit_with_feed(current_logical: DataFrame, meta: dict, rebasable: bool = False) -> None:
         staged = _stage_feed(current_logical)
         try:
-            _commit_or_cleanup(table_path, snap_name, base, meta)
+            commit_snapshot(table_path, snap_name, base, meta)
         except SnapshotConflict:
             if staged:
+                # a staged feed carries a literal _commit_version for
+                # the OLD slot — a rebased commit would publish it
+                # under the wrong version, so CDF commits always take
+                # the full recompute-retry path
                 shutil.rmtree(staged, ignore_errors=True)
+                shutil.rmtree(new_snap, ignore_errors=True)
+                raise
+            if rebasable and _rebase_commit(table_path, snap_name, base, meta):
+                return
+            # not rebasable: _rebase_commit cleaned up the snapshot
+            # dir (or never renamed it — remove the original slot)
+            shutil.rmtree(new_snap, ignore_errors=True)
             raise
         if staged:
             publish_feed(table_path, snap_name, snapshot_version(base) + 1)
@@ -566,9 +578,13 @@ def _merge_once(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
     _carry_tombstones(spark, prev_snap, new_snap, batch, keys, meta)
+    # the touched-bucket set rides the commit metadata: a concurrent
+    # writer that lost the CAS can prove bucket-disjointness against
+    # every intermediate commit and REBASE instead of recomputing
+    meta["touched_buckets"] = [int(b) for b in touched]
     # feed derivation is bucket-pruned too: rows matching batch/delete
     # keys can only live in the touched buckets
-    _commit_with_feed(current_touched.drop("_bucket"), meta)
+    _commit_with_feed(current_touched.drop("_bucket"), meta, rebasable=True)
 
 
 def _carry_tombstones(
@@ -606,6 +622,92 @@ def _commit_or_cleanup(table_path: str, snap_name: str, base: dict | None, meta:
     except SnapshotConflict:
         shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
         raise
+
+
+def _rebase_commit(
+    table_path: str,
+    snap_name: str,
+    base: dict | None,
+    meta: dict,
+    max_attempts: int = 3,
+) -> bool:
+    """Delta-style optimistic-concurrency REBASE: a merge that lost the
+    pointer CAS re-commits WITHOUT recomputing when every commit that
+    landed in between provably touched a disjoint set of hash buckets.
+
+    Same keys + same bucket count means bucket-disjoint implies
+    key-disjoint, so the loser's already-written bucket files are
+    byte-identical to what a full recompute against the new base would
+    produce. The rebase just re-points the loser's untouched buckets at
+    the LIVE snapshot (hard links, zero data movement), renames its
+    snapshot dir into the next version slot, and CASes again — turning
+    an O(batch + recompute) conflict retry into an O(1-metadata) one.
+    This is the concurrency win bucketed layouts buy at 100 TB: two
+    ingest jobs writing different key ranges never serialize on each
+    other's data.
+
+    Bails to the full recompute-retry (returns False, snapshot dir
+    cleaned up) when any intermediate commit is not a merge, changed
+    the schema / bucket count / keys / constraints, carries tombstone
+    or CDF state, predates touched-bucket tracking, or overlaps our
+    buckets. On repeated CAS loss mid-rebase, re-validates against the
+    newer live state up to ``max_attempts`` times."""
+    touched = meta.get("touched_buckets")
+    if touched is None or meta.get("has_tombstones") or meta.get("cdf_enabled"):
+        shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
+        return False
+    touched_set = set(touched)
+    skip = {f"_bucket={b}" for b in touched_set}
+    cur_name = snap_name
+    cur_path = os.path.join(table_path, cur_name)
+    for _ in range(max_attempts):
+        live = read_pointer(table_path)
+        if live is None:
+            break
+        entries = {e["version"]: e for e in history(table_path)}
+        ok = True
+        for v in range(snapshot_version(base) + 1, snapshot_version(live) + 1):
+            e = entries.get(v)
+            if (
+                e is None
+                or e.get("op") != "MERGE"
+                or e.get("merge_buckets") != meta.get("merge_buckets")
+                or e.get("merge_keys") != meta.get("merge_keys")
+                or e.get("table_schema") != meta.get("table_schema")
+                or e.get("checks") != meta.get("checks")
+                or e.get("has_tombstones")
+                or e.get("cdf_enabled")
+                or e.get("touched_buckets") is None
+                or touched_set & set(e["touched_buckets"])
+            ):
+                ok = False
+                break
+        if not ok:
+            break
+        new_name = new_snapshot_name(live)
+        new_path = os.path.join(table_path, new_name)
+        os.rename(cur_path, new_path)
+        cur_name, cur_path = new_name, new_path
+        # drop the stale untouched-bucket links (they point at OUR old
+        # base) and re-link them from the live snapshot
+        for d in os.listdir(cur_path):
+            if d.startswith("_bucket=") and d not in skip:
+                shutil.rmtree(os.path.join(cur_path, d))
+        try:
+            _link_bucket_dirs(os.path.join(table_path, live["snapshot"]), cur_path, skip=skip)
+        except FileNotFoundError:
+            # the live snapshot was retention-pruned mid-link (a newer
+            # commit landed); re-validate against the fresh pointer
+            continue
+        try:
+            commit_snapshot(
+                table_path, cur_name, live, {**meta, "rebased_from": snapshot_version(base) + 1}
+            )
+            return True
+        except SnapshotConflict:
+            continue  # another writer landed mid-rebase: re-validate
+    shutil.rmtree(cur_path, ignore_errors=True)
+    return False
 
 
 def next_start_block(snapshot: DataFrame, block_col: str = "block_number") -> int:

@@ -197,3 +197,110 @@ def test_check_constraints_inherit_and_reject_atomically(spark, tmp_path):
             spark, tbl, spark.createDataFrame([(999, 1.0)], ["k", "v"]),
             keys=["k"], n_buckets=4, checks={"k_small": "k < 100"},
         )
+
+
+# ---------------------------------------------------------------------------
+# bucket-disjoint concurrent-commit REBASE (io/merge.py:_rebase_commit)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_map(spark, df, n_buckets):
+    from datalake_polygonscan_spark.io.merge import _bucket_col
+
+    return {
+        r["k"]: r["b"]
+        for r in df.select("k", _bucket_col(["k"], n_buckets).alias("b")).collect()
+    }
+
+
+def _race(spark, tmp_table, monkeypatch, batch_first, batch_second):
+    """Run merge(batch_second) with merge(batch_first) landing right
+    before its pointer CAS — the deterministic in-process version of a
+    two-writer race (the cross-process CAS atomicity itself is covered
+    in tests/test_sinks.py)."""
+    import datalake_polygonscan_spark.io.merge as M
+
+    orig = M.commit_snapshot
+    state = {"armed": True, "calls": 0}
+
+    def racy(table_path, snap, base, meta, retain=2):
+        state["calls"] += 1
+        if state["armed"]:
+            state["armed"] = False
+            merge_upsert(spark, tmp_table, batch_first, keys=["k"], n_buckets=8)
+        return orig(table_path, snap, base, meta, retain=retain)
+
+    monkeypatch.setattr(M, "commit_snapshot", racy)
+    try:
+        live = merge_upsert(spark, tmp_table, batch_second, keys=["k"], n_buckets=8)
+    finally:
+        monkeypatch.undo()
+    return live
+
+
+def test_disjoint_concurrent_merge_rebases_without_recompute(spark, tmp_table, monkeypatch):
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import history, read_pointer
+
+    cols = ["k", "v"]
+    seed = spark.createDataFrame([(i, float(i)) for i in range(32)], cols)
+    merge_upsert(spark, tmp_table, seed, keys=["k"], n_buckets=8)  # bootstrap v0
+    bmap = _bucket_map(spark, seed, 8)
+    buckets = sorted(set(bmap.values()))
+    keys_a = [k for k, b in bmap.items() if b == buckets[0]][:2]
+    keys_b = [k for k, b in bmap.items() if b == buckets[1]][:2]
+    batch_a = spark.createDataFrame([(k, 1000.0 + k) for k in keys_a], cols)
+    batch_b = spark.createDataFrame([(k, 2000.0 + k) for k in keys_b], cols)
+
+    live = _race(spark, tmp_table, monkeypatch, batch_a, batch_b)
+
+    # neither commit lost, untouched rows intact
+    vals = {r["k"]: r["v"] for r in live.collect()}
+    assert all(vals[k] == 1000.0 + k for k in keys_a)
+    assert all(vals[k] == 2000.0 + k for k in keys_b)
+    assert all(
+        vals[k] == float(k) for k in range(32) if k not in keys_a and k not in keys_b
+    )
+    log = history(tmp_table)
+    assert [e["version"] for e in log] == [0, 1, 2]
+    assert log[-1].get("rebased_from") == 1  # the loser REBASED, no recompute
+    # the rebased snapshot's untouched buckets are hard links of the
+    # winner's files — zero data movement outside the loser's buckets
+    winner_snap = os.path.join(tmp_table, log[-2]["snapshot"])
+    rebased_snap = os.path.join(tmp_table, read_pointer(tmp_table)["snapshot"])
+    checked = 0
+    for d in os.listdir(winner_snap):
+        if not d.startswith("_bucket=") or d == f"_bucket={buckets[1]}":
+            continue
+        for f in os.listdir(os.path.join(winner_snap, d)):
+            if f.startswith(("_", ".")):
+                continue
+            a = os.stat(os.path.join(winner_snap, d, f)).st_ino
+            b = os.stat(os.path.join(rebased_snap, d, f)).st_ino
+            assert a == b
+            checked += 1
+    assert checked > 0
+
+
+def test_overlapping_concurrent_merge_recomputes(spark, tmp_table, monkeypatch):
+    from datalake_polygonscan_spark.io.sinks import history
+
+    cols = ["k", "v"]
+    seed = spark.createDataFrame([(i, float(i)) for i in range(32)], cols)
+    merge_upsert(spark, tmp_table, seed, keys=["k"], n_buckets=8)
+    bmap = _bucket_map(spark, seed, 8)
+    buckets = sorted(set(bmap.values()))
+    shared = [k for k, b in bmap.items() if b == buckets[0]]
+    batch_a = spark.createDataFrame([(shared[0], 1000.0)], cols)
+    batch_b = spark.createDataFrame([(shared[1], 2000.0)], cols)  # SAME bucket
+
+    live = _race(spark, tmp_table, monkeypatch, batch_a, batch_b)
+
+    vals = {r["k"]: r["v"] for r in live.collect()}
+    assert vals[shared[0]] == 1000.0 and vals[shared[1]] == 2000.0
+    log = history(tmp_table)
+    assert [e["version"] for e in log] == [0, 1, 2]
+    # overlapping buckets: the loser fell back to the full
+    # recompute-retry against the fresh base — no rebase marker
+    assert "rebased_from" not in log[-1]
