@@ -508,3 +508,94 @@ def fingerprint_bottom_k(df: DataFrame, text_col: str, id_col: str, k: int = 8, 
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(F.transform("grams", F.md5))), 1, k).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """L8 — WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD '03 — the MOSS algorithm): hash the ORDERED word k-gram
+    sequence of the normalized text, slide a window of ``w``
+    consecutive hashes, record the minimum of each window. The
+    winnowing guarantee: any shared run of >= w + k - 1 consecutive
+    words between two documents produces at least one SHARED
+    fingerprint — a locality property the bottom-k sketch
+    (:func:`fingerprint_bottom_k`) cannot give, which is why winnowing
+    is the standard for overlap/plagiarism detection rather than
+    whole-document similarity.
+
+    Entirely codegen (the single-regex-pass shingler +
+    sequence/slice/array_min higher-order functions — no Python in the
+    row path); hashes are the engine-neutral 60-bit md5 prefix shared
+    with the MinHash tier, so a SQL oracle replays the pipeline
+    bit-exactly. Word grams (not char grams) keep the hash count at
+    O(tokens): winnowing every char position costs ~6x more md5 and
+    window work for the same guarantee expressed in characters.
+    Output: (doc_id, fingerprints array<bigint> distinct ascending,
+    n_grams). Documents shorter than one window keep the min of what
+    they have — every doc fingerprints.
+    """
+    grams = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("grams"))
+    )
+    hashes = F.transform(
+        "grams", lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    h = grams.select("doc_id", hashes.alias("h"), F.size("grams").alias("n_grams"))
+    n_win = F.size("h") - F.lit(w - 1)
+    picks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda i: F.array_min(F.slice("h", i, F.least(F.lit(w), F.size("h")))),
+    )
+    return h.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(picks)).alias("fingerprints"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def winnowing_overlap_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints: explode the
+    fingerprint sets, drop fingerprints occurring in more than
+    ``max_df`` documents (corpus boilerplate — a winnowed minimum
+    shared by thousands of docs is a hot key that says nothing about
+    pairwise overlap but quadratically blows up its join bucket; the
+    exact analog of the MinHash tier's hot-shingle pruning), equi-join
+    on the surviving fingerprint values (a blocked join — candidates
+    meet only inside a shared-hash bucket, never all-pairs), count
+    shared prints per pair and score ``shared / min(|A|, |B|)``
+    (containment over the FULL fingerprint sets — a boilerplate-only
+    doc can't fake overlap). Keeps pairs with >= ``min_shared`` shared
+    prints AND score >= ``threshold``.
+
+    100 TB story: one shuffle on the fingerprint value; the frequency
+    cap bounds every bucket's pair fan-out at max_df^2, so the join
+    cost is sum(df^2) <= max_df * total_prints — linear in the corpus.
+    """
+    sized = fingerprints.select(
+        "doc_id", F.size("fingerprints").alias("n_fp"), F.explode("fingerprints").alias("fp")
+    )
+    rare = sized.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    sized = sized.join(rare.select("fp"), "fp")
+    a = sized.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"), "fp")
+    b = sized.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"), "overlap")
+    )

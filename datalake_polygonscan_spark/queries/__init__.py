@@ -115,6 +115,7 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
     "mv5_join_mv",
+    "l8_winnowing_overlap",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -413,3 +413,60 @@ def l2_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"),
     )
     return survivors.unionByName(pairs)
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MAXDF = 3, 4, 50
+
+_WINNOW_FP_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN len(h) >= {_WINNOW_W}
+                    THEN list_sort(list_distinct(list_transform(
+                           range(1, len(h) - {_WINNOW_W} + 2),
+                           i -> list_min(h[CAST(i AS INTEGER) : CAST(i + {_WINNOW_W} - 1 AS INTEGER)]))))
+                    ELSE [list_min(h)] END AS fp
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(
+                           generate_series(1, greatest(len(toks) - {_WINNOW_K - 1}, 1)),
+                           i -> array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),
+                       g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS h
+            FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+        )
+"""
+
+
+@register(
+    "l8_winnowing_overlap",
+    oracle=f"""
+    WITH fp AS ({_WINNOW_FP_SQL}),
+    e0 AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS p FROM fp),
+    rare AS (SELECT p FROM e0 GROUP BY p HAVING count(*) <= {_WINNOW_MAXDF}),
+    e AS (SELECT e0.* FROM e0 JOIN rare USING (p))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared,
+           ROUND(count(*) / CAST(least(any_value(a.n_fp), any_value(b.n_fp)) AS DOUBLE), 6) AS overlap
+    FROM e a JOIN e b ON a.p = b.p AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+       AND count(*) / CAST(least(any_value(a.n_fp), any_value(b.n_fp)) AS DOUBLE) >= 0.5
+    """,
+    doc=(
+        "L8 winnowing document fingerprints + overlap pairs (operators/dedup.py:"
+        "winnowing_fingerprints/winnowing_overlap_pairs; Schleimer/Wilkerson/Aiken "
+        "SIGMOD'03, the MOSS algorithm): the ordered word 3-gram sequence md5-hashed, "
+        "a 4-hash sliding window records its minimum — the winnowing guarantee that "
+        "any shared run of >= w+k-1 = 6 consecutive words yields a shared "
+        "fingerprint, the locality property bottom-k sketches lack. Pair detection "
+        "is a blocked equi-join on fingerprint values with corpus-boilerplate "
+        "fingerprints (doc frequency > 50) pruned first — the hot-shingle cap that "
+        "bounds every join bucket, sum(df^2) <= max_df * prints — scored by "
+        "containment shared/min(|A|,|B|) over the FULL sets. Entirely codegen; the "
+        "oracle replays the whole pipeline — shingling, hashing, windowing, "
+        "frequency cap, blocking, scoring — in SQL"
+    ),
+)
+def l8_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.winnowing_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W)
+    return D.winnowing_overlap_pairs(fp, min_shared=2, threshold=0.5, max_df=_WINNOW_MAXDF)

@@ -145,3 +145,61 @@ def test_simhash_narrow_bits_and_empty_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2] == (0, 0) and out[3] == (0, 0)
     assert out[1][1] > 0
+
+
+# ---------------------------------------------------------------------------
+# L8 winnowing fingerprints (operators/dedup.py:winnowing_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_print(spark):
+    """The SIGMOD'03 locality guarantee: two docs sharing a run of
+    >= w + k - 1 consecutive words MUST share at least one
+    fingerprint, however different the rest of the text is."""
+    from datalake_polygonscan_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 3, 4
+    shared_run = "alpha bravo charlie delta echo foxtrot"  # w+k-1 = 6 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"completely unrelated opening text {shared_run} and a different tail"),
+            (2, f"{shared_run} begins this other document with its own words after"),
+            (3, "no overlap at all here just distinct vocabulary throughout the doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnowing_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert fp[1] & fp[2], "shared 6-word run must produce a shared fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+
+
+def test_winnowing_short_doc_still_fingerprints(spark):
+    from datalake_polygonscan_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, "tiny"), (2, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in winnowing_fingerprints(docs, "text", "doc_id").collect()}
+    assert len(rows[1]["fingerprints"]) == 1 and len(rows[2]["fingerprints"]) == 1
+
+
+def test_winnowing_overlap_pairs_cap_and_containment(spark):
+    """A fingerprint shared by more than max_df docs is boilerplate —
+    it may not create pairs by itself; a genuinely duplicated doc pair
+    scores containment 1.0."""
+    from datalake_polygonscan_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    dup = "one two three four five six seven eight nine ten eleven twelve"
+    boiler = "shared boilerplate footer common to every document in the corpus"
+    rows = [(1, dup), (2, dup)] + [(i, f"doc {i} unique words here {boiler}") for i in range(3, 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnowing_fingerprints(docs, "text", "doc_id")
+    pairs = winnowing_overlap_pairs(fp, min_shared=2, threshold=0.5, max_df=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["overlap"] for r in pairs}
+    assert got.get((1, 2)) == 1.0
+    # boilerplate-only pairs (3..9 share only >max_df prints) are out
+    assert all(p == (1, 2) for p in got)
