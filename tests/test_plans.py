@@ -359,3 +359,85 @@ def test_auto_salt_sketch_is_one_narrow_scan(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
     # and the end-to-end detector returns a sane fan-out on this data
     assert 1 <= detect_salt_n(c, "c_nationkey") <= 64
+
+
+def test_sql_q3_text_plans_like_dataframe_form(spark):
+    """The Q-SQL entry point must hit the same optimizer paths as the
+    DataFrame form: raw SQL text -> broadcast on the selective customer
+    side, TakeOrderedAndProject for the top-10, no global Sort."""
+    from datalake_polygonscan_spark.queries.ingest_sql import q_sql_q3
+
+    plan = _plan(q_sql_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_window_suite_one_exchange_per_source(spark):
+    """w1_w3: eight window functions over events share ONE Window node
+    and ONE hash exchange on user_id; the lineitem side adds its own
+    single exchange on l_suppkey; the union itself is exchange-free."""
+    from datalake_polygonscan_spark.queries.windows import w1_w3
+
+    plan = _plan(w1_w3(spark, SF))
+    # one Window node and one exchange per source, nothing more
+    assert plan.count(") Window") == 2
+    assert plan.count(") Exchange") == 2
+
+
+def test_udf_suite_uses_arrow_nodes_not_row_python(spark):
+    """u1_u3: every Python touchpoint is Arrow-batched — pandas UDF
+    (ArrowEvalPython), grouped UDAF (FlatMapGroupsInPandas), table
+    function (MapInPandas); no row-at-a-time BatchEvalPython."""
+    from datalake_polygonscan_spark.queries.udfs import u1_u3
+
+    plan = _plan(u1_u3(spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rollup_cube_global_broadcasts_single_row_global(spark):
+    """a3_a4: the grand-total row rides every grouped row through a
+    broadcast nested-loop join of a ONE-ROW relation — no shuffle
+    cartesian; rollup/cube still expand map-side (Expand node)."""
+    from datalake_polygonscan_spark.queries.relational import a3_a4
+
+    plan = _plan(a3_a4(spark, SF))
+    assert "Expand" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_pairs_block_join_never_cartesian(spark):
+    """l8: fingerprint pair detection is an equi-join on the
+    fingerprint value (blocked, LSH-band shape) — the plan must carry
+    a hash-partitioned equi-join on fp, never a cartesian/NLJ."""
+    from datalake_polygonscan_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    fp = winnowing_fingerprints(docs, "text", "doc_id")
+    plan = _plan(winnowing_overlap_pairs(fp))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "fp" in plan
+
+
+def test_join_mv_fact_refresh_broadcasts_dim_lookup(spark, tmp_path):
+    """mv5: the fact-side refresh joins the batch against a BROADCAST
+    semi-filtered dim lookup — no shuffle of the dim table."""
+    from datalake_polygonscan_spark.io.merge import change_feed
+    from datalake_polygonscan_spark.io.mview import build_join
+
+    fact = spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], ["fk", "dk", "fv"])
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], ["dk", "dn"])
+    mv_tbl = str(tmp_path / "mv")
+    build_join(spark, mv_tbl, fact, dim, ["fk"], ["dk"], n_buckets=2)
+    feed = change_feed(fact, spark.createDataFrame([(3, 10, 3.0)], ["fk", "dk", "fv"]), keys=["fk"])
+    ups = feed.filter(F.col("_change_type").isin("insert", "update")).drop("_change_type")
+    touched = dim.join(F.broadcast(ups.select("dk").distinct()), ["dk"], "leftsemi")
+    plan = _plan(ups.join(F.broadcast(touched), ["dk"], "left"))
+    assert "BroadcastHashJoin" in plan
