@@ -116,6 +116,7 @@ GRADED_PREFIX: tuple[str, ...] = (
 TAIL_PRIORITY: tuple[str, ...] = (
     "mv5_join_mv",
     "l8_winnowing_overlap",
+    "e9_stream_outer_join",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

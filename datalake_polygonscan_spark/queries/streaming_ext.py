@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -173,3 +174,65 @@ def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(chk, "e6"),
     )
     return out.withColumn("r_value", F.round("r_value", 4))
+
+
+@register(
+    "e9_stream_outer_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS l_event_id, CAST(c.ts AS TIMESTAMP) AS l_ts,
+           e.event_id AS r_event_id, CAST(e.ts AS TIMESTAMP) AS r_ts,
+           ROUND(e.value, 4) AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "E9 REAL stream-stream LEFT OUTER interval join (streaming/windows.py:"
+        "interval_join(how='left_outer')): two file-source streams (clicks, errors), "
+        "both watermarked 1h, every click emitted — matched errors within "
+        "[click.ts, click.ts+30m] immediately, UNMATCHED clicks null-extended only "
+        "once the watermark proves no matching error can still arrive (state "
+        "eviction + no-data micro-batches do the final flush; far-future sentinel "
+        "events push the watermark past all real data, then are filtered out). The "
+        "absence signal an inner join cannot produce, exactly equal to the batch "
+        "LEFT JOIN oracle"
+    ),
+)
+def e9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from datalake_polygonscan_spark.streaming.windows import (
+        interval_join,
+        run_two_stream_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    l_src = _scratch("e9_stream", "clicks")
+    r_src = _scratch("e9_stream", "errors")
+    chk = _scratch("e9_stream", "chk")
+    shutil.rmtree(chk, ignore_errors=True)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + datetime.timedelta(hours=24)  # watermark passes ALL real rows
+
+    def _stage(df, eid, path):
+        sent = df.sparkSession.createDataFrame(
+            [(eid, sentinel_ts, -1, "sentinel", 0.0, "{}")], df.schema
+        )
+        df.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(path)
+
+    _stage(ev.filter(F.col("event_type") == "click"), -1, l_src)
+    _stage(ev.filter(F.col("event_type") == "error"), -2, r_src)
+    out = run_two_stream_available_now(
+        spark,
+        l_src,
+        r_src,
+        lambda l, r: interval_join(
+            l, r, "user_id", upper="30 minutes", watermark="1 hour", how="left_outer"
+        ),
+        output_mode="append",
+        checkpoint_dir=os.path.join(chk, "e9"),
+    )
+    return out.filter(F.col("l_event_id") >= 0).withColumn("r_value", F.round("r_value", 4))

@@ -276,9 +276,10 @@ def interval_join(
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """E6 — stream-stream interval (time-bounded) inner join: each
-    left event matched to right events of the same key with
+    """E6/E9 — stream-stream interval (time-bounded) join: each left
+    event matched to right events of the same key with
     ``left.ts <= right.ts <= left.ts + upper``.
 
     Batch/stream-polymorphic like the rest of this module. In
@@ -288,6 +289,13 @@ def interval_join(
     ``ts + upper`` (without the bounds, join state grows forever).
     Inner-join matches emit immediately (append mode); the watermark
     only drives eviction.
+
+    ``how="left_outer"`` (E9) additionally emits each UNMATCHED left
+    event null-extended — but only once the watermark passes its
+    eviction time, since until then a matching right row could still
+    arrive; Spark's no-data micro-batches handle the final flush. This
+    is the streaming form of "every click, with its error if any" —
+    an absence signal an inner join cannot produce.
 
     Output: (key, <l_prefix>event_id, <l_prefix>ts, <r_prefix>event_id,
     <r_prefix>ts, <r_prefix>value).
@@ -311,7 +319,7 @@ def interval_join(
         & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
         & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner").drop(f"_r_{key}")
+    return l.join(r, cond, how).drop(f"_r_{key}")
 
 
 def run_two_stream_available_now(

@@ -266,3 +266,49 @@ def test_stateful_sessionize_late_event_extends_session_start(spark, tmp_path):
     first = closed[t0 + dt.timedelta(minutes=30)]  # start = the LATE event's ts
     assert first["n_events"] == 2 and first["closed_by"] == "gap"
     assert first["session_end"] == t0 + dt.timedelta(minutes=60)
+
+
+def test_outer_interval_join_emits_null_only_after_watermark(spark, tmp_path):
+    """E9: an unmatched click emits null-extended ONLY once the
+    watermark proves no matching error can still arrive — an error
+    landing in a LATER micro-batch inside the interval must still
+    match (no premature null), and a click with no error ever must
+    surface exactly once with nulls after the watermark passes."""
+    from datalake_polygonscan_spark.streaming.windows import (
+        interval_join,
+        run_two_stream_available_now,
+    )
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(l_src)
+    os.makedirs(r_src)
+    # click 1 gets its error in batch 2; click 2 never matches
+    _write_events_file(
+        spark, os.path.join(l_src, "f1.parquet"),
+        [_ev(1, 0, etype="click"), _ev(2, 5, user=2, etype="click")],
+    )
+    _write_events_file(
+        spark, os.path.join(l_src, "f2.parquet"), [_ev(3, 60 * 24, user=-1, etype="click")]
+    )  # sentinel advances the left watermark past all real rows
+    _write_events_file(
+        spark, os.path.join(r_src, "f1.parquet"), [_ev(10, 20, etype="error", value=2.0)]
+    )
+    _write_events_file(
+        spark, os.path.join(r_src, "f2.parquet"), [_ev(11, 60 * 24, user=-1, etype="error")]
+    )  # sentinel advances the right watermark
+
+    out = run_two_stream_available_now(
+        spark,
+        l_src + "/*",
+        r_src + "/*",
+        lambda l, r: interval_join(
+            l, r, "user_id", upper="30 minutes", watermark="1 hour", how="left_outer"
+        ),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in out.filter(F.col("l_event_id") < 3).collect()
+    )
+    assert got == [(1, 10), (2, None)]
