@@ -117,6 +117,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "mv5_join_mv",
     "l8_winnowing_overlap",
     "e9_stream_outer_join",
+    "ml3_logreg_quality",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -139,3 +139,134 @@ def ml2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(recall >= 0.7).alias("recall_ok"),
         (F.col("n_marked") == n_scoped).alias("partition_complete"),
     )
+
+# ---------------------------------------------------------------------------
+# ML3: logistic regression by exact-decimal gradient descent
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_ML3_LABEL_CHARS = 300  # y = 1 iff length(text) >= this
+
+
+def _ml3_feature_sqls() -> list[str]:
+    from datalake_polygonscan_spark.functions.text import LANGID_MARKERS, langid_pattern
+
+    t = f"CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE)"
+    en_pattern = langid_pattern(dict(LANGID_MARKERS)["en"])
+    return [
+        f"round((length(text) - {_ML3_LABEL_CHARS}) / 1000.0, 6)",
+        f"round(({t} - 55.0) / 100.0, 6)",
+        f"round(len(regexp_extract_all(lower(text), '{en_pattern}')) / {t} - 0.065, 6)",
+        f"round((length(text) / {t}) / 10.0 - 0.545, 6)",
+    ]
+
+
+def _ml3_oracle_sql(n_iter: int, lr: str = "0.001") -> str:
+    """Replays the ENTIRE training loop as sequential MATERIALIZED
+    CTEs: iteration k's gradient aggregate reads iteration k-1's
+    exact-decimal weights as scalar subqueries — bit-identical to the
+    driver-side loop in operators/regression.py by the determinism
+    contract documented there. MATERIALIZED stops CTE inlining from
+    exponentially re-expanding the weight chain."""
+    feats = _ml3_feature_sqls()
+    d = len(feats)
+    fcols = ", ".join(f"{f} AS x{i}" for i, f in enumerate(feats))
+    sql = (
+        f"WITH f AS MATERIALIZED (SELECT {fcols}, "
+        f"CASE WHEN length(text) >= {_ML3_LABEL_CHARS} THEN 1.0 ELSE 0.0 END AS y FROM documents)"
+    )
+    sql += ", w_init AS MATERIALIZED (SELECT " + ", ".join(
+        f"CAST(0 AS DECIMAL(38,16)) AS w{i}" for i in range(d)
+    ) + ", CAST(0 AS DECIMAL(38,16)) AS b)"
+    prev = "w_init"
+    for k in range(n_iter):
+        z = f"CAST((SELECT b FROM {prev}) AS DOUBLE)"
+        for i in range(d):
+            z += f" + CAST((SELECT w{i} FROM {prev}) AS DOUBLE) * x{i}"
+        p = f"round(1.0/(1.0 + exp(-round({z}, 6))), 6)"
+        gs = ", ".join(
+            f"sum(CAST(round(({p} - y) * x{i}, 12) AS DECIMAL(28,12))) AS g{i}"
+            for i in range(d)
+        )
+        sql += f", g{k} AS MATERIALIZED (SELECT {gs}, sum(CAST(round({p} - y, 12) AS DECIMAL(28,12))) AS gb FROM f)"
+        ws = ", ".join(
+            f"CAST((SELECT w{i} FROM {prev}) - {lr} * (SELECT g{i} FROM g{k}) AS DECIMAL(38,16)) AS w{i}"
+            for i in range(d)
+        )
+        sql += f", w{k} AS MATERIALIZED (SELECT {ws}, CAST((SELECT b FROM {prev}) - {lr} * (SELECT gb FROM g{k}) AS DECIMAL(38,16)) AS b)"
+        prev = f"w{k}"
+    zf = f"CAST((SELECT b FROM {prev}) AS DOUBLE)"
+    for i in range(d):
+        zf += f" + CAST((SELECT w{i} FROM {prev}) AS DOUBLE) * x{i}"
+    pf = f"round(1.0/(1.0 + exp(-round({zf}, 6))), 6)"
+    wsel = ", ".join(
+        f"ROUND(CAST((SELECT w{i} FROM {prev}) AS DOUBLE), 8) AS w{i}" for i in range(d)
+    )
+    sql += f"""
+    SELECT {wsel},
+           ROUND(CAST((SELECT b FROM {prev}) AS DOUBLE), 8) AS bias,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(CASE WHEN ({pf} >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy
+    FROM f
+    """
+    return sql
+
+
+@register(
+    "ml3_logreg_quality",
+    oracle=_ml3_oracle_sql(5),
+    doc=(
+        "ML3 distributed logistic regression by full-batch gradient descent "
+        "(operators/regression.py) — the shape of a model-based quality filter "
+        "(fastText-style) trained ON-cluster: doc-stat features (scaled char count, "
+        "token count, English-stopword ratio, mean word length) -> a length-rule "
+        "quality label, 5 iterations, each ONE map-side-combined aggregate computing "
+        "the EXACT gradient (6-decimal-quantized features and sigmoids make every "
+        "per-row err*x product exact in a double, converted exactly to "
+        "DECIMAL(28,12) and summed order-insensitively; weight updates are exact "
+        "decimal arithmetic with a decimal learning rate). The shuffle carries d+1 "
+        "partial sums per iteration, the driver holds only the weight vector, the "
+        "next plan embeds them as literals — no Python in the row path, no MLlib. "
+        "The oracle replays the ENTIRE training loop as sequential MATERIALIZED "
+        "CTEs, bit-identical weights after every iteration; output = final weights, "
+        "bias, and training accuracy (the model genuinely learns the rule — "
+        "accuracy is asserted > the majority baseline in tests/test_regression.py)"
+    ),
+)
+def ml3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.text import (
+        LANGID_MARKERS,
+        langid_pattern,
+        normalize_text,
+    )
+    from datalake_polygonscan_spark.operators.regression import (
+        logistic_regression_gd,
+        predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.size(F.split(normalize_text("text"), " ")).cast("double")
+    n_chars = F.length("text")
+    en_hits = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(langid_pattern(dict(LANGID_MARKERS)["en"])), 0
+        )
+    )
+    feats = docs.select(
+        F.round((n_chars - _ML3_LABEL_CHARS) / 1000.0, 6).alias("x0"),
+        F.round((t - 55.0) / 100.0, 6).alias("x1"),
+        F.round(en_hits / t - 0.065, 6).alias("x2"),
+        F.round((n_chars / t) / 10.0 - 0.545, 6).alias("x3"),
+        F.when(n_chars >= _ML3_LABEL_CHARS, 1.0).otherwise(0.0).alias("y"),
+    )
+    fcols = ["x0", "x1", "x2", "x3"]
+    w, b = logistic_regression_gd(feats, fcols, "y")
+    p = predict(feats, fcols, w, b)
+    return feats.agg(
+        *[F.round(F.lit(float(wi)), 8).alias(f"w{i}") for i, wi in enumerate(w)],
+        F.round(F.lit(float(b)), 8).alias("bias"),
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)), 6
+        ).alias("train_accuracy"),
+    )

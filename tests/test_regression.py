@@ -1,0 +1,71 @@
+"""ML3 — distributed logistic regression (operators/regression.py):
+exact-decimal gradient descent must be deterministic, the gradient
+must match a numpy reference, and the registry entry's model must
+genuinely learn (beat the majority-class baseline)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.operators.regression import (
+    logistic_regression_gd,
+    predict,
+)
+
+
+def _toy(spark, n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    x0 = np.round(rng.uniform(-0.5, 0.5, n), 6)
+    x1 = np.round(rng.uniform(-0.3, 0.3, n), 6)
+    y = (x0 + 0.5 * x1 > 0).astype(float)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x0, x1, y)]
+    return spark.createDataFrame(rows, ["x0", "x1", "y"]), x0, x1, y
+
+
+def test_gd_learns_separable_toy(spark):
+    df, x0, x1, y = _toy(spark)
+    w, b = logistic_regression_gd(df, ["x0", "x1"], "y", lr=Decimal("0.01"), n_iter=10)
+    p = predict(df, ["x0", "x1"], w, b)
+    acc = df.select(
+        F.avg(F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)).alias("a")
+    ).collect()[0]["a"]
+    base = max(y.mean(), 1 - y.mean())
+    assert acc > base + 0.1, (acc, base)
+    assert float(w[0]) > 0 and float(w[1]) > 0  # learned the true signs
+
+
+def test_gd_is_deterministic_across_runs_and_partitionings(spark):
+    df, *_ = _toy(spark)
+    w1, b1 = logistic_regression_gd(df.repartition(7), ["x0", "x1"], "y", n_iter=3)
+    w2, b2 = logistic_regression_gd(df.repartition(2), ["x0", "x1"], "y", n_iter=3)
+    # exact-decimal gradients: bit-identical whatever the partitioning
+    assert w1 == w2 and b1 == b2
+
+
+def test_first_gradient_matches_numpy_reference(spark):
+    df, x0, x1, y = _toy(spark)
+    w, b = logistic_regression_gd(df, ["x0", "x1"], "y", lr=Decimal("0.01"), n_iter=1)
+    # p = round(sigmoid(round(0,6)),6) = 0.5 exactly on iteration 1
+    err = 0.5 - y
+    g0 = np.sum(np.round(err * x0, 12))
+    g1 = np.sum(np.round(err * x1, 12))
+    gb = np.sum(np.round(err, 12))
+    assert abs(float(w[0]) - (-0.01 * g0)) < 1e-9
+    assert abs(float(w[1]) - (-0.01 * g1)) < 1e-9
+    assert abs(float(b) - (-0.01 * gb)) < 1e-9
+
+
+def test_registry_model_beats_majority_baseline(spark):
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    row = REGISTRY["ml3_logreg_quality"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    share = docs.select(
+        F.avg(F.when(F.length("text") >= 300, 1.0).otherwise(0.0)).alias("s")
+    ).collect()[0]["s"]
+    base = max(share, 1 - share)
+    assert row["train_accuracy"] > base + 0.2, (row["train_accuracy"], base)
