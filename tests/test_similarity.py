@@ -61,3 +61,48 @@ def test_ivf_recall_vs_brute_force(spark):
     exact = brute_force_topk(q, emb, k=10).collect()
     approx = ivf_topk(q, emb, k=10, nlist=8, nprobe=4).collect()
     assert _recall(approx, exact) >= 0.6  # probing half the lists
+
+
+def test_int8_quantization_reconstruction_error_bounded(spark):
+    """Symmetric int8: |v_i - q_i*scale| <= scale/2 = max|v|/254 per
+    element — the standard scalar-quantization error bound."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.uniform(-2, 2, 16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["qvec"], r["scale"]) for r in quantize_embeddings(df).collect()}
+    for i, v in vecs:
+        q, s = out[i]
+        assert all(abs(x - qi * s) <= s / 2 + 1e-12 for x, qi in zip(v, q))
+        assert all(-127 <= qi <= 127 for qi in q)
+
+
+def test_quantized_topk_matches_exact_on_random_corpus(spark):
+    """int8 first pass + exact re-rank with a 5x shortlist must
+    recover the exact top-k on a random corpus (recall 1.0) — the
+    shortlist absorbs quantization rank noise."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    corpus = [(i, [float(x) for x in rng.normal(0, 1, 24)]) for i in range(300)]
+    df = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in quantized_topk(q, df, k=5, shortlist=25).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(q, df, k=5).collect()
+    }
+    assert got == want
