@@ -58,6 +58,12 @@ HEADLINE = [
     # round-over-round alongside the query layer.
     "s6_incremental_merge",
     "s18_mor_upsert",
+    # round-4 additions: winnowing fingerprint pairs, int8-quantized
+    # KNN, exact-decimal logistic regression, incremental join MV
+    "l8_winnowing_overlap",
+    "l3q_int8_quantized_knn",
+    "ml3_logreg_quality",
+    "mv5_join_mv",
     "s17_change_data_feed",
 ]
 

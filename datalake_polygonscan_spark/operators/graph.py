@@ -67,3 +67,60 @@ def connected_components(
         if not changed:
             return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G2 — PageRank with EXACT-DECIMAL contribution sums: per edge,
+    contrib = round(rank_src/outdeg_src, 12) cast to DECIMAL(28,12),
+    summed exactly per destination — a float sum over a shuffled edge
+    list is order-dependent and would not reproduce across cluster
+    sizes; the decimal sum is bit-identical under any partitioning
+    (the same determinism contract as operators/regression.py), which
+    is what lets a SQL oracle replay the whole iteration loop.
+
+    One join per iteration (edges ⋈ ranks on src, both hash-partitioned
+    on the node key — the exchange is reused), one partial-aggregated
+    sum per destination, one left join back to the node set (nodes
+    with no in-links keep the teleport mass); ranks are
+    localCheckpoint'd per iteration so the plan stays one-iteration
+    deep. Dangling nodes (no out-edges) leak their mass — the
+    classic simplification; both engines leak identically.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+            .join(ranks, "node")
+            .join(outdeg, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 12).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

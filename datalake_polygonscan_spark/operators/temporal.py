@@ -197,3 +197,50 @@ def funnel(
         .distinct()
         .withColumn("funnel_depth", depth.cast("int"))
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "week",
+    period_days: int = 7,
+) -> DataFrame:
+    """AN2 — cohort retention matrix: cohort = the period of each
+    entity's FIRST event; for every (cohort, periods_since) cell, the
+    number of distinct entities from that cohort active in that period
+    and the retention ratio vs the cohort size.
+
+    Plan shape (the 100 TB story): one map-side-combined min-per-key
+    agg for the cohort assignment, one key-partitioned join back to
+    the events (both sides hash on the entity key — Catalyst reuses
+    the exchange), one distinct-agg over (cohort, offset). Never a
+    window over the raw event stream, no per-period scans.
+    Output: (cohort, periods_since, n_active, cohort_size, retention).
+    """
+    firsts = df.groupBy(key_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("_cohort")
+    )
+    cells = (
+        df.select(key_col, F.date_trunc(period, F.col(ts_col)).alias("_p"))
+        .join(firsts, key_col)
+        .select(
+            key_col,
+            F.col("_cohort").alias("cohort"),
+            (F.datediff(F.col("_p"), F.col("_cohort")) / period_days)
+            .cast("int")
+            .alias("periods_since"),
+        )
+        .groupBy("cohort", "periods_since")
+        .agg(F.countDistinct(key_col).alias("n_active"))
+    )
+    sizes = firsts.groupBy(F.col("_cohort").alias("cohort")).agg(
+        F.count("*").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "periods_since",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

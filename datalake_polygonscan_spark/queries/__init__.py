@@ -119,6 +119,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e9_stream_outer_join",
     "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
+    "g2_pagerank",
+    "an2_cohort_retention",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -229,3 +229,37 @@ def sk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 4).alias("total_acctbal"),
     )
+
+
+@register(
+    "an2_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INTEGER) AS periods_since,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY cohort
+    )
+    SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c.periods_since, c.n_active, s.cohort_size,
+           ROUND(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM cells c JOIN sizes s USING (cohort)
+    """,
+    doc=(
+        "AN2 cohort retention matrix (operators/temporal.py:cohort_retention): "
+        "cohort = the week of each user's FIRST event; every (cohort, weeks_since) "
+        "cell counts distinct returning users with the retention ratio vs cohort "
+        "size — the product-analytics companion to AN1's funnel. One min-per-key "
+        "agg, one key-partitioned join back (exchange reused), one distinct-agg; "
+        "never a window over the raw stream"
+    ),
+)
+def an2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")

@@ -56,3 +56,82 @@ def l2_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "group_size", F.count("*").over(Window.partitionBy("group_id")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# G2: PageRank with exact-decimal propagation
+# ---------------------------------------------------------------------------
+
+_PR_NODES = 200
+_PR_ITER = 5
+
+
+def _g2_oracle_sql(n_iter: int = _PR_ITER) -> str:
+    """Replays the full PageRank loop as sequential MATERIALIZED CTEs
+    — bit-identical per iteration by the exact-decimal contribution
+    contract in operators/graph.py:pagerank."""
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l_partkey % {_PR_NODES} AS src, l_suppkey % {_PR_NODES} AS dst FROM lineitem
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ), nc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+    outdeg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), r_init AS MATERIALIZED (SELECT node, 1.0/(SELECT nn FROM nc) AS rank FROM nodes)"""
+    prev = "r_init"
+    for k in range(n_iter):
+        sql += f""",
+    s{k} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               sum(CAST(round(r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+        FROM edges e JOIN {prev} r ON r.node = e.src JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+    ), r{k} AS MATERIALIZED (
+        SELECT n.node,
+               round((1 - 0.85)/(SELECT nn FROM nc)
+                     + 0.85 * COALESCE(CAST(s.s AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+        prev = f"r{k}"
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "g2_pagerank",
+    oracle=_g2_oracle_sql(),
+    doc=(
+        "G2 PageRank with EXACT-DECIMAL propagation (operators/graph.py:pagerank) "
+        "over the wallet-transfer-shaped graph derived from lineitem (distinct "
+        "partkey->suppkey mod-200 edges): per edge contrib = round(rank/outdeg,12) "
+        "cast DECIMAL(28,12), summed exactly per destination — order-insensitive "
+        "under any partitioning, which is what makes iterative float propagation "
+        "reproducible at cluster scale AND lets the oracle replay all 5 iterations "
+        "as sequential MATERIALIZED CTEs bit-identically. One reused-exchange join "
+        "+ one partial-agg sum per iteration, ranks localCheckpoint'd so the plan "
+        "stays one-iteration deep; dangling mass leaks identically in both engines"
+    ),
+)
+def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % _PR_NODES).alias("src"),
+        (F.col("l_suppkey") % _PR_NODES).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, n_iter=_PR_ITER)
+    n_nodes = ranks.count()
+    n_edges = edges.count()
+    return ranks.select(
+        "node",
+        F.round("rank", 8).alias("rank"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )

@@ -33,3 +33,49 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, "src", "dst", max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# G2 PageRank (operators/graph.py:pagerank)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """Every node has out-edges -> total rank mass stays 1 (up to the
+    per-iteration 1e-12 quantization)."""
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1), (0, 2)], ["src", "dst"]
+    )
+    ranks = pagerank(edges, n_iter=10)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_ordering_on_star_graph(spark):
+    """A hub every spoke points at must out-rank the spokes."""
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], ["src", "dst"]
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, n_iter=10).collect()}
+    assert r[0] > max(r[i] for i in range(2, 6))
+    assert r[1] > r[2]  # the hub's sole out-link concentrates on node 1
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Exact-decimal contribution sums: bit-identical ranks whatever
+    the edge partitioning — the reproducibility contract."""
+    import random
+
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    rng = random.Random(9)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(150)})
+    e1 = spark.createDataFrame(pairs, ["src", "dst"]).repartition(13)
+    e2 = spark.createDataFrame(list(reversed(pairs)), ["src", "dst"]).repartition(2)
+    r1 = sorted((r["node"], r["rank"]) for r in pagerank(e1, n_iter=5).collect())
+    r2 = sorted((r["node"], r["rank"]) for r in pagerank(e2, n_iter=5).collect())
+    assert r1 == r2
