@@ -121,6 +121,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l3q_int8_quantized_knn",
     "g2_pagerank",
     "an2_cohort_retention",
+    "s22_codec_control",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.queries.registry import register
-from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
 from datalake_polygonscan_spark.tables import load_table
 
 DEC = T.DecimalType(18, 6)
@@ -115,3 +115,52 @@ def r1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("long")) / 100.0, 4).alias("total_quantity"),
         )
     )
+
+
+@register(
+    "s22_codec_control",
+    oracle="""
+    SELECT fmt, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS codec_verified
+    FROM orders, (SELECT unnest(['snappy', 'zstd', 'gzip']) AS fmt)
+    GROUP BY fmt, o_orderstatus
+    """,
+    doc=(
+        "S22 compression-codec control: the same orders table written as parquet "
+        "under snappy / zstd / gzip (df.write.option('compression', ...)), each read "
+        "back and aggregated — the oracle proves content identical through every "
+        "codec, and codec_verified rides the value hash after asserting each "
+        "layout's data files really carry the requested codec extension AND the "
+        "three byte sizes genuinely differ (zstd/gzip < snappy on this data). At "
+        "100 TB the codec choice is a 30-50% storage/scan-bytes lever the engine "
+        "must expose per-table, not cluster-global"
+    ),
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    sizes, outs = {}, []
+    for codec, ext in (("snappy", ".snappy.parquet"), ("zstd", ".zstd.parquet"), ("gzip", ".gz.parquet")):
+        path = _scratch("s22_codec", f"orders_{codec}")
+        o.coalesce(1).write.mode("overwrite").option("compression", codec).parquet(path)
+        files = [
+            _os.path.join(path, f)
+            for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        assert files and all(f.endswith(ext) for f in files), (codec, files)
+        sizes[codec] = sum(_os.path.getsize(f) for f in files)
+        outs.append(
+            spark.read.parquet(path)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+            .select(F.lit(codec).alias("fmt"), "o_orderstatus", "n_rows", "sum_price")
+        )
+    verified = len(set(sizes.values())) == 3 and max(sizes, key=sizes.get) == "snappy"
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.withColumn("codec_verified", F.lit(verified))
