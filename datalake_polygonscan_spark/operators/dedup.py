@@ -541,7 +541,13 @@ def winnowing_fingerprints(
     hashes = F.transform(
         "grams", lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
-    h = grams.select("doc_id", hashes.alias("h"), F.size("grams").alias("n_grams"))
+    # the exchange is a projection-collapse barrier as well as a
+    # parallelism guard: the hash array crosses the shuffle
+    # materialized once per row instead of being re-inlined into
+    # every downstream window-slice reference
+    h = _ensure_parallelism(
+        grams.select("doc_id", hashes.alias("h"), F.size("grams").alias("n_grams"))
+    )
     n_win = F.size("h") - F.lit(w - 1)
     picks = F.transform(
         F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
@@ -577,8 +583,17 @@ def winnowing_overlap_pairs(
     cap bounds every bucket's pair fan-out at max_df^2, so the join
     cost is sum(df^2) <= max_df * total_prints — linear in the corpus.
     """
+    # materialize the fingerprint ARRAYS before exploding
+    # (localCheckpoint): the explode otherwise collapses with the
+    # upstream windowing projection and re-evaluates the whole
+    # shingling/windowing tree once PER EXPLODED PRINT (~20x per doc —
+    # measured 52s -> 4s at sf0.1), and the exploded table feeds the
+    # frequency pass plus BOTH sides of the pair join. At corpus scale
+    # this is a staged intermediate table
     sized = fingerprints.select(
-        "doc_id", F.size("fingerprints").alias("n_fp"), F.explode("fingerprints").alias("fp")
+        "doc_id", "fingerprints", F.size("fingerprints").alias("n_fp")
+    ).localCheckpoint(eager=True).select(
+        "doc_id", "n_fp", F.explode("fingerprints").alias("fp")
     )
     rare = sized.groupBy("fp").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_df

@@ -439,8 +439,8 @@ _WINNOW_FP_SQL = f"""
 @register(
     "l8_winnowing_overlap",
     oracle=f"""
-    WITH fp AS ({_WINNOW_FP_SQL}),
-    e0 AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS p FROM fp),
+    WITH fp AS MATERIALIZED ({_WINNOW_FP_SQL}),
+    e0 AS MATERIALIZED (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS p FROM fp),
     rare AS (SELECT p FROM e0 GROUP BY p HAVING count(*) <= {_WINNOW_MAXDF}),
     e AS (SELECT e0.* FROM e0 JOIN rare USING (p))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
