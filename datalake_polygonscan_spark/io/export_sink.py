@@ -1,0 +1,141 @@
+"""R10-R12 — the reference's CSV export/upload path as a FIRST-CLASS
+Spark sink (the Spark 4 Python DataSource WRITER API), with the
+commit/abort protocol the reference lacks.
+
+The reference serializes the whole frame to ONE in-memory CSV string
+and PUTs it to object storage (``Redshift.upload_to_s3``,
+resources/redshift.py:62-74 — a single-writer, single-object,
+all-or-nothing-by-luck upload), then TRUNCATE+COPYs it into the
+warehouse (:80,98-104) with a visible empty-table window. This module
+expresses the same export Spark-natively and fixes both defects:
+
+- every task streams ITS partition to a ``part-*.csv`` in a hidden
+  ``_staging/`` dir (parallel upload, bounded memory — the 100 TB
+  export the reference's StringIO could never hold) and returns a
+  :class:`WriterCommitMessage` carrying the file name and row count;
+- the driver's ``commit()`` moves the staged parts into a new
+  ``export-N`` directory, writes a ``_MANIFEST.json`` (files + per-file
+  row counts) and atomically republishes the ``_PUBLISHED`` pointer
+  (os.replace — readers resolve THROUGH the manifest, so a torn job is
+  invisible: no empty-table window, no partial export);
+- ``abort()`` deletes the staged parts — failed jobs leave nothing.
+
+CSV stays the interchange format deliberately (R10's compatibility
+contract); the sink is registered as ``spark.write.format
+("wallet_export")``.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+
+class ExportCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class WalletExportDataSource(DataSource):
+    """``df.write.format("wallet_export").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wallet_export"
+
+    def writer(self, schema, overwrite: bool) -> "WalletExportWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("wallet_export requires .option('path', ...)")
+        return WalletExportWriter(path, [f.name for f in schema.fields], overwrite)
+
+
+class WalletExportWriter(DataSourceWriter):
+    def __init__(self, root: str, columns: list[str], overwrite: bool):
+        self.root = root
+        self.columns = columns
+        self.overwrite = overwrite
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator) -> ExportCommit:
+        os.makedirs(os.path.join(self.root, "_staging"), exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.csv"
+        tmp = os.path.join(self.root, "_staging", "." + name)
+        n = 0
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.columns)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        os.replace(tmp, os.path.join(self.root, "_staging", name))
+        return ExportCommit(name, n)
+
+    # -- driver side ---------------------------------------------------
+    def _staged(self, messages):
+        return [m for m in messages if m is not None]
+
+    def commit(self, messages) -> None:
+        msgs = self._staged(messages)
+        pointer = os.path.join(self.root, "_PUBLISHED")
+        prev = -1
+        if os.path.exists(pointer) and not self.overwrite:
+            with open(pointer) as f:
+                prev = json.load(f)["export"]
+        export = prev + 1 if not self.overwrite else 0
+        dest = os.path.join(self.root, f"export-{export}")
+        if self.overwrite:
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)  # stale rerun leftovers
+        os.makedirs(dest, exist_ok=True)
+        for m in msgs:
+            os.replace(
+                os.path.join(self.root, "_staging", m.filename),
+                os.path.join(dest, m.filename),
+            )
+        manifest = {
+            "files": sorted(m.filename for m in msgs),
+            "rows": {m.filename: m.n_rows for m in msgs},
+            "total_rows": sum(m.n_rows for m in msgs),
+        }
+        tmp = os.path.join(dest, "._manifest_tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(dest, "_MANIFEST.json"))
+        tmp = os.path.join(self.root, "._published_tmp")
+        with open(tmp, "w") as f:
+            json.dump({"export": export}, f)
+        os.replace(tmp, pointer)  # the atomic publish
+
+    def abort(self, messages) -> None:
+        # messages only cover tasks whose commit message reached the
+        # driver; tasks that staged a part but died mid-report leave
+        # files no message names. Sweep the whole staging dir — the
+        # sink is single-concurrent-writer per root (the reference's
+        # weekly job shape), and unmanifested files are invisible to
+        # readers regardless.
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            for name in os.listdir(staging):
+                try:
+                    os.remove(os.path.join(staging, name))
+                except FileNotFoundError:
+                    pass
+
+
+def published_files(root: str) -> list[str]:
+    """Resolve the LIVE export's data files through the manifest —
+    the only sanctioned read path (stray/torn files are invisible)."""
+    with open(os.path.join(root, "_PUBLISHED")) as f:
+        export = json.load(f)["export"]
+    dest = os.path.join(root, f"export-{export}")
+    with open(os.path.join(dest, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    return [os.path.join(dest, name) for name in manifest["files"]]

@@ -122,6 +122,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g2_pagerank",
     "an2_cohort_retention",
     "s22_codec_control",
+    "r10_export_sink",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -99,3 +99,74 @@ def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_raw_value"),
         F.max("block_number").alias("max_block"),
     )
+
+
+@register(
+    "r10_export_sink",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           CAST(count(*) AS BIGINT) AS n_transfers,
+           ROUND(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS total_quantity,
+           TRUE AS manifest_consistent
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc=(
+        "R10-R12 the reference's CSV export/upload path as a FIRST-CLASS Spark 4 "
+        "Python DataSource WRITER with a real commit/abort protocol "
+        "(io/export_sink.py; resources/redshift.py:62-74 upload_to_s3 + :80,98-104 "
+        "TRUNCATE/COPY): every task streams its partition to a staged part-CSV and "
+        "returns a WriterCommitMessage; the driver's commit() moves parts into a new "
+        "export dir, writes a _MANIFEST.json and atomically republishes the "
+        "_PUBLISHED pointer — parallel bounded-memory upload instead of the "
+        "reference's single in-memory StringIO, and no empty-table window. The "
+        "entry pushes the wallet pipeline's frame through df.write.format("
+        "'wallet_export'), reads it BACK through the manifest-resolved CSVs, and "
+        "aggregates; manifest_consistent verifies the manifest's per-file row "
+        "counts sum to the rows read. Abort-path cleanup is tested in "
+        "tests/test_export_sink.py"
+    ),
+)
+def r10_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from datalake_polygonscan_spark.io.export_sink import (
+        WalletExportDataSource,
+        published_files,
+    )
+    from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+
+    spark.dataSource.register(WalletExportDataSource)
+    root = _scratch("r10_export", "csv_export")
+    shutil.rmtree(root, ignore_errors=True)
+
+    raw = _derive_raw_tokentx(spark, sf_dir)
+    txs = process_token_transfers(raw).select(
+        "wallet_address",
+        "tx_hash",
+        "block_number",
+        F.col("quantity").cast("double").alias("quantity"),
+    )
+    txs.write.format("wallet_export").option("path", root).mode("overwrite").save()
+
+    files = published_files(root)
+    back = (
+        spark.read.option("header", "true")
+        .schema("wallet_address string, tx_hash string, block_number long, quantity double")
+        .csv(files)
+    )
+    with open(os.path.join(os.path.dirname(files[0]), "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    consistent = manifest["total_rows"] == back.count() and len(files) == len(
+        manifest["files"]
+    )
+    return (
+        back.groupBy("wallet_address")
+        .agg(
+            F.count("*").alias("n_transfers"),
+            F.round(F.sum(F.round(F.col("quantity") * 100, 0)) / 100.0, 4).alias("total_quantity"),
+        )
+        .withColumn("manifest_consistent", F.lit(consistent))
+    )

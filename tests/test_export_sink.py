@@ -1,0 +1,79 @@
+"""The wallet_export Python DataSource WRITER (io/export_sink.py):
+commit publishes atomically through the manifest, abort leaves no
+trace, append mode versions exports."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.export_sink import (
+    WalletExportDataSource,
+    published_files,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(WalletExportDataSource)
+    return spark
+
+
+def _df(spark, n=20, tag="a"):
+    return spark.range(n).select(
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+
+
+def test_commit_publishes_manifest_consistent_export(registered, tmp_path):
+    spark, root = registered, str(tmp_path / "exp")
+    _df(spark, 20).repartition(4).write.format("wallet_export").option("path", root).mode(
+        "overwrite"
+    ).save()
+    files = published_files(root)
+    with open(os.path.join(os.path.dirname(files[0]), "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    back = spark.read.option("header", "true").schema("k string, v double").csv(files)
+    assert back.count() == 20 == manifest["total_rows"]
+    assert sorted(r["k"] for r in back.collect()) == sorted(
+        r["k"] for r in _df(spark, 20).collect()
+    )
+    assert not any(
+        f for f in os.listdir(os.path.join(root, "_staging")) if not f.startswith(".")
+    )  # staging drained
+
+
+def test_append_mode_versions_exports(registered, tmp_path):
+    spark, root = registered, str(tmp_path / "exp")
+    _df(spark, 5, "a").write.format("wallet_export").option("path", root).mode("append").save()
+    first = published_files(root)
+    _df(spark, 7, "b").write.format("wallet_export").option("path", root).mode("append").save()
+    second = published_files(root)
+    assert os.path.dirname(first[0]).endswith("export-0")
+    assert os.path.dirname(second[0]).endswith("export-1")
+    back = spark.read.option("header", "true").schema("k string, v double").csv(second)
+    assert back.count() == 7  # the pointer resolves ONE live export
+
+
+def test_failed_job_aborts_and_publishes_nothing(registered, tmp_path):
+    spark, root = registered, str(tmp_path / "exp")
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("induced task failure")
+
+    df = _df(spark, 10).withColumn("v", boom("v"))
+    with pytest.raises(Exception):
+        df.write.format("wallet_export").option("path", root).mode("overwrite").save()
+    assert not os.path.exists(os.path.join(root, "_PUBLISHED"))
+    staged = (
+        os.listdir(os.path.join(root, "_staging"))
+        if os.path.isdir(os.path.join(root, "_staging"))
+        else []
+    )
+    assert not [f for f in staged if not f.startswith(".")]  # nothing leaked
