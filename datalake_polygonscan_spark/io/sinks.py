@@ -149,7 +149,10 @@ def commit_snapshot(
     open/listed objects readable past unlink). Pass a larger ``retain``
     to keep time-travel targets readable; the log itself is never
     pruned."""
-    meta = {"snapshot": snapshot_name, **(extra_meta or {})}
+    # committed_at: wall-clock commit time (Delta's commit timestamp)
+    # powering TIMESTAMP AS OF reads; callers may pin it via extra_meta
+    # for reproducible tests
+    meta = {"snapshot": snapshot_name, "committed_at": time.time(), **(extra_meta or {})}
     new_version = snapshot_version(meta)
     with _pointer_lock(table_path):
         live = read_pointer(table_path)
@@ -555,3 +558,23 @@ def restore_version(
 
         publish_feed(table_path, snap_name, snapshot_version(base) + 1)
     return read_table(spark, table_path)
+
+
+def read_version_at_timestamp(spark: SparkSession, table_path: str, ts: float) -> DataFrame:
+    """Time travel by WALL CLOCK: read the table as of the newest
+    commit whose ``committed_at`` <= ``ts`` (Delta's ``TIMESTAMP AS
+    OF``). Raises ``ValueError`` when ``ts`` predates the table (there
+    is no state to return) and :class:`SnapshotVacuumed` when the
+    resolved version's files were pruned by retention. Commits predating
+    timestamp tracking sort as time 0 — always eligible."""
+    log = history(table_path)
+    if not log:
+        raise FileNotFoundError(f"no commit log at {table_path}")
+    eligible = [e for e in log if float(e.get("committed_at", 0.0)) <= ts]
+    if not eligible:
+        first = min(float(e.get("committed_at", 0.0)) for e in log)
+        raise ValueError(
+            f"timestamp {ts} predates the table's first commit ({first}) at {table_path}"
+        )
+    target = max(eligible, key=lambda e: e["version"])
+    return read_version(spark, table_path, target["version"])

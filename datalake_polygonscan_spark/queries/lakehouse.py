@@ -1422,3 +1422,51 @@ def mv5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("c_acctbal"),
     )
+
+
+@register(
+    "s23_timestamp_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_asof,
+           TRUE AS resolved_v0,
+           TRUE AS live_resolves_latest
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S23 TIMESTAMP AS OF time travel (io/sinks.py:read_version_at_timestamp; "
+        "Delta's timestamp-based travel): every commit stamps committed_at into the "
+        "log; a read at any wall-clock instant resolves the newest commit at-or-"
+        "before it. The entry commits v0 = orders then v1 = a repricing, picks the "
+        "midpoint of the two commit timestamps FROM THE LOG ITSELF (deterministic "
+        "whatever the wall clock did), and must get exactly v0's content back — the "
+        "closed-form oracle; resolution verdicts for the midpoint and a post-v1 "
+        "instant ride the hash"
+    ),
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history, read_version_at_timestamp
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s23_ts_travel", "orders_ts")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(o, table, retain=10)  # v0
+    atomic_overwrite(
+        o.withColumn("o_totalprice", F.col("o_totalprice") * 2), table, retain=10
+    )  # v1
+    t0, t1 = (float(e["committed_at"]) for e in history(table))
+    mid = (t0 + t1) / 2 if t1 > t0 else t0
+    asof = read_version_at_timestamp(spark, table, mid)
+    sum_asof = asof.agg(F.sum("o_totalprice")).collect()[0][0]
+    sum_v0 = read_version(spark, table, 0).agg(F.sum("o_totalprice")).collect()[0][0]
+    live_sum = read_version_at_timestamp(spark, table, t1 + 3600).agg(
+        F.sum("o_totalprice")
+    ).collect()[0][0]
+    v1_sum = read_version(spark, table, 1).agg(F.sum("o_totalprice")).collect()[0][0]
+    return (
+        asof.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_asof"))
+        .withColumn("resolved_v0", F.lit(sum_asof == sum_v0))
+        .withColumn("live_resolves_latest", F.lit(live_sum == v1_sum))
+    )

@@ -292,3 +292,30 @@ def test_two_process_cas_race(tmp_path, round_):
     log = history(tbl)
     assert [e["version"] for e in log] == [0, 1]
     assert {e["writer"] for e in log} == {"w0", "w1"}  # neither commit lost
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: resolve the newest commit at-or-before the
+    requested wall-clock time; before-table timestamps raise."""
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.io.sinks import (
+        atomic_overwrite,
+        history,
+        read_version_at_timestamp,
+    )
+
+    tbl = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a")], ["k", "s"])
+    v1 = spark.createDataFrame([(1, "b"), (2, "c")], ["k", "s"])
+    atomic_overwrite(v0, tbl, retain=10)
+    atomic_overwrite(v1, tbl, retain=10)
+    t0, t1 = (float(e["committed_at"]) for e in history(tbl))
+    assert t0 <= t1
+    mid = (t0 + t1) / 2 if t1 > t0 else t0
+    got_mid = sorted(tuple(r) for r in read_version_at_timestamp(spark, tbl, mid).collect())
+    assert got_mid == [(1, "a")]
+    got_now = sorted(tuple(r) for r in read_version_at_timestamp(spark, tbl, t1 + 10).collect())
+    assert got_now == [(1, "b"), (2, "c")]
+    with _pytest.raises(ValueError):
+        read_version_at_timestamp(spark, tbl, t0 - 10)
