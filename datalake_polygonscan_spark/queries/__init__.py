@@ -124,6 +124,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s22_codec_control",
     "r10_export_sink",
     "s23_timestamp_time_travel",
+    "m_wav_pcm_decode",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

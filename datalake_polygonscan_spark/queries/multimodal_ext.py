@@ -229,3 +229,55 @@ def m_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = decode_png_pixels(png_table(docs))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+@register(
+    "m_wav_pcm_decode",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 * 4000 + 8000 AS BIGINT) AS rate,
+               CAST((doc_id % 3 + 1) * 4 AS BIGINT) AS n,
+               substr(rpad(hex(encode(text)), 96, '20'),
+                      1, CAST((doc_id % 3 + 1) * 4 * 4 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, rate, n, ph,
+               unnest(generate_series(1, n)) AS i
+        FROM ids
+    ), s AS (
+        SELECT media_id, rate, n,
+               CAST(concat('0x',
+                           substr(ph, CAST((i - 1) * 4 + 3 AS INT), 2),
+                           substr(ph, CAST((i - 1) * 4 + 1 AS INT), 2)) AS BIGINT) AS u
+        FROM pos
+    ), sg AS (
+        SELECT media_id, rate, n,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    )
+    SELECT media_id,
+           rate AS sample_rate,
+           n AS n_samples,
+           CAST(floor(n * 1000000 / rate / 1000) AS BIGINT) AS duration_ms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+    FROM sg GROUP BY media_id, rate, n
+    """,
+    doc=(
+        "M-WAV REAL audio container decode with zero external audio libraries "
+        "(operators/media.py:wav_table/decode_wav_pcm): each doc becomes a valid "
+        "RIFF/WAVE 16-bit PCM mono file (RIFF header, fmt chunk, data chunk — "
+        "openable by any WAV reader), and the decoder walks the chunk list in "
+        "arbitrary order, validates the PCM fmt, decodes the int16-LE sample array "
+        "in Arrow-batched mapInPandas and emits integer-exact signal stats "
+        "(duration, peak, sum|s|). The oracle reconstructs the same stats from the "
+        "payload-byte formula, so a chunk-walk or endianness bug value-fails; "
+        "extends the BMP/PNG image-decode tier to the audio modality"
+    ),
+)
+def m_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import decode_wav_pcm, wav_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_wav_pcm(wav_table(docs))

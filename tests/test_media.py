@@ -211,3 +211,59 @@ def test_png_spark_fixture_decodes(spark):
     for r in out:
         assert r["width"] == 4 and r["n_pixels"] == 4 * r["height"]
         assert 0 <= r["mean_luma"] <= 255
+
+
+# ---------------------------------------------------------------------------
+# M-WAV: real RIFF/WAVE PCM decode (operators/media.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_files_are_valid_for_stdlib_wave_reader(spark):
+    """The fixture's bytes must open in Python's stdlib `wave` module —
+    proof the container is REAL, not a lookalike."""
+    import io as _io
+    import wave
+
+    from datalake_polygonscan_spark.operators.media import wav_table
+
+    docs = spark.createDataFrame(
+        [(i, f"sample document {i} with audio payload") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    for r in wav_table(docs).collect():
+        with wave.open(_io.BytesIO(bytes(r["content"]))) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            assert w.getframerate() == r["media_id"] % 3 * 4000 + 8000
+            assert w.getnframes() == (r["media_id"] % 3 + 1) * 4
+
+
+def test_wav_decode_matches_stdlib_reference(spark):
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import decode_wav_pcm, wav_table
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text for pcm bytes here") for i in range(6)], ["doc_id", "text"]
+    )
+    media = wav_table(docs)
+    got = {r["media_id"]: r for r in decode_wav_pcm(media).collect()}
+    for r in media.collect():
+        with wave.open(_io.BytesIO(bytes(r["content"]))) as w:
+            frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2").astype(np.int64)
+        g = got[r["media_id"]]
+        assert g["n_samples"] == len(frames)
+        assert g["peak"] == int(np.abs(frames).max())
+        assert g["sum_abs"] == int(np.abs(frames).sum())
+
+
+def test_wav_decode_rejects_non_riff(spark):
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.operators.media import decode_wav_pcm
+
+    bad = spark.createDataFrame([(1, bytearray(b"NOTAWAVFILE" * 4))], ["media_id", "content"])
+    with _pytest.raises(Exception, match="RIFF"):
+        decode_wav_pcm(bad).collect()
