@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure-Python decision
+logic the engine's correctness rests on — filter-pushdown bounds
+algebra and exact-decimal update arithmetic. No SparkSession: these
+run hundreds of generated cases in milliseconds."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from datalake_polygonscan_spark.io.paginated_source import WalletTransfersReader
+
+_OPS = (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo)
+
+
+def _eval(f, v: int) -> bool:
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    return v == f.value
+
+
+_filters = st.lists(
+    st.tuples(st.sampled_from(_OPS), st.integers(-50, 50)), min_size=0, max_size=6
+).map(lambda ts: [op(("blockNumber",), v) for op, v in ts])
+
+
+@given(_filters, st.integers(-60, 60))
+@settings(max_examples=300, deadline=None)
+def test_pushdown_bounds_equal_conjunction_of_consumed_filters(filters, probe):
+    """pushFilters consumes range/equality conjuncts into [lo, hi]
+    bounds; since consumed filters vanish from Spark's plan, the
+    bounds MUST accept exactly the values satisfying EVERY consumed
+    filter — including contradictions (empty interval), the ADVICE-r3
+    EqualTo-overwrite bug class."""
+    reader = WalletTransfersReader({"path": "/nonexistent"})
+    leftover = list(reader.pushFilters(list(filters)))
+    assert not leftover  # all blockNumber conjuncts are consumable
+    want = all(_eval(f, probe) for f in filters)
+    assert reader._in_bounds("blockNumber", probe) == want
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-1000, max_value=1000, places=12, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.permutations(range(40)),
+)
+@settings(max_examples=150, deadline=None)
+def test_exact_decimal_sum_is_order_insensitive(values, perm):
+    """The determinism contract under ML3/G2/MV1: a DECIMAL-quantized
+    sum is identical under ANY accumulation order (a float sum is
+    not) — the property that makes gradients/ranks/MV deltas
+    bit-reproducible across partitionings."""
+    order = [p for p in perm if p < len(values)]
+    a = sum((values[i] for i in order), Decimal(0))
+    b = sum(sorted(values), Decimal(0))
+    assert a == b
+
+
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=30),
+    st.integers(2, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_reference_guarantee(hashes, w):
+    """Pure-Python mirror of the windowed-minimum selection: every
+    selected fingerprint is a member of the sequence, and every
+    window of w consecutive hashes is covered by at least one
+    selected value <= its elements (the guarantee the Spark
+    implementation encodes with sequence/slice/array_min)."""
+    n = len(hashes)
+    if n >= w:
+        picks = {min(hashes[i : i + w]) for i in range(n - w + 1)}
+    else:
+        picks = {min(hashes)}
+    assert picks <= set(hashes)
+    if n >= w:
+        for i in range(n - w + 1):
+            assert min(hashes[i : i + w]) in picks
