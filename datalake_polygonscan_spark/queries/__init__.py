@@ -125,6 +125,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "r10_export_sink",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
+    "q5_local_supplier_volume",
+    "s24_vacuum_retention",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

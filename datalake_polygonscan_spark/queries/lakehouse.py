@@ -1470,3 +1470,55 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("resolved_v0", F.lit(sum_asof == sum_v0))
         .withColumn("live_resolves_latest", F.lit(live_sum == v1_sum))
     )
+
+
+@register(
+    "s24_vacuum_retention",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice * 16 AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_live,
+           CAST(5 AS BIGINT) AS n_versions_logged,
+           CAST(3 AS BIGINT) AS n_vacuumed,
+           TRUE AS vacuumed_raise,
+           TRUE AS survivor_readable
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S24 VACUUM retention (io/sinks.py:vacuum; Delta's VACUUM): five committed "
+        "versions (v_k = orders with price*2^k), vacuum(keep_last=2) removes the "
+        "data of v0-v2 while the COMMIT LOG keeps all five — history survives data "
+        "retention. The live read still returns v4 exactly (the oracle's closed "
+        "form), reading a vacuumed version raises SnapshotVacuumed (the log proves "
+        "it happened; only its files are gone), and the retained v3 stays "
+        "time-travel-readable; all verdicts ride the value hash"
+    ),
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import SnapshotVacuumed, history, vacuum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = _scratch("s24_vacuum", "orders_vac")
+    shutil.rmtree(table, ignore_errors=True)
+    for k in range(5):
+        atomic_overwrite(
+            o.withColumn("o_totalprice", F.col("o_totalprice") * float(2**k)), table, retain=10
+        )
+    removed = vacuum(table, keep_last=2)
+    try:
+        read_version(spark, table, 0)
+        raised = False
+    except SnapshotVacuumed:
+        raised = True
+    survivor_ok = (
+        read_version(spark, table, 3).agg(F.sum("o_totalprice")).collect()[0][0] is not None
+    )
+    return (
+        read_table(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_live"))
+        .withColumn("n_versions_logged", F.lit(len(history(table))).cast("long"))
+        .withColumn("n_vacuumed", F.lit(len(removed)).cast("long"))
+        .withColumn("vacuumed_raise", F.lit(raised))
+        .withColumn("survivor_readable", F.lit(survivor_ok))
+    )

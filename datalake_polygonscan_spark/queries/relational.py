@@ -641,3 +641,63 @@ def a3_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("g_last_ship"),
     )
     return ru.unionByName(cu).crossJoin(F.broadcast(g))
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1995-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc=(
+        "Q5-shape composite (TPC-H local supplier volume): the 6-table join "
+        "gauntlet — region filter pushed through nation into the supplier/customer "
+        "sides, the customer-nation = supplier-nation equality closing the join "
+        "cycle, date window on orders, revenue agg, deterministic ordering. "
+        "Catalyst broadcasts the three dimension sides (region/nation/supplier) and "
+        "keeps the fact chain shuffle-partitioned; with Q3 this brackets the "
+        "optimizer surface: selective-dim broadcast + TakeOrdered (Q3) and "
+        "multi-dim snowflake reduction (Q5). Decimal revenue internal, "
+        "rounded-double boundary"
+    ),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(rev, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
