@@ -64,6 +64,8 @@ HEADLINE = [
     "l3q_int8_quantized_knn",
     "ml3_logreg_quality",
     "mv5_join_mv",
+    "q5_local_supplier_volume",
+    "g2_pagerank",
     "s17_change_data_feed",
 ]
 
