@@ -578,3 +578,37 @@ def read_version_at_timestamp(spark: SparkSession, table_path: str, ts: float) -
         )
     target = max(eligible, key=lambda e: e["version"])
     return read_version(spark, table_path, target["version"])
+
+
+def shallow_clone(spark: SparkSession, source_path: str, clone_path: str) -> DataFrame:
+    """Delta-style SHALLOW CLONE: a new, fully independent table whose
+    v0 snapshot HARD-LINKS the source's live data files — zero data
+    movement, zero duplicate bytes, instant. The clone gets its own
+    pointer and its own commit log (seeded with the source's live
+    metadata plus ``cloned_from`` provenance), so writes to either side
+    never touch the other: the clone's merges rewrite only its own
+    touched buckets (untouched buckets keep sharing inodes with the
+    source), and the source's retention can prune ITS directories
+    without harming the clone (hard links keep shared file data alive
+    until the last referent drops). The dev/test workflow lever at
+    100 TB: experiment against production data without copying it or
+    endangering it.
+    """
+    src_meta = read_pointer(source_path)
+    if src_meta is None:
+        raise FileNotFoundError(f"cannot clone: no table at {source_path}")
+    from datalake_polygonscan_spark.io.tombstones import _link_tree
+
+    os.makedirs(clone_path, exist_ok=True)
+    if read_pointer(clone_path) is not None:
+        raise FileExistsError(f"clone target {clone_path} is already a table")
+    name = new_snapshot_name(None)  # the clone starts its OWN history at v0
+    _link_tree(
+        os.path.join(source_path, src_meta["snapshot"]), os.path.join(clone_path, name), set()
+    )
+    meta = {
+        k: v for k, v in src_meta.items() if k not in ("snapshot", "committed_at")
+    }
+    meta.update({"op": "CLONE", "cloned_from": os.path.abspath(source_path)})
+    commit_snapshot(clone_path, name, None, meta)
+    return read_table(spark, clone_path)

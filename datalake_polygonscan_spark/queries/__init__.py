@@ -127,6 +127,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "m_wav_pcm_decode",
     "q5_local_supplier_volume",
     "s24_vacuum_retention",
+    "s25_shallow_clone",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

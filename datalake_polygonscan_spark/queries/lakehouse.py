@@ -1519,3 +1519,75 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vacuumed_raise", F.lit(raised))
         .withColumn("survivor_readable", F.lit(survivor_ok))
     )
+
+
+@register(
+    "s25_shallow_clone",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS source_sum,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE), 4) AS clone_sum,
+           TRUE AS zero_copy_clone,
+           TRUE AS source_isolated
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S25 SHALLOW CLONE (io/sinks.py:shallow_clone; Delta's SHALLOW CLONE): the "
+        "clone's v0 hard-links the source's live data files — zero data movement, "
+        "zero duplicate bytes (zero_copy_clone verifies inode identity of EVERY "
+        "cloned file) — with its own pointer and commit log (cloned_from "
+        "provenance). A merge into the clone repriced orderkey%5==0 (+1000): the "
+        "clone diverges (clone_sum, the oracle's closed form) while the SOURCE "
+        "still reads the original rows exactly (source_sum, source_isolated rides "
+        "the hash) — the experiment-on-production-data-without-copying-it lever"
+    ),
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path, shallow_clone
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src_tbl = _scratch("s25_clone", "source")
+    clone_tbl = _scratch("s25_clone", "clone")
+    for p in (src_tbl, clone_tbl):
+        shutil.rmtree(p, ignore_errors=True)
+    merge_upsert(spark, src_tbl, o, keys=["o_orderkey"], n_buckets=16)
+    shallow_clone(spark, src_tbl, clone_tbl)
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    src_ino = _inodes(current_snapshot_path(src_tbl))
+    cl_ino = _inodes(current_snapshot_path(clone_tbl))
+    zero_copy = src_ino == cl_ino and len(src_ino) > 0
+
+    batch = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    clone_live = merge_upsert(spark, clone_tbl, batch, keys=["o_orderkey"], n_buckets=16)
+    src_sum = read_table(spark, src_tbl).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    ).collect()[0][0]
+    orig_sum = o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))).collect()[0][0]
+
+    src_agg = (
+        read_table(spark, src_tbl)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "source_sum"))
+    )
+    cl_agg = clone_live.groupBy("o_orderstatus").agg(_dbl_sum("o_totalprice", "clone_sum"))
+    return (
+        src_agg.join(cl_agg, "o_orderstatus")
+        .withColumn("zero_copy_clone", F.lit(zero_copy))
+        .withColumn("source_isolated", F.lit(src_sum == orig_sum))
+    )

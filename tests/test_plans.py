@@ -441,3 +441,13 @@ def test_join_mv_fact_refresh_broadcasts_dim_lookup(spark, tmp_path):
     touched = dim.join(F.broadcast(ups.select("dk").distinct()), ["dk"], "leftsemi")
     plan = _plan(ups.join(F.broadcast(touched), ["dk"], "left"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q5_snowflake_broadcasts_all_dims(spark):
+    """Q5: the three dimension sides (supplier/nation/region) join by
+    broadcast; only the fact chain shuffles."""
+    from datalake_polygonscan_spark.queries.relational import q5_local_supplier
+
+    plan = _plan(q5_local_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -319,3 +319,72 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert got_now == [(1, "b"), (2, "c")]
     with _pytest.raises(ValueError):
         read_version_at_timestamp(spark, tbl, t0 - 10)
+
+
+def test_shallow_clone_zero_copy_and_bidirectional_isolation(spark, tmp_path):
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import (
+        current_snapshot_path,
+        history,
+        read_table,
+        shallow_clone,
+    )
+
+    src, cl = str(tmp_path / "src"), str(tmp_path / "cl")
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], ["k", "v"])
+    merge_upsert(spark, src, df, keys=["k"], n_buckets=4)
+    shallow_clone(spark, src, cl)
+
+    def inos(t):
+        import os as _os
+
+        snap = current_snapshot_path(t)
+        return {
+            _os.path.relpath(_os.path.join(dp, f), snap): _os.stat(_os.path.join(dp, f)).st_ino
+            for dp, _, fs in _os.walk(snap)
+            for f in fs
+            if not f.startswith(("_", "."))
+        }
+
+    assert inos(src) == inos(cl) and inos(src)  # zero-copy v0
+    assert history(cl)[0]["op"] == "CLONE" and "cloned_from" in history(cl)[0]
+
+    # clone writes don't touch the source...
+    merge_upsert(spark, cl, spark.createDataFrame([(1, 100.0)], ["k", "v"]), keys=["k"], n_buckets=4)
+    assert {r["k"]: r["v"] for r in read_table(spark, src).collect()}[1] == 1.0
+    # ...and source writes don't touch the clone
+    merge_upsert(spark, src, spark.createDataFrame([(2, 200.0)], ["k", "v"]), keys=["k"], n_buckets=4)
+    assert {r["k"]: r["v"] for r in read_table(spark, cl).collect()}[2] == 2.0
+    assert {r["k"]: r["v"] for r in read_table(spark, cl).collect()}[1] == 100.0
+
+
+def test_shallow_clone_survives_source_vacuum(spark, tmp_path):
+    """Hard links keep shared file data alive: pruning the source's
+    old snapshot dirs must not break the clone's reads."""
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import read_table, shallow_clone, vacuum
+
+    src, cl = str(tmp_path / "src"), str(tmp_path / "cl")
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "v"])
+    merge_upsert(spark, src, df, keys=["k"], n_buckets=4)
+    shallow_clone(spark, src, cl)
+    # source moves on twice, then prunes everything but its newest
+    for val in (50.0, 60.0):
+        merge_upsert(spark, src, spark.createDataFrame([(0, val)], ["k", "v"]), keys=["k"], n_buckets=4)
+    vacuum(src, keep_last=1)
+    got = sorted((r["k"], r["v"]) for r in read_table(spark, cl).collect())
+    assert got == [(i, float(i)) for i in range(10)]  # clone intact
+
+
+def test_shallow_clone_refuses_existing_table(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import shallow_clone
+
+    src, cl = str(tmp_path / "src"), str(tmp_path / "cl")
+    df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    merge_upsert(spark, src, df, keys=["k"], n_buckets=2)
+    merge_upsert(spark, cl, df, keys=["k"], n_buckets=2)
+    with _pytest.raises(FileExistsError):
+        shallow_clone(spark, src, cl)
