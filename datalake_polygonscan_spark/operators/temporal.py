@@ -211,11 +211,15 @@ def cohort_retention(
     number of distinct entities from that cohort active in that period
     and the retention ratio vs the cohort size.
 
-    Plan shape (the 100 TB story): one map-side-combined min-per-key
-    agg for the cohort assignment, one key-partitioned join back to
-    the events (both sides hash on the entity key — Catalyst reuses
-    the exchange), one distinct-agg over (cohort, offset). Never a
-    window over the raw event stream, no per-period scans.
+    Plan shape (the 100 TB story): ONE pass over the events — a
+    map-side-combined min-per-key agg for the cohort assignment, one
+    key-hash join back (the small per-entity side broadcasts or
+    co-partitions), one distinct-agg over (cohort, offset). The cohort
+    SIZE needs no second scan: every entity is by construction active
+    in its own first period, so size(cohort) IS the n_active of the
+    (cohort, 0) cell — the denominator joins back from the tiny cell
+    table itself (broadcast). Never a window over the raw event
+    stream, no per-period scans.
     Output: (cohort, periods_since, n_active, cohort_size, retention).
     """
     firsts = df.groupBy(key_col).agg(
@@ -234,10 +238,10 @@ def cohort_retention(
         .groupBy("cohort", "periods_since")
         .agg(F.countDistinct(key_col).alias("n_active"))
     )
-    sizes = firsts.groupBy(F.col("_cohort").alias("cohort")).agg(
-        F.count("*").alias("cohort_size")
+    sizes = cells.filter(F.col("periods_since") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
     )
-    return cells.join(sizes, "cohort").select(
+    return cells.join(F.broadcast(sizes), "cohort").select(
         "cohort",
         "periods_since",
         F.col("n_active").cast("long").alias("n_active"),
