@@ -92,13 +92,25 @@ def pagerank(
     deep. Dangling nodes (no out-edges) leak their mass — the
     classic simplification; both engines leak identically.
     """
+    # materialize the loop-invariant sides once (localCheckpoint):
+    # without it every iteration re-derives the edge list, node set
+    # and out-degrees from scratch — 5 iterations = 5 re-scans of the
+    # upstream plan (at corpus scale these are staged tables)
+    edges = edges.select(F.col(src).alias(src), F.col(dst).alias(dst)).localCheckpoint(
+        eager=True
+    )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("outdeg"))
+    outdeg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contribs = (
