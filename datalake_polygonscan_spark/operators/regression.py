@@ -59,6 +59,9 @@ def logistic_regression_gd(
     """Train by full-batch GD; returns (weights, bias) as exact
     Decimals. ``feature_cols`` must already be 6-decimal-quantized
     doubles (see module docstring); ``label_col`` is 0.0/1.0."""
+    # materialize the feature frame once: the loop would otherwise
+    # re-derive it (scan + feature expressions) every iteration
+    df = df.localCheckpoint(eager=True)
     feats = [F.col(c) for c in feature_cols]
     w = [Decimal(0) for _ in feature_cols]
     b = Decimal(0)
