@@ -128,6 +128,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "s24_vacuum_retention",
     "s25_shallow_clone",
+    "e10_dedup_within_watermark",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -236,3 +236,53 @@ def e9(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(chk, "e9"),
     )
     return out.filter(F.col("l_event_id") >= 0).withColumn("r_value", F.round("r_value", 4))
+
+
+@register(
+    "e10_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           ROUND(value, 4) AS value
+    FROM events
+    """,
+    doc=(
+        "E10 dropDuplicatesWithinWatermark (streaming/windows.py:"
+        "stream_dedup_within_watermark): dedup on the key alone while the state "
+        "store evicts keys once the watermark passes first-seen + delay — the "
+        "at-least-once-source semantic plain dropDuplicates cannot express: a retry "
+        "RE-STAMPED with a later timestamp (the common real-world duplicate) still "
+        "collapses, because event time is not part of the dedup key. A REAL "
+        "two-micro-batch stream: batch 1 = the original events, batch 2 = every "
+        "event re-delivered 5 minutes later — all retries drop against batch-1 "
+        "state, so the output is exactly the original events (the oracle); "
+        "cross-batch eviction/reappearance mechanics in tests/test_streaming.py"
+    ),
+)
+def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from datalake_polygonscan_spark.streaming.windows import (
+        run_stream_available_now,
+        stream_dedup_within_watermark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e10_stream", "events_retried")
+    chk = _scratch("e10_stream", "chk")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+    retries = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    retries.coalesce(1).write.parquet(os.path.join(src, "f2.parquet"))
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stream_dedup_within_watermark(s, keys=["event_id"], delay="2 hours"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=os.path.join(chk, "e10"),
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value")
+    )

@@ -353,3 +353,16 @@ def run_two_stream_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup_within_watermark(events: DataFrame, keys: list[str], delay: str) -> DataFrame:
+    """E10 — ``dropDuplicatesWithinWatermark``: dedup on the KEY
+    COLUMNS ALONE while the state store evicts keys once the watermark
+    passes their first-seen time + delay. The semantic
+    :func:`stream_dedup` cannot express: an at-least-once source that
+    re-delivers an event with a DIFFERENT timestamp (retry stamped at
+    send time — the common real-world duplicate) still collapses,
+    because the event time is not part of the dedup key; plain
+    ``dropDuplicates(keys)`` without ts would never evict state, and
+    with ts it would keep both copies."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)

@@ -312,3 +312,37 @@ def test_outer_interval_join_emits_null_only_after_watermark(spark, tmp_path):
         (r.l_event_id, r.r_event_id) for r in out.filter(F.col("l_event_id") < 3).collect()
     )
     assert got == [(1, 10), (2, None)]
+
+
+def test_dedup_within_watermark_collapses_retries_with_new_timestamps(spark, tmp_path):
+    """E10: a re-delivered event whose retry carries a LATER timestamp
+    (arriving in a later micro-batch, within the watermark delay) must
+    collapse to one row — the case dropDuplicates(keys+ts) keeps twice;
+    a re-delivery AFTER state eviction legitimately reappears."""
+    from datalake_polygonscan_spark.streaming.windows import (
+        run_stream_available_now,
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_events_file(spark, os.path.join(src, "f1.parquet"), [_ev(1, 0), _ev(2, 1)])
+    # batch 2: event 1 re-delivered 5 minutes later (retry re-stamp)
+    _write_events_file(spark, os.path.join(src, "f2.parquet"), [_ev(1, 5)])
+    # batch 3: watermark jumps far ahead (delay 30m)...
+    _write_events_file(spark, os.path.join(src, "f3.parquet"), [_ev(3, 600)])
+    # batch 4: ...state eviction applies at batch boundaries...
+    _write_events_file(spark, os.path.join(src, "f4.parquet"), [_ev(4, 620)])
+    # batch 5: ...so a re-delivery of event 1 AFTER eviction reappears
+    _write_events_file(spark, os.path.join(src, "f5.parquet"), [_ev(1, 630)])
+
+    out = run_stream_available_now(
+        spark,
+        src + "/*",
+        lambda s: stream_dedup_within_watermark(s, keys=["event_id"], delay="30 minutes"),
+        output_mode="append",
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    got = sorted((r.event_id, r.ts.minute + r.ts.hour * 60) for r in out.collect())
+    assert got == [(1, 0), (1, 630), (2, 1), (3, 600), (4, 620)]
