@@ -129,6 +129,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s24_vacuum_retention",
     "s25_shallow_clone",
     "e10_dedup_within_watermark",
+    "u4_python_udtf",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

@@ -201,3 +201,58 @@ def u1_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scalar.unionByName(grouped).unionByName(udtf)
+
+
+try:  # Spark 4 Python UDTF class API
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="token string, pos int")
+    class _TokenizeUDTF:
+        """U4 — a REAL Python UDTF (Spark 4 ``@udtf`` class API): one
+        input row -> N (token, position) rows, usable from SQL via
+        LATERAL — the genuine table-function surface, versus U3's
+        mapInPandas formulation of the same shape."""
+
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield (t, i)
+
+    _HAVE_UDTF = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAVE_UDTF = False
+
+
+@register(
+    "u4_python_udtf",
+    oracle="""
+    SELECT doc_id, token, CAST(pos AS INTEGER) AS pos FROM (
+        SELECT doc_id,
+               unnest(toks) AS token,
+               unnest(range(0, len(toks))) AS pos
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        )
+    ) WHERE token != ''
+    """,
+    doc=(
+        "U4 the REAL Spark 4 Python UDTF class API (@udtf + spark.udtf.register + "
+        "SQL LATERAL): documents LATERAL-joined to tokenize_udtf(text), one "
+        "(token, position) row per token — the genuine table-function surface "
+        "(U3 demonstrates the same shape via mapInPandas, which predates the API). "
+        "Python str.split() tokenization mirrored in SQL by whitespace-collapse "
+        "split; positions verified exactly"
+    ),
+)
+def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _HAVE_UDTF:
+        raise RuntimeError("Spark 4 UDTF API unavailable in this build")
+    from datalake_polygonscan_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("tokenize_udtf", _TokenizeUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM documents d, LATERAL tokenize_udtf(d.text) t"
+    )
