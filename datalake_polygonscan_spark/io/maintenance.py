@@ -20,6 +20,7 @@ target)`` files.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -88,6 +89,12 @@ def compact_snapshot(
     # log-schema-aware read: compacting a mixed-schema snapshot (after a
     # schema-evolving merge) must rewrite every row in the WIDENED schema
     df = read_snapshot(spark, prev_snap, base)
+    # S27: read_snapshot returned LOGICAL names — the rewrite
+    # materializes any column-mapping rename, so partition dirs (named
+    # after physical columns on disk) must be addressed by their
+    # logical names from here on
+    cmap = base.get("column_mapping") or {}
+    part_cols = [cmap.get(c, c) for c in part_cols]
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
     if part_cols:
@@ -107,6 +114,19 @@ def compact_snapshot(
     meta = {k: v for k, v in base.items() if k != "snapshot"}
     meta.pop("has_tombstones", None)
     meta.pop("has_deltas", None)  # MoR upserts materialize too
+    if cmap:
+        # the rewrite just wrote logical names into the files: drop the
+        # map and rename the tracked schema/keys to match (S27
+        # materialization — Delta keeps maps forever; we compact them
+        # away so MERGE can resume addressing one namespace)
+        meta.pop("column_mapping", None)
+        if meta.get("table_schema"):
+            sch = json.loads(meta["table_schema"])
+            for f in sch["fields"]:
+                f["name"] = cmap.get(f["name"], f["name"])
+            meta["table_schema"] = json.dumps(sch)
+        if meta.get("merge_keys"):
+            meta["merge_keys"] = [cmap.get(k, k) for k in meta["merge_keys"]]
     meta["compacted_from"] = base["snapshot"]
     meta["op"] = "OPTIMIZE"
     # CDF-enabled tables get an EMPTY feed for this version (OPTIMIZE

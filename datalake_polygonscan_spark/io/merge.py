@@ -402,6 +402,14 @@ def _merge_once(
 
     os.makedirs(table_path, exist_ok=True)
     base = read_pointer(table_path)
+    if base and base.get("column_mapping"):
+        # S27: merge internals address PHYSICAL names (per-bucket file
+        # reads, tombstone keys); a pending logical rename must be
+        # materialized before mixing namespaces
+        raise ValueError(
+            "table has a pending column-mapping rename; run "
+            "compact_snapshot() to materialize it before MERGE"
+        )
     # CDF is a TABLE PROPERTY once enabled: every later content-
     # changing commit keeps emitting a feed (a version with no feed is
     # a gap streaming consumers would silently skip — ADVICE r3)

@@ -442,6 +442,16 @@ def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> Data
         if dirs:
             tomb = spark.read.parquet(*dirs)
             df = df.join(tomb, meta["merge_keys"], "left_anti")
+    # S27 column mapping (Delta's columnMapping.mode=name): data files
+    # keep their original PHYSICAL field names forever; the commit's
+    # physical->logical map renames them at read time. Applied LAST so
+    # everything layout-internal (tombstone/delta key joins, _bucket)
+    # ran against physical names.
+    cmap = (meta or {}).get("column_mapping")
+    if cmap:
+        from pyspark.sql import functions as F
+
+        df = df.select(*[F.col(c).alias(cmap.get(c, c)) for c in df.columns])
     return df
 
 
@@ -557,6 +567,82 @@ def restore_version(
         from datalake_polygonscan_spark.io.merge import publish_feed
 
         publish_feed(table_path, snap_name, snapshot_version(base) + 1)
+    return read_table(spark, table_path)
+
+
+def rename_columns(
+    spark: SparkSession, table_path: str, renames: dict[str, str], retain: int = 2
+) -> DataFrame:
+    """S27 — metadata-only column RENAME (Delta's column mapping,
+    ``columnMapping.mode = name``; Iceberg renames by field id): a new
+    commit whose snapshot hard-links EVERY live data file (zero
+    rewrite — the 100 TB rename is O(files) metadata, not O(bytes))
+    and whose metadata carries a physical->logical name map that
+    :func:`read_snapshot` applies after load. Time travel is
+    name-faithful: each version resolves names through its OWN commit's
+    map, so pre-rename versions read back with pre-rename names.
+
+    ``renames`` maps current LOGICAL names to new ones. Renames
+    compose: a second rename re-points the same physical field.
+    :func:`~datalake_polygonscan_spark.io.maintenance.compact_snapshot`
+    MATERIALIZES the map (rewrites files with logical names and drops
+    it); MERGE on a mapped table is refused until then — its bucket
+    internals address physical names (io/merge.py reads per-bucket
+    files directly), and silently mixing namespaces is how engines
+    corrupt tables. Tables with MoR state or CDF enabled refuse the
+    rename for the same reason (their persisted key/feed schemas are
+    physical): materialize via OPTIMIZE first.
+    """
+    from datalake_polygonscan_spark.io.tombstones import _link_tree
+
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    for feature in ("has_tombstones", "has_deltas", "cdf_enabled"):
+        if base.get(feature):
+            raise ValueError(
+                f"table has {feature}; run compact_snapshot() to materialize "
+                "MoR/CDF state before renaming columns"
+            )
+    if base.get("merge_buckets"):
+        raise ValueError(
+            "merge-bucketed table: run compact_snapshot() to materialize the "
+            "layout before renaming columns (MERGE addresses physical names)"
+        )
+    prev_map = dict(base.get("column_mapping") or {})
+    # current logical view = physical names passed through prev_map
+    live_cols = read_table(spark, table_path).columns
+    unknown = [c for c in renames if c not in live_cols]
+    if unknown:
+        raise ValueError(f"no such column(s): {unknown} (table has {live_cols})")
+    new_logical = [renames.get(c, c) for c in live_cols]
+    dupes = {c for c in new_logical if new_logical.count(c) > 1}
+    if dupes:
+        raise ValueError(f"rename would duplicate column name(s): {sorted(dupes)}")
+    # physical field set = keys of prev_map + logical names never mapped
+    physical = {p: logical for p, logical in prev_map.items()}
+    for c in live_cols:
+        if c not in prev_map.values():
+            physical[c] = c
+    new_map = {}
+    for phys, logical in physical.items():
+        target = renames.get(logical, logical)
+        if target != phys:
+            new_map[phys] = target
+    snap_name = new_snapshot_name(base)
+    _link_tree(
+        os.path.join(table_path, base["snapshot"]),
+        os.path.join(table_path, snap_name),
+        skip=set(),
+    )
+    meta = {k: v for k, v in base.items() if k not in ("snapshot", "committed_at")}
+    meta["op"] = "RENAME COLUMN"
+    meta["column_mapping"] = new_map
+    try:
+        commit_snapshot(table_path, snap_name, base, meta, retain=retain)
+    except SnapshotConflict:
+        shutil.rmtree(os.path.join(table_path, snap_name), ignore_errors=True)
+        raise
     return read_table(spark, table_path)
 
 

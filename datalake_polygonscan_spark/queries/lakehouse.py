@@ -1591,3 +1591,82 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_copy_clone", F.lit(zero_copy))
         .withColumn("source_isolated", F.lit(src_sum == orig_sum))
     )
+
+
+@register(
+    "s27_column_mapping_rename",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue_usd,
+           TRUE AS zero_copy_renames,
+           TRUE AS history_name_faithful
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S27 metadata-only column RENAME — Delta column mapping "
+        "(columnMapping.mode=name) / Iceberg rename-by-field-id "
+        "(io/sinks.py:rename_columns): v0 writes orders, v1 renames "
+        "o_totalprice->revenue + o_orderstatus->status, v2 renames "
+        "revenue->revenue_usd (renames COMPOSE through the physical->"
+        "logical map). Both rename commits hard-link every data file "
+        "(zero_copy_renames verifies inode identity twice — a 100 TB "
+        "rename is O(files) metadata, not O(bytes)); files keep "
+        "physical names forever and read_snapshot aliases them at load. "
+        "history_name_faithful proves time travel resolves names "
+        "through each version's OWN map: v0 still reads as o_totalprice, "
+        "v1 as revenue, live as revenue_usd. The aggregate runs against "
+        "the LIVE logical names; the oracle states the same numbers "
+        "from the original physical table"
+    ),
+)
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import (
+        current_snapshot_path,
+        rename_columns,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = _scratch("s27_column_mapping", "orders_cm")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(o, table, retain=10)  # v0: physical names
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    ino_v0 = _inodes(current_snapshot_path(table))
+    rename_columns(
+        spark, table, {"o_totalprice": "revenue", "o_orderstatus": "status"}, retain=10
+    )  # v1
+    ino_v1 = _inodes(current_snapshot_path(table))
+    rename_columns(spark, table, {"revenue": "revenue_usd"}, retain=10)  # v2
+    ino_v2 = _inodes(current_snapshot_path(table))
+    zero_copy = ino_v0 == ino_v1 == ino_v2 and len(ino_v0) > 0
+
+    name_faithful = (
+        set(read_version(spark, table, 0).columns)
+        == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+        and set(read_version(spark, table, 1).columns)
+        == {"o_orderkey", "status", "revenue"}
+        and set(read_table(spark, table).columns)
+        == {"o_orderkey", "status", "revenue_usd"}
+    )
+    return (
+        read_table(spark, table)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("revenue_usd", "revenue_usd"))
+        .withColumn("zero_copy_renames", F.lit(zero_copy))
+        .withColumn("history_name_faithful", F.lit(name_faithful))
+    )

@@ -388,3 +388,86 @@ def test_shallow_clone_refuses_existing_table(spark, tmp_path):
     merge_upsert(spark, cl, df, keys=["k"], n_buckets=2)
     with _pytest.raises(FileExistsError):
         shallow_clone(spark, src, cl)
+
+
+def test_rename_columns_zero_copy_and_time_travel(spark, tmp_path):
+    """S27: renames are metadata-only (every data file hard-linked),
+    compose across commits, and time travel resolves names through
+    each version's own map."""
+    from datalake_polygonscan_spark.io.sinks import read_version, rename_columns
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).withColumn("v", F.col("id") * 2)
+    atomic_overwrite(df, t, retain=10)
+
+    def inodes():
+        snap = current_snapshot_path(t)
+        return sorted(
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(snap)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = inodes()
+    rename_columns(spark, t, {"v": "value"}, retain=10)
+    assert inodes() == before
+    rename_columns(spark, t, {"value": "value_x2", "id": "key"}, retain=10)
+    assert inodes() == before
+
+    live = read_table(spark, t)
+    assert set(live.columns) == {"key", "value_x2"}
+    assert live.agg(F.sum("value_x2")).collect()[0][0] == sum(2 * i for i in range(20))
+    assert set(read_version(spark, t, 0).columns) == {"id", "v"}
+    assert set(read_version(spark, t, 1).columns) == {"id", "value"}
+
+
+def test_rename_columns_rejects_bad_names(spark, tmp_path):
+    from datalake_polygonscan_spark.io.sinks import rename_columns
+
+    t = str(tmp_path / "t")
+    atomic_overwrite(spark.range(5).withColumn("v", F.lit(1)), t)
+    with pytest.raises(ValueError, match="no such column"):
+        rename_columns(spark, t, {"nope": "x"})
+    with pytest.raises(ValueError, match="duplicate"):
+        rename_columns(spark, t, {"v": "id"})
+
+
+def test_rename_blocks_merge_until_compaction_materializes(spark, tmp_path):
+    """MERGE addresses physical names, so a pending map refuses the
+    merge; OPTIMIZE rewrites logical names into the files, drops the
+    map, and merging resumes."""
+    from datalake_polygonscan_spark.io.maintenance import compact_snapshot
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import read_pointer, rename_columns
+
+    t = str(tmp_path / "t")
+    atomic_overwrite(spark.range(10).withColumn("v", F.col("id") + 100), t, retain=10)
+    rename_columns(spark, t, {"v": "price"}, retain=10)
+    batch = spark.range(5).withColumn("price", F.lit(0).cast("long"))
+    with pytest.raises(ValueError, match="pending column-mapping"):
+        merge_upsert(spark, t, batch, keys=["id"])
+    compact_snapshot(spark, t, retain=10)
+    meta = read_pointer(t)
+    assert "column_mapping" not in meta
+    live = merge_upsert(spark, t, batch, keys=["id"])
+    got = {r.id: r.price for r in live.collect()}
+    assert got[3] == 0 and got[7] == 107
+
+
+def test_rename_refuses_mor_and_cdf_tables(spark, tmp_path):
+    from datalake_polygonscan_spark.io.merge import merge_upsert
+    from datalake_polygonscan_spark.io.sinks import rename_columns
+    from datalake_polygonscan_spark.io.tombstones import delete_keys
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).withColumn("v", F.col("id"))
+    merge_upsert(spark, t, df, keys=["id"])
+    with pytest.raises(ValueError, match="merge-bucketed"):
+        rename_columns(spark, t, {"v": "w"})
+
+    t2 = str(tmp_path / "t2")
+    atomic_overwrite(df, t2)
+    # plain table with tombstone-free history renames fine
+    rename_columns(spark, t2, {"v": "w"})
+    assert "w" in read_table(spark, t2).columns
