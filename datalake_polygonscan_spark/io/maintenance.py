@@ -97,6 +97,16 @@ def compact_snapshot(
     part_cols = [cmap.get(c, c) for c in part_cols]
     snap_name = new_snapshot_name(base)
     new_snap = os.path.join(table_path, snap_name)
+    # S26: compacting a partition-evolved table rewrites EVERYTHING
+    # into the newest spec's layout and collapses the spec list to one
+    # (Iceberg's REWRITE DATA does the same — evolution defers the
+    # rewrite, OPTIMIZE is where it finally happens)
+    specs = base.get("partition_specs")
+    write_root = new_snap
+    if specs:
+        latest = specs[-1]
+        part_cols = list(latest["partition_by"])
+        write_root = os.path.join(new_snap, f"spec-{latest['id']:05d}")
     if part_cols:
         # one shuffle on the partition cols -> each partition dir lands
         # in one task -> one size-targeted file per dir (a 100 TB table
@@ -105,7 +115,7 @@ def compact_snapshot(
     else:
         n_files = max(1, math.ceil(total_bytes / max(target_file_bytes, 1)))
         writer = df.repartition(n_files).write
-    writer.mode("overwrite").parquet(new_snap)
+    writer.mode("overwrite").parquet(write_root)
 
     # carry non-snapshot metadata forward (e.g. merge_buckets, so
     # future merges keep pruning against the compacted layout); the
@@ -114,6 +124,8 @@ def compact_snapshot(
     meta = {k: v for k, v in base.items() if k != "snapshot"}
     meta.pop("has_tombstones", None)
     meta.pop("has_deltas", None)  # MoR upserts materialize too
+    if specs:
+        meta["partition_specs"] = [specs[-1]]
     if cmap:
         # the rewrite just wrote logical names into the files: drop the
         # map and rename the tracked schema/keys to match (S27

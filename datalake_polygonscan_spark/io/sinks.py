@@ -399,6 +399,14 @@ def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> Data
     Tombstones apply AFTER delta resolution: a surviving tombstone
     postdates every delta batch (upserts clear their keys' tombstones
     at commit), so it must kill delta rows too."""
+    if meta and meta.get("partition_specs"):
+        # S26 partition evolution: the snapshot holds one hive layout
+        # per spec — delegate to the per-spec union reader. Specs are a
+        # plain-table feature (never combined with MoR/bucket/mapping
+        # state, which only the merge path writes).
+        from datalake_polygonscan_spark.io.partition_evolution import read_spec_snapshot
+
+        return read_spec_snapshot(spark, snap_dir, meta)
     if meta and meta.get("table_schema"):
         from pyspark.sql import types as T
 
@@ -608,6 +616,12 @@ def rename_columns(
         raise ValueError(
             "merge-bucketed table: run compact_snapshot() to materialize the "
             "layout before renaming columns (MERGE addresses physical names)"
+        )
+    if base.get("partition_specs"):
+        raise ValueError(
+            "partition-evolved table: spec layouts address physical partition "
+            "dir names; rewrite via compact_snapshot()/overwrite_with_spec "
+            "before renaming columns"
         )
     prev_map = dict(base.get("column_mapping") or {})
     # current logical view = physical names passed through prev_map

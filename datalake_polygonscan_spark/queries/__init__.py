@@ -128,6 +128,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "s24_vacuum_retention",
     "s25_shallow_clone",
+    "s26_partition_evolution",
     "s27_column_mapping_rename",
     "e10_dedup_within_watermark",
     "u4_python_udtf",

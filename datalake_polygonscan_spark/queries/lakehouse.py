@@ -1670,3 +1670,77 @@ def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_copy_renames", F.lit(zero_copy))
         .withColumn("history_name_faithful", F.lit(name_faithful))
     )
+
+
+@register(
+    "s26_partition_evolution",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS urgent_revenue,
+           TRUE AS zero_copy_evolve,
+           TRUE AS spec_pruned
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S26 partition-spec EVOLUTION (io/partition_evolution.py — "
+        "Iceberg's partition evolution): half of orders lands "
+        "partitioned by o_orderstatus (spec 0), the spec evolves to "
+        "o_orderpriority as a pure-metadata commit (zero_copy_evolve "
+        "verifies every spec-0 file is the same inode — a 100 TB "
+        "re-layout moves zero bytes), and the other half appends into "
+        "the NEW layout. The graded query filters on the new partition "
+        "column over the per-spec union read: spec_pruned verifies the "
+        "physical plan prunes spec-1 by PARTITION directory "
+        "(PartitionFilters) while the same predicate reaches spec-0 as "
+        "a parquet PushedFilter — per-spec pruning quality, global "
+        "correctness, exactly Iceberg's contract. Oracle restates the "
+        "filtered aggregate over the original table"
+    ),
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.partition_evolution import (
+        append_with_spec,
+        evolve_partitioning,
+        overwrite_with_spec,
+    )
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch("s26_partition_evolution", "orders_pe")
+    shutil.rmtree(table, ignore_errors=True)
+    overwrite_with_spec(
+        o.filter(F.col("o_orderkey") % 2 == 0), table, ["o_orderstatus"], retain=10
+    )
+
+    def _inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[os.path.relpath(os.path.join(dp, f), snap)] = os.stat(
+                        os.path.join(dp, f)
+                    ).st_ino
+        return out
+
+    before = _inodes(current_snapshot_path(table))
+    evolve_partitioning(table, ["o_orderpriority"], retain=10)
+    zero_copy = _inodes(current_snapshot_path(table)) == before and len(before) > 0
+    append_with_spec(o.filter(F.col("o_orderkey") % 2 == 1), table, retain=10)
+
+    filtered = read_table(spark, table).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    spec_pruned = (
+        "PartitionFilters: [isnotnull(o_orderpriority" in plan
+        and "PushedFilters: [IsNotNull(o_orderpriority)" in plan
+    )
+    return (
+        filtered.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "urgent_revenue"))
+        .withColumn("zero_copy_evolve", F.lit(zero_copy))
+        .withColumn("spec_pruned", F.lit(spec_pruned))
+    )
