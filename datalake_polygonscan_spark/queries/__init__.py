@@ -115,6 +115,7 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
     "mv5_join_mv",
+    "j7_dynamic_partition_pruning",
     "l8_winnowing_overlap",
     "e9_stream_outer_join",
     "ml3_logreg_quality",

@@ -164,3 +164,73 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out.withColumn("codec_verified", F.lit(verified))
+
+
+@register(
+    "j7_dynamic_partition_pruning",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                 AS DOUBLE), 4) AS revenue,
+           TRUE AS dpp_pruned
+    FROM lineitem
+    WHERE CAST(strftime(l_shipdate, '%m') AS INT) <= 3
+    GROUP BY 1
+    """,
+    doc=(
+        "J7 DYNAMIC partition pruning (Spark's DPP — the star-schema "
+        "optimizer move broadcast hints can't replace): lineitem is "
+        "laid out hive-partitioned by ship month, the month dimension "
+        "carries a quarter attribute, and the query filters the DIM "
+        "(quarter=1) — a predicate the fact scan cannot see statically. "
+        "Catalyst reuses the broadcasted dim result as a runtime IN "
+        "filter on the fact's PARTITION column, so only Q1 month "
+        "directories are ever opened: at 100 TB that's the difference "
+        "between scanning 3/12 of the table and all of it, decided at "
+        "RUNTIME from the dim filter. dpp_pruned rides the row: the "
+        "executed plan must show dynamicpruningexpression inside the "
+        "fact scan's PartitionFilters. Oracle restates the join as the "
+        "equivalent static month-range predicate"
+    ),
+)
+def j7_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    fact_path = _scratch("j7_dpp", "lineitem_by_month")
+    dim_path = _scratch("j7_dpp", "month_dim")
+    shutil.rmtree(fact_path, ignore_errors=True)
+    shutil.rmtree(dim_path, ignore_errors=True)
+    li.select(
+        "l_orderkey", "l_extendedprice", "l_discount", "ship_month"
+    ).write.partitionBy("ship_month").parquet(fact_path)
+    (
+        li.select("ship_month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            ((F.split("ship_month", "-").getItem(1).cast("int") - 1) / 3 + 1).cast("int"),
+        )
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim_q1 = spark.read.parquet(dim_path).filter(F.col("quarter") == 1)
+    joined = (
+        fact.join(dim_q1, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruningexpression" in plan and "PartitionFilters" in plan
+    return joined.withColumn("dpp_pruned", F.lit(dpp))

@@ -451,3 +451,18 @@ def test_q5_snowflake_broadcasts_all_dims(spark):
     plan = _plan(q5_local_supplier(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_fact_scan(spark):
+    """J7: the dim-side filter must reach the hive-partitioned fact
+    scan as a RUNTIME partition filter (dynamicpruningexpression) —
+    static pruning cannot see it, and without DPP the fact scan opens
+    every month directory."""
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["j7_dynamic_partition_pruning"].fn(spark, SF)
+    assert df.filter(~F.col("dpp_pruned")).count() == 0
+    # and every emitted month is in Q1 (the pruned set is correct,
+    # not just present in the plan)
+    months = {r.ship_month[5:] for r in df.collect()}
+    assert months <= {"01", "02", "03"}
