@@ -23,14 +23,40 @@ from datalake_polygonscan_spark.tables import load_table
 
 @register(
     "a2_approx_count_distinct",
-    oracle=None,  # sketch-based; no cross-engine oracle (HLL params differ)
-    doc="A2 approx_count_distinct (HyperLogLog++): the 100 TB path for distinct counts; estimate within rsd of exact asserted in tests/test_aggregates.py",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INTEGER) AS orders_within_rsd,
+           CAST(1 AS INTEGER) AS parts_within_rsd
+    FROM lineitem
+    """,
+    doc=(
+        "A2 approx_count_distinct (HyperLogLog++): the 100 TB path for "
+        "distinct counts, graded as a MEASURED metric (same pattern as "
+        "the ANN entries): the sketch estimate and the exact distinct "
+        "count run in ONE job, and the verdict columns assert the "
+        "estimate lands within 5x the requested rsd (0.01). The exact "
+        "counts ride the row, so the oracle value-checks them while a "
+        "broken sketch (estimate drifting past the band) driver-fails "
+        "instead of passing as a rows-only check"
+    ),
 )
 def a2_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("_ao") - F.col("exact_orders")) / F.col("exact_orders") <= 0.05)
+        .cast("int")
+        .alias("orders_within_rsd"),
+        (F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.05)
+        .cast("int")
+        .alias("parts_within_rsd"),
     )
 
 
@@ -74,14 +100,65 @@ def l2_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l2_simhash_near_pairs",
-    oracle=None,  # xxhash64-based; cross-engine oracle not applicable — quality asserted in tests/test_dedup.py
-    doc="L2 SimHash fingerprints + blocked hamming-distance pairs; 4x16-bit chunk blocking guarantees full recall only for hamming <= 3 (pigeonhole), so that is the emitted bound (operators/dedup.py:simhash, simhash_near_pairs)",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1 AS INTEGER) AS pairs_within_bound,
+           CAST(1 AS INTEGER) AS blocked_recall_exact
+    FROM documents
+    """,
+    doc=(
+        "L2 SimHash fingerprints + blocked hamming-distance pairs "
+        "(operators/dedup.py:simhash, simhash_near_pairs), graded as a "
+        "MEASURED metric: the fingerprint bits are engine-local "
+        "(xxhash64) so no cross-engine pair list exists, but the "
+        "4x16-bit chunk blocking guarantees FULL recall for hamming<=3 "
+        "by pigeonhole — and the entry PROVES it in-job: exact hamming "
+        "truth is computed for pairs incident to 64 md5-selected probe "
+        "docs (broadcast probe fingerprints, bit_count(xor) against "
+        "all n — O(probes x n), never all-pairs) and "
+        "blocked_recall_exact asserts the blocked join found every one "
+        "(recall == 1.0, exact not approximate). pairs_within_bound "
+        "asserts no emitted pair exceeds the bound"
+    ),
 )
 def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = D.simhash(docs, "text", "doc_id")
     pairs = D.simhash_near_pairs(fp, max_hamming=3)
-    return pairs.select("doc_a", "doc_b", "hamming")
+
+    probes = (
+        fp.select("doc_id", "simhash")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(64)
+        .select(F.col("doc_id").alias("p_id"), F.col("simhash").alias("p_sh"))
+    )
+    truth = (
+        fp.select("doc_id", "simhash")
+        .join(F.broadcast(probes), F.col("doc_id") != F.col("p_id"))
+        .withColumn("_ham", F.bit_count(F.col("simhash").bitwiseXOR(F.col("p_sh"))))
+        .filter(F.col("_ham") <= 3)
+        .select(
+            F.least("doc_id", "p_id").alias("doc_a"),
+            F.greatest("doc_id", "p_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hits = truth.join(pairs, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    n_over = pairs.filter(F.col("hamming") > 3).agg(F.count("*").alias("n_over"))
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(n_truth)
+        .crossJoin(n_hits)
+        .crossJoin(n_over)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_over") == 0).cast("int").alias("pairs_within_bound"),
+            (F.col("n_hits") == F.col("n_truth")).cast("int").alias("blocked_recall_exact"),
+        )
+    )
 
 
 #: probe-recall parameters for the graded LSH near-dup entry: exact
