@@ -127,6 +127,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
     "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "s24_vacuum_retention",
     "s25_shallow_clone",
     "s26_partition_evolution",

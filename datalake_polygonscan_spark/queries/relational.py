@@ -701,3 +701,73 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(rev, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS total_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc=(
+        "Q18-shape composite (TPC-H large-volume customer): the "
+        "AGGREGATE-AS-PREDICATE pattern Q3/Q5 don't cover — a grouped "
+        "HAVING subquery over the fact table becomes the semi-join "
+        "filter on itself. Spark shape: one partial+final agg derives "
+        "the big-order keyset, a LEFT SEMI join restricts lineitem "
+        "(keyset side auto-broadcast when small — at 100 TB the "
+        "selective HAVING makes the keyset the small side), then the "
+        "customer/orders enrichment joins and the final per-order "
+        "quantity rollup with TakeOrderedAndProject. Deterministic "
+        "(total_price DESC, o_orderkey) top-100"
+    ),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_qty"
+            )
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
