@@ -174,3 +174,92 @@ def compact_snapshot(
         "bytes": total_bytes,
         "version": int(snap_name.split("=")[1].split("-")[0]),
     }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    retain: int = 2,
+) -> dict:
+    """INCREMENTAL OPTIMIZE (Delta's actual behavior — its OPTIMIZE
+    only rewrites files below ``minFileSize`` and bin-packs them; files
+    already near target size are left untouched): data files >=
+    ``small_file_bytes`` (default target/4) are HARD-LINKED into the
+    new snapshot unchanged, only the small-file tail is read and
+    bin-packed. On a 100 TB table under streaming ingest this is the
+    difference between an O(new-small-files) maintenance job and a
+    full-table rewrite — write amplification proportional to the
+    problem, not the table.
+
+    Restricted to plain snapshot layouts (hive partition dirs fine):
+    MoR tombstone/delta state, CDF feeds, and column mappings need the
+    full :func:`compact_snapshot`, which materializes them; this
+    function refuses those tables rather than silently dropping state.
+    Returns ``{"files_before", "files_after", "linked", "rewritten"}``.
+    """
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    for feature in ("has_tombstones", "has_deltas", "cdf_enabled", "column_mapping", "partition_specs"):
+        if base.get(feature):
+            raise ValueError(
+                f"table has {feature}; use compact_snapshot() (full rewrite, "
+                "materializes MoR/CDF/mapping state) instead"
+            )
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    files = _data_files(prev_snap)
+    cutoff = small_file_bytes if small_file_bytes is not None else target_file_bytes // 4
+    small = [p for p, sz in files if sz < cutoff]
+    large = [p for p, sz in files if sz >= cutoff]
+    if len(small) <= 1:
+        # nothing to bin-pack — zero or one small file is already optimal
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "linked": len(files),
+            "rewritten": 0,
+        }
+    part_cols = _partition_cols(prev_snap)
+    snap_name = new_snapshot_name(base)
+    new_snap = os.path.join(table_path, snap_name)
+    # hard-link the keepers at their original relative paths (so hive
+    # dir layout, and thus partition pruning, is preserved)
+    for p in large:
+        rel = os.path.relpath(p, prev_snap)
+        dst = os.path.join(new_snap, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(p, dst)
+    # read ONLY the small files; basePath keeps hive partition columns
+    reader = spark.read.option("basePath", prev_snap)
+    if base.get("table_schema"):
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(json.loads(base["table_schema"])))
+    small_df = reader.parquet(*small)
+    small_bytes = sum(sz for p, sz in files if p in set(small))
+    if part_cols:
+        writer = (
+            small_df.repartition(*[F.col(c) for c in part_cols])
+            .write.partitionBy(*part_cols)
+        )
+    else:
+        n_files = max(1, math.ceil(small_bytes / max(target_file_bytes, 1)))
+        writer = small_df.repartition(n_files).write
+    writer.mode("append").parquet(new_snap)
+    meta = {k: v for k, v in base.items() if k != "snapshot"}
+    meta["compacted_from"] = base["snapshot"]
+    meta["op"] = "OPTIMIZE (incremental)"
+    try:
+        commit_snapshot(table_path, snap_name, base, meta, retain=retain)
+    except SnapshotConflict:
+        shutil.rmtree(new_snap, ignore_errors=True)
+        raise
+    after = _data_files(os.path.join(table_path, snap_name))
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "linked": len(large),
+        "rewritten": len(small),
+    }

@@ -132,6 +132,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s25_shallow_clone",
     "s26_partition_evolution",
     "s27_column_mapping_rename",
+    "s10b_incremental_compaction",
     "e10_dedup_within_watermark",
     "u4_python_udtf",
     "m_png_pixel_decode",

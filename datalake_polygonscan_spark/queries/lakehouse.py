@@ -1744,3 +1744,70 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_copy_evolve", F.lit(zero_copy))
         .withColumn("spec_pruned", F.lit(spec_pruned))
     )
+
+
+@register(
+    "s10b_incremental_compaction",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS large_files_linked,
+           TRUE AS small_tail_packed
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S10b INCREMENTAL OPTIMIZE (io/maintenance.py:compact_small_files "
+        "— Delta's actual OPTIMIZE semantics: only files below "
+        "minFileSize are bin-packed): the bulk of orders lands as one "
+        "large file, a streaming-ingest-shaped tail of small appends "
+        "accretes, and the maintenance pass hard-links the large file "
+        "(large_files_linked verifies inode identity — write "
+        "amplification proportional to the small tail, not the table) "
+        "while bin-packing only the tail (small_tail_packed verifies "
+        "the file count dropped and no small file survived). Row "
+        "content bit-identical: the oracle states the full aggregate"
+    ),
+)
+def s10b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.maintenance import _data_files, compact_small_files
+    from datalake_polygonscan_spark.io.sinks import append, current_snapshot_path
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = _scratch("s10b_incremental", "orders_inc")
+    shutil.rmtree(table, ignore_errors=True)
+    bulk = o.filter(F.col("o_orderkey") % 10 != 0)
+    atomic_overwrite(bulk.repartition(1), table, retain=10)
+    for m in range(3):  # small-file ingest tail
+        append(
+            o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 3 == m))
+            .repartition(1),
+            table,
+        )
+    snap = current_snapshot_path(table)
+    sizes = {p: sz for p, sz in _data_files(snap)}
+    cutoff = max(sizes.values())  # only the bulk file is >= cutoff
+    big_inodes = {
+        (os.path.basename(p), os.stat(p).st_ino) for p, sz in sizes.items() if sz >= cutoff
+    }
+    stats = compact_small_files(
+        spark, table, small_file_bytes=cutoff, retain=10
+    )
+    new_snap = current_snapshot_path(table)
+    new_files = {(os.path.basename(p), os.stat(p).st_ino) for p, _ in _data_files(new_snap)}
+    linked = big_inodes <= new_files and stats["linked"] == len(big_inodes)
+    packed = (
+        stats["rewritten"] == len(sizes) - len(big_inodes)
+        and stats["files_after"] < stats["files_before"]
+    )
+    return (
+        read_table(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("large_files_linked", F.lit(linked))
+        .withColumn("small_tail_packed", F.lit(packed))
+    )

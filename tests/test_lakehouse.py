@@ -196,3 +196,87 @@ def test_change_feed_types(spark):
         (3, "c", "delete"),   # carries the OLD row
         (5, "e", "insert"),
     ]
+
+
+def test_incremental_compaction_links_large_rewrites_small(spark, tmp_table):
+    """compact_small_files: files >= cutoff are hard-linked untouched
+    (inode identity), only the small tail is bin-packed; row content
+    identical."""
+    from datalake_polygonscan_spark.io.maintenance import compact_small_files
+    from datalake_polygonscan_spark.io.sinks import (
+        append,
+        atomic_overwrite,
+        current_snapshot_path,
+        read_table,
+    )
+
+    big = spark.range(50000).withColumn("v", F.col("id") * 2)
+    atomic_overwrite(big.repartition(1), tmp_table, retain=10)
+    # accrete a small-file tail into the live snapshot
+    for i in range(4):
+        append(spark.range(100 + i, 100 + i + 1).repartition(1).withColumn("v", F.col("id") * 2), tmp_table)
+
+    snap = current_snapshot_path(tmp_table)
+    files = {(p, os.stat(p).st_ino, sz) for p, sz in _data_files(snap)}
+    big_files = {(os.path.basename(p), ino) for p, ino, sz in files if sz >= 4096}
+    assert len(files) == 5, files
+
+    stats = compact_small_files(
+        spark, tmp_table, target_file_bytes=128 << 20, small_file_bytes=4096, retain=10
+    )
+    assert stats["rewritten"] == 4 and stats["linked"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+
+    new_snap = current_snapshot_path(tmp_table)
+    assert new_snap != snap
+    new_files = {
+        (os.path.basename(p), os.stat(p).st_ino) for p, _ in _data_files(new_snap)
+    }
+    # every large file survived as the SAME inode
+    assert big_files <= new_files
+    out = read_table(spark, tmp_table)
+    assert out.count() == 50004
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(
+        2 * i for i in range(50000)
+    ) + sum(2 * i for i in range(100, 104))
+
+
+def test_incremental_compaction_noop_when_no_small_tail(spark, tmp_table):
+    from datalake_polygonscan_spark.io.maintenance import compact_small_files
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_pointer
+
+    atomic_overwrite(spark.range(1000).repartition(1), tmp_table, retain=10)
+    v_before = read_pointer(tmp_table)
+    stats = compact_small_files(spark, tmp_table, small_file_bytes=64)
+    assert stats["rewritten"] == 0
+    assert read_pointer(tmp_table) == v_before  # no pointless commit
+
+
+def test_incremental_compaction_preserves_hive_layout(spark, tmp_table):
+    from datalake_polygonscan_spark.io.maintenance import compact_small_files
+    from datalake_polygonscan_spark.io.sinks import (
+        append,
+        atomic_overwrite,
+        current_snapshot_path,
+        read_table,
+    )
+
+    df = spark.range(2000).withColumn("part", (F.col("id") % 2).cast("string"))
+    atomic_overwrite(df, tmp_table, partition_by=["part"], retain=10)
+    for _ in range(3):
+        append(
+            spark.range(5).withColumn("part", F.lit("0")),
+            tmp_table,
+            partition_by=["part"],
+        )
+    compact_small_files(
+        spark, tmp_table, small_file_bytes=1 << 30, retain=10
+    )  # everything is "small": full bin-pack per dir
+    snap = current_snapshot_path(tmp_table)
+    assert sorted(d for d in os.listdir(snap) if d.startswith("part=")) == [
+        "part=0",
+        "part=1",
+    ]
+    out = read_table(spark, tmp_table)
+    assert out.count() == 2015
+    assert out.filter(F.col("part") == "0").count() == 1015
