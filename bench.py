@@ -67,6 +67,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "g2_pagerank",
     "s17_change_data_feed",
+    # round-4b additions: aggregate-as-predicate composite, runtime
+    # partition pruning, spec evolution + incremental small-file
+    # compaction (table-layer maintenance cost tracking)
+    "q18_large_volume_customer",
+    "j7_dynamic_partition_pruning",
+    "s10b_incremental_compaction",
 ]
 
 
@@ -80,6 +86,20 @@ def main() -> None:
     # the query, not first-call JIT (one tiny scan+agg+join).
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
     qs["a1_a2_groupby_agg_distinct"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    # host-speed calibration: a fixed pure-Spark workload (range scan +
+    # hash agg, no repo code, no I/O) whose wall time tracks the
+    # container's CPU allocation — divide query timings by
+    # (calibration_sec / a reference value) to compare rounds run on
+    # differently-sized hosts. Run twice, keep the faster (steady-state).
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "id % 1000 AS k", "id * 2 AS v"
+        ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    calibration = round(min(_calibrate(), _calibrate()), 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -96,6 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_sec": calibration,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )
     )
