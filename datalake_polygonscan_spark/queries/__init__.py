@@ -122,6 +122,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l3q_int8_quantized_knn",
     "g2_pagerank",
     "an2_cohort_retention",
+    "a6_heavy_hitters",
+    "a5b_approx_percentiles",
     "s22_codec_control",
     "r10_export_sink",
     "s23_timestamp_time_travel",

@@ -263,3 +263,87 @@ def an2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts")
+
+
+@register(
+    "a6_heavy_hitters",
+    oracle="""
+    WITH keyed AS (SELECT o_custkey AS key FROM orders WHERE o_custkey IS NOT NULL),
+    n AS (SELECT count(*) AS n FROM keyed)
+    SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+           ROUND(count(*) * 1.0 / (SELECT n FROM n), 6) AS frac
+    FROM keyed GROUP BY key
+    HAVING count(*) >= CEIL(0.0012 * (SELECT n FROM n))
+    """,
+    doc=(
+        "A6 distributed heavy hitters via mergeable Misra-Gries-family "
+        "summaries + exact recount (operators/sketches.py:heavy_hitters; "
+        "Agarwal et al. PODS '12): each partition emits at most k "
+        "candidate keys (top-k with the (k+1)-th count subtracted — "
+        "deficiency telescopes, so every theta-heavy key provably "
+        "surfaces), then ONLY the candidate set is broadcast and "
+        "exactly recounted. The shuffle carries k x partitions rows, "
+        "never the full key cardinality — at billions of distinct keys "
+        "a plain groupBy's shuffle IS the table; this one is O(k). "
+        "Output is exactly HAVING count >= ceil(theta*n), so the "
+        "oracle value-checks it with no verdict thresholds"
+    ),
+)
+def a6_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.sketches import heavy_hitters
+
+    o = load_table(spark, sf_dir, "orders")
+    return heavy_hitters(o, "o_custkey", threshold_frac=0.0012)
+
+
+@register(
+    "a5b_approx_percentiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS rank_ok_p50,
+           CAST(1 AS INTEGER) AS rank_ok_p90,
+           CAST(1 AS INTEGER) AS rank_ok_p99
+    FROM lineitem
+    """,
+    doc=(
+        "A5b approximate percentiles via Spark's mergeable quantile "
+        "sketch (percentile_approx, Greenwald-Khanna family) — the "
+        "100 TB path where A5's exact per-group sort-based percentile "
+        "is the small-data tier. Graded as a MEASURED metric: the "
+        "sketch estimates p50/p90/p99 of l_extendedprice, then ONE "
+        "conditional-count aggregate computes each estimate's true "
+        "RANK in the data, and the verdicts assert the rank lands "
+        "within +-0.01 of the target quantile (the sketch guarantees "
+        "rank error <= 1/accuracy = 1e-4; the band leaves headroom). "
+        "A broken sketch driver-fails; a rows-only check would pass it"
+    ),
+)
+def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    est = li.agg(
+        F.percentile_approx("v", [0.5, 0.9, 0.99], 10000).alias("est")
+    ).select(
+        F.col("est")[0].alias("e50"), F.col("est")[1].alias("e90"), F.col("est")[2].alias("e99")
+    )
+    ranked = (
+        li.crossJoin(F.broadcast(est))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("v") <= F.col("e50")).cast("long")).alias("r50"),
+            F.sum((F.col("v") <= F.col("e90")).cast("long")).alias("r90"),
+            F.sum((F.col("v") <= F.col("e99")).cast("long")).alias("r99"),
+        )
+    )
+    def ok(r, q):
+        return (
+            (F.col(r) / F.col("n_rows") >= q - 0.01)
+            & (F.col(r) / F.col("n_rows") <= q + 0.01)
+        ).cast("int")
+    return ranked.select(
+        "n_rows",
+        ok("r50", 0.5).alias("rank_ok_p50"),
+        ok("r90", 0.9).alias("rank_ok_p90"),
+        ok("r99", 0.99).alias("rank_ok_p99"),
+    )

@@ -50,3 +50,59 @@ def test_profile_table_one_scan_stats(spark):
     assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
     assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+
+
+def test_heavy_hitters_exact_vs_groupby_truth(spark):
+    """A6: sketch candidates + exact recount must equal the plain
+    groupBy/HAVING truth exactly, under adversarial partitioning."""
+    from datalake_polygonscan_spark.operators.sketches import heavy_hitters
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 120
+        + [(f"cold_{i}",) for i in range(400)]
+        + [(None,)] * 10
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(16)  # scatter the hot key
+    got = {
+        (r.key, r.cnt)
+        for r in heavy_hitters(df, "key", threshold_frac=0.05).collect()
+    }
+    n = 500 + 120 + 400  # nulls excluded
+    truth = {("hot", 500), ("warm", 120)}
+    assert got == truth
+    # threshold boundary: exactly at ceil(theta*n) qualifies
+    theta = 120 / n
+    got2 = {r.key for r in heavy_hitters(df, "key", theta).collect()}
+    assert got2 == {"hot", "warm"}
+
+
+def test_heavy_hitters_full_recall_guarantee(spark):
+    """Every theta-heavy key surfaces even when k is at the guarantee
+    floor ceil(1/theta) and keys are spread across many partitions."""
+    import random
+
+    from datalake_polygonscan_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    rows = []
+    for hh in range(5):  # 5 heavy keys, 300 each
+        rows += [(f"h{hh}",)] * 300
+    rows += [(f"tail_{i}",) for i in range(3000)]  # long tail
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "key string").repartition(32)
+    theta = 250 / len(rows)
+    got = {r.key for r in heavy_hitters(df, "key", theta).collect()}
+    assert got == {f"h{i}" for i in range(5)}
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    import pytest
+
+    from datalake_polygonscan_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="threshold_frac"):
+        heavy_hitters(df, "k", 0.0)
+    with pytest.raises(ValueError, match="threshold_frac"):
+        heavy_hitters(df, "k", 1.5)
