@@ -466,3 +466,15 @@ def test_dynamic_partition_pruning_fires_on_fact_scan(spark):
     # not just present in the plan)
     months = {r.ship_month[5:] for r in df.collect()}
     assert months <= {"01", "02", "03"}
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """A6: the recount joins the table against BROADCAST candidates
+    (never a shuffled full-cardinality groupBy feeding the output),
+    and candidate generation runs in the Arrow batch tier."""
+    from datalake_polygonscan_spark.operators.sketches import heavy_hitters
+
+    o = load_table(spark, SF, "orders")
+    plan = _plan(heavy_hitters(o, "o_custkey", threshold_frac=0.01))
+    assert "MapInPandas" in plan          # summary phase, Arrow-batched
+    assert "BroadcastHashJoin" in plan    # candidates broadcast for recount
