@@ -116,6 +116,7 @@ GRADED_PREFIX: tuple[str, ...] = (
 TAIL_PRIORITY: tuple[str, ...] = (
     "mv5_join_mv",
     "j7_dynamic_partition_pruning",
+    "j8_runtime_bloom_join",
     "l8_winnowing_overlap",
     "e9_stream_outer_join",
     "ml3_logreg_quality",
@@ -124,6 +125,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "an2_cohort_retention",
     "a6_heavy_hitters",
     "a5b_approx_percentiles",
+    "dq1_expectation_suite",
     "s22_codec_control",
     "r10_export_sink",
     "s23_timestamp_time_travel",

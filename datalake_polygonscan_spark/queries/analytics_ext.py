@@ -347,3 +347,66 @@ def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("r90", 0.9).alias("rank_ok_p90"),
         ok("r99", 0.99).alias("rank_ok_p99"),
     )
+
+
+@register(
+    "dq1_expectation_suite",
+    oracle="""
+    WITH m AS (
+      SELECT
+        ROUND(CAST(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6) AS comp,
+        ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6) AS uniq,
+        ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS minp,
+        ROUND(CAST(AVG(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6) AS pat,
+        ROUND(CAST(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6) AS inset
+      FROM orders
+    ), fk AS (
+      SELECT ROUND(1.0 - CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS ri,
+             SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE o_custkey IS NOT NULL
+    )
+    SELECT 'completeness' AS check_name, 'o_custkey' AS col_name,
+           comp AS metric, CAST(1.0 AS DOUBLE) AS threshold,
+           CAST(comp >= 1.0 AS INTEGER) AS passed FROM m
+    UNION ALL SELECT 'uniqueness', 'o_orderkey', uniq, CAST(1.0 AS DOUBLE), CAST(uniq >= 1.0 AS INTEGER) FROM m
+    UNION ALL SELECT 'min', 'o_totalprice', minp, CAST(0.0 AS DOUBLE), CAST(minp >= 0.0 AS INTEGER) FROM m
+    UNION ALL SELECT 'pattern', 'o_orderpriority', pat, CAST(1.0 AS DOUBLE), CAST(pat >= 1.0 AS INTEGER) FROM m
+    UNION ALL SELECT 'in_set', 'o_orderstatus', inset, CAST(1.0 AS DOUBLE), CAST(inset >= 1.0 AS INTEGER) FROM m
+    UNION ALL SELECT 'referential_integrity', 'o_custkey', ri, CAST(1.0 AS DOUBLE),
+                     CAST(orphans = 0 AS INTEGER) FROM fk
+    """,
+    doc=(
+        "DQ1 declarative data-quality EXPECTATION suite "
+        "(operators/quality.py — Deequ/Great-Expectations shape): "
+        "completeness, key uniqueness, min bound, regex pattern rate, "
+        "and value-set membership ALL compile into ONE aggregation over "
+        "one scan of orders (stack-pivoted to a row per check), plus a "
+        "referential-integrity check (o_custkey into customer) as one "
+        "broadcast anti-join count. Unlike S20's hard CHECK gates these "
+        "MEASURE — metric, threshold, pass flag per row, the shape an "
+        "ingest pipeline logs and alerts on. Oracle restates every "
+        "metric closed-form"
+    ),
+)
+def dq1_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.quality import (
+        expectations,
+        referential_integrity,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    suite = expectations(
+        o,
+        [
+            {"check": "completeness", "column": "o_custkey", "min_ratio": 1.0},
+            {"check": "uniqueness", "column": "o_orderkey", "min_ratio": 1.0},
+            {"check": "min", "column": "o_totalprice", "at_least": 0.0},
+            {"check": "pattern", "column": "o_orderpriority", "regex": "^[1-5]-", "min_ratio": 1.0},
+            {"check": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"], "min_ratio": 1.0},
+        ],
+    )
+    fk = referential_integrity(o, "o_custkey", c, "c_custkey")
+    return suite.unionByName(fk)

@@ -234,3 +234,61 @@ def j7_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = joined._jdf.queryExecution().executedPlan().toString()
     dpp = "dynamicpruningexpression" in plan and "PartitionFilters" in plan
     return joined.withColumn("dpp_pruned", F.lit(dpp))
+
+
+@register(
+    "j8_runtime_bloom_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+           TRUE AS bloom_filter_injected
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "J8 runtime BLOOM-FILTER join (Spark's runtime row-level "
+        "filtering — the row-granular sibling of J7's partition-level "
+        "DPP): when the probe side of a shuffle join is huge and the "
+        "build side selective, Catalyst injects a bloom_filter_agg "
+        "subquery on the build side and a might_contain filter on the "
+        "probe side, killing non-joining rows BEFORE the exchange — at "
+        "100 TB the shuffle shrinks by the join selectivity, decided "
+        "at runtime. The entry compiles the plan under a forced "
+        "shuffle join (thresholds mirror a big-cluster shape; session "
+        "confs restored after) and the bloom_filter_injected verdict "
+        "asserts might_contain landed in the probe-side filter. Oracle "
+        "restates the join aggregate"
+    ),
+)
+def j8_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), _dbl_sum("l_extendedprice", "revenue"))
+    )
+    confs = {
+        # local-mode thresholds mirror the shape a 1000-executor probe
+        # side has by default (probe scan >> threshold, build side
+        # under creation threshold); restored below
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        injected = "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return joined.withColumn("bloom_filter_injected", F.lit(injected))
