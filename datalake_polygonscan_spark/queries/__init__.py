@@ -122,6 +122,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
     "g2_pagerank",
+    "g4_recursive_cte",
     "an2_cohort_retention",
     "a6_heavy_hitters",
     "a5b_approx_percentiles",

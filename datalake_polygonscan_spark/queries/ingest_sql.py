@@ -201,3 +201,44 @@ def s6_s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.withColumn("o_totalprice", F.round("o_totalprice", 2)).withColumn(
         "compacted_fewer_files", F.lit(stats["files_after"] < stats["files_before"])
     )
+
+
+#: G4 — the identical ANSI recursive-CTE text runs through BOTH
+#: engines (Spark 4's WITH RECURSIVE and DuckDB's): a binary-tree
+#: hierarchy derived from supplier keys (parent = floor(k/2), root 1)
+#: walked to per-depth rollups. Iterative DataFrame loops (G2, L2g)
+#: cover iteration-as-API; this covers iteration-as-SQL.
+_G4_SQL = """
+    WITH RECURSIVE anc(k, depth, bal) AS (
+      SELECT s_suppkey, 0, CAST(s_acctbal AS DOUBLE)
+      FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, a.depth + 1, CAST(s.s_acctbal AS DOUBLE)
+      FROM supplier s JOIN anc a
+        ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = a.k
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           ROUND(CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 4) AS depth_bal
+    FROM anc GROUP BY depth
+"""
+
+
+@register(
+    "g4_recursive_cte",
+    oracle=_G4_SQL,
+    doc=(
+        "G4 RECURSIVE CTE (Spark 4 WITH RECURSIVE — hierarchy walks as "
+        "SQL): the supplier table is read as a binary-tree hierarchy "
+        "(parent = floor(k/2), root 1) and the recursion accumulates "
+        "depth per node, rolled up to per-depth node counts and "
+        "balance sums. The IDENTICAL ANSI text runs through spark.sql "
+        "over registered views and through DuckDB — iterative "
+        "DataFrame loops (G2 PageRank, L2g connected components) cover "
+        "iteration-as-API; this covers iteration-as-SQL, the "
+        "org-chart/BOM-explosion query class"
+    ),
+)
+def g4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_G4_SQL)
