@@ -119,6 +119,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "j8_runtime_bloom_join",
     "l8_winnowing_overlap",
     "e9_stream_outer_join",
+    "e11_stream_static_enrich",
     "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
     "g2_pagerank",

@@ -286,3 +286,53 @@ def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@register(
+    "e11_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    doc=(
+        "E11 STREAM-STATIC enrichment join — the third cell of the "
+        "streaming join matrix (E6 inner and E9 left-outer are "
+        "stream-STREAM): a file-source event stream joins a static "
+        "customer dimension (broadcast per micro-batch; the static "
+        "side is re-resolvable between batches, which is how slowly- "
+        "changing dims ride along at 100 TB), then a complete-mode "
+        "segment/type aggregation. No watermark needed — the static "
+        "side holds no state. AvailableNow run equals the batch join "
+        "exactly; the oracle states it"
+    ),
+)
+def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.streaming.windows import run_stream_available_now
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e11_stream", "events")
+    chk = _scratch("e11_stream", "chk")
+    for p in (src, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def enrich(stream):
+        return (
+            stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                    "total_value"
+                ),
+            )
+        )
+
+    return run_stream_available_now(
+        spark, src, enrich, output_mode="complete",
+        checkpoint_dir=os.path.join(chk, "e11"),
+    )
