@@ -329,3 +329,191 @@ def quantized_topk(
         "rank",
         F.coalesce("recall_at_k", F.lit(0.0)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3pq — PRODUCT QUANTIZATION (Jégou, Douze, Schmid: "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
+# default for billion-scale ANN). The vector splits into m subspaces;
+# each subspace gets a ksub-word codebook; a vector compresses to m
+# small codes (16 nibble codes for a 64-dim float32 vector = 64x less
+# scored data). Search is ADC (asymmetric distance computation): per
+# query, one m x ksub lookup table of subspace dot products; each
+# corpus vector scores as m table lookups — its floats never read.
+#
+# Spark mapping, deliberately zero-Python in the hot path:
+# - training: driver-side Lloyd on a deterministic md5-ordered SAMPLE
+#   (FAISS trains on samples too; the codebook is m*ksub*dsub floats —
+#   trivially driver-held, like kmeans' centroids)
+# - encoding: the full codebook rides the plan as ONE nested array
+#   LITERAL; per-subspace L2 argmin is a nested-lambda transform —
+#   one codegen projection over the corpus, no shuffle, no UDF
+# - ADC: the query's lookup table comes from the same literal in one
+#   projection; scoring is aggregate(zip_with(lut, codes, element_at))
+#   — whole-stage codegen, broadcast queries, shortlist window, exact
+#   re-rank of the shortlist only (same tail as quantized_topk).
+#
+# Implementation note: every per-subspace expression lives inside ONE
+# outer ``transform(all_books, (bj, j) -> ...)`` lambda. Building m
+# separate transform()+aggregate() lambdas in Python and assembling
+# them with F.array mis-resolves the nested lambda variables (values
+# silently read the wrong lambda's slot — observed, not theoretical);
+# a single nested-lambda tree scopes correctly.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    sample: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of ksub words each on a
+    deterministic md5-ordered sample (bounded driver work: sample x dim
+    floats in, m x ksub x dsub floats out)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r._v) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: first ksub distinct subvectors in sample
+        # order (the sample itself is md5-shuffled, so this is a
+        # uniform draw); fewer distinct than ksub -> pad by repeats
+        seen, init = set(), []
+        for row in S:
+            key = tuple(np.round(row, 9))
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+            if len(init) == ksub:
+                break
+        while len(init) < ksub:
+            init.append(init[len(init) % max(len(init), 1)])
+        C = np.asarray(init)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _all_books_lit(codebooks: list[list[list[float]]]):
+    """The full codebook set as one nested array literal:
+    array<array<array<double>>> indexed [subspace][word][component]."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in bj])
+            for bj in codebooks
+        ]
+    )
+
+
+def _hof_dot(a, b):
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _hof_l2sq(a, b):
+    diff = F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _unit_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.vectors import l2_norm
+
+    n = F.greatest(l2_norm(vec_col), F.lit(1e-12))
+    return df.withColumn(vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per-subspace L2 argmin against the
+    literal codebooks, entirely codegen (ties break to the lowest code
+    via array_position-of-min). One nested-lambda transform."""
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col)
+
+    def per_subspace(bj, jdx):
+        dists = F.transform(bj, lambda w: _hof_l2sq(F.slice(v, jdx * dsub + 1, dsub), w))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(_all_books_lit(codebooks), per_subspace)
+    return corpus.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    shortlist: int = 128,
+) -> DataFrame:
+    """ADC search + exact re-rank: score every corpus CODE against each
+    broadcast query's lookup table (codegen table lookups — the corpus
+    floats are never read in the first pass), keep ``shortlist`` per
+    query, re-rank only those with full-precision cosine.
+
+    Both sides are L2-normalized before training/encoding so the ADC
+    dot estimate IS a cosine estimate (the re-rank uses true cosine
+    either way). Output (query_id, vec_id, cosine, rank).
+    """
+    corpus_n = _unit_vec(corpus.select("vec_id", "embedding"), "embedding")
+    queries_n = _unit_vec(queries.select("query_id", "query_vec"), "query_vec")
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus_n)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(corpus_n, codebooks)
+
+    qv = F.col("query_vec")
+    luts = F.transform(
+        _all_books_lit(codebooks),
+        lambda bj, jdx: F.transform(
+            bj, lambda w: _hof_dot(F.slice(qv, jdx * dsub + 1, dsub), w)
+        ),
+    )
+    q = queries_n.withColumn("lut", luts)
+
+    scored = enc.crossJoin(F.broadcast(q.select("query_id", "lut"))).withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, (c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        short.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "query_vec")), "query_id")
+        .withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    )
+    return _topk_per_query(rer, k)

@@ -122,6 +122,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e11_stream_static_enrich",
     "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
+    "l3pq_ann",
     "g2_pagerank",
     "g4_recursive_cte",
     "an2_cohort_retention",

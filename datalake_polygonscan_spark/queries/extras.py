@@ -373,3 +373,14 @@ def l3q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return quantized_topk(queries_df, emb, k=10, shortlist=50)
+
+
+@register(
+    "l3pq_ann",
+    oracle=_ANN_ORACLE,
+    doc=f"L3pq PRODUCT-QUANTIZATION ANN (Jegou et al. TPAMI'11, the FAISS billion-scale default) (operators/similarity.py:pq_topk): 16 subspaces x 16-word codebooks trained driver-side on an md5-ordered sample, corpus encoded to 16 nibble codes by a codegen nested-lambda argmin (no UDF, no shuffle), ADC scoring = 16 lookup-table reads per vector (the corpus floats are never touched in the first pass — 64x less scored data), shortlist then exact cosine re-rank. Graded as a MEASURED metric: recall@10 vs exact brute force in the same job, verdict >= {ANN_RECALL_FLOOR} oracled (measured 0.84-0.9 across SFs)",
+)
+def l3pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_entry(
+        spark, sf_dir, lambda q, emb: S.pq_topk(q, emb, k=10, shortlist=128)
+    )
