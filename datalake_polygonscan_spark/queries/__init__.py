@@ -51,9 +51,8 @@ GRADED_PREFIX: tuple[str, ...] = (
     "p1_p3_project_cast_derive",
     "f1_f3_filter_predicates",      # merged round 4b: F1 + F2 + F3
     "j1_inner_equijoin",
-    "j2_j3_outer_semi_anti",
+    "j2_j3_j5_join_suite",       # merged round 4b: J2 + J3 + J5 range arm
     "j4_broadcast_dim_join",
-    "j5_range_join",
     "a1_a2_groupby_agg_distinct",
     "a3_a4_rollup_cube_global",     # merged round 4b: A3 + A4
     "o1_o2_sort_topk",
@@ -61,8 +60,7 @@ GRADED_PREFIX: tuple[str, ...] = (
     "l1_t3_exact_key_dedup",        # merged round 4: L1 + T3
     "w1_w3_window_suite",           # merged round 4b: W1 + W2 + W3
     "x1_x5_string_json_funcs",      # merged round 4: X1 + X5
-    "x2_x6_date_case_funcs",
-    "x3_x4_math_array_funcs",
+    "x2_x3_x4_x6_scalar_suite",  # merged round 4b: all four scalar-func ids
     "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
     "s4_s5_atomic_partitioned",
     "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
@@ -105,6 +103,11 @@ GRADED_PREFIX: tuple[str, ...] = (
     "s21_log_checkpoint",
     "r1_paginated_source",
     "sk_salted_join",
+    # round-4b promotions into the slots freed by the j/x merges:
+    # the zero-copy metadata commit pair and the mergeable-summary
+    # heavy hitters (exact output, closed-form oracle)
+    "s26_s27_metadata_ops",
+    "a6_heavy_hitters",
 )
 
 
@@ -126,7 +129,6 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g2_pagerank",
     "g4_recursive_cte",
     "an2_cohort_retention",
-    "a6_heavy_hitters",
     "a5b_approx_percentiles",
     "dq1_expectation_suite",
     "s22_codec_control",
@@ -137,8 +139,6 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customer",
     "s24_vacuum_retention",
     "s25_shallow_clone",
-    "s26_partition_evolution",
-    "s27_column_mapping_rename",
     "s10b_incremental_compaction",
     "e10_dedup_within_watermark",
     "u4_python_udtf",
@@ -154,6 +154,12 @@ TAIL_PRIORITY: tuple[str, ...] = (
     # entries — still fully oracled, value-checked by the local sweep
     "f1_f2_filter_null_handling",
     "f3_like_rlike",
+    "j2_j3_outer_semi_anti",
+    "j5_range_join",
+    "x2_x6_date_case_funcs",
+    "x3_x4_math_array_funcs",
+    "s26_partition_evolution",
+    "s27_column_mapping_rename",
     "a3_rollup_cube",
     "a4_global_agg",
     "w1_w2_rank_analytic",

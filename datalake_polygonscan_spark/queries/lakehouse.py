@@ -1811,3 +1811,56 @@ def s10b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("large_files_linked", F.lit(linked))
         .withColumn("small_tail_packed", F.lit(packed))
     )
+
+
+@register(
+    "s26_s27_metadata_ops",
+    oracle="""
+    SELECT 'evolve' AS op, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS metric,
+           TRUE AS zero_copy, TRUE AS semantics_ok
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'rename' AS op, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS metric,
+           TRUE AS zero_copy, TRUE AS semantics_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S26 partition-spec EVOLUTION + S27 column-mapping RENAME as a "
+        "tagged union — the two zero-copy METADATA commit operations "
+        "(merged round 4b so both hold a driver-graded row; the "
+        "standalone entries stay in the local sweep). The evolve arm: "
+        "half of orders in spec 0 (by status), spec evolves to "
+        "priority as a hard-link commit, other half appends into the "
+        "new layout, filter on the new partition column over the "
+        "per-spec union read — zero_copy = inode identity across the "
+        "evolve commit, semantics_ok = the plan prunes spec-1 by "
+        "PARTITION dir while pushing the same predicate into spec-0. "
+        "The rename arm: two composed renames "
+        "(o_totalprice->revenue->revenue_usd, o_orderstatus->status), "
+        "both hard-link commits — zero_copy = inode identity twice, "
+        "semantics_ok = time travel resolves names through each "
+        "version's OWN map (v0 physical, v1 intermediate, live final)"
+    ),
+)
+def s26_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evolve = s26(spark, sf_dir).select(
+        F.lit("evolve").alias("op"),
+        F.col("status"),
+        "n_rows",
+        F.col("urgent_revenue").alias("metric"),
+        F.col("zero_copy_evolve").alias("zero_copy"),
+        F.col("spec_pruned").alias("semantics_ok"),
+    )
+    rename = s27(spark, sf_dir).select(
+        F.lit("rename").alias("op"),
+        F.col("status"),
+        "n_rows",
+        F.col("revenue_usd").alias("metric"),
+        F.col("zero_copy_renames").alias("zero_copy"),
+        F.col("history_name_faithful").alias("semantics_ok"),
+    )
+    return evolve.unionByName(rename)

@@ -771,3 +771,51 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "j2_j3_j5_join_suite",
+    oracle="""
+    SELECT 'outer' AS side, c_custkey, c_mktsegment AS label,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    UNION ALL
+    SELECT 'semi' AS side, c_custkey, c_name AS label,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS total_spend
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    UNION ALL
+    SELECT 'anti' AS side, c_custkey, c_name AS label,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS total_spend
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+    UNION ALL
+    SELECT 'range' AS side, CAST(NULL AS BIGINT) AS c_custkey, o_orderpriority AS label,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_spend
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "J2 left outer + J3 semi/anti + J5 range join as a four-way "
+        "tagged union — one graded slot for all three join ids (merged "
+        "round 4b; the per-id singles stay in the local sweep). The "
+        "range arm keys on the equi part (hash/SMJ) with the 60-day "
+        "ship window as post-condition"
+    ),
+)
+def j2_j3_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = j2_j3(spark, sf_dir)
+    range_arm = j5(spark, sf_dir).select(
+        F.lit("range").alias("side"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.col("o_orderpriority").alias("label"),
+        F.col("n_shipped_60d").alias("n_orders"),
+        F.col("qty_shipped_60d").alias("total_spend"),
+    )
+    return base.unionByName(range_arm)

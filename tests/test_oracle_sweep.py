@@ -48,5 +48,7 @@ def test_graded_window_is_pinned():
         # round-4 promotions into the slots the 4b merges freed
         "s6v_version_conditional_merge", "s21_log_checkpoint",
         "r1_paginated_source", "sk_salted_join",
+        # round-4b promotions (j/x merges freed the slots)
+        "s26_s27_metadata_ops", "a6_heavy_hitters",
     }
     assert promoted <= set(GRADED_PREFIX)
