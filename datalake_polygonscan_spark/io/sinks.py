@@ -680,7 +680,12 @@ def read_version_at_timestamp(spark: SparkSession, table_path: str, ts: float) -
     return read_version(spark, table_path, target["version"])
 
 
-def shallow_clone(spark: SparkSession, source_path: str, clone_path: str) -> DataFrame:
+def shallow_clone(
+    spark: SparkSession,
+    source_path: str,
+    clone_path: str,
+    version: int | None = None,
+) -> DataFrame:
     """Delta-style SHALLOW CLONE: a new, fully independent table whose
     v0 snapshot HARD-LINKS the source's live data files — zero data
     movement, zero duplicate bytes, instant. The clone gets its own
@@ -693,10 +698,30 @@ def shallow_clone(spark: SparkSession, source_path: str, clone_path: str) -> Dat
     until the last referent drops). The dev/test workflow lever at
     100 TB: experiment against production data without copying it or
     endangering it.
+
+    ``version`` clones a HISTORICAL snapshot instead of the live one
+    (Delta's ``CLONE ... VERSION AS OF``; negative indexes from the
+    latest) — reproduce-last-week's-pipeline against a frozen input.
+    Raises :class:`SnapshotVacuumed` if retention already pruned it.
     """
     src_meta = read_pointer(source_path)
     if src_meta is None:
         raise FileNotFoundError(f"cannot clone: no table at {source_path}")
+    if version is not None:
+        by_version = {e["version"]: e for e in history(source_path)}
+        if version < 0:
+            version = max(by_version) + 1 + version
+        entry = by_version.get(version)
+        if entry is None:
+            raise ValueError(
+                f"version {version} never committed at {source_path} "
+                f"(log has {sorted(by_version)})"
+            )
+        if not entry["available"]:
+            raise SnapshotVacuumed(
+                f"version {version} ({entry['snapshot']}) was pruned by retention"
+            )
+        src_meta = {k: v for k, v in entry.items() if k != "available"}
     from datalake_polygonscan_spark.io.tombstones import _link_tree
 
     os.makedirs(clone_path, exist_ok=True)
@@ -707,8 +732,12 @@ def shallow_clone(spark: SparkSession, source_path: str, clone_path: str) -> Dat
         os.path.join(source_path, src_meta["snapshot"]), os.path.join(clone_path, name), set()
     )
     meta = {
-        k: v for k, v in src_meta.items() if k not in ("snapshot", "committed_at")
+        k: v
+        for k, v in src_meta.items()
+        if k not in ("snapshot", "committed_at", "version")
     }
     meta.update({"op": "CLONE", "cloned_from": os.path.abspath(source_path)})
+    if version is not None:
+        meta["cloned_version"] = version
     commit_snapshot(clone_path, name, None, meta)
     return read_table(spark, clone_path)

@@ -97,3 +97,40 @@ def test_winnowing_reference_guarantee(hashes, w):
     if n >= w:
         for i in range(n - w + 1):
             assert min(hashes[i : i + w]) in picks
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=60)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.floats(min_value=0.02, max_value=0.5),
+)
+def test_heavy_hitter_summary_guarantee(key_freqs, theta):
+    """A6's candidate-generation math, pure-Python replica: per-
+    partition top-k-with-deficiency summaries must surface EVERY key
+    whose global frequency >= ceil(theta * n), for any partitioning —
+    the telescoping-deficiency guarantee heavy_hitters() relies on."""
+    import math
+    from collections import Counter
+
+    rows = [f"k{k}" for k, f in key_freqs for _ in range(f)]
+    n = len(rows)
+    k_counters = math.ceil(1.0 / theta)
+    # adversarial-ish fixed partitioning: round-robin into 4 parts
+    parts = [rows[i::4] for i in range(4)]
+    candidates = set()
+    for p in parts:
+        if not p:
+            continue
+        counts = Counter(p).most_common()
+        err = counts[k_counters][1] if len(counts) > k_counters else 0
+        for key, c in counts[:k_counters]:
+            if c - err > 0:
+                candidates.add(key)
+    thresh = math.ceil(theta * n)
+    heavy = {k for k, c in Counter(rows).items() if c >= thresh}
+    # full recall: every theta-heavy key must be a candidate
+    assert heavy <= candidates or not heavy

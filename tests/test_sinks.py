@@ -471,3 +471,38 @@ def test_rename_refuses_mor_and_cdf_tables(spark, tmp_path):
     # plain table with tombstone-free history renames fine
     rename_columns(spark, t2, {"v": "w"})
     assert "w" in read_table(spark, t2).columns
+
+
+def test_shallow_clone_version_as_of(spark, tmp_path):
+    """CLONE ... VERSION AS OF: the clone's v0 is the SOURCE's
+    historical snapshot (hard-linked), independent of later source
+    commits; vacuumed versions refuse."""
+    from datalake_polygonscan_spark.io.sinks import (
+        SnapshotVacuumed,
+        read_version,
+        shallow_clone,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    atomic_overwrite(spark.range(10), src, retain=10)            # v0
+    atomic_overwrite(spark.range(100, 105), src, retain=10)      # v1
+    atomic_overwrite(spark.range(200, 202), src, retain=10)      # v2 (live)
+
+    c0 = str(tmp_path / "c0")
+    shallow_clone(spark, src, c0, version=0)
+    assert sorted(r.id for r in read_table(spark, c0).collect()) == list(range(10))
+    # negative indexing: -2 = v1
+    c1 = str(tmp_path / "c1")
+    shallow_clone(spark, src, c1, version=-2)
+    assert sorted(r.id for r in read_table(spark, c1).collect()) == [100, 101, 102, 103, 104]
+    # the clone is frozen: a later source commit doesn't leak in
+    atomic_overwrite(spark.range(300, 310), src, retain=10)
+    assert read_table(spark, c0).count() == 10
+
+    vacuum(src, keep_last=1)
+    c2 = str(tmp_path / "c2")
+    with pytest.raises(SnapshotVacuumed):
+        shallow_clone(spark, src, c2, version=0)
+    with pytest.raises(ValueError, match="never committed"):
+        shallow_clone(spark, src, c2, version=99)
