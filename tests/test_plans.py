@@ -478,3 +478,15 @@ def test_heavy_hitters_broadcasts_candidates(spark):
     plan = _plan(heavy_hitters(o, "o_custkey", threshold_frac=0.01))
     assert "MapInPandas" in plan          # summary phase, Arrow-batched
     assert "BroadcastHashJoin" in plan    # candidates broadcast for recount
+
+
+def test_q18_semi_restriction_broadcasts_keyset(spark):
+    """Q18: the HAVING-derived keyset joins back LEFT SEMI with the
+    keyset broadcast (selective side small by construction), and the
+    deterministic top-100 is TakeOrderedAndProject, not a global sort."""
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    plan = _plan(REGISTRY["q18_large_volume_customer"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
