@@ -755,3 +755,177 @@ def decode_wav_pcm(media: DataFrame) -> DataFrame:
             "duration_ms long, peak long, sum_abs long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M-AVI: real video container decode (RIFF/AVI, uncompressed DIB
+# frames, zero codecs) — completes the modality triple: image (BMP,
+# PNG), audio (WAV), VIDEO (AVI).
+# ---------------------------------------------------------------------------
+
+AVI_W = 2
+AVI_H = 2
+AVI_US_PER_FRAME = 100_000  # 10 fps
+_AVI_ROW_STRIDE = ((AVI_W * 3 + 3) // 4) * 4      # 8: rows pad to dword
+_AVI_FRAME_BYTES = _AVI_ROW_STRIDE * AVI_H        # 16
+_AVI_MAX_FRAMES = 3
+
+
+def avi_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-format video fixture: a valid RIFF/AVI file
+    per document — LIST hdrl (avih main header, LIST strl with a
+    'vids'/'DIB ' strh and a 24-bit BI_RGB BITMAPINFOHEADER strf) and
+    LIST movi holding (id%3+1) uncompressed '00db' frames of 2x2
+    bottom-up BGR pixels (rows dword-padded), frame bytes taken from
+    the document's UTF-8 hex, space-padded. Pure codegen hex surgery,
+    so a DuckDB oracle reconstructs the decoder's output byte-exactly.
+    """
+    mid = F.col(id_col).cast("long")
+    n = (mid % 3 + 1).cast("int")
+    max_hex = _AVI_MAX_FRAMES * _AVI_FRAME_BYTES * 2  # 96
+    ph = F.rpad(F.hex(F.encode(F.col(text_col), "UTF-8")), max_hex, "20")
+
+    def le(v, nb):
+        return _le_hex(v if isinstance(v, Column) else F.lit(v), nb)
+
+    avih = F.concat(
+        F.lit("61766968"), le(56, 4),          # 'avih', cb
+        le(AVI_US_PER_FRAME, 4), le(0, 4), le(0, 4), le(0, 4),
+        le(n, 4),                              # dwTotalFrames
+        le(0, 4), le(1, 4),                    # initial frames, streams
+        le(_AVI_FRAME_BYTES, 4),               # suggested buffer
+        le(AVI_W, 4), le(AVI_H, 4),
+        le(0, 4), le(0, 4), le(0, 4), le(0, 4),  # reserved[4]
+    )
+    strh = F.concat(
+        F.lit("73747268"), le(56, 4),          # 'strh', cb
+        F.lit("76696473"),                     # fccType 'vids'
+        F.lit("44494220"),                     # fccHandler 'DIB '
+        le(0, 4), le(0, 4), le(0, 4),          # flags, prio/lang, initial
+        le(1, 4), le(10, 4),                   # scale=1, rate=10 (10fps)
+        le(0, 4), le(n, 4),                    # start, length (frames)
+        le(_AVI_FRAME_BYTES, 4), le(0, 4), le(0, 4),  # sugg, quality, samplesize
+        le(0, 4), le(0, 4),                    # rcFrame
+    )
+    strf = F.concat(
+        F.lit("73747266"), le(40, 4),          # 'strf', cb
+        le(40, 4), le(AVI_W, 4), le(AVI_H, 4),
+        F.lit("0100"), F.lit("1800"),          # planes=1, bitcount=24
+        le(0, 4),                              # BI_RGB
+        le(_AVI_FRAME_BYTES, 4),
+        le(0, 4), le(0, 4), le(0, 4), le(0, 4),
+    )
+    strl = F.concat(F.lit("4C495354"), le(4 + 64 + 48, 4), F.lit("7374726C"), strh, strf)
+    hdrl = F.concat(F.lit("4C495354"), le(4 + 64 + 124, 4), F.lit("6864726C"), avih, strl)
+
+    frame_chunks = []
+    for f in range(_AVI_MAX_FRAMES):
+        body = ph.substr(F.lit(f * _AVI_FRAME_BYTES * 2 + 1), F.lit(_AVI_FRAME_BYTES * 2))
+        chunk = F.concat(F.lit("30306462"), le(_AVI_FRAME_BYTES, 4), body)  # '00db'
+        frame_chunks.append(F.when(n > f, chunk).otherwise(F.lit("")))
+    movi_size = F.lit(4) + n.cast("long") * (8 + _AVI_FRAME_BYTES)
+    movi = F.concat(F.lit("4C495354"), _le_hex(movi_size, 4), F.lit("6D6F7669"), *frame_chunks)
+
+    riff_size = F.lit(4 + 8 + 192 + 8 + 4) + n.cast("long") * (8 + _AVI_FRAME_BYTES)
+    file_hex = F.concat(
+        F.lit("52494646"), _le_hex(riff_size, 4), F.lit("41564920"), hdrl, movi
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("video/avi").alias("mime"),
+        F.unhex(file_hex).alias("content"),
+    )
+
+
+def decode_avi_frames(media: DataFrame) -> DataFrame:
+    """The REAL video-decode tier, no external codecs: parse the RIFF
+    'AVI ' container — avih main header, strh/strf stream headers
+    (validated 'vids' + uncompressed 24-bit BI_RGB), then every '00db'
+    frame in LIST movi decoded as bottom-up dword-padded BGR rows —
+    in Arrow-batched ``mapInPandas`` (the slot where a real codec
+    plugs in for compressed video). Output: per-file frame geometry,
+    duration from the header clock, integer-exact per-channel sums
+    across ALL frames, and a header-consistency verdict.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def chunks(b: bytes, pos: int, end: int):
+            while pos + 8 <= end:
+                cid = b[pos : pos + 4]
+                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                yield cid, pos + 8, size
+                pos += 8 + size + (size & 1)
+
+        def one(mid: int, blob: bytes) -> dict:
+            b = bytes(blob)
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                raise ValueError(f"media_id {mid}: not a RIFF/AVI container")
+            total_frames = width = height = us_per_frame = None
+            bitcount = compression = handler_ok = None
+            frames: list[bytes] = []
+            for cid, off, size in chunks(b, 12, len(b)):
+                if cid != b"LIST":
+                    continue
+                ltype = b[off : off + 4]
+                if ltype == b"hdrl":
+                    for c2, o2, s2 in chunks(b, off + 4, off + size):
+                        if c2 == b"avih":
+                            us_per_frame = int.from_bytes(b[o2 : o2 + 4], "little")
+                            total_frames = int.from_bytes(b[o2 + 16 : o2 + 20], "little")
+                            width = int.from_bytes(b[o2 + 32 : o2 + 36], "little")
+                            height = int.from_bytes(b[o2 + 36 : o2 + 40], "little")
+                        elif c2 == b"LIST" and b[o2 : o2 + 4] == b"strl":
+                            for c3, o3, s3 in chunks(b, o2 + 4, o2 + s2):
+                                if c3 == b"strh":
+                                    handler_ok = (
+                                        b[o3 : o3 + 4] == b"vids"
+                                        and b[o3 + 4 : o3 + 8] == b"DIB "
+                                    )
+                                elif c3 == b"strf":
+                                    bitcount = int.from_bytes(b[o3 + 14 : o3 + 16], "little")
+                                    compression = int.from_bytes(b[o3 + 16 : o3 + 20], "little")
+                elif ltype == b"movi":
+                    for c2, o2, s2 in chunks(b, off + 4, off + size):
+                        if c2 == b"00db":
+                            frames.append(b[o2 : o2 + s2])
+            if total_frames is None or not handler_ok:
+                raise ValueError(f"media_id {mid}: missing/invalid AVI headers")
+            if bitcount != 24 or compression != 0:
+                raise ValueError(
+                    f"media_id {mid}: expected uncompressed 24-bit DIB, "
+                    f"got {bitcount}-bit compression={compression}"
+                )
+            stride = ((width * 3 + 3) // 4) * 4
+            sums = [0, 0, 0]  # B, G, R
+            for fr in frames:
+                for r in range(height):
+                    row = fr[r * stride : r * stride + width * 3]
+                    for c, v in enumerate(row):
+                        sums[c % 3] += v
+            return {
+                "media_id": mid,
+                "width": width,
+                "height": height,
+                "n_frames": len(frames),
+                "duration_ms": total_frames * us_per_frame // 1000,
+                "sum_b": sums[0],
+                "sum_g": sums[1],
+                "sum_r": sums[2],
+                "frames_match_header": len(frames) == total_frames,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(int(m), c) for m, c in zip(pdf["media_id"], pdf["content"])]
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, width long, height long, n_frames long, "
+            "duration_ms long, sum_b long, sum_g long, sum_r long, "
+            "frames_match_header boolean"
+        ),
+    )

@@ -135,6 +135,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "r10_export_sink",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
+    "m_avi_frame_decode",
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "s24_vacuum_retention",

@@ -281,3 +281,57 @@ def m_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_wav_pcm(wav_table(docs))
+
+
+@register(
+    "m_avi_frame_decode",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n,
+               rpad(hex(encode(text)), 96, '20') AS ph
+        FROM documents
+    ), px AS (
+        SELECT media_id, n, ph,
+               unnest(generate_series(0, CAST(n * 12 - 1 AS INT))) AS p
+        FROM ids
+    ), b AS (
+        SELECT media_id, n,
+               CAST(concat('0x', substr(ph,
+                    CAST(((p // 12) * 16 + ((p % 12) // 6) * 8 + (p % 6)) * 2 + 1 AS INT),
+                    2)) AS BIGINT) AS v,
+               p % 3 AS ch
+        FROM px
+    )
+    SELECT media_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           n AS n_frames,
+           CAST(n * 100 AS BIGINT) AS duration_ms,
+           CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           TRUE AS frames_match_header
+    FROM b GROUP BY media_id, n
+    """,
+    doc=(
+        "M-AVI REAL video container decode with zero external video "
+        "libraries (operators/media.py:avi_table/decode_avi_frames) — "
+        "completes the modality triple (BMP/PNG image, WAV audio, AVI "
+        "video): each doc becomes a valid RIFF/AVI file (avih main "
+        "header, 'vids'/'DIB ' stream headers, 24-bit BI_RGB strf, "
+        "LIST movi of id%3+1 uncompressed 2x2 bottom-up BGR '00db' "
+        "frames with dword-padded rows), and the decoder walks the "
+        "nested LIST structure, validates the stream format, decodes "
+        "every frame and emits integer-exact per-channel sums plus a "
+        "frames-match-header verdict. The oracle reconstructs the "
+        "sums from the payload-byte formula (frame offset + row "
+        "stride + pad skipping), so a chunk-walk, stride, or "
+        "bottom-up bug value-fails"
+    ),
+)
+def m_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import avi_table, decode_avi_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_avi_frames(avi_table(docs))

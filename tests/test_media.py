@@ -267,3 +267,48 @@ def test_wav_decode_rejects_non_riff(spark):
     bad = spark.createDataFrame([(1, bytearray(b"NOTAWAVFILE" * 4))], ["media_id", "content"])
     with _pytest.raises(Exception, match="RIFF"):
         decode_wav_pcm(bad).collect()
+
+
+def test_avi_decode_validates_and_counts_frames(spark, sf_dir):
+    from datalake_polygonscan_spark.operators.media import avi_table, decode_avi_frames
+    from datalake_polygonscan_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    out = decode_avi_frames(avi_table(docs))
+    rows = out.collect()
+    assert all(r.frames_match_header for r in rows)
+    assert all(r.n_frames == r.media_id % 3 + 1 for r in rows)
+    assert all(r.width == 2 and r.height == 2 for r in rows)
+    assert all(r.duration_ms == r.n_frames * 100 for r in rows)
+
+
+def test_avi_decode_rejects_non_avi(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.media import decode_avi_frames
+
+    bad = spark.createDataFrame([(1,)], "media_id long").select(
+        "media_id", F.lit(b"RIFF\x00\x00\x00\x00WAVE").alias("content")
+    )
+    with pytest.raises(Exception, match="not a RIFF/AVI"):
+        decode_avi_frames(bad).collect()
+
+
+def test_avi_rejects_compressed_stream(spark):
+    """A strf claiming non-BI_RGB compression must refuse (that is the
+    plug-in slot for a real codec, not silently-wrong sums)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.media import avi_table, decode_avi_frames
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    good = avi_table(docs).collect()[0].content
+    b = bytearray(bytes(good))
+    # strf biCompression dword: find 'strf' tag and patch +8(hdr)+16
+    i = bytes(b).find(b"strf")
+    b[i + 8 + 16 : i + 8 + 20] = (1).to_bytes(4, "little")  # BI_RLE8
+    bad = spark.createDataFrame([(1, bytes(b))], "media_id long, content binary")
+    with pytest.raises(Exception, match="uncompressed 24-bit"):
+        decode_avi_frames(bad).collect()
