@@ -143,6 +143,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s10b_incremental_compaction",
     "e10_dedup_within_watermark",
     "u4_python_udtf",
+    "u5_arrow_python_udf",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

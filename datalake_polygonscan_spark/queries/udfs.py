@@ -256,3 +256,49 @@ def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token, t.pos "
         "FROM documents d, LATERAL tokenize_udtf(d.text) t"
     )
+
+
+@register(
+    "u5_arrow_python_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(length(o_orderpriority) - length(replace(o_orderpriority, '-', ''))
+                AS INTEGER) AS n_dashes,
+           upper(concat(o_orderstatus, '/', o_orderpriority)) AS status_tag,
+           CAST(CAST(o_orderkey AS VARCHAR) LIKE '%7%' AS BOOLEAN) AS has_seven
+    FROM orders
+    """,
+    doc=(
+        "U5 the Spark 4 ARROW-OPTIMIZED Python UDF (@udf(useArrow=True)): "
+        "row-wise Python semantics with Arrow-batched transfer — the "
+        "middle tier between classic pickled row-at-a-time UDFs "
+        "(serialization-bound) and pandas UDFs (vectorized API). Three "
+        "Arrow UDFs over orders (dash count, tag composition, digit "
+        "membership), each restated closed-form by the oracle. "
+        "Completes the Python-function surface: U1/U2 pandas "
+        "UDF/UDAF, U3 mapInPandas table function, U4 real UDTF class, "
+        "U5 Arrow scalar UDF"
+    ),
+)
+def u5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def n_dashes(s: str) -> int:
+        return s.count("-")
+
+    @udf("string", useArrow=True)
+    def status_tag(status: str, prio: str) -> str:
+        return f"{status}/{prio}".upper()
+
+    @udf("boolean", useArrow=True)
+    def has_seven(k: int) -> bool:
+        return "7" in str(k)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        n_dashes("o_orderpriority").alias("n_dashes"),
+        status_tag("o_orderstatus", "o_orderpriority").alias("status_tag"),
+        has_seven("o_orderkey").alias("has_seven"),
+    )
