@@ -741,3 +741,66 @@ def shallow_clone(
         meta["cloned_version"] = version
     commit_snapshot(clone_path, name, None, meta)
     return read_table(spark, clone_path)
+
+
+def table_history_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """S28 — ``DESCRIBE HISTORY`` as a DataFrame (Delta's history()
+    relation / Iceberg's ``<table>.history`` metadata table): one row
+    per commit — version, operation, snapshot dir, availability under
+    retention, commit timestamp — queryable/joinable like any table.
+    Metadata only: the row count is the commit count (checkpoint-
+    bounded to read O(N mod interval) files), never table data."""
+    from pyspark.sql import types as T
+
+    entries = history(table_path)
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("snapshot", T.StringType()),
+            T.StructField("available", T.BooleanType()),
+            T.StructField("committed_at", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (
+            int(e["version"]),
+            e.get("op", "WRITE"),
+            e["snapshot"],
+            bool(e["available"]),
+            float(e.get("committed_at") or 0.0),
+        )
+        for e in entries
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def table_files_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """S28 — the live snapshot's data-file manifest as a DataFrame
+    (Iceberg's ``<table>.files``): relative path, size, partition dir.
+    Metadata only (an os.walk of one snapshot dir — the file LISTING,
+    not the data); feeds maintenance decisions (small-file ratios,
+    skew) as ordinary queries."""
+    from pyspark.sql import types as T
+
+    snap = current_snapshot_path(table_path)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    rows = []
+    for dp, dirs, fs in os.walk(snap):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        for f in fs:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(dp, f)
+            rel = os.path.relpath(full, snap)
+            part = os.path.dirname(rel)
+            rows.append((rel, int(os.path.getsize(full)), part or None))
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("bytes", T.LongType()),
+            T.StructField("partition", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -141,6 +141,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s24_vacuum_retention",
     "s25_shallow_clone",
     "s10b_incremental_compaction",
+    "s28_metadata_tables",
+    "ts2_ohlc_resample",
     "e10_dedup_within_watermark",
     "u4_python_udtf",
     "u5_arrow_python_udf",

@@ -410,3 +410,56 @@ def dq1_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = referential_integrity(o, "o_custkey", c, "c_custkey")
     return suite.unionByName(fk)
+
+
+@register(
+    "ts2_ohlc_resample",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(CAST(ts AS TIMESTAMP)) AS es, ts, event_id, value
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT user_id,
+               CAST(floor(es / 3600) * 3600 AS BIGINT) AS bucket_start,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(es / 3600) * 3600 AS BIGINT)
+                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(es / 3600) * 3600 AS BIGINT)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT user_id, bucket_start,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE), 4) AS open,
+           ROUND(CAST(MAX(value) AS DOUBLE), 4) AS high,
+           ROUND(CAST(MIN(value) AS DOUBLE), 4) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id, bucket_start
+    """,
+    doc=(
+        "TS2 OHLC candle resample (the finance/telemetry rollup TS1's "
+        "gap fill composes with): per (user, hourly bucket) "
+        "open/high/low/close/count in ONE map-side-combined aggregate "
+        "— open/close via min_by/max_by keyed on a (ts, event_id) "
+        "struct (deterministic under timestamp ties, lexicographic "
+        "struct ordering), never a per-row window over the raw "
+        "stream. The oracle replays it with rank windows; equality "
+        "proves the argmin/argmax formulation"
+    ),
+)
+def ts2_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.col("user_id"), bucket.alias("bucket_start"))
+        .agg(
+            F.round(F.min_by("value", order_key).cast("double"), 4).alias("open"),
+            F.round(F.max("value").cast("double"), 4).alias("high"),
+            F.round(F.min("value").cast("double"), 4).alias("low"),
+            F.round(F.max_by("value", order_key).cast("double"), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

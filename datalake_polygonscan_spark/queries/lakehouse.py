@@ -1864,3 +1864,64 @@ def s26_s27(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("history_name_faithful").alias("semantics_ok"),
     )
     return evolve.unionByName(rename)
+
+
+@register(
+    "s28_metadata_tables",
+    oracle="""
+    WITH v1 AS (SELECT count(*) AS n FROM orders),
+    v2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'MERGE' AS op, FALSE AS available,
+           CAST(NULL AS BIGINT) AS n_rows, TRUE AS files_listed
+    UNION ALL
+    SELECT 1, 'MERGE', TRUE, (SELECT n FROM v1), TRUE
+    UNION ALL
+    SELECT 2, 'MERGE', TRUE, (SELECT n FROM v2), TRUE
+    """,
+    doc=(
+        "S28 queryable METADATA TABLES (Delta DESCRIBE HISTORY / "
+        "Iceberg .history and .files relations — io/sinks.py:"
+        "table_history_df/table_files_df): three commits land "
+        "(bootstrap merge, repricing merge, delete-arm merge), then "
+        "the commit history is read back AS A DATAFRAME and drives "
+        "time travel per AVAILABLE row (default retention pruned v0 — "
+        "the history relation says so and the join leaves its count "
+        "NULL); files_listed verifies the live snapshot's file manifest "
+        "relation is non-empty with every listed file > 0 bytes and "
+        "sited in a _bucket partition dir. Metadata relations are how "
+        "maintenance (small-file ratios, version audits) becomes "
+        "ordinary queries instead of filesystem scripts"
+    ),
+)
+def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import table_files_df, table_history_df
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = _scratch("s28_metadata", "orders_md")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_upsert(spark, table, o, keys=["o_orderkey"], n_buckets=8)            # v0
+    repriced = o.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    merge_upsert(spark, table, repriced, keys=["o_orderkey"], n_buckets=8)     # v1
+    merge_upsert(
+        spark, table, repriced.limit(0), keys=["o_orderkey"], n_buckets=8,
+        deletes=o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+    )                                                                          # v2
+    hist = table_history_df(spark, table).select("version", "op", "available")
+    # per-version row counts via time travel, driven BY the history
+    # relation itself: only retention-available versions are readable
+    # (default retain=2 pruned v0 — the history row says so)
+    avail = [int(r.version) for r in hist.filter("available").collect()]
+    counts = [(v, read_version(spark, table, v).count()) for v in avail]
+    counts_df = spark.createDataFrame(counts, "version long, n_rows long")
+    files = table_files_df(spark, table)
+    files_ok = (
+        files.filter((F.col("bytes") <= 0) | ~F.col("partition").startswith("_bucket=")).count() == 0
+        and files.count() > 0
+    )
+    return (
+        hist.join(counts_df, "version", "left")
+        .withColumn("files_listed", F.lit(files_ok))
+        .select("version", "op", "available", "n_rows", "files_listed")
+    )
