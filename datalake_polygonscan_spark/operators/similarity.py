@@ -517,3 +517,108 @@ def pq_topk(
         .withColumn("cosine", cosine_similarity("query_vec", "embedding"))
     )
     return _topk_per_query(rer, k)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    shortlist: int = 128,
+    nlist: int = 16,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-PQ — the FAISS billion-scale composite (IndexIVFPQ): the
+    coarse inverted file restricts each query to ``nprobe`` of
+    ``nlist`` lists (sub-linear candidates), and the candidates are
+    scored by PQ ADC table lookups (compressed codes — floats
+    untouched), then the shortlist re-ranks at full precision. At
+    100 TB this is the only tier where BOTH the candidate count and
+    the bytes-per-candidate shrink; pq_topk alone still scans every
+    code, ivf_topk alone still reads every candidate's floats.
+
+    Same hash-bucket coarse quantizer as :func:`ivf_topk` (derministic,
+    no driver actions); same normalized-cosine PQ as :func:`pq_topk`.
+    """
+    corpus_n = _unit_vec(corpus.select("vec_id", "embedding"), "embedding")
+    queries_n = _unit_vec(queries.select("query_id", "query_vec"), "query_vec")
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus_n)
+    dsub = len(codebooks[0][0])
+
+    # coarse quantizer: hash-bucket representatives (ivf_topk's scheme)
+    bucketed = corpus_n.withColumn("_bkt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nlist)))
+    centroids = bucketed.groupBy("_bkt").agg(
+        F.min_by("embedding", "vec_id").alias("centroid_vec")
+    ).select(F.col("_bkt").cast("long").alias("centroid_id"), "centroid_vec")
+    centroid_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "centroid_vec"))).alias("cents")
+    )
+
+    def argmax_list(vec_col: str):
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).cast("long").alias("cid")),
+            lambda acc, cent: F.when(
+                F.coalesce(cosine_similarity(F.col(vec_col), cent["centroid_vec"]), F.lit(-2.0))
+                > acc["sim"],
+                F.struct(
+                    F.coalesce(
+                        cosine_similarity(F.col(vec_col), cent["centroid_vec"]), F.lit(-2.0)
+                    ).alias("sim"),
+                    cent["centroid_id"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
+        return best["cid"]
+
+    enc = pq_encode(corpus_n, codebooks)
+    assigned = (
+        corpus_n.crossJoin(F.broadcast(centroid_arr))
+        .withColumn("list_id", argmax_list("embedding"))
+        .select("vec_id", "list_id")
+        .join(enc, "vec_id")
+    )
+
+    probe_scored = queries_n.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine_similarity("query_vec", "centroid_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    qv = F.col("query_vec")
+    luts = F.transform(
+        _all_books_lit(codebooks),
+        lambda bj, jdx: F.transform(
+            bj, lambda w: _hof_dot(F.slice(qv, jdx * dsub + 1, dsub), w)
+        ),
+    )
+    probed = (
+        probe_scored.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "query_vec", F.col("centroid_id").alias("list_id"))
+        .withColumn("lut", luts)
+        .select("query_id", "list_id", "lut")
+    )
+    scored = assigned.join(F.broadcast(probed), "list_id").withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, (c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        short.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "query_vec")), "query_id")
+        .withColumn("cosine", cosine_similarity("query_vec", "embedding"))
+    )
+    return _topk_per_query(rer, k)

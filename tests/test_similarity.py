@@ -166,3 +166,19 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_train_codebooks(df, m=2)
+
+
+def test_ivf_pq_recall_floor(spark, sf_dir):
+    """L3ivfpq: sub-linear candidates + compressed scoring must still
+    recover >= 0.7 of the exact top-10 (measured 0.94-0.96)."""
+    from datalake_polygonscan_spark.operators import similarity as S
+    from datalake_polygonscan_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.brute_force_topk(q, emb, k=10).select("query_id", "vec_id")
+    approx = S.ivf_pq_topk(q, emb, k=10).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.7
