@@ -147,6 +147,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e10_dedup_within_watermark",
     "u4_python_udtf",
     "u5_arrow_python_udf",
+    "x7_variant_type",
+    "p5_unpivot_melt",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",

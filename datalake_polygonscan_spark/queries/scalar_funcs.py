@@ -281,3 +281,77 @@ def x_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(c) for c, _, _ in _XB_COLS],
     )
     return a2.unionByName(b2)
+
+
+@register(
+    "x7_variant_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "X7 the Spark 4 VARIANT type (parse_json / try_variant_get — "
+        "the semi-structured columnar type Delta/Iceberg v3 adopt for "
+        "JSON at scale, replacing string re-parsing per query): "
+        "events.props parses ONCE into a variant column, typed paths "
+        "extract with try-semantics (absent paths null, not error), "
+        "and the aggregate runs over the extracted integers. The "
+        "oracle replays it with DuckDB JSON extraction"
+    ),
+)
+def x7_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+    )
+
+
+@register(
+    "p5_unpivot_melt",
+    oracle="""
+    SELECT o_orderkey, kv.metric, ROUND(kv.val, 4) AS val
+    FROM (
+      SELECT o_orderkey,
+             ROUND(CAST(o_totalprice AS DOUBLE), 4) AS total_price,
+             CAST(o_custkey AS DOUBLE) AS cust_key,
+             CAST(length(o_orderpriority) AS DOUBLE) AS prio_len
+      FROM orders
+    ) w, LATERAL (
+      VALUES ('total_price', w.total_price),
+             ('cust_key', w.cust_key),
+             ('prio_len', w.prio_len)
+    ) AS kv(metric, val)
+    """,
+    doc=(
+        "P5 UNPIVOT / melt (the wide->long inverse of P4's pivot, "
+        "Spark's df.unpivot — SQL UNPIVOT): three per-order metrics "
+        "melt into (order, metric, value) rows, the shape feature "
+        "stores and long-format analytics ingest; zero shuffle, one "
+        "generator projection. Oracle replays it with LATERAL VALUES"
+    ),
+)
+def p5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+        F.length("o_orderpriority").cast("double").alias("prio_len"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "cust_key", "prio_len"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("val", F.round("val", 4))
