@@ -150,6 +150,10 @@ class WalletTransfersDataSource(DataSource):
     def reader(self, schema):
         return WalletTransfersReader(self.options)
 
+    def streamReader(self, schema):
+        # R1s: the same source, readStream-able (continuous ingestion)
+        return WalletTransfersStreamReader(self.options)
+
 
 def write_wallet_pages(df, root: str, page_size: int = 500) -> int:
     """Materialize a raw-tokentx frame (``wallet_address`` + the wire
@@ -181,6 +185,130 @@ def write_wallet_pages(df, root: str, page_size: int = 500) -> int:
                 ],
             }
             with open(os.path.join(wdir, f"page-{i // page_size:04d}.json"), "w") as f:
+                json.dump(page, f)
+            n_pages += 1
+    return n_pages
+
+
+# ---------------------------------------------------------------------------
+# R1s — the same paginated source as a STREAMING Python DataSource
+# (Spark 4 DataSourceStreamReader): the reference's weekly batch pull
+# becomes CONTINUOUS ingestion. The offset is {wallet: pages_consumed};
+# each micro-batch plans one InputPartition per wallet that grew, so
+# new pages land exactly once (offsets live in the checkpoint) and a
+# 1000-executor cluster still pulls wallets in parallel per batch.
+# ---------------------------------------------------------------------------
+
+
+class _WalletPageRange(InputPartition):
+    def __init__(self, wallet_dir: str, start: int, end: int):
+        self.wallet_dir = wallet_dir
+        self.start = start
+        self.end = end
+
+
+def _page_rows(page: dict, wallet_fallback: str):
+    wallet = page.get("wallet", wallet_fallback)
+    for tx in page.get("result", ()):
+        yield (
+            wallet, tx["hash"], int(tx["blockNumber"]), int(tx["timeStamp"]),
+            tx["from"], tx["to"], tx["contractAddress"], tx["tokenName"],
+            tx["tokenSymbol"], tx["tokenDecimal"], tx["value"],
+        )
+
+
+try:
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class WalletTransfersStreamReader(DataSourceStreamReader):
+        """Micro-batch reader over the per-wallet page dump.
+
+        - ``latestOffset`` lists each wallet's current page count (a
+          directory listing — metadata, no data read on the driver);
+        - ``partitions(start, end)`` plans one partition per wallet
+          whose count advanced, carrying its [start, end) page range;
+        - ``read`` streams exactly those pages; an R4 error page
+          (status != '1') yields nothing but still advances — the
+          scan resumes only when the API recovers with later pages.
+        """
+
+        def __init__(self, options):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("wallet_transfers stream requires .option('path', root)")
+
+        def initialOffset(self):
+            return {"pages": {}}
+
+        def latestOffset(self):
+            counts = {}
+            for d in sorted(glob.glob(os.path.join(self.root, "*"))):
+                if os.path.isdir(d):
+                    counts[os.path.basename(d)] = len(
+                        glob.glob(os.path.join(d, "page-*.json"))
+                    )
+            return {"pages": counts}
+
+        def partitions(self, start, end):
+            s = (start or {}).get("pages", {})
+            parts = []
+            for wallet, n_end in (end or {}).get("pages", {}).items():
+                n_start = int(s.get(wallet, 0))
+                if n_end > n_start:
+                    parts.append(
+                        _WalletPageRange(
+                            os.path.join(self.root, wallet), n_start, int(n_end)
+                        )
+                    )
+            return parts
+
+        def read(self, partition):
+            files = sorted(glob.glob(os.path.join(partition.wallet_dir, "page-*.json")))
+            wallet = os.path.basename(partition.wallet_dir)
+            for f in files[partition.start : partition.end]:
+                with open(f) as fh:
+                    page = json.load(fh)
+                if page.get("status") != "1":
+                    continue  # R4: error page contributes no rows
+                yield from _page_rows(page, wallet)
+
+        def commit(self, end):
+            pass
+
+    _HAVE_STREAM_READER = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAVE_STREAM_READER = False
+
+
+def append_wallet_pages(df, root: str, page_size: int = 500) -> int:
+    """FIXTURE builder for the streaming source: append a new batch of
+    rows as ADDITIONAL pages per wallet, numbering after each wallet's
+    existing pages (the ascending-block contract is the caller's —
+    append later block ranges, as the upstream API does). Returns the
+    number of pages appended; driver-side pandas is fine here (this
+    simulates the remote system, not the engine)."""
+    pdf = df.toPandas()
+    pdf["_block"] = pdf["blockNumber"].astype("int64")
+    n_pages = 0
+    for wallet, grp in pdf.groupby("wallet_address"):
+        grp = grp.sort_values(["_block", "hash"])
+        wdir = os.path.join(root, str(wallet))
+        os.makedirs(wdir, exist_ok=True)
+        next_i = len(glob.glob(os.path.join(wdir, "page-*.json")))
+        for i in range(0, len(grp), page_size):
+            chunk = grp.iloc[i : i + page_size]
+            page = {
+                "status": "1",
+                "wallet": str(wallet),
+                "startblock": int(chunk["_block"].min()),
+                "endblock": int(chunk["_block"].max()),
+                "result": [
+                    {k: str(row[k]) for k in _WIRE} for _, row in chunk.iterrows()
+                ],
+            }
+            with open(
+                os.path.join(wdir, f"page-{next_i + i // page_size:04d}.json"), "w"
+            ) as f:
                 json.dump(page, f)
             n_pages += 1
     return n_pages

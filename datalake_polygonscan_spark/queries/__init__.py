@@ -134,6 +134,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "dq1_expectation_suite",
     "s22_codec_control",
     "r10_export_sink",
+    "r1s_streaming_source",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
     "m_avi_frame_decode",

@@ -292,3 +292,89 @@ def j8_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return joined.withColumn("bloom_filter_injected", F.lit(injected))
+
+
+@register(
+    "r1s_streaming_source",
+    oracle="""
+    SELECT 'w' || CAST(l_suppkey AS VARCHAR) AS wallet_address,
+           CAST(count(*) AS BIGINT) AS n_txs,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_value,
+           TRUE AS first_batch_partial,
+           TRUE AS second_batch_incremental
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc=(
+        "R1s the paginated wallet source as a STREAMING Python "
+        "DataSource (Spark 4 DataSourceStreamReader, io/"
+        "paginated_source.py:WalletTransfersStreamReader) — the "
+        "reference's weekly batch pull (serverless.yml cron) becomes "
+        "CONTINUOUS ingestion: the offset is {wallet: pages_consumed}, "
+        "each micro-batch plans one partition per wallet that grew, "
+        "and the checkpoint makes page delivery exactly-once. The "
+        "entry runs TWO readStream passes over one checkpoint: pass 1 "
+        "ingests the early-block pages (first_batch_partial verifies "
+        "the sink holds exactly that subset), the remaining blocks "
+        "append as NEW pages, pass 2 ingests ONLY them "
+        "(second_batch_incremental verifies no re-delivery: final "
+        "count = total, not total + re-reads). Oracle states the full "
+        "ingested aggregate from lineitem"
+    ),
+)
+def r1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from datalake_polygonscan_spark.io.paginated_source import (
+        WalletTransfersDataSource,
+        append_wallet_pages,
+        write_wallet_pages,
+    )
+    from datalake_polygonscan_spark.queries.reference_pipeline import _derive_raw_tokentx
+
+    root = _scratch("r1s_stream", "pages")
+    chk = _scratch("r1s_stream", "chk")
+    sink = _scratch("r1s_stream", "sink")
+    for p in (root, chk, sink):
+        shutil.rmtree(p, ignore_errors=True)
+    raw = _derive_raw_tokentx(spark, sf_dir)
+    # scale-free split: even blocks arrive first, odd blocks appended
+    # later (the stream reader consumes page COUNTS, not block order —
+    # ascending blocks matter to the batch reader's pushdown only)
+    early = raw.filter(F.col("blockNumber").cast("long") % 2 == 0)
+    late = raw.filter(F.col("blockNumber").cast("long") % 2 == 1)
+    write_wallet_pages(early, root, page_size=200)
+    spark.dataSource.register(WalletTransfersDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("wallet_transfers")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(chk, "q"))
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_after_1 = spark.read.parquet(sink).count()
+    n_early = early.count()
+    append_wallet_pages(late, root, page_size=200)
+    run_once()
+    ingested = spark.read.parquet(sink)
+    n_total = ingested.count()
+    n_all = raw.count()
+    return (
+        ingested.groupBy("wallet_address")
+        .agg(
+            F.count("*").alias("n_txs"),
+            F.sum(F.col("value").cast("long")).alias("total_value"),
+        )
+        .withColumn("first_batch_partial", F.lit(n_after_1 == n_early and n_early < n_all))
+        .withColumn("second_batch_incremental", F.lit(n_total == n_all))
+    )

@@ -112,3 +112,61 @@ def test_push_filters_equal_to_intersects_bounds(spark, tmp_path):
     assert reader2.bounds["blockNumber"] == [15, 15]
     rows = [r for p in reader2.partitions() for r in reader2.read(p)]
     assert sorted({r[2] for r in rows}) == [15]
+
+
+def test_stream_reader_exactly_once_and_error_pages(spark, tmp_path):
+    """R1s: offsets advance per wallet page count — restart with the
+    same checkpoint ingests ONLY new pages; an R4 error page yields no
+    rows but still advances (the scan resumes on later pages)."""
+    import json
+    import os
+
+    from datalake_polygonscan_spark.io.paginated_source import WalletTransfersDataSource
+
+    spark.dataSource.register(WalletTransfersDataSource)
+    root = str(tmp_path / "pages")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def page(wallet, i, txs, status="1"):
+        d = os.path.join(root, wallet)
+        os.makedirs(d, exist_ok=True)
+        blocks = [t[0] for t in txs] or [0]
+        body = {
+            "status": status, "wallet": wallet,
+            "startblock": min(blocks), "endblock": max(blocks),
+            "result": [
+                {"hash": h, "blockNumber": str(b), "timeStamp": str(b * 2),
+                 "from": "a", "to": "b", "contractAddress": "c", "tokenName": "T",
+                 "tokenSymbol": "T", "tokenDecimal": "6", "value": str(v)}
+                for b, h, v in txs
+            ],
+        }
+        with open(os.path.join(d, f"page-{i:04d}.json"), "w") as f:
+            json.dump(body, f)
+
+    def run():
+        q = (
+            spark.readStream.format("wallet_transfers").option("path", root).load()
+            .writeStream.format("parquet").option("path", out).outputMode("append")
+            .trigger(availableNow=True).option("checkpointLocation", chk).start()
+        )
+        q.awaitTermination()
+
+    page("w1", 0, [(1, "h1", 10), (2, "h2", 20)])
+    page("w2", 0, [(5, "h3", 30)])
+    run()
+    assert sorted(r.tx_hash for r in spark.read.parquet(out).collect()) == ["h1", "h2", "h3"]
+
+    page("w1", 1, [(3, "h4", 40)])
+    page("w3", 0, [(9, "h5", 50)])
+    run()
+    got = sorted(r.tx_hash for r in spark.read.parquet(out).collect())
+    assert got == ["h1", "h2", "h3", "h4", "h5"]  # no re-delivery
+
+    page("w2", 1, [(7, "h6", 60)], status="0")  # API error page
+    run()
+    assert sorted(r.tx_hash for r in spark.read.parquet(out).collect()) == got
+    page("w2", 2, [(8, "h7", 70)])  # recovery: later page flows again
+    run()
+    assert "h7" in {r.tx_hash for r in spark.read.parquet(out).collect()}
