@@ -149,6 +149,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "u4_python_udtf",
     "u5_arrow_python_udf",
     "x7_variant_type",
+    "x8_collated_strings",
     "p5_unpivot_melt",
     "m_png_pixel_decode",
     "mv4_distinct_sketch_mv",

@@ -355,3 +355,54 @@ def p5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     ).withColumn("val", F.round("val", 4))
+
+
+@register(
+    "x8_collated_strings",
+    oracle="""
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM mixed GROUP BY lower(seg)
+    """,
+    doc=(
+        "X8 COLLATED strings (Spark 4 collations — `collate(col, "
+        "'UTF8_LCASE')`): a deliberately case-mangled segment column "
+        "(upper for even keys, lower for odd) groups and compares "
+        "CASE-INSENSITIVELY through the collation itself — no lower() "
+        "rewrites in the query, the comparison semantics live in the "
+        "TYPE, which is how warehouse migrations keep CI semantics "
+        "without auditing every predicate. Output labels normalized "
+        "for the cross-engine hash; n_building_ci counts a collated "
+        "equality against a lowercase literal matching the "
+        "uppercase-mangled rows"
+    ),
+)
+def x8_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+    )
+    collated = mixed.select(F.collate(F.col("seg"), "UTF8_LCASE").alias("cseg"))
+    return (
+        collated.groupBy("cseg")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum((F.col("cseg") == F.lit("building")).cast("long")).alias("n_building_ci"),
+        )
+        .select(
+            F.lower(F.col("cseg")).alias("segment"),
+            "n_customers",
+            "n_building_ci",
+        )
+    )
