@@ -73,6 +73,13 @@ HEADLINE = [
     "q18_large_volume_customer",
     "j7_dynamic_partition_pruning",
     "s10b_incremental_compaction",
+    # round-4c additions: exact-recount heavy hitters, one-scan quality
+    # suite, PQ and IVF-PQ ANN tiers, OHLC resample
+    "a6_heavy_hitters",
+    "dq1_expectation_suite",
+    "l3pq_ann",
+    "l3ivfpq_ann",
+    "ts2_ohlc_resample",
 ]
 
 

@@ -41,6 +41,13 @@ def _metric_expr(spec: dict) -> Column:
     if kind == "completeness":
         return F.avg(c.isNotNull().cast("double"))
     if kind == "uniqueness":
+        # exact by default; {"approx": True} swaps in the HLL sketch —
+        # at 100 TB an exact COUNT(DISTINCT) shuffles every distinct
+        # value, while the sketch stays one map-side-combined agg (the
+        # 2% default rsd is far tighter than any uniqueness threshold
+        # a quality gate would set)
+        if spec.get("approx"):
+            return F.approx_count_distinct(c, 0.02) / F.count(c)
         return F.count_distinct(c) / F.count(c)
     if kind == "min":
         return F.min(c).cast("double")

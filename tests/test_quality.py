@@ -83,3 +83,19 @@ def test_expectations_rejects_bad_specs(spark):
         expectations(df, [{"check": "completeness", "column": "id"}]).collect()
     with pytest.raises(ValueError, match="no checks"):
         expectations(df, [])
+
+
+def test_uniqueness_approx_tier(spark):
+    """The sketch-backed uniqueness check stays within its rsd of the
+    exact ratio (the 100 TB tier — no distinct-value shuffle)."""
+    df = spark.range(5000).select((F.col("id") % 4000).alias("k"))
+    exact = _rows(
+        expectations(df, [{"check": "uniqueness", "column": "k", "min_ratio": 0.9}])
+    )["uniqueness"]
+    approx = _rows(
+        expectations(
+            df, [{"check": "uniqueness", "column": "k", "min_ratio": 0.9, "approx": True}]
+        )
+    )["uniqueness"]
+    assert abs(approx[0] - exact[0]) <= 0.05
+    assert exact[0] == 0.8
