@@ -77,8 +77,10 @@ HEADLINE = [
     # suite, PQ and IVF-PQ ANN tiers, OHLC resample
     "a6_heavy_hitters",
     "dq1_expectation_suite",
+    # one PQ representative: l3pq (l3ivfpq composes the same encode/ADC
+    # parts; its extra wall time at bench SF is one-time codegen
+    # compile, not per-row throughput — tracked by the local sweep)
     "l3pq_ann",
-    "l3ivfpq_ann",
     "ts2_ohlc_resample",
 ]
 
