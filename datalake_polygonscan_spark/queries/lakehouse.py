@@ -594,10 +594,11 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub = bdf.filter(F.col("_commit_version") == v)
             ups = sub.filter(F.col("_change_type") != "delete").drop("_change_type", "_commit_version")
             dels = sub.filter(F.col("_change_type") == "delete").select("o_orderkey")
-            merge_upsert(
-                spark, rep_tbl, ups, ["o_orderkey"], n_buckets=8,
-                deletes=dels if dels.limit(1).count() else None,
-            )
+            # dels passes through unconditionally: an empty delete
+            # frame is a no-op inside the merge (no extra touched
+            # buckets, vacuous anti-join) — probing emptiness here
+            # cost one driver job per replayed version
+            merge_upsert(spark, rep_tbl, ups, ["o_orderkey"], n_buckets=8, deletes=dels)
 
     # NOTE: no maxFilesPerTrigger=1 — a commit's feed spans several
     # parquet files, and one replica merge per FILE (not per version)
