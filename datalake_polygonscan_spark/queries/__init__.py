@@ -135,6 +135,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s22_codec_control",
     "r10_export_sink",
     "r1s_streaming_source",
+    "r1s_continuous_pipeline",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
     "m_avi_frame_decode",
