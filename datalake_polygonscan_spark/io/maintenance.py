@@ -263,3 +263,39 @@ def compact_small_files(
         "linked": len(large),
         "rewritten": len(small),
     }
+
+
+def auto_optimize(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    min_small_files: int = 8,
+    retain: int = 2,
+) -> dict:
+    """Policy-driven maintenance (Delta's auto-compaction trigger):
+    inspect the live snapshot's file manifest and run the INCREMENTAL
+    bin-pack only when the small-file tail has actually accreted
+    (>= ``min_small_files`` files under the cutoff). A no-op returns
+    without committing, so scheduling this after every ingest batch is
+    safe — cost stays proportional to the work that exists, which is
+    the whole point of maintenance policy at 100 TB (a cron'd full
+    OPTIMIZE rewrites the table on a timer whether it needs it or not).
+    Returns ``{"triggered": bool, "small_files": int, ...stats}``.
+    """
+    base = read_pointer(table_path)
+    if base is None:
+        raise FileNotFoundError(f"no snapshot at {table_path}")
+    cutoff = small_file_bytes if small_file_bytes is not None else target_file_bytes // 4
+    prev_snap = os.path.join(table_path, base["snapshot"])
+    small = sum(1 for _, sz in _data_files(prev_snap) if sz < cutoff)
+    if small < min_small_files:
+        return {"triggered": False, "small_files": small}
+    stats = compact_small_files(
+        spark,
+        table_path,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=cutoff,
+        retain=retain,
+    )
+    return {"triggered": True, "small_files": small, **stats}

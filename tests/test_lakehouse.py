@@ -280,3 +280,32 @@ def test_incremental_compaction_preserves_hive_layout(spark, tmp_table):
     out = read_table(spark, tmp_table)
     assert out.count() == 2015
     assert out.filter(F.col("part") == "0").count() == 1015
+
+
+def test_auto_optimize_triggers_only_past_threshold(spark, tmp_table):
+    """Policy gate: below min_small_files it no-ops without a commit;
+    past it, the incremental bin-pack runs."""
+    from datalake_polygonscan_spark.io.maintenance import auto_optimize
+    from datalake_polygonscan_spark.io.sinks import (
+        append,
+        atomic_overwrite,
+        read_pointer,
+        read_table,
+    )
+
+    atomic_overwrite(spark.range(50000).repartition(1), tmp_table, retain=10)
+    for i in range(3):
+        append(spark.range(500 + i, 501 + i).repartition(1), tmp_table)
+    before = read_pointer(tmp_table)
+    out = auto_optimize(spark, tmp_table, small_file_bytes=4096, min_small_files=5)
+    assert out == {"triggered": False, "small_files": 3}
+    assert read_pointer(tmp_table) == before  # no commit
+
+    for i in range(4):
+        append(spark.range(600 + i, 601 + i).repartition(1), tmp_table)
+    out = auto_optimize(
+        spark, tmp_table, small_file_bytes=4096, min_small_files=5, retain=10
+    )
+    assert out["triggered"] and out["small_files"] == 7
+    assert out["rewritten"] == 7 and out["files_after"] < out["files_before"]
+    assert read_table(spark, tmp_table).count() == 50007
