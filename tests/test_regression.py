@@ -69,3 +69,15 @@ def test_registry_model_beats_majority_baseline(spark):
     ).collect()[0]["s"]
     base = max(share, 1 - share)
     assert row["train_accuracy"] > base + 0.2, (row["train_accuracy"], base)
+
+
+def test_bench_headline_names_resolve():
+    """bench.py is driver-executed; a renamed registry entry must fail
+    HERE, not in the round's one benchmark run."""
+    import bench
+
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench.HEADLINE references unknown entries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
