@@ -490,3 +490,26 @@ def test_q18_semi_restriction_broadcasts_keyset(spark):
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """AQE dynamic join selection: with static broadcast disabled, the
+    runtime statistics of the small (filtered) side must convert the
+    planned sort-merge join to a broadcast join — the 100 TB safety
+    net when static size estimates are wrong."""
+    from datalake_polygonscan_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        j.collect()  # run it: AQE re-plans DURING execution
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in final
+        assert "BroadcastHashJoin" in final  # converted at runtime
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
