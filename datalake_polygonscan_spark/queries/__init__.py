@@ -130,6 +130,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g2_pagerank",
     "g4_recursive_cte",
     "an2_cohort_retention",
+    "er1_record_linkage",
     "a5b_approx_percentiles",
     "dq1_expectation_suite",
     "s22_codec_control",

@@ -463,3 +463,51 @@ def ts2_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "er1_record_linkage",
+    oracle="""
+    WITH keyed AS (
+        SELECT substr(c_name, 1, length(c_name) - 2) AS block,
+               c_custkey AS id, c_name AS name
+        FROM customer
+    ), pairs AS (
+        SELECT a.block, a.id AS id_a, b.id AS id_b,
+               levenshtein(a.name, b.name) AS d
+        FROM keyed a JOIN keyed b ON a.block = b.block AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    )
+    SELECT k.block,
+           CAST(count(DISTINCT k.id) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT k.id) * (count(DISTINCT k.id) - 1) / 2 AS BIGINT) AS n_candidates,
+           CAST(COALESCE(p.n_matches, 0) AS BIGINT) AS n_matches
+    FROM keyed k
+    LEFT JOIN (SELECT block, count(*) AS n_matches FROM pairs GROUP BY block) p
+      ON k.block = p.block
+    GROUP BY k.block, p.n_matches
+    """,
+    doc=(
+        "ER1 ENTITY RESOLUTION / record linkage via blocking + edit "
+        "distance (operators/linkage.py — Fellegi-Sunter shape, "
+        "Christen TKDE'12 blocking): customer names block on "
+        "all-but-last-2 chars (the cheap deterministic key that keeps "
+        "the quadratic term at sum(b_i^2), never all-pairs — the "
+        "structured-string sibling of the MinHash/LSH text tier), "
+        "within-block pairs score by codegen levenshtein and survive "
+        "at distance <= 1. Output is the per-block linkage PROFILE "
+        "(records, candidate pairs = the skew report, surviving "
+        "matches) — Levenshtein exists in both engines, so the whole "
+        "pipeline is value-oracled with no engine-local hashing"
+    ),
+)
+def er1_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.linkage import (
+        block_match_profile,
+        blocked_fuzzy_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    pairs = blocked_fuzzy_pairs(c, "c_custkey", "c_name", block, max_edit=1)
+    return block_match_profile(c, block, pairs)

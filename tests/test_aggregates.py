@@ -106,3 +106,28 @@ def test_heavy_hitters_rejects_bad_threshold(spark):
         heavy_hitters(df, "k", 0.0)
     with pytest.raises(ValueError, match="threshold_frac"):
         heavy_hitters(df, "k", 1.5)
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    """ER1: a within-block typo pair is found; identical-distance
+    pairs in DIFFERENT blocks are never compared (blocking is a
+    recall/cost trade the caller makes explicitly)."""
+    from datalake_polygonscan_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alice smith"),
+            (2, "alice smyth"),   # 1 edit, same block 'ali'
+            (3, "bob jones"),
+            (4, "bob jonez"),     # 1 edit, same block 'bob'
+            (5, "ali baba"),      # block 'ali', far from alice
+            (6, "alice smitt"),   # 1 edit from #1, same block
+        ],
+        "id long, name string",
+    )
+    pairs = blocked_fuzzy_pairs(df, "id", "name", F.substring("name", 1, 3), max_edit=1)
+    got = {(r.id_a, r.id_b, r.edit_distance) for r in pairs.collect()}
+    assert (1, 2, 1) in got and (3, 4, 1) in got and (1, 6, 1) in got
+    assert all(p[:2] != (1, 5) for p in got)  # same block, too far
+    # (2,6): smyth->smitt is 2 edits — filtered
+    assert all(p[:2] != (2, 6) for p in got)
