@@ -113,6 +113,17 @@ class WalletExportWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump({"export": export}, f)
         os.replace(tmp, pointer)  # the atomic publish
+        # self-heal: a PRIOR aborted job's zombie task may have staged
+        # a part after that job's abort sweep (task cancellation is
+        # asynchronous); such residue is invisible to readers (not in
+        # any manifest) — sweep it here so staging never accretes
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            for name in os.listdir(staging):
+                try:
+                    os.remove(os.path.join(staging, name))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         # messages only cover tasks whose commit message reached the
