@@ -615,3 +615,30 @@ def token_budget_mixture(
         .withColumn("_cum_tokens", F.col("_prev_tokens") + F.col(token_count_col))
         .drop("_prev_tokens")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str,
+    train_frac: float = 0.8,
+    buckets: int = 1000,
+) -> DataFrame:
+    """L5n — LEAKAGE-FREE train/test split: the split key is the
+    md5 of the NORMALIZED text (the L1 dedup identity), not the row,
+    so every duplicate of a document lands on the SAME side — the
+    contamination rule benchmark-hygiene audits check first (test-set
+    member with a train-side near-copy = leaked eval). Deterministic
+    (content-derived, no RNG), one projection, zero shuffle; the same
+    group key at 100 TB splits identically on any cluster. Adds
+    (split_bucket, split) columns; ``train_frac`` rounds to 1/buckets
+    granularity exactly like l5 rate sampling.
+    """
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    if not (0 < train_frac < 1):
+        raise ValueError(f"train_frac must be in (0,1), got {train_frac}")
+    bucket = _id_hash(normalize_text(text_col), denom=buckets)
+    cutoff = int(train_frac * buckets)
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split", F.when(F.col("split_bucket") < cutoff, "train").otherwise("test")
+    )

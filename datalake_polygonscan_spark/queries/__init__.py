@@ -161,6 +161,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e7_stream_merge_ingest",
     "l5_quota_sample",
     "l5_token_mixture",
+    "l5n_leakage_free_split",
     # per-id siblings whose graded coverage moved into round-4 merged
     # entries — still fully oracled, value-checked by the local sweep
     "f1_f2_filter_null_handling",

@@ -446,3 +446,42 @@ def l5_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 5000, "zh": 2000}, "n_tokens", "doc_id"
     )
     return out.select("doc_id", "lang", "n_tokens", F.col("_cum_tokens").cast("long").alias("cum_tokens"))
+
+
+@register(
+    "l5n_leakage_free_split",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 1000 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 800 THEN 'train' ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT b) AS BIGINT) AS n_buckets
+    FROM keyed GROUP BY 1, lang
+    """,
+    doc=(
+        "L5n LEAKAGE-FREE train/test split (operators/curation.py:"
+        "leakage_free_split): the split key is md5 of the NORMALIZED "
+        "text — the L1 dedup identity — so every duplicate of a "
+        "document lands on the SAME side (a test doc with a train-side "
+        "copy is a leaked eval, the first benchmark-hygiene rule). "
+        "Content-derived, no RNG, one projection, zero shuffle, "
+        "identical assignment on any cluster. The oracle replays the "
+        "hash bucketing and the per-(split,lang) rollup exactly"
+    ),
+)
+def l5n_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.curation import leakage_free_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        leakage_free_split(docs, "text", train_frac=0.8, buckets=1000)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split_bucket").alias("n_buckets"),
+        )
+    )

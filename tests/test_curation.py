@@ -256,3 +256,26 @@ def test_token_budget_mixture_semantics(spark):
     # every non-empty budget yields at least one doc even if tiny
     tiny = token_budget_mixture(docs, "lang", {"zh": 1}, "n_tokens").collect()
     assert len(tiny) == 1 and tiny[0]["lang"] == "zh"
+
+
+def test_leakage_free_split_colocates_duplicates(spark):
+    """L5n: duplicates (same normalized text) always land on the same
+    split side; the fraction is approximately train_frac."""
+    from datalake_polygonscan_spark.operators.curation import leakage_free_split
+
+    rows = [(i, f"doc number {i % 200}  extra   SPACES") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_free_split(df, "text", train_frac=0.8, buckets=1000)
+    # every duplicate group is entirely train or entirely test
+    sides = (
+        out.groupBy(out.text).agg(
+            __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("split").alias("n")
+        )
+    )
+    assert sides.filter("n > 1").count() == 0
+    frac = out.filter("split = 'train'").count() / 1000
+    assert 0.6 < frac < 0.95  # 200 groups, binomial-ish spread
+    import pytest
+
+    with pytest.raises(ValueError, match="train_frac"):
+        leakage_free_split(df, "text", train_frac=1.5)
