@@ -238,7 +238,8 @@ def compact_small_files(
 
         reader = reader.schema(T.StructType.fromJson(json.loads(base["table_schema"])))
     small_df = reader.parquet(*small)
-    small_bytes = sum(sz for p, sz in files if p in set(small))
+    small_set = set(small)
+    small_bytes = sum(sz for p, sz in files if p in small_set)
     if part_cols:
         writer = (
             small_df.repartition(*[F.col(c) for c in part_cols])

@@ -51,6 +51,19 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
+def _page_files(wallet_dir: str) -> list[str]:
+    """Page files of a wallet in true page order: sorted by the PARSED
+    integer index, not lexicographically — ``page-10000`` would sort
+    before ``page-2000`` as a string, and the stream reader slices this
+    list by [start:end) offsets, so string order would deliver rows
+    under the wrong offsets past 9999 pages."""
+    files = glob.glob(os.path.join(wallet_dir, "page-*.json"))
+    return sorted(
+        files,
+        key=lambda p: int(os.path.basename(p)[len("page-") : -len(".json")]),
+    )
+
+
 SCHEMA_DDL = (
     "wallet_address string, tx_hash string, blockNumber long, timeStamp long, "
     "from_address string, to_address string, contractAddress string, "
@@ -113,7 +126,7 @@ class WalletTransfersReader(DataSourceReader):
 
     def read(self, partition: _WalletPartition):
         blo, bhi = self.bounds.get("blockNumber", (None, None))
-        for page_file in sorted(glob.glob(os.path.join(partition.wallet_dir, "page-*.json"))):
+        for page_file in _page_files(partition.wallet_dir):
             with open(page_file) as f:
                 page = json.load(f)
             if page.get("status") != "1":
@@ -263,7 +276,7 @@ try:
             return parts
 
         def read(self, partition):
-            files = sorted(glob.glob(os.path.join(partition.wallet_dir, "page-*.json")))
+            files = _page_files(partition.wallet_dir)
             wallet = os.path.basename(partition.wallet_dir)
             for f in files[partition.start : partition.end]:
                 with open(f) as fh:

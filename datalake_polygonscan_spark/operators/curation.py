@@ -638,7 +638,10 @@ def leakage_free_split(
     if not (0 < train_frac < 1):
         raise ValueError(f"train_frac must be in (0,1), got {train_frac}")
     bucket = _id_hash(normalize_text(text_col), denom=buckets)
-    cutoff = int(train_frac * buckets)
+    # round, not truncate: int(0.29 * 100) == 28 silently undercuts the
+    # documented 1/buckets granularity for fractions that are not exact
+    # binary floats
+    cutoff = int(round(train_frac * buckets))
     return df.withColumn("split_bucket", bucket).withColumn(
         "split", F.when(F.col("split_bucket") < cutoff, "train").otherwise("test")
     )

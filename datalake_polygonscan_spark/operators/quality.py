@@ -54,9 +54,12 @@ def _metric_expr(spec: dict) -> Column:
     if kind == "max":
         return F.max(c).cast("double")
     if kind == "pattern":
-        return F.avg(c.rlike(spec["regex"]).cast("double"))
+        # coalesce to false: a NULL value FAILS the pattern check (the
+        # oracle's CASE WHEN counts it as a failure; bare avg over a
+        # null-propagating predicate would silently skip it)
+        return F.avg(F.coalesce(c.rlike(spec["regex"]), F.lit(False)).cast("double"))
     if kind == "in_set":
-        return F.avg(c.isin(*spec["values"]).cast("double"))
+        return F.avg(F.coalesce(c.isin(*spec["values"]), F.lit(False)).cast("double"))
     raise ValueError(f"unknown check type: {kind!r}")
 
 

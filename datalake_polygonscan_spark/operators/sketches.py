@@ -61,23 +61,27 @@ def heavy_hitters(
     out_schema = keyed.schema
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # exact per-partition counts, truncated to top-k with the
-        # (k+1)-th count subtracted: a valid mergeable summary (error
-        # <= n_p/(k+1)); vectorized — no per-row Python
+        # Misra-Gries merge applied INCREMENTALLY per Arrow batch: the
+        # running summary never exceeds k counters, so executor memory
+        # is O(k + batch-distinct), not O(partition-distinct). Each
+        # reduce-to-k subtracts the (k+1)-th count — deficiencies
+        # telescope, total error <= n_p/(k+1) (Agarwal et al. PODS'12
+        # merge theorem), so every theta-heavy key still surfaces.
         counts: pd.Series | None = None
         for pdf in batches:
             c = pdf["key"].value_counts()
             counts = c if counts is None else counts.add(c, fill_value=0)
+            if len(counts) > k:
+                counts = counts.sort_values(ascending=False)
+                err = int(counts.iloc[k])
+                counts = counts.head(k) - err
+                counts = counts[counts > 0]
         if counts is None or counts.empty:
             return
-        counts = counts.sort_values(ascending=False)
-        err = int(counts.iloc[k]) if len(counts) > k else 0
-        kept = (counts.head(k) - err)
-        kept = kept[kept > 0]
         # emit each surviving key once — candidates only; the exact
         # count comes from phase 2, so the summary's lower bounds
         # never leak into the output
-        yield pd.DataFrame({"key": kept.index.to_numpy()})
+        yield pd.DataFrame({"key": counts.index.to_numpy()})
 
     candidates = keyed.mapInPandas(summarize, schema=out_schema).distinct()
 

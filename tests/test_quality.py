@@ -45,7 +45,9 @@ def test_expectations_metrics_and_flags(spark):
     assert got["uniqueness"] == (0.75, 1.0, 0)
     assert got["min"] == (-5.0, 0.0, 0)
     assert got["max"] == (40.0, 100.0, 1)
-    assert got["pattern"][2] == 0 and abs(got["pattern"][0] - 2 / 3) < 1e-5
+    # a NULL email FAILS the pattern check (coalesced to false — same
+    # semantics as the oracle's CASE WHEN): 2 of 4 rows match
+    assert got["pattern"][2] == 0 and abs(got["pattern"][0] - 2 / 4) < 1e-5
     assert got["in_set"] == (1.0, 1.0, 1)
 
 
