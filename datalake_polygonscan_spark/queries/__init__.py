@@ -44,23 +44,23 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     ml_ops,           # ML1 k-means clustering, ML2 SemDeDup
 )
 
+# suites composes already-registered entries into merged graded slots,
+# so it must import LAST (it reads REGISTRY at import time)
+from datalake_polygonscan_spark.queries import suites  # noqa: F401,E402
+
 #: The driver-graded window: exactly these 50 oracled entries, in this
 #: order, come first in the registry. Every SURVEY §2.2 id has a
 #: driver-green row through one of them (multi-id entries noted).
 GRADED_PREFIX: tuple[str, ...] = (
     "p1_p3_project_cast_derive",
     "f1_f3_filter_predicates",      # merged round 4b: F1 + F2 + F3
-    "j1_inner_equijoin",
-    "j2_j3_j5_join_suite",       # merged round 4b: J2 + J3 + J5 range arm
-    "j4_broadcast_dim_join",
-    "a1_a2_groupby_agg_distinct",
-    "a3_a4_rollup_cube_global",     # merged round 4b: A3 + A4
-    "o1_o2_sort_topk",
-    "t1_t2_set_ops",
+    "j1_j5_join_suite",             # merged round 5: J1-J5, every join form
+    "a1_a4_agg_suite",              # merged round 5: A1-A4 aggregation surface
+    "t1_t2_o1_o2_set_sort_suite",   # merged round 5: set ops + sort/top-k
     "l1_t3_exact_key_dedup",        # merged round 4: L1 + T3
     "w1_w3_window_suite",           # merged round 4b: W1 + W2 + W3
     "x1_x5_string_json_funcs",      # merged round 4: X1 + X5
-    "x2_x3_x4_x6_scalar_suite",  # merged round 4b: all four scalar-func ids
+    "x2_x8_p5_scalar_suite",        # merged round 5: X2-X4/X6 + X7 VARIANT + X8 collation + P5 unpivot
     "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
     "s4_s5_atomic_partitioned",
     "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
@@ -69,45 +69,42 @@ GRADED_PREFIX: tuple[str, ...] = (
     "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
     "r5_r7_wallet_pipeline",
     "entry_flagship",
-    "m1_m3_media_meta_decode",      # merged round 4: M1 + M2 + M3
-    "u1_u3_udf_udaf_udtf",          # merged round 4b: U1 + U2 + U3
-    "l2_minhash_ngram_dedup",       # merged round 4: L2 minhash e2e + n-gram pairs
-    "l2_embedding_near_dup_lsh",    # round 4: the LSH scale path, measured-recall oracle
+    "m1_m6_media_decode_suite",     # merged round 5: M1-M6 + PNG/WAV/AVI real decode
+    "u1_u5_python_fn_suite",        # merged round 5: U1-U5 Python-function surface
+    "l2_dedup_suite",               # merged round 5: L2 text LSH + embedding LSH scale path
     "l3_knn_brute_force",
     "l4_doc_profile",
-    # round-2 operators promoted into the graded window (VERDICT r2 #1)
-    "l6_curate_corpus",
+    "l5_l6_curation_suite",         # merged round 5: L5a decontam + L6 verdict
     "j6_asof_join",
-    "a5_percentiles",
+    "a5_a6_advanced_agg_suite",     # merged round 5: A5 percentiles + A6 heavy hitters
     "s8_bucketed_join",
-    "e5_stateful_running_totals",
-    "ts1_resample_gapfill",
-    "l5_decontaminate",
-    # round-3 lakehouse tier promoted into the graded window (round 4
-    # rotation, VERDICT r3 #1), further consolidated in round 4b so the
-    # window also carries S14/S15/S16/S19/MV3 through merged suites
-    "s9_s19_time_travel_restore",   # merged round 4b: S9 + S19 RESTORE
+    "e5_e8_stateful_stream_suite",  # merged round 5: E5 totals + E8 sessionize
+    "ts1_ts2_timeseries_suite",     # merged round 5: TS1 gap fill + TS2 OHLC
+    # round-3 lakehouse tier (promoted round 4, consolidated 4b/5)
+    "s9_s19_s23_s25_lifecycle_suite",  # merged round 5: travel/RESTORE/ts-asof/VACUUM/clone
     "s11_merge_cdc",
     "mv1_mv3_incremental_mvs",      # merged round 4b: MV1 + MV3
     "s13_s14_s16_skipping_suite",   # merged round 4b: S13 + S14 z-order + S16 bloom
     "s17_change_data_feed",
-    "e8_stateful_sessionize",
     "l7_lm_perplexity",
-    "ml1_kmeans_clusters",
-    "ml2_semantic_dedup",
+    "ml1_ml2_ml3_suite",            # merged round 5: k-means + SemDeDup + logreg
     "s15_s18_mor_upsert_delete",    # merged round 4b: S15 + S18
-    # round-4 operators promoted into the freed slots (VERDICT r3 #3/#5
-    # asked for S21 and S6v driver rows; R1 is the reference's own
-    # source surface; SK is the self-tuning skew join)
     "s6v_version_conditional_merge",
     "s21_log_checkpoint",
     "r1_paginated_source",
     "sk_salted_join",
-    # round-4b promotions into the slots freed by the j/x merges:
-    # the zero-copy metadata commit pair and the mergeable-summary
-    # heavy hitters (exact output, closed-form oracle)
     "s26_s27_metadata_ops",
-    "a6_heavy_hitters",
+    # round-5 promotions into the slots the suites freed (VERDICT r4
+    # 'Next round' #1): the round-4 operator tier goes driver-graded
+    "g2_g4_graph_suite",            # merged round 5: PageRank + recursive CTE
+    "mv5_join_mv",
+    "j7_dynamic_partition_pruning",
+    "j8_runtime_bloom_join",
+    "l8_winnowing_overlap",
+    "dq1_expectation_suite",
+    "er1_record_linkage",
+    "r10_export_sink",
+    "r1s_continuous_pipeline",
 )
 
 
@@ -117,26 +114,43 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
-    "mv5_join_mv",
-    "j7_dynamic_partition_pruning",
-    "j8_runtime_bloom_join",
-    "l8_winnowing_overlap",
+    # entries whose graded coverage moved into round-5 merged suites —
+    # still fully oracled; if the driver's window runs past 50 these
+    # are what it sees next
+    "j1_inner_equijoin",
+    "j2_j3_j5_join_suite",
+    "j4_broadcast_dim_join",
+    "a1_a2_groupby_agg_distinct",
+    "a3_a4_rollup_cube_global",
+    "o1_o2_sort_topk",
+    "t1_t2_set_ops",
+    "x2_x3_x4_x6_scalar_suite",
+    "m1_m3_media_meta_decode",
+    "u1_u3_udf_udaf_udtf",
+    "l2_minhash_ngram_dedup",
+    "l2_embedding_near_dup_lsh",
+    "l6_curate_corpus",
+    "l5_decontaminate",
+    "a5_percentiles",
+    "a6_heavy_hitters",
+    "e5_stateful_running_totals",
+    "e8_stateful_sessionize",
+    "ts1_resample_gapfill",
+    "s9_s19_time_travel_restore",
+    "ml1_kmeans_clusters",
+    "ml2_semantic_dedup",
+    "g2_pagerank",
+    "g4_recursive_cte",
+    "ml3_logreg_quality",
     "e9_stream_outer_join",
     "e11_stream_static_enrich",
-    "ml3_logreg_quality",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",
-    "g2_pagerank",
-    "g4_recursive_cte",
     "an2_cohort_retention",
-    "er1_record_linkage",
     "a5b_approx_percentiles",
-    "dq1_expectation_suite",
     "s22_codec_control",
-    "r10_export_sink",
     "r1s_streaming_source",
-    "r1s_continuous_pipeline",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
     "m_avi_frame_decode",

@@ -1,0 +1,701 @@
+"""Round-5 graded-window consolidation: merged suite entries.
+
+Each suite packs several already-oracled registry entries into ONE
+graded slot as a NULL-padded tagged union (the round-4b x2_x3_x4_x6
+pattern, generalized): the per-arm entries stay registered for the
+local sweep, the suite reuses their Spark callables AND their oracle
+SQL verbatim, and a shared layout table generates the padding on both
+engines so the two sides cannot drift.
+
+The composer below is data-driven:
+- ``layout`` is the union column list [(name, spark_type, duckdb_type)]
+- each arm is (mode_tag, registry_entry, {layout_col: expr}) where
+  ``expr`` is a single SQL-expression string valid in BOTH Spark and
+  DuckDB (bare column names, '||' concat, CAST) or a (spark, duckdb)
+  pair when the dialects differ; unmapped layout columns NULL-pad with
+  the layout's types. A mode_tag of None passes the arm's own ``mode``
+  column through (arms whose rows are already tagged).
+
+Freed slots fund the round-5 rotation: the round-4 operator tier
+(MV5, J7, J8, L8, G2/G4, DQ1, ER1, R10w, R1s-E7) moves into the
+driver-graded window (VERDICT r4 'Next round' #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.queries.registry import REGISTRY, register
+from datalake_polygonscan_spark.queries.scalar_funcs import _XA_COLS, _XB_COLS
+
+Layout = list[tuple[str, str, str]]  # (col, spark type, duckdb type)
+Arm = tuple[str | None, str, dict[str, str | tuple[str, str]]]
+
+
+def _spark_expr(e: str | tuple[str, str]) -> str:
+    return e[0] if isinstance(e, tuple) else e
+
+
+def _duck_expr(e: str | tuple[str, str]) -> str:
+    return e[1] if isinstance(e, tuple) else e
+
+
+def _suite(name: str, doc: str, layout: Layout, arms: list[Arm]) -> None:
+    parts = []
+    for mode, entry, mapping in arms:
+        inner = REGISTRY[entry].oracle
+        if inner is None:  # pragma: no cover - composer misuse guard
+            raise ValueError(f"suite arm {entry!r} has no oracle")
+        if mode is None:
+            # passthrough tag: the arm's own tag column, mapped via the
+            # 'mode' key when the inner column isn't literally `mode`
+            items = [f"{_duck_expr(mapping.get('mode', 'mode'))} AS mode"]
+        else:
+            items = [f"'{mode}' AS mode"]
+        for col, _st, dt in layout:
+            if col in mapping:
+                items.append(f"{_duck_expr(mapping[col])} AS {col}")
+            else:
+                items.append(f"CAST(NULL AS {dt}) AS {col}")
+        parts.append("    SELECT " + ",\n           ".join(items) + f"\n    FROM (\n{inner}\n    ) _arm")
+    oracle = "\nUNION ALL\n".join(parts)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out: DataFrame | None = None
+        for mode, entry, mapping in arms:
+            df = REGISTRY[entry].fn(spark, sf_dir)
+            if mode is None:
+                tag = F.expr(_spark_expr(mapping.get("mode", "mode")))
+            else:
+                tag = F.lit(mode)
+            sel = [tag.alias("mode")]
+            for col, st, _dt in layout:
+                if col in mapping:
+                    sel.append(F.expr(_spark_expr(mapping[col])).alias(col))
+                else:
+                    sel.append(F.lit(None).cast(st).alias(col))
+            part = df.select(*sel)
+            out = part if out is None else out.unionByName(part)
+        assert out is not None
+        return out
+
+    fn.__name__ = name
+    register(name, oracle=oracle, doc=doc)(fn)
+
+
+# ---------------------------------------------------------------------------
+# J1-J5: every join form in one slot
+# ---------------------------------------------------------------------------
+
+_suite(
+    "j1_j5_join_suite",
+    doc=(
+        "J1 inner equi-join + J2 outer + J3 semi/anti + J4 broadcast "
+        "dim join + J5 range join as one tagged union — the whole join "
+        "surface in one graded slot (merged round 5; per-id entries "
+        "stay in the local sweep). Arms are the existing oracled "
+        "entries verbatim"
+    ),
+    layout=[
+        ("c_custkey", "long", "BIGINT"),
+        ("label", "string", "VARCHAR"),
+        ("n_orders", "long", "BIGINT"),
+        ("total_spend", "double", "DOUBLE"),
+    ],
+    arms=[
+        (None, "j2_j3_j5_join_suite", {
+            ("mode"): ("side", "side"),
+            "c_custkey": "c_custkey", "label": "label",
+            "n_orders": "n_orders", "total_spend": "total_spend",
+        }),
+        ("inner", "j1_inner_equijoin", {
+            "label": "o_orderpriority", "n_orders": "n_items",
+            "total_spend": "total_price",
+        }),
+        ("broadcast", "j4_broadcast_dim_join", {
+            "label": "r_name || '/' || n_name", "n_orders": "n_customers",
+            "total_spend": "total_acctbal",
+        }),
+    ],
+)
+
+# the j2_j3_j5 arm tags rows via its own `side` column
+# (outer/semi/anti/range); the composer's mode=None passthrough reads
+# a column literally named `mode`, so map it explicitly above.
+
+
+# ---------------------------------------------------------------------------
+# A1-A4: grouped agg + distinct + rollup/cube + global agg
+# ---------------------------------------------------------------------------
+
+_suite(
+    "a1_a4_agg_suite",
+    doc=(
+        "A1 hash group-by (TPC-H Q1 shape) + A2 exact grouped "
+        "count(DISTINCT) + A3 rollup/cube + A4 global aggregate as one "
+        "tagged union — the aggregation surface in one graded slot "
+        "(merged round 5)"
+    ),
+    layout=[
+        ("l_returnflag", "string", "VARCHAR"),
+        ("l_linestatus", "string", "VARCHAR"),
+        ("sum_qty", "double", "DOUBLE"),
+        ("sum_base_price", "double", "DOUBLE"),
+        ("sum_disc_price", "double", "DOUBLE"),
+        ("avg_qty", "double", "DOUBLE"),
+        ("avg_disc", "double", "DOUBLE"),
+        ("n_suppliers", "long", "BIGINT"),
+        ("count_order", "long", "BIGINT"),
+        ("gid", "long", "BIGINT"),
+        ("roll_n_rows", "long", "BIGINT"),
+        ("roll_sum_qty", "double", "DOUBLE"),
+        ("g_n_rows", "long", "BIGINT"),
+        ("g_n_suppliers", "long", "BIGINT"),
+        ("g_total_price", "double", "DOUBLE"),
+        ("g_first_ship", "timestamp", "TIMESTAMP"),
+        ("g_last_ship", "timestamp", "TIMESTAMP"),
+    ],
+    arms=[
+        ("q1", "a1_a2_groupby_agg_distinct", {
+            "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+            "sum_qty": "sum_qty", "sum_base_price": "sum_base_price",
+            "sum_disc_price": "sum_disc_price", "avg_qty": "avg_qty",
+            "avg_disc": "avg_disc", "n_suppliers": "n_suppliers",
+            "count_order": "count_order",
+        }),
+        (None, "a3_a4_rollup_cube_global", {
+            "mode": "mode",
+            "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+            "gid": "gid", "roll_n_rows": "n_rows", "roll_sum_qty": "sum_qty",
+            "g_n_rows": "g_n_rows", "g_n_suppliers": "g_n_suppliers",
+            "g_total_price": "g_total_price", "g_first_ship": "g_first_ship",
+            "g_last_ship": "g_last_ship",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# T1-T2 set ops + O1-O2 sort/top-k
+# ---------------------------------------------------------------------------
+
+_suite(
+    "t1_t2_o1_o2_set_sort_suite",
+    doc=(
+        "T1 union all/distinct + T2 intersect/except + O1 global "
+        "top-100 (TakeOrderedAndProject) + O2 per-group top-k as one "
+        "tagged union (modes all/distinct/intersect/except/global/"
+        "per_group are disjoint across the two arms) — merged round 5"
+    ),
+    layout=[
+        ("key", "long", "BIGINT"),
+        ("grp", "string", "VARCHAR"),
+        ("price", "double", "DOUBLE"),
+        ("rn", "long", "BIGINT"),
+    ],
+    arms=[
+        (None, "t1_t2_set_ops", {"mode": "mode", "key": "key"}),
+        (None, "o1_o2_sort_topk", {
+            "mode": "mode", "key": "o_orderkey", "grp": "grp",
+            "price": "o_totalprice", "rn": "rn",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L2: MinHash-LSH text dedup + embedding near-dup LSH scale path
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l2_dedup_suite",
+    doc=(
+        "L2 MinHash-LSH end-to-end text dedup + n-gram Jaccard pairs "
+        "(value-oracled, md5-deterministic pipeline replayed in SQL) + "
+        "the embedding near-dup LSH SCALE PATH with its probe-recall "
+        "measured oracle, merged into one graded slot (round 5)"
+    ),
+    layout=[
+        ("doc_a", "long", "BIGINT"),
+        ("doc_b", "long", "BIGINT"),
+        ("jaccard", "double", "DOUBLE"),
+        ("n_vectors", "long", "BIGINT"),
+        ("pairs_verified", "int", "INTEGER"),
+        ("recall_ok", "int", "INTEGER"),
+    ],
+    arms=[
+        (None, "l2_minhash_ngram_dedup", {
+            "mode": "kind", "doc_a": "doc_a", "doc_b": "doc_b",
+            "jaccard": "jaccard",
+        }),
+        ("emb_lsh", "l2_embedding_near_dup_lsh", {
+            "n_vectors": "n_vectors", "pairs_verified": "pairs_verified",
+            "recall_ok": "recall_ok",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# ML1-ML3: k-means + SemDeDup + exact-decimal logistic regression
+# ---------------------------------------------------------------------------
+
+_suite(
+    "ml1_ml2_ml3_suite",
+    doc=(
+        "ML1 distributed k-means (invariant-oracled) + ML2 SemDeDup "
+        "(probe-restricted recall oracle, no quadratic stage) + ML3 "
+        "logistic regression by exact-decimal codegen GD (the SQL "
+        "replays the entire 5-iteration loop bit-exactly) in one "
+        "graded slot (merged round 5)"
+    ),
+    layout=[
+        ("n_vectors", "long", "BIGINT"),
+        ("k", "long", "BIGINT"),
+        ("clusters_in_range", "boolean", "BOOLEAN"),
+        ("inertia_monotone", "boolean", "BOOLEAN"),
+        ("self_consistent", "boolean", "BOOLEAN"),
+        ("pairs_verified", "boolean", "BOOLEAN"),
+        ("recall_ok", "boolean", "BOOLEAN"),
+        ("partition_complete", "boolean", "BOOLEAN"),
+        ("w0", "double", "DOUBLE"),
+        ("w1", "double", "DOUBLE"),
+        ("w2", "double", "DOUBLE"),
+        ("w3", "double", "DOUBLE"),
+        ("bias", "double", "DOUBLE"),
+        ("n_docs", "long", "BIGINT"),
+        ("train_accuracy", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("kmeans", "ml1_kmeans_clusters", {
+            "n_vectors": "n_vectors", "k": "k",
+            "clusters_in_range": "clusters_in_range",
+            "inertia_monotone": "inertia_monotone",
+            "self_consistent": "self_consistent",
+        }),
+        ("semdedup", "ml2_semantic_dedup", {
+            "n_vectors": "n_vectors", "pairs_verified": "pairs_verified",
+            "recall_ok": "recall_ok",
+            "partition_complete": "partition_complete",
+        }),
+        ("logreg", "ml3_logreg_quality", {
+            "w0": "w0", "w1": "w1", "w2": "w2", "w3": "w3",
+            "bias": "bias", "n_docs": "n_docs",
+            "train_accuracy": "train_accuracy",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# A5 exact percentiles + A6 mergeable-summary heavy hitters
+# ---------------------------------------------------------------------------
+
+_suite(
+    "a5_a6_advanced_agg_suite",
+    doc=(
+        "A5 exact grouped percentiles (p50/p90/p99, linear "
+        "interpolation == quantile_cont) + A6 distributed heavy "
+        "hitters via Misra-Gries-family mergeable summaries with exact "
+        "recount, one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("l_returnflag", "string", "VARCHAR"),
+        ("p50_qty", "double", "DOUBLE"),
+        ("p90_qty", "double", "DOUBLE"),
+        ("p99_price", "double", "DOUBLE"),
+        ("n", "long", "BIGINT"),
+        ("key", "long", "BIGINT"),
+        ("cnt", "long", "BIGINT"),
+        ("frac", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("pctl", "a5_percentiles", {
+            "l_returnflag": "l_returnflag", "p50_qty": "p50_qty",
+            "p90_qty": "p90_qty", "p99_price": "p99_price", "n": "n",
+        }),
+        ("heavy", "a6_heavy_hitters", {
+            "key": "key", "cnt": "cnt", "frac": "frac",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# E5 + E8: both applyInPandasWithState stateful streams
+# ---------------------------------------------------------------------------
+
+_suite(
+    "e5_e8_stateful_stream_suite",
+    doc=(
+        "E5 per-key running totals (applyInPandasWithState, update "
+        "mode, cross-batch state) + E8 sessionization with EVENT-TIME "
+        "TIMEOUTS (sessions close by gap proof or watermark timeout, "
+        "idle keys evict) — both run REAL multi-micro-batch streams; "
+        "one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("user_id", "long", "BIGINT"),
+        ("n_events", "long", "BIGINT"),
+        ("total_value", "double", "DOUBLE"),
+        ("session_start", "timestamp", "TIMESTAMP"),
+        ("session_end", "timestamp", "TIMESTAMP"),
+        ("session_value", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("totals", "e5_stateful_running_totals", {
+            "user_id": "user_id", "n_events": "n_events",
+            "total_value": "total_value",
+        }),
+        ("session", "e8_stateful_sessionize", {
+            "user_id": "user_id", "session_start": "session_start",
+            "session_end": "session_end", "n_events": "n_events",
+            "session_value": "session_value",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L5 decontamination + L6 end-to-end curation verdict
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l5_l6_curation_suite",
+    doc=(
+        "L5a benchmark decontamination (shingle overlap vs broadcast "
+        "benchmark set) + L6 end-to-end curation verdict (quality -> "
+        "repetition -> dedup -> sampling gates with auditable "
+        "first-failure reason), one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("doc_id", "long", "BIGINT"),
+        ("n_shingles", "long", "BIGINT"),
+        ("n_overlap", "long", "BIGINT"),
+        ("overlap_frac", "double", "DOUBLE"),
+        ("contaminated", "int", "INTEGER"),
+        ("stratum", "string", "VARCHAR"),
+        ("reason", "string", "VARCHAR"),
+        ("kept", "int", "INTEGER"),
+    ],
+    arms=[
+        ("decontam", "l5_decontaminate", {
+            "doc_id": "doc_id", "n_shingles": "n_shingles",
+            "n_overlap": "n_overlap", "overlap_frac": "overlap_frac",
+            "contaminated": "contaminated",
+        }),
+        ("curate", "l6_curate_corpus", {
+            "doc_id": "doc_id", "stratum": "stratum", "reason": "reason",
+            "kept": "kept",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# X2-X8 + P5: the full scalar/type surface (extends the round-4b x suite)
+# ---------------------------------------------------------------------------
+
+_suite(
+    "x2_x8_p5_scalar_suite",
+    doc=(
+        "X2 date + X3 math + X4 array HOFs + X6 CASE (the round-4b "
+        "suite, passthrough) + X7 Spark 4 VARIANT type + X8 collated "
+        "strings (UTF8_LCASE) + P5 unpivot/melt in one graded slot "
+        "(merged round 5)"
+    ),
+    layout=(
+        [("k", "long", "BIGINT")]
+        + [(c, st, dt) for c, st, dt in _XA_COLS]
+        + [(c, st, dt) for c, st, dt in _XB_COLS]
+        + [
+            ("str_key", "string", "VARCHAR"),
+            ("n_events", "long", "BIGINT"),
+            ("sum_k", "long", "BIGINT"),
+            ("max_k", "long", "BIGINT"),
+            ("n_missing", "long", "BIGINT"),
+            ("n_customers", "long", "BIGINT"),
+            ("n_building_ci", "long", "BIGINT"),
+            ("val", "double", "DOUBLE"),
+        ]
+    ),
+    arms=[
+        (None, "x2_x3_x4_x6_scalar_suite", dict(
+            {"mode": "mode", "k": "k"},
+            **{c: c for c, _, _ in _XA_COLS},
+            **{c: c for c, _, _ in _XB_COLS},
+        )),
+        ("variant", "x7_variant_type", {
+            "str_key": "event_type", "n_events": "n_events",
+            "sum_k": "sum_k", "max_k": "max_k", "n_missing": "n_missing",
+        }),
+        ("collated", "x8_collated_strings", {
+            # the arm's segment column carries UTF8_LCASE collation,
+            # which won't UNION with plain strings — collate it back
+            "str_key": ("collate(segment, 'UTF8_BINARY')", "segment"),
+            "n_customers": "n_customers",
+            "n_building_ci": "n_building_ci",
+        }),
+        ("unpivot", "p5_unpivot_melt", {
+            "k": "o_orderkey", "str_key": "metric", "val": "val",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# M1-M6 + BMP/PNG/WAV/AVI: media metadata + real codec decode triple
+# ---------------------------------------------------------------------------
+
+_suite(
+    "m1_m6_media_decode_suite",
+    doc=(
+        "M1-M3 media metadata/payload-dedup/header-parse (passthrough) "
+        "+ M4 frame sampling + M5 resize metadata + M6 byte-histogram "
+        "features + REAL compressed-PNG pixel decode (stdlib zlib, all "
+        "five filter types) + RIFF/WAVE 16-bit PCM decode + RIFF/AVI "
+        "frame decode — the full image/audio/video modality surface "
+        "with zero external codec libs, one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("media_id", "long", "BIGINT"),
+        ("n_bytes", "long", "BIGINT"),
+        ("content_md5", "string", "VARCHAR"),
+        ("sniffed_mime", "string", "VARCHAR"),
+        ("width", "long", "BIGINT"),
+        ("height", "long", "BIGINT"),
+        ("n_pixels", "long", "BIGINT"),
+        ("payload_bytes", "long", "BIGINT"),
+        ("payload_md5", "string", "VARCHAR"),
+        ("is_survivor", "int", "INTEGER"),
+        ("sum_b", "long", "BIGINT"),
+        ("sum_g", "long", "BIGINT"),
+        ("sum_r", "long", "BIGINT"),
+        ("mean_luma", "double", "DOUBLE"),
+        ("sample_rate", "long", "BIGINT"),
+        ("n_samples", "long", "BIGINT"),
+        ("duration_ms", "long", "BIGINT"),
+        ("peak", "long", "BIGINT"),
+        ("sum_abs", "long", "BIGINT"),
+        ("n_frames", "long", "BIGINT"),
+        ("frames_match_header", "boolean", "BOOLEAN"),
+        ("frame_idx", "long", "BIGINT"),
+        ("frame_md5", "string", "VARCHAR"),
+        ("f_mean", "double", "DOUBLE"),
+        ("f_std", "double", "DOUBLE"),
+        ("f_q0", "double", "DOUBLE"),
+        ("f_q1", "double", "DOUBLE"),
+        ("f_q2", "double", "DOUBLE"),
+        ("f_q3", "double", "DOUBLE"),
+        ("f_q4", "double", "DOUBLE"),
+        ("f_q5", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("frames", "m4_media_frame_sample", {
+            "media_id": "media_id", "frame_idx": "frame_idx",
+            "frame_md5": "frame_md5",
+        }),
+        ("resize", "m5_media_resize", {
+            "media_id": "media_id", "sniffed_mime": "sniffed_mime",
+            "width": "width", "height": "height",
+            "content_md5": "content_md5",
+        }),
+        ("bytefeat", "m6_media_byte_features", {
+            "media_id": "media_id", "f_mean": "f_mean", "f_std": "f_std",
+            "f_q0": "f_q0", "f_q1": "f_q1", "f_q2": "f_q2",
+            "f_q3": "f_q3", "f_q4": "f_q4", "f_q5": "f_q5",
+        }),
+        ("meta", "m1_m3_media_meta_decode", {
+            "media_id": "media_id", "n_bytes": "n_bytes",
+            "content_md5": "content_md5", "sniffed_mime": "sniffed_mime",
+            "width": "width", "height": "height", "n_pixels": "n_pixels",
+            "payload_bytes": "payload_bytes", "payload_md5": "payload_md5",
+            "is_survivor": "is_survivor",
+        }),
+        ("png", "m_png_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
+            "sum_r": "sum_r", "mean_luma": "mean_luma",
+        }),
+        ("wav", "m_wav_pcm_decode", {
+            "media_id": "media_id", "sample_rate": "sample_rate",
+            "n_samples": "n_samples", "duration_ms": "duration_ms",
+            "peak": "peak", "sum_abs": "sum_abs",
+        }),
+        ("avi", "m_avi_frame_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_frames": "n_frames", "duration_ms": "duration_ms",
+            "sum_b": "sum_b", "sum_g": "sum_g", "sum_r": "sum_r",
+            "frames_match_header": "frames_match_header",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# U1-U5: the full Python-function surface
+# ---------------------------------------------------------------------------
+
+_suite(
+    "u1_u5_python_fn_suite",
+    doc=(
+        "U1 pandas UDF + U2 grouped UDAF + U3 mapInPandas UDTF "
+        "(passthrough) + U4 the real Spark 4 @udtf class via SQL "
+        "LATERAL + U5 the Arrow-optimized Python UDF — the whole "
+        "Python-function surface in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("k1", "long", "BIGINT"),
+        ("k2", "long", "BIGINT"),
+        ("val", "double", "DOUBLE"),
+        ("token", "string", "VARCHAR"),
+        ("pos", "int", "INTEGER"),
+        ("status_tag", "string", "VARCHAR"),
+        ("has_seven", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        (None, "u1_u3_udf_udaf_udtf", {
+            "mode": "mode", "k1": "k1", "k2": "k2", "val": "val",
+        }),
+        ("udtf_class", "u4_python_udtf", {
+            "k1": "doc_id", "token": "token", "pos": "pos",
+        }),
+        ("arrow_udf", "u5_arrow_python_udf", {
+            "k1": "o_orderkey", "k2": "CAST(n_dashes AS BIGINT)",
+            "status_tag": "status_tag", "has_seven": "has_seven",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S9/S19/S23/S24/S25: the table-lifecycle tier
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s9_s19_s23_s25_lifecycle_suite",
+    doc=(
+        "S9 VERSION AS OF time travel + S19 RESTORE (passthrough) + "
+        "S23 TIMESTAMP AS OF + S24 VACUUM retention + S25 shallow "
+        "clone — the whole commit-log lifecycle (travel, rollback, "
+        "retention, zero-copy clone) in one graded slot (merged "
+        "round 5); zero-copy/isolation/raise verdicts ride the hash"
+    ),
+    layout=[
+        ("o_orderstatus", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("sum_v0", "double", "DOUBLE"),
+        ("sum_live", "double", "DOUBLE"),
+        ("n_versions", "long", "BIGINT"),
+        ("bad_version_still_readable", "boolean", "BOOLEAN"),
+        ("sum_asof", "double", "DOUBLE"),
+        ("resolved_v0", "boolean", "BOOLEAN"),
+        ("live_resolves_latest", "boolean", "BOOLEAN"),
+        ("n_versions_logged", "long", "BIGINT"),
+        ("n_vacuumed", "long", "BIGINT"),
+        ("vacuumed_raise", "boolean", "BOOLEAN"),
+        ("survivor_readable", "boolean", "BOOLEAN"),
+        ("source_sum", "double", "DOUBLE"),
+        ("clone_sum", "double", "DOUBLE"),
+        ("zero_copy_clone", "boolean", "BOOLEAN"),
+        ("source_isolated", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("travel_restore", "s9_s19_time_travel_restore", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_v0": "sum_v0", "sum_live": "sum_live",
+            "n_versions": "n_versions",
+            "bad_version_still_readable": "bad_version_still_readable",
+        }),
+        ("ts_asof", "s23_timestamp_time_travel", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_asof": "sum_asof", "resolved_v0": "resolved_v0",
+            "live_resolves_latest": "live_resolves_latest",
+        }),
+        ("vacuum", "s24_vacuum_retention", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live",
+            "n_versions_logged": "n_versions_logged",
+            "n_vacuumed": "n_vacuumed",
+            "vacuumed_raise": "vacuumed_raise",
+            "survivor_readable": "survivor_readable",
+        }),
+        ("clone", "s25_shallow_clone", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "source_sum": "source_sum", "clone_sum": "clone_sum",
+            "zero_copy_clone": "zero_copy_clone",
+            "source_isolated": "source_isolated",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# TS1 + TS2: resample/gap-fill + OHLC candles
+# ---------------------------------------------------------------------------
+
+_suite(
+    "ts1_ts2_timeseries_suite",
+    doc=(
+        "TS1 hypertable resample + forward-fill gap grid + TS2 OHLC "
+        "candle resample (min_by/max_by argmin aggregation, "
+        "deterministic under ties) in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("user_id", "long", "BIGINT"),
+        ("bucket_start", "long", "BIGINT"),
+        ("value", "double", "DOUBLE"),
+        ("is_gap", "int", "INTEGER"),
+        ("open", "double", "DOUBLE"),
+        ("high", "double", "DOUBLE"),
+        ("low", "double", "DOUBLE"),
+        ("close", "double", "DOUBLE"),
+        ("n_events", "long", "BIGINT"),
+    ],
+    arms=[
+        ("gapfill", "ts1_resample_gapfill", {
+            "user_id": "user_id", "bucket_start": "bucket_start",
+            "value": "value", "is_gap": "is_gap",
+        }),
+        ("ohlc", "ts2_ohlc_resample", {
+            "user_id": "user_id", "bucket_start": "bucket_start",
+            "open": ("`open`", "open"), "high": "high", "low": "low",
+            "close": ("`close`", "close"), "n_events": "n_events",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# G2 + G4: iterative PageRank + WITH RECURSIVE
+# ---------------------------------------------------------------------------
+
+_suite(
+    "g2_g4_graph_suite",
+    doc=(
+        "G2 PageRank with exact-decimal propagation (the SQL replays "
+        "all 5 iterations as MATERIALIZED CTEs bit-identically) + G4 "
+        "recursive CTE hierarchy walk (identical WITH RECURSIVE text "
+        "through spark.sql and DuckDB) — iteration-as-API and "
+        "iteration-as-SQL in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("node", "long", "BIGINT"),
+        ("rank", "double", "DOUBLE"),
+        ("n_nodes", "long", "BIGINT"),
+        ("n_edges", "long", "BIGINT"),
+        ("depth", "long", "BIGINT"),
+        ("depth_bal", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("pagerank", "g2_pagerank", {
+            "node": "node", "rank": "rank", "n_nodes": "n_nodes",
+            "n_edges": "n_edges",
+        }),
+        ("recursive", "g4_recursive_cte", {
+            "n_nodes": "n_nodes", "depth": "CAST(depth AS BIGINT)",
+            "depth_bal": "depth_bal",
+        }),
+    ],
+)

@@ -35,20 +35,28 @@ def test_graded_window_is_pinned():
     assert list(REGISTRY)[:50] == list(GRADED_PREFIX)
     for name in GRADED_PREFIX:
         assert REGISTRY[name].oracle is not None, f"{name} lost its oracle"
-    # every promoted round-2/3 operator is inside the window
+    # every promoted operator is inside the window (round-2/3 coverage
+    # now rides the round-5 merged suites; round-4 tier promoted r5)
     promoted = {
-        "l6_curate_corpus", "j6_asof_join", "a5_percentiles",
-        "s8_bucketed_join", "e5_stateful_running_totals",
-        "ts1_resample_gapfill", "l5_decontaminate",
-        # round-3 lakehouse tier, promoted in round 4 and consolidated
-        # into merged suites in round 4b
-        "s9_s19_time_travel_restore", "s11_merge_cdc",
-        "mv1_mv3_incremental_mvs", "s13_s14_s16_skipping_suite",
-        "s15_s18_mor_upsert_delete",
-        # round-4 promotions into the slots the 4b merges freed
+        # round-5 merged suites carrying earlier graded coverage
+        "j1_j5_join_suite", "a1_a4_agg_suite",
+        "t1_t2_o1_o2_set_sort_suite", "x2_x8_p5_scalar_suite",
+        "m1_m6_media_decode_suite", "u1_u5_python_fn_suite",
+        "l2_dedup_suite", "l5_l6_curation_suite",
+        "a5_a6_advanced_agg_suite", "e5_e8_stateful_stream_suite",
+        "ts1_ts2_timeseries_suite", "s9_s19_s23_s25_lifecycle_suite",
+        "ml1_ml2_ml3_suite", "g2_g4_graph_suite",
+        # singles that must not lose coverage
+        "j6_asof_join", "s8_bucketed_join",
+        "s11_merge_cdc", "mv1_mv3_incremental_mvs",
+        "s13_s14_s16_skipping_suite", "s15_s18_mor_upsert_delete",
+        "s17_change_data_feed", "l7_lm_perplexity",
         "s6v_version_conditional_merge", "s21_log_checkpoint",
-        "r1_paginated_source", "sk_salted_join",
-        # round-4b promotions (j/x merges freed the slots)
-        "s26_s27_metadata_ops", "a6_heavy_hitters",
+        "r1_paginated_source", "sk_salted_join", "s26_s27_metadata_ops",
+        # round-5 promotions (VERDICT r4 'Next round' #1)
+        "mv5_join_mv", "j7_dynamic_partition_pruning",
+        "j8_runtime_bloom_join", "l8_winnowing_overlap",
+        "dq1_expectation_suite", "er1_record_linkage",
+        "r10_export_sink", "r1s_continuous_pipeline",
     }
     assert promoted <= set(GRADED_PREFIX)
