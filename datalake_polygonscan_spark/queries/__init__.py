@@ -64,7 +64,7 @@ GRADED_PREFIX: tuple[str, ...] = (
     "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
     "s4_s5_atomic_partitioned",
     "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
-    "q_sql_q3_passthrough",         # merged round 4b: Q-SQL entry point runs the Q3 composite text
+    "q_sql_q3_q4_q17_suite",        # merged round 5: Q-SQL entry point; Q3 + Q4 EXISTS + Q17 correlated scalar
     "e1_e3_windowed_session_agg",   # merged round 4: E1 + E3
     "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
     "r5_r7_wallet_pipeline",
@@ -98,8 +98,8 @@ GRADED_PREFIX: tuple[str, ...] = (
     # 'Next round' #1): the round-4 operator tier goes driver-graded
     "g2_g4_graph_suite",            # merged round 5: PageRank + recursive CTE
     "mv5_join_mv",
-    "j7_dynamic_partition_pruning",
-    "j8_runtime_bloom_join",
+    "j7_j8_runtime_filter_suite",   # merged round 5: DPP + runtime bloom join
+    "cbo_stats_broadcast",          # round 5: ANALYZE stats flip the join to broadcast
     "l8_winnowing_overlap",
     "dq1_expectation_suite",
     "er1_record_linkage",
@@ -117,6 +117,11 @@ TAIL_PRIORITY: tuple[str, ...] = (
     # entries whose graded coverage moved into round-5 merged suites —
     # still fully oracled; if the driver's window runs past 50 these
     # are what it sees next
+    "q_sql_q3_passthrough",
+    "j7_dynamic_partition_pruning",
+    "j8_runtime_bloom_join",
+    "q4_exists_correlated",
+    "q17_correlated_scalar_avg",
     "j1_inner_equijoin",
     "j2_j3_j5_join_suite",
     "j4_broadcast_dim_join",

@@ -484,3 +484,101 @@ def r1s_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exactly_once", F.lit(exactly_once))
         .withColumn("retry_idempotent", F.lit(retry_idempotent))
     )
+
+
+@register(
+    "cbo_stats_broadcast",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price,
+           TRUE AS smj_without_stats,
+           TRUE AS bhj_with_stats
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "CBO statistics demonstration (VERDICT r4 'What's missing' #3): the "
+        "customer dim's FILE size exceeds the broadcast threshold (set to "
+        "half the file size so the verdict is scale-independent), so without "
+        "statistics Catalyst plans a shuffled join for the filtered dim — "
+        "the wrong-side shuffle a 100 TB snowflake cannot afford. After "
+        "ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS, the "
+        "cost-based optimizer estimates the filter's output from column "
+        "histograms (segment is 1-of-5, acctbal>9000 is ~9 percent of the "
+        "range) far below threshold and flips the plan to "
+        "BroadcastHashJoin. Both verdicts ride the row: smj_without_stats "
+        "(no broadcast before stats) and bhj_with_stats (broadcast chosen "
+        "FROM the statistics, not from the file size). AQE is disabled "
+        "during plan capture so the flip is attributable to CBO alone; all "
+        "session confs are restored"
+    ),
+)
+def cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    base = _scratch("cbo_stats", "tables")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS cbo5_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo5_customer")
+    load_table(spark, sf_dir, "orders").write.option(
+        "path", os.path.join(base, "orders")
+    ).saveAsTable("cbo5_orders")
+    load_table(spark, sf_dir, "customer").write.option(
+        "path", os.path.join(base, "customer")
+    ).saveAsTable("cbo5_customer")
+    dim_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(base, "customer"))
+        for f in fs
+    )
+
+    def q() -> DataFrame:
+        return spark.sql("""
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+                     AS total_price
+            FROM cbo5_orders JOIN cbo5_customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+            GROUP BY c_mktsegment
+        """)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(max(dim_bytes // 2, 1024)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        smj_without_stats = (
+            "BroadcastHashJoin" not in q()._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.sql("ANALYZE TABLE cbo5_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE cbo5_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        bhj_with_stats = (
+            "BroadcastHashJoin" in q()._jdf.queryExecution().executedPlan().toString()
+        )
+        out = (
+            q()
+            .withColumn("smj_without_stats", F.lit(smj_without_stats))
+            .withColumn("bhj_with_stats", F.lit(bhj_with_stats))
+        )
+        rows = out.collect()  # materialize under the CBO confs
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

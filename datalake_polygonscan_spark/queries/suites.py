@@ -699,3 +699,78 @@ _suite(
         }),
     ],
 )
+
+
+# ---------------------------------------------------------------------------
+# Q-SQL surface: Q3 composite + Q4 correlated EXISTS + Q17 correlated scalar
+# ---------------------------------------------------------------------------
+
+_suite(
+    "q_sql_q3_q4_q17_suite",
+    doc=(
+        "The spark.sql entry point running three TPC-H-shape ANSI texts "
+        "IDENTICALLY in both engines: Q3 shipping priority (3-way join + "
+        "top-10), Q4 correlated EXISTS / NOT EXISTS (plan-locked to "
+        "decorrelate to LeftSemi/LeftAnti joins), and Q17 correlated "
+        "scalar-average subquery (plan-locked to an aggregate-join, no "
+        "per-row subquery) — the optimizer's decorrelation surface in "
+        "one graded slot (round 5)"
+    ),
+    layout=[
+        ("l_orderkey", "long", "BIGINT"),
+        ("revenue", "double", "DOUBLE"),
+        ("o_orderdate", "timestamp", "TIMESTAMP"),
+        ("o_orderpriority", "string", "VARCHAR"),
+        ("order_count", "long", "BIGINT"),
+        ("avg_yearly", "double", "DOUBLE"),
+        ("n_small_lines", "long", "BIGINT"),
+    ],
+    arms=[
+        ("q3", "q_sql_q3_passthrough", {
+            "l_orderkey": "l_orderkey", "revenue": "revenue",
+            "o_orderdate": "o_orderdate",
+            "o_orderpriority": "o_orderpriority",
+        }),
+        (None, "q4_exists_correlated", {
+            "mode": "mode", "o_orderpriority": "o_orderpriority",
+            "order_count": "order_count",
+        }),
+        ("q17", "q17_correlated_scalar_avg", {
+            "avg_yearly": "avg_yearly", "n_small_lines": "n_small_lines",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# J7 + J8: the runtime-filter pair (DPP + bloom join)
+# ---------------------------------------------------------------------------
+
+_suite(
+    "j7_j8_runtime_filter_suite",
+    doc=(
+        "J7 dynamic partition pruning (runtime dim-filter reused as a "
+        "PartitionFilter on the fact scan; verdict rides the executed "
+        "plan's dynamicpruningexpression) + J8 runtime bloom-filter "
+        "join (row-group-level pushdown of the build side's key set) — "
+        "Spark's two runtime-filter optimizations in one graded slot "
+        "(merged round 5)"
+    ),
+    layout=[
+        ("ship_month", "string", "VARCHAR"),
+        ("o_orderpriority", "string", "VARCHAR"),
+        ("n_items", "long", "BIGINT"),
+        ("revenue", "double", "DOUBLE"),
+        ("verdict", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("dpp", "j7_dynamic_partition_pruning", {
+            "ship_month": "ship_month", "n_items": "n_items",
+            "revenue": "revenue", "verdict": "dpp_pruned",
+        }),
+        ("bloom", "j8_runtime_bloom_join", {
+            "o_orderpriority": "o_orderpriority", "n_items": "n_items",
+            "revenue": "revenue", "verdict": "bloom_filter_injected",
+        }),
+    ],
+)

@@ -54,9 +54,11 @@ def test_graded_window_is_pinned():
         "s6v_version_conditional_merge", "s21_log_checkpoint",
         "r1_paginated_source", "sk_salted_join", "s26_s27_metadata_ops",
         # round-5 promotions (VERDICT r4 'Next round' #1)
-        "mv5_join_mv", "j7_dynamic_partition_pruning",
-        "j8_runtime_bloom_join", "l8_winnowing_overlap",
+        "mv5_join_mv", "j7_j8_runtime_filter_suite",
+        "l8_winnowing_overlap",
         "dq1_expectation_suite", "er1_record_linkage",
         "r10_export_sink", "r1s_continuous_pipeline",
+        # round-5 optimizer surface (VERDICT r4 missing #2/#3)
+        "q_sql_q3_q4_q17_suite", "cbo_stats_broadcast",
     }
     assert promoted <= set(GRADED_PREFIX)

@@ -513,3 +513,28 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_correlated_exists_decorrelates_to_semi_anti_join(spark):
+    """Q4-shape correlated EXISTS / NOT EXISTS written as raw SQL must
+    decorrelate into LeftSemi / LeftAnti hash joins — one shuffled
+    join each at 100 TB, never a per-outer-row subquery probe."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q4_exists_correlated"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_correlated_scalar_avg_decorrelates_to_aggregate_join(spark):
+    """Q17-shape correlated scalar AVG subquery must decorrelate into a
+    grouped aggregate joined back on the correlation key (map-side
+    partial_avg), with no scalar-subquery node left in the physical
+    plan."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q17_correlated_scalar_avg"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_avg" in plan          # decorrelated grouped aggregate
+    assert "Subquery" not in plan         # no per-row scalar subquery
