@@ -33,7 +33,13 @@ import json
 import os
 import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class ExportCommit(WriterCommitMessage):
@@ -54,6 +60,16 @@ class WalletExportDataSource(DataSource):
         if not path:
             raise ValueError("wallet_export requires .option('path', ...)")
         return WalletExportWriter(path, [f.name for f in schema.fields], overwrite)
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("wallet_export requires .option('path', ...)")
+        export = self.options.get("export")
+        return export_schema_ddl(path, None if export is None else int(export))
+
+    def reader(self, schema) -> "WalletExportReader":
+        return WalletExportReader(self.options)
 
 
 class WalletExportWriter(DataSourceWriter):
@@ -150,3 +166,63 @@ def published_files(root: str) -> list[str]:
     with open(os.path.join(dest, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     return [os.path.join(dest, name) for name in manifest["files"]]
+
+
+class _ExportFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WalletExportReader(DataSourceReader):
+    """Manifest-resolved reader: the versioned CSV exports become a
+    queryable table (``spark.read.format("wallet_export")``), closing
+    the loop the reference closes with Redshift COPY
+    (resources/redshift.py:98-104) — but against the atomic manifest,
+    so a torn or in-flight export is never visible.
+
+    One :class:`InputPartition` per manifest file: a 1000-executor
+    cluster reads a 1000-part export fully in parallel, and ONLY files
+    the manifest names — stray staging residue or a newer half-written
+    export directory are invisible by construction. ``option("export",
+    N)`` pins a historical export (the dirs are immutable once
+    published), defaulting to the live ``_PUBLISHED`` pointer.
+    """
+
+    def __init__(self, options):
+        root = options["path"]
+        pinned = options.get("export")
+        if pinned is None:
+            with open(os.path.join(root, "_PUBLISHED")) as f:
+                pinned = json.load(f)["export"]
+        dest = os.path.join(root, f"export-{int(pinned)}")
+        with open(os.path.join(dest, "_MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.dest = dest
+
+    def partitions(self):
+        return [
+            _ExportFilePartition(os.path.join(self.dest, name))
+            for name in self.manifest["files"]
+        ]
+
+    def read(self, partition: _ExportFilePartition):
+        with open(partition.path, newline="") as f:
+            rows = csv.reader(f)
+            next(rows, None)  # header
+            for row in rows:
+                yield tuple(None if v == "" else v for v in row)
+
+
+def export_schema_ddl(root: str, export: int | None = None) -> str:
+    """All-string DDL from the export's own CSV header (CSV is untyped
+    at rest; readers cast). Resolved through the manifest like reads."""
+    if export is None:
+        with open(os.path.join(root, "_PUBLISHED")) as f:
+            export = json.load(f)["export"]
+    dest = os.path.join(root, f"export-{int(export)}")
+    with open(os.path.join(dest, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    first = os.path.join(dest, manifest["files"][0])
+    with open(first, newline="") as f:
+        header = next(csv.reader(f))
+    return ", ".join(f"`{c}` string" for c in header)

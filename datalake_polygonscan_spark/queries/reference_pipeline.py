@@ -121,10 +121,12 @@ def entry_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_PUBLISHED pointer — parallel bounded-memory upload instead of the "
         "reference's single in-memory StringIO, and no empty-table window. The "
         "entry pushes the wallet pipeline's frame through df.write.format("
-        "'wallet_export'), reads it BACK through the manifest-resolved CSVs, and "
-        "aggregates; manifest_consistent verifies the manifest's per-file row "
-        "counts sum to the rows read. Abort-path cleanup is tested in "
-        "tests/test_export_sink.py"
+        "'wallet_export'), reads it BACK through the format's manifest-resolved "
+        "Python DataSource READER (one partition per manifest file; "
+        "option('export', N) pins a historical version), and aggregates; "
+        "manifest_consistent verifies the manifest's per-file row counts sum to "
+        "the rows read. Abort-path cleanup and task-retry idempotence are "
+        "tested in tests/test_export_sink.py"
     ),
 )
 def r10_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,12 +153,22 @@ def r10_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     txs.write.format("wallet_export").option("path", root).mode("overwrite").save()
 
-    files = published_files(root)
+    # read BACK through the manifest-resolved Python DataSource READER
+    # (io/export_sink.py:WalletExportReader): the versioned export is a
+    # queryable table — one partition per manifest file, stray files
+    # invisible. CSV is untyped at rest, so cast at the boundary.
     back = (
-        spark.read.option("header", "true")
-        .schema("wallet_address string, tx_hash string, block_number long, quantity double")
-        .csv(files)
+        spark.read.format("wallet_export")
+        .option("path", root)
+        .load()
+        .select(
+            "wallet_address",
+            "tx_hash",
+            F.col("block_number").cast("long").alias("block_number"),
+            F.col("quantity").cast("double").alias("quantity"),
+        )
     )
+    files = published_files(root)
     with open(os.path.join(os.path.dirname(files[0]), "_MANIFEST.json")) as f:
         manifest = json.load(f)
     consistent = manifest["total_rows"] == back.count() and len(files) == len(

@@ -108,3 +108,54 @@ def test_failed_job_aborts_and_publishes_nothing(registered, tmp_path):
         if not f.startswith(".")
     ]
     assert not staged
+
+
+def test_speculative_duplicate_task_not_double_committed(registered, tmp_path):
+    """Task-retry idempotence (speculative re-execution shape): two
+    attempts of the SAME partition both stage a part file, but Spark
+    delivers only the winning attempt's commit message to commit().
+    The zombie's staged file must never become visible — the manifest
+    names exactly the committed parts, the reader resolves through the
+    manifest, and commit's self-heal sweeps the residue."""
+    from datalake_polygonscan_spark.io.export_sink import WalletExportWriter
+
+    spark, root = registered, str(tmp_path / "exp")
+    writer = WalletExportWriter(root, ["k", "v"], overwrite=True)
+    rows = [("a%d" % i, float(i)) for i in range(10)]
+    zombie = writer.write(iter(rows))   # attempt 0: staged, message dropped
+    winner = writer.write(iter(rows))   # attempt 1: staged, message wins
+    assert zombie.filename != winner.filename
+    writer.commit([winner])
+
+    files = published_files(root)
+    assert [os.path.basename(p) for p in files] == [winner.filename]
+    back = (
+        spark.read.format("wallet_export").option("path", root).load()
+    )
+    assert back.count() == 10  # exactly one copy, never the zombie's
+    with open(os.path.join(os.path.dirname(files[0]), "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 10
+    # self-heal swept the zombie's staged part
+    staging = os.path.join(root, "_staging")
+    assert not any(f for f in os.listdir(staging) if not f.startswith("."))
+
+
+def test_reader_ignores_stray_files_and_pins_versions(registered, tmp_path):
+    """The manifest IS the read path: a stray CSV dropped beside the
+    committed parts is invisible, and option('export', N) pins a
+    historical export while the live pointer serves the newest."""
+    spark, root = registered, str(tmp_path / "exp")
+    _df(spark, 5, "a").write.format("wallet_export").option("path", root).mode("append").save()
+    _df(spark, 7, "b").write.format("wallet_export").option("path", root).mode("append").save()
+    # adversarial stray file inside the LIVE export dir
+    with open(os.path.join(root, "export-1", "part-stray.csv"), "w") as f:
+        f.write("k,v\nSTRAY,1.0\n")
+    live = spark.read.format("wallet_export").option("path", root).load()
+    assert live.count() == 7
+    assert not [r for r in live.collect() if r["k"] == "STRAY"]
+    pinned = (
+        spark.read.format("wallet_export").option("path", root).option("export", "0").load()
+    )
+    assert pinned.count() == 5
+    assert all(r["k"].startswith("a") for r in pinned.collect())

@@ -506,3 +506,26 @@ def test_shallow_clone_version_as_of(spark, tmp_path):
         shallow_clone(spark, src, c2, version=0)
     with pytest.raises(ValueError, match="never committed"):
         shallow_clone(spark, src, c2, version=99)
+
+
+def test_zombie_commit_replay_rejected(tmp_path):
+    """Task-retry idempotence for the MERGE/commit path: a zombie
+    driver retry replaying commit_snapshot with the SAME base_meta
+    after the original attempt already succeeded must get
+    SnapshotConflict (the pointer moved past its base), never a
+    silent second version of the same logical commit."""
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.io.sinks import (
+        SnapshotConflict, commit_snapshot, read_pointer,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    commit_snapshot(table, "snapshot=0-base", None)
+    base = read_pointer(table)
+    commit_snapshot(table, "snapshot=1-attempt", base)  # original succeeds
+    v1 = read_pointer(table)
+    with _pytest.raises(SnapshotConflict):
+        commit_snapshot(table, "snapshot=1-attempt-retry", base)  # zombie replay
+    assert read_pointer(table) == v1  # winner untouched
