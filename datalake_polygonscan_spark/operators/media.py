@@ -929,3 +929,314 @@ def decode_avi_frames(media: DataFrame) -> DataFrame:
             "frames_match_header boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M-GIF: real GIF87a encode/decode with a from-scratch LZW dictionary
+# coder (variable-width codes 9->12 bits, early-change growth, CLEAR
+# reset at table-full) — the second real compressed codec beside PNG,
+# exercising a DICTIONARY coder where PNG/zlib exercises DEFLATE.
+# Stdlib-only, like the rest of the tier. The VARIABLE-WIDTH bit
+# packing is LSB-first per the GIF spec; encoder and decoder are a
+# matched pair (property-tested roundtrip incl. >4096-entry resets in
+# tests/test_media.py) with the deferred-growth convention giflib
+# uses (encoder grows after inserting code (1<<n)-1, decoder one code
+# behind grows at (1<<n)-2 insertions — derived in-line below).
+# ---------------------------------------------------------------------------
+
+GIF_WIDTH = 6
+_GIF_MAX_CODE = 4096
+
+
+def _gif_palette_rgb(idx: int) -> tuple[int, int, int]:
+    """Deterministic 256-entry palette: r=i, g=255-i, b=(7i)%256 —
+    non-trivial (catches channel swaps) yet closed-form restatable in
+    the DuckDB oracle."""
+    return idx, 255 - idx, (idx * 7) % 256
+
+
+class _BitWriter:
+    """LSB-first variable-width code packer (GIF convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int | None:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                return None
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW, bit-exact with the giflib/ImageIO convention
+    (cross-validated against Java's javax.imageio in
+    tests/test_media.py): the code width grows via a DEFERRED check
+    after each emission (counter >= 1<<width -> next code is wider) —
+    NOT at insertion time, which is the TIFF 'early change' variant
+    real GIF decoders reject — and the dictionary resets via CLEAR
+    when the counter reaches 4095 (entry 4095 stays unused, same
+    headroom giflib leaves)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _BitWriter()
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal width
+        bw.write(code, width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code >= _GIF_MAX_CODE - 1:  # 4095: full -> fresh dictionary
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(end)
+    return bw.flush()
+
+
+def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Mirror of :func:`lzw_encode`. The decoder replays the
+    ENCODER's counter (one ahead of its own table, since it learns
+    entry i while processing code i+1) and applies the same deferred
+    width check after each code read, so both sides switch widths at
+    the identical bit position. Handles the KwKwK self-referential
+    case and CLEAR resets."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    br = _BitReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    enc_counter = end + 1  # mirrors the encoder's next_code at emit time
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, enc_counter, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        enc_counter = end + 1
+        prev = None
+
+    reset()
+    while True:
+        code = br.read(width)
+        if code is None:
+            return bytes(out)
+        # deferred growth, mirroring the encoder's post-emit check
+        if enc_counter >= (1 << width) and width < 12:
+            width += 1
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:  # first code after clear: literal
+            entry = table[code]
+            out.extend(entry)
+            prev = entry
+            enc_counter += 1  # the encoder inserted after emitting it
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK: code not yet in table
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > next {len(table)}")
+        out.extend(entry)
+        if len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+        enc_counter += 1
+        prev = entry
+
+
+def gif_bytes(media_id: int, payload: bytes, width: int = GIF_WIDTH) -> bytes:
+    """A valid GIF87a whose pixel indices are ``payload`` bytes
+    (height = len(payload)/width) against the fixed 256-entry
+    :func:`_gif_palette_rgb` global color table; image data is
+    real LZW in 255-byte sub-blocks."""
+    import struct
+
+    height = len(payload) // width
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: 256-entry global color table
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes(_gif_palette_rgb(i))
+    # image descriptor
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    comp = lzw_encode(payload, 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_bytes(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytes]:
+    """Parse a GIF87a/89a (single image, global palette only),
+    reassemble the LZW sub-blocks and decode to palette indices.
+    Returns (width, height, palette, indices)."""
+    import struct
+
+    b = bytes(blob)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            min_code = b[pos]
+            pos += 1
+            comp = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                comp += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = lzw_decode(bytes(comp), min_code)
+            if ipacked & 0x40:  # interlaced: four-pass row ordering
+                deinter = bytearray(len(idx))
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for row in range(start, ih, step):
+                        deinter[row * iw : (row + 1) * iw] = idx[src : src + iw]
+                        src += iw
+                idx = bytes(deinter)
+            return iw, ih, palette, idx
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def gif_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic GIF fixture mirroring :func:`png_table`: each
+    doc's first ``width*height`` UTF-8 bytes (space-padded) become the
+    palette indices of a real LZW-compressed GIF87a; height = id%3+1."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                h = int(mid) % 3 + 1
+                raw = str(text).encode("utf-8")[: GIF_WIDTH * h]
+                raw = raw + b" " * (GIF_WIDTH * h - len(raw))
+                out.append(
+                    {"media_id": int(mid), "mime": "image/gif", "content": gif_bytes(int(mid), raw)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "mime", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def decode_gif_pixels(media: DataFrame) -> DataFrame:
+    """Full GIF decode in the Arrow-batched ``mapInPandas`` tier:
+    sub-block reassembly, LZW dictionary decode, palette lookup from
+    the file's own global color table, then per-channel statistics
+    (same output schema as the BMP/PNG decoders)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(mid: int, blob: bytes) -> dict:
+            width, height, palette, idx = decode_gif_bytes(blob)
+            pal = np.asarray(palette, dtype=np.int64)
+            px = pal[np.frombuffer(idx, dtype=np.uint8)]
+            rsum, gsum, bsum = (int(px[:, i].sum()) for i in range(3))
+            n = px.shape[0]
+            luma = (0.299 * rsum + 0.587 * gsum + 0.114 * bsum) / n
+            return {
+                "media_id": mid,
+                "width": width,
+                "height": height,
+                "n_pixels": n,
+                "sum_b": bsum,
+                "sum_g": gsum,
+                "sum_r": rsum,
+                "mean_luma": float(luma),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(m, c) for m, c in zip(pdf["media_id"], pdf["content"])],
+                columns=[f.name for f in _BMP_PIXEL_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(decode, schema=_BMP_PIXEL_SCHEMA)

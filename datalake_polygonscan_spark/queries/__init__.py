@@ -173,6 +173,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "x8_collated_strings",
     "p5_unpivot_melt",
     "m_png_pixel_decode",
+    "m_gif_pixel_decode",
     "mv4_distinct_sketch_mv",
     "s20_check_constraints",
     "s12_schema_evolution",

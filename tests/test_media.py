@@ -312,3 +312,147 @@ def test_avi_rejects_compressed_stream(spark):
     bad = spark.createDataFrame([(1, bytes(b))], "media_id long, content binary")
     with pytest.raises(Exception, match="uncompressed 24-bit"):
         decode_avi_frames(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW dictionary coder
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_including_table_resets():
+    """Matched-pair property: decode(encode(x)) == x across empty,
+    tiny, random (table resets past 4096 entries), compressible and
+    constant-run payloads — every width transition 9->12 and the
+    CLEAR reset path."""
+    import random
+
+    from datalake_polygonscan_spark.operators.media import lzw_decode, lzw_encode
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        bytes([5] * 10),
+        bytes(rng.randrange(256) for _ in range(300)),     # 9->10 bits
+        bytes(rng.randrange(256) for _ in range(6000)),    # ->12 bits
+        bytes(rng.randrange(256) for _ in range(24000)),   # table reset
+        (b"abcabcabd" * 3000)[:20000],                     # compressible
+        bytes([7]) * 12000,                                # runs (KwKwK)
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_gif_roundtrip_and_palette():
+    from datalake_polygonscan_spark.operators.media import (
+        _gif_palette_rgb,
+        decode_gif_bytes,
+        gif_bytes,
+    )
+
+    payload = b"hello world!" + b" " * 6
+    w, h, palette, idx = decode_gif_bytes(gif_bytes(11, payload))
+    assert (w, h) == (6, 3)
+    assert idx == payload
+    assert palette[104] == _gif_palette_rgb(104) == (104, 151, 216)
+
+
+@pytest.fixture(scope="module")
+def javac(tmp_path_factory):
+    """Compile the ImageIO-based GIF decode/encode helpers; skip if no
+    JDK compiler is present (java itself is guaranteed by Spark)."""
+    import shutil
+    import subprocess
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("no JDK available for ImageIO cross-validation")
+    d = tmp_path_factory.mktemp("gifjava")
+    (d / "Decode.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class Decode {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    System.out.println(img.getWidth() + " " + img.getHeight());
+    for (int y = 0; y < img.getHeight(); y++)
+      for (int x = 0; x < img.getWidth(); x++) {
+        int p = img.getRGB(x, y);
+        System.out.println(((p>>16)&255) + " " + ((p>>8)&255) + " " + (p&255));
+      }
+  }
+}
+"""
+    )
+    (d / "Encode.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.*;
+import java.io.File;
+import java.util.Random;
+public class Encode {
+  public static void main(String[] a) throws Exception {
+    int w = 32, h = 100;
+    byte[] r = new byte[256], g = new byte[256], b = new byte[256];
+    for (int i = 0; i < 256; i++) { r[i]=(byte)i; g[i]=(byte)(255-i); b[i]=(byte)((i*7)%256); }
+    IndexColorModel cm = new IndexColorModel(8, 256, r, g, b);
+    BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm);
+    Random rnd = new Random(99);
+    WritableRaster ras = img.getRaster();
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) ras.setSample(x, y, 0, rnd.nextInt(256));
+    ImageIO.write(img, "gif", new File(a[0]));
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) System.out.println(ras.getSample(x, y, 0));
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "Decode.java", "Encode.java"], cwd=d, check=True)
+    return d
+
+
+def test_gif_encoder_bit_exact_with_java_imageio(javac, tmp_path):
+    """Our GIF bitstreams decode pixel-identically in a FOREIGN codec
+    (Java's javax.imageio): deferred width growth, the 12-bit region
+    and a dictionary reset all land on the same bit positions giflib
+    uses — if the LZW convention drifted even one code, every pixel
+    past the boundary would differ."""
+    import random
+    import subprocess
+
+    from datalake_polygonscan_spark.operators.media import _gif_palette_rgb, gif_bytes
+
+    rng = random.Random(123)
+    for name, payload in {
+        "grow": bytes(rng.randrange(256) for _ in range(6 * 900)),
+        "reset": bytes(rng.randrange(256) for _ in range(6 * 4000)),
+        "runs": bytes([7]) * (6 * 2000),
+    }.items():
+        p = tmp_path / f"{name}.gif"
+        p.write_bytes(gif_bytes(3, payload, width=6))
+        out = subprocess.run(
+            ["java", "-cp", str(javac), "Decode", str(p)],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        got = [tuple(map(int, line.split())) for line in out[1:]]
+        assert got == [_gif_palette_rgb(v) for v in payload], name
+
+
+def test_gif_decoder_reads_java_encoded_interlaced_gif(javac, tmp_path):
+    """The reverse direction: a GIF ENCODED by Java's ImageIO (which
+    writes interlaced four-pass layouts) decodes to the exact palette
+    indices through our sub-block + LZW + de-interlace path."""
+    import subprocess
+
+    from datalake_polygonscan_spark.operators.media import decode_gif_bytes
+
+    p = tmp_path / "java.gif"
+    out = subprocess.run(
+        ["java", "-cp", str(javac), "Encode", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    expected = bytes(int(v) for v in out)
+    w, h, palette, idx = decode_gif_bytes(p.read_bytes())
+    assert (w, h) == (32, 100)
+    assert idx == expected
+    assert palette[:256] == [(i, 255 - i, (i * 7) % 256) for i in range(256)]
