@@ -95,3 +95,63 @@ def test_auto_salt_skips_replication_on_uniform_keys(spark):
     out = salted_join(fact, dim, "k", salt_n=None)
     assert out.count() == 5000
     assert "_salt" not in out.columns
+
+
+def test_aqe_skew_join_splits_hot_partition_and_matches_salted(spark):
+    """Spark's built-in AQE skew-join handles the same pathological
+    distribution the explicit salted join targets: with broadcast off
+    and test-scaled thresholds, the hot key's shuffle partition is
+    SPLIT at runtime (SortMergeJoin(skew=true), AQEShuffleRead ...
+    skewed) and the output matches salted_join row-for-row.
+
+    Division of labor at 100 TB: AQE skew-join is the default for
+    plain shuffled JOINS (zero code, runtime stats decide); the
+    explicit salted join (operators/skew.py) remains necessary where
+    AQE cannot reach — skewed AGGREGATIONS (two-phase salt+merge),
+    joins that must stay broadcast-free on BOTH sides, and engines'
+    deterministic-layout paths (bucketed co-located joins)."""
+    from datalake_polygonscan_spark.operators.skew import salted_join
+
+    n = 200_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit(1))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("row_id"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("lbl"), F.col("id")).alias("label"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # scale the 256MB default down to the test data volume
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        j = fact.join(dim, "k").select("row_id", "k", "v", "label")
+        aqe_rows = {tuple(r) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan  # the hot partition was split
+        assert "skewed" in plan                    # AQEShuffleRead skew spec
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    salted = {
+        tuple(r)
+        for r in salted_join(fact, dim, "k").select("row_id", "k", "v", "label").collect()
+    }
+    assert aqe_rows == salted and len(salted) == n

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+from tests.conftest import SF_SMOKE
 from datalake_polygonscan_spark.streaming.windows import (
     run_stream_available_now,
     session_window_agg,
@@ -346,3 +347,26 @@ def test_dedup_within_watermark_collapses_retries_with_new_timestamps(spark, tmp
     )
     got = sorted((r.event_id, r.ts.minute + r.ts.hour * 60) for r in out.collect())
     assert got == [(1, 0), (1, 630), (2, 1), (3, 600), (4, 620)]
+
+
+def test_sessionize_identical_under_rocksdb_state_store(spark):
+    """E8's stateful sessionization must produce identical output
+    under the RocksDB state store provider — the state backend a
+    100 TB streaming deployment actually tunes (HDFS-backed in-memory
+    maps stop fitting executor heaps once key cardinality grows; the
+    provider is a config swap, so semantics must not move)."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    sf = SF_SMOKE
+    fn = REGISTRY["e8_stateful_sessionize"].fn
+    base = sorted(map(tuple, fn(spark, sf).collect()))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks == base
+    assert len(base) > 0
