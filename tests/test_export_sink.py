@@ -119,11 +119,15 @@ def test_speculative_duplicate_task_not_double_committed(registered, tmp_path):
     manifest, and commit's self-heal sweeps the residue."""
     from datalake_polygonscan_spark.io.export_sink import WalletExportWriter
 
+    import pyarrow as pa
+
     spark, root = registered, str(tmp_path / "exp")
     writer = WalletExportWriter(root, ["k", "v"], overwrite=True)
-    rows = [("a%d" % i, float(i)) for i in range(10)]
-    zombie = writer.write(iter(rows))   # attempt 0: staged, message dropped
-    winner = writer.write(iter(rows))   # attempt 1: staged, message wins
+    batch = pa.RecordBatch.from_pydict(
+        {"k": ["a%d" % i for i in range(10)], "v": [float(i) for i in range(10)]}
+    )
+    zombie = writer.write(iter([batch]))   # attempt 0: staged, message dropped
+    winner = writer.write(iter([batch]))   # attempt 1: staged, message wins
     assert zombie.filename != winner.filename
     writer.commit([winner])
 
