@@ -87,6 +87,7 @@ HEADLINE = [
     # LZW decode, export-sink write+manifest-reader round trip
     "q4_exists_correlated",
     "q17_correlated_scalar_avg",
+    "q21_multi_exists",
     "cbo_stats_broadcast",
     "m_gif_pixel_decode",
     "r10_export_sink",
@@ -133,6 +134,7 @@ WARMUP = [
     "ts2_ohlc_resample",
     "q4_exists_correlated",
     "q17_correlated_scalar_avg",
+    "q21_multi_exists",
     "m_gif_pixel_decode",
 ]
 

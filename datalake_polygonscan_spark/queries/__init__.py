@@ -64,7 +64,7 @@ GRADED_PREFIX: tuple[str, ...] = (
     "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
     "s4_s5_atomic_partitioned",
     "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
-    "q_sql_q3_q4_q17_suite",        # merged round 5: Q-SQL entry point; Q3 + Q4 EXISTS + Q17 correlated scalar
+    "q_sql_suite",                  # merged round 5: Q-SQL entry point; Q3 + Q4 EXISTS + Q17 scalar + Q21 double quantifier
     "e1_e3_windowed_session_agg",   # merged round 4: E1 + E3
     "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
     "r5_r7_wallet_pipeline",
@@ -122,6 +122,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "j8_runtime_bloom_join",
     "q4_exists_correlated",
     "q17_correlated_scalar_avg",
+    "q21_multi_exists",
     "j1_inner_equijoin",
     "j2_j3_j5_join_suite",
     "j4_broadcast_dim_join",

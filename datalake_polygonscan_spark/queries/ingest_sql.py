@@ -331,3 +331,53 @@ _Q17_SQL = """
 def q17_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q17_SQL)
+
+
+#: Q21-shape DOUBLE correlated quantifier — the hardest decorrelation
+#: case in the TPC-H suite: the same outer row correlates into the
+#: SAME table twice (EXISTS + NOT EXISTS), each with a non-equi
+#: conjunct (l_suppkey <>) on top of the key equality. Catalyst must
+#: produce one LeftSemi AND one LeftAnti against lineitem with the
+#: inequality folded into the join condition — never a nested loop.
+#: Adapted to the driver schema (no l_receiptdate): "waiting" =
+#: returnflag 'R' on finished orders.
+_Q21_SQL = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@register(
+    "q21_multi_exists",
+    oracle=_Q21_SQL,
+    doc=(
+        "Q21-shape double correlated quantifier through spark.sql: EXISTS and "
+        "NOT EXISTS against the SAME fact table from the same outer row, each "
+        "with a non-equi correlated conjunct — the suppliers-kept-waiting "
+        "analytic and the hardest decorrelation case in TPC-H. Plan-locked "
+        "(tests/test_plans.py) to one LeftSemi plus one LeftAnti join with the "
+        "inequality inside the join condition; deterministic top-20 on "
+        "(numwait DESC, s_name)"
+    ),
+)
+def q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

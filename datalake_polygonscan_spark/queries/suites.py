@@ -711,15 +711,17 @@ _suite(
 # ---------------------------------------------------------------------------
 
 _suite(
-    "q_sql_q3_q4_q17_suite",
+    "q_sql_suite",
     doc=(
-        "The spark.sql entry point running three TPC-H-shape ANSI texts "
+        "The spark.sql entry point running four TPC-H-shape ANSI texts "
         "IDENTICALLY in both engines: Q3 shipping priority (3-way join + "
         "top-10), Q4 correlated EXISTS / NOT EXISTS (plan-locked to "
-        "decorrelate to LeftSemi/LeftAnti joins), and Q17 correlated "
+        "decorrelate to LeftSemi/LeftAnti joins), Q17 correlated "
         "scalar-average subquery (plan-locked to an aggregate-join, no "
-        "per-row subquery) — the optimizer's decorrelation surface in "
-        "one graded slot (round 5)"
+        "per-row subquery), and Q21 double correlated quantifier — "
+        "EXISTS + NOT EXISTS into the SAME table with non-equi "
+        "correlated conjuncts, the hardest decorrelation case — the "
+        "optimizer's decorrelation surface in one graded slot (round 5)"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -729,6 +731,8 @@ _suite(
         ("order_count", "long", "BIGINT"),
         ("avg_yearly", "double", "DOUBLE"),
         ("n_small_lines", "long", "BIGINT"),
+        ("s_name", "string", "VARCHAR"),
+        ("numwait", "long", "BIGINT"),
     ],
     arms=[
         ("q3", "q_sql_q3_passthrough", {
@@ -742,6 +746,9 @@ _suite(
         }),
         ("q17", "q17_correlated_scalar_avg", {
             "avg_yearly": "avg_yearly", "n_small_lines": "n_small_lines",
+        }),
+        ("q21", "q21_multi_exists", {
+            "s_name": "s_name", "numwait": "numwait",
         }),
     ],
 )

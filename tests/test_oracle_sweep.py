@@ -59,6 +59,6 @@ def test_graded_window_is_pinned():
         "dq1_expectation_suite", "er1_record_linkage",
         "r10_export_sink", "r1s_continuous_pipeline",
         # round-5 optimizer surface (VERDICT r4 missing #2/#3)
-        "q_sql_q3_q4_q17_suite", "cbo_stats_broadcast",
+        "q_sql_suite", "cbo_stats_broadcast",
     }
     assert promoted <= set(GRADED_PREFIX)

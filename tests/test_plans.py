@@ -538,3 +538,17 @@ def test_correlated_scalar_avg_decorrelates_to_aggregate_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_avg" in plan          # decorrelated grouped aggregate
     assert "Subquery" not in plan         # no per-row scalar subquery
+
+
+def test_q21_double_quantifier_decorrelates_without_nested_loop(spark):
+    """Q21-shape double correlated quantifier (EXISTS + NOT EXISTS
+    into the SAME table, non-equi correlated conjuncts) must
+    decorrelate to one LeftSemi plus one LeftAnti join — and never a
+    nested-loop join."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q21_multi_exists"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
