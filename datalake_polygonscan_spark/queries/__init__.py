@@ -114,9 +114,31 @@ GRADED_PREFIX: tuple[str, ...] = (
 #: oracled) are what it sees next. Pure ordering — nothing in the
 #: 50-entry prefix moves.
 TAIL_PRIORITY: tuple[str, ...] = (
-    # entries whose graded coverage moved into round-5 merged suites —
-    # still fully oracled; if the driver's window runs past 50 these
-    # are what it sees next
+    # GENUINELY UNGRADED ids first: if the driver's window runs past
+    # 50, these add NEW coverage (entries whose ids already ride a
+    # graded suite follow, then component variants)
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "e9_stream_outer_join",
+    "e10_dedup_within_watermark",
+    "e11_stream_static_enrich",
+    "s22_codec_control",
+    "s28_metadata_tables",
+    "s10b_incremental_compaction",
+    "s12_schema_evolution",
+    "s20_check_constraints",
+    "mv2_streaming_agg_mv",
+    "mv4_distinct_sketch_mv",
+    "e7_stream_merge_ingest",
+    "an2_cohort_retention",
+    "a5b_approx_percentiles",
+    "l3q_int8_quantized_knn",
+    "l3pq_ann",
+    "l3ivfpq_ann",
+    "r1s_streaming_source",
+    "l5_quota_sample",
+    "l5_token_mixture",
+    "l5n_leakage_free_split",
     "q_sql_q3_passthrough",
     "j7_dynamic_partition_pruning",
     "j8_runtime_bloom_join",
@@ -148,26 +170,12 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g2_pagerank",
     "g4_recursive_cte",
     "ml3_logreg_quality",
-    "e9_stream_outer_join",
-    "e11_stream_static_enrich",
-    "l3q_int8_quantized_knn",
-    "l3pq_ann",
-    "l3ivfpq_ann",
-    "an2_cohort_retention",
-    "a5b_approx_percentiles",
-    "s22_codec_control",
-    "r1s_streaming_source",
     "s23_timestamp_time_travel",
     "m_wav_pcm_decode",
     "m_avi_frame_decode",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
     "s24_vacuum_retention",
     "s25_shallow_clone",
-    "s10b_incremental_compaction",
-    "s28_metadata_tables",
     "ts2_ohlc_resample",
-    "e10_dedup_within_watermark",
     "u4_python_udtf",
     "u5_arrow_python_udf",
     "x7_variant_type",
@@ -175,16 +183,6 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "p5_unpivot_melt",
     "m_png_pixel_decode",
     "m_gif_pixel_decode",
-    "mv4_distinct_sketch_mv",
-    "s20_check_constraints",
-    "s12_schema_evolution",
-    "mv2_streaming_agg_mv",
-    "e7_stream_merge_ingest",
-    "l5_quota_sample",
-    "l5_token_mixture",
-    "l5n_leakage_free_split",
-    # per-id siblings whose graded coverage moved into round-4 merged
-    # entries — still fully oracled, value-checked by the local sweep
     "f1_f2_filter_null_handling",
     "f3_like_rlike",
     "j2_j3_outer_semi_anti",
