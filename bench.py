@@ -90,6 +90,7 @@ HEADLINE = [
     "q21_multi_exists",
     "cbo_stats_broadcast",
     "m_gif_pixel_decode",
+    "m_jpeg_pixel_decode",
     "r10_export_sink",
 ]
 
@@ -136,6 +137,7 @@ WARMUP = [
     "q17_correlated_scalar_avg",
     "q21_multi_exists",
     "m_gif_pixel_decode",
+    "m_jpeg_pixel_decode",
     # compile-dominated analytics: l3pq's 16-subspace ADC lambda tree
     # is a one-time codegen cost (documented at HEADLINE l3pq note);
     # k-means/media-meta/skipping likewise pay constant setup

@@ -431,15 +431,33 @@ def decode_bmp_pixels(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(decode, schema=_BMP_PIXEL_SCHEMA)
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Pixel decode — STUB. The execution container ships no image
-    codecs (no PIL/opencv); a deployment wires the real decoder here.
-    Everything around this call (binary schema, Arrow batching,
-    partitioning) is real and tested with the deterministic fake
-    headers above."""
+def decode_image(content: bytes):
+    """Pixel decode dispatch over the IN-REPO codecs — the plug-in
+    slot earlier rounds documented as a stub is now closed for the
+    four implemented formats: PNG (DEFLATE, round 3), BMP
+    (uncompressed), GIF (LZW dictionary coder, round 5) and baseline
+    JPEG (Huffman + DCT, round 5). Returns (width, height, pixels)
+    where pixels is a numpy array (grayscale 2-D or RGB 3-D).
+    Formats beyond these (progressive JPEG, WebP, AVIF...) still
+    raise, with the sniffed container named."""
+    import numpy as np
+
+    b = bytes(content)
+    if b[:8] == _PNG_SIG:
+        w, h, raw = decode_png_bytes(b)
+        return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, palette, idx = decode_gif_bytes(b)
+        pal = np.asarray(palette, dtype=np.uint8)
+        return w, h, pal[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg_bytes(b)
+    if b[:2] == b"BM":
+        raise NotImplementedError(
+            "BMP pixel decode is Spark-native (decode_bmp_pixels); use that entry point"
+        )
     raise NotImplementedError(
-        "image decoding requires an image library (e.g. PIL) not present in this environment; "
-        "use image_meta_pandas for header metadata or plug a decoder in here at deployment"
+        f"no in-repo codec for container {b[:4]!r}; PNG/GIF/baseline-JPEG/BMP are implemented"
     )
 
 
@@ -1240,3 +1258,397 @@ def decode_gif_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(decode, schema=_BMP_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# M-JPEG: baseline JPEG (SOF0) decode from scratch — the THIRD real
+# codec tier and the one the decode_image plug-in slot documented as
+# missing: entropy coding (canonical Huffman from the file's own DHT
+# segments) + transform coding (dequant, de-zigzag, 2D IDCT, level
+# shift), stdlib+numpy only. The fixture encoder emits DC-only
+# grayscale JPEGs whose decode is integer-EXACT (flat 8x8 blocks,
+# Q00=8 ⇒ pixel == payload byte bit-for-bit), so the DuckDB oracle is
+# closed-form; foreign baseline files (Java ImageIO) decode through
+# the general path — full AC run-length, successive DC prediction,
+# restart markers, 1-component or 3-component 4:4:4 with BT.601
+# YCbCr->RGB — and are cross-validated against ImageIO's own decode
+# in tests/test_media.py.
+# ---------------------------------------------------------------------------
+
+JPEG_BLOCKS_W = 2  # fixture width: 2 blocks = 16 px
+
+
+def _zigzag_order() -> list[int]:
+    """Zigzag-position -> natural-position (row*8+col) map, generated
+    by the diagonal walk so there is no 64-entry constant to mistype."""
+    out = []
+    for d in range(15):
+        pts = [(i, d - i) for i in range(d + 1) if i < 8 and d - i < 8]
+        if d % 2 == 0:
+            pts = pts[::-1]
+        out += [r * 8 + c for r, c in pts]
+    return out
+
+
+_JPEG_ZIGZAG = _zigzag_order()
+
+
+class _JBitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        while self.nbits:  # pad with 1-bits per the spec
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+def jpeg_bytes(media_id: int, payload: bytes, blocks_w: int = JPEG_BLOCKS_W) -> bytes:
+    """A valid baseline grayscale JPEG whose 8x8 blocks are FLAT, one
+    block per payload byte (row-major, ``blocks_w`` blocks per row):
+    quantized DC = v - 128 with Q00 = 8, all AC zero — DC-only blocks
+    IDCT to an exact constant, so decode reproduces ``payload``
+    bit-for-bit (the property the oracle's closed form relies on).
+    Emits its OWN canonical Huffman tables in DHT (DC categories 0-8
+    at 4 bits, AC EOB at 2 bits); any conformant decoder reads them
+    from the file."""
+    import struct
+
+    n_blocks = len(payload)
+    blocks_h = n_blocks // blocks_w
+    width, height = blocks_w * 8, blocks_h * 8
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0, 8-bit, Q[0]=8 and 1 elsewhere (natural order 0 is
+    # zigzag 0 — the DC slot)
+    q = bytes([8] + [1] * 63)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + q
+    # DHT: DC table 0 — 9 symbols (categories 0..8), all 4-bit codes
+    bits_dc = bytes([0, 0, 0, 9] + [0] * 12)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 9, 0x00) + bits_dc + bytes(range(9))
+    # DHT: AC table 0 — single EOB symbol at 2 bits (code 00; the
+    # all-ones codeword stays unused per the spec's convention)
+    bits_ac = bytes([0, 1] + [0] * 14)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x10) + bits_ac + bytes([0x00])
+    # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes([1, 0x11, 0])
+    # SOS: component 1 uses DC 0 / AC 0
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    bw = _JBitWriter()
+    # canonical codes: DC category s -> code s at 4 bits (first 9 codes
+    # of length 4 are 0..8); AC EOB -> code 0 at 2 bits
+    prev = 0
+    for v in payload:
+        dc = v - 128
+        diff = dc - prev
+        prev = dc
+        s = diff.bit_length() if diff else 0
+        bw.write(s, 4)  # DC Huffman code (canonical: value == index)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write(0, 2)  # AC EOB
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JBitReader:
+    """MSB-first entropy-segment reader: unstuffs 0xFF00, surfaces
+    RSTn markers, stops at any other marker (EOI)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        b = self.data
+        if self.pos >= len(b):
+            return False
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt  # RSTn / EOI: entropy data ends here
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # spec: pad reads past the end with 0 is harmless
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self) -> None:
+        """Byte-align, consume the pending RSTn marker."""
+        self.acc, self.nbits = 0, 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # skip FF Dn
+            self.marker = None
+
+
+def _receive_extend(br: _JBitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_bytes(blob: bytes):
+    """Baseline-JPEG decode: returns (width, height, pixels) where
+    pixels is a numpy uint8 array of shape (h, w) for grayscale or
+    (h, w, 3) RGB for 3-component 4:4:4 (BT.601). Rejects progressive
+    (SOF2) and subsampled frames rather than guessing."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[p : p + n]
+                vals = (
+                    list(struct.unpack(f">{64}H", raw)) if prec else list(raw)
+                )
+                nat = [0] * 64
+                for zz, natpos in enumerate(_JPEG_ZIGZAG):
+                    nat[natpos] = vals[zz]
+                qtables[tid] = nat
+                p += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = seg[p + 1 : p + 17]
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                (huff_ac if cls else huff_dc)[tid] = _huff_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("only 1x1 sampling (no subsampling) supported")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker 0x{marker:02x} (baseline SOF0 only)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            comp_tables = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp_tables[cid] = (tt >> 4, tt & 0x0F)
+            w, h, comps = frame
+            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+            u = np.arange(8)
+            m = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
+            m[:, 0] /= np.sqrt(2.0)
+            planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in comps]
+            br = _JBitReader(b, pos + seglen)
+            pred = [0] * len(comps)
+            mcu = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.sync_restart()
+                        pred = [0] * len(comps)
+                    mcu += 1
+                    for ci, (cid, tq) in enumerate(comps):
+                        dc_t, ac_t = comp_tables[cid]
+                        q = qtables[tq]
+                        coeffs = [0] * 64
+                        s = br.huff(huff_dc[dc_t])
+                        pred[ci] += _receive_extend(br, s)
+                        coeffs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(huff_ac[ac_t])
+                            r, sz = rs >> 4, rs & 0x0F
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            natpos = _JPEG_ZIGZAG[k]
+                            coeffs[natpos] = _receive_extend(br, sz) * q[natpos]
+                            k += 1
+                        F_ = np.asarray(coeffs, dtype=np.float64).reshape(8, 8)
+                        block = m @ F_ @ m.T + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            out = [np.clip(np.round(p_), 0, 255)[:h, :w] for p_ in planes]
+            if len(out) == 1:
+                return w, h, out[0].astype(np.uint8)
+            y, cb, cr = out
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bl = y + 1.772 * (cb - 128.0)
+            rgb = np.stack(
+                [np.clip(np.round(c), 0, 255) for c in (r, g, bl)], axis=-1
+            ).astype(np.uint8)
+            return w, h, rgb
+        pos += seglen
+    raise ValueError("no SOS segment in JPEG")
+
+
+_JPEG_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def jpeg_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic baseline-JPEG fixture: per doc, the first
+    ``2*(id%3+1)`` UTF-8 bytes (space-padded) become flat 8x8 block
+    values of a DC-only grayscale JPEG (2 blocks wide) — lossy format,
+    lossless fixture: DC-only blocks decode integer-exactly."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                n_blocks = 2 * (int(mid) % 3 + 1)
+                raw = str(text).encode("utf-8")[:n_blocks]
+                raw = raw + b" " * (n_blocks - len(raw))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "mime": "image/jpeg",
+                        "content": jpeg_bytes(int(mid), raw),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "mime", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def decode_jpeg_pixels(media: DataFrame) -> DataFrame:
+    """Full baseline-JPEG decode in the Arrow-batched ``mapInPandas``
+    tier: marker walk, in-file Huffman tables, entropy decode,
+    dequant, IDCT, level shift — then integer luma statistics."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(mid: int, blob: bytes) -> dict:
+            w, h, px = decode_jpeg_bytes(blob)
+            if px.ndim == 3:  # color: BT.601 luma
+                luma = np.round(
+                    0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                ).astype(np.int64)
+            else:
+                luma = px.astype(np.int64)
+            n = int(luma.size)
+            s = int(luma.sum())
+            return {
+                "media_id": mid,
+                "width": w,
+                "height": h,
+                "n_pixels": n,
+                "sum_luma": s,
+                "mean_luma": s / n,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(m, c) for m, c in zip(pdf["media_id"], pdf["content"])],
+                columns=[f.name for f in _JPEG_PIXEL_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(decode, schema=_JPEG_PIXEL_SCHEMA)

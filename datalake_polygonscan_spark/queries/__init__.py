@@ -183,6 +183,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "p5_unpivot_melt",
     "m_png_pixel_decode",
     "m_gif_pixel_decode",
+    "m_jpeg_pixel_decode",
     "f1_f2_filter_null_handling",
     "f3_like_rlike",
     "j2_j3_outer_semi_anti",

@@ -390,3 +390,56 @@ def m_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = decode_gif_pixels(gif_table(docs))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+@register(
+    "m_jpeg_pixel_decode",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(2 * (doc_id % 3 + 1) AS BIGINT) AS nb,
+               substr(rpad(hex(encode(text)), 12, '20'),
+                      1, CAST(2 * (doc_id % 3 + 1) * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, nb, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, nb,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    ), sums AS (
+        SELECT media_id, nb, CAST(64 * sum(v) AS BIGINT) AS sum_luma
+        FROM b GROUP BY media_id, nb
+    )
+    SELECT media_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(nb / 2 * 8 AS BIGINT) AS height,
+           nb * 64 AS n_pixels,
+           sum_luma,
+           ROUND(sum_luma / (nb * 64.0), 6) AS mean_luma
+    FROM sums
+    """,
+    doc=(
+        "THIRD real codec tier — baseline JPEG (SOF0), the format the "
+        "decode_image plug-in slot documented as missing, now from scratch: "
+        "entropy coding (canonical Huffman built from the file's own DHT "
+        "segments, 0xFF byte-stuffing, restart markers) + transform coding "
+        "(dequant, de-zigzag, 2D IDCT, level shift), stdlib+numpy only "
+        "(operators/media.py:jpeg_bytes/decode_jpeg_bytes). The fixture is "
+        "DC-only grayscale (flat 8x8 blocks, Q00=8), so decode of the LOSSY "
+        "format is integer-EXACT and the oracle is closed-form (sum_luma = "
+        "64*sum(payload bytes)). Cross-validated against Java ImageIO in "
+        "tests/test_media.py: ImageIO reads our files bit-exactly, and our "
+        "decoder matches ImageIO's own decode of its full-AC encoder output "
+        "within the +-1 IDCT rounding bound. Progressive/subsampled frames "
+        "are rejected, never mis-decoded"
+    ),
+)
+def m_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import decode_jpeg_pixels, jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_jpeg_pixels(jpeg_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))

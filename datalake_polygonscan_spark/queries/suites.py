@@ -490,6 +490,7 @@ _suite(
         ("f_q3", "double", "DOUBLE"),
         ("f_q4", "double", "DOUBLE"),
         ("f_q5", "double", "DOUBLE"),
+        ("sum_luma", "long", "BIGINT"),
     ],
     arms=[
         ("frames", "m4_media_frame_sample", {
@@ -522,6 +523,11 @@ _suite(
             "media_id": "media_id", "width": "width", "height": "height",
             "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
             "sum_r": "sum_r", "mean_luma": "mean_luma",
+        }),
+        ("jpeg", "m_jpeg_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_luma": "sum_luma",
+            "mean_luma": "mean_luma",
         }),
         ("wav", "m_wav_pcm_decode", {
             "media_id": "media_id", "sample_rate": "sample_rate",
