@@ -1444,11 +1444,30 @@ def _receive_extend(br: _JBitReader, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _triangle_upsample2(a, axis: int):
+    """Factor-2 chroma upsample with libjpeg's 'fancy' triangle filter
+    (3:1 nearest/next weights, edge replication — the 9:3:3:1 2-D
+    kernel when applied on both axes), in float."""
+    import numpy as np
+
+    a = np.moveaxis(a, axis, 0)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    even = (3.0 * a + prev) / 4.0
+    odd = (3.0 * a + nxt) / 4.0
+    out = np.empty((a.shape[0] * 2,) + a.shape[1:], dtype=np.float64)
+    out[0::2] = even
+    out[1::2] = odd
+    return np.moveaxis(out, 0, axis)
+
+
 def decode_jpeg_bytes(blob: bytes):
     """Baseline-JPEG decode: returns (width, height, pixels) where
     pixels is a numpy uint8 array of shape (h, w) for grayscale or
-    (h, w, 3) RGB for 3-component 4:4:4 (BT.601). Rejects progressive
-    (SOF2) and subsampled frames rather than guessing."""
+    (h, w, 3) RGB for 3 components (BT.601), including subsampled
+    4:2:0 / 4:2:2 frames (per-component MCU block interleave, triangle
+    chroma upsampling). Rejects progressive (SOF2) frames rather than
+    guessing."""
     import struct
 
     import numpy as np
@@ -1500,9 +1519,10 @@ def decode_jpeg_bytes(blob: bytes):
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("only 1x1 sampling (no subsampling) supported")
-                comps.append((cid, tq))
+                hc, vc = sampling >> 4, sampling & 0x0F
+                if not (1 <= hc <= 2 and 1 <= vc <= 2):
+                    raise ValueError(f"unsupported sampling factor {hc}x{vc}")
+                comps.append((cid, tq, hc, vc))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF marker 0x{marker:02x} (baseline SOF0 only)")
@@ -1517,48 +1537,65 @@ def decode_jpeg_bytes(blob: bytes):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp_tables[cid] = (tt >> 4, tt & 0x0F)
             w, h, comps = frame
-            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+            hmax = max(hc for _, _, hc, _ in comps)
+            vmax = max(vc for _, _, _, vc in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             u = np.arange(8)
             m = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
             m[:, 0] /= np.sqrt(2.0)
-            planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in comps]
+            # each component decodes at ITS sampling resolution; chroma
+            # upsamples after the scan with the triangle filter
+            planes = [
+                np.zeros((mcus_y * 8 * vc, mcus_x * 8 * hc), dtype=np.float64)
+                for _, _, hc, vc in comps
+            ]
             br = _JBitReader(b, pos + seglen)
             pred = [0] * len(comps)
             mcu = 0
-            for by in range(bh_):
-                for bx in range(bw_):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         br.sync_restart()
                         pred = [0] * len(comps)
                     mcu += 1
-                    for ci, (cid, tq) in enumerate(comps):
+                    for ci, (cid, tq, hc, vc) in enumerate(comps):
                         dc_t, ac_t = comp_tables[cid]
                         q = qtables[tq]
-                        coeffs = [0] * 64
-                        s = br.huff(huff_dc[dc_t])
-                        pred[ci] += _receive_extend(br, s)
-                        coeffs[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(huff_ac[ac_t])
-                            r, sz = rs >> 4, rs & 0x0F
-                            if rs == 0x00:
-                                break  # EOB
-                            if rs == 0xF0:
-                                k += 16  # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            natpos = _JPEG_ZIGZAG[k]
-                            coeffs[natpos] = _receive_extend(br, sz) * q[natpos]
-                            k += 1
-                        F_ = np.asarray(coeffs, dtype=np.float64).reshape(8, 8)
-                        block = m @ F_ @ m.T + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-            out = [np.clip(np.round(p_), 0, 255)[:h, :w] for p_ in planes]
+                        for v_ in range(vc):  # blocks raster-ordered in the MCU
+                            for h_ in range(hc):
+                                coeffs = [0] * 64
+                                s = br.huff(huff_dc[dc_t])
+                                pred[ci] += _receive_extend(br, s)
+                                coeffs[0] = pred[ci] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = br.huff(huff_ac[ac_t])
+                                    r, sz = rs >> 4, rs & 0x0F
+                                    if rs == 0x00:
+                                        break  # EOB
+                                    if rs == 0xF0:
+                                        k += 16  # ZRL
+                                        continue
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC index overflow")
+                                    natpos = _JPEG_ZIGZAG[k]
+                                    coeffs[natpos] = _receive_extend(br, sz) * q[natpos]
+                                    k += 1
+                                F_ = np.asarray(coeffs, dtype=np.float64).reshape(8, 8)
+                                block = m @ F_ @ m.T + 128.0
+                                oy = (my * vc + v_) * 8
+                                ox = (mx * hc + h_) * 8
+                                planes[ci][oy : oy + 8, ox : ox + 8] = block
+            out = []
+            for p_, (_, _, hc, vc) in zip(planes, comps):
+                for axis, factor in ((0, vmax // vc), (1, hmax // hc)):
+                    if factor == 2:
+                        p_ = _triangle_upsample2(p_, axis)
+                out.append(p_[:h, :w])
             if len(out) == 1:
-                return w, h, out[0].astype(np.uint8)
+                return w, h, np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
             y, cb, cr = out
             r = y + 1.402 * (cr - 128.0)
             g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

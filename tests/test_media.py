@@ -594,3 +594,66 @@ public class EncodeJpg {
     w, h, ours = decode_jpeg_bytes(p.read_bytes())
     assert (w, h) == (jw, jh)
     assert np.abs(ours.astype(np.int64) - java_px).max() <= 1
+
+
+def test_jpeg_decoder_handles_java_420_color(javac, tmp_path):
+    """Real-world color JPEGs: Java ImageIO writes 4:2:0 (Y 2x2,
+    chroma 1x1). Our decoder's per-component MCU interleave + triangle
+    chroma upsampling must track ImageIO's own decode closely on
+    gradient content (small bounded divergence from libjpeg's integer
+    upsampling arithmetic; nothing structural)."""
+    import subprocess
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import decode_jpeg_bytes
+
+    (tmp_path / "EncodeJpgColor.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.*;
+import java.io.File;
+import java.util.Random;
+public class EncodeJpgColor {
+  public static void main(String[] a) throws Exception {
+    int w = 48, h = 40;
+    BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+    Random rnd = new Random(11);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+      int r = (x * 5 + rnd.nextInt(8)) % 256;
+      int g = (y * 6 + rnd.nextInt(8)) % 256;
+      int b = ((x + y) * 3 + rnd.nextInt(8)) % 256;
+      img.setRGB(x, y, (r << 16) | (g << 8) | b);
+    }
+    ImageIO.write(img, "jpg", new File(a[0]));
+    BufferedImage back = ImageIO.read(new File(a[0]));
+    System.out.println(back.getWidth() + " " + back.getHeight());
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+      int p = back.getRGB(x, y);
+      System.out.println(((p>>16)&255) + " " + ((p>>8)&255) + " " + (p&255));
+    }
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "EncodeJpgColor.java"], cwd=tmp_path, check=True)
+    p = tmp_path / "color.jpg"
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "EncodeJpgColor", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split("\n")
+    jw, jh = map(int, out[0].split())
+    java_px = np.array(
+        [list(map(int, line.split())) for line in out[1:] if line.strip()]
+    ).reshape(jh, jw, 3)
+    blob = p.read_bytes()
+    # Java really wrote 4:2:0 — otherwise this test is vacuous
+    i = blob.find(b"\xff\xc0")
+    samps = [(blob[i + 11 + 3 * c] >> 4, blob[i + 11 + 3 * c] & 15) for c in range(blob[i + 9])]
+    assert samps[0] == (2, 2)
+    w, h, px = decode_jpeg_bytes(blob)
+    assert (w, h) == (jw, jh)
+    diff = np.abs(px.astype(np.int64) - java_px)
+    assert diff.max() <= 10
+    assert diff.mean() <= 1.0
+    assert np.percentile(diff, 99) <= 3
