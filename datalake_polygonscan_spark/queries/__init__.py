@@ -131,6 +131,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "mv4_distinct_sketch_mv",
     "e7_stream_merge_ingest",
     "an2_cohort_retention",
+    "dq2_observe_metrics",
     "a5b_approx_percentiles",
     "l3q_int8_quantized_knn",
     "l3pq_ann",

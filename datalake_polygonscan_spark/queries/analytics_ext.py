@@ -511,3 +511,64 @@ def er1_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     block = F.expr("substr(c_name, 1, length(c_name) - 2)")
     pairs = blocked_fuzzy_pairs(c, "c_custkey", "c_name", block, max_edit=1)
     return block_match_profile(c, block, pairs)
+
+
+@register(
+    "dq2_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_big,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price,
+           TRUE AS from_observation,
+           TRUE AS single_scan
+    FROM orders
+    """,
+    doc=(
+        "DQ2 piggyback metrics via df.observe / Observation: data-quality "
+        "counters (row count, threshold violations, control total) collected "
+        "DURING another job's pass — the CollectMetrics plan node rides the "
+        "existing scan, so at 100 TB quality monitoring costs ZERO extra "
+        "jobs (DQ1's expectation suite is the standalone single-scan "
+        "sibling; this is the embedded form). The entry runs a noop-sink "
+        "write as the 'production' action, harvests the observation, and "
+        "returns the metrics as the graded row: from_observation rides the "
+        "values' provenance, single_scan asserts CollectMetrics in the "
+        "executed plan"
+    ),
+)
+def dq2_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq2_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the production pass
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    m = obs.get
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_big", T.LongType()),
+            T.StructField("total_price", T.DoubleType()),
+            T.StructField("from_observation", T.BooleanType()),
+            T.StructField("single_scan", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_big"],
+                float(m["total_price"]),
+                True,
+                "CollectMetrics" in plan,
+            )
+        ],
+        schema,
+    )
