@@ -132,6 +132,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e7_stream_merge_ingest",
     "an2_cohort_retention",
     "dq2_observe_metrics",
+    "x9_map_functions",
     "a5b_approx_percentiles",
     "l3q_int8_quantized_knn",
     "l3pq_ann",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.tables import load_table
@@ -405,4 +406,71 @@ def x8_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "n_building_ci",
         )
+    )
+
+
+@register(
+    "x9_map_functions",
+    oracle="""
+    WITH per AS (
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_statuses,
+           CAST(max(CASE WHEN o_orderstatus = 'O' THEN cnt END) AS BIGINT) AS open_cnt,
+           CAST(count(CASE WHEN cnt > 100 THEN 1 END) AS BIGINT) AS n_big_statuses,
+           ROUND(max(CASE WHEN o_orderstatus = 'F' THEN price END)
+                 / max(CASE WHEN o_orderstatus = 'F' THEN cnt END), 4) AS f_avg_price
+    FROM per
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "X9 the MAP column functions — the key-value sibling of X4's array "
+        "HOFs: per-segment status->count and status->revenue MAPS built with "
+        "map_from_entries(collect_list(struct)), then interrogated with "
+        "map_keys, element_at (null on absent key, never error), map_filter "
+        "(lambda over entries), and map_zip_with joining the two maps into "
+        "per-status average price — all JVM-side codegen lambdas, no Python. "
+        "The oracle restates every map operation as conditional aggregation, "
+        "so a wrong entry, lost key or swapped zip argument value-fails; "
+        "output explodes to plain columns (no map-typed boundary)"
+    ),
+)
+def x9_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 6))).cast("double").alias("price"),
+        )
+    )
+    mapped = per.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "cnt"))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "price"))
+        ).alias("price_map"),
+    )
+    return mapped.select(
+        "c_mktsegment",
+        F.size(F.map_keys("cnt_map")).cast("long").alias("n_statuses"),
+        F.element_at("cnt_map", F.lit("O")).alias("open_cnt"),
+        F.size(
+            F.map_filter("cnt_map", lambda k, v: v > F.lit(100))
+        ).cast("long").alias("n_big_statuses"),
+        F.round(
+            F.element_at(
+                F.map_zip_with("price_map", "cnt_map", lambda k, p, cte: p / cte),
+                F.lit("F"),
+            ),
+            4,
+        ).alias("f_avg_price"),
     )
