@@ -125,6 +125,29 @@ class WalletTransfersReader(DataSourceReader):
         return (lo is None or v >= lo) and (hi is None or v <= hi)
 
     def read(self, partition: _WalletPartition):
+        """Arrow fast path: each page's surviving rows become one
+        pyarrow RecordBatch (the Spark 4 reader protocol accepts
+        RecordBatches in place of row tuples), so rows cross the
+        Python->JVM boundary as columnar Arrow buffers instead of
+        per-row pickled tuples — the same upgrade the export sink's
+        reader got, on the reference's own source."""
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                ("wallet_address", pa.string()),
+                ("tx_hash", pa.string()),
+                ("blockNumber", pa.int64()),
+                ("timeStamp", pa.int64()),
+                ("from_address", pa.string()),
+                ("to_address", pa.string()),
+                ("contractAddress", pa.string()),
+                ("tokenName", pa.string()),
+                ("tokenSymbol", pa.string()),
+                ("tokenDecimal", pa.string()),
+                ("value", pa.string()),
+            ]
+        )
         blo, bhi = self.bounds.get("blockNumber", (None, None))
         for page_file in _page_files(partition.wallet_dir):
             with open(page_file) as f:
@@ -138,14 +161,23 @@ class WalletTransfersReader(DataSourceReader):
             if bhi is not None and page.get("startblock") is not None and page["startblock"] > bhi:
                 return
             wallet = page.get("wallet", os.path.basename(partition.wallet_dir))
+            rows = []
             for tx in page.get("result", ()):
                 block, ts = int(tx["blockNumber"]), int(tx["timeStamp"])
                 if not (self._in_bounds("blockNumber", block) and self._in_bounds("timeStamp", ts)):
                     continue
-                yield (
-                    wallet, tx["hash"], block, ts, tx["from"], tx["to"],
-                    tx["contractAddress"], tx["tokenName"], tx["tokenSymbol"],
-                    tx["tokenDecimal"], tx["value"],
+                rows.append(
+                    (
+                        wallet, tx["hash"], block, ts, tx["from"], tx["to"],
+                        tx["contractAddress"], tx["tokenName"], tx["tokenSymbol"],
+                        tx["tokenDecimal"], tx["value"],
+                    )
+                )
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+                    schema=arrow_schema,
                 )
 
 

@@ -29,6 +29,15 @@ def _raw(spark, n=40, wallets=2):
     )
 
 
+def _read_rows(reader, partition):
+    """Flatten the reader's Arrow RecordBatches back to row tuples
+    (the reader switched to the Arrow fast path in round 5)."""
+    rows = []
+    for batch in reader.read(partition):
+        rows.extend(tuple(d.values()) for d in batch.to_pylist())
+    return rows
+
+
 def test_roundtrip_and_partition_per_wallet(spark, tmp_path):
     root = str(tmp_path / "pages")
     n_pages = write_wallet_pages(_raw(spark, 40, 2), root, page_size=10)
@@ -57,7 +66,7 @@ def test_push_filters_consumed_and_applied(spark, tmp_path):
     )
     assert len(unsupported) == 1 and isinstance(unsupported[0], IsNotNull)
     assert reader.bounds["blockNumber"] == [10, 19]
-    rows = [r for p in reader.partitions() for r in reader.read(p)]
+    rows = [r for p in reader.partitions() for r in _read_rows(reader, p)]
     blocks = sorted(r[2] for r in rows)
     assert blocks == list(range(10, 20))
 
@@ -73,7 +82,7 @@ def test_error_page_ends_wallet_scan(spark, tmp_path):
     with open(os.path.join(wdir, "page-0002.json"), "w") as f:
         json.dump(page, f)
     reader = WalletTransfersReader({"path": root})
-    rows = [r for p in reader.partitions() for r in reader.read(p)]
+    rows = [r for p in reader.partitions() for r in _read_rows(reader, p)]
     assert sorted(r[2] for r in rows) == list(range(10))  # pages 0-1 only
 
 
@@ -105,12 +114,12 @@ def test_push_filters_equal_to_intersects_bounds(spark, tmp_path):
     assert list(reader.pushFilters([GreaterThan(("blockNumber",), 10), EqualTo(("blockNumber",), 5)])) == []
     lo, hi = reader.bounds["blockNumber"]
     assert lo > hi  # empty interval
-    assert [r for p in reader.partitions() for r in reader.read(p)] == []
+    assert [r for p in reader.partitions() for r in _read_rows(reader, p)] == []
 
     reader2 = WalletTransfersReader({"path": root})
     list(reader2.pushFilters([GreaterThanOrEqual(("blockNumber",), 10), EqualTo(("blockNumber",), 15)]))
     assert reader2.bounds["blockNumber"] == [15, 15]
-    rows = [r for p in reader2.partitions() for r in reader2.read(p)]
+    rows = [r for p in reader2.partitions() for r in _read_rows(reader2, p)]
     assert sorted({r[2] for r in rows}) == [15]
 
 
