@@ -53,58 +53,55 @@ from datalake_polygonscan_spark.queries import suites  # noqa: F401,E402
 #: driver-green row through one of them (multi-id entries noted).
 GRADED_PREFIX: tuple[str, ...] = (
     "p1_p3_project_cast_derive",
-    "f1_f3_filter_predicates",      # merged round 4b: F1 + F2 + F3
-    "j1_j5_join_suite",             # merged round 5: J1-J5, every join form
-    "a1_a4_agg_suite",              # merged round 5: A1-A4 aggregation surface
-    "t1_t2_o1_o2_set_sort_suite",   # merged round 5: set ops + sort/top-k
-    "l1_t3_exact_key_dedup",        # merged round 4: L1 + T3
-    "w1_w3_window_suite",           # merged round 4b: W1 + W2 + W3
-    "x1_x5_string_json_funcs",      # merged round 4: X1 + X5
-    "x2_x8_p5_scalar_suite",        # merged round 5: X2-X4/X6 + X7 VARIANT + X8 collation + P5 unpivot
-    "s1_s2_s3_s7_scan_roundtrip",   # merged round 4b: + S7 ORC arm
+    "f1_f3_filter_predicates",         # merged 4b: F1-F3
+    "j1_j5_join_suite",                # merged r5: J1-J5
+    "a1_a4_agg_suite",                 # merged r5: A1-A4
+    "t1_t2_o1_o2_set_sort_suite",      # merged r5: T1/T2 + O1/O2
+    "l1_t3_l2g_dedup_suite",           # merged r5: L1/T3 exact dedup + L2g CC groups
+    "w1_w3_window_suite",              # merged 4b: W1-W3
+    "x1_x9_p5_scalar_suite",           # merged r5: X1-X9 + P5, the whole scalar surface
+    "s1_s7_s22_scan_codec_suite",      # merged r5: S1-S3 + S7 ORC + S22 codecs
     "s4_s5_atomic_partitioned",
-    "s6_s10_merge_compaction",      # merged round 4b: S6 + S10 OPTIMIZE
-    "q_sql_suite",                  # merged round 5: Q-SQL entry point; Q3 + Q4 EXISTS + Q17 scalar + Q21 double quantifier
-    "e1_e3_windowed_session_agg",   # merged round 4: E1 + E3
-    "e2_e4_stream_dedup_agg",       # merged round 4: E2 + E4 (one real stream)
+    "s6_s10_s6v_merge_suite",          # merged r5: S6 + S10 + S6v
+    "q_sql_suite",                     # merged r5: Q-SQL entry; Q3 + Q4/Q17/Q21 correlated set
+    "e1_e4_e7_stream_window_suite",    # merged r5: E1-E4 windows/watermark/dedup + E7 merge ingest
     "r5_r7_wallet_pipeline",
     "entry_flagship",
-    "m1_m6_media_decode_suite",     # merged round 5: M1-M6 + PNG/WAV/AVI real decode
-    "u1_u5_python_fn_suite",        # merged round 5: U1-U5 Python-function surface
-    "l2_dedup_suite",               # merged round 5: L2 text LSH + embedding LSH scale path
-    "l3_knn_brute_force",
-    "l4_doc_profile",
-    "l5_l6_curation_suite",         # merged round 5: L5a decontam + L6 verdict
-    "j6_asof_join",
-    "a5_a6_advanced_agg_suite",     # merged round 5: A5 percentiles + A6 heavy hitters
+    "m1_m6_media_decode_suite",        # merged r5: M1-M6 + BMP/PNG/GIF/JPEG/WAV/AVI decode
+    "u1_u5_python_fn_suite",           # merged r5: U1-U5
+    "l2_dedup_suite",                  # merged r5: L2 text LSH + embedding LSH
+    "l3_ann_ladder_suite",             # merged r5: L3 brute + int8 + PQ + IVF-PQ
+    "l4_l7_text_scoring_suite",        # merged r5: L4 profile + L7 perplexity
+    "l5_l6_curation_suite",            # merged r5: L5a decontam + L6 verdict
+    "l5_sampling_suite",               # merged r5: quota/stratified/weighted/mixture/split
+    "l5_text_ops_suite",               # merged r5: pack/PII/vocab/boilerplate/TF-IDF/repetition/chunk
+    "j6_ts1_ts2_temporal_suite",       # merged r5: J6 as-of + TS1 gap fill + TS2 OHLC
+    "a5_a6_advanced_agg_suite",        # merged r5: A5 + A6 + A5b approx
     "s8_bucketed_join",
-    "e5_e8_stateful_stream_suite",  # merged round 5: E5 totals + E8 sessionize
-    "ts1_ts2_timeseries_suite",     # merged round 5: TS1 gap fill + TS2 OHLC
-    # round-3 lakehouse tier (promoted round 4, consolidated 4b/5)
-    "s9_s19_s23_s25_lifecycle_suite",  # merged round 5: travel/RESTORE/ts-asof/VACUUM/clone
+    "e5_e8_stateful_stream_suite",     # merged r5: E5 totals + E8 sessionize
+    "e6_e9_e10_e11_stream_join_suite", # merged r5: stream-stream joins + wm dedup + static enrich
+    "s9_s19_s23_s25_lifecycle_suite",  # merged r5: travel/RESTORE/ts-asof/VACUUM/clone
     "s11_merge_cdc",
-    "mv1_mv3_incremental_mvs",      # merged round 4b: MV1 + MV3
-    "s13_s14_s16_skipping_suite",   # merged round 4b: S13 + S14 z-order + S16 bloom
+    "mv1_mv4_mv_suite",                # merged r5: all four MV strategies
+    "s13_s14_s16_skipping_suite",      # merged 4b: min/max + z-order + bloom skipping
     "s17_change_data_feed",
-    "l7_lm_perplexity",
-    "ml1_ml2_ml3_suite",            # merged round 5: k-means + SemDeDup + logreg
-    "s15_s18_mor_upsert_delete",    # merged round 4b: S15 + S18
-    "s6v_version_conditional_merge",
-    "s21_log_checkpoint",
-    "r1_paginated_source",
+    "ml1_ml2_ml3_suite",               # merged r5: k-means + SemDeDup + logreg
+    "s15_s18_s10b_mor_maintenance_suite",  # merged r5: MoR upsert/delete + incremental OPTIMIZE
+    "q5_q18_tpch_suite",               # merged r5: Q5 snowflake + Q18 agg-as-predicate
+    "s21_s28_log_metadata_suite",      # merged r5: log checkpoints + metadata tables
+    "r1_r1s_source_suite",             # merged r5: paginated source, batch + streaming
     "sk_salted_join",
-    "s26_s27_metadata_ops",
-    # round-5 promotions into the slots the suites freed (VERDICT r4
-    # 'Next round' #1): the round-4 operator tier goes driver-graded
-    "g2_g4_graph_suite",            # merged round 5: PageRank + recursive CTE
+    "s12_s20_s26_s27_governance_suite",  # merged r5: evolution/constraints/spec/rename
+    "g2_g4_graph_suite",               # merged r5: PageRank + recursive CTE
     "mv5_join_mv",
-    "j7_j8_runtime_filter_suite",   # merged round 5: DPP + runtime bloom join
-    "cbo_stats_broadcast",          # round 5: ANALYZE stats flip the join to broadcast
+    "j7_j8_runtime_filter_suite",      # merged r5: DPP + runtime bloom join
+    "cbo_stats_broadcast",
     "l8_winnowing_overlap",
-    "dq1_expectation_suite",
+    "dq1_dq2_quality_suite",           # merged r5: expectations + observe metrics
     "er1_record_linkage",
     "r10_export_sink",
     "r1s_continuous_pipeline",
+    "an1_an2_pr1_analytics_suite",     # merged r5: funnel + cohort + profiling
 )
 
 
@@ -142,6 +139,25 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l5_token_mixture",
     "l5n_leakage_free_split",
     "q_sql_q3_passthrough",
+    "x1_x5_string_json_funcs",
+    "x2_x8_p5_scalar_suite",
+    "e1_e3_windowed_session_agg",
+    "e2_e4_stream_dedup_agg",
+    "l4_doc_profile",
+    "l7_lm_perplexity",
+    "j6_asof_join",
+    "ts1_ts2_timeseries_suite",
+    "l1_t3_exact_key_dedup",
+    "r1_paginated_source",
+    "s21_log_checkpoint",
+    "s26_s27_metadata_ops",
+    "s1_s2_s3_s7_scan_roundtrip",
+    "s15_s18_mor_upsert_delete",
+    "l3_knn_brute_force",
+    "mv1_mv3_incremental_mvs",
+    "s6_s10_merge_compaction",
+    "s6v_version_conditional_merge",
+    "dq1_expectation_suite",
     "j7_dynamic_partition_pruning",
     "j8_runtime_bloom_join",
     "q4_exists_correlated",

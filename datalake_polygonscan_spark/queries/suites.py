@@ -298,7 +298,8 @@ _suite(
         "A5 exact grouped percentiles (p50/p90/p99, linear "
         "interpolation == quantile_cont) + A6 distributed heavy "
         "hitters via Misra-Gries-family mergeable summaries with exact "
-        "recount, one graded slot (merged round 5)"
+        "recount + A5b approx_percentile with rank-verified error "
+        "bounds, one graded slot (merged round 5)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -309,6 +310,9 @@ _suite(
         ("key", "long", "BIGINT"),
         ("cnt", "long", "BIGINT"),
         ("frac", "double", "DOUBLE"),
+        ("rank_ok_p50", "int", "INTEGER"),
+        ("rank_ok_p90", "int", "INTEGER"),
+        ("rank_ok_p99", "int", "INTEGER"),
     ],
     arms=[
         ("pctl", "a5_percentiles", {
@@ -317,6 +321,10 @@ _suite(
         }),
         ("heavy", "a6_heavy_hitters", {
             "key": "key", "cnt": "cnt", "frac": "frac",
+        }),
+        ("approx", "a5b_approx_percentiles", {
+            "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
+            "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
         }),
     ],
 )
@@ -513,6 +521,11 @@ _suite(
             "width": "width", "height": "height", "n_pixels": "n_pixels",
             "payload_bytes": "payload_bytes", "payload_md5": "payload_md5",
             "is_survivor": "is_survivor",
+        }),
+        ("bmp", "m_bmp_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
+            "sum_r": "sum_r", "mean_luma": "mean_luma",
         }),
         ("png", "m_png_pixel_decode", {
             "media_id": "media_id", "width": "width", "height": "height",
@@ -789,6 +802,875 @@ _suite(
         ("bloom", "j8_runtime_bloom_join", {
             "o_orderpriority": "o_orderpriority", "n_items": "n_items",
             "revenue": "revenue", "verdict": "bloom_filter_injected",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L3 ANN ladder: brute force + int8 + PQ + IVF-PQ in one graded slot
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l3_ann_ladder_suite",
+    doc=(
+        "The ANN ladder in one graded slot: L3 brute-force cosine top-k "
+        "(exact, value-oracled) + L3q int8-quantized KNN (integer-exact "
+        "first pass, full-precision re-rank, measured recall@k) + L3pq "
+        "product-quantization ADC scoring + L3ivfpq the IVF-PQ composite "
+        "(sub-linear candidates AND compressed scoring — the "
+        "billion-scale pair), each with its measured-recall floor "
+        "verdict riding the hash (merged round 5)"
+    ),
+    layout=[
+        ("query_id", "long", "BIGINT"),
+        ("vec_id", "long", "BIGINT"),
+        ("cosine", "double", "DOUBLE"),
+        ("rank", "long", "BIGINT"),
+        ("recall_at_k", "double", "DOUBLE"),
+        ("n_queries", "long", "BIGINT"),
+        ("k", "long", "BIGINT"),
+        ("meets_recall_floor", "int", "INTEGER"),
+    ],
+    arms=[
+        ("brute", "l3_knn_brute_force", {
+            "query_id": "query_id", "vec_id": "vec_id",
+            "cosine": "cosine", "rank": "rank",
+        }),
+        ("int8", "l3q_int8_quantized_knn", {
+            "query_id": "query_id", "vec_id": "vec_id",
+            "cosine": "cosine", "rank": "rank",
+            "recall_at_k": "recall_at_k",
+        }),
+        ("pq", "l3pq_ann", {
+            "n_queries": "n_queries", "k": "k",
+            "meets_recall_floor": "meets_recall_floor",
+        }),
+        ("ivfpq", "l3ivfpq_ann", {
+            "n_queries": "n_queries", "k": "k",
+            "meets_recall_floor": "meets_recall_floor",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# MV1-MV4: all four materialized-view strategies
+# ---------------------------------------------------------------------------
+
+_suite(
+    "mv1_mv4_mv_suite",
+    doc=(
+        "All four MV strategies in one graded slot: MV1 incremental "
+        "aggregate + MV3 delete-aware MIN/MAX (passthrough arms) + MV2 "
+        "exactly-once STREAMING maintenance (real readStream, "
+        "checkpointed) + MV4 approx-distinct via mergeable HLL sketches "
+        "with the tolerance verdict riding the hash (merged round 5)"
+    ),
+    layout=[
+        ("grp", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("v1", "double", "DOUBLE"),
+        ("v2", "double", "DOUBLE"),
+        ("flags_ok", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        (None, "mv1_mv3_incremental_mvs", {
+            "mode": "mode", "grp": "grp", "n_rows": "n_rows",
+            "v1": "v1", "v2": "v2", "flags_ok": "flags_ok",
+        }),
+        ("stream_mv", "mv2_streaming_agg_mv", {
+            "grp": "event_type", "n_rows": "n_rows", "v1": "sum_value",
+        }),
+        ("sketch_mv", "mv4_distinct_sketch_mv", {
+            "grp": "o_orderstatus", "n_rows": "n_exact",
+            "flags_ok": "within_tolerance",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S6 + S10 + S6v: the whole MERGE family
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s6_s10_s6v_merge_suite",
+    doc=(
+        "The MERGE family in one graded slot: S6 bucket-pruned keyed "
+        "upsert + S10 small-file OPTIMIZE into a CAS-committed version "
+        "(closed-form final-table oracle with the file-count-drop "
+        "verdict) + S6v the version-CONDITIONAL merge that proves "
+        "stale-batch writes cannot regress committed rows (merged "
+        "round 5)"
+    ),
+    layout=[
+        ("o_orderkey", "long", "BIGINT"),
+        ("o_custkey", "long", "BIGINT"),
+        ("o_totalprice", "double", "DOUBLE"),
+        ("compacted_fewer_files", "boolean", "BOOLEAN"),
+        ("k", "long", "BIGINT"),
+        ("rev", "long", "BIGINT"),
+        ("val", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("merge_optimize", "s6_s10_merge_compaction", {
+            "o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+            "o_totalprice": "o_totalprice",
+            "compacted_fewer_files": "compacted_fewer_files",
+        }),
+        ("version_gate", "s6v_version_conditional_merge", {
+            "k": "k", "rev": "rev", "val": "val",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# Q5 + Q18: the TPC-H composite pair
+# ---------------------------------------------------------------------------
+
+_suite(
+    "q5_q18_tpch_suite",
+    doc=(
+        "Q5-shape local-supplier-volume (the 6-table snowflake "
+        "gauntlet: region->nation pushed through both supplier and "
+        "customer sides, join cycle closed on nation equality) + "
+        "Q18-shape large-volume-customer (aggregate-as-predicate LEFT "
+        "SEMI self-restriction, deterministic top-100) in one graded "
+        "slot (merged round 5)"
+    ),
+    layout=[
+        ("n_name", "string", "VARCHAR"),
+        ("revenue", "double", "DOUBLE"),
+        ("c_name", "string", "VARCHAR"),
+        ("c_custkey", "long", "BIGINT"),
+        ("o_orderkey", "long", "BIGINT"),
+        ("o_orderdate", "timestamp", "TIMESTAMP"),
+        ("total_price", "double", "DOUBLE"),
+        ("sum_qty", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("q5", "q5_local_supplier_volume", {
+            "n_name": "n_name", "revenue": "revenue",
+        }),
+        ("q18", "q18_large_volume_customer", {
+            "c_name": "c_name", "c_custkey": "c_custkey",
+            "o_orderkey": "o_orderkey", "o_orderdate": "o_orderdate",
+            "total_price": "total_price", "sum_qty": "sum_qty",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# DQ1 + DQ2: declarative expectations + piggyback observation metrics
+# ---------------------------------------------------------------------------
+
+_suite(
+    "dq1_dq2_quality_suite",
+    doc=(
+        "DQ1 declarative expectation suite (single-scan, plan-locked; "
+        "null-rate/range/pattern/set/referential checks with "
+        "per-expectation verdicts) + DQ2 piggyback metrics via "
+        "df.observe riding another job's pass (CollectMetrics node, "
+        "zero extra scans) — standalone and embedded data quality in "
+        "one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("check_name", "string", "VARCHAR"),
+        ("col_name", "string", "VARCHAR"),
+        ("metric", "double", "DOUBLE"),
+        ("threshold", "double", "DOUBLE"),
+        ("passed", "int", "INTEGER"),
+        ("n_rows", "long", "BIGINT"),
+        ("n_big", "long", "BIGINT"),
+        ("total_price", "double", "DOUBLE"),
+        ("from_observation", "boolean", "BOOLEAN"),
+        ("single_scan", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("expectations", "dq1_expectation_suite", {
+            "check_name": "check_name", "col_name": "col_name",
+            "metric": "metric", "threshold": "threshold",
+            "passed": "passed",
+        }),
+        ("observe", "dq2_observe_metrics", {
+            "n_rows": "n_rows", "n_big": "n_big",
+            "total_price": "total_price",
+            "from_observation": "from_observation",
+            "single_scan": "single_scan",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# E6 + E9 + E10 + E11: the streaming join/dedup tier
+# ---------------------------------------------------------------------------
+
+_suite(
+    "e6_e9_e10_e11_stream_join_suite",
+    doc=(
+        "The streaming join/dedup tier in one graded slot, every arm a "
+        "REAL multi-micro-batch stream: E6 stream-stream INNER interval "
+        "join (watermark-bounded state) + E9 the LEFT OUTER variant "
+        "(null-padded unmatched rows emitted only once the watermark "
+        "proves no match can arrive) + E10 dropDuplicatesWithinWatermark "
+        "+ E11 stream-static broadcast enrichment (merged round 5)"
+    ),
+    layout=[
+        ("user_id", "long", "BIGINT"),
+        ("l_event_id", "long", "BIGINT"),
+        ("l_ts", "timestamp", "TIMESTAMP"),
+        ("r_event_id", "long", "BIGINT"),
+        ("r_ts", "timestamp", "TIMESTAMP"),
+        ("r_value", "double", "DOUBLE"),
+        ("event_id", "long", "BIGINT"),
+        ("ts", "timestamp", "TIMESTAMP"),
+        ("event_type", "string", "VARCHAR"),
+        ("value", "double", "DOUBLE"),
+        ("c_mktsegment", "string", "VARCHAR"),
+        ("n_events", "long", "BIGINT"),
+        ("total_value", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("inner_join", "e6_stream_interval_join", {
+            "user_id": "user_id", "l_event_id": "l_event_id",
+            "l_ts": "l_ts", "r_event_id": "r_event_id",
+            "r_ts": "r_ts", "r_value": "r_value",
+        }),
+        ("outer_join", "e9_stream_outer_join", {
+            "user_id": "user_id", "l_event_id": "l_event_id",
+            "l_ts": "l_ts", "r_event_id": "r_event_id",
+            "r_ts": "r_ts", "r_value": "r_value",
+        }),
+        ("wm_dedup", "e10_dedup_within_watermark", {
+            "event_id": "event_id", "ts": "ts", "user_id": "user_id",
+            "event_type": "event_type", "value": "value",
+        }),
+        ("static_enrich", "e11_stream_static_enrich", {
+            "c_mktsegment": "c_mktsegment", "event_type": "event_type",
+            "n_events": "n_events", "total_value": "total_value",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# AN1 + AN2 + PR1: the product-analytics tier
+# ---------------------------------------------------------------------------
+
+_suite(
+    "an1_an2_pr1_analytics_suite",
+    doc=(
+        "AN1 funnel analysis (ordered-step timestamps per user, depth "
+        "from step presence) + AN2 cohort retention matrix (first-seen "
+        "cohort x periods-since, retention ratios) + PR1 one-scan table "
+        "profiling (per-column nulls/distincts/min/max in a single "
+        "pass) — the product-analytics tier in one graded slot (merged "
+        "round 5)"
+    ),
+    layout=[
+        ("user_id", "long", "BIGINT"),
+        ("t_view", "timestamp", "TIMESTAMP"),
+        ("t_click", "timestamp", "TIMESTAMP"),
+        ("t_purchase", "timestamp", "TIMESTAMP"),
+        ("funnel_depth", "int", "INTEGER"),
+        ("cohort", "timestamp", "TIMESTAMP"),
+        ("periods_since", "int", "INTEGER"),
+        ("n_active", "long", "BIGINT"),
+        ("cohort_size", "long", "BIGINT"),
+        ("retention", "double", "DOUBLE"),
+        ("col_name", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("n_nulls", "long", "BIGINT"),
+        ("n_distinct", "long", "BIGINT"),
+        ("min_value", "string", "VARCHAR"),
+        ("max_value", "string", "VARCHAR"),
+    ],
+    arms=[
+        ("funnel", "an1_funnel_steps", {
+            "user_id": "user_id", "t_view": "t_view",
+            "t_click": "t_click", "t_purchase": "t_purchase",
+            "funnel_depth": "funnel_depth",
+        }),
+        ("cohort", "an2_cohort_retention", {
+            "cohort": "cohort", "periods_since": "periods_since",
+            "n_active": "n_active", "cohort_size": "cohort_size",
+            "retention": "retention",
+        }),
+        ("profile", "pr1_table_profile", {
+            "col_name": "col_name", "n_rows": "n_rows",
+            "n_nulls": "n_nulls", "n_distinct": "n_distinct",
+            "min_value": "min_value", "max_value": "max_value",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S12 + S20 + S26 + S27: schema governance (evolution, constraints, specs)
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s12_s20_s26_s27_governance_suite",
+    doc=(
+        "Schema-governance tier in one graded slot: S12 log-tracked "
+        "schema evolution (old snapshots read through the merged "
+        "schema) + S20 CHECK constraints (bad batch rejected "
+        "atomically, constraint inherited by later merges) + S26 "
+        "partition-spec evolution + S27 column-mapping rename (both "
+        "zero-copy metadata commits, passthrough) (merged round 5)"
+    ),
+    layout=[
+        ("status_slot", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("sum_price", "double", "DOUBLE"),
+        ("v0_n_cols", "long", "BIGINT"),
+        ("o_orderstatus", "string", "VARCHAR"),
+        ("bad_batch_rejected", "boolean", "BOOLEAN"),
+        ("rejection_atomic", "boolean", "BOOLEAN"),
+        ("constraint_inherited", "boolean", "BOOLEAN"),
+        ("status", "string", "VARCHAR"),
+        ("metric", "double", "DOUBLE"),
+        ("zero_copy", "boolean", "BOOLEAN"),
+        ("semantics_ok", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("evolution", "s12_schema_evolution", {
+            "status_slot": "status_slot", "n_rows": "n_rows",
+            "sum_price": "sum_price", "v0_n_cols": "v0_n_cols",
+        }),
+        ("constraints", "s20_check_constraints", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price",
+            "bad_batch_rejected": "bad_batch_rejected",
+            "rejection_atomic": "rejection_atomic",
+            "constraint_inherited": "constraint_inherited",
+        }),
+        (None, "s26_s27_metadata_ops", {
+            "mode": "op", "status": "status", "n_rows": "n_rows",
+            "metric": "metric", "zero_copy": "zero_copy",
+            "semantics_ok": "semantics_ok",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S21 + S28: the commit-log operational pair
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s21_s28_log_metadata_suite",
+    doc=(
+        "S21 commit-log checkpoints + compaction (111-version table, "
+        "bounded history reads) + S28 queryable metadata tables "
+        "(history + live-files relations as DataFrames, retention "
+        "visibility included) — the commit log written and read back "
+        "as a table, one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("n_versions", "long", "BIGINT"),
+        ("n_checkpoints", "long", "BIGINT"),
+        ("n_entry_files", "long", "BIGINT"),
+        ("live_rows", "long", "BIGINT"),
+        ("content_ok", "int", "INTEGER"),
+        ("version", "long", "BIGINT"),
+        ("op", "string", "VARCHAR"),
+        ("available", "boolean", "BOOLEAN"),
+        ("n_rows", "long", "BIGINT"),
+        ("files_listed", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("checkpoints", "s21_log_checkpoint", {
+            "n_versions": "n_versions", "n_checkpoints": "n_checkpoints",
+            "n_entry_files": "n_entry_files", "live_rows": "live_rows",
+            "content_ok": "content_ok",
+        }),
+        ("metadata_tables", "s28_metadata_tables", {
+            "version": "version", "op": "op", "available": "available",
+            "n_rows": "n_rows", "files_listed": "files_listed",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# X1-X9 + P5: the COMPLETE scalar-function surface in one slot
+# ---------------------------------------------------------------------------
+
+_suite(
+    "x1_x9_p5_scalar_suite",
+    doc=(
+        "The complete scalar surface in one graded slot: X1 string + X5 "
+        "JSON (passthrough of the round-4 pair) + the round-5 "
+        "x2_x8_p5 suite (X2 date / X3 math / X4 array HOFs / X6 CASE / "
+        "X7 VARIANT / X8 collation / P5 unpivot, passthrough) + X9 map "
+        "functions (merged round 5b)"
+    ),
+    layout=(
+        [
+            ("event_id", "long", "BIGINT"),
+            ("type_upper", "string", "VARCHAR"),
+            ("type_lower", "string", "VARCHAR"),
+            ("props_prefix", "string", "VARCHAR"),
+            ("props_len", "int", "INTEGER"),
+            ("type_user", "string", "VARCHAR"),
+            ("trimmed", "string", "VARCHAR"),
+            ("n_quote_splits", "int", "INTEGER"),
+            ("first_number", "string", "VARCHAR"),
+            ("type_dashed", "string", "VARCHAR"),
+            ("k_val", "int", "INTEGER"),
+            ("k_mod10", "int", "INTEGER"),
+            ("missing_val", "string", "VARCHAR"),
+            ("k", "long", "BIGINT"),
+        ]
+        + [(c, st, dt) for c, st, dt in _XA_COLS]
+        + [(c, st, dt) for c, st, dt in _XB_COLS]
+        + [
+            ("str_key", "string", "VARCHAR"),
+            ("n_events", "long", "BIGINT"),
+            ("sum_k", "long", "BIGINT"),
+            ("max_k", "long", "BIGINT"),
+            ("n_missing", "long", "BIGINT"),
+            ("n_customers", "long", "BIGINT"),
+            ("n_building_ci", "long", "BIGINT"),
+            ("val", "double", "DOUBLE"),
+            ("n_statuses", "long", "BIGINT"),
+            ("open_cnt", "long", "BIGINT"),
+            ("n_big_statuses", "long", "BIGINT"),
+            ("f_avg_price", "double", "DOUBLE"),
+        ]
+    ),
+    arms=[
+        ("string_json", "x1_x5_string_json_funcs", {
+            "event_id": "event_id", "type_upper": "type_upper",
+            "type_lower": "type_lower", "props_prefix": "props_prefix",
+            "props_len": "props_len", "type_user": "type_user",
+            "trimmed": "trimmed", "n_quote_splits": "n_quote_splits",
+            "first_number": "first_number", "type_dashed": "type_dashed",
+            "k_val": "k_val", "k_mod10": "k_mod10",
+            "missing_val": "missing_val",
+        }),
+        (None, "x2_x8_p5_scalar_suite", dict(
+            {"mode": "mode", "k": "k", "str_key": "str_key",
+             "n_events": "n_events", "sum_k": "sum_k", "max_k": "max_k",
+             "n_missing": "n_missing", "n_customers": "n_customers",
+             "n_building_ci": "n_building_ci", "val": "val"},
+            **{c: c for c, _, _ in _XA_COLS},
+            **{c: c for c, _, _ in _XB_COLS},
+        )),
+        ("maps", "x9_map_functions", {
+            "str_key": "c_mktsegment", "n_statuses": "n_statuses",
+            "open_cnt": "open_cnt", "n_big_statuses": "n_big_statuses",
+            "f_avg_price": "f_avg_price",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# E1-E4 + E7: the windowed/watermark streaming tier
+# ---------------------------------------------------------------------------
+
+_suite(
+    "e1_e4_e7_stream_window_suite",
+    doc=(
+        "The windowed streaming tier in one graded slot, every arm a "
+        "real stream: E1 tumbling windows + E3 session windows "
+        "(passthrough) + E2 watermarked late-data drop + E4 streaming "
+        "dedup (passthrough, one chained real stream) + E7 streaming "
+        "MERGE ingest into the lakehouse table, exactly-once across "
+        "micro-batches (merged round 5)"
+    ),
+    layout=[
+        ("window_start", "timestamp", "TIMESTAMP"),
+        ("window_end", "timestamp", "TIMESTAMP"),
+        ("grp", "string", "VARCHAR"),
+        ("n_events", "long", "BIGINT"),
+        ("total_value", "double", "DOUBLE"),
+        ("sum_value", "double", "DOUBLE"),
+    ],
+    arms=[
+        (None, "e1_e3_windowed_session_agg", {
+            "mode": "kind", "window_start": "window_start",
+            "window_end": "window_end", "grp": "grp",
+            "n_events": "n_events", "total_value": "total_value",
+        }),
+        ("wm_dedup_agg", "e2_e4_stream_dedup_agg", {
+            "window_start": "window_start", "window_end": "window_end",
+            "grp": "event_type", "n_events": "n_events",
+            "total_value": "total_value",
+        }),
+        ("merge_ingest", "e7_stream_merge_ingest", {
+            "grp": "event_type", "n_events": "n_rows",
+            "sum_value": "sum_value",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L5 sampling tier: quota / stratified / weighted / mixture / split
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l5_sampling_suite",
+    doc=(
+        "The corpus-sampling tier in one graded slot: L5 per-language "
+        "QUOTA sampling (deterministic hash ranks) + stratified "
+        "sampling (per-(lang,source) buckets) + importance-WEIGHTED "
+        "sampling (char-length gates) + token-budget MIXTURE "
+        "(per-language cumulative token caps) + the LEAKAGE-FREE "
+        "train/test split (duplicates co-locate by content hash) "
+        "(merged round 5)"
+    ),
+    layout=[
+        ("doc_id", "long", "BIGINT"),
+        ("lang", "string", "VARCHAR"),
+        ("source", "string", "VARCHAR"),
+        ("sample_bucket", "long", "BIGINT"),
+        ("n_chars", "long", "BIGINT"),
+        ("keep_gate", "int", "INTEGER"),
+        ("n_tokens", "long", "BIGINT"),
+        ("cum_tokens", "long", "BIGINT"),
+        ("split", "string", "VARCHAR"),
+        ("n_docs", "long", "BIGINT"),
+        ("n_buckets", "long", "BIGINT"),
+    ],
+    arms=[
+        ("quota", "l5_quota_sample", {
+            "doc_id": "doc_id", "lang": "lang",
+        }),
+        ("stratified", "l5_stratified_sample", {
+            "doc_id": "doc_id", "lang": "lang", "source": "source",
+            "sample_bucket": "sample_bucket",
+        }),
+        ("weighted", "l5_weighted_sample", {
+            "doc_id": "doc_id", "lang": "lang", "n_chars": "n_chars",
+            "sample_bucket": "sample_bucket", "keep_gate": "keep_gate",
+        }),
+        ("mixture", "l5_token_mixture", {
+            "doc_id": "doc_id", "lang": "lang", "n_tokens": "n_tokens",
+            "cum_tokens": "cum_tokens",
+        }),
+        ("split", "l5n_leakage_free_split", {
+            "split": "split", "lang": "lang", "n_docs": "n_docs",
+            "n_buckets": "n_buckets",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L5 text-ops tier: pack / PII / vocab / boilerplate / TF-IDF /
+# repetition / chunking
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l5_text_ops_suite",
+    doc=(
+        "The corpus text-ops tier in one graded slot: sequence PACKING "
+        "(greedy token-budget bins) + PII redaction (email/IPv4/phone "
+        "regex counts) + vocabulary top-k + boilerplate n-gram "
+        "detection (document-frequency fractions) + TF-IDF keywords + "
+        "repetition scoring (duplicate-shingle fraction) + document "
+        "CHUNKING (fixed token windows) (merged round 5)"
+    ),
+    layout=[
+        ("doc_id", "long", "BIGINT"),
+        ("lang", "string", "VARCHAR"),
+        ("n_tokens", "long", "BIGINT"),
+        ("pack_id", "long", "BIGINT"),
+        ("pack_offset", "long", "BIGINT"),
+        ("redacted", "string", "VARCHAR"),
+        ("n_email", "long", "BIGINT"),
+        ("n_ipv4", "long", "BIGINT"),
+        ("n_phone", "long", "BIGINT"),
+        ("rank", "long", "BIGINT"),
+        ("term", "string", "VARCHAR"),
+        ("n_occurrences", "long", "BIGINT"),
+        ("doc_freq", "long", "BIGINT"),
+        ("shingle", "string", "VARCHAR"),
+        ("n_docs", "long", "BIGINT"),
+        ("df_frac", "double", "DOUBLE"),
+        ("tf", "long", "BIGINT"),
+        ("tfidf", "double", "DOUBLE"),
+        ("n_shingles", "long", "BIGINT"),
+        ("dup_shingle_frac", "double", "DOUBLE"),
+        ("flagged_repetitive", "int", "INTEGER"),
+        ("chunk_id", "long", "BIGINT"),
+        ("n_chunk_tokens", "long", "BIGINT"),
+        ("chunk_text", "string", "VARCHAR"),
+    ],
+    arms=[
+        ("pack", "l5_pack_sequences", {
+            "doc_id": "doc_id", "lang": "lang", "n_tokens": "n_tokens",
+            "pack_id": "pack_id", "pack_offset": "pack_offset",
+        }),
+        ("pii", "l5_pii_redact", {
+            "doc_id": "doc_id", "redacted": "redacted",
+            "n_email": "n_email", "n_ipv4": "n_ipv4", "n_phone": "n_phone",
+        }),
+        ("vocab", "l5_vocab_topk", {
+            "rank": "rank", "term": "term",
+            "n_occurrences": "n_occurrences", "doc_freq": "doc_freq",
+        }),
+        ("boilerplate", "l5_boilerplate_ngrams", {
+            "shingle": "shingle", "doc_freq": "doc_freq",
+            "n_docs": "n_docs", "df_frac": "df_frac",
+        }),
+        ("tfidf", "l5_tfidf_keywords", {
+            "doc_id": "doc_id", "term": "term", "tf": "tf",
+            "doc_freq": "doc_freq", "tfidf": "tfidf", "rank": "rank",
+        }),
+        ("repetition", "l5_repetition_score", {
+            "doc_id": "doc_id", "n_tokens": "n_tokens",
+            "n_shingles": "n_shingles",
+            "dup_shingle_frac": "dup_shingle_frac",
+            "flagged_repetitive": "flagged_repetitive",
+        }),
+        ("chunk", "l5_doc_chunking", {
+            "doc_id": "doc_id", "chunk_id": "chunk_id",
+            "n_chunk_tokens": "n_chunk_tokens", "chunk_text": "chunk_text",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L1/T3 exact dedup + L2g transitive dedup groups
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l1_t3_l2g_dedup_suite",
+    doc=(
+        "L1/T3 exact dedup (normalized-hash identity, min-key survivor "
+        "per key — passthrough of the round-4 pair) + L2g TRANSITIVE "
+        "dedup groups via distributed connected components (min-label "
+        "propagation, one join per round) in one graded slot (merged "
+        "round 5)"
+    ),
+    layout=[
+        ("dkey", "string", "VARCHAR"),
+        ("keep_id", "long", "BIGINT"),
+        ("doc_id", "long", "BIGINT"),
+        ("group_id", "long", "BIGINT"),
+        ("group_size", "long", "BIGINT"),
+    ],
+    arms=[
+        (None, "l1_t3_exact_key_dedup", {
+            "mode": "kind", "dkey": "dkey", "keep_id": "keep_id",
+        }),
+        ("groups", "l2_dedup_groups", {
+            "doc_id": "doc_id", "group_id": "group_id",
+            "group_size": "group_size",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# R1 batch + R1s streaming: both directions of the paginated source
+# ---------------------------------------------------------------------------
+
+_suite(
+    "r1_r1s_source_suite",
+    doc=(
+        "The reference's paginated wallet source BOTH ways in one "
+        "graded slot: R1 the batch Python DataSource (filter pushdown, "
+        "sorted pages, error-as-empty, Arrow RecordBatch read path) + "
+        "R1s the STREAMING DataSource (per-wallet page offsets, "
+        "exactly-once across a two-pass incremental run, verdicts "
+        "riding the hash) (merged round 5)"
+    ),
+    layout=[
+        ("wallet_address", "string", "VARCHAR"),
+        ("n_txs", "long", "BIGINT"),
+        ("total_quantity", "double", "DOUBLE"),
+        ("total_value", "long", "BIGINT"),
+        ("first_batch_partial", "boolean", "BOOLEAN"),
+        ("second_batch_incremental", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("batch", "r1_paginated_source", {
+            "wallet_address": "wallet_address", "n_txs": "n_txs",
+            "total_quantity": "total_quantity",
+        }),
+        ("stream", "r1s_streaming_source", {
+            "wallet_address": "wallet_address", "n_txs": "n_txs",
+            "total_value": "total_value",
+            "first_batch_partial": "first_batch_partial",
+            "second_batch_incremental": "second_batch_incremental",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# L4 doc profile + L7 LM perplexity: the text-scoring pair
+# ---------------------------------------------------------------------------
+
+_suite(
+    "l4_l7_text_scoring_suite",
+    doc=(
+        "L4 document profiling (language-ID n-gram heuristic, token "
+        "counts, punctuation/stopword quality ratios, rolling-hash "
+        "fingerprint) + L7 bigram-LM perplexity (CCNet-style quality "
+        "signal, half-corpus-trained, broadcast model joins) — the "
+        "text-scoring pair in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("doc_id", "long", "BIGINT"),
+        ("labeled_lang", "string", "VARCHAR"),
+        ("predicted_lang", "string", "VARCHAR"),
+        ("n_chars", "long", "BIGINT"),
+        ("n_ws_tokens", "long", "BIGINT"),
+        ("n_re_tokens", "long", "BIGINT"),
+        ("n_punct", "long", "BIGINT"),
+        ("punct_ratio", "double", "DOUBLE"),
+        ("stopword_ratio", "double", "DOUBLE"),
+        ("passes_quality", "int", "INTEGER"),
+        ("fingerprint", "string", "VARCHAR"),
+        ("n_bigrams", "long", "BIGINT"),
+        ("nll", "double", "DOUBLE"),
+        ("ppl", "double", "DOUBLE"),
+    ],
+    arms=[
+        ("profile", "l4_doc_profile", {
+            "doc_id": "doc_id", "labeled_lang": "labeled_lang",
+            "predicted_lang": "predicted_lang", "n_chars": "n_chars",
+            "n_ws_tokens": "n_ws_tokens", "n_re_tokens": "n_re_tokens",
+            "n_punct": "n_punct", "punct_ratio": "punct_ratio",
+            "stopword_ratio": "stopword_ratio",
+            "passes_quality": "passes_quality",
+            "fingerprint": "fingerprint",
+        }),
+        ("perplexity", "l7_lm_perplexity", {
+            "doc_id": "doc_id", "n_bigrams": "n_bigrams",
+            "nll": "nll", "ppl": "ppl",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# J6 as-of join + TS1/TS2 resample: the temporal tier
+# ---------------------------------------------------------------------------
+
+_suite(
+    "j6_ts1_ts2_temporal_suite",
+    doc=(
+        "J6 as-of join (latest-state-no-later-than, the time-series "
+        "enrichment primitive) + TS1 hypertable resample with "
+        "forward-fill gap grid + TS2 OHLC candles (min_by/max_by "
+        "argmin, tie-deterministic) — the temporal tier in one graded "
+        "slot (merged round 5)"
+    ),
+    layout=[
+        ("event_id", "long", "BIGINT"),
+        ("user_id", "long", "BIGINT"),
+        ("ts", "timestamp", "TIMESTAMP"),
+        ("value", "double", "DOUBLE"),
+        ("asof_event_id", "long", "BIGINT"),
+        ("asof_ts", "timestamp", "TIMESTAMP"),
+        ("asof_value", "double", "DOUBLE"),
+        ("bucket_start", "long", "BIGINT"),
+        ("is_gap", "int", "INTEGER"),
+        ("open", "double", "DOUBLE"),
+        ("high", "double", "DOUBLE"),
+        ("low", "double", "DOUBLE"),
+        ("close", "double", "DOUBLE"),
+        ("n_events", "long", "BIGINT"),
+    ],
+    arms=[
+        ("asof", "j6_asof_join", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "asof_event_id": "asof_event_id",
+            "asof_ts": "asof_ts", "asof_value": "asof_value",
+        }),
+        (None, "ts1_ts2_timeseries_suite", {
+            "mode": "mode", "user_id": "user_id",
+            "bucket_start": "bucket_start", "value": "value",
+            "is_gap": "is_gap",
+            "open": ("`open`", "open"), "high": "high", "low": "low",
+            "close": ("`close`", "close"), "n_events": "n_events",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S1-S3/S7 scan round-trip + S22 per-table codec control
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s1_s7_s22_scan_codec_suite",
+    doc=(
+        "S1-S3 parquet/JSON/CSV + S7 ORC scan round-trips (passthrough "
+        "fmt arms) + S22 per-table compression-codec control (snappy/"
+        "gzip/zstd writes, size ordering verified, content "
+        "codec-invariant) in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("fmt", "string", "VARCHAR"),
+        ("grp", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("total", "double", "DOUBLE"),
+        ("o_orderstatus", "string", "VARCHAR"),
+        ("sum_price", "double", "DOUBLE"),
+        ("codec_verified", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        (None, "s1_s2_s3_s7_scan_roundtrip", {
+            "mode": "fmt", "fmt": "fmt", "grp": "grp",
+            "n_rows": "n_rows", "total": "total",
+        }),
+        (None, "s22_codec_control", {
+            "mode": "'codec_' || fmt", "fmt": "fmt",
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price", "codec_verified": "codec_verified",
+        }),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# S15/S18 MoR + S10b incremental compaction
+# ---------------------------------------------------------------------------
+
+_suite(
+    "s15_s18_s10b_mor_maintenance_suite",
+    doc=(
+        "S15 MoR DELETE + S18 MoR UPSERT (hard-link zero-rewrite "
+        "commits, inode-checked — passthrough) + S10b INCREMENTAL "
+        "OPTIMIZE (already-compacted files re-linked untouched, only "
+        "the small tail rewritten) — write-optimized commits and their "
+        "maintenance in one graded slot (merged round 5)"
+    ),
+    layout=[
+        ("o_orderstatus", "string", "VARCHAR"),
+        ("n_rows", "long", "BIGINT"),
+        ("sum_price", "double", "DOUBLE"),
+        ("zero_rewrite_upserts", "boolean", "BOOLEAN"),
+        ("zero_rewrite_delete", "boolean", "BOOLEAN"),
+        ("large_files_linked", "boolean", "BOOLEAN"),
+        ("small_tail_packed", "boolean", "BOOLEAN"),
+    ],
+    arms=[
+        ("mor", "s15_s18_mor_upsert_delete", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price",
+            "zero_rewrite_upserts": "zero_rewrite_upserts",
+            "zero_rewrite_delete": "zero_rewrite_delete",
+        }),
+        ("incremental_optimize", "s10b_incremental_compaction", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price",
+            "large_files_linked": "large_files_linked",
+            "small_tail_packed": "small_tail_packed",
         }),
     ],
 )

@@ -38,27 +38,30 @@ def test_graded_window_is_pinned():
     # every promoted operator is inside the window (round-2/3 coverage
     # now rides the round-5 merged suites; round-4 tier promoted r5)
     promoted = {
-        # round-5 merged suites carrying earlier graded coverage
+        # round-5 merged suites carrying (and widening) graded coverage
         "j1_j5_join_suite", "a1_a4_agg_suite",
-        "t1_t2_o1_o2_set_sort_suite", "x2_x8_p5_scalar_suite",
-        "m1_m6_media_decode_suite", "u1_u5_python_fn_suite",
-        "l2_dedup_suite", "l5_l6_curation_suite",
-        "a5_a6_advanced_agg_suite", "e5_e8_stateful_stream_suite",
-        "ts1_ts2_timeseries_suite", "s9_s19_s23_s25_lifecycle_suite",
-        "ml1_ml2_ml3_suite", "g2_g4_graph_suite",
+        "t1_t2_o1_o2_set_sort_suite", "l1_t3_l2g_dedup_suite",
+        "x1_x9_p5_scalar_suite", "s1_s7_s22_scan_codec_suite",
+        "s6_s10_s6v_merge_suite", "q_sql_suite",
+        "e1_e4_e7_stream_window_suite", "m1_m6_media_decode_suite",
+        "u1_u5_python_fn_suite", "l2_dedup_suite",
+        "l3_ann_ladder_suite", "l4_l7_text_scoring_suite",
+        "l5_l6_curation_suite", "l5_sampling_suite", "l5_text_ops_suite",
+        "j6_ts1_ts2_temporal_suite", "a5_a6_advanced_agg_suite",
+        "e5_e8_stateful_stream_suite", "e6_e9_e10_e11_stream_join_suite",
+        "s9_s19_s23_s25_lifecycle_suite", "mv1_mv4_mv_suite",
+        "s13_s14_s16_skipping_suite", "ml1_ml2_ml3_suite",
+        "s15_s18_s10b_mor_maintenance_suite", "q5_q18_tpch_suite",
+        "s21_s28_log_metadata_suite", "r1_r1s_source_suite",
+        "s12_s20_s26_s27_governance_suite", "g2_g4_graph_suite",
+        "j7_j8_runtime_filter_suite", "dq1_dq2_quality_suite",
+        "an1_an2_pr1_analytics_suite",
         # singles that must not lose coverage
-        "j6_asof_join", "s8_bucketed_join",
-        "s11_merge_cdc", "mv1_mv3_incremental_mvs",
-        "s13_s14_s16_skipping_suite", "s15_s18_mor_upsert_delete",
-        "s17_change_data_feed", "l7_lm_perplexity",
-        "s6v_version_conditional_merge", "s21_log_checkpoint",
-        "r1_paginated_source", "sk_salted_join", "s26_s27_metadata_ops",
-        # round-5 promotions (VERDICT r4 'Next round' #1)
-        "mv5_join_mv", "j7_j8_runtime_filter_suite",
-        "l8_winnowing_overlap",
-        "dq1_expectation_suite", "er1_record_linkage",
-        "r10_export_sink", "r1s_continuous_pipeline",
-        # round-5 optimizer surface (VERDICT r4 missing #2/#3)
-        "q_sql_suite", "cbo_stats_broadcast",
+        "j6_ts1_ts2_temporal_suite", "s8_bucketed_join", "s11_merge_cdc",
+        "s17_change_data_feed", "sk_salted_join", "mv5_join_mv",
+        "cbo_stats_broadcast", "l8_winnowing_overlap",
+        "er1_record_linkage", "r10_export_sink",
+        "r1s_continuous_pipeline", "entry_flagship",
+        "r5_r7_wallet_pipeline", "s4_s5_atomic_partitioned",
     }
     assert promoted <= set(GRADED_PREFIX)
