@@ -1689,3 +1689,92 @@ def decode_jpeg_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(decode, schema=_JPEG_PIXEL_SCHEMA)
+
+
+#: standard luminance quantization table (JPEG Annex K.1), natural order
+_JPEG_STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def jpeg_encode_gray(pixels, quality: int = 85) -> bytes:
+    """FULL baseline JPEG encoder (the DC-only fixture's big sibling):
+    forward 2D DCT per 8x8 block, libjpeg-style quality scaling of the
+    Annex-K luminance table, zigzag, DC differential + AC run-length
+    coding (ZRL/EOB) under fixed canonical Huffman tables emitted in
+    the file's own DHT (DC categories at 4 bits, all 162 AC symbols at
+    8 bits — valid, deliberately simple). Grayscale, 8-bit,
+    dimensions padded to block multiples by edge replication.
+    Round-trip + foreign-decoder validation in tests/test_media.py."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(px, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+    # quality-scaled quantization table (libjpeg jpeg_quality_scaling)
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qtab = np.clip((np.asarray(_JPEG_STD_LUMA_Q) * scale + 50) // 100, 1, 255).astype(np.int64)
+    u = np.arange(8)
+    m = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
+    m[:, 0] /= np.sqrt(2.0)
+
+    out = bytearray(b"\xff\xd8")
+    zz = _JPEG_ZIGZAG
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(int(qtab[n]) for n in zz)
+    # DC table: categories 0..11 at 4 bits
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 12, 0x00)
+    out += bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    # AC table: EOB, ZRL and every (run 0-15, size 1-10) symbol at 8 bits
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | sz for r in range(16) for sz in range(1, 11)
+    ]
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(ac_syms), 0x10)
+    out += bytes([0] * 7 + [len(ac_syms)] + [0] * 8) + bytes(ac_syms)
+    ac_code = {sym: i for i, sym in enumerate(ac_syms)}  # canonical 8-bit
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    bw = _JBitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            F_ = m.T @ block @ m
+            coeffs = np.round(F_.reshape(64) / qtab).astype(np.int64)
+            zzc = [int(coeffs[n]) for n in zz]
+            diff = zzc[0] - prev_dc
+            prev_dc = zzc[0]
+            s = diff.bit_length() if diff else 0
+            bw.write(s, 4)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zzc[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zzc[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    bw.write(ac_code[0xF0], 8)  # ZRL
+                    run -= 16
+                sz = abs(v).bit_length()
+                bw.write(ac_code[(run << 4) | sz], 8)
+                bw.write(v if v > 0 else v + (1 << sz) - 1, sz)
+                run = 0
+            if last_nz < 63:
+                bw.write(ac_code[0x00], 8)  # EOB
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

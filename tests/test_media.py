@@ -657,3 +657,74 @@ public class EncodeJpgColor {
     assert diff.max() <= 10
     assert diff.mean() <= 1.0
     assert np.percentile(diff, 99) <= 3
+
+
+def test_jpeg_full_ac_encoder_roundtrip_within_quantization():
+    """The full-AC encoder (forward DCT, quality-scaled Annex-K
+    quantization, run-length + canonical Huffman AC coding): decoding
+    our own q=85 encode of a noisy gradient must land within the
+    quantization error envelope — and padding to block multiples must
+    preserve the true dimensions."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import (
+        decode_jpeg_bytes,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:44, 0:52]  # non-multiples of 8: edge padding path
+    img = np.clip(2.5 * x + 1.5 * y + rng.normal(0, 6, (44, 52)), 0, 255).astype(np.uint8)
+    w, h, back = decode_jpeg_bytes(jpeg_encode_gray(img, quality=85))
+    assert (w, h) == (52, 44)
+    diff = np.abs(back.astype(int) - img.astype(int))
+    assert diff.mean() < 6
+    assert diff.max() <= 40
+
+
+def test_jpeg_full_ac_bitstream_decodes_in_java_imageio(javac, tmp_path):
+    """Foreign-decoder check on the FULL-AC bitstream (run-length AC
+    symbols, ZRL, EOB, in-file canonical tables): ImageIO's decode of
+    our encoder's output must match our own decode within the +-1 IDCT
+    rounding bound."""
+    import subprocess
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import (
+        decode_jpeg_bytes,
+        jpeg_encode_gray,
+    )
+
+    (tmp_path / "DecodeGray.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.*;
+import java.io.File;
+public class DecodeGray {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    Raster r = img.getRaster();
+    System.out.println(img.getWidth() + " " + img.getHeight());
+    for (int y = 0; y < img.getHeight(); y++)
+      for (int x = 0; x < img.getWidth(); x++)
+        System.out.println(r.getSample(x, y, 0));
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "DecodeGray.java"], cwd=tmp_path, check=True)
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:40, 0:48]
+    img = np.clip(3 * x + 2 * y + rng.normal(0, 8, (40, 48)), 0, 255).astype(np.uint8)
+    p = tmp_path / "fullac.jpg"
+    p.write_bytes(jpeg_encode_gray(img, quality=90))
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "DecodeGray", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    jw, jh = int(out[0]), int(out[1])
+    java_px = np.array([int(v) for v in out[2:]]).reshape(jh, jw)
+    w, h, ours = decode_jpeg_bytes(p.read_bytes())
+    assert (w, h) == (jw, jh)
+    assert np.abs(ours.astype(int) - java_px).max() <= 1
