@@ -236,6 +236,12 @@ class WalletExportReader(DataSourceReader):
             partition.path,
             convert_options=pacsv.ConvertOptions(
                 column_types={c: pa.string() for c in header},
+                # ONLY the writer's empty-field encoding maps back to
+                # null: pyarrow's default null_values would silently
+                # nullify literal data like "NULL"/"nan"/"N/A", which
+                # the writer emits verbatim for real string values
+                # (round-trip fidelity, ADVICE r5).
+                null_values=[""],
                 strings_can_be_null=True,
             ),
         )

@@ -1396,6 +1396,10 @@ class _JBitReader:
             return False
         byte = b[self.pos]
         if byte == 0xFF:
+            # a run of 0xFF bytes before a marker is legal fill
+            # (ITU T.81 B.1.1.2): collapse it to the final FF + code
+            while self.pos + 1 < len(b) and b[self.pos + 1] == 0xFF:
+                self.pos += 1
             nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
@@ -1410,7 +1414,12 @@ class _JBitReader:
 
     def bit(self) -> int:
         if self.nbits == 0 and not self._fill():
-            return 0  # spec: pad reads past the end with 0 is harmless
+            # A well-formed scan never needs bits past its entropy
+            # segment (padding bits live inside the final data byte),
+            # so a stall means truncation or a misplaced marker —
+            # error out instead of decoding garbage silently.
+            at = f"marker FF{self.marker:02X}" if self.marker is not None else "end of data"
+            raise ValueError(f"JPEG entropy stream stalled at {at} mid-scan")
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
