@@ -381,3 +381,188 @@ _Q21_SQL = """
 def q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the Spark 4 SQL-language surface — pipe syntax, SQL UDFs,
+# SQL scripting, parameterized SQL. The reference exposes its pipeline
+# only as code (walletDataConsumer.py); a warehouse user of this
+# engine reaches it through SQL, so each dialect feature gets a
+# differential entry whose oracle is the equivalent ANSI text.
+# ---------------------------------------------------------------------------
+
+#: QP — the identical TPC-H-Q1-shape aggregate in Spark's SQL PIPE
+#: syntax (`FROM ... |> WHERE ... |> AGGREGATE ... GROUP BY`). The
+#: oracle states the same query as ANSI text; parity proves the pipe
+#: parser lowers to the exact relational plan the ANSI form produces.
+#: avg is computed as exact-decimal sum over count so both engines
+#: divide identical IEEE operands (no decimal-AVG scale divergence).
+_QP_PIPE_SPARK = """
+    FROM lineitem
+    |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    |> AGGREGATE
+         CAST(count(*) AS BIGINT) AS count_order,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc
+       GROUP BY l_returnflag, l_linestatus
+"""
+
+_QP_ANSI_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS count_order,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "qp_pipe_syntax",
+    oracle=_QP_ANSI_ORACLE,
+    doc=(
+        "QP — Spark 4 SQL pipe syntax: the TPC-H-Q1 pricing summary written as "
+        "`FROM lineitem |> WHERE ... |> AGGREGATE ... GROUP BY ...` through "
+        "spark.sql, oracled against the equivalent ANSI text in DuckDB. Proves "
+        "the pipe dialect lowers to the same relational semantics (filter -> "
+        "partial/final hash aggregate) as the ANSI form; all money sums are "
+        "exact-decimal before the double boundary"
+    ),
+)
+def qp_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QP_PIPE_SPARK)
+
+
+@register(
+    "qf_sql_udf",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+                WHEN l_extendedprice < 40000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS disc_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc=(
+        "QF — SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ... RETURN "
+        "expr`): disc_price (exact-decimal discounted price) and price_band "
+        "(CASE banding), composed in one aggregate with the band function in "
+        "GROUP BY. Catalyst inlines SQL UDFs at analysis time, so the physical "
+        "plan is pure codegen expressions — no Python, no UDF call (locked in "
+        "tests/test_plans.py); the oracle is the hand-inlined ANSI equivalent"
+    ),
+)
+def qf_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(ep DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38,12) RETURN CAST(ep AS DECIMAL(18,6)) * CAST(1 - d AS DECIMAL(18,6))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p < 10000 THEN 'low' WHEN p < 40000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE), 4) AS disc_total
+        FROM lineitem
+        GROUP BY price_band(l_extendedprice)
+        """
+    )
+
+
+#: QS — SQL scripting (Spark 4 BEGIN/DECLARE/SET compound): session
+#: variables computed by scalar subqueries feed a final aggregate.
+#: cutoff stays UNROUNDED where it is compared (identical IEEE double
+#: on both engines: exact-decimal sum cast to double, divided by the
+#: same count) and is rounded only at the output boundary.
+_QS_SCRIPT = """
+    BEGIN
+      DECLARE cutoff DOUBLE DEFAULT 0.0;
+      DECLARE n_above_total BIGINT DEFAULT 0;
+      SET cutoff = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                    FROM orders);
+      SET n_above_total = (SELECT count(*) FROM orders WHERE o_totalprice > cutoff);
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN o_totalprice > cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             ROUND(cutoff, 4) AS cutoff,
+             n_above_total
+      FROM orders
+      GROUP BY o_orderpriority;
+    END
+"""
+
+
+@register(
+    "qs_sql_scripting",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS cutoff
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > (SELECT cutoff FROM c) THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           ROUND((SELECT cutoff FROM c), 4) AS cutoff,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o2 WHERE o2.o_totalprice > (SELECT cutoff FROM c)) AS n_above_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "QS — Spark 4 SQL scripting: a BEGIN...END compound with DECLAREd "
+        "session variables SET from scalar subqueries (global mean price, "
+        "above-mean count), consumed by the script's final statement. The "
+        "oracle restates the dataflow as one ANSI query with a CTE; parity "
+        "proves variable capture/substitution changes nothing semantically"
+    ),
+)
+def qs_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QS_SCRIPT)
+
+
+@register(
+    "qe_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS segment_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "QE — parameterized SQL (Spark 4 named parameter markers): the query "
+        "text carries :segment and :floor placeholders bound via "
+        "spark.sql(text, args={...}) — the injection-safe API surface a "
+        "multi-tenant deployment of the reference's scheduled query would use "
+        "(walletDataConsumer.py hardcodes its wallet list; parameters replace "
+        "string-formatting SQL). Oracle inlines the same literals"
+    ),
+)
+def qe_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS segment_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = :segment AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"segment": "BUILDING", "floor": 1000.0},
+    )

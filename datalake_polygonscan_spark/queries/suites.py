@@ -740,7 +740,13 @@ _suite(
         "per-row subquery), and Q21 double correlated quantifier — "
         "EXISTS + NOT EXISTS into the SAME table with non-equi "
         "correlated conjuncts, the hardest decorrelation case — the "
-        "optimizer's decorrelation surface in one graded slot (round 5)"
+        "optimizer's decorrelation surface in one graded slot (round 5). "
+        "Round 6 adds the Spark 4 SQL-language tier as four more arms: "
+        "QP pipe syntax (Q1 pricing summary via |> operators), QF "
+        "SQL-defined functions (inlined at analysis time, zero-UDF "
+        "plan), QS SQL scripting (BEGIN/DECLARE/SET compound), QE "
+        "parameterized SQL (named :marker binds) — each oracled against "
+        "its hand-lowered ANSI equivalent"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -752,6 +758,13 @@ _suite(
         ("n_small_lines", "long", "BIGINT"),
         ("s_name", "string", "VARCHAR"),
         ("numwait", "long", "BIGINT"),
+        ("sum_qty", "double", "DOUBLE"),
+        ("sum_base", "double", "DOUBLE"),
+        ("avg_disc", "double", "DOUBLE"),
+        ("band", "string", "VARCHAR"),
+        ("n_above", "long", "BIGINT"),
+        ("cutoff", "double", "DOUBLE"),
+        ("n_above_total", "long", "BIGINT"),
     ],
     arms=[
         ("q3", "q_sql_q3_passthrough", {
@@ -768,6 +781,25 @@ _suite(
         }),
         ("q21", "q21_multi_exists", {
             "s_name": "s_name", "numwait": "numwait",
+        }),
+        ("qp", "qp_pipe_syntax", {
+            "s_name": "l_returnflag || '/' || l_linestatus",
+            "order_count": "count_order", "sum_qty": "sum_qty",
+            "sum_base": "sum_base", "revenue": "sum_disc_price",
+            "avg_disc": "avg_disc",
+        }),
+        ("qf", "qf_sql_udf", {
+            "band": "band", "order_count": "n_lines",
+            "revenue": "disc_total",
+        }),
+        ("qs", "qs_sql_scripting", {
+            "o_orderpriority": "o_orderpriority",
+            "order_count": "n_orders", "n_above": "n_above",
+            "cutoff": "cutoff", "n_above_total": "n_above_total",
+        }),
+        ("qe", "qe_parameterized_sql", {
+            "o_orderpriority": "o_orderpriority",
+            "order_count": "n_orders", "revenue": "segment_total",
         }),
     ],
 )

@@ -552,3 +552,28 @@ def test_q21_double_quantifier_decorrelates_without_nested_loop(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "NestedLoop" not in plan
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """QF: SQL-defined functions must be inlined by the analyzer — the
+    physical plan is pure JVM expressions, never a Python eval node."""
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["qf_sql_udf"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # the banding agg stayed a hash agg
+    # partial aggregation survives the function indirection
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_pipe_syntax_plans_like_ansi(spark):
+    """QP: the pipe-syntax Q1 must produce the same physical shape as
+    the ANSI text — scan with pushed filter + partial/final agg."""
+    from datalake_polygonscan_spark.queries.registry import REGISTRY
+    from datalake_polygonscan_spark.tables import register_views
+
+    df = REGISTRY["qp_pipe_syntax"].fn(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    assert "HashAggregate" in plan
