@@ -572,3 +572,71 @@ def dq2_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+@register(
+    "ts3_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(count(*) OVER roll AS BIGINT) AS roll_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER roll AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER roll AS DOUBLE) AS s2
+      FROM events WHERE event_type = 'purchase'
+      WINDOW roll AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_id, user_id, ts, value, roll_n,
+             CASE WHEN roll_n >= 10 THEN s1 / roll_n END AS mu,
+             CASE WHEN roll_n >= 10 AND (s2 - s1 * s1 / roll_n) / roll_n > 0
+                  THEN (value - s1 / roll_n) / sqrt((s2 - s1 * s1 / roll_n) / roll_n) END AS zs
+      FROM w
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(value AS DOUBLE), 4) AS value,
+           roll_n,
+           ROUND(CAST(mu AS DOUBLE), 4) AS roll_mean,
+           ROUND(CAST(zs AS DOUBLE), 4) AS z,
+           CAST(CASE WHEN zs IS NOT NULL AND abs(zs) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM z
+    """,
+    doc=(
+        "TS3 rolling-window anomaly detection (the telemetry outlier "
+        "primitive): per-user trailing-20-event z-score with the current row "
+        "EXCLUDED from its own baseline (ROWS 20 PRECEDING .. 1 PRECEDING), "
+        "flagged when |z| > 3 with a >=10-sample warmup guard. One window "
+        "pass, no self-join, no shuffle beyond the per-user sort — the shape "
+        "that scales to 100 TB of events because state is a bounded frame. "
+        "Rolling moments are EXACT decimal sums (value and value^2) so both "
+        "engines divide identical IEEE doubles; stddev never touches a "
+        "float accumulation order"
+    ),
+)
+def ts3_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    roll = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    w = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.count(F.lit(1)).over(roll).alias("roll_n"),
+        F.sum(dec).over(roll).cast("double").alias("s1"),
+        F.sum(dec * dec).over(roll).cast("double").alias("s2"),
+    )
+    n = F.col("roll_n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / n
+    mu = F.col("s1") / n
+    zs = F.when((n >= 10) & (var > 0), (F.col("value") - mu) / F.sqrt(var))
+    return w.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value").cast("double"), 4).alias("value"),
+        "roll_n",
+        F.round(F.when(n >= 10, mu).cast("double"), 4).alias("roll_mean"),
+        F.round(zs.cast("double"), 4).alias("z"),
+        F.when(zs.isNotNull() & (F.abs(zs) > 3.0), 1).otherwise(0).cast("int").alias("is_anomaly"),
+    )

@@ -1599,7 +1599,9 @@ _suite(
         "enrichment primitive) + TS1 hypertable resample with "
         "forward-fill gap grid + TS2 OHLC candles (min_by/max_by "
         "argmin, tie-deterministic) — the temporal tier in one graded "
-        "slot (merged round 5)"
+        "slot (merged round 5). Round 6 adds TS3 rolling z-score "
+        "anomaly detection (trailing-frame exact-decimal moments, "
+        "current row excluded from its own baseline) as a fourth arm"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1616,6 +1618,9 @@ _suite(
         ("low", "double", "DOUBLE"),
         ("close", "double", "DOUBLE"),
         ("n_events", "long", "BIGINT"),
+        ("roll_mean", "double", "DOUBLE"),
+        ("z", "double", "DOUBLE"),
+        ("is_anomaly", "int", "INTEGER"),
     ],
     arms=[
         ("asof", "j6_asof_join", {
@@ -1629,6 +1634,12 @@ _suite(
             "is_gap": "is_gap",
             "open": ("`open`", "open"), "high": "high", "low": "low",
             "close": ("`close`", "close"), "n_events": "n_events",
+        }),
+        ("anomaly", "ts3_rolling_anomaly", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "n_events": "roll_n",
+            "roll_mean": "roll_mean", "z": "z",
+            "is_anomaly": "is_anomaly",
         }),
     ],
 )
