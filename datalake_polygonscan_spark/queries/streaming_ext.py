@@ -336,3 +336,72 @@ def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, enrich, output_mode="complete",
         checkpoint_dir=os.path.join(chk, "e11"),
     )
+
+
+@register(
+    "e12_state_store_reader",
+    oracle="""
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_state,
+           ROUND(CAST(s AS DOUBLE), 4) AS sum_state,
+           'stateStoreSave' AS operator_name
+    FROM (SELECT event_type, count(*) AS n,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS s
+          FROM events GROUP BY event_type) _g
+    """,
+    doc=(
+        "E12 — the state-store reader (Spark 4 `statestore` / "
+        "`state-metadata` data sources): run a streaming aggregation over the "
+        "events table (file source, AvailableNow), then query the query's OWN "
+        "checkpointed state as a DataFrame — key struct, aggregation buffer, "
+        "joined with the operator metadata table. This is the ops surface a "
+        "100 TB streaming deployment debugs with (skewed keys, state size, "
+        "stuck groups) without touching the running query. The oracle states "
+        "the expected state in closed form: the full-table grouped count + "
+        "exact decimal sum; equality proves the persisted state IS the "
+        "aggregate, and the decimal sum state is order-exact"
+    ),
+)
+def e12_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e12_stream", "events_src")
+    chk = _scratch("e12_stream", "chk")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*")
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(chk)
+    meta = (
+        spark.read.format("state-metadata")
+        .load(chk)
+        .filter(F.col("operatorId") == 0)
+        .select(F.col("operatorName").alias("operator_name"))
+        .limit(1)
+    )
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_state"),
+            F.round(F.col("value.sum").cast("double"), 4).alias("sum_state"),
+        )
+        .crossJoin(F.broadcast(meta))
+    )

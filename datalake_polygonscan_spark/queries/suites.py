@@ -341,7 +341,11 @@ _suite(
         "mode, cross-batch state) + E8 sessionization with EVENT-TIME "
         "TIMEOUTS (sessions close by gap proof or watermark timeout, "
         "idle keys evict) — both run REAL multi-micro-batch streams; "
-        "one graded slot (merged round 5)"
+        "one graded slot (merged round 5). Round 6 adds E12, the "
+        "state-store READER: the checkpointed aggregation state of a "
+        "finished stream queried back as a DataFrame via the Spark 4 "
+        "statestore/state-metadata sources, oracled against the "
+        "closed-form aggregate"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -350,6 +354,8 @@ _suite(
         ("session_start", "timestamp", "TIMESTAMP"),
         ("session_end", "timestamp", "TIMESTAMP"),
         ("session_value", "double", "DOUBLE"),
+        ("event_type", "string", "VARCHAR"),
+        ("operator_name", "string", "VARCHAR"),
     ],
     arms=[
         ("totals", "e5_stateful_running_totals", {
@@ -360,6 +366,10 @@ _suite(
             "user_id": "user_id", "session_start": "session_start",
             "session_end": "session_end", "n_events": "n_events",
             "session_value": "session_value",
+        }),
+        ("state_reader", "e12_state_store_reader", {
+            "event_type": "event_type", "n_events": "n_state",
+            "total_value": "sum_state", "operator_name": "operator_name",
         }),
     ],
 )
