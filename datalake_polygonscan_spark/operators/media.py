@@ -1365,6 +1365,76 @@ def jpeg_bytes(media_id: int, payload: bytes, blocks_w: int = JPEG_BLOCKS_W) -> 
     return bytes(out)
 
 
+def jpeg_bytes_progressive(media_id: int, payload: bytes, blocks_w: int = JPEG_BLOCKS_W) -> bytes:
+    """The SAME flat DC-only fixture as :func:`jpeg_bytes`, written as
+    a PROGRESSIVE (SOF2) stream with a real three-scan successive-
+    approximation script:
+
+      1. DC first scan, Al=1 — diff-codes ``dc >> 1`` (decoder shifts
+         back up, so the first scan alone renders a coarse image),
+      2. AC first scan Ss=1..63, Al=0 — one EOBn RUN covering every
+         block (exercises the EOB-run machinery, not per-block EOB),
+      3. DC refinement scan, Ah=1/Al=0 — one raw appended bit per
+         block (``dc & 1``).
+
+    ``(dc >> 1) << 1 | (dc & 1) == dc`` exactly (two's complement), so
+    the progressive stream decodes bit-for-bit to ``payload`` like the
+    baseline fixture — lossy format, lossless fixture."""
+    import struct
+
+    n_blocks = len(payload)
+    blocks_h = n_blocks // blocks_w
+    width, height = blocks_w * 8, blocks_h * 8
+    out = bytearray(b"\xff\xd8")  # SOI
+    q = bytes([8] + [1] * 63)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + q
+    # DC table 0: categories 0..8 at 4 bits (canonical: value == index)
+    bits_dc = bytes([0, 0, 0, 9] + [0] * 12)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 9, 0x00) + bits_dc + bytes(range(9))
+    # AC table 0: the fifteen EOBn symbols (r<<4 for r=0..14) at 4 bits
+    bits_ac = bytes([0, 0, 0, 15] + [0] * 12)
+    eobn = bytes(r << 4 for r in range(15))
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 15, 0x10) + bits_ac + eobn
+    # SOF2: 8-bit, 1 component, 1x1 sampling, quant table 0
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes([1, 0x11, 0])
+
+    # scan 1: DC first, Al=1 — diff-code dc >> 1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x01])
+    bw = _JBitWriter()
+    prev = 0
+    for v in payload:
+        hi = (v - 128) >> 1
+        diff = hi - prev
+        prev = hi
+        s = diff.bit_length() if diff else 0
+        bw.write(s, 4)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # scan 2: AC first, band 1..63, Al=0 — EOBn runs spanning all blocks
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x00])
+    bw = _JBitWriter()
+    remaining = n_blocks
+    while remaining:
+        r = min(remaining.bit_length() - 1, 14)
+        run = min(remaining, (1 << r) * 2 - 1)  # 2^r + r extension bits
+        bw.write(r, 4)  # EOBn Huffman code (canonical code == index r)
+        if r:
+            bw.write(run - (1 << r), r)
+        remaining -= run
+    out += bw.flush()
+
+    # scan 3: DC refinement, Ah=1/Al=0 — one appended bit per block
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x10])
+    bw = _JBitWriter()
+    for v in payload:
+        bw.write((v - 128) & 1, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def _huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
     """Canonical JPEG Huffman: {(length, code) -> symbol}."""
     table = {}
@@ -1470,13 +1540,181 @@ def _triangle_upsample2(a, axis: int):
     return np.moveaxis(out, 0, axis)
 
 
+def _jpeg_finish(planes, comps, w, h, hmax, vmax):
+    """Shared tail of baseline and progressive decode: triangle-filter
+    chroma upsampling, crop to frame dims, BT.601 color conversion."""
+    import numpy as np
+
+    out = []
+    for p_, (_, _, hc, vc) in zip(planes, comps):
+        for axis, factor in ((0, vmax // vc), (1, hmax // hc)):
+            if factor == 2:
+                p_ = _triangle_upsample2(p_, axis)
+        out.append(p_[:h, :w])
+    if len(out) == 1:
+        return w, h, np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255) for c in (r, g, bl)], axis=-1
+    ).astype(np.uint8)
+    return w, h, rgb
+
+
+def _jpeg_prog_scan(
+    b, data_start, scan_sel, comps, coeff, huff_dc, huff_ac,
+    ss, se, ah, al, mcus_x, mcus_y, w, h, hmax, vmax, restart_interval,
+):
+    """Decode ONE progressive scan (ITU T.81 G.2), accumulating into
+    the per-component coefficient arrays. ``scan_sel`` is
+    [(ci, dc_tid, ac_tid)]. Returns the byte offset of the next
+    marker. The four scan kinds: DC first (Ah=0, Ss=0, diff-coded,
+    value << Al), DC refinement (one raw bit per block, |= 1<<Al),
+    AC first (per-band run-length with EOB runs), AC refinement
+    (correction bits for already-coded coefficients plus new ±1<<Al
+    insertions — the libjpeg decode_mcu_AC_refine control flow)."""
+    if ss == 0 and se != 0:
+        raise ValueError("invalid progressive scan: DC scan must have Se=0")
+    if ss > 0 and len(scan_sel) > 1:
+        raise ValueError("invalid progressive scan: AC scans are single-component")
+    br = _JBitReader(b, data_start)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    preds = {ci: 0 for ci, _, _ in scan_sel}
+
+    def units():
+        """(unit, ci, by, bx) in scan order: MCU-interleaved when the
+        scan has several components, component-raster otherwise (the
+        non-interleaved grid is the component's OWN ceil-block dims,
+        not the MCU-padded grid)."""
+        if len(scan_sel) > 1:
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, _, _ in scan_sel:
+                        _, _, hc, vc = comps[ci]
+                        for v_ in range(vc):
+                            for h_ in range(hc):
+                                yield unit, ci, my * vc + v_, mx * hc + h_
+                    unit += 1
+        else:
+            ci = scan_sel[0][0]
+            _, _, hc, vc = comps[ci]
+            wb = (-(-w * hc // hmax) + 7) // 8
+            hb = (-(-h * vc // vmax) + 7) // 8
+            unit = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    yield unit, ci, by, bx
+                    unit += 1
+
+    tabs = {ci: (dc_t, ac_t) for ci, dc_t, ac_t in scan_sel}
+    prev_unit = 0
+    for unit, ci, by, bx in units():
+        if restart_interval and unit != prev_unit and unit % restart_interval == 0:
+            br.sync_restart()
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        prev_unit = unit
+        block = coeff[ci][by][bx]
+        dc_t, ac_t = tabs[ci]
+        if ss == 0:  # DC scan (Se is 0 by spec)
+            if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+                s = br.huff(huff_dc[dc_t])
+                preds[ci] += _receive_extend(br, s)
+                block[0] = preds[ci] << al
+            elif br.bit():  # refinement: one appended bit
+                block[0] |= p1
+            continue
+        # AC scans are single-component by spec
+        k = ss
+        if ah == 0:  # AC first pass
+            if eobrun > 0:
+                eobrun -= 1  # block is entirely zero in this scan
+                continue
+            while k <= se:
+                rs = br.huff(huff_ac[ac_t])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    # EOBn: the run INCLUDES this block, so store run-1
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index past spectral band")
+                block[_JPEG_ZIGZAG[k]] = _receive_extend(br, s) << al
+                k += 1
+        else:  # AC refinement pass (libjpeg decode_mcu_AC_refine flow)
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.huff(huff_ac[ac_t])
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            # refinement EOBn: FULL run; the common tail
+                            # below refines this block then decrements
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: ZRL — sixteen zero-history skips below
+                    else:  # s is always 1 in a refinement scan
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        z = _JPEG_ZIGZAG[k]
+                        cv = block[z]
+                        if cv != 0:
+                            if br.bit() and (cv & p1) == 0:
+                                block[z] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[_JPEG_ZIGZAG[k]] = val
+                    k += 1
+            if eobrun > 0:
+                # inside an EOB run the block's already-coded
+                # coefficients still receive correction bits
+                while k <= se:
+                    z = _JPEG_ZIGZAG[k]
+                    cv = block[z]
+                    if cv != 0:
+                        if br.bit() and (cv & p1) == 0:
+                            block[z] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    # byte-align and locate the next marker (skip stuffing + restarts)
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
 def decode_jpeg_bytes(blob: bytes):
-    """Baseline-JPEG decode: returns (width, height, pixels) where
-    pixels is a numpy uint8 array of shape (h, w) for grayscale or
-    (h, w, 3) RGB for 3 components (BT.601), including subsampled
-    4:2:0 / 4:2:2 frames (per-component MCU block interleave, triangle
-    chroma upsampling). Rejects progressive (SOF2) frames rather than
-    guessing."""
+    """JPEG decode: returns (width, height, pixels) where pixels is a
+    numpy uint8 array of shape (h, w) for grayscale or (h, w, 3) RGB
+    for 3 components (BT.601), including subsampled 4:2:0 / 4:2:2
+    frames (per-component MCU block interleave, triangle chroma
+    upsampling). Decodes baseline (SOF0) single-scan frames AND
+    progressive (SOF2) multi-scan frames — spectral selection,
+    successive approximation, DC/AC refinement, EOB runs — the latter
+    cross-validated against javax.imageio's progressive encoder in
+    tests/test_media.py."""
     import struct
 
     import numpy as np
@@ -1490,6 +1728,9 @@ def decode_jpeg_bytes(blob: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coeff: list | None = None  # progressive: per-comp block coeff arrays
+    mcu_dims = None
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -1497,6 +1738,8 @@ def decode_jpeg_bytes(blob: bytes):
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI (progressive reaches it; baseline returns at SOS)
+            break
         (seglen,) = struct.unpack(">H", b[pos : pos + 2])
         seg = b[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -1523,7 +1766,8 @@ def decode_jpeg_bytes(blob: bytes):
                 vals = seg[p + 17 : p + 17 + n]
                 (huff_ac if cls else huff_dc)[tid] = _huff_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(ncomp):
@@ -1533,19 +1777,43 @@ def decode_jpeg_bytes(blob: bytes):
                     raise ValueError(f"unsupported sampling factor {hc}x{vc}")
                 comps.append((cid, tq, hc, vc))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"unsupported SOF marker 0x{marker:02x} (baseline SOF0 only)")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF marker 0x{marker:02x} (SOF0/SOF2 only)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             comp_tables = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp_tables[cid] = (tt >> 4, tt & 0x0F)
             w, h, comps = frame
+            if progressive:
+                hmax = max(hc for _, _, hc, _ in comps)
+                vmax = max(vc for _, _, _, vc in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                if coeff is None:
+                    coeff = [
+                        np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int32)
+                        for _, _, hc, vc in comps
+                    ]
+                ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                ah_, al_ = ah_al >> 4, ah_al & 0x0F
+                cid_to_ci = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+                scan_sel = [
+                    (cid_to_ci[cid], dc_t, ac_t)
+                    for cid, (dc_t, ac_t) in comp_tables.items()
+                ]
+                pos = _jpeg_prog_scan(
+                    b, pos + seglen, scan_sel, comps, coeff, huff_dc, huff_ac,
+                    ss_, se_, ah_, al_, mcus_x, mcus_y, w, h, hmax, vmax,
+                    restart_interval,
+                )
+                continue
             hmax = max(hc for _, _, hc, _ in comps)
             vmax = max(vc for _, _, _, vc in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1597,23 +1865,27 @@ def decode_jpeg_bytes(blob: bytes):
                                 oy = (my * vc + v_) * 8
                                 ox = (mx * hc + h_) * 8
                                 planes[ci][oy : oy + 8, ox : ox + 8] = block
-            out = []
-            for p_, (_, _, hc, vc) in zip(planes, comps):
-                for axis, factor in ((0, vmax // vc), (1, hmax // hc)):
-                    if factor == 2:
-                        p_ = _triangle_upsample2(p_, axis)
-                out.append(p_[:h, :w])
-            if len(out) == 1:
-                return w, h, np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = out
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            bl = y + 1.772 * (cb - 128.0)
-            rgb = np.stack(
-                [np.clip(np.round(c), 0, 255) for c in (r, g, bl)], axis=-1
-            ).astype(np.uint8)
-            return w, h, rgb
+            return _jpeg_finish(planes, comps, w, h, hmax, vmax)
         pos += seglen
+    if progressive and coeff is not None:
+        # all scans accumulated: dequantize + batched IDCT per component
+        w, h, comps = frame
+        hmax = max(hc for _, _, hc, _ in comps)
+        vmax = max(vc for _, _, _, vc in comps)
+        u = np.arange(8)
+        m = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16) / 2.0
+        m[:, 0] /= np.sqrt(2.0)
+        planes = []
+        for ci, (cid, tq, hc, vc) in enumerate(comps):
+            q = np.asarray(qtables[tq], dtype=np.float64)
+            by, bx = coeff[ci].shape[0], coeff[ci].shape[1]
+            blocks = coeff[ci].astype(np.float64) * q  # (by, bx, 64)
+            f = blocks.reshape(by, bx, 8, 8)
+            # batched 2-D IDCT: m @ F @ m.T over the trailing axes
+            sp = np.einsum("iu,yxuv,jv->yxij", m, f, m) + 128.0
+            plane = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            planes.append(plane)
+        return _jpeg_finish(planes, comps, w, h, hmax, vmax)
     raise ValueError("no SOS segment in JPEG")
 
 
@@ -1629,11 +1901,21 @@ _JPEG_PIXEL_SCHEMA = T.StructType(
 )
 
 
-def jpeg_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic baseline-JPEG fixture: per doc, the first
-    ``2*(id%3+1)`` UTF-8 bytes (space-padded) become flat 8x8 block
-    values of a DC-only grayscale JPEG (2 blocks wide) — lossy format,
-    lossless fixture: DC-only blocks decode integer-exactly."""
+def jpeg_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    progressive: bool = False,
+) -> DataFrame:
+    """Deterministic JPEG fixture: per doc, the first ``2*(id%3+1)``
+    UTF-8 bytes (space-padded) become flat 8x8 block values of a
+    DC-only grayscale JPEG (2 blocks wide) — lossy format, lossless
+    fixture: DC-only blocks decode integer-exactly. With
+    ``progressive=True`` the SAME pixels are written as an SOF2
+    multi-scan successive-approximation stream
+    (:func:`jpeg_bytes_progressive`)."""
+
+    enc = jpeg_bytes_progressive if progressive else jpeg_bytes
 
     def build(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1648,7 +1930,7 @@ def jpeg_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
                     {
                         "media_id": int(mid),
                         "mime": "image/jpeg",
-                        "content": jpeg_bytes(int(mid), raw),
+                        "content": enc(int(mid), raw),
                     }
                 )
             yield pd.DataFrame(out, columns=["media_id", "mime", "content"])

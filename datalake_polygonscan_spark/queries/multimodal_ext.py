@@ -433,8 +433,7 @@ def m_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "64*sum(payload bytes)). Cross-validated against Java ImageIO in "
         "tests/test_media.py: ImageIO reads our files bit-exactly, and our "
         "decoder matches ImageIO's own decode of its full-AC encoder output "
-        "within the +-1 IDCT rounding bound. Progressive/subsampled frames "
-        "are rejected, never mis-decoded"
+        "within the +-1 IDCT rounding bound"
     ),
 )
 def m_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,4 +441,56 @@ def m_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = decode_jpeg_pixels(jpeg_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+@register(
+    "m_jpegp_pixel_decode",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(2 * (doc_id % 3 + 1) AS BIGINT) AS nb,
+               substr(rpad(hex(encode(text)), 12, '20'),
+                      1, CAST(2 * (doc_id % 3 + 1) * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, nb, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, nb,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    ), sums AS (
+        SELECT media_id, nb, CAST(64 * sum(v) AS BIGINT) AS sum_luma
+        FROM b GROUP BY media_id, nb
+    )
+    SELECT media_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(nb / 2 * 8 AS BIGINT) AS height,
+           nb * 64 AS n_pixels,
+           sum_luma,
+           ROUND(sum_luma / (nb * 64.0), 6) AS mean_luma
+    FROM sums
+    """,
+    doc=(
+        "PROGRESSIVE JPEG (SOF2) decode from scratch — spectral selection, "
+        "successive approximation, DC/AC refinement scans, EOB runs (ITU "
+        "T.81 G.2; operators/media.py:_jpeg_prog_scan). The fixture is the "
+        "same DC-only grayscale content as the baseline entry but written as "
+        "a real three-scan progressive stream (DC first at Al=1, one EOBn "
+        "run spanning every block, DC refinement bits), so decode is "
+        "integer-EXACT and shares the baseline's closed-form oracle — "
+        "proving the two coding paths converge on identical pixels. "
+        "Cross-validated against javax.imageio both directions in "
+        "tests/test_media.py: ImageIO reads our SOF2 files bit-exactly, and "
+        "our decoder matches ImageIO's own 6-scan progressive encoder "
+        "(gray +-1; 4:2:0 color within chroma-upsampling bounds)"
+    ),
+)
+def m_jpegp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import decode_jpeg_pixels, jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_jpeg_pixels(jpeg_table(docs, progressive=True))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))

@@ -474,7 +474,11 @@ _suite(
         "features + REAL compressed-PNG pixel decode (stdlib zlib, all "
         "five filter types) + RIFF/WAVE 16-bit PCM decode + RIFF/AVI "
         "frame decode — the full image/audio/video modality surface "
-        "with zero external codec libs, one graded slot (merged round 5)"
+        "with zero external codec libs, one graded slot (merged round "
+        "5). Round 6 adds PROGRESSIVE JPEG (SOF2 successive "
+        "approximation) as its own arm, sharing the baseline arm's "
+        "closed-form oracle: both coding paths must land on identical "
+        "pixels"
     ),
     layout=[
         ("media_id", "long", "BIGINT"),
@@ -548,6 +552,11 @@ _suite(
             "sum_r": "sum_r", "mean_luma": "mean_luma",
         }),
         ("jpeg", "m_jpeg_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_luma": "sum_luma",
+            "mean_luma": "mean_luma",
+        }),
+        ("jpeg_prog", "m_jpegp_pixel_decode", {
             "media_id": "media_id", "width": "width", "height": "height",
             "n_pixels": "n_pixels", "sum_luma": "sum_luma",
             "mean_luma": "mean_luma",

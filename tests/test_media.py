@@ -499,17 +499,24 @@ def test_jpeg_dc_only_roundtrip_is_integer_exact():
     assert (px == exp).all()
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_invalid_frames_and_garbage():
     import pytest as _pytest
 
     from datalake_polygonscan_spark.operators.media import decode_jpeg_bytes, jpeg_bytes
 
     with _pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_bytes(b"GIF87a queue")
+    # flipping a baseline SOF0 to SOF2 yields an ILLEGAL scan script
+    # (a progressive DC scan must have Se=0, baseline SOS has Se=63):
+    # the decoder must error on the script, not decode garbage
     blob = bytearray(jpeg_bytes(1, bytes([5, 6])))
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with _pytest.raises(ValueError, match="SOF0 only"):
+    blob[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="DC scan must have Se=0"):
+        decode_jpeg_bytes(bytes(blob))
+    # lossless SOF3 stays rejected
+    blob[i + 1] = 0xC3
+    with _pytest.raises(ValueError, match="SOF0/SOF2 only"):
         decode_jpeg_bytes(bytes(blob))
 
 
@@ -728,3 +735,174 @@ public class DecodeGray {
     w, h, ours = decode_jpeg_bytes(p.read_bytes())
     assert (w, h) == (jw, jh)
     assert np.abs(ours.astype(int) - java_px).max() <= 1
+
+
+def test_jpeg_progressive_fixture_bit_exact_both_decoders(javac, tmp_path):
+    """Our SOF2 progressive fixture (3-scan successive approximation:
+    DC@Al=1, AC EOB-run scan, DC refinement bit) must decode bit-exact
+    in BOTH our decoder and Java ImageIO — the same lossless-fixture
+    property the baseline jpeg_bytes fixture has."""
+    import subprocess
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import (
+        decode_jpeg_bytes,
+        jpeg_bytes_progressive,
+    )
+
+    (tmp_path / "DecodeGray.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.*;
+import java.io.File;
+public class DecodeGray {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    Raster r = img.getRaster();
+    System.out.println(img.getWidth() + " " + img.getHeight());
+    for (int y = 0; y < img.getHeight(); y++)
+      for (int x = 0; x < img.getWidth(); x++)
+        System.out.println(r.getSample(x, y, 0));
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "DecodeGray.java"], cwd=tmp_path, check=True)
+    payload = bytes(range(0, 256, 2))  # odd AND even dc values (both refinement bits)
+    blob = jpeg_bytes_progressive(3, payload, blocks_w=2)
+    assert b"\xff\xc2" in blob  # really SOF2
+    w, h, px = decode_jpeg_bytes(blob)
+    expect = np.repeat(np.repeat(np.frombuffer(payload, np.uint8).reshape(-1, 2), 8, 0), 8, 1)
+    assert (px == expect).all()
+    p = tmp_path / "prog.jpg"
+    p.write_bytes(blob)
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "DecodeGray", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split("\n")
+    jw, jh = map(int, out[0].split())
+    java_px = np.array([int(x) for x in out[1:] if x.strip()], np.int64).reshape(jh, jw)
+    assert (jw, jh) == (w, h)
+    assert (java_px == expect).all()
+
+
+def test_jpeg_progressive_decoder_matches_imageio_gray(javac, tmp_path):
+    """Java-ENCODED progressive grayscale (ImageIO MODE_DEFAULT writes
+    a 6-scan script: DC first/refine, AC bands, two AC refinement
+    passes): our decode must match ImageIO's own decode within the
+    ±1 IDCT rounding bound."""
+    import subprocess
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import decode_jpeg_bytes
+
+    (tmp_path / "EncodeProgGray.java").write_text(
+        """
+import javax.imageio.*;
+import javax.imageio.stream.*;
+import java.awt.image.*;
+import java.io.File;
+import java.util.Random;
+public class EncodeProgGray {
+  public static void main(String[] a) throws Exception {
+    int w = 48, h = 40;
+    BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY);
+    Random rnd = new Random(7);
+    WritableRaster ras = img.getRaster();
+    for (int y=0;y<h;y++) for (int x=0;x<w;x++) ras.setSample(x,y,0,rnd.nextInt(256));
+    ImageWriter wr = ImageIO.getImageWritersByFormatName("jpg").next();
+    ImageWriteParam p = wr.getDefaultWriteParam();
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+    try (ImageOutputStream os = ImageIO.createImageOutputStream(new File(a[0]))) {
+      wr.setOutput(os); wr.write(null, new IIOImage(img, null, null), p);
+    }
+    wr.dispose();
+    BufferedImage back = ImageIO.read(new File(a[0]));
+    Raster r2 = back.getRaster();
+    System.out.println(back.getWidth() + " " + back.getHeight());
+    for (int y=0;y<h;y++) for (int x=0;x<w;x++) System.out.println(r2.getSample(x,y,0));
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "EncodeProgGray.java"], cwd=tmp_path, check=True)
+    p = tmp_path / "prog_gray.jpg"
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "EncodeProgGray", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split("\n")
+    jw, jh = map(int, out[0].split())
+    java_px = np.array([int(x) for x in out[1:] if x.strip()], np.int64).reshape(jh, jw)
+    blob = p.read_bytes()
+    assert b"\xff\xc2" in blob  # Java really wrote SOF2
+    w, h, ours = decode_jpeg_bytes(blob)
+    assert (w, h) == (jw, jh)
+    assert np.abs(ours.astype(np.int64) - java_px).max() <= 1
+
+
+def test_jpeg_progressive_decoder_matches_imageio_color(javac, tmp_path):
+    """Java-encoded progressive COLOR (4:2:0, per-component AC scans):
+    tracks ImageIO's decode within the same chroma-upsampling bounds
+    the baseline 4:2:0 test uses."""
+    import subprocess
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.media import decode_jpeg_bytes
+
+    (tmp_path / "EncodeProgColor.java").write_text(
+        """
+import javax.imageio.*;
+import javax.imageio.stream.*;
+import java.awt.image.*;
+import java.io.File;
+import java.util.Random;
+public class EncodeProgColor {
+  public static void main(String[] a) throws Exception {
+    int w = 48, h = 40;
+    BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+    Random rnd = new Random(11);
+    for (int y=0;y<h;y++) for (int x=0;x<w;x++) {
+      int r=(x*5+rnd.nextInt(8))%256, g=(y*6+rnd.nextInt(8))%256, b=((x+y)*3+rnd.nextInt(8))%256;
+      img.setRGB(x,y,(r<<16)|(g<<8)|b);
+    }
+    ImageWriter wr = ImageIO.getImageWritersByFormatName("jpg").next();
+    ImageWriteParam p = wr.getDefaultWriteParam();
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+    try (ImageOutputStream os = ImageIO.createImageOutputStream(new File(a[0]))) {
+      wr.setOutput(os); wr.write(null, new IIOImage(img, null, null), p);
+    }
+    wr.dispose();
+    BufferedImage back = ImageIO.read(new File(a[0]));
+    System.out.println(back.getWidth() + " " + back.getHeight());
+    for (int y=0;y<h;y++) for (int x=0;x<w;x++) {
+      int q = back.getRGB(x,y);
+      System.out.println(((q>>16)&255)+" "+((q>>8)&255)+" "+(q&255));
+    }
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "EncodeProgColor.java"], cwd=tmp_path, check=True)
+    p = tmp_path / "prog_color.jpg"
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "EncodeProgColor", str(p)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split("\n")
+    jw, jh = map(int, out[0].split())
+    java_px = np.array(
+        [list(map(int, ln.split())) for ln in out[1:] if ln.strip()], np.int64
+    ).reshape(jh, jw, 3)
+    blob = p.read_bytes()
+    assert b"\xff\xc2" in blob
+    i = blob.find(b"\xff\xc2")
+    samps = [(blob[i + 11 + 3 * c] >> 4, blob[i + 11 + 3 * c] & 15) for c in range(blob[i + 9])]
+    assert samps[0] == (2, 2)  # really 4:2:0
+    w, h, px = decode_jpeg_bytes(blob)
+    assert (w, h) == (jw, jh)
+    diff = np.abs(px.astype(np.int64) - java_px)
+    assert diff.max() <= 16
+    assert diff.mean() <= 1.0
+    assert np.percentile(diff, 99) <= 4
