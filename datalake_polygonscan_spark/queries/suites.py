@@ -585,8 +585,10 @@ _suite(
     doc=(
         "U1 pandas UDF + U2 grouped UDAF + U3 mapInPandas UDTF "
         "(passthrough) + U4 the real Spark 4 @udtf class via SQL "
-        "LATERAL + U5 the Arrow-optimized Python UDF — the whole "
-        "Python-function surface in one graded slot (merged round 5)"
+        "LATERAL + U5 the Arrow-optimized Python UDF + U6 the "
+        "POLYMORPHIC UDTF (analyze-time schema derived from the TABLE "
+        "argument's struct, round 6) — the whole Python-function "
+        "surface in one graded slot"
     ),
     layout=[
         ("k1", "long", "BIGINT"),
@@ -607,6 +609,9 @@ _suite(
         ("arrow_udf", "u5_arrow_python_udf", {
             "k1": "o_orderkey", "k2": "CAST(n_dashes AS BIGINT)",
             "status_tag": "status_tag", "has_seven": "has_seven",
+        }),
+        ("poly_udtf", "u6_polymorphic_udtf", {
+            "k1": "k", "token": "col", "val": "val",
         }),
     ],
 )

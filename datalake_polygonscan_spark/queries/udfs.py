@@ -302,3 +302,99 @@ def u5(spark: SparkSession, sf_dir: str) -> DataFrame:
         status_tag("o_orderstatus", "o_orderpriority").alias("status_tag"),
         has_seven("o_orderkey").alias("has_seven"),
     )
+
+
+try:  # Spark 4 polymorphic UDTF: analyze-time schema derivation
+    from pyspark.sql.functions import udtf as _udtf_poly
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @_udtf_poly
+    class _MeltDoublesUDTF:
+        """U6 — a POLYMORPHIC Python UDTF: no static returnType; the
+        ``analyze`` hook inspects the TABLE argument's struct at
+        query-planning time and derives the output schema from it (the
+        key column keeps its ORIGINAL name and type; every DOUBLE
+        column melts into (col, val) rows). The same function call
+        adapts to any input table shape — Spark 4's answer to
+        schema-generic table functions."""
+
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            from pyspark.sql.types import (
+                DoubleType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            st = t.dataType  # the TABLE argument's row struct
+            key = st.fields[0]
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(key.name, key.dataType),
+                        StructField("col", StringType()),
+                        StructField("val", DoubleType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            d = row.asDict()
+            names = list(d)
+            key = d[names[0]]
+            for n in names[1:]:
+                v = d[n]
+                if isinstance(v, float):
+                    yield (key, n, v)
+
+    _HAVE_POLY_UDTF = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAVE_POLY_UDTF = False
+
+
+@register(
+    "u6_polymorphic_udtf",
+    oracle="""
+    SELECT k, col, ROUND(CAST(val AS DOUBLE), 4) AS val FROM (
+        SELECT l_orderkey * 10 + l_linenumber AS k, 'l_quantity' AS col,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey * 10 + l_linenumber, 'l_extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey * 10 + l_linenumber, 'l_discount',
+               l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey * 10 + l_linenumber, 'l_tax',
+               l_tax FROM lineitem
+    ) _m
+    """,
+    doc=(
+        "U6 — polymorphic Python UDTF (Spark 4 analyze-time schema): the UDTF "
+        "declares NO static returnType; its analyze() hook receives the TABLE "
+        "argument's struct during planning and derives the output schema from "
+        "it (key column keeps its original name/type, every DOUBLE column "
+        "melts to (col, val) rows). Called with TABLE(...) over lineitem it "
+        "emits four rows per line — the oracle restates it as a 4-way UNION "
+        "ALL. Runs distributed per input partition: no PARTITION BY, no "
+        "shuffle, so it scales as a map-side generator at 100 TB"
+    ),
+)
+def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _HAVE_POLY_UDTF:
+        raise RuntimeError("Spark 4 polymorphic UDTF API unavailable in this build")
+    from datalake_polygonscan_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("melt_doubles_udtf", _MeltDoublesUDTF)
+    return spark.sql(
+        """
+        SELECT m.k, m.col, ROUND(CAST(m.val AS DOUBLE), 4) AS val
+        FROM melt_doubles_udtf(TABLE(
+            SELECT l_orderkey * 10 + l_linenumber AS k,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem
+        )) m
+        """
+    )
