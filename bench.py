@@ -92,6 +92,17 @@ HEADLINE = [
     "m_gif_pixel_decode",
     "m_jpeg_pixel_decode",
     "r10_export_sink",
+    # round-6 additions: the Spark 4 SQL-dialect tier (pipe syntax,
+    # SQL UDF inlining, scripting), rolling z-score anomaly, the
+    # state-store reader scenario (stream + state read-back),
+    # progressive-JPEG decode, polymorphic UDTF
+    "qp_pipe_syntax",
+    "qf_sql_udf",
+    "qs_sql_scripting",
+    "ts3_rolling_anomaly",
+    "e12_state_store_reader",
+    "m_jpegp_pixel_decode",
+    "u6_polymorphic_udtf",
 ]
 
 

@@ -69,6 +69,79 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G3 — per-node triangle participation counts via DEGREE-ORDERED
+    orientation (the distributed-triangle standard: orient each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges only at each edge's lower endpoint, close
+    them with one semi-join). Returns (node, deg, n_tri).
+
+    Scale notes (the 100 TB story):
+    - Naive wedge enumeration fans out by Σ deg(v)² — a single hub
+      node with 10M neighbors generates 10¹⁴ wedges. Orientation by
+      (degree, id) caps every node's OUT-degree at O(√m), so the
+      wedge join is O(m^{3/2}) TOTAL regardless of skew — hubs become
+      wedge *targets*, never wedge *pivots* (Suri & Vassilvitskii,
+      WWW'11).
+    - Two shuffle joins on node keys: wedges (oriented ⋈ oriented on
+      the pivot) and closure (wedges ⋈ oriented on the far pair);
+      both partial-aggregate before the per-node count.
+    - Output is exact (no sampling); counts are integers so the sum
+      is order-insensitive under any partitioning.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = ori.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = ori.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = ori.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v1").alias("node")))
+        .unionByName(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node", "deg", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,

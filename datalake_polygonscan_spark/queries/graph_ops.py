@@ -135,3 +135,80 @@ def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: exact triangle counting via degree-ordered orientation
+# ---------------------------------------------------------------------------
+
+@register(
+    "g3_triangle_count",
+    oracle=f"""
+    WITH canon AS (
+        SELECT DISTINCT least(l_partkey % {_PR_NODES}, l_suppkey % {_PR_NODES}) AS a,
+                        greatest(l_partkey % {_PR_NODES}, l_suppkey % {_PR_NODES}) AS b
+        FROM lineitem WHERE l_partkey % {_PR_NODES} <> l_suppkey % {_PR_NODES}
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+        ) GROUP BY node
+    ), ori AS (
+        SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS u,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS v,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                    THEN db.deg ELSE da.deg END AS dv
+        FROM canon c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+    ), tri AS (
+        SELECT e1.u, e1.v AS v1, e2.v AS v2
+        FROM ori e1 JOIN ori e2 ON e2.u = e1.u
+             AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+             JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v1 FROM tri
+            UNION ALL SELECT v2 FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN 2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END, 8) AS clustering,
+           CAST((SELECT CAST(sum(n_tri) AS BIGINT) / 3 FROM per_node) AS BIGINT) AS total_triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+    doc=(
+        "G3 exact triangle counting by DEGREE-ORDERED orientation "
+        "(operators/graph.py:triangle_count; Suri & Vassilvitskii WWW'11): "
+        "orient each undirected edge from its lower-(degree,id) endpoint, "
+        "enumerate wedges only at pivots (out-degree capped at O(sqrt m) so "
+        "hub skew cannot fan out), close with one equi-join — O(m^1.5) total "
+        "work regardless of degree distribution. Per-node participation "
+        "counts + local clustering coefficient + global count, all exact; "
+        "the oracle replays orientation/wedge/closure verbatim in SQL"
+    ),
+)
+def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % _PR_NODES).alias("src"),
+        (F.col("l_suppkey") % _PR_NODES).alias("dst"),
+    ).distinct()
+    counts = triangle_count(edges)
+    total = counts.agg((F.sum("n_tri") / 3).cast("long").alias("t")).collect()[0]["t"]
+    cc = F.when(
+        F.col("deg") >= 2,
+        2.0 * F.col("n_tri") / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(0.0)
+    return counts.select(
+        "node",
+        "deg",
+        "n_tri",
+        F.round(cc, 8).alias("clustering"),
+        F.lit(total).cast("long").alias("total_triangles"),
+    )
