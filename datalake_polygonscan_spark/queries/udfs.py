@@ -340,13 +340,17 @@ try:  # Spark 4 polymorphic UDTF: analyze-time schema derivation
             )
 
         def eval(self, row):
-            d = row.asDict()
-            names = list(d)
-            key = d[names[0]]
-            for n in names[1:]:
-                v = d[n]
+            # field layout is fixed per query: resolve names once per
+            # worker instance, then use positional access (asDict()
+            # per row dominated the runtime at 600k+ rows)
+            names = getattr(self, "_names", None)
+            if names is None:
+                names = self._names = row.__fields__
+            key = row[0]
+            for i in range(1, len(names)):
+                v = row[i]
                 if isinstance(v, float):
-                    yield (key, n, v)
+                    yield (key, names[i], v)
 
     _HAVE_POLY_UDTF = True
 except ImportError:  # pragma: no cover - older Spark
@@ -377,8 +381,12 @@ except ImportError:  # pragma: no cover - older Spark
         "it (key column keeps its original name/type, every DOUBLE column "
         "melts to (col, val) rows). Called with TABLE(...) over lineitem it "
         "emits four rows per line — the oracle restates it as a 4-way UNION "
-        "ALL. Runs distributed per input partition: no PARTITION BY, no "
-        "shuffle, so it scales as a map-side generator at 100 TB"
+        "ALL. Python-worker parallelism follows the INPUT partitioning (no "
+        "PARTITION BY, no mandated shuffle), so the TABLE argument carries a "
+        "REPARTITION hint sized to the session: a 3-split local parquet scan "
+        "otherwise feeds 3 Python workers and serializes the eval loop (5x "
+        "wall-clock here). At 100 TB the scan has thousands of splits and "
+        "the hint is a no-op-cost guarantee, not a behavior change"
     ),
 )
 def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,11 +396,13 @@ def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     spark.udtf.register("melt_doubles_udtf", _MeltDoublesUDTF)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return spark.sql(
-        """
+        f"""
         SELECT m.k, m.col, ROUND(CAST(m.val AS DOUBLE), 4) AS val
         FROM melt_doubles_udtf(TABLE(
-            SELECT l_orderkey * 10 + l_linenumber AS k,
+            SELECT /*+ REPARTITION({n_part}) */
+                   l_orderkey * 10 + l_linenumber AS k,
                    l_quantity, l_extendedprice, l_discount, l_tax
             FROM lineitem
         )) m
