@@ -328,6 +328,41 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3b_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc=(
+        "A3b explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar "
+        "for: the set list ((l_returnflag), (l_linestatus)) is expressible as "
+        "NEITHER (no grand total, no pair), so it exercises Catalyst's Expand "
+        "operator with an arbitrary set list via the Spark 4 DataFrame "
+        "groupingSets API; grouping_id disambiguates which set produced each "
+        "row. One Expand (2x fan-out) + one partial-aggregated hash agg — "
+        "same single-shuffle shape as a plain groupBy at 100 TB"
+    ),
+)
+def a3b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_rows"),
+            _dec_sum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+@register(
     "a4_global_agg",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

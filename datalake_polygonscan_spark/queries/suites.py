@@ -172,6 +172,10 @@ _suite(
             "g_total_price": "g_total_price", "g_first_ship": "g_first_ship",
             "g_last_ship": "g_last_ship",
         }),
+        ("gsets", "a3b_grouping_sets", {
+            "l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+            "gid": "gid", "roll_n_rows": "n_rows", "roll_sum_qty": "sum_qty",
+        }),
     ],
 )
 
@@ -725,8 +729,11 @@ _suite(
         "G2 PageRank with exact-decimal propagation (the SQL replays "
         "all 5 iterations as MATERIALIZED CTEs bit-identically) + G4 "
         "recursive CTE hierarchy walk (identical WITH RECURSIVE text "
-        "through spark.sql and DuckDB) — iteration-as-API and "
-        "iteration-as-SQL in one graded slot (merged round 5)"
+        "through spark.sql and DuckDB) + G3 exact triangle counting by "
+        "degree-ordered orientation (skew-proof wedge enumeration, "
+        "O(m^1.5) total; added round 6) — iteration-as-API, "
+        "iteration-as-SQL and multi-join motif counting in one graded "
+        "slot (merged round 5)"
     ),
     layout=[
         ("node", "long", "BIGINT"),
@@ -735,6 +742,8 @@ _suite(
         ("n_edges", "long", "BIGINT"),
         ("depth", "long", "BIGINT"),
         ("depth_bal", "double", "DOUBLE"),
+        ("n_tri", "long", "BIGINT"),
+        ("clustering", "double", "DOUBLE"),
     ],
     arms=[
         ("pagerank", "g2_pagerank", {
@@ -744,6 +753,10 @@ _suite(
         ("recursive", "g4_recursive_cte", {
             "n_nodes": "n_nodes", "depth": "CAST(depth AS BIGINT)",
             "depth_bal": "depth_bal",
+        }),
+        ("triangles", "g3_triangle_count", {
+            "node": "node", "depth": "deg", "n_tri": "n_tri",
+            "clustering": "clustering", "n_nodes": "total_triangles",
         }),
     ],
 )
