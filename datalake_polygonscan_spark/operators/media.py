@@ -776,6 +776,180 @@ def decode_wav_pcm(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M-ADPCM: IMA/DVI ADPCM compressed-audio decode (WAVE fmt tag 0x11),
+# zero external codecs — a PREDICTIVE coder, the fourth compression
+# family in the media tier after DEFLATE (PNG), LZW (GIF) and DCT
+# (JPEG). Cross-validated against CPython's audioop (tests).
+# ---------------------------------------------------------------------------
+
+#: the standard IMA ADPCM step-size table (89 entries) and 3-bit
+#: magnitude index-adaptation table — identical across IMA WAV,
+#: DVI ADPCM and CPython's audioop.
+ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+ADPCM_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8)
+ADPCM_RATE = 8000
+
+
+def adpcm_decode_block(data: bytes, predictor: int, index: int) -> list[int]:
+    """Decode one IMA ADPCM nibble stream (LOW nibble first, the WAV
+    block order) from an explicit (predictor, step-index) start state.
+    Returns the sample list INCLUDING the seed predictor as sample 0,
+    per the IMA WAV block contract."""
+    index = max(0, min(88, index))
+    out = [predictor]
+    for byte in data:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = ADPCM_STEPS[index]
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            predictor = predictor - diff if nib & 8 else predictor + diff
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + ADPCM_INDEX_DELTA[nib & 7]))
+            out.append(predictor)
+    return out
+
+
+def adpcm_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-format compressed-audio fixture: a valid
+    RIFF/WAVE IMA ADPCM (fmt tag 0x11) mono file per document — fmt
+    chunk with the 2-byte samples-per-block extension, the mandatory
+    ``fact`` chunk (sample count, required for compressed WAV), and
+    one ADPCM block whose 4-byte header seeds predictor=0 and step
+    index ``doc_id % 89``, followed by (doc_id%3+1)*4 nibble-payload
+    bytes taken from the document's first UTF-8 bytes (space-padded).
+    Built entirely in codegen hex surgery so the DuckDB oracle can
+    replay the decode recurrence from the same payload formula.
+    """
+    mid = F.col(id_col).cast("long")
+    nb = (mid % 3 + 1) * 4                      # ADPCM payload bytes
+    n_samples = nb * 2 + 1                      # header seed + 2/byte
+    block_align = nb + 4                        # 4-byte block header
+    max_hex = 12 * 2                            # 12 payload bytes max
+    payload_hex = F.rpad(F.hex(F.encode(F.col(text_col), "UTF-8")), max_hex, "20").substr(
+        F.lit(1), (nb * 2).cast("int")
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le_hex(nb + 56, 4),               # riff size (see layout below)
+        F.lit("57415645"),                 # 'WAVE'
+        F.lit("666D7420"),                 # 'fmt '
+        _le_hex(F.lit(20), 4),             # fmt chunk size (16 + cb 2 + ext 2)
+        F.lit("1100"),                     # wFormatTag 0x0011 = IMA ADPCM
+        F.lit("0100"),                     # mono
+        _le_hex(F.lit(ADPCM_RATE), 4),     # sample rate
+        _le_hex((F.lit(ADPCM_RATE) * block_align / n_samples).cast("long"), 4),  # byte rate
+        _le_hex(block_align, 2),           # block align
+        F.lit("0400"),                     # 4 bits per (compressed) sample
+        F.lit("0200"),                     # cbSize = 2
+        _le_hex(n_samples, 2),             # samples per block
+        F.lit("66616374"),                 # 'fact'
+        _le_hex(F.lit(4), 4),
+        _le_hex(n_samples, 4),             # total samples (decompressed)
+        F.lit("64617461"),                 # 'data'
+        _le_hex(block_align, 4),           # data size = one block
+        F.lit("0000"),                     # block header: predictor = 0
+        F.lpad(F.hex(mid % 89), 2, "0"),   # block header: step index
+        F.lit("00"),                       # block header: reserved
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("audio/adpcm").alias("mime"),
+        F.unhex(F.concat(header_hex, payload_hex)).alias("content"),
+    )
+
+
+def decode_adpcm_pcm(media: DataFrame) -> DataFrame:
+    """The compressed-audio decode tier: walk the RIFF chunk list,
+    validate the IMA ADPCM fmt (tag 0x11) + samples-per-block
+    extension + fact chunk, decode each data block's nibble stream
+    through the step-adaptive predictor recurrence
+    (``adpcm_decode_block``), truncate to the fact sample count, and
+    emit integer-exact signal stats. Arrow-batched ``mapInPandas``;
+    blocks are independent (each reseeds predictor+index), so a
+    100 TB corpus decodes embarrassingly parallel per file AND could
+    split per block within a file."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(mid: int, blob: bytes) -> dict:
+            b = bytes(blob)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError(f"media_id {mid}: not a RIFF/WAVE container")
+            pos, fmt, fact_n, data = 12, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"fact":
+                    fact_n = int.from_bytes(body[0:4], "little")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError(f"media_id {mid}: missing fmt/data chunk")
+            fmt_tag = int.from_bytes(fmt[0:2], "little")
+            channels = int.from_bytes(fmt[2:4], "little")
+            rate = int.from_bytes(fmt[4:8], "little")
+            block_align = int.from_bytes(fmt[12:14], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if fmt_tag != 0x11 or bits != 4 or channels != 1:
+                raise ValueError(
+                    f"media_id {mid}: expected mono IMA ADPCM, got fmt={fmt_tag} bits={bits}"
+                )
+            if len(fmt) < 20:
+                raise ValueError(f"media_id {mid}: fmt missing samples-per-block extension")
+            spb = int.from_bytes(fmt[18:20], "little")
+            if fact_n is None:
+                raise ValueError(f"media_id {mid}: compressed WAV requires a fact chunk")
+            samples: list[int] = []
+            for off in range(0, len(data), block_align):
+                block = data[off : off + block_align]
+                if len(block) < 4:
+                    raise ValueError(f"media_id {mid}: truncated ADPCM block header")
+                pred = int.from_bytes(block[0:2], "little", signed=True)
+                idx = block[2]
+                if idx > 88:
+                    raise ValueError(f"media_id {mid}: step index {idx} out of range")
+                samples.extend(adpcm_decode_block(block[4:], pred, idx)[:spb])
+            samples = samples[:fact_n]
+            if len(samples) != fact_n:
+                raise ValueError(
+                    f"media_id {mid}: fact says {fact_n} samples, decoded {len(samples)}"
+                )
+            return {
+                "media_id": mid,
+                "sample_rate": rate,
+                "n_samples": len(samples),
+                "peak": max(abs(s) for s in samples) if samples else 0,
+                "sum_abs": sum(abs(s) for s in samples),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame([one(int(m), c) for m, c in zip(pdf["media_id"], pdf["content"])])
+
+    return media.mapInPandas(
+        decode,
+        schema="media_id long, sample_rate long, n_samples long, peak long, sum_abs long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # M-AVI: real video container decode (RIFF/AVI, uncompressed DIB
 # frames, zero codecs) — completes the modality triple: image (BMP,
 # PNG), audio (WAV), VIDEO (AVI).

@@ -284,6 +284,83 @@ def m_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_pcm(wav_table(docs))
 
 
+def _adpcm_oracle_sql() -> str:
+    """Replays the IMA ADPCM decode recurrence as a recursive CTE:
+    the 89-entry step table is inlined as a list literal, the 3-bit
+    index-adaptation table likewise, and the per-sample state
+    (predictor, step index) advances one nibble per recursion level —
+    value-checking the step-adaptive predictive decoder exactly (max
+    24 nibbles/doc, so recursion depth is trivially bounded)."""
+    from datalake_polygonscan_spark.operators.media import ADPCM_STEPS
+
+    steps = ", ".join(str(s) for s in ADPCM_STEPS)
+    return f"""
+    WITH RECURSIVE ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST((doc_id % 3 + 1) * 4 AS BIGINT) AS nb,
+               CAST(doc_id % 89 AS BIGINT) AS idx0,
+               substr(rpad(hex(encode(text)), 24, '20'),
+                      1, CAST((doc_id % 3 + 1) * 8 AS INT)) AS ph
+        FROM documents
+    ), st AS (
+        SELECT unnest(generate_series(1, 89)) AS k
+    ), steps AS (
+        SELECT k - 1 AS idx, list_value({steps})[k] AS s FROM st
+    ), nib AS (
+        SELECT media_id, i,
+               CASE WHEN i % 2 = 1
+                    THEN CAST(concat('0x', substr(ph, CAST(((i-1)//2)*2+1 AS INT), 2)) AS BIGINT) & 15
+                    ELSE CAST(concat('0x', substr(ph, CAST(((i-1)//2)*2+1 AS INT), 2)) AS BIGINT) >> 4
+               END AS v
+        FROM (SELECT media_id, ph, unnest(generate_series(1, CAST(nb * 2 AS INT))) AS i FROM ids)
+    ), rec(media_id, i, pred, idx) AS (
+        SELECT media_id, 0, 0, idx0 FROM ids
+        UNION ALL
+        SELECT r.media_id, r.i + 1,
+               greatest(-32768, least(32767, r.pred
+                   + (CASE WHEN (n.v & 8) > 0 THEN -1 ELSE 1 END)
+                   * ((t.s >> 3)
+                      + CASE WHEN (n.v & 4) > 0 THEN t.s ELSE 0 END
+                      + CASE WHEN (n.v & 2) > 0 THEN t.s >> 1 ELSE 0 END
+                      + CASE WHEN (n.v & 1) > 0 THEN t.s >> 2 ELSE 0 END))),
+               greatest(0, least(88, r.idx
+                   + list_value(-1, -1, -1, -1, 2, 4, 6, 8)[CAST(n.v & 7 AS INT) + 1]))
+        FROM rec r
+        JOIN nib n ON n.media_id = r.media_id AND n.i = r.i + 1
+        JOIN steps t ON t.idx = r.idx
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(pred)) AS BIGINT) AS peak,
+           CAST(sum(abs(pred)) AS BIGINT) AS sum_abs
+    FROM rec GROUP BY media_id
+    """
+
+
+@register(
+    "m_adpcm_pcm_decode",
+    oracle=_adpcm_oracle_sql(),
+    doc=(
+        "M-ADPCM REAL compressed-audio decode, zero external codecs "
+        "(operators/media.py:adpcm_table/decode_adpcm_pcm): each doc becomes a "
+        "valid RIFF/WAVE IMA ADPCM file (fmt tag 0x11 with samples-per-block "
+        "extension, mandatory fact chunk, 4-byte block header seeding "
+        "predictor/step-index), and the decoder runs the step-adaptive "
+        "predictive recurrence per nibble — the FOURTH compression family in "
+        "the media tier (DEFLATE/PNG, LZW/GIF, DCT/JPEG, ADPCM predictive). "
+        "The oracle replays the recurrence as a recursive CTE with the "
+        "89-entry step table inlined; the decoder is additionally "
+        "cross-validated bit-exactly against CPython audioop in tests"
+    ),
+)
+def m_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import adpcm_table, decode_adpcm_pcm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_adpcm_pcm(adpcm_table(docs))
+
+
 @register(
     "m_avi_frame_decode",
     oracle="""

@@ -482,7 +482,9 @@ _suite(
         "5). Round 6 adds PROGRESSIVE JPEG (SOF2 successive "
         "approximation) as its own arm, sharing the baseline arm's "
         "closed-form oracle: both coding paths must land on identical "
-        "pixels"
+        "pixels; and IMA ADPCM compressed audio (fmt 0x11, predictive "
+        "coding — the fourth compression family), its oracle a "
+        "recursive CTE replaying the step-adaptive recurrence"
     ),
     layout=[
         ("media_id", "long", "BIGINT"),
@@ -569,6 +571,11 @@ _suite(
             "media_id": "media_id", "sample_rate": "sample_rate",
             "n_samples": "n_samples", "duration_ms": "duration_ms",
             "peak": "peak", "sum_abs": "sum_abs",
+        }),
+        ("adpcm", "m_adpcm_pcm_decode", {
+            "media_id": "media_id", "sample_rate": "sample_rate",
+            "n_samples": "n_samples", "peak": "peak",
+            "sum_abs": "sum_abs",
         }),
         ("avi", "m_avi_frame_decode", {
             "media_id": "media_id", "width": "width", "height": "height",
