@@ -248,3 +248,92 @@ def cohort_retention(
         F.col("cohort_size").cast("long").alias("cohort_size"),
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    alpha: str = "0.25",
+    last_k: int | None = None,
+    scale: int = 12,
+) -> DataFrame:
+    """TS4 — exponentially weighted moving average per series: the
+    per-key ORDERED recurrence y_i = α·x_i + (1−α)·y_{i−1} (seeded
+    y_1 = x_1), which no built-in window function expresses (the
+    weights depend on each row's distance from the current row).
+
+    EXACT-DECIMAL determinism contract (same as operators/graph.py:
+    pagerank and operators/regression.py): x enters as DECIMAL(18,6),
+    every step quantizes α·x + (1−α)·y to ``scale`` decimal places
+    HALF-UP in ``decimal.Decimal`` arithmetic — no binary floats
+    anywhere in the recurrence — so the result is bit-identical under
+    any partitioning AND a SQL engine can replay the recurrence with
+    DECIMAL round(), value-checking the iterative op exactly.
+
+    Scale notes (the 100 TB story):
+    - ONE shuffle on the series key (applyInPandas), then a
+      per-series O(n) scan with O(1) state; series are independent so
+      skew = the longest single series, as for any per-key timeline.
+    - ``last_k`` caps each series to its trailing-k rows (dropping
+      the older tail BEFORE the recurrence) — the telemetry shape
+      where only the recent window matters; it also bounds the depth
+      a replaying oracle must recurse to.
+    - Python is unavoidable here (data-dependent recurrence), so the
+      boundary is Arrow-batched applyInPandas, never a row UDF.
+
+    Returns (key, i, order_cols..., x DECIMAL(18,6), y DECIMAL(28,12))
+    with i the 1-based position within the (possibly capped) series.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    a = Decimal(alpha)
+    b = Decimal(1) - a
+    q = Decimal(1).scaleb(-scale)
+    dec_in = df.select(
+        F.col(key).alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("decimal(18,6)").alias("_x"),
+    )
+    if last_k is not None:
+        rdesc = F.row_number().over(
+            Window.partitionBy("_k").orderBy(*[F.col(c).desc() for c in order_cols])
+        )
+        dec_in = dec_in.withColumn("_rdesc", rdesc).filter(F.col("_rdesc") <= last_k).drop("_rdesc")
+
+    out_schema = (
+        f"_k long, i long, "
+        + ", ".join(f"{c} {t}" for c, t in zip(order_cols, _order_types(df, order_cols)))
+        + ", _x decimal(18,6), _y decimal(28,12)"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        y = None
+        ys = []
+        for x in pdf["_x"]:
+            y = x if y is None else (a * x + b * y).quantize(q, ROUND_HALF_UP)
+            ys.append(y)
+        return pd.DataFrame(
+            {
+                "_k": pdf["_k"],
+                "i": range(1, len(pdf) + 1),
+                **{c: pdf[c] for c in order_cols},
+                "_x": pdf["_x"],
+                "_y": ys,
+            }
+        )
+
+    return (
+        dec_in.groupBy("_k")
+        .applyInPandas(run, schema=out_schema)
+        .withColumnsRenamed({"_k": key, "_x": "x", "_y": "y"})
+    )
+
+
+def _order_types(df: DataFrame, cols: list[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[c] for c in cols]

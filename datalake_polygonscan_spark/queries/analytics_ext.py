@@ -640,3 +640,56 @@ def ts3_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zs.cast("double"), 4).alias("z"),
         F.when(zs.isNotNull() & (F.abs(zs) > 3.0), 1).otherwise(0).cast("int").alias("is_anomaly"),
     )
+
+
+@register(
+    "ts4_ewma_smoothing",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,6)) AS x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+        FROM events WHERE event_type = 'purchase'
+    ), lastk AS (
+        SELECT event_id, user_id, ts, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS i
+        FROM base WHERE rdesc <= 24
+    ), rec(user_id, i, event_id, ts, x, y) AS (
+        SELECT user_id, i, event_id, ts, x, CAST(x AS DECIMAL(28,12)) FROM lastk WHERE i = 1
+        UNION ALL
+        SELECT l.user_id, l.i, l.event_id, l.ts, l.x,
+               CAST(round(0.25 * l.x + 0.75 * r.y, 12) AS DECIMAL(28,12))
+        FROM rec r JOIN lastk l ON l.user_id = r.user_id AND l.i = r.i + 1
+    )
+    SELECT event_id, user_id, ts, CAST(i AS BIGINT) AS i,
+           CAST(round(x, 4) AS DOUBLE) AS value,
+           CAST(round(y, 6) AS DOUBLE) AS ewma,
+           CAST(round(x - y, 6) AS DOUBLE) AS dev
+    FROM rec
+    """,
+    doc=(
+        "TS4 exponentially weighted moving average (operators/temporal.py:"
+        "ewma): the per-series ORDERED recurrence y_i = alpha*x_i + "
+        "(1-alpha)*y_(i-1) that no built-in window function expresses — "
+        "computed per user over the trailing 24 purchase events via ONE "
+        "applyInPandas shuffle with O(1) state per series. EXACT-DECIMAL "
+        "contract: every step quantizes to 12 decimal places half-up in "
+        "decimal arithmetic (no binary floats in the recurrence), so the "
+        "result is bit-identical under any partitioning AND the oracle "
+        "replays the full recurrence as a recursive CTE over DECIMAL — the "
+        "iterative smoothing is value-checked exactly, like PageRank and "
+        "the ADPCM decoder"
+    ),
+)
+def ts4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import ewma
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    sm = ewma(ev, key="user_id", value_col="value", order_cols=["ts", "event_id"],
+              alpha="0.25", last_k=24)
+    return sm.select(
+        "event_id", "user_id", "ts",
+        F.col("i").cast("long").alias("i"),
+        F.round("x", 4).cast("double").alias("value"),
+        F.round("y", 6).cast("double").alias("ewma"),
+        F.round(F.col("x") - F.col("y"), 6).cast("double").alias("dev"),
+    )

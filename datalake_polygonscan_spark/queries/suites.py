@@ -1645,7 +1645,10 @@ _suite(
         "argmin, tie-deterministic) — the temporal tier in one graded "
         "slot (merged round 5). Round 6 adds TS3 rolling z-score "
         "anomaly detection (trailing-frame exact-decimal moments, "
-        "current row excluded from its own baseline) as a fourth arm"
+        "current row excluded from its own baseline) and TS4 EWMA "
+        "smoothing (exact-decimal per-series recurrence via "
+        "applyInPandas, oracle-replayed as a recursive CTE) as fourth "
+        "and fifth arms"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1684,6 +1687,11 @@ _suite(
             "value": "value", "n_events": "roll_n",
             "roll_mean": "roll_mean", "z": "z",
             "is_anomaly": "is_anomaly",
+        }),
+        ("ewma", "ts4_ewma_smoothing", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "n_events": "i",
+            "roll_mean": "ewma", "z": "dev",
         }),
     ],
 )

@@ -107,3 +107,50 @@ def test_funnel_order_matters_and_depth(spark):
     assert out[3].funnel_depth == 0 and out[3].t_view is None
     assert out[4].funnel_depth == 2 and out[4].t_click == _ts(6)
     assert len(out) == 4  # one row per key
+
+
+def test_ewma_matches_reference_recurrence_and_is_partition_invariant(spark):
+    """The applyInPandas EWMA must equal a driver-side Decimal replay
+    of the recurrence, and be bit-identical regardless of input
+    partitioning (the exact-decimal contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_polygonscan_spark.operators.temporal import ewma
+
+    rows = [
+        (i, k, float(v))
+        for k, vals in [(1, [10.5, 11.25, 9.0, 14.125, 13.0]), (2, [100.0, 50.0]), (3, [7.77])]
+        for i, v in enumerate(vals, start=k * 100)
+    ]
+    df = spark.createDataFrame(rows, ["seq", "k", "v"])
+
+    def reference(vals):
+        a, b, q = Decimal("0.25"), Decimal("0.75"), Decimal(1).scaleb(-12)
+        y, out = None, []
+        for v in vals:
+            x = Decimal(str(v)).quantize(Decimal("1e-6"))
+            y = x if y is None else (a * x + b * y).quantize(q, ROUND_HALF_UP)
+            out.append(y)
+        return out
+
+    expect = {}
+    for k, vals in [(1, [10.5, 11.25, 9.0, 14.125, 13.0]), (2, [100.0, 50.0]), (3, [7.77])]:
+        for i, y in enumerate(reference(vals), start=1):
+            expect[(k, i)] = y
+
+    for n_part in (1, 7):
+        got = ewma(df.repartition(n_part), key="k", value_col="v", order_cols=["seq"]).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert r["y"] == expect[(r["k"], r["i"])], (n_part, r)
+
+
+def test_ewma_last_k_caps_each_series(spark):
+    from datalake_polygonscan_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([(i, 1, float(i)) for i in range(10)], ["seq", "k", "v"])
+    got = ewma(df, key="k", value_col="v", order_cols=["seq"], last_k=4).collect()
+    # only the trailing 4 rows survive, re-seeded at the window start
+    assert sorted(r["seq"] for r in got) == [6, 7, 8, 9]
+    seed = [r for r in got if r["i"] == 1][0]
+    assert seed["seq"] == 6 and seed["y"] == seed["x"]
