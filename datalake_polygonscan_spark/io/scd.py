@@ -1,0 +1,103 @@
+"""SCD Type 2 dimension maintenance: history-preserving upserts.
+
+``scd2_apply`` applies one batch of candidate attribute states to a
+slowly-changing-dimension table: rows whose TRACKED attributes
+actually changed get their current version CLOSED (``valid_to`` =
+batch version, ``is_current`` = false) and a new current version
+INSERTED at the batch version; unchanged re-sends are dropped by the
+change filter and create no versions. The history table is keyed on
+(business key, valid_from), so one bucket-pruned MERGE commits the
+closed rows (same composite key, rewritten) and the new versions
+(new composite key) atomically.
+
+Scale notes (the 100 TB story):
+- Change detection is one broadcast-or-shuffle equi-join of the batch
+  against ONLY the ``is_current`` slice of the dimension, on the
+  business key — never against the full history.
+- The null-safe any-column-differs predicate is a codegen struct
+  comparison (no UDF); unchanged re-sends (the dominant case in CDC
+  feeds replaying full snapshots) are discarded before any write.
+- The MERGE itself rides io/merge.py:merge_upsert — bucket-pruned
+  commits, CAS pointer, O(changed) not O(history) write volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.merge import merge_upsert
+from datalake_polygonscan_spark.io.sinks import read_table
+
+
+def scd2_init(
+    spark: SparkSession,
+    table_path: str,
+    base: DataFrame,
+    key: str,
+    version: int = 1,
+    n_buckets: int = 8,
+) -> None:
+    """Seed the dimension: every base row becomes version 1, open."""
+    merge_upsert(
+        spark,
+        table_path,
+        base.withColumn("valid_from", F.lit(version).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True)),
+        keys=[key, "valid_from"],
+        n_buckets=n_buckets,
+    )
+
+
+def scd2_apply(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    key: str,
+    tracked: list[str],
+    version: int,
+    n_buckets: int = 8,
+) -> dict:
+    """Apply one batch of candidate states (key + tracked columns,
+    ABSOLUTE new values) at ``version``. Returns counts
+    {changed, closed, resent_unchanged}."""
+    dim = read_table(spark, table_path)
+    cur = dim.filter(F.col("is_current")).select(
+        key, *[F.col(c).alias(f"_cur_{c}") for c in tracked], "valid_from"
+    )
+    joined = batch.select(key, *tracked).join(cur, key, "inner")
+    differs = None
+    for c in tracked:
+        d = ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = joined.filter(differs).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    n_changed = changed.count()
+
+    closed = changed.select(
+        key,
+        *[F.col(f"_cur_{c}").alias(c) for c in tracked],
+        F.col("valid_from"),
+        F.lit(version).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        key,
+        *tracked,
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    merge_upsert(
+        spark,
+        table_path,
+        closed.unionByName(opened),
+        keys=[key, "valid_from"],
+        n_buckets=n_buckets,
+    )
+    return {
+        "changed": n_changed,
+        "closed": n_changed,
+        "resent_unchanged": n_batch - n_changed,
+    }

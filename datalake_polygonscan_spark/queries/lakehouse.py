@@ -1951,3 +1951,106 @@ def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_listed", F.lit(files_ok))
         .select("version", "op", "available", "n_rows", "files_listed")
     )
+
+
+@register(
+    "s29_scd2_dimension",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        FROM customer
+    ), states AS (
+        SELECT k, 1 AS v, seg, bal FROM c
+        UNION ALL
+        SELECT k, 2,
+               CASE WHEN k % 5 = 0 THEN 'MOVED' ELSE seg END,
+               CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END
+        FROM c
+        UNION ALL
+        SELECT k, 3,
+               CASE WHEN k % 5 = 0 THEN 'MOVED' ELSE seg END,
+               CASE WHEN k % 3 = 0
+                    THEN (CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END) - 50
+                    ELSE (CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END) END
+        FROM c
+    ), dedup AS (
+        SELECT k, v, seg, bal,
+               lag(seg) OVER w AS pseg, lag(bal) OVER w AS pbal
+        FROM states
+        WINDOW w AS (PARTITION BY k ORDER BY v)
+    ), versions AS (
+        SELECT k, v AS valid_from, seg, bal
+        FROM dedup
+        WHERE pseg IS NULL OR seg <> pseg OR bal <> pbal
+    )
+    SELECT k AS c_custkey,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS BIGINT) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from) IS NULL AS is_current,
+           seg AS c_mktsegment,
+           ROUND(CAST(bal AS DOUBLE), 4) AS c_acctbal
+    FROM versions
+    """,
+    doc=(
+        "S29 SCD Type 2 dimension maintenance (io/scd.py:scd2_init/scd2_apply): "
+        "history-preserving upserts over the customer dimension — batch 2 "
+        "changes segment (%5) and balance (%7, overlapping %35 rows take both "
+        "in one version), batch 3 changes balance again (%3, stacking a third "
+        "version on rows also hit earlier) AND re-sends %11 rows UNCHANGED, "
+        "which the null-safe change filter must drop (no spurious versions). "
+        "Change detection joins only the is_current slice on the business key; "
+        "closed + opened versions commit in ONE bucket-pruned MERGE keyed "
+        "(custkey, valid_from) — O(changed) write volume, never O(history). "
+        "The oracle derives the same history with lag/lead consecutive-dedup "
+        "over the closed-form per-version states"
+    ),
+)
+def s29_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.scd import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment"),
+        F.col("c_acctbal").cast("decimal(18,6)").alias("c_acctbal"),
+    )
+    table = _scratch("s29_scd2", "customer_dim")
+    shutil.rmtree(table, ignore_errors=True)
+    k = F.col("c_custkey")
+    scd2_init(spark, table, c, key="c_custkey", version=1)
+
+    batch2 = c.filter((k % 5 == 0) | (k % 7 == 0)).select(
+        "c_custkey",
+        F.when(k % 5 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 7 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .cast("decimal(18,6)")
+        .alias("c_acctbal"),
+    )
+    r2 = scd2_apply(spark, table, batch2, key="c_custkey",
+                    tracked=["c_mktsegment", "c_acctbal"], version=2)
+    assert r2["resent_unchanged"] == 0, r2
+
+    # state after batch 2, derived closed-form (what a CDC feed would carry)
+    s2_seg = F.when(k % 5 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment"))
+    s2_bal = F.when(k % 7 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal"))
+    batch3 = c.filter((k % 3 == 0) | (k % 11 == 0)).select(
+        "c_custkey",
+        s2_seg.alias("c_mktsegment"),
+        F.when(k % 3 == 0, s2_bal - 50).otherwise(s2_bal).cast("decimal(18,6)").alias("c_acctbal"),
+    )
+    r3 = scd2_apply(spark, table, batch3, key="c_custkey",
+                    tracked=["c_mktsegment", "c_acctbal"], version=3)
+    assert r3["resent_unchanged"] > 0, r3  # the %11-only no-op re-sends
+
+    from datalake_polygonscan_spark.io.sinks import read_table as _rt
+
+    dim = _rt(spark, table)
+    return dim.select(
+        "c_custkey",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal").cast("double"), 4).alias("c_acctbal"),
+    )

@@ -1197,10 +1197,17 @@ _suite(
         "schema) + S20 CHECK constraints (bad batch rejected "
         "atomically, constraint inherited by later merges) + S26 "
         "partition-spec evolution + S27 column-mapping rename (both "
-        "zero-copy metadata commits, passthrough) (merged round 5)"
+        "zero-copy metadata commits, passthrough) (merged round 5) + "
+        "S29 SCD Type 2 dimension history (change-filtered "
+        "close-and-open versioning in one bucket-pruned MERGE per "
+        "batch; added round 6)"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
+        ("c_custkey", "long", "BIGINT"),
+        ("valid_from", "long", "BIGINT"),
+        ("valid_to", "long", "BIGINT"),
+        ("is_current", "boolean", "BOOLEAN"),
         ("n_rows", "long", "BIGINT"),
         ("sum_price", "double", "DOUBLE"),
         ("v0_n_cols", "long", "BIGINT"),
@@ -1229,6 +1236,11 @@ _suite(
             "mode": "op", "status": "status", "n_rows": "n_rows",
             "metric": "metric", "zero_copy": "zero_copy",
             "semantics_ok": "semantics_ok",
+        }),
+        ("scd2", "s29_scd2_dimension", {
+            "c_custkey": "c_custkey", "valid_from": "valid_from",
+            "valid_to": "valid_to", "is_current": "is_current",
+            "status": "c_mktsegment", "metric": "c_acctbal",
         }),
     ],
 )
