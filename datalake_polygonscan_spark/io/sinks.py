@@ -160,28 +160,37 @@ def commit_snapshot(
             raise SnapshotConflict(
                 f"pointer moved: expected {base_meta!r}, found {live!r} — re-derive and retry"
             )
-        fd, tmp = tempfile.mkstemp(dir=table_path, prefix="._pointer_tmp_")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, _pointer_path(table_path))
-        # commit-log entry: written under the lock so version files
-        # appear in commit order; one immutable JSON per version
-        log_dir = os.path.join(table_path, _LOG)
-        os.makedirs(log_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._log_tmp_")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": new_version, **meta}, f)
-        os.replace(tmp, os.path.join(log_dir, f"{new_version:012d}.json"))
-        # periodic log checkpoint (still under the lock, so the rollup
-        # is consistent): one file holding every entry <= this version;
-        # building it reads only the previous checkpoint + the tail
-        if CHECKPOINT_EVERY and new_version > 0 and new_version % CHECKPOINT_EVERY == 0:
-            entries = _load_log_entries(table_path)
-            fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._cp_tmp_")
-            with os.fdopen(fd, "w") as f:
-                json.dump(entries, f)
-            os.replace(tmp, os.path.join(log_dir, f"checkpoint-{new_version:012d}.json"))
+        _apply_pointer_locked(table_path, meta)
     _prune_snapshots(table_path, new_version, keep_names={snapshot_name} | ({base_meta["snapshot"]} if base_meta else set()), retain=retain)
+
+
+def _apply_pointer_locked(table_path: str, meta: dict) -> None:
+    """The pointer+log application itself — caller MUST hold the
+    table's pointer lock. Factored out so the multi-table transaction
+    protocol (io/txn.py) can apply several tables' pointers while
+    holding all their locks at once."""
+    new_version = snapshot_version(meta)
+    fd, tmp = tempfile.mkstemp(dir=table_path, prefix="._pointer_tmp_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _pointer_path(table_path))
+    # commit-log entry: written under the lock so version files
+    # appear in commit order; one immutable JSON per version
+    log_dir = os.path.join(table_path, _LOG)
+    os.makedirs(log_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._log_tmp_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": new_version, **meta}, f)
+    os.replace(tmp, os.path.join(log_dir, f"{new_version:012d}.json"))
+    # periodic log checkpoint (still under the lock, so the rollup
+    # is consistent): one file holding every entry <= this version;
+    # building it reads only the previous checkpoint + the tail
+    if CHECKPOINT_EVERY and new_version > 0 and new_version % CHECKPOINT_EVERY == 0:
+        entries = _load_log_entries(table_path)
+        fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._cp_tmp_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, os.path.join(log_dir, f"checkpoint-{new_version:012d}.json"))
 
 
 def _prune_snapshots(table_path: str, new_version: int, keep_names: set[str], retain: int) -> None:

@@ -2054,3 +2054,79 @@ def s29_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal").cast("double"), 4).alias("c_acctbal"),
     )
+
+
+@register(
+    "s30_multi_table_txn",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           TRUE AS rollup_consistent,
+           TRUE AS recovered_atomically
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S30 atomic MULTI-TABLE transaction (io/txn.py): a fact table and its "
+        "aggregate rollup commit together under a write-ahead intent + "
+        "ordered-CAS protocol — stage all snapshots, lock all tables in "
+        "canonical order, validate every base, publish ONE intent file (the "
+        "atomic commit point), then apply each pointer. The entry commits "
+        "txn1 (half the orders), then a txn2 carrying ALL orders that "
+        "CRASHES mid-apply (failure injection: rollup pointer applied, fact "
+        "pointer not) leaving a mixed state on disk; `recover` rolls the "
+        "intent FORWARD, after which fact-vs-rollup consistency is "
+        "re-verified by one aggregate comparison. recovered_atomically rides "
+        "the value hash: readers never observe the mixed state after "
+        "recovery. Oracle = the closed-form final state (all orders)"
+    ),
+)
+def s30_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import read_table as _rt
+    from datalake_polygonscan_spark.io.txn import recover, txn_commit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+    )
+    fact = _scratch("s30_txn", "orders_fact")
+    rollup = _scratch("s30_txn", "orders_rollup")
+    troot = _scratch("s30_txn", "_txn")
+    for p in (fact, rollup, troot):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def roll(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_totalprice").cast("decimal(28,6)").alias("sum_price"),
+        )
+
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    txn_commit(spark, troot, [(fact, half), (rollup, roll(half))])
+
+    # txn2: all orders, coordinator crashes after ONE of the two
+    # pointer applies — tables diverge on disk until recovery
+    crashed = False
+    try:
+        txn_commit(
+            spark, troot, [(fact, o), (rollup, roll(o))], _crash_after_apply=1
+        )
+    except RuntimeError:
+        crashed = True
+    rec = recover(troot)
+    recovered = crashed and len(rec["rolled_forward"]) == 1
+
+    # consistency re-check: the rollup table must equal the fact
+    # table's re-aggregation exactly (one aggregate pass per side)
+    fact_agg = roll(_rt(spark, fact))
+    stored = _rt(spark, rollup)
+    diff = fact_agg.exceptAll(stored).count() + stored.exceptAll(fact_agg).count()
+    consistent = diff == 0
+
+    return (
+        _rt(spark, fact)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("o_totalprice", "sum_price"))
+        .withColumn("rollup_consistent", F.lit(consistent))
+        .withColumn("recovered_atomically", F.lit(recovered))
+    )

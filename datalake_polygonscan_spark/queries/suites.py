@@ -1257,10 +1257,17 @@ _suite(
         "bounded history reads) + S28 queryable metadata tables "
         "(history + live-files relations as DataFrames, retention "
         "visibility included) — the commit log written and read back "
-        "as a table, one graded slot (merged round 5)"
+        "as a table, one graded slot (merged round 5) + S30 atomic "
+        "MULTI-TABLE transactions (write-ahead intent + ordered CAS, "
+        "crash injected mid-apply, rolled forward by recovery; added "
+        "round 6)"
     ),
     layout=[
         ("n_versions", "long", "BIGINT"),
+        ("o_orderstatus", "string", "VARCHAR"),
+        ("sum_price", "double", "DOUBLE"),
+        ("rollup_consistent", "boolean", "BOOLEAN"),
+        ("recovered_atomically", "boolean", "BOOLEAN"),
         ("n_checkpoints", "long", "BIGINT"),
         ("n_entry_files", "long", "BIGINT"),
         ("live_rows", "long", "BIGINT"),
@@ -1280,6 +1287,12 @@ _suite(
         ("metadata_tables", "s28_metadata_tables", {
             "version": "version", "op": "op", "available": "available",
             "n_rows": "n_rows", "files_listed": "files_listed",
+        }),
+        ("txn", "s30_multi_table_txn", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price",
+            "rollup_consistent": "rollup_consistent",
+            "recovered_atomically": "recovered_atomically",
         }),
     ],
 )
