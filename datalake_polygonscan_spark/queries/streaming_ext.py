@@ -405,3 +405,95 @@ def e12_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(meta))
     )
+
+
+@register(
+    "e13_chained_window_agg",
+    oracle="""
+    WITH w10 AS (
+        SELECT CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w10_start,
+               event_type,
+               count(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(time_bucket(INTERVAL 30 MINUTE,
+                w10_start + INTERVAL 10 MINUTE - INTERVAL 1 MICROSECOND) AS TIMESTAMP) AS w30_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(s) AS DOUBLE), 4) AS total_value
+    FROM w10 GROUP BY 1, 2
+    """,
+    doc=(
+        "E13 CHAINED stateful operators (Spark 4 multiple-stateful-operator "
+        "support): two event-time windowed aggregations in ONE streaming "
+        "query — 10-minute windows per event_type rolled up into 30-minute "
+        "windows via window(window_time(w10)), append mode, real file-source "
+        "stream (AvailableNow, one file per micro-batch). The pre-aggregated "
+        "rollup is the 100 TB shape: the second operator sees per-window "
+        "partials, never raw events. End-of-stream flush through BOTH "
+        "operators' state needs the watermark to pass each stage, so two "
+        "far-future sentinel events ride the stream (one per flush hop) and "
+        "their rows are filtered from the OUTPUT — filtering them before the "
+        "first aggregation would starve the second hop's watermark advance. "
+        "The oracle is the equivalent two-level batch rollup; exact equality "
+        "proves no window was dropped as late or left unflushed"
+    ),
+)
+def e13_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import uuid
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e13_stream", "events_src")
+    chk = _scratch("e13_stream", "chk")
+    for p in (src, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate([30, 60], start=2):
+        sent = spark.createDataFrame(
+            [(990000000 + i, mx + datetime.timedelta(days=days), 0, "__sentinel__", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sent.coalesce(1).write.parquet(os.path.join(src, f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg1 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    agg2 = agg1.groupBy(
+        F.window(F.window_time("w10"), "30 minutes").alias("w30"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        agg2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("w30.start").alias("w30_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("s").cast("double"), 4).alias("total_value"),
+        )
+    )

@@ -349,7 +349,10 @@ _suite(
         "state-store READER: the checkpointed aggregation state of a "
         "finished stream queried back as a DataFrame via the Spark 4 "
         "statestore/state-metadata sources, oracled against the "
-        "closed-form aggregate"
+        "closed-form aggregate — and E13, CHAINED stateful operators: "
+        "two event-time window aggs in one append-mode query (10-min "
+        "rolled into 30-min via window_time), sentinel-flushed through "
+        "both state stores, exact vs the two-level batch rollup"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -374,6 +377,10 @@ _suite(
         ("state_reader", "e12_state_store_reader", {
             "event_type": "event_type", "n_events": "n_state",
             "total_value": "sum_state", "operator_name": "operator_name",
+        }),
+        ("chained", "e13_chained_window_agg", {
+            "session_start": "w30_start", "event_type": "event_type",
+            "n_events": "n_events", "total_value": "total_value",
         }),
     ],
 )
