@@ -103,6 +103,14 @@ HEADLINE = [
     "e12_state_store_reader",
     "m_jpegp_pixel_decode",
     "u6_polymorphic_udtf",
+    # round-6 second batch: triangle counting, predictive-audio decode,
+    # EWMA recurrence, SCD2 history, multi-table txn, chained streaming
+    "g3_triangle_count",
+    "m_adpcm_pcm_decode",
+    "ts4_ewma_smoothing",
+    "s29_scd2_dimension",
+    "s30_multi_table_txn",
+    "e13_chained_window_agg",
 ]
 
 
