@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -70,6 +71,12 @@ class WalletExportDataSource(DataSource):
 
     def reader(self, schema) -> "WalletExportReader":
         return WalletExportReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WalletExportStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("wallet_export requires .option('path', ...)")
+        return WalletExportStreamWriter(path, [f.name for f in schema.fields], overwrite)
 
 
 class WalletExportWriter(DataSourceArrowWriter):
@@ -169,6 +176,65 @@ class WalletExportWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(staging, name))
                 except FileNotFoundError:
                     pass
+
+
+class WalletExportStreamWriter(WalletExportWriter, DataSourceStreamArrowWriter):
+    """R10s — the STREAMING arm of the export sink (Spark 4
+    ``DataSourceStreamArrowWriter``), completing the Python DataSource
+    matrix: batch read (R1), stream read (R1s), batch write (R10w),
+    stream write (R10s). Task side is IDENTICAL to the batch writer
+    (Arrow-batched CSV staging, inherited); the driver commits once
+    per MICRO-BATCH, publishing each batch as its own ``export-N``
+    manifest directory and recording the batch id in the pointer.
+
+    Exactly-once: Structured Streaming may re-deliver a micro-batch
+    whose sink commit succeeded but whose checkpoint commit did not
+    (failure in the window between the two). ``commit`` is therefore
+    IDEMPOTENT on batch id — a replayed ``batchId <=`` the pointer's
+    last committed id sweeps its staged files and leaves the published
+    state untouched, so the export sequence never duplicates a batch.
+    One root is bound to one query lineage (checkpoint), as with any
+    exactly-once sink."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        msgs = self._staged(messages)
+        pointer = os.path.join(self.root, "_PUBLISHED")
+        prev_export, prev_batch = -1, None
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                meta = json.load(f)
+            prev_export = meta["export"]
+            prev_batch = meta.get("batch_id")
+        if prev_batch is not None and batchId <= prev_batch:
+            # replayed micro-batch: the prior attempt's publish stuck;
+            # drop the redelivered staging and keep the committed state
+            self.abort(messages, batchId)
+            return
+        export = prev_export + 1
+        dest = os.path.join(self.root, f"export-{export}")
+        os.makedirs(dest, exist_ok=True)
+        for m in msgs:
+            os.replace(
+                os.path.join(self.root, "_staging", m.filename),
+                os.path.join(dest, m.filename),
+            )
+        manifest = {
+            "files": sorted(m.filename for m in msgs),
+            "rows": {m.filename: m.n_rows for m in msgs},
+            "total_rows": sum(m.n_rows for m in msgs),
+            "batch_id": batchId,
+        }
+        tmp = os.path.join(dest, "._manifest_tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(dest, "_MANIFEST.json"))
+        tmp = os.path.join(self.root, "._published_tmp")
+        with open(tmp, "w") as f:
+            json.dump({"export": export, "batch_id": batchId}, f)
+        os.replace(tmp, pointer)  # the atomic per-batch publish
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        WalletExportWriter.abort(self, messages)
 
 
 def published_files(root: str) -> list[str]:

@@ -188,3 +188,115 @@ def r10_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("manifest_consistent", F.lit(consistent))
     )
+
+
+@register(
+    "r10s_stream_export_sink",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+           CAST(3 AS BIGINT) AS n_exports,
+           TRUE AS replay_ignored
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "R10s — STREAMING Python DataSource writer (Spark 4 "
+        "DataSourceStreamArrowWriter; io/export_sink.py:WalletExportStreamWriter), "
+        "completing the Python DataSource matrix: batch read (R1), stream read "
+        "(R1s), batch write (R10w), stream write (R10s). A 3-micro-batch file "
+        "stream (maxFilesPerTrigger=1) exports each batch as its own "
+        "manifest-sealed export-N directory with the batch id recorded in the "
+        "atomic pointer; then the LAST batch's commit is RE-DELIVERED directly "
+        "(the failure window between sink commit and checkpoint commit) and "
+        "must be ignored — no new export, pointer untouched, staged replay "
+        "swept. replay_ignored rides the value hash. Read-back goes through "
+        "the manifest-resolved reader per export; the per-user aggregate "
+        "equals the closed-form events aggregate, proving no batch was lost "
+        "or duplicated"
+    ),
+)
+def r10s_stream_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    from functools import reduce
+
+    from datalake_polygonscan_spark.io.export_sink import (
+        WalletExportDataSource,
+        WalletExportStreamWriter,
+    )
+    from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    spark.dataSource.register(WalletExportDataSource)
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("r10s_export", "src")
+    root = _scratch("r10s_export", "export")
+    chk = _scratch("r10s_export", "chk")
+    for p in (src, root, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .select("event_id", "user_id", F.col("value").cast("double").alias("value"))
+    )
+    q = (
+        stream.writeStream.format("wallet_export")
+        .option("path", root)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pointer = os.path.join(root, "_PUBLISHED")
+    with open(pointer) as f:
+        before = json.load(f)
+    # ---- re-deliver the last batch's commit (sink-committed, ----
+    # ---- checkpoint-uncommitted failure window)               ----
+    w = WalletExportStreamWriter(root, ["event_id", "user_id", "value"], overwrite=False)
+    staging = os.path.join(root, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-replay.csv"), "w") as f:
+        f.write('"event_id","user_id","value"\n')
+
+    class _Msg:
+        filename = "part-replay.csv"
+        n_rows = 0
+
+    w.commit([_Msg()], batchId=before["batch_id"])
+    with open(pointer) as f:
+        after = json.load(f)
+    n_exports = len([d for d in os.listdir(root) if d.startswith("export-")])
+    replay_ignored = (
+        after == before
+        and n_exports == before["export"] + 1
+        and not os.listdir(staging)
+    )
+
+    dfs = [
+        spark.read.format("wallet_export")
+        .option("path", root)
+        .option("export", i)
+        .load()
+        for i in range(n_exports)
+    ]
+    back = reduce(lambda a, b: a.unionByName(b), dfs)
+    return (
+        back.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .withColumn("n_exports", F.lit(n_exports).cast("long"))
+        .withColumn("replay_ignored", F.lit(replay_ignored))
+    )

@@ -1592,10 +1592,16 @@ _suite(
         "sorted pages, error-as-empty, Arrow RecordBatch read path) + "
         "R1s the STREAMING DataSource (per-wallet page offsets, "
         "exactly-once across a two-pass incremental run, verdicts "
-        "riding the hash) (merged round 5)"
+        "riding the hash) (merged round 5) + R10s the STREAMING "
+        "DataSource WRITER (per-micro-batch manifest exports, "
+        "replayed-commit idempotence proven in-entry; added round 6) "
+        "— the full Python DataSource matrix in one slot"
     ),
     layout=[
         ("wallet_address", "string", "VARCHAR"),
+        ("user_id", "long", "BIGINT"),
+        ("n_exports", "long", "BIGINT"),
+        ("replay_ignored", "boolean", "BOOLEAN"),
         ("n_txs", "long", "BIGINT"),
         ("total_quantity", "double", "DOUBLE"),
         ("total_value", "long", "BIGINT"),
@@ -1612,6 +1618,11 @@ _suite(
             "total_value": "total_value",
             "first_batch_partial": "first_batch_partial",
             "second_batch_incremental": "second_batch_incremental",
+        }),
+        ("stream_sink", "r10s_stream_export_sink", {
+            "user_id": "user_id", "n_txs": "n_events",
+            "total_quantity": "total_value", "n_exports": "n_exports",
+            "replay_ignored": "replay_ignored",
         }),
     ],
 )

@@ -163,3 +163,93 @@ def test_reader_ignores_stray_files_and_pins_versions(registered, tmp_path):
     )
     assert pinned.count() == 5
     assert all(r["k"].startswith("a") for r in pinned.collect())
+
+
+# ---------------------------------------------------------------------------
+# R10s: streaming writer (per-batch manifests, batch-id idempotence)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_writer_commits_one_export_per_batch(spark, tmp_path):
+    import os
+
+    from datalake_polygonscan_spark.io.export_sink import (
+        WalletExportDataSource,
+        published_files,
+    )
+
+    spark.dataSource.register(WalletExportDataSource)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "export")
+    os.makedirs(src)
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 10 + j, f"w{j}", float(j)) for j in range(5)],
+            ["tx_id", "wallet_address", "quantity"],
+        ).coalesce(1).write.parquet(os.path.join(src, f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema("tx_id long, wallet_address string, quantity double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.format("wallet_export")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    exports = sorted(d for d in os.listdir(root) if d.startswith("export-"))
+    assert exports == ["export-0", "export-1"]
+    # live pointer resolves the LAST batch; each export has 5 rows
+    assert len(published_files(root)) >= 1
+    total = 0
+    for i in range(2):
+        total += (
+            spark.read.format("wallet_export")
+            .option("path", root)
+            .option("export", i)
+            .load()
+            .count()
+        )
+    assert total == 10
+
+
+def test_stream_writer_replayed_batch_commit_is_ignored(spark, tmp_path):
+    import json
+    import os
+
+    from datalake_polygonscan_spark.io.export_sink import WalletExportStreamWriter
+
+    root = str(tmp_path / "export")
+    staging = os.path.join(root, "_staging")
+    os.makedirs(staging)
+
+    class Msg:
+        def __init__(self, name, n):
+            self.filename, self.n_rows = name, n
+
+    w = WalletExportStreamWriter(root, ["a"], overwrite=False)
+    with open(os.path.join(staging, "p1.csv"), "w") as f:
+        f.write('"a"\n1\n')
+    w.commit([Msg("p1.csv", 1)], batchId=0)
+    with open(os.path.join(root, "_PUBLISHED")) as f:
+        before = json.load(f)
+    assert before == {"export": 0, "batch_id": 0}
+
+    # re-delivery of batch 0 (sink committed, checkpoint did not)
+    with open(os.path.join(staging, "p1_retry.csv"), "w") as f:
+        f.write('"a"\n1\n')
+    w.commit([Msg("p1_retry.csv", 1)], batchId=0)
+    with open(os.path.join(root, "_PUBLISHED")) as f:
+        assert json.load(f) == before
+    assert sorted(os.listdir(root)) == ["_PUBLISHED", "_staging", "export-0"]
+    assert os.listdir(staging) == []  # replayed staging swept
+
+    # the NEXT batch still commits normally
+    with open(os.path.join(staging, "p2.csv"), "w") as f:
+        f.write('"a"\n2\n')
+    w.commit([Msg("p2.csv", 1)], batchId=1)
+    with open(os.path.join(root, "_PUBLISHED")) as f:
+        assert json.load(f) == {"export": 1, "batch_id": 1}
