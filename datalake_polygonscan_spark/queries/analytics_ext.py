@@ -693,3 +693,127 @@ def ts4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("y", 6).cast("double").alias("ewma"),
         F.round(F.col("x") - F.col("y"), 6).cast("double").alias("dev"),
     )
+
+
+@register(
+    "an3_ab_stat_tests",
+    oracle="""
+    WITH p AS (
+        SELECT user_id % 2 AS grp, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM p GROUP BY grp
+    ), ab AS (
+        SELECT
+            (SELECT n FROM m WHERE grp = 0) AS na,
+            (SELECT n FROM m WHERE grp = 1) AS nb,
+            (SELECT s1 FROM m WHERE grp = 0) AS s1a,
+            (SELECT s2 FROM m WHERE grp = 0) AS s2a,
+            (SELECT s1 FROM m WHERE grp = 1) AS s1b,
+            (SELECT s2 FROM m WHERE grp = 1) AS s2b
+    ), t AS (
+        SELECT na, nb,
+               s1a / na AS mean_a, s1b / nb AS mean_b,
+               (s2a - s1a * s1a / na) / (na - 1) AS var_a,
+               (s2b - s1b * s1b / nb) / (nb - 1) AS var_b
+        FROM ab
+    ), cont AS (
+        SELECT event_type, user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, user_id % 2
+    ), totals AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_t FROM cont GROUP BY event_type
+    ), gtot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS g,
+               CAST(SUM(CASE WHEN grp = 0 THEN o ELSE 0 END) AS BIGINT) AS col0,
+               CAST(SUM(CASE WHEN grp = 1 THEN o ELSE 0 END) AS BIGINT) AS col1
+        FROM cont
+    ), chi AS (
+        SELECT CAST(SUM(CAST(round(
+                   (CAST(c.o AS DOUBLE)
+                    - (CAST(t2.row_t AS DOUBLE)
+                       * CAST(CASE WHEN c.grp = 0 THEN g2.col0 ELSE g2.col1 END AS DOUBLE)
+                       / CAST(g2.g AS DOUBLE)))
+                   * (CAST(c.o AS DOUBLE)
+                      - (CAST(t2.row_t AS DOUBLE)
+                         * CAST(CASE WHEN c.grp = 0 THEN g2.col0 ELSE g2.col1 END AS DOUBLE)
+                         / CAST(g2.g AS DOUBLE)))
+                   / (CAST(t2.row_t AS DOUBLE)
+                      * CAST(CASE WHEN c.grp = 0 THEN g2.col0 ELSE g2.col1 END AS DOUBLE)
+                      / CAST(g2.g AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
+               CAST(count(*) AS BIGINT) - 2 AS dof_cells
+        FROM cont c JOIN totals t2 ON t2.event_type = c.event_type CROSS JOIN gtot g2
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           ROUND(t.mean_a, 6) AS mean_a,
+           ROUND(t.mean_b, 6) AS mean_b,
+           ROUND((t.mean_a - t.mean_b) / sqrt(t.var_a / t.na + t.var_b / t.nb), 6) AS t_stat,
+           ROUND(chi.chi2, 6) AS chi2_stat
+    FROM t CROSS JOIN chi
+    """,
+    doc=(
+        "AN3 A/B experiment analysis — Welch's t statistic over purchase "
+        "values (groups = user_id parity) and a chi-square independence test "
+        "of event_type vs group, both computed DETERMINISTICALLY at cluster "
+        "scale: moments are exact DECIMAL sums (one partial-agg pass), the "
+        "statistics then use only IEEE +,-,*,/,sqrt on identical scalars "
+        "(correctly-rounded in every engine), and the chi-square CELL TERMS "
+        "are rounded to 9 dp and summed as DECIMAL so the float-addition "
+        "ORDER a shuffle would randomize never touches the result. The same "
+        "formulas run verbatim in the oracle"
+    ),
+)
+def an3_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    m = p.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    row = {r["grp"]: r for r in m.collect()}
+    na, nb = row[0]["n"], row[1]["n"]
+    s1a, s2a, s1b, s2b = row[0]["s1"], row[0]["s2"], row[1]["s1"], row[1]["s2"]
+    mean_a, mean_b = s1a / na, s1b / nb
+    var_a = (s2a - s1a * s1a / na) / (na - 1)
+    var_b = (s2b - s1b * s1b / nb) / (nb - 1)
+    import math
+
+    t_stat = (mean_a - mean_b) / math.sqrt(var_a / na + var_b / nb)
+
+    cont = ev.groupBy("event_type", (F.col("user_id") % 2).alias("grp")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    totals = cont.groupBy("event_type").agg(F.sum("o").cast("long").alias("row_t"))
+    g = cont.agg(
+        F.sum("o").cast("long").alias("g"),
+        F.sum(F.when(F.col("grp") == 0, F.col("o")).otherwise(0)).cast("long").alias("col0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("o")).otherwise(0)).cast("long").alias("col1"),
+    )
+    e = (
+        F.col("row_t").cast("double")
+        * F.when(F.col("grp") == 0, F.col("col0")).otherwise(F.col("col1")).cast("double")
+        / F.col("g").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    chi2 = (
+        cont.join(totals, "event_type")
+        .crossJoin(F.broadcast(g))
+        .agg(F.sum(F.round(term, 9).cast("decimal(28,9)")).cast("double").alias("chi2"))
+        .collect()[0]["chi2"]
+    )
+    return spark.createDataFrame(
+        [(na, nb)], ["n_a", "n_b"]
+    ).select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.round(F.lit(mean_a), 6).alias("mean_a"),
+        F.round(F.lit(mean_b), 6).alias("mean_b"),
+        F.round(F.lit(t_stat), 6).alias("t_stat"),
+        F.round(F.lit(chi2), 6).alias("chi2_stat"),
+    )

@@ -1152,7 +1152,9 @@ _suite(
         "cohort x periods-since, retention ratios) + PR1 one-scan table "
         "profiling (per-column nulls/distincts/min/max in a single "
         "pass) — the product-analytics tier in one graded slot (merged "
-        "round 5)"
+        "round 5) + AN3 A/B statistical testing (Welch t + chi-square "
+        "from exact-decimal moments, order-deterministic; added "
+        "round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1171,6 +1173,7 @@ _suite(
         ("n_distinct", "long", "BIGINT"),
         ("min_value", "string", "VARCHAR"),
         ("max_value", "string", "VARCHAR"),
+        ("chi2_stat", "double", "DOUBLE"),
     ],
     arms=[
         ("funnel", "an1_funnel_steps", {
@@ -1187,6 +1190,12 @@ _suite(
             "col_name": "col_name", "n_rows": "n_rows",
             "n_nulls": "n_nulls", "n_distinct": "n_distinct",
             "min_value": "min_value", "max_value": "max_value",
+        }),
+        ("ab_tests", "an3_ab_stat_tests", {
+            "n_rows": "n_a", "n_active": "n_b",
+            "retention": "t_stat", "chi2_stat": "chi2_stat",
+            "min_value": ("CAST(mean_a AS STRING)", "CAST(mean_a AS VARCHAR)"),
+            "max_value": ("CAST(mean_b AS STRING)", "CAST(mean_b AS VARCHAR)"),
         }),
     ],
 )
