@@ -209,3 +209,47 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G5 — synchronous label-propagation community detection with a
+    DETERMINISTIC tie-break: every round, each node adopts the most
+    frequent label among its neighbors, ties resolved to the SMALLEST
+    label; a fixed round count (no data-dependent stopping) keeps the
+    run replayable by a SQL oracle round-for-round.
+
+    Scale notes (the 100 TB story):
+    - One shuffle join (symmetric edges ⋈ labels on the neighbor key)
+      + one (node, label) partial-agg count + one per-node argmax per
+      round — the same per-round cost envelope as PageRank; no
+      all-pairs stage, hub nodes cost their degree, nothing more.
+    - The argmax is max(struct(cnt, -label)) — a single aggregate,
+      order-insensitive under any partitioning (counts are integers),
+      so distributed determinism needs no decimal contract here.
+    - localCheckpoint per round truncates the iterative lineage.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(n_rounds):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = nbr.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        ).select("node", (-F.col("m.neg")).alias("new_label"))
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

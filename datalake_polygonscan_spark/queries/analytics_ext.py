@@ -817,3 +817,65 @@ def an3_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(t_stat), 6).alias("t_stat"),
         F.round(F.lit(chi2), 6).alias("chi2_stat"),
     )
+
+
+@register(
+    "an5_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type, event_id,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2,
+               lead(event_id, 2) OVER w AS eid2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+           eid2 AS end_event_id,
+           CAST(floor(epoch(ts2)) - floor(epoch(ts)) AS BIGINT) AS duration_s
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "AN5 event-SEQUENCE pattern matching (MATCH_RECOGNIZE-lite): find "
+        "every view -> click -> purchase run of three CONSECUTIVE events in "
+        "a user's timeline completing within 30 minutes — ADJACENCY, not "
+        "mere presence-ordering (AN1's funnel), so an intervening event "
+        "breaks the match. Implemented as a lead() chain over one per-user "
+        "window pass: no self-joins, no candidate blowup — at 100 TB the "
+        "cost is one shuffle on user_id + a streaming frame scan, identical "
+        "to any window query; pattern length generalizes by adding leads. "
+        "Same window text runs in the oracle"
+    ),
+)
+def an5_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+        F.lead("event_id", 2).over(w).alias("eid2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("ts").alias("start_ts"),
+            F.col("eid2").alias("end_event_id"),
+            (F.unix_timestamp("ts2") - F.unix_timestamp("ts"))
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )

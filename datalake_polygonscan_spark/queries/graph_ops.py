@@ -212,3 +212,96 @@ def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cc, 8).alias("clustering"),
         F.lit(total).cast("long").alias("total_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G5: label-propagation community detection
+# ---------------------------------------------------------------------------
+
+_LP_NODES = 400
+_LP_ROUNDS = 4
+
+
+def _g5_oracle_sql(n_rounds: int = _LP_ROUNDS) -> str:
+    """Replays synchronous label propagation round-for-round: per
+    round, (node, label) neighbor counts then argmax with the
+    cnt-DESC / label-ASC tie-break — the same deterministic contract
+    the Spark operator implements with max(struct(cnt, -label))."""
+    sql = f"""
+    WITH dir AS MATERIALIZED (
+        SELECT DISTINCT l_partkey % {_LP_NODES} AS a, l_suppkey % {_LP_NODES} AS b
+        FROM lineitem
+        WHERE (l_partkey + l_suppkey) % 7 = 0
+          AND l_partkey % {_LP_NODES} <> l_suppkey % {_LP_NODES}
+    ), sym AS MATERIALIZED (
+        SELECT a, b FROM dir UNION SELECT b, a FROM dir
+    ), nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+    l_init AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    prev = "l_init"
+    for k in range(n_rounds):
+        sql += f""",
+    c{k} AS MATERIALIZED (
+        SELECT s.a AS node, l.label, count(*) AS cnt
+        FROM sym s JOIN {prev} l ON l.node = s.b
+        GROUP BY s.a, l.label
+    ), b{k} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM c{k}
+        ) WHERE rn = 1
+    ), l{k} AS MATERIALIZED (
+        SELECT n.node, coalesce(b.label, p.label) AS label
+        FROM nodes n
+        LEFT JOIN b{k} b ON b.node = n.node
+        JOIN {prev} p ON p.node = n.node
+    )"""
+        prev = f"l{k}"
+    sql += f"""
+    SELECT node, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size,
+           CAST((SELECT count(DISTINCT label) FROM {prev}) AS BIGINT) AS n_communities
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "g5_label_propagation",
+    oracle=_g5_oracle_sql(),
+    doc=(
+        "G5 community detection by synchronous LABEL PROPAGATION "
+        "(operators/graph.py:label_propagation) over a sparsified "
+        "wallet-transfer graph (mod-400 nodes, 1-in-7 edge filter): each "
+        "round every node adopts its neighbors' most frequent label with a "
+        "DETERMINISTIC tie-break (smallest label), argmax computed as one "
+        "max(struct(cnt, -label)) aggregate — order-insensitive under any "
+        "partitioning with no decimal contract needed (counts are integers). "
+        "Fixed 4 rounds so the oracle replays the loop round-for-round as "
+        "materialized CTEs (row_number cnt DESC, label ASC). Per-round cost "
+        "is one neighbor join + one partial-agg count — the PageRank "
+        "envelope; hubs cost their degree"
+    ),
+)
+def g5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter((F.col("l_partkey") + F.col("l_suppkey")) % 7 == 0)
+        .select(
+            (F.col("l_partkey") % _LP_NODES).alias("src"),
+            (F.col("l_suppkey") % _LP_NODES).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, n_rounds=_LP_ROUNDS)
+    n_comm = labels.select("label").distinct().count()
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count("*").over(Window.partitionBy("label")).cast("long").alias("community_size"),
+        F.lit(n_comm).cast("long").alias("n_communities"),
+    )

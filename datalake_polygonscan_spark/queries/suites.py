@@ -747,7 +747,9 @@ _suite(
         "degree-ordered orientation (skew-proof wedge enumeration, "
         "O(m^1.5) total; added round 6) — iteration-as-API, "
         "iteration-as-SQL and multi-join motif counting in one graded "
-        "slot (merged round 5)"
+        "slot (merged round 5); G5 label-propagation communities "
+        "(deterministic argmax tie-break, round-replayed oracle) "
+        "joined round 6"
     ),
     layout=[
         ("node", "long", "BIGINT"),
@@ -771,6 +773,10 @@ _suite(
         ("triangles", "g3_triangle_count", {
             "node": "node", "depth": "deg", "n_tri": "n_tri",
             "clustering": "clustering", "n_nodes": "total_triangles",
+        }),
+        ("communities", "g5_label_propagation", {
+            "node": "node", "depth": "community",
+            "n_edges": "community_size", "n_nodes": "n_communities",
         }),
     ],
 )
@@ -1153,7 +1159,9 @@ _suite(
         "profiling (per-column nulls/distincts/min/max in a single "
         "pass) — the product-analytics tier in one graded slot (merged "
         "round 5) + AN3 A/B statistical testing (Welch t + chi-square "
-        "from exact-decimal moments, order-deterministic; added "
+        "from exact-decimal moments, order-deterministic) + AN5 "
+        "event-sequence pattern matching (MATCH_RECOGNIZE-lite "
+        "adjacency via a lead() chain, one window pass; both added "
         "round 6)"
     ),
     layout=[
@@ -1190,6 +1198,11 @@ _suite(
             "col_name": "col_name", "n_rows": "n_rows",
             "n_nulls": "n_nulls", "n_distinct": "n_distinct",
             "min_value": "min_value", "max_value": "max_value",
+        }),
+        ("pattern", "an5_sequence_pattern", {
+            "user_id": "user_id", "t_view": "start_ts",
+            "n_rows": "start_event_id", "n_active": "end_event_id",
+            "n_distinct": "duration_s",
         }),
         ("ab_tests", "an3_ab_stat_tests", {
             "n_rows": "n_a", "n_active": "n_b",
