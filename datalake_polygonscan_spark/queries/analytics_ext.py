@@ -879,3 +879,75 @@ def an5_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_s"),
         )
     )
+
+
+@register(
+    "dq3_health_monitors",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT min(d) AS mn, max(d) AS mx FROM daily
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ), grid AS (
+        SELECT s.d, coalesce(dy.n, 0) AS n
+        FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    ), w AS (
+        SELECT d, n,
+               CAST(count(*) OVER roll AS BIGINT) AS roll_n,
+               CAST(SUM(n) OVER roll AS BIGINT) AS roll_sum
+        FROM grid
+        WINDOW roll AS (ORDER BY d ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d AS day, n AS n_rows,
+           ROUND(CASE WHEN roll_n = 7 THEN CAST(roll_sum AS DOUBLE) / 7 END, 4) AS trailing_avg,
+           CAST(CASE WHEN roll_n = 7 AND n * 2 < CAST(roll_sum AS DOUBLE) / 7 THEN 1 ELSE 0 END AS INTEGER) AS volume_drop,
+           CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+           CAST((SELECT mx FROM bounds) - d AS BIGINT) AS staleness_days
+    FROM w
+    """,
+    doc=(
+        "DQ3 table-health monitors — the pipeline-observability tier "
+        "DQ1/DQ2 (row expectations, in-flight metrics) don't cover: a "
+        "COMPLETE day spine (sequence + explode, so silent gap days appear "
+        "as rows rather than vanishing), per-day volume vs the trailing "
+        "7-day mean with a 2x-drop flag (integer-exact: n*2 < sum/7 avoids "
+        "float accumulation), gap detection, and per-day staleness against "
+        "the freshest partition. One scan + one broadcast-sized spine join "
+        "+ one window pass — at 100 TB this reads only partition-level "
+        "counts, the day grid stays tiny regardless of data volume"
+    ),
+)
+def dq3_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").cast("long").alias("n"))
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d")
+    )
+    grid = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    roll = W.orderBy(F.col("d").asc()).rowsBetween(-7, -1)
+    w = grid.select(
+        "d", "n",
+        F.count(F.lit(1)).over(roll).cast("long").alias("roll_n"),
+        F.sum("n").over(roll).cast("long").alias("roll_sum"),
+    )
+    mx = bounds.collect()[0]["mx"]
+    trailing = F.when(F.col("roll_n") == 7, F.col("roll_sum").cast("double") / 7)
+    return w.select(
+        F.col("d").alias("day"),
+        F.col("n").alias("n_rows"),
+        F.round(trailing, 4).alias("trailing_avg"),
+        F.when(
+            (F.col("roll_n") == 7) & (F.col("n") * 2 < F.col("roll_sum").cast("double") / 7), 1
+        ).otherwise(0).cast("int").alias("volume_drop"),
+        F.when(F.col("n") == 0, 1).otherwise(0).cast("int").alias("is_gap"),
+        F.datediff(F.lit(mx), F.col("d")).cast("long").alias("staleness_days"),
+    )

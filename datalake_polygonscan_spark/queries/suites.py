@@ -1064,10 +1064,15 @@ _suite(
         "per-expectation verdicts) + DQ2 piggyback metrics via "
         "df.observe riding another job's pass (CollectMetrics node, "
         "zero extra scans) — standalone and embedded data quality in "
-        "one graded slot (merged round 5)"
+        "one graded slot (merged round 5) + DQ3 table-health monitors "
+        "(complete day spine, trailing-mean volume drops, gap days, "
+        "staleness; added round 6)"
     ),
     layout=[
         ("check_name", "string", "VARCHAR"),
+        ("day", "date", "DATE"),
+        ("trailing_avg", "double", "DOUBLE"),
+        ("staleness_days", "long", "BIGINT"),
         ("col_name", "string", "VARCHAR"),
         ("metric", "double", "DOUBLE"),
         ("threshold", "double", "DOUBLE"),
@@ -1089,6 +1094,11 @@ _suite(
             "total_price": "total_price",
             "from_observation": "from_observation",
             "single_scan": "single_scan",
+        }),
+        ("health", "dq3_health_monitors", {
+            "day": "day", "n_rows": "n_rows",
+            "trailing_avg": "trailing_avg", "passed": "volume_drop",
+            "n_big": "is_gap", "staleness_days": "staleness_days",
         }),
     ],
 )
