@@ -111,6 +111,14 @@ HEADLINE = [
     "s29_scd2_dimension",
     "s30_multi_table_txn",
     "e13_chained_window_agg",
+    # r10s_stream_export_sink stays out of the headline: its cost is
+    # fixed micro-batch + Python-source overhead (measured ~12 s at
+    # ANY sf), which would read as data-scale regression; it is
+    # correctness-graded in the driver window instead
+    "g5_label_propagation",
+    "an3_ab_stat_tests",
+    "an5_sequence_pattern",
+    "dq3_health_monitors",
 ]
 
 
