@@ -446,6 +446,26 @@ def e13_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
 
+    # two stateful operators mean 2 x shuffle-partitions state stores
+    # PER MICRO-BATCH; at this micro-stream's state size the per-store
+    # fixed cost dominates, so the query runs at 8 partitions (local
+    # right-sizing — a real deployment sizes this to state volume).
+    # Restored in finally: the session conf is shared with other
+    # entries.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _e13_run(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _e13_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import uuid
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
     ev = load_table(spark, sf_dir, "events")
     src = _scratch("e13_stream", "events_src")
     chk = _scratch("e13_stream", "chk")
