@@ -1172,7 +1172,8 @@ _suite(
         "from exact-decimal moments, order-deterministic) + AN5 "
         "event-sequence pattern matching (MATCH_RECOGNIZE-lite "
         "adjacency via a lead() chain, one window pass; both added "
-        "round 6)"
+        "round 6) + PR2 distributed parquet-footer profiling "
+        "(footer-only KB-per-file scan; counts must equal the data)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1208,6 +1209,10 @@ _suite(
             "col_name": "col_name", "n_rows": "n_rows",
             "n_nulls": "n_nulls", "n_distinct": "n_distinct",
             "min_value": "min_value", "max_value": "max_value",
+        }),
+        ("footers", "pr2_footer_profile", {
+            "col_name": "path_in_schema", "min_value": "file_name",
+            "n_rows": "n_values", "n_nulls": "n_nulls",
         }),
         ("pattern", "an5_sequence_pattern", {
             "user_id": "user_id", "t_view": "start_ts",
