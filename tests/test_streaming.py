@@ -454,3 +454,67 @@ def test_transform_with_state_typed_api_matches_batch(spark):
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_statestore_reader_exposes_join_state_both_sides(spark, tmp_path):
+    """E12 extension: the Spark 4 statestore source reads a
+    STREAM-STREAM join's checkpointed state per side (joinSide
+    option) — the surface used to debug retained-row buildup in
+    interval joins. Controlled timestamps make the retained sets
+    deterministic: with watermark 10m and all events inside one
+    batch, rows too old to ever match again are evicted at the final
+    watermark commit."""
+    import os
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    # left views at t+0 and t+100m; right purchases at t+1m and t+101m
+    _write_events_file(
+        spark,
+        os.path.join(src, "f1.parquet"),
+        [_ev(1, 0, etype="view"), _ev(2, 100, etype="view"),
+         _ev(3, 1, etype="purchase"), _ev(4, 101, etype="purchase")],
+    )
+    left = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("lts"), F.col("event_id").alias("lid"))
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src + "/*")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("ruid"), F.col("ts").alias("rts"),
+                F.col("event_id").alias("rid"))
+        .withWatermark("rts", "10 minutes")
+    )
+    j = left.join(
+        right,
+        (F.col("user_id") == F.col("ruid"))
+        & (F.col("rts").between(F.col("lts"), F.col("lts") + F.expr("interval 30 minutes"))),
+    )
+    import uuid as _uuid
+
+    name = "mem_" + _uuid.uuid4().hex[:8]
+    q = (
+        j.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).option("checkpointLocation", chk).start()
+    )
+    q.awaitTermination()
+    assert spark.table(name).count() == 2  # both pairs matched
+
+    sides = {}
+    for side in ("left", "right"):
+        st = spark.read.format("statestore").option("joinSide", side).load(chk)
+        sides[side] = sorted(
+            r["value"]["lid" if side == "left" else "rid"] for r in st.collect()
+        )
+    # final watermark = max event time (t+101m) - 10m = t+91m: the
+    # t+0/t+1m pair is evicted, the t+100/101m pair is retained
+    assert sides["left"] == [2]
+    assert sides["right"] == [4]
+    meta = spark.read.format("state-metadata").load(chk)
+    assert {r["operatorName"] for r in meta.collect()} == {"symmetricHashJoin"}
