@@ -84,6 +84,103 @@ def asof_join(
     return out
 
 
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    tolerance_seconds: int,
+    direction: str = "backward",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """J6b — the as-of join's two production knobs (pandas
+    ``merge_asof`` parity): ``tolerance`` voids any match further than
+    ``tolerance_seconds`` from the left timestamp (stale state must
+    read as ABSENT, not as an arbitrarily old value), and ``direction=
+    'forward'`` matches the EARLIEST right row at-or-after the left
+    timestamp instead of the latest at-or-before.
+
+    Same union-and-window shape as :func:`asof_join` — one shuffle on
+    the key, one sorted pass, no join operator at all; 'forward' is
+    the time-mirrored frame (first following right row), and tolerance
+    is a post-projection null-out, so neither knob adds a shuffle.
+    """
+    right_cols = [c for c in right.columns if c not in on]
+    out = (
+        asof_join(left, right, on, left_ts, right_ts, right_tiebreak, prefix)
+        if direction == "backward"
+        else _asof_forward(left, right, on, left_ts, right_ts, right_tiebreak, prefix)
+    )
+    ts_r = F.col(f"{prefix}{right_ts}")
+    gap = (
+        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(ts_r)
+        if direction == "backward"
+        else F.unix_timestamp(ts_r) - F.unix_timestamp(F.col(left_ts))
+    )
+    keep = ts_r.isNotNull() & (gap <= tolerance_seconds)
+    return out.select(
+        *[c for c in out.columns if not c.startswith(prefix)],
+        *[
+            F.when(keep, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
+def _asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    prefix: str,
+) -> DataFrame:
+    """Earliest right row with ``right_ts >= left_ts`` per key: the
+    time-mirror of the backward pass — right rows sort AFTER left rows
+    at equal ts would break inclusivity, so right sorts first with
+    ascending tiebreak and the frame looks FORWARD (first following
+    non-null)."""
+    right_cols = [c for c in right.columns if c not in on]
+    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+
+    tagged_l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_r"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_r"),
+        F.col(right_tiebreak).cast("long").alias("_tie"),
+        F.lit(None).cast(tagged_l.schema["_l"].dataType).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    # time asc; at equal ts LEFT rows first (is_r asc) so an equal-ts
+    # right row is inside the left row's FOLLOWING frame (inclusive
+    # >=); among equal-ts right rows ascending tiebreak puts the MIN
+    # tiebreak first — the deterministic 'earliest' winner
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_r").asc(), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = tagged_l.unionByName(tagged_r).withColumn(
+        "_match", F.first("_r", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("_is_r") == 0).select(
+        "_l.*",
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
 def resample_forward_fill(
     df: DataFrame,
     key_col: str,

@@ -951,3 +951,80 @@ def dq3_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") == 0, 1).otherwise(0).cast("int").alias("is_gap"),
         F.datediff(F.lit(mx), F.col("d")).cast("long").alias("staleness_days"),
     )
+
+
+@register(
+    "j6b_asof_tolerance",
+    oracle="""
+    SELECT 'backward_tol' AS mode,
+           c.event_id, c.user_id, c.ts, ROUND(c.value, 4) AS value,
+           e.event_id AS asof_event_id, e.ts AS asof_ts,
+           ROUND(e.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts, value
+        FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+          AND e.ts <= c.ts
+          AND floor(epoch(c.ts)) - floor(epoch(e.ts)) <= 3600
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) e ON TRUE
+    UNION ALL
+    SELECT 'forward_tol',
+           c.event_id, c.user_id, c.ts, ROUND(c.value, 4) AS value,
+           e.event_id, e.ts, ROUND(e.value, 4)
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts, value
+        FROM events e
+        WHERE e.event_type = 'error' AND e.user_id = c.user_id
+          AND e.ts >= c.ts
+          AND floor(epoch(e.ts)) - floor(epoch(c.ts)) <= 3600
+        ORDER BY e.ts ASC, e.event_id ASC
+        LIMIT 1
+    ) e ON TRUE
+    """,
+    doc=(
+        "J6b as-of join with the two production knobs (pandas merge_asof "
+        "parity; operators/temporal.py:asof_join_tolerance): TOLERANCE — a "
+        "match further than 1 hour from the left row reads as ABSENT, not "
+        "as an arbitrarily stale value (the staleness bug point-in-time "
+        "enrichment ships without it) — and DIRECTION=forward, the earliest "
+        "right row at-or-after the left (min-(ts,id) deterministic winner) "
+        "via the time-mirrored window frame. Both knobs ride the same "
+        "union+sorted-window shape: one shuffle on the key, no range-join "
+        "pair blowup, tolerance is a post-projection null-out. Oracle = "
+        "DuckDB LATERAL top-1 per direction with the gap predicate"
+    ),
+)
+def j6b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import asof_join_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid"),
+        F.col("value").alias("evalue"),
+    )
+    def shape(df, mode):
+        return df.select(
+            F.lit(mode).alias("mode"),
+            "event_id", "user_id", "ts",
+            F.round("value", 4).alias("value"),
+            F.col("asof_eid").alias("asof_event_id"),
+            F.col("asof_ets").alias("asof_ts"),
+            F.round("asof_evalue", 4).alias("asof_value"),
+        )
+
+    back = asof_join_tolerance(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ets",
+        right_tiebreak="eid", tolerance_seconds=3600, direction="backward",
+    )
+    fwd = asof_join_tolerance(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ets",
+        right_tiebreak="eid", tolerance_seconds=3600, direction="forward",
+    )
+    return shape(back, "backward_tol").unionByName(shape(fwd, "forward_tol"))

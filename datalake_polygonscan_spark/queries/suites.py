@@ -1728,7 +1728,9 @@ _suite(
         "current row excluded from its own baseline) and TS4 EWMA "
         "smoothing (exact-decimal per-series recurrence via "
         "applyInPandas, oracle-replayed as a recursive CTE) as fourth "
-        "and fifth arms"
+        "and fifth arms, plus J6b as-of tolerance/direction knobs "
+        "(merge_asof parity: stale matches read as absent, forward "
+        "matching via the mirrored frame)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1767,6 +1769,12 @@ _suite(
             "value": "value", "n_events": "roll_n",
             "roll_mean": "roll_mean", "z": "z",
             "is_anomaly": "is_anomaly",
+        }),
+        (None, "j6b_asof_tolerance", {
+            "mode": "mode",
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "asof_event_id": "asof_event_id",
+            "asof_ts": "asof_ts", "asof_value": "asof_value",
         }),
         ("ewma", "ts4_ewma_smoothing", {
             "event_id": "event_id", "user_id": "user_id", "ts": "ts",

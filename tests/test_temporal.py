@@ -154,3 +154,48 @@ def test_ewma_last_k_caps_each_series(spark):
     assert sorted(r["seq"] for r in got) == [6, 7, 8, 9]
     seed = [r for r in got if r["i"] == 1][0]
     assert seed["seq"] == 6 and seed["y"] == seed["x"]
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    import datetime as dt
+
+    from datalake_polygonscan_spark.operators.temporal import asof_join_tolerance
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0 + dt.timedelta(minutes=90))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(10, 1, t0), (11, 1, t0 + dt.timedelta(minutes=85))], ["rid", "k", "rts"]
+    )
+    # latest-at-or-before is 5 min away -> kept at tol=600s
+    r = asof_join_tolerance(left, right, ["k"], "ts", "rts", "rid", 600).collect()[0]
+    assert r["asof_rid"] == 11
+    # tol=60s: the 5-min-old match is stale -> ABSENT, not the older row
+    r = asof_join_tolerance(left, right, ["k"], "ts", "rts", "rid", 60).collect()[0]
+    assert r["asof_rid"] is None and r["asof_rts"] is None
+
+
+def test_asof_forward_matches_earliest_at_or_after(spark):
+    import datetime as dt
+
+    from datalake_polygonscan_spark.operators.temporal import asof_join_tolerance
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 1, t0)], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [(9, 1, t0 - dt.timedelta(minutes=1)),   # before: never matches forward
+         (10, 1, t0),                            # equal ts: inclusive
+         (11, 1, t0 + dt.timedelta(minutes=5))],
+        ["rid", "k", "rts"],
+    )
+    r = asof_join_tolerance(
+        left, right, ["k"], "ts", "rts", "rid", 3600, direction="forward"
+    ).collect()[0]
+    assert r["asof_rid"] == 10  # equal-ts row, inclusive >=
+    # equal-ts ties resolve to the SMALLEST tiebreak
+    right2 = spark.createDataFrame([(20, 1, t0), (12, 1, t0)], ["rid", "k", "rts"])
+    r = asof_join_tolerance(
+        left, right2, ["k"], "ts", "rts", "rid", 3600, direction="forward"
+    ).collect()[0]
+    assert r["asof_rid"] == 12
