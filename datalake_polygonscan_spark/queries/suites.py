@@ -252,10 +252,16 @@ _suite(
         "(probe-restricted recall oracle, no quadratic stage) + ML3 "
         "logistic regression by exact-decimal codegen GD (the SQL "
         "replays the entire 5-iteration loop bit-exactly) in one "
-        "graded slot (merged round 5)"
+        "graded slot (merged round 5) + ML4 distributed PCA (one-pass "
+        "mergeable Gramian partials, exact-decimal per-dim moments "
+        "value-checked, eigen invariants riding the hash; added "
+        "round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
+        ("dim", "long", "BIGINT"),
+        ("mean", "double", "DOUBLE"),
+        ("variance", "double", "DOUBLE"),
         ("k", "long", "BIGINT"),
         ("clusters_in_range", "boolean", "BOOLEAN"),
         ("inertia_monotone", "boolean", "BOOLEAN"),
@@ -287,6 +293,12 @@ _suite(
             "w0": "w0", "w1": "w1", "w2": "w2", "w3": "w3",
             "bias": "bias", "n_docs": "n_docs",
             "train_accuracy": "train_accuracy",
+        }),
+        ("pca", "ml4_distributed_pca", {
+            "dim": "dim", "mean": "mean", "variance": "variance",
+            "clusters_in_range": "trace_matches",
+            "inertia_monotone": "eigen_orthonormal",
+            "self_consistent": "eigen_sorted",
         }),
     ],
 )

@@ -126,3 +126,31 @@ def test_kmeans_requires_enough_seeds(spark):
     df = _blobs(spark, CENTERS3, n_per=2)
     with pytest.raises(ValueError):
         kmeans(df, "vec_id", "embedding", k=3, n_iter=1, init_ids=[0, 1])
+
+
+def test_pca_partials_match_single_machine_numpy(spark):
+    """The distributed (n, colsum, Gramian) reduction must equal the
+    single-machine numpy computation on the same rows, independent of
+    partitioning; eigenvalues then reconstruct the covariance."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.decomposition import pca, partial_moments
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)], ["vec_id", "embedding"]
+    )
+    for n_part in (1, 13):
+        n, s1, s2 = partial_moments(df.repartition(n_part))
+        xx = x.astype(np.float64)
+        assert n == 200
+        assert np.allclose(s1, xx.sum(axis=0), rtol=1e-12)
+        assert np.allclose(s2, xx.T @ xx, rtol=1e-12)
+    res = pca(df)
+    ref_cov = np.cov(x.astype(np.float64), rowvar=False)
+    assert np.allclose(res["cov"], ref_cov, rtol=1e-9, atol=1e-12)
+    # reconstruction: V^T diag(w) V == C
+    v, w = res["components"], res["eigenvalues"]
+    assert np.allclose(v.T @ np.diag(w) @ v, ref_cov, atol=1e-9)
+    assert np.all(np.diff(w) <= 1e-12)
