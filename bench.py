@@ -119,6 +119,9 @@ HEADLINE = [
     "an3_ab_stat_tests",
     "an5_sequence_pattern",
     "dq3_health_monitors",
+    "j6b_asof_tolerance",
+    "pr2_footer_profile",
+    "ml4_distributed_pca",
 ]
 
 
