@@ -175,6 +175,21 @@ WARMUP = [
     "ml1_kmeans_clusters",
     "m1_m2_media_meta_dedup",
     "s13_data_skipping",
+    # round-6 analytic additions (scenario entries s29/s30/e13 and the
+    # SQL-dialect trio stay unwarmed: commit/stream latency is their
+    # signal)
+    "ts3_rolling_anomaly",
+    "ts4_ewma_smoothing",
+    "g3_triangle_count",
+    "g5_label_propagation",
+    "m_adpcm_pcm_decode",
+    "m_jpegp_pixel_decode",
+    "an3_ab_stat_tests",
+    "an5_sequence_pattern",
+    "dq3_health_monitors",
+    "j6b_asof_tolerance",
+    "pr2_footer_profile",
+    "ml4_distributed_pca",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
