@@ -191,3 +191,66 @@ def s1_s2_s3_s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orc").alias("fmt"), "grp", "n_rows", "total")
     )
     return pq_agg.unionByName(json_agg).unionByName(csv_agg).unionByName(orc_agg)
+
+
+@register(
+    "s31_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS price
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) + 1000
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_price,
+           TRUE AS untouched_partitions_survive
+    FROM final GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S31 DYNAMIC partition overwrite (partitionOverwriteMode=dynamic): "
+        "an INSERT OVERWRITE that replaces ONLY the partitions present in "
+        "the incoming batch — the warehouse backfill primitive. Write all "
+        "orders hive-partitioned by status, then overwrite with a batch "
+        "containing ONLY repriced even-keyed 'F' rows: in dynamic mode the "
+        "'O'/'P' partitions survive untouched while 'F' is replaced "
+        "(STATIC mode — the default — would have dropped them; the entry "
+        "verifies the distinction by counting surviving partitions). "
+        "untouched_partitions_survive rides the value hash. At 100 TB this "
+        "is how daily re-loads touch one day-partition without rewriting "
+        "the table; conf is scoped and restored"
+    ),
+)
+def s31_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    path = _scratch("s31_dpo", "orders_part")
+    _shutil.rmtree(path, ignore_errors=True)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    batch = (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("price", (F.col("price") + 1000).cast("decimal(18,6)"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    survived = back.select("o_orderstatus").distinct().count()
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("price", "sum_price"))
+        .withColumn("untouched_partitions_survive", F.lit(survived == 3))
+    )

@@ -1256,7 +1256,9 @@ _suite(
         "zero-copy metadata commits, passthrough) (merged round 5) + "
         "S29 SCD Type 2 dimension history (change-filtered "
         "close-and-open versioning in one bucket-pruned MERGE per "
-        "batch; added round 6)"
+        "batch) + S31 dynamic partition overwrite (INSERT OVERWRITE "
+        "replacing only the arriving partitions, the backfill "
+        "primitive; both added round 6)"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1292,6 +1294,11 @@ _suite(
             "mode": "op", "status": "status", "n_rows": "n_rows",
             "metric": "metric", "zero_copy": "zero_copy",
             "semantics_ok": "semantics_ok",
+        }),
+        ("dpo", "s31_dynamic_partition_overwrite", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_price": "sum_price",
+            "semantics_ok": "untouched_partitions_survive",
         }),
         ("scd2", "s29_scd2_dimension", {
             "c_custkey": "c_custkey", "valid_from": "valid_from",
