@@ -122,6 +122,8 @@ HEADLINE = [
     "j6b_asof_tolerance",
     "pr2_footer_profile",
     "ml4_distributed_pca",
+    # round-6 third batch: from-scratch KLL quantile sketch
+    "a7_kll_quantiles",
 ]
 
 
@@ -190,6 +192,7 @@ WARMUP = [
     "j6b_asof_tolerance",
     "pr2_footer_profile",
     "ml4_distributed_pca",
+    "a7_kll_quantiles",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -99,3 +99,181 @@ def heavy_hitters(
         )
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# A7 — KLL quantile sketch (Karnin, Lang, Liberty: "Optimal Quantile
+# Approximation in Streams", FOCS 2016), built from scratch.
+#
+# The 100 TB problem: exact quantiles need a global sort (the whole
+# table through one shuffle). Spark's percentile_approx (A5b) solves
+# it with a Greenwald-Khanna-family sketch; this is the modern
+# replacement every warehouse (Druid, DataSketches, DuckDB's
+# approx_quantile) converged on: a hierarchy of fixed-capacity
+# compactors where level i holds items of weight 2^i. Per-partition
+# sketches are O(k log(n/k)) floats; merging is concatenate+compact.
+# The rank error is eps*n with eps = O(1/k), so k=256 gives ~0.4%
+# rank error regardless of n — the sketch size NEVER depends on the
+# table size, which is the whole point at 100 TB.
+#
+# This implementation is DETERMINISTIC for a fixed partitioning: the
+# classic KLL flips a fair coin per compaction to pick the surviving
+# parity; we alternate parity per level instead (the derandomization
+# noted in the paper's practical follow-up, DataSketches' default
+# "deterministic bit pattern" mode). Bounds degrade from
+# probabilistic to empirical, so the graded entry VERIFIES the rank
+# error against the data (A5b's measured-metric pattern) instead of
+# trusting the constant.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+class KLLSketch:
+    """Mergeable KLL quantile sketch over float64 values.
+
+    ``levels[i]`` holds retained items of weight ``2**i``; level 0 is
+    the raw buffer. Capacity of level i shrinks geometrically (ratio
+    2/3) from the top, so total retained items are <= ~3k + 8 per
+    level — independent of n.
+    """
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError(f"k must be >= 8, got {k}")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _capacity(self, lvl: int, height: int) -> int:
+        # top level gets k, each level below shrinks by C, floor 8
+        return max(8, int(math.ceil(self.k * (self.C ** (height - 1 - lvl)))))
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += int(v.size)
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        for i, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._compress()
+
+    def _compress(self) -> None:
+        while True:
+            h = len(self.levels)
+            for i in range(h):
+                if self.levels[i].size > self._capacity(i, h):
+                    self._compact(i)
+                    break
+            else:
+                return
+
+    def _compact(self, i: int) -> None:
+        buf = np.sort(self.levels[i], kind="stable")
+        if buf.size % 2 == 1:
+            # keep the max at this level so the compacted count is
+            # even (weights must double exactly)
+            keep, buf = buf[-1:], buf[:-1]
+        else:
+            keep = np.empty(0, dtype=np.float64)
+        survivors = buf[self.parity[i]:: 2]
+        self.parity[i] ^= 1  # deterministic alternating parity
+        self.levels[i] = keep
+        if i + 1 == len(self.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.parity.append(0)
+        self.levels[i + 1] = np.concatenate([self.levels[i + 1], survivors])
+
+    def retained(self) -> int:
+        return int(sum(lv.size for lv in self.levels))
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(lv.size, 1 << i, dtype=np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        out = []
+        for q in qs:
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"quantile must be in [0,1], got {q}")
+            target = q * self.n
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out.append(float(vals[min(idx, vals.size - 1)]))
+        return out
+
+    # -- Spark serialization -------------------------------------------------
+
+    def to_row(self) -> dict:
+        return {
+            "n": self.n,
+            "levels": [lv.tolist() for lv in self.levels],
+        }
+
+    @classmethod
+    def from_row(cls, row, k: int) -> "KLLSketch":
+        sk = cls(k)
+        sk.n = int(row["n"])
+        sk.levels = [np.asarray(lv, dtype=np.float64) for lv in row["levels"]]
+        sk.parity = [0] * len(sk.levels)
+        return sk
+
+
+def kll_partials(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """One serialized KLL sketch row per partition of ``df[value_col]``.
+
+    The map side of the mergeable-summaries shape (same as
+    ``heavy_hitters``): each partition streams its Arrow batches into
+    a local sketch and emits ONE row of O(k log(n_p/k)) doubles — the
+    only data that ever leaves the executor.
+    """
+    sel = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = KLLSketch(k)
+        for pdf in batches:
+            sk.update_batch(pdf["v"].to_numpy(dtype=np.float64))
+        if sk.n:
+            row = sk.to_row()
+            yield pd.DataFrame({"n": [row["n"]], "levels": [row["levels"]]})
+
+    return sel.mapInPandas(build, schema="n long, levels array<array<double>>")
+
+
+def kll_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], k: int = 256
+) -> tuple[int, list[float], int]:
+    """Estimate quantiles ``qs`` of ``df[value_col]`` with a KLL sketch.
+
+    Returns ``(n, estimates, retained)``: the exact non-null count,
+    one estimate per q, and the total items the merged sketch
+    retained (to assert the O(k log(n/k)) bound). The driver merge is
+    over at most #partitions sketch rows — bytes shipped are
+    O(partitions * k log(n/k)), never O(n).
+    """
+    rows = kll_partials(df, value_col, k).collect()
+    if not rows:
+        raise ValueError(f"no non-null values in {value_col}")
+    merged = KLLSketch.from_row(rows[0], k)
+    for r in rows[1:]:
+        merged.merge(KLLSketch.from_row(r, k))
+    merged._compress()
+    return merged.n, merged.quantiles(qs), merged.retained()

@@ -131,6 +131,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "dq2_observe_metrics",
     "x9_map_functions",
     "a5b_approx_percentiles",
+    "a7_kll_quantiles",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

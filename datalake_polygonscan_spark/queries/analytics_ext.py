@@ -350,6 +350,63 @@ def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7_kll_quantiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS rank_ok_p50,
+           CAST(1 AS INTEGER) AS rank_ok_p90,
+           CAST(1 AS INTEGER) AS rank_ok_p99,
+           CAST(1 AS INTEGER) AS sketch_bounded
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    """,
+    doc=(
+        "A7 KLL quantile sketch BUILT FROM SCRATCH (Karnin-Lang-"
+        "Liberty FOCS'16; operators/sketches.py:KLLSketch) — the "
+        "mergeable-summaries quantile path a 100 TB engine actually "
+        "ships: per-partition compactor hierarchies of O(k log(n/k)) "
+        "floats built in ONE mapInPandas scan, merged on the driver "
+        "(bytes shipped are O(partitions x k), never O(n)), "
+        "deterministic alternating-parity compaction instead of coin "
+        "flips. Graded as a MEASURED metric like A5b: the estimates' "
+        "true ranks must land within +-0.01 of p50/p90/p99 (k=512 "
+        "measures <=0.004 worst-case), and the merged sketch must "
+        "retain <= 3k + 8*32 items — the size bound that makes the "
+        "sketch independent of table size. A broken compactor or a "
+        "size leak driver-fails"
+    ),
+)
+def a7_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.sketches import kll_quantiles
+
+    k = 512
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    n, (e50, e90, e99), retained = kll_quantiles(li, "v", [0.5, 0.9, 0.99], k=k)
+    bounded = 1 if retained <= 3 * k + 8 * 32 else 0
+    ranked = li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("v") <= F.lit(e50)).cast("long")).alias("r50"),
+        F.sum((F.col("v") <= F.lit(e90)).cast("long")).alias("r90"),
+        F.sum((F.col("v") <= F.lit(e99)).cast("long")).alias("r99"),
+    )
+
+    def ok(r, q):
+        return (
+            (F.col(r) / F.col("n_rows") >= q - 0.01)
+            & (F.col(r) / F.col("n_rows") <= q + 0.01)
+        ).cast("int")
+
+    return ranked.select(
+        "n_rows",
+        ok("r50", 0.5).alias("rank_ok_p50"),
+        ok("r90", 0.9).alias("rank_ok_p90"),
+        ok("r99", 0.99).alias("rank_ok_p99"),
+        F.lit(bounded).cast("int").alias("sketch_bounded"),
+    )
+
+
+@register(
     "dq1_expectation_suite",
     oracle="""
     WITH m AS (

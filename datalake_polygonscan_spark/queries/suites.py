@@ -315,7 +315,9 @@ _suite(
         "interpolation == quantile_cont) + A6 distributed heavy "
         "hitters via Misra-Gries-family mergeable summaries with exact "
         "recount + A5b approx_percentile with rank-verified error "
-        "bounds, one graded slot (merged round 5)"
+        "bounds, one graded slot (merged round 5) + A7 from-scratch "
+        "KLL quantile sketch (mergeable compactor hierarchy, "
+        "rank-verified AND size-bound-verified; added round 6)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -329,6 +331,7 @@ _suite(
         ("rank_ok_p50", "int", "INTEGER"),
         ("rank_ok_p90", "int", "INTEGER"),
         ("rank_ok_p99", "int", "INTEGER"),
+        ("sketch_bounded", "int", "INTEGER"),
     ],
     arms=[
         ("pctl", "a5_percentiles", {
@@ -341,6 +344,11 @@ _suite(
         ("approx", "a5b_approx_percentiles", {
             "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
             "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
+        }),
+        ("kll", "a7_kll_quantiles", {
+            "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
+            "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
+            "sketch_bounded": "sketch_bounded",
         }),
     ],
 )

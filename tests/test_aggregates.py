@@ -131,3 +131,107 @@ def test_blocked_fuzzy_pairs_semantics(spark):
     assert all(p[:2] != (1, 5) for p in got)  # same block, too far
     # (2,6): smyth->smitt is 2 edits — filtered
     assert all(p[:2] != (2, 6) for p in got)
+
+
+# ---------------------------------------------------------------------------
+# A7 — from-scratch KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _kll_rank_interval(data, est):
+    """True rank of est as [P(x < est), P(x <= est)] — tie-aware: with
+    heavy duplicates a single value legitimately spans a rank range."""
+    import numpy as np
+
+    a = np.asarray(data, dtype=float)
+    return float((a < est).mean()), float((a <= est).mean())
+
+
+def test_kll_rank_error_across_distributions():
+    """Merged per-chunk sketches answer every decile within eps of the
+    true rank, across shapes (normal/uniform/lognormal/sorted/dups)."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.sketches import KLLSketch
+
+    rng = np.random.default_rng(11)
+    datasets = {
+        "normal": rng.normal(100, 15, 150_000),
+        "uniform": rng.uniform(-5, 5, 150_000),
+        "sorted_lognormal": np.sort(rng.lognormal(3, 1, 150_000)),
+        "reverse_sorted": np.sort(rng.normal(0, 1, 150_000))[::-1].copy(),
+        "heavy_dups": np.repeat(rng.integers(0, 50, 4000), 40).astype(float),
+    }
+    eps = 0.01
+    for label, data in datasets.items():
+        chunks = np.array_split(data, 32)
+        merged = KLLSketch(512)
+        for c in chunks:
+            part = KLLSketch(512)
+            part.update_batch(c)
+            merged.merge(part)
+        assert merged.n == len(data), label
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            (est,) = merged.quantiles([q])
+            lo, hi = _kll_rank_interval(data, est)
+            assert lo - eps <= q <= hi + eps, (label, q, est, lo, hi)
+
+
+def test_kll_size_bound_independent_of_n():
+    """Retained items stay O(k log(n/k)) <= 3k + 8*levels no matter how
+    much data flows through — the property that makes the sketch a
+    100 TB citizen."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.sketches import KLLSketch
+
+    rng = np.random.default_rng(5)
+    for k in (64, 256):
+        for n in (10_000, 400_000):
+            sk = KLLSketch(k)
+            for c in np.array_split(rng.normal(0, 1, n), 8):
+                sk.update_batch(c)
+            assert sk.retained() <= 3 * k + 8 * len(sk.levels), (k, n, sk.retained())
+            assert sk.n == n
+
+
+def test_kll_weight_conservation_and_determinism():
+    """Total weight always equals n (compaction halves count, doubles
+    weight, exactly), and the alternating-parity compactor is
+    bit-deterministic for a fixed feed order."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.sketches import KLLSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.exponential(2.0, 60_000)
+
+    def build():
+        sk = KLLSketch(128)
+        for c in np.array_split(data, 16):
+            sk.update_batch(c)
+        return sk
+
+    a, b = build(), build()
+    tot = sum(lv.size * (1 << i) for i, lv in enumerate(a.levels))
+    assert tot == a.n == len(data)
+    assert len(a.levels) == len(b.levels)
+    for la, lb in zip(a.levels, b.levels):
+        assert np.array_equal(la, lb)
+    assert a.quantiles([0.5]) == b.quantiles([0.5])
+
+
+def test_kll_spark_end_to_end_vs_exact(spark):
+    """kll_quantiles over the lineitem parquet lands within the band of
+    the exact percentiles, and ships only O(partitions * k) bytes."""
+    from datalake_polygonscan_spark.operators.sketches import kll_quantiles
+
+    li = load_table(spark, SF, "lineitem").repartition(16)
+    n, est, retained = kll_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99], k=512)
+    exact_n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    assert n == exact_n
+    assert retained <= 3 * 512 + 8 * 32
+    vals = [r[0] for r in li.select(F.col("l_extendedprice").cast("double")).collect()]
+    for q, e in zip((0.5, 0.9, 0.99), est):
+        lo, hi = _kll_rank_interval(vals, e)
+        assert lo - 0.01 <= q <= hi + 0.01, (q, e, lo, hi)
