@@ -122,8 +122,10 @@ HEADLINE = [
     "j6b_asof_tolerance",
     "pr2_footer_profile",
     "ml4_distributed_pca",
-    # round-6 third batch: from-scratch KLL quantile sketch
+    # round-6 third batch: from-scratch KLL quantile sketch +
+    # a-priori market-basket rules
     "a7_kll_quantiles",
+    "an4_association_rules",
 ]
 
 
@@ -193,6 +195,7 @@ WARMUP = [
     "pr2_footer_profile",
     "ml4_distributed_pca",
     "a7_kll_quantiles",
+    "an4_association_rules",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -132,6 +132,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "x9_map_functions",
     "a5b_approx_percentiles",
     "a7_kll_quantiles",
+    "an4_association_rules",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

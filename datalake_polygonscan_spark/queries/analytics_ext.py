@@ -350,6 +350,95 @@ def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "an4_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+        SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), item_cnt AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY item
+    ), freq AS (
+        SELECT item, cnt FROM item_cnt CROSS JOIN nb
+        WHERE cnt >= CAST(ceil(0.005 * n_baskets) AS BIGINT)
+    ), fitems AS (
+        SELECT i.basket, i.item FROM items i JOIN freq f ON i.item = f.item
+    ), pairs AS (
+        SELECT a.item AS brand_a, b.item AS brand_b,
+               CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM fitems a JOIN fitems b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.brand_a, p.brand_b, p.pair_cnt,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / nb.n_baskets, 6) AS support,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / fa.cnt, 6) AS conf_ab,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / fb.cnt, 6) AS conf_ba,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) * nb.n_baskets
+                 / (CAST(fa.cnt AS DOUBLE) * fb.cnt), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.brand_a
+    JOIN freq fb ON fb.item = p.brand_b
+    CROSS JOIN nb
+    WHERE p.pair_cnt >= CAST(ceil(0.005 * nb.n_baskets) AS BIGINT)
+    """,
+    doc=(
+        "AN4 market-basket association rules (the a-priori co-"
+        "occurrence primitive): baskets = orders, items = part brands "
+        "(broadcast dim join), support/confidence/lift over "
+        "distinct-reduced (basket, item) pairs. The 100 TB shape: the "
+        "ONLY quadratic stage is the within-basket self-join, bounded "
+        "by basket size (never table size), and it runs AFTER the "
+        "a-priori prune — infrequent items are removed by a broadcast "
+        "semi-join first, the monotonicity guarantee (a pair can't be "
+        "frequent if either item isn't) that makes the pair explosion "
+        "collapse at scale. Counts are exact ints; every ratio is one "
+        "IEEE division of exact ints, so the output is deterministic "
+        "under any partitioning"
+    ),
+)
+def an4_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = items.select("basket").distinct().count()
+    minsup = int(-(-0.005 * n_baskets // 1))  # ceil
+    item_cnt = items.groupBy("item").agg(F.count("*").cast("long").alias("cnt"))
+    freq = item_cnt.filter(F.col("cnt") >= minsup)
+    fitems = items.join(F.broadcast(freq.select("item")), "item")
+    a = fitems.select(F.col("basket"), F.col("item").alias("brand_a"))
+    b = fitems.select(F.col("basket"), F.col("item").alias("brand_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= minsup)
+    )
+    fa = freq.select(F.col("item").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("item").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "pair_cnt",
+            F.round(F.col("pair_cnt") / F.lit(n_baskets), 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias("conf_ab"),
+            F.round(F.col("pair_cnt") / F.col("cnt_b"), 6).alias("conf_ba"),
+            F.round(
+                F.col("pair_cnt") * F.lit(float(n_baskets))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "a7_kll_quantiles",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1193,7 +1193,9 @@ _suite(
         "event-sequence pattern matching (MATCH_RECOGNIZE-lite "
         "adjacency via a lead() chain, one window pass; both added "
         "round 6) + PR2 distributed parquet-footer profiling "
-        "(footer-only KB-per-file scan; counts must equal the data)"
+        "(footer-only KB-per-file scan; counts must equal the data) "
+        "+ AN4 market-basket association rules (a-priori prune before "
+        "the bounded within-basket self-join; added round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1213,6 +1215,8 @@ _suite(
         ("min_value", "string", "VARCHAR"),
         ("max_value", "string", "VARCHAR"),
         ("chi2_stat", "double", "DOUBLE"),
+        ("conf_ab", "double", "DOUBLE"),
+        ("conf_ba", "double", "DOUBLE"),
     ],
     arms=[
         ("funnel", "an1_funnel_steps", {
@@ -1244,6 +1248,12 @@ _suite(
             "retention": "t_stat", "chi2_stat": "chi2_stat",
             "min_value": ("CAST(mean_a AS STRING)", "CAST(mean_a AS VARCHAR)"),
             "max_value": ("CAST(mean_b AS STRING)", "CAST(mean_b AS VARCHAR)"),
+        }),
+        ("rules", "an4_association_rules", {
+            "col_name": "brand_a", "max_value": "brand_b",
+            "n_rows": "pair_cnt", "retention": "support",
+            "conf_ab": "conf_ab", "conf_ba": "conf_ba",
+            "chi2_stat": "lift",
         }),
     ],
 )

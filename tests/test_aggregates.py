@@ -235,3 +235,48 @@ def test_kll_spark_end_to_end_vs_exact(spark):
     for q, e in zip((0.5, 0.9, 0.99), est):
         lo, hi = _kll_rank_interval(vals, e)
         assert lo - 0.01 <= q <= hi + 0.01, (q, e, lo, hi)
+
+
+def test_an4_apriori_prune_is_lossless(spark):
+    """AN4: computing rules after the a-priori item prune yields
+    exactly the rules the unpruned computation finds above minsup —
+    monotonicity means no frequent pair is lost."""
+    import itertools
+
+    rows = []
+    # 40 baskets of frequent items, plus rare items that must prune away
+    for i in range(40):
+        rows += [(i, "A"), (i, "B")] if i % 2 == 0 else [(i, "A"), (i, "C")]
+        if i < 2:
+            rows.append((i, f"rare_{i}"))
+    df = spark.createDataFrame(rows, "basket int, item string").distinct()
+    n = 40
+    minsup = 5
+    # unpruned truth in plain python
+    baskets = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    from collections import Counter
+
+    pair_cnt = Counter()
+    for its in baskets.values():
+        for x, y in itertools.combinations(sorted(its), 2):
+            pair_cnt[(x, y)] += 1
+    truth = {p: c for p, c in pair_cnt.items() if c >= minsup}
+
+    item_cnt = df.groupBy("item").count()
+    freq = item_cnt.filter(F.col("count") >= minsup).select("item")
+    fitems = df.join(F.broadcast(freq), "item")
+    a = fitems.select("basket", F.col("item").alias("x"))
+    b = fitems.select("basket", F.col("item").alias("y"))
+    got = {
+        (r.x, r.y): r.cnt
+        for r in a.join(b, "basket")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= minsup)
+        .collect()
+    }
+    assert got == truth
+    assert n == 40
