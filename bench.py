@@ -126,6 +126,7 @@ HEADLINE = [
     # a-priori market-basket rules
     "a7_kll_quantiles",
     "an4_association_rules",
+    "ts5_linear_interpolate",
 ]
 
 
@@ -196,6 +197,7 @@ WARMUP = [
     "ml4_distributed_pca",
     "a7_kll_quantiles",
     "an4_association_rules",
+    "ts5_linear_interpolate",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -249,6 +249,86 @@ def resample_forward_fill(
     )
 
 
+def resample_linear_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """TS5 — like :func:`resample_forward_fill` but gaps are LINEARLY
+    INTERPOLATED between the surrounding observed buckets instead of
+    carried forward: the fill a metrics/telemetry store (Timescale's
+    ``interpolate()``, InfluxDB ``fill(linear)``) does for charting
+    and rate math.
+
+    For a gap bucket t between observed buckets (pb, pv) and (nb, nv):
+    ``value = pv + (nv - pv) * (t - pb) / (nb - pv_b)``. The grid
+    spans each key's min..max OBSERVED bucket, so a gap always has
+    both neighbors (edges are observed by construction; no
+    extrapolation semantics to argue about).
+
+    Determinism at scale: the neighbor lookups are two window passes
+    over the same per-key sort (last/ignorenulls looking back,
+    first/ignorenulls looking forward — Catalyst plans one Exchange +
+    one Sort, the second window reuses them), and the interpolation
+    is a single IEEE expression over exact bucket integers and the
+    two neighbor doubles — no accumulation, so any partitioning gives
+    bit-identical results and the oracle can replay the same formula.
+    """
+    step = int(step_seconds)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket_start"),
+            F.struct(F.col(ts_col), F.col(tiebreak_col)).alias("_ord"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("key", "bucket_start")
+        .agg(F.max_by("_v", "_ord").alias("_v"))
+    )
+    grid = (
+        per_bucket.groupBy("key")
+        .agg(F.min("bucket_start").alias("_mn"), F.max("bucket_start").alias("_mx"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step).cast("long"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    w_back = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("_v").isNotNull(), F.col("bucket_start"))
+    joined = grid.join(per_bucket, ["key", "bucket_start"], "left").select(
+        "key",
+        "bucket_start",
+        "_v",
+        F.last("_v", ignorenulls=True).over(w_back).alias("_pv"),
+        F.last(obs_b, ignorenulls=True).over(w_back).alias("_pb"),
+        F.first("_v", ignorenulls=True).over(w_fwd).alias("_nv"),
+        F.first(obs_b, ignorenulls=True).over(w_fwd).alias("_nb"),
+    )
+    frac = (F.col("bucket_start") - F.col("_pb")) / (F.col("_nb") - F.col("_pb"))
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket_start",
+        F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(interp).alias(value_col),
+        F.col("_v").isNull().cast("int").alias("is_gap"),
+    )
+
+
 def funnel(
     df: DataFrame,
     key_col: str,

@@ -133,6 +133,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a5b_approx_percentiles",
     "a7_kll_quantiles",
     "an4_association_rules",
+    "ts5_linear_interpolate",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

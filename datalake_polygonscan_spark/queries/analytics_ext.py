@@ -842,6 +842,78 @@ def ts4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts5_linear_interpolate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(CAST(ts AS TIMESTAMP)) AS es, ts, event_id, value
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT user_id,
+               CAST(floor(es / 3600) * 3600 AS BIGINT) AS bucket_start,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(es / 3600) * 3600 AS BIGINT)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    ), last_b AS (
+        SELECT user_id, bucket_start, value FROM b WHERE rn = 1
+    ), rng AS (
+        SELECT user_id, min(bucket_start) AS mn, max(bucket_start) AS mx
+        FROM last_b GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket_start FROM rng
+    ), j AS (
+        SELECT g.user_id, g.bucket_start, l.value AS v,
+               last_value(l.value IGNORE NULLS) OVER wback AS pv,
+               last_value(CASE WHEN l.value IS NOT NULL THEN g.bucket_start END
+                          IGNORE NULLS) OVER wback AS pb,
+               first_value(l.value IGNORE NULLS) OVER wfwd AS nv,
+               first_value(CASE WHEN l.value IS NOT NULL THEN g.bucket_start END
+                           IGNORE NULLS) OVER wfwd AS nb
+        FROM grid g LEFT JOIN last_b l USING (user_id, bucket_start)
+        WINDOW wback AS (PARTITION BY g.user_id ORDER BY g.bucket_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wfwd AS (PARTITION BY g.user_id ORDER BY g.bucket_start
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_start,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + ((nv - pv) * (CAST(bucket_start - pb AS DOUBLE) / (nb - pb)))
+                  END) * 1000000.0 + 0.5) / 1000000.0 AS value,
+           CAST(v IS NULL AS INTEGER) AS is_gap
+    FROM j
+    """,
+    doc=(
+        "TS5 hypertable resample with LINEAR interpolation "
+        "(operators/temporal.py:resample_linear_interpolate) — TS1's "
+        "grid (last-per-bucket max_by with map-side combine, per-key "
+        "sequence/explode span) but gaps are interpolated between the "
+        "surrounding observed buckets (Timescale interpolate() / "
+        "InfluxDB fill(linear) semantics) instead of carried forward. "
+        "Neighbor lookups are back/forward window passes over ONE "
+        "per-key sort (one Exchange, one Sort, both windows reuse "
+        "them); the fill itself is a single IEEE expression over "
+        "exact bucket integers, so results are bit-identical under "
+        "any partitioning and the oracle replays the same formula"
+    ),
+)
+def ts5_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import resample_linear_interpolate
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    out = resample_linear_interpolate(
+        ev, "user_id", "ts", "value", "event_id", step_seconds=3600
+    )
+    # quantize via floor(x*1e6 + 0.5)/1e6 rather than round(): round()
+    # resolves exact half-way doubles differently across engines
+    # (Spark: exact BigDecimal HALF_UP; DuckDB: IEEE multiply first) —
+    # this formula is the same IEEE op sequence everywhere
+    return out.withColumn(
+        "value", F.floor(F.col("value") * 1000000.0 + 0.5) / 1000000.0
+    )
+
+
+@register(
     "an3_ab_stat_tests",
     oracle="""
     WITH p AS (

@@ -1767,7 +1767,9 @@ _suite(
         "applyInPandas, oracle-replayed as a recursive CTE) as fourth "
         "and fifth arms, plus J6b as-of tolerance/direction knobs "
         "(merge_asof parity: stale matches read as absent, forward "
-        "matching via the mirrored frame)"
+        "matching via the mirrored frame), plus TS5 linear "
+        "interpolation of grid gaps (Timescale interpolate() "
+        "semantics; added round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1817,6 +1819,10 @@ _suite(
             "event_id": "event_id", "user_id": "user_id", "ts": "ts",
             "value": "value", "n_events": "i",
             "roll_mean": "ewma", "z": "dev",
+        }),
+        ("interp", "ts5_linear_interpolate", {
+            "user_id": "user_id", "bucket_start": "bucket_start",
+            "value": "value", "is_gap": "is_gap",
         }),
     ],
 )

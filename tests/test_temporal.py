@@ -199,3 +199,41 @@ def test_asof_forward_matches_earliest_at_or_after(spark):
         left, right2, ["k"], "ts", "rts", "rid", 3600, direction="forward"
     ).collect()[0]
     assert r["asof_rid"] == 12
+
+
+def test_ts5_linear_interpolation_values(spark):
+    """Gaps fill with the exact linear ramp between neighbors; observed
+    buckets pass through untouched; edges are observed by construction."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.temporal import (
+        resample_linear_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+    def ev(i, hours, value):
+        return (i, t0 + dt.timedelta(hours=hours), 7, value)
+
+    rows = [
+        ev(1, 0, 10.0),   # bucket 0: observed 10
+        ev(2, 3, 16.0),   # bucket 3: observed 16 -> buckets 1,2 = 12,14
+        ev(3, 4, 20.0),   # bucket 4: observed
+        ev(4, 4.2, 30.0), # same bucket, later ts wins -> 30
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {
+        r.bucket_start: (r.value, r.is_gap)
+        for r in resample_linear_interpolate(
+            df, "user_id", "ts", "value", "event_id", 3600
+        ).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, 0, 0).timestamp())
+    assert out[base] == (10.0, 0)
+    assert out[base + 3600] == (12.0, 1)
+    assert out[base + 2 * 3600] == (14.0, 1)
+    assert out[base + 3 * 3600] == (16.0, 0)
+    assert out[base + 4 * 3600] == (30.0, 0)  # last-per-bucket wins
+    assert len(out) == 5
