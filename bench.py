@@ -127,6 +127,7 @@ HEADLINE = [
     "a7_kll_quantiles",
     "an4_association_rules",
     "ts5_linear_interpolate",
+    "ml5_naive_bayes_langid",
 ]
 
 
@@ -198,6 +199,7 @@ WARMUP = [
     "a7_kll_quantiles",
     "an4_association_rules",
     "ts5_linear_interpolate",
+    "ml5_naive_bayes_langid",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

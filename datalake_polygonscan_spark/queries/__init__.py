@@ -134,6 +134,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a7_kll_quantiles",
     "an4_association_rules",
     "ts5_linear_interpolate",
+    "ml5_naive_bayes_langid",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

@@ -357,3 +357,74 @@ def ml4_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ortho_ok).alias("eigen_orthonormal"),
         F.lit(sorted_ok).alias("eigen_sorted"),
     )
+
+
+@register(
+    "ml5_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang AS actual, u AS w
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents), UNNEST(t) AS z(u)
+    ), train AS (
+        SELECT * FROM toks WHERE doc_id % 2 = 0
+    ), tok_c AS (
+        SELECT actual AS cls, w, count(*) AS c FROM train GROUP BY 1, 2
+    ), tot AS (
+        SELECT actual AS cls, count(*) AS tot FROM train GROUP BY 1
+    ), vv AS (
+        SELECT count(DISTINCT w) + 1 AS v FROM train
+    ), pri AS (
+        SELECT lang AS cls, count(*) AS nd FROM documents
+        WHERE doc_id % 2 = 0 GROUP BY 1
+    ), ntr AS (
+        SELECT count(*) AS nt FROM documents WHERE doc_id % 2 = 0
+    ), sc AS (
+        SELECT t.doc_id, t.actual, l.cls,
+               SUM(CAST(round(ln((COALESCE(tc.c, 0) + 1.0) / (l.tot + vv.v)), 9)
+                        AS DECIMAL(28,9))) AS ll,
+               count(*) AS n_tok
+        FROM toks t
+        CROSS JOIN tot l
+        CROSS JOIN vv
+        LEFT JOIN tok_c tc ON tc.cls = l.cls AND tc.w = t.w
+        GROUP BY t.doc_id, t.actual, l.cls
+    ), fin AS (
+        SELECT sc.doc_id, sc.actual, sc.cls, sc.n_tok,
+               sc.ll + CAST(round(ln(CAST(pri.nd AS DOUBLE) / ntr.nt), 9)
+                            AS DECIMAL(28,9)) AS score
+        FROM sc JOIN pri ON pri.cls = sc.cls CROSS JOIN ntr
+    ), rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS r
+        FROM fin
+    )
+    SELECT doc_id, actual AS lang, cls AS pred,
+           CAST(actual = cls AS INTEGER) AS correct,
+           CAST(n_tok AS BIGINT) AS n_tokens
+    FROM rk WHERE r = 1
+    """,
+    doc=(
+        "ML5 multinomial Naive Bayes language ID (operators/"
+        "classify.py): training is two map-side-combined hash "
+        "aggregates (class-token counts + totals; the shuffle carries "
+        "the VOCABULARY, not the corpus), scoring joins token "
+        "occurrences against the broadcast |vocab| x |classes| model "
+        "and argmaxes per doc. Every log-prob term is rounded to 9 dp "
+        "and summed as DECIMAL(28,9) (the AN3/ML3 order-determinism "
+        "discipline), argmax ties break lexicographically — the "
+        "oracle replays training AND per-document prediction "
+        "value-for-value, not just an accuracy number. (On the "
+        "driver's synthetic corpus lang is independent of text by "
+        "construction, so accuracy ~= the class prior; the graded "
+        "check is the MAP decision pipeline itself, and "
+        "tests/test_clustering.py proves the same operator reaches "
+        ">90% on separable data)"
+    ),
+)
+def ml5_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.classify import naive_bayes_language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_language_id(docs)

@@ -255,7 +255,9 @@ _suite(
         "graded slot (merged round 5) + ML4 distributed PCA (one-pass "
         "mergeable Gramian partials, exact-decimal per-dim moments "
         "value-checked, eigen invariants riding the hash; added "
-        "round 6)"
+        "round 6) + ML5 multinomial Naive Bayes language ID "
+        "(count-only training, broadcast-model scoring, per-document "
+        "MAP decisions oracled value-for-value; added round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -276,6 +278,9 @@ _suite(
         ("bias", "double", "DOUBLE"),
         ("n_docs", "long", "BIGINT"),
         ("train_accuracy", "double", "DOUBLE"),
+        ("lang", "string", "VARCHAR"),
+        ("pred", "string", "VARCHAR"),
+        ("correct", "int", "INTEGER"),
     ],
     arms=[
         ("kmeans", "ml1_kmeans_clusters", {
@@ -299,6 +304,10 @@ _suite(
             "clusters_in_range": "trace_matches",
             "inertia_monotone": "eigen_orthonormal",
             "self_consistent": "eigen_sorted",
+        }),
+        ("nbayes", "ml5_naive_bayes_langid", {
+            "n_vectors": "doc_id", "lang": "lang", "pred": "pred",
+            "correct": "correct", "n_docs": "n_tokens",
         }),
     ],
 )

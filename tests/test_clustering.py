@@ -154,3 +154,35 @@ def test_pca_partials_match_single_machine_numpy(spark):
     v, w = res["components"], res["eigenvalues"]
     assert np.allclose(v.T @ np.diag(w) @ v, ref_cov, atol=1e-9)
     assert np.all(np.diff(w) <= 1e-12)
+
+
+def test_naive_bayes_learns_separable_classes(spark):
+    """ML5: on data where classes have distinct token distributions the
+    classifier must actually learn (>90% holdout accuracy), and
+    training-half docs must score consistently too."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.classify import (
+        naive_bayes_language_id,
+    )
+
+    rng = random.Random(13)
+    vocab = {
+        "aa": ["red", "green", "blue", "common"],
+        "bb": ["cat", "dog", "bird", "common"],
+        "cc": ["one", "two", "three", "common"],
+    }
+    rows = []
+    for i in range(300):
+        cls = ["aa", "bb", "cc"][i % 3]
+        words = [rng.choice(vocab[cls]) for _ in range(30)]
+        rows.append((i, " ".join(words), cls))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_language_id(docs)
+    acc = out.agg(F.avg("correct")).collect()[0][0]
+    holdout = out.filter(F.col("doc_id") % 2 == 1).agg(F.avg("correct")).collect()[0][0]
+    assert acc > 0.9, acc
+    assert holdout > 0.9, holdout
+    assert out.count() == 300
