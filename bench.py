@@ -128,6 +128,7 @@ HEADLINE = [
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
+    "u7_apply_in_arrow",
 ]
 
 
@@ -200,6 +201,7 @@ WARMUP = [
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
+    "u7_apply_in_arrow",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

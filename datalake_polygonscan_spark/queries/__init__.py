@@ -135,6 +135,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
+    "u7_apply_in_arrow",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

@@ -634,13 +634,16 @@ _suite(
         "(passthrough) + U4 the real Spark 4 @udtf class via SQL "
         "LATERAL + U5 the Arrow-optimized Python UDF + U6 the "
         "POLYMORPHIC UDTF (analyze-time schema derived from the TABLE "
-        "argument's struct, round 6) — the whole Python-function "
+        "argument's struct, round 6) + U7 the pure-Arrow pair "
+        "(mapInArrow batch derivation + applyInArrow grouped agg, "
+        "zero pandas; round 6) — the whole Python-function "
         "surface in one graded slot"
     ),
     layout=[
         ("k1", "long", "BIGINT"),
         ("k2", "long", "BIGINT"),
         ("val", "double", "DOUBLE"),
+        ("val2", "double", "DOUBLE"),
         ("token", "string", "VARCHAR"),
         ("pos", "int", "INTEGER"),
         ("status_tag", "string", "VARCHAR"),
@@ -659,6 +662,11 @@ _suite(
         }),
         ("poly_udtf", "u6_polymorphic_udtf", {
             "k1": "k", "token": "col", "val": "val",
+        }),
+        ("arrow_native", "u7_apply_in_arrow", {
+            "k1": "n_rows", "k2": "sum_qty",
+            "token": "l_returnflag", "status_tag": "l_linestatus",
+            "val": "min_disc_price", "val2": "max_disc_price",
         }),
     ],
 )

@@ -408,3 +408,92 @@ def u6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )) m
         """
     )
+
+
+@register(
+    "u7_apply_in_arrow",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               l_extendedprice * (1 - l_discount) AS disc_price
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(MIN(disc_price), 4) AS min_disc_price,
+           ROUND(MAX(disc_price), 4) AS max_disc_price
+    FROM d
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "U7 the Spark 4 pure-Arrow Python surface: mapInArrow derives "
+        "a column with pyarrow.compute on RecordBatches (no pandas "
+        "materialization — zero-copy Arrow in, Arrow out), then "
+        "groupBy().applyInArrow aggregates each group as a pa.Table. "
+        "Chosen aggregates are order-insensitive (count, exact int64 "
+        "sum, min/max of a PER-ROW IEEE product), so any partitioning "
+        "and any within-group batch order hash-match the SQL oracle. "
+        "The Arrow path skips the pandas conversion tax the U1/U2 "
+        "tier pays — the right boundary for binary/tensor columns"
+    ),
+)
+def u7_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+    def derive(batches):
+        # mapInArrow: RecordBatch -> RecordBatch, pure Arrow kernels
+        for rb in batches:
+            disc = pc.multiply(
+                rb.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), rb.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("l_returnflag"),
+                    rb.column("l_linestatus"),
+                    rb.column("l_quantity"),
+                    disc,
+                ],
+                ["l_returnflag", "l_linestatus", "l_quantity", "disc_price"],
+            )
+
+    derived = li.mapInArrow(
+        derive,
+        schema=(
+            "l_returnflag string, l_linestatus string, "
+            "l_quantity double, disc_price double"
+        ),
+    )
+
+    def group_stats(tbl: pa.Table) -> pa.Table:
+        q = pc.cast(tbl.column("l_quantity"), pa.int64())
+        dp = tbl.column("disc_price")
+        return pa.table(
+            {
+                "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [tbl.column("l_linestatus")[0].as_py()],
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "sum_qty": pa.array([pc.sum(q).as_py()], pa.int64()),
+                "min_disc_price": pa.array([pc.min(dp).as_py()], pa.float64()),
+                "max_disc_price": pa.array([pc.max(dp).as_py()], pa.float64()),
+            }
+        )
+
+    out = derived.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        group_stats,
+        schema=(
+            "l_returnflag string, l_linestatus string, n_rows long, "
+            "sum_qty long, min_disc_price double, max_disc_price double"
+        ),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+        F.round("min_disc_price", 4).alias("min_disc_price"),
+        F.round("max_disc_price", 4).alias("max_disc_price"),
+    )
