@@ -129,6 +129,8 @@ HEADLINE = [
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
+    # scenario (unwarmed): branch fork + staged audit + publish chain
+    "s32_branch_wap",
 ]
 
 

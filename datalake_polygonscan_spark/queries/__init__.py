@@ -136,6 +136,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
+    "s32_branch_wap",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

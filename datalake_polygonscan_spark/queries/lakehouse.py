@@ -2130,3 +2130,112 @@ def s30_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rollup_consistent", F.lit(consistent))
         .withColumn("recovered_atomically", F.lit(recovered))
     )
+
+
+@register(
+    "s32_branch_wap",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 4) AS o_totalprice,
+           TRUE AS audit_passed,
+           TRUE AS main_isolated,
+           TRUE AS bad_audit_failed,
+           TRUE AS bad_never_published,
+           TRUE AS diverged_detected
+    FROM orders
+    """,
+    doc=(
+        "S32 branches + write-audit-publish (io/branches.py): fork a "
+        "zero-copy branch off the orders table, stage a load batch ON "
+        "THE BRANCH (main provably unchanged while staged — the "
+        "isolation the reference's delete-then-reload window lacks, "
+        "walletDataConsumer R11/R12), audit the staged state (row "
+        "conservation, null keys, key uniqueness), then publish = "
+        "fast-forward main to the branch head via one pointer CAS "
+        "(no data movement). A second branch stages a CORRUPT batch "
+        "(nulled keys): its audit fails, it is never published, and "
+        "main still reads the audited state. A third branch forks, "
+        "main advances, and publish correctly refuses with "
+        "BranchDiverged (no silent lost-update). All five protocol "
+        "verdicts ride the output hash; rows are the final published "
+        "table = exactly the full orders set"
+    ),
+)
+def s32_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io import branches as B
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+        "o_custkey",
+    )
+    seed = o.filter(F.col("o_orderkey") % 4 != 3)
+    batch = o.filter(F.col("o_orderkey") % 4 == 3)
+    table = _scratch("s32_wap", "orders_wap")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(seed, table, retain=10)
+    n_seed, n_batch = seed.count(), batch.count()
+
+    # -- write (on the branch) --
+    B.create_branch(table, "load")
+    staged = B.read_branch(spark, table, "load").unionByName(batch)
+    B.commit_branch(staged, table, "load", op="APPEND")
+
+    # -- audit (still on the branch; main untouched) --
+    br = B.read_branch(spark, table, "load")
+    a = br.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_keys"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    ).collect()[0]
+    audit_passed = (
+        a["n"] == n_seed + n_batch and a["null_keys"] == 0 and a["n_keys"] == a["n"]
+    )
+    main_isolated = read_table(spark, table).count() == n_seed
+
+    # -- publish (fast-forward pointer CAS) --
+    assert audit_passed
+    B.publish_branch(table, "load", retain=10)
+    B.drop_branch(table, "load")
+
+    # -- corrupt staging branch: audit fails, never published --
+    B.create_branch(table, "bad")
+    bad_batch = batch.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("o_orderkey")),
+    )
+    B.commit_branch(
+        B.read_branch(spark, table, "bad").unionByName(bad_batch), table, "bad", op="APPEND"
+    )
+    bad_nulls = (
+        B.read_branch(spark, table, "bad")
+        .agg(F.sum(F.col("o_orderkey").isNull().cast("long")))
+        .collect()[0][0]
+    )
+    bad_audit_failed = bad_nulls > 0
+    B.drop_branch(table, "bad")
+    bad_never_published = read_table(spark, table).count() == n_seed + n_batch
+
+    # -- divergence: main moves after a fork; publish must refuse --
+    B.create_branch(table, "race")
+    atomic_overwrite(read_table(spark, table), table, retain=10)  # main advances
+    try:
+        B.publish_branch(table, "race", retain=10)
+        diverged_detected = False
+    except B.BranchDiverged:
+        diverged_detected = True
+    B.drop_branch(table, "race")
+
+    final = read_table(spark, table)
+    return final.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+        F.lit(bool(audit_passed)).alias("audit_passed"),
+        F.lit(bool(main_isolated)).alias("main_isolated"),
+        F.lit(bool(bad_audit_failed)).alias("bad_audit_failed"),
+        F.lit(bool(bad_never_published)).alias("bad_never_published"),
+        F.lit(bool(diverged_detected)).alias("diverged_detected"),
+    )

@@ -1293,7 +1293,9 @@ _suite(
         "close-and-open versioning in one bucket-pruned MERGE per "
         "batch) + S31 dynamic partition overwrite (INSERT OVERWRITE "
         "replacing only the arriving partitions, the backfill "
-        "primitive; both added round 6)"
+        "primitive; both added round 6) + S32 branches/WAP (zero-copy "
+        "fork, staged audit, fast-forward publish, divergence "
+        "refusal; added round 6)"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1339,6 +1341,14 @@ _suite(
             "c_custkey": "c_custkey", "valid_from": "valid_from",
             "valid_to": "valid_to", "is_current": "is_current",
             "status": "c_mktsegment", "metric": "c_acctbal",
+        }),
+        ("wap", "s32_branch_wap", {
+            "c_custkey": "o_orderkey",
+            "o_orderstatus": "o_orderstatus", "metric": "o_totalprice",
+            "semantics_ok": "audit_passed", "zero_copy": "main_isolated",
+            "bad_batch_rejected": "bad_audit_failed",
+            "rejection_atomic": "bad_never_published",
+            "constraint_inherited": "diverged_detected",
         }),
     ],
 )
