@@ -131,6 +131,7 @@ HEADLINE = [
     "u7_apply_in_arrow",
     # scenario (unwarmed): branch fork + staged audit + publish chain
     "s32_branch_wap",
+    "dg1_masked_rls_view",
 ]
 
 
@@ -204,6 +205,7 @@ WARMUP = [
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
+    "dg1_masked_rls_view",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -137,6 +137,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
     "s32_branch_wap",
+    "dg1_masked_rls_view",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

@@ -566,3 +566,56 @@ def qe_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": "BUILDING", "floor": 1000.0},
     )
+
+
+@register(
+    "dg1_masked_rls_view",
+    oracle="""
+    WITH policy(role, allowed_segment) AS (
+        VALUES ('analyst', 'BUILDING'), ('analyst', 'MACHINERY'),
+               ('marketing', 'AUTOMOBILE')
+    )
+    SELECT p.role, c.c_custkey,
+           sha256(c.c_name)                              AS name_token,
+           left(c.c_name, 9) || '***'                    AS name_masked,
+           c.c_mktsegment                                AS segment,
+           CAST(floor(c.c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+    FROM customer c JOIN policy p ON c.c_mktsegment = p.allowed_segment
+    """,
+    doc=(
+        "DG1 data governance: a SECURED VIEW combining column masking "
+        "and row-level security, built as an actual spark.sql view "
+        "over a broadcast policy table — c_name pseudonymized with "
+        "sha2 (join-stable token) AND "
+        "partially disclosed (prefix + '***'), c_acctbal coarsened to "
+        "1000-wide bands (k-anonymity-style generalization), "
+        "c_nationkey simply ABSENT (column-level security = projection "
+        "pruning, so the masked columns never leave the scan), and "
+        "rows filtered to each role's allowed segments via an "
+        "equi-join on the policy (RLS as a broadcast join — the "
+        "per-role predicate pushes into the scan at 100 TB). Both "
+        "engines evaluate the same masking SQL; sha256 hex output is "
+        "byte-identical across Spark/DuckDB"
+    ),
+)
+def dg1_masked_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW dg1_policy AS
+        SELECT * FROM VALUES ('analyst', 'BUILDING'), ('analyst', 'MACHINERY'),
+                             ('marketing', 'AUTOMOBILE') AS t(role, allowed_segment)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW dg1_secured_customer AS
+        SELECT p.role, c.c_custkey,
+               sha2(c.c_name, 256)                    AS name_token,
+               left(c.c_name, 9) || '***'             AS name_masked,
+               c.c_mktsegment                         AS segment,
+               CAST(floor(c.c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+        FROM customer c JOIN dg1_policy p ON c.c_mktsegment = p.allowed_segment
+        """
+    )
+    return spark.sql("SELECT * FROM dg1_secured_customer")

@@ -1295,7 +1295,9 @@ _suite(
         "replacing only the arriving partitions, the backfill "
         "primitive; both added round 6) + S32 branches/WAP (zero-copy "
         "fork, staged audit, fast-forward publish, divergence "
-        "refusal; added round 6)"
+        "refusal; added round 6) + DG1 secured view: column masking "
+        "(sha2 token, partial disclosure, k-anonymous banding) + "
+        "row-level security as a broadcast policy join (round 6)"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1314,6 +1316,7 @@ _suite(
         ("metric", "double", "DOUBLE"),
         ("zero_copy", "boolean", "BOOLEAN"),
         ("semantics_ok", "boolean", "BOOLEAN"),
+        ("segment", "string", "VARCHAR"),
     ],
     arms=[
         ("evolution", "s12_schema_evolution", {
@@ -1341,6 +1344,11 @@ _suite(
             "c_custkey": "c_custkey", "valid_from": "valid_from",
             "valid_to": "valid_to", "is_current": "is_current",
             "status": "c_mktsegment", "metric": "c_acctbal",
+        }),
+        ("masked", "dg1_masked_rls_view", {
+            "status_slot": "role", "c_custkey": "c_custkey",
+            "status": "name_token", "o_orderstatus": "name_masked",
+            "segment": "segment", "valid_from": "bal_band",
         }),
         ("wap", "s32_branch_wap", {
             "c_custkey": "o_orderkey",
