@@ -132,6 +132,7 @@ HEADLINE = [
     # scenario (unwarmed): branch fork + staged audit + publish chain
     "s32_branch_wap",
     "dg1_masked_rls_view",
+    "g6_bfs_shortest_hops",
 ]
 
 
@@ -206,6 +207,7 @@ WARMUP = [
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
     "dg1_masked_rls_view",
+    "g6_bfs_shortest_hops",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -253,3 +253,53 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G6 — single-source shortest HOP counts by frontier BFS.
+
+    Level-synchronous BFS, the Pregel shape: each round joins the
+    CURRENT FRONTIER (only the nodes discovered last round — not the
+    whole visited set) against the edge list, anti-joins out
+    already-visited nodes, and stops at the first empty frontier.
+    Work per round is O(edges incident to the frontier); total work is
+    O(m) across all rounds regardless of diameter — the property that
+    makes BFS feasible on billion-edge graphs where any
+    quadratic-per-round formulation dies.
+
+    Hop counts are INTEGERS: no float anywhere, so the result is
+    exactly reproducible under any partitioning and a bounded-depth
+    recursive CTE replays it row-for-row. Unreachable nodes simply
+    never enter ``dist`` (callers left-join their node universe to
+    surface them as NULL).
+
+    Returns (node, dist).
+    """
+    spark = edges.sparkSession
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist int").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for level in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(level).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -138,6 +138,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "u7_apply_in_arrow",
     "s32_branch_wap",
     "dg1_masked_rls_view",
+    "g6_bfs_shortest_hops",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

@@ -305,3 +305,71 @@ def g5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("label")).cast("long").alias("community_size"),
         F.lit(n_comm).cast("long").alias("n_communities"),
     )
+
+
+_BFS_NODES = 500
+_BFS_DEPTH = 20
+
+
+@register(
+    "g6_bfs_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS MATERIALIZED (
+        SELECT DISTINCT l_partkey % {_BFS_NODES} AS src, l_suppkey % {_BFS_NODES} AS dst
+        FROM lineitem WHERE l_quantity = 1 AND l_partkey % {_BFS_NODES} <> l_suppkey % {_BFS_NODES}
+        UNION
+        SELECT DISTINCT l_suppkey % {_BFS_NODES}, l_partkey % {_BFS_NODES}
+        FROM lineitem WHERE l_quantity = 1 AND l_partkey % {_BFS_NODES} <> l_suppkey % {_BFS_NODES}
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), walk(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {_BFS_DEPTH}
+    ), sp AS (
+        SELECT node, CAST(min(d) AS INTEGER) AS dist FROM walk GROUP BY node
+    )
+    SELECT n.node, sp.dist,
+           CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_reached,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN sp ON sp.node = n.node
+    """,
+    doc=(
+        "G6 single-source shortest hop counts by level-synchronous "
+        "frontier BFS (operators/graph.py:bfs_hops, the Pregel shape): "
+        "each round joins only the LAST frontier against the edge "
+        "list and anti-joins visited nodes, so total work is O(m) "
+        "across all rounds — never frontier x visited. Sparse graph "
+        "(quantity=1 lineitems, keys mod 500, symmetrized) keeps real "
+        "multi-hop distances (0..4 at smoke SF; any unreachable node "
+        "surfaces as NULL dist via the node-universe left join). "
+        "Integer hops, zero floats: the oracle replays BFS as "
+        "a bounded-depth recursive CTE with min-hop aggregation, "
+        "row-for-row"
+    ),
+)
+def g6_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 1)
+    a = (F.col("l_partkey") % _BFS_NODES).alias("src")
+    b = (F.col("l_suppkey") % _BFS_NODES).alias("dst")
+    fwd = li.select(a, b).filter(F.col("src") != F.col("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = bfs_hops(edges, source=0, max_iter=_BFS_DEPTH)
+    n_reached = dist.count()
+    n_nodes = nodes.count()
+    return (
+        nodes.join(dist, "node", "left")
+        .select(
+            "node",
+            F.col("dist").cast("int").alias("dist"),
+            F.lit(n_reached).cast("long").alias("n_reached"),
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+        )
+    )

@@ -785,8 +785,9 @@ _suite(
         "O(m^1.5) total; added round 6) — iteration-as-API, "
         "iteration-as-SQL and multi-join motif counting in one graded "
         "slot (merged round 5); G5 label-propagation communities "
-        "(deterministic argmax tie-break, round-replayed oracle) "
-        "joined round 6"
+        "(deterministic argmax tie-break, round-replayed oracle) and "
+        "G6 frontier BFS shortest hops (O(m) total across rounds, "
+        "bounded-depth recursive-CTE oracle) joined round 6"
     ),
     layout=[
         ("node", "long", "BIGINT"),
@@ -814,6 +815,10 @@ _suite(
         ("communities", "g5_label_propagation", {
             "node": "node", "depth": "community",
             "n_edges": "community_size", "n_nodes": "n_communities",
+        }),
+        ("bfs", "g6_bfs_shortest_hops", {
+            "node": "node", "depth": "CAST(dist AS BIGINT)",
+            "n_edges": "n_reached", "n_nodes": "n_nodes",
         }),
     ],
 )

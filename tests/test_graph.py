@@ -79,3 +79,20 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = sorted((r["node"], r["rank"]) for r in pagerank(e1, n_iter=5).collect())
     r2 = sorted((r["node"], r["rank"]) for r in pagerank(e2, n_iter=5).collect())
     assert r1 == r2
+
+
+def test_bfs_hops_exact_distances_and_unreachable(spark):
+    """G6: hand-built graph — path 0-1-2-3, a shortcut 0-4-3 does not
+    shorten below the true min, node 9 unreachable, frontier stops at
+    the first empty level."""
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.graph import bfs_hops
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (7, 9)]
+    fwd = spark.createDataFrame(pairs, "src long, dst long")
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r.node: r.dist for r in bfs_hops(edges, source=0, max_iter=10).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+    # 7 and 9 are in another component: absent from dist entirely
+    assert 7 not in got and 9 not in got
