@@ -133,6 +133,7 @@ HEADLINE = [
     "s32_branch_wap",
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
+    "q20_nested_in_scalar",
 ]
 
 
@@ -208,6 +209,7 @@ WARMUP = [
     "u7_apply_in_arrow",
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
+    "q20_nested_in_scalar",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -139,6 +139,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s32_branch_wap",
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
+    "q20_nested_in_scalar",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

@@ -619,3 +619,49 @@ def dg1_masked_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM dg1_secured_customer")
+
+
+#: Q20-shape NESTED IN chain with a correlated scalar aggregate at the
+#: bottom — supplier IN (lineitem-derived set), which itself filters by
+#: part IN (dimension predicate set) AND a per-part correlated AVG
+#: threshold. Catalyst has to decorrelate the scalar into an aggregate
+#: join AND turn both IN-subqueries into semi-joins; the classic "deep
+#: subquery pyramid" a warehouse migration trips over. Adapted to the
+#: driver schema (no partsupp table): the availability predicate
+#: becomes a quantity-above-part-average predicate on lineitem itself.
+_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_size <= 5
+          )
+          AND l1.l_quantity > (
+            SELECT 1.5 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+          )
+    )
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q20_nested_in_scalar",
+    oracle=_Q20_SQL,
+    doc=(
+        "Q20-shape nested-IN pyramid through spark.sql: IN over a "
+        "subquery that itself contains an IN (dimension set) and a "
+        "correlated scalar AVG — identical text in both engines. "
+        "Plan-locked (tests/test_plans.py) to decorrelate fully: two "
+        "LeftSemi joins + a grouped aggregate joined on the "
+        "correlation key, no scalar-subquery node, no nested loop. "
+        "avg(l_quantity) is a sum of integral doubles (exact under "
+        "any order), so the threshold comparison is deterministic"
+    ),
+)
+def q20_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

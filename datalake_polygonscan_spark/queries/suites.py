@@ -838,7 +838,9 @@ _suite(
         "scalar-average subquery (plan-locked to an aggregate-join, no "
         "per-row subquery), and Q21 double correlated quantifier — "
         "EXISTS + NOT EXISTS into the SAME table with non-equi "
-        "correlated conjuncts, the hardest decorrelation case — the "
+        "correlated conjuncts, the hardest decorrelation case — plus the "
+        "Q20-shape nested-IN pyramid (IN over IN + correlated scalar "
+        "AVG, two LeftSemi + aggregate-join plan-locked; round 6): the "
         "optimizer's decorrelation surface in one graded slot (round 5). "
         "Round 6 adds the Spark 4 SQL-language tier as four more arms: "
         "QP pipe syntax (Q1 pricing summary via |> operators), QF "
@@ -880,6 +882,9 @@ _suite(
         }),
         ("q21", "q21_multi_exists", {
             "s_name": "s_name", "numwait": "numwait",
+        }),
+        ("q20", "q20_nested_in_scalar", {
+            "l_orderkey": "s_suppkey", "s_name": "s_name",
         }),
         ("qp", "qp_pipe_syntax", {
             "s_name": "l_returnflag || '/' || l_linestatus",

@@ -621,3 +621,16 @@ def test_chained_window_agg_plans_two_stateful_operators(spark):
     ).agg(F.sum("n").alias("n"))
     plan = _plan(agg2)
     assert plan.count("HashAggregate") >= 4  # partial+final per level
+
+
+def test_q20_nested_in_pyramid_fully_decorrelates(spark):
+    """Q20-shape: IN(subquery containing IN + correlated scalar AVG)
+    must become two LeftSemi joins plus an aggregate join — no
+    per-row subquery, no nested loop."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q20_nested_in_scalar"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
+    assert "partial_avg" in plan
+    assert "NestedLoop" not in plan
