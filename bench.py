@@ -134,6 +134,7 @@ HEADLINE = [
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
+    "a7g_kll_grouped_quantiles",
 ]
 
 
@@ -210,6 +211,7 @@ WARMUP = [
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
+    "a7g_kll_grouped_quantiles",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

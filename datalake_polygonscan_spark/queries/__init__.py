@@ -132,6 +132,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "x9_map_functions",
     "a5b_approx_percentiles",
     "a7_kll_quantiles",
+    "a7g_kll_grouped_quantiles",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ml5_naive_bayes_langid",

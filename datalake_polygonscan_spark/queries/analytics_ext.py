@@ -496,6 +496,58 @@ def a7_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7g_kll_grouped_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(1 AS INTEGER) AS rank_ok_p50,
+           CAST(1 AS INTEGER) AS rank_ok_p90
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "A7g GROUPED KLL quantiles (operators/sketches.py:"
+        "kll_grouped_quantiles) — the per-key form that replaces "
+        "exact per-group sorts at 100 TB: ONE applyInPandas shuffle "
+        "builds a compactor hierarchy per key and ships only the "
+        "estimates (O(keys x qs) doubles, never the values). Graded "
+        "like A7/A5b: one conditional-count scan joins the broadcast "
+        "estimates back and asserts each group's p50/p90 estimate "
+        "ranks within +-0.01 of target inside ITS OWN group"
+    ),
+)
+def a7g_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.sketches import kll_grouped_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    est = kll_grouped_quantiles(li, "l_returnflag", "v", [0.5, 0.9], k=512).select(
+        F.col("key").alias("l_returnflag"), "q_50", "q_90"
+    )
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("v") <= F.col("q_50")).cast("long")).alias("r50"),
+            F.sum((F.col("v") <= F.col("q_90")).cast("long")).alias("r90"),
+        )
+    )
+
+    def ok(r, q):
+        return (
+            (F.col(r) / F.col("n") >= q - 0.01) & (F.col(r) / F.col("n") <= q + 0.01)
+        ).cast("int")
+
+    return ranked.select(
+        "l_returnflag", "n",
+        ok("r50", 0.5).alias("rank_ok_p50"),
+        ok("r90", 0.9).alias("rank_ok_p90"),
+    )
+
+
+@register(
     "dq1_expectation_suite",
     oracle="""
     WITH m AS (

@@ -326,7 +326,9 @@ _suite(
         "recount + A5b approx_percentile with rank-verified error "
         "bounds, one graded slot (merged round 5) + A7 from-scratch "
         "KLL quantile sketch (mergeable compactor hierarchy, "
-        "rank-verified AND size-bound-verified; added round 6)"
+        "rank-verified AND size-bound-verified) and its GROUPED form "
+        "(one sketch per key in a single applyInPandas shuffle, "
+        "per-group rank-verified; both round 6)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -358,6 +360,10 @@ _suite(
             "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
             "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
             "sketch_bounded": "sketch_bounded",
+        }),
+        ("kll_grouped", "a7g_kll_grouped_quantiles", {
+            "l_returnflag": "l_returnflag", "n": "n",
+            "rank_ok_p50": "rank_ok_p50", "rank_ok_p90": "rank_ok_p90",
         }),
     ],
 )

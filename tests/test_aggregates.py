@@ -280,3 +280,32 @@ def test_an4_apriori_prune_is_lossless(spark):
     }
     assert got == truth
     assert n == 40
+
+
+def test_kll_grouped_matches_exact_within_band(spark):
+    """A7g: per-group sketch estimates land within the rank band of
+    each group's own distribution, for skewed unequal group sizes."""
+    import numpy as np
+
+    from datalake_polygonscan_spark.operators.sketches import kll_grouped_quantiles
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for grp, n, mu in (("a", 30_000, 10.0), ("b", 2_000, 500.0), ("c", 120, -3.0)):
+        for v in rng.normal(mu, abs(mu) * 0.1 + 1, n):
+            rows.append((grp, float(v)))
+    df = spark.createDataFrame(rows, "key string, v double").repartition(16)
+    est = {
+        r.key: (r.n, r.q_50, r.q_90)
+        for r in kll_grouped_quantiles(df, "key", "v", [0.5, 0.9], k=512).collect()
+    }
+    by_grp = {}
+    for grp, v in rows:
+        by_grp.setdefault(grp, []).append(v)
+    for grp, vals in by_grp.items():
+        a = np.asarray(vals)
+        n, e50, e90 = est[grp]
+        assert n == len(vals)
+        for q, e in ((0.5, e50), (0.9, e90)):
+            lo, hi = float((a < e).mean()), float((a <= e).mean())
+            assert lo - 0.01 <= q <= hi + 0.01, (grp, q, e)
