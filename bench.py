@@ -135,6 +135,7 @@ HEADLINE = [
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
     "a7g_kll_grouped_quantiles",
+    "ts6_rolling_median_iqr",
 ]
 
 
@@ -212,6 +213,7 @@ WARMUP = [
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
     "a7g_kll_grouped_quantiles",
+    "ts6_rolling_median_iqr",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

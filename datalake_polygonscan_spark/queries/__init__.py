@@ -135,6 +135,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a7g_kll_grouped_quantiles",
     "an4_association_rules",
     "ts5_linear_interpolate",
+    "ts6_rolling_median_iqr",
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
     "s32_branch_wap",

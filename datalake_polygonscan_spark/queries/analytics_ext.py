@@ -966,6 +966,81 @@ def ts5_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts6_rolling_median_iqr",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT event_id, user_id, ts, value,
+               count(*)                 OVER roll AS roll_n,
+               quantile_cont(value, 0.5)  OVER roll AS med,
+               quantile_cont(value, 0.25) OVER roll AS q25,
+               quantile_cont(value, 0.75) OVER roll AS q75
+        FROM p
+        WINDOW roll AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           floor(value * 1000000.0 + 0.5) / 1000000.0 AS value,
+           CAST(roll_n AS BIGINT) AS roll_n,
+           CASE WHEN roll_n >= 10
+                THEN floor(med * 1000000.0 + 0.5) / 1000000.0 END AS roll_median,
+           CASE WHEN roll_n >= 10
+                THEN floor((q75 - q25) * 1000000.0 + 0.5) / 1000000.0 END AS roll_iqr,
+           CAST(CASE WHEN roll_n >= 10 AND (q75 - q25) > 0
+                     AND value > med + 3.0 * (q75 - q25)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM r
+    """,
+    doc=(
+        "TS6 rolling-median / IQR robust outlier detection — TS3's "
+        "z-score sibling for heavy-tailed telemetry where mean/stddev "
+        "are themselves corrupted by the outliers: per-user trailing-"
+        "20-event median and interquartile range (current row "
+        "EXCLUDED from its own baseline), flag when value > median + "
+        "3*IQR with a 10-sample warmup. ONE window pass computes all "
+        "three ordered-set aggregates over the same frame (one "
+        "Exchange + one Sort; bounded O(frame) state per row). "
+        "Spark's percentile() and DuckDB's quantile_cont use the "
+        "identical linear-interpolation formula on identical doubles; "
+        "boundaries quantized by floor(x*1e6+0.5) (the TS5 half-way "
+        "lesson, not round())"
+    ),
+)
+def ts6_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    roll = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    r = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.count(F.lit(1)).over(roll).alias("roll_n"),
+        F.percentile("value", F.lit(0.5)).over(roll).alias("med"),
+        F.percentile("value", F.lit(0.25)).over(roll).alias("q25"),
+        F.percentile("value", F.lit(0.75)).over(roll).alias("q75"),
+    )
+    n, med, iqr = F.col("roll_n"), F.col("med"), F.col("q75") - F.col("q25")
+
+    def q6(c):
+        return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+    return r.select(
+        "event_id", "user_id", "ts",
+        q6(F.col("value")).alias("value"),
+        n.cast("long").alias("roll_n"),
+        F.when(n >= 10, q6(med)).alias("roll_median"),
+        F.when(n >= 10, q6(iqr)).alias("roll_iqr"),
+        F.when((n >= 10) & (iqr > 0) & (F.col("value") > med + 3.0 * iqr), 1)
+        .otherwise(0).cast("int").alias("is_outlier"),
+    )
+
+
+@register(
     "an3_ab_stat_tests",
     oracle="""
     WITH p AS (

@@ -1820,7 +1820,9 @@ _suite(
         "(merge_asof parity: stale matches read as absent, forward "
         "matching via the mirrored frame), plus TS5 linear "
         "interpolation of grid gaps (Timescale interpolate() "
-        "semantics; added round 6)"
+        "semantics) and TS6 rolling median/IQR robust outliers (one "
+        "window pass, three ordered-set aggregates on one frame; "
+        "both added round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1874,6 +1876,12 @@ _suite(
         ("interp", "ts5_linear_interpolate", {
             "user_id": "user_id", "bucket_start": "bucket_start",
             "value": "value", "is_gap": "is_gap",
+        }),
+        ("robust", "ts6_rolling_median_iqr", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "n_events": "roll_n",
+            "roll_mean": "roll_median", "z": "roll_iqr",
+            "is_anomaly": "is_outlier",
         }),
     ],
 )
