@@ -136,6 +136,7 @@ HEADLINE = [
     "q20_nested_in_scalar",
     "a7g_kll_grouped_quantiles",
     "ts6_rolling_median_iqr",
+    "q22_global_scalar_notexists",
 ]
 
 
@@ -214,6 +215,7 @@ WARMUP = [
     "q20_nested_in_scalar",
     "a7g_kll_grouped_quantiles",
     "ts6_rolling_median_iqr",
+    "q22_global_scalar_notexists",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

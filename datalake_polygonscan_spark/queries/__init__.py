@@ -142,6 +142,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "dg1_masked_rls_view",
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
+    "q22_global_scalar_notexists",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",

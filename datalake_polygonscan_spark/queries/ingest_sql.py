@@ -665,3 +665,50 @@ _Q20_SQL = """
 def q20_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+#: Q22-shape: a GLOBAL (uncorrelated) scalar aggregate subquery used
+#: as a filter bound, combined with a correlated NOT EXISTS — the
+#: "positive-balance customers with no orders, by country band"
+#: shape. Two different subquery machineries in one statement: the
+#: scalar becomes a broadcast single-row cross join (one reusable
+#: exchange), the NOT EXISTS a LeftAnti hash join. Adapted to the
+#: driver schema: country code = c_nationkey % 5, the phone-prefix
+#: surrogate.
+_Q22_SQL = """
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntry_band,
+           CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2)
+          )
+      AND c_nationkey % 5 IN (0, 1, 2)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+    GROUP BY c_nationkey % 5
+    ORDER BY cntry_band
+"""
+
+
+@register(
+    "q22_global_scalar_notexists",
+    oracle=_Q22_SQL,
+    doc=(
+        "Q22-shape through spark.sql, identical text both engines — "
+        "the last classic TPC-H subquery machinery missing from the "
+        "Q4/Q17/Q20/Q21 set: an UNCORRELATED scalar aggregate "
+        "subquery as a filter bound (plans as a one-row broadcast, "
+        "computed once, never per row) plus a correlated NOT EXISTS "
+        "(LeftAnti hash join). avg(c_acctbal) accumulates doubles, "
+        "but only as a comparison BOUND: c_acctbal values are "
+        "2-decimal reals far from the bound's ulp, so the filter "
+        "verdict is stable; the SUM at the output boundary is exact "
+        "DECIMAL. Plan-locked: LeftAnti present, no per-row subquery"
+    ),
+)
+def q22_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

@@ -846,7 +846,9 @@ _suite(
         "EXISTS + NOT EXISTS into the SAME table with non-equi "
         "correlated conjuncts, the hardest decorrelation case — plus the "
         "Q20-shape nested-IN pyramid (IN over IN + correlated scalar "
-        "AVG, two LeftSemi + aggregate-join plan-locked; round 6): the "
+        "AVG, two LeftSemi + aggregate-join plan-locked) and the "
+        "Q22 shape (uncorrelated scalar bound + NOT EXISTS LeftAnti; "
+        "both round 6): the "
         "optimizer's decorrelation surface in one graded slot (round 5). "
         "Round 6 adds the Spark 4 SQL-language tier as four more arms: "
         "QP pipe syntax (Q1 pricing summary via |> operators), QF "
@@ -891,6 +893,10 @@ _suite(
         }),
         ("q20", "q20_nested_in_scalar", {
             "l_orderkey": "s_suppkey", "s_name": "s_name",
+        }),
+        ("q22", "q22_global_scalar_notexists", {
+            "l_orderkey": "cntry_band", "order_count": "numcust",
+            "revenue": "totacctbal",
         }),
         ("qp", "qp_pipe_syntax", {
             "s_name": "l_returnflag || '/' || l_linestatus",

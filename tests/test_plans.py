@@ -634,3 +634,15 @@ def test_q20_nested_in_pyramid_fully_decorrelates(spark):
     assert plan.count("LeftSemi") >= 2
     assert "partial_avg" in plan
     assert "NestedLoop" not in plan
+
+
+def test_q22_scalar_bound_and_notexists_decorrelate(spark):
+    """Q22-shape: the uncorrelated scalar avg computes once (subquery
+    node is fine — but scalar, not per-row correlated) and the NOT
+    EXISTS becomes a LeftAnti hash join; never a nested loop."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q22_global_scalar_notexists"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
