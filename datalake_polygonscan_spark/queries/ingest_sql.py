@@ -669,7 +669,7 @@ def q20_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Q22-shape: a GLOBAL (uncorrelated) scalar aggregate subquery used
 #: as a filter bound, combined with a correlated NOT EXISTS — the
-#: "positive-balance customers with no orders, by country band"
+#: "positive-balance customers with no urgent orders, by country band"
 #: shape. Two different subquery machineries in one statement: the
 #: scalar becomes a broadcast single-row cross join (one reusable
 #: exchange), the NOT EXISTS a LeftAnti hash join. Adapted to the
@@ -686,7 +686,8 @@ _Q22_SQL = """
           )
       AND c_nationkey % 5 IN (0, 1, 2)
       AND NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
           )
     GROUP BY c_nationkey % 5
     ORDER BY cntry_band
