@@ -137,6 +137,7 @@ HEADLINE = [
     "a7g_kll_grouped_quantiles",
     "ts6_rolling_median_iqr",
     "q22_global_scalar_notexists",
+    "j9_interval_overlap_join",
 ]
 
 
@@ -216,6 +217,7 @@ WARMUP = [
     "a7g_kll_grouped_quantiles",
     "ts6_rolling_median_iqr",
     "q22_global_scalar_notexists",
+    "j9_interval_overlap_join",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -136,6 +136,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",
+    "j9_interval_overlap_join",
     "ml5_naive_bayes_langid",
     "u7_apply_in_arrow",
     "s32_branch_wap",

@@ -966,6 +966,57 @@ def ts5_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+        SELECT event_id AS id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 + CAST(floor(value * 10) AS BIGINT) AS e
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT event_id AS id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 + CAST(floor(value * 10) AS BIGINT) AS e
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_s
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    """,
+    doc=(
+        "J9 interval OVERLAP join with no equi key (operators/"
+        "temporal.py:interval_overlap_join): error windows x purchase "
+        "windows ([ts, ts+10*value] seconds) that overlap in time. "
+        "The naive theta-join is a nested loop — O(|a|x|b|), dead at "
+        "scale; the operator explodes intervals into 600 s bins, "
+        "hash-joins on the bin, verifies the true predicate and "
+        "dedups multi-bin pairs, so work follows interval density, "
+        "not the cross product (plan-locked: no nested-loop/cartesian "
+        "node). Integer-second arithmetic end to end; the oracle IS "
+        "the naive theta-join, fine at oracle scale"
+    ),
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def intervals(kind: str) -> DataFrame:
+        s = F.unix_timestamp(F.col("ts")).cast("long")
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias("id"),
+            s.alias("s"),
+            (s + F.floor(F.col("value") * 10).cast("long")).alias("e"),
+        )
+
+    return interval_overlap_join(
+        intervals("error"), intervals("purchase"), bin_seconds=600
+    )
+
+
+@register(
     "ts6_rolling_median_iqr",
     oracle="""
     WITH p AS (

@@ -1826,9 +1826,10 @@ _suite(
         "(merge_asof parity: stale matches read as absent, forward "
         "matching via the mirrored frame), plus TS5 linear "
         "interpolation of grid gaps (Timescale interpolate() "
-        "semantics) and TS6 rolling median/IQR robust outliers (one "
-        "window pass, three ordered-set aggregates on one frame; "
-        "both added round 6)"
+        "semantics), TS6 rolling median/IQR robust outliers (one "
+        "window pass, three ordered-set aggregates on one frame) and "
+        "J9 binned interval-overlap join (no equi key, hash-join via "
+        "time bins, nested-loop-free plan-locked; all round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1882,6 +1883,10 @@ _suite(
         ("interp", "ts5_linear_interpolate", {
             "user_id": "user_id", "bucket_start": "bucket_start",
             "value": "value", "is_gap": "is_gap",
+        }),
+        ("overlap", "j9_interval_overlap_join", {
+            "event_id": "a_id", "asof_event_id": "b_id",
+            "n_events": "overlap_s",
         }),
         ("robust", "ts6_rolling_median_iqr", {
             "event_id": "event_id", "user_id": "user_id", "ts": "ts",

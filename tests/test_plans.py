@@ -646,3 +646,14 @@ def test_q22_scalar_bound_and_notexists_decorrelate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "NestedLoop" not in plan
+
+
+def test_j9_interval_overlap_join_is_hash_not_nested_loop(spark):
+    """J9: the binned overlap join must plan as a hash join on the bin
+    key — never BroadcastNestedLoop or CartesianProduct."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["j9_interval_overlap_join"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan

@@ -237,3 +237,25 @@ def test_ts5_linear_interpolation_values(spark):
     assert out[base + 3 * 3600] == (16.0, 0)
     assert out[base + 4 * 3600] == (30.0, 0)  # last-per-bucket wins
     assert len(out) == 5
+
+
+def test_interval_overlap_join_boundaries_and_dedup(spark):
+    """J9: touching endpoints count as overlap (closed intervals),
+    disjoint intervals don't match, and a pair spanning many shared
+    bins appears exactly once."""
+    from datalake_polygonscan_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 1000, 1100), (3, 5000, 9000)], "id long, s long, e long"
+    )
+    b = spark.createDataFrame(
+        [(10, 100, 150),    # touches a1 at a point -> overlap 0
+         (11, 200, 300),    # disjoint from everything
+         (12, 4000, 10000)] # spans many bins with a3 -> one row
+        , "id long, s long, e long"
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_s
+        for r in interval_overlap_join(a, b, bin_seconds=100).collect()
+    }
+    assert got == {(1, 10): 0, (3, 12): 4000}
