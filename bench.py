@@ -138,6 +138,7 @@ HEADLINE = [
     "ts6_rolling_median_iqr",
     "q22_global_scalar_notexists",
     "j9_interval_overlap_join",
+    "a9_weighted_median",
 ]
 
 
@@ -218,6 +219,7 @@ WARMUP = [
     "ts6_rolling_median_iqr",
     "q22_global_scalar_notexists",
     "j9_interval_overlap_join",
+    "a9_weighted_median",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -133,6 +133,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a5b_approx_percentiles",
     "a7_kll_quantiles",
     "a7g_kll_grouped_quantiles",
+    "a9_weighted_median",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",

@@ -548,6 +548,64 @@ def a7g_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ), cum AS (
+        SELECT flag, price, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS total_w
+        FROM w
+    )
+    SELECT flag AS l_returnflag,
+           CAST(max(total_w) AS BIGINT) AS total_weight,
+           ROUND(min(CASE WHEN 2 * cw >= total_w THEN price END), 4) AS weighted_median
+    FROM cum GROUP BY flag
+    """,
+    doc=(
+        "A9 exact WEIGHTED median (lower weighted median: the "
+        "smallest value whose cumulative weight reaches half the "
+        "total) — quantity-weighted price per return flag, the "
+        "inventory-weighted statistic plain percentile() cannot "
+        "express. One windowed cumulative sum over the per-group sort "
+        "(the same Exchange+Sort a grouped percentile needs anyway) "
+        "+ one aggregate; ALL arithmetic is integer weights and a "
+        "monotone threshold (2*cum >= W, no division), so ties and "
+        "partitioning cannot flip the answer and the oracle replays "
+        "the identical formula"
+    ),
+)
+def a9_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wc = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cum = li.select(
+        "flag", "price",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt).alias("total_w"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("total_w").cast("long").alias("total_weight"),
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("total_w"), F.col("price"))), 4
+        ).alias("weighted_median"),
+    )
+
+
+@register(
     "dq1_expectation_suite",
     oracle="""
     WITH m AS (

@@ -328,7 +328,9 @@ _suite(
         "KLL quantile sketch (mergeable compactor hierarchy, "
         "rank-verified AND size-bound-verified) and its GROUPED form "
         "(one sketch per key in a single applyInPandas shuffle, "
-        "per-group rank-verified; both round 6)"
+        "per-group rank-verified) plus A9 exact weighted median "
+        "(integer cumulative-weight threshold, division-free; all "
+        "round 6)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -360,6 +362,10 @@ _suite(
             "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
             "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
             "sketch_bounded": "sketch_bounded",
+        }),
+        ("wmedian", "a9_weighted_median", {
+            "l_returnflag": "l_returnflag", "n": "total_weight",
+            "p50_qty": "weighted_median",
         }),
         ("kll_grouped", "a7g_kll_grouped_quantiles", {
             "l_returnflag": "l_returnflag", "n": "n",
