@@ -139,6 +139,7 @@ HEADLINE = [
     "q22_global_scalar_notexists",
     "j9_interval_overlap_join",
     "a9_weighted_median",
+    "a10_kmv_set_intersection",
 ]
 
 
@@ -220,6 +221,7 @@ WARMUP = [
     "q22_global_scalar_notexists",
     "j9_interval_overlap_join",
     "a9_weighted_median",
+    "a10_kmv_set_intersection",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -317,3 +317,76 @@ def kll_grouped_quantiles(
         )
 
     return sel.groupBy("key").applyInPandas(per_group, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# A10 — KMV ("k minimum values" / bottom-k, the theta-sketch family:
+# Beyer et al. SIGMOD'07; Dasgupta et al., "Theta sketches") for
+# distinct counting WITH SET OPERATIONS. HLL (A2/MV4) unions cleanly
+# but cannot intersect; KMV keeps the k smallest distinct hash values,
+# so two sketches can be intersected: the union sketch's threshold
+# theta = k-th smallest of the merged mins, est_distinct = (k-1)/theta
+# (hashes uniform in [0,1)), and the Jaccard estimate is the fraction
+# of the union's retained mins present in BOTH input sketches.
+# ---------------------------------------------------------------------------
+
+_KMV_SCALE = float(1 << 63)  # xxhash64 & MAX_LONG mapped into [0, 1)
+
+
+def kmv_partials(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition bottom-k distinct hash sets: one mapInPandas scan,
+    each partition emits <= k longs — the mergeable-summary shape
+    (same as heavy_hitters / kll_partials)."""
+    hashed = df.select(
+        F.abs(F.xxhash64(F.col(key_col).cast("string"))).alias("h")
+    ).filter(F.col("h").isNotNull())
+
+    def bottom_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best: np.ndarray | None = None
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            cand = h if best is None else np.concatenate([best, h])
+            cand = np.unique(cand)  # sorted distinct
+            best = cand[:k]
+        if best is not None and best.size:
+            yield pd.DataFrame({"h": best})
+
+    return hashed.mapInPandas(bottom_k, schema="h long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 1024) -> list[int]:
+    """The k smallest distinct hashes of ``df[key_col]`` (fewer if the
+    column has fewer distincts). Driver merge is over <= partitions*k
+    longs."""
+    import numpy as np
+
+    rows = kmv_partials(df, key_col, k).collect()
+    if not rows:
+        return []
+    merged = np.unique(np.array([r["h"] for r in rows], dtype=np.int64))
+    return [int(x) for x in merged[:k]]
+
+
+def kmv_estimate(mins: list[int], k: int) -> float:
+    """Distinct-count estimate (k-1)/theta; exact len() when the
+    sketch never filled (every distinct hash is retained)."""
+    if len(mins) < k:
+        return float(len(mins))
+    theta = mins[k - 1] / _KMV_SCALE
+    return (k - 1) / theta
+
+
+def kmv_intersection(a: list[int], b: list[int], k: int) -> float:
+    """Estimated distinct count of A ∩ B from two same-k sketches:
+    union sketch = k smallest of (a ∪ b); Jaccard-hat = fraction of
+    the union's retained mins present in both; est = jaccard * est(U)."""
+    import numpy as np
+
+    ua = np.array(a, dtype=np.int64)
+    ub = np.array(b, dtype=np.int64)
+    union = np.unique(np.concatenate([ua, ub]))[:k]
+    in_both = np.intersect1d(union, np.intersect1d(ua, ub, assume_unique=True))
+    jac = in_both.size / union.size if union.size else 0.0
+    return jac * kmv_estimate([int(x) for x in union], k)

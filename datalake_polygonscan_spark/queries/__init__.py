@@ -134,6 +134,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a7_kll_quantiles",
     "a7g_kll_grouped_quantiles",
     "a9_weighted_median",
+    "a10_kmv_set_intersection",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",

@@ -329,8 +329,9 @@ _suite(
         "rank-verified AND size-bound-verified) and its GROUPED form "
         "(one sketch per key in a single applyInPandas shuffle, "
         "per-group rank-verified) plus A9 exact weighted median "
-        "(integer cumulative-weight threshold, division-free; all "
-        "round 6)"
+        "(integer cumulative-weight threshold, division-free) and A10 "
+        "KMV bottom-k sketches with SET INTERSECTION estimates — the "
+        "operation HLL cannot express (all round 6)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -362,6 +363,11 @@ _suite(
             "n": "n_rows", "rank_ok_p50": "rank_ok_p50",
             "rank_ok_p90": "rank_ok_p90", "rank_ok_p99": "rank_ok_p99",
             "sketch_bounded": "sketch_bounded",
+        }),
+        ("kmv", "a10_kmv_set_intersection", {
+            "n": "exact_a", "key": "exact_b", "cnt": "exact_inter",
+            "rank_ok_p50": "est_a_ok", "rank_ok_p90": "est_b_ok",
+            "rank_ok_p99": "est_inter_ok",
         }),
         ("wmedian", "a9_weighted_median", {
             "l_returnflag": "l_returnflag", "n": "total_weight",

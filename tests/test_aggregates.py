@@ -309,3 +309,33 @@ def test_kll_grouped_matches_exact_within_band(spark):
         for q, e in ((0.5, e50), (0.9, e90)):
             lo, hi = float((a < e).mean()), float((a <= e).mean())
             assert lo - 0.01 <= q <= hi + 0.01, (grp, q, e)
+
+
+def test_kmv_sketch_estimates_and_intersection(spark):
+    """A10: KMV distinct estimates within 5x rse of truth; small sets
+    below k are EXACT; intersection estimate tracks true overlap."""
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    k = 512
+    # A = 0..19999, B = 10000..29999 -> |A|=|B|=20000, inter=10000
+    a = spark.range(0, 20_000).select(F.col("id").alias("key")).repartition(8)
+    b = spark.range(10_000, 30_000).select(F.col("id").alias("key")).repartition(8)
+    sa, sb = kmv_sketch(a, "key", k), kmv_sketch(b, "key", k)
+    rse = 5.0 / (k - 2) ** 0.5
+    assert abs(kmv_estimate(sa, k) - 20_000) <= 20_000 * rse
+    assert abs(kmv_estimate(sb, k) - 20_000) <= 20_000 * rse
+    est_i = kmv_intersection(sa, sb, k)
+    assert abs(est_i - 10_000) <= 30_000 * rse  # error scales with union
+    # below-k set: sketch retains every distinct hash -> exact
+    small = spark.range(0, 100).select(F.col("key") if False else F.col("id").alias("key"))
+    ss = kmv_sketch(small, "key", k)
+    assert kmv_estimate(ss, k) == 100.0
+    # duplicates don't inflate the estimate
+    dup = small.union(small).union(small)
+    assert kmv_estimate(kmv_sketch(dup, "key", k), k) == 100.0
