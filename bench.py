@@ -140,6 +140,7 @@ HEADLINE = [
     "j9_interval_overlap_join",
     "a9_weighted_median",
     "a10_kmv_set_intersection",
+    "s33_column_defaults",
 ]
 
 

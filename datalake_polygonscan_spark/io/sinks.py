@@ -425,6 +425,25 @@ def read_snapshot(spark: SparkSession, snap_dir: str, meta: dict | None) -> Data
     else:
         df = spark.read.parquet(snap_dir)
         logical_reader = spark.read
+    # S33 column defaults (io/defaults.py, Iceberg initial-default):
+    # rows from files that PREDATE an added column read the recorded
+    # default; rows written after keep what the writer put there —
+    # explicit NULL included. A per-row codegen IN-set probe on the
+    # source file's basename; no join, no shuffle.
+    cdefs = (meta or {}).get("column_defaults")
+    if cdefs:
+        from pyspark.sql import functions as F
+
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        for col, d in cdefs.items():
+            if col in df.columns:
+                df = df.withColumn(
+                    col,
+                    F.when(
+                        fname.isin(list(d["absent_files"])) & F.col(col).isNull(),
+                        F.lit(d["value"]),
+                    ).otherwise(F.col(col)),
+                )
     if meta and meta.get("has_deltas"):
         from pyspark.sql import Window
         from pyspark.sql import functions as F

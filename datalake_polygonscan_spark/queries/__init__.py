@@ -135,6 +135,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a7g_kll_grouped_quantiles",
     "a9_weighted_median",
     "a10_kmv_set_intersection",
+    "s33_column_defaults",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",

@@ -2239,3 +2239,108 @@ def s32_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(bad_never_published)).alias("bad_never_published"),
         F.lit(bool(diverged_detected)).alias("diverged_detected"),
     )
+
+
+@register(
+    "s33_column_defaults",
+    oracle="""
+    WITH seed AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), batch2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS price,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE 'R' || CAST(o_orderkey % 4 AS VARCHAR) END AS region_code
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CAST(price AS DOUBLE), 4) AS price,
+           region_code,
+           TRUE AS metadata_only,
+           TRUE AS old_rows_defaulted,
+           TRUE AS explicit_null_preserved
+    FROM (
+        SELECT o_orderkey, o_orderstatus, price, 'UNASSIGNED' AS region_code FROM seed
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, price, region_code FROM batch2
+    )
+    """,
+    doc=(
+        "S33 ALTER TABLE ADD COLUMN ... DEFAULT as a METADATA-ONLY "
+        "commit (io/defaults.py; Iceberg initial-default semantics): "
+        "the ALTER hard-links every existing data file (inode "
+        "identity asserted — zero bytes rewritten, the O(metadata) "
+        "contract a petabyte table needs), and the read path gives "
+        "the default ONLY to rows from files that predate the column "
+        "— rows appended afterwards keep exactly what the writer "
+        "wrote, including EXPLICIT NULL, the distinction a naive "
+        "coalesce-on-read cannot make. Membership is a per-row "
+        "codegen IN-set probe on the source file basename (no join). "
+        "Three protocol verdicts ride the hash"
+    ),
+)
+def s33_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.defaults import add_column_with_default
+    from datalake_polygonscan_spark.io.sinks import (
+        append as _append,
+        atomic_overwrite,
+        current_snapshot_path,
+        read_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    seed = o.filter(F.col("o_orderkey") % 3 != 0)
+    table = _scratch("s33_defaults", "orders_defaults")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(seed, table, retain=10)
+    old_snap = current_snapshot_path(table)
+    old_inodes = {
+        f: os.stat(os.path.join(old_snap, f)).st_ino
+        for f in os.listdir(old_snap)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+
+    add_column_with_default(table, "region_code", "string", "UNASSIGNED")
+    new_snap = current_snapshot_path(table)
+    metadata_only = all(
+        os.stat(os.path.join(new_snap, f)).st_ino == ino
+        for f, ino in old_inodes.items()
+    )
+
+    batch2 = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "region_code",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("R"), (F.col("o_orderkey") % 4).cast("string"))
+        ),
+    )
+    _append(batch2, table)
+
+    live = read_table(spark, table)
+    checks = live.agg(
+        F.sum(
+            ((F.col("o_orderkey") % 3 != 0) & (F.col("region_code") != "UNASSIGNED"))
+            .cast("long")
+        ).alias("bad_old"),
+        F.sum(
+            ((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 == 0)
+             & F.col("region_code").isNotNull()).cast("long")
+        ).alias("bad_null"),
+    ).collect()[0]
+    old_rows_defaulted = checks["bad_old"] == 0
+    explicit_null_preserved = checks["bad_null"] == 0
+
+    return live.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("price").cast("double"), 4).alias("price"),
+        "region_code",
+        F.lit(bool(metadata_only)).alias("metadata_only"),
+        F.lit(bool(old_rows_defaulted)).alias("old_rows_defaulted"),
+        F.lit(bool(explicit_null_preserved)).alias("explicit_null_preserved"),
+    )

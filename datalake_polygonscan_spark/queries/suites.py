@@ -1329,7 +1329,10 @@ _suite(
         "replacing only the arriving partitions, the backfill "
         "primitive; both added round 6) + S32 branches/WAP (zero-copy "
         "fork, staged audit, fast-forward publish, divergence "
-        "refusal; added round 6) + DG1 secured view: column masking "
+        "refusal) + S33 ADD COLUMN DEFAULT as a metadata-only commit "
+        "(Iceberg initial-default: pre-existing rows read the default, "
+        "later explicit NULLs survive, inode-asserted zero rewrite) "
+        "+ DG1 secured view: column masking "
         "(sha2 token, partial disclosure, k-anonymous banding) + "
         "row-level security as a broadcast policy join (round 6)"
     ),
@@ -1378,6 +1381,13 @@ _suite(
             "c_custkey": "c_custkey", "valid_from": "valid_from",
             "valid_to": "valid_to", "is_current": "is_current",
             "status": "c_mktsegment", "metric": "c_acctbal",
+        }),
+        ("defaults", "s33_column_defaults", {
+            "c_custkey": "o_orderkey", "o_orderstatus": "o_orderstatus",
+            "metric": "price", "segment": "region_code",
+            "zero_copy": "metadata_only",
+            "semantics_ok": "old_rows_defaulted",
+            "constraint_inherited": "explicit_null_preserved",
         }),
         ("masked", "dg1_masked_rls_view", {
             "status_slot": "role", "c_custkey": "c_custkey",

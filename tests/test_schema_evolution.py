@@ -105,3 +105,40 @@ def test_batch_missing_column_nulls_it_in_replaced_rows(spark, tmp_path):
     got = {r["k"]: r["v"] for r in live.collect()}
     assert got[2] is None
     assert got[3] == 3.0
+
+
+def test_s33_add_column_default_semantics_and_time_travel(spark, tmp_path):
+    """S33: metadata-only ALTER — pre-existing rows read the default,
+    post-ALTER appends keep explicit NULLs, the pre-ALTER version
+    still time-travels WITHOUT the column, and duplicate/naked adds
+    raise cleanly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.io.defaults import add_column_with_default
+    from datalake_polygonscan_spark.io.sinks import (
+        append,
+        atomic_overwrite,
+        read_table,
+        read_version,
+    )
+
+    t = str(tmp_path / "t")
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    atomic_overwrite(seed, t, retain=10)
+    add_column_with_default(t, "tier", "string", "basic")
+
+    extra = spark.createDataFrame(
+        [(3, "c", "gold"), (4, "d", None)], "k long, v string, tier string"
+    )
+    append(extra, t)
+
+    got = {r.k: r.tier for r in read_table(spark, t).collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold", 4: None}
+
+    v0 = read_version(spark, t, 0)
+    assert "tier" not in v0.columns
+    assert v0.count() == 2
+
+    with pytest.raises(ValueError):
+        add_column_with_default(t, "tier", "string", "x")  # duplicate
