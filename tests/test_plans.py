@@ -657,3 +657,25 @@ def test_j9_interval_overlap_join_is_hash_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_ts6_single_window_pass_for_three_quantiles(spark):
+    """TS6: median/q25/q75/count over the SAME frame must evaluate in
+    ONE Window operator over one Exchange+Sort — not one pass per
+    ordered-set aggregate."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["ts6_rolling_median_iqr"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_a9_weighted_median_shares_one_exchange(spark):
+    """A9: the cumulative and total windows share the flag partition —
+    one Exchange feeds both Window operators."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["a9_weighted_median"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
