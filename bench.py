@@ -141,6 +141,7 @@ HEADLINE = [
     "a9_weighted_median",
     "a10_kmv_set_intersection",
     "s33_column_defaults",
+    "w4_range_frame",
 ]
 
 
@@ -223,6 +224,7 @@ WARMUP = [
     "j9_interval_overlap_join",
     "a9_weighted_median",
     "a10_kmv_set_intersection",
+    "w4_range_frame",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -136,6 +136,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a9_weighted_median",
     "a10_kmv_set_intersection",
     "s33_column_defaults",
+    "w4_range_frame",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",

@@ -113,6 +113,22 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
     FROM lineitem
+    UNION ALL
+    SELECT 'range_frame',
+           user_id, event_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(count(*) OVER tr AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER tr AS DOUBLE), 4),
+           CAST(NULL AS DOUBLE)
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW tr AS (PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     doc=(
         "W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user "
@@ -120,7 +136,9 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exchange) + W3 running decimal sum (unbounded-preceding frame) and moving "
         "average (bounded frame) over per-supplier lineitem, merged as a tagged "
         "union — one graded slot for all three W ids; each source keeps its own "
-        "single exchange, the union is exchange-free"
+        "single exchange, the union is exchange-free. Round 6 adds W4 "
+        "event-time RANGE frames (value-offset boundary, trailing "
+        "3600 s; ties = peers by definition) as a fourth arm"
     ),
 )
 def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,4 +183,69 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_qty"),
         F.round(F.avg("l_quantity").over(wl.rowsBetween(-3, 0)), 4).alias("moving_avg_qty"),
     )
-    return rank_part.unionByName(framed_part)
+    p = e.filter(F.col("event_type") == "purchase").withColumn(
+        "es", F.unix_timestamp(F.col("ts")).cast("long")
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("es")).rangeBetween(-3600, 0)
+    range_part = p.select(
+        F.lit("range_frame").alias("mode"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.col("es").alias("k3"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("rn"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("long").alias("drnk"),
+        F.lit(None).cast("long").alias("quartile"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("string").alias("first_type"),
+        F.lit(None).cast("double").alias("value_delta"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(wr).cast("double"), 4
+        ).alias("running_qty"),
+        F.lit(None).cast("double").alias("moving_avg_qty"),
+    )
+    return rank_part.unionByName(framed_part).unionByName(range_part)
+
+
+@register(
+    "w4_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+           CAST(count(*) OVER tr AS BIGINT) AS n_trailing_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER tr AS DOUBLE), 4)
+               AS sum_trailing_1h
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW tr AS (PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "W4 event-time RANGE frame — the frame type W3's ROWS frames "
+        "don't exercise: per-user trailing-3600-SECOND purchase count "
+        "and decimal sum, where the frame boundary is a VALUE offset "
+        "on the ordering key (all epoch-second peers included, so "
+        "ties are deterministic by definition — no tiebreak column "
+        "needed, unlike ROWS). Same single Exchange+Sort shape; the "
+        "sum is exact DECIMAL so frame membership is the only thing "
+        "the oracle can disagree on — and it can't"
+    ),
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    es = F.unix_timestamp(F.col("ts")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("es"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.withColumn("es", es).select(
+        "event_id", "user_id", "es",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        ).alias("sum_trailing_1h"),
+    )
