@@ -142,6 +142,7 @@ HEADLINE = [
     "a10_kmv_set_intersection",
     "s33_column_defaults",
     "w4_range_frame",
+    "x10_try_functions",
 ]
 
 
@@ -225,6 +226,7 @@ WARMUP = [
     "a9_weighted_median",
     "a10_kmv_set_intersection",
     "w4_range_frame",
+    "x10_try_functions",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

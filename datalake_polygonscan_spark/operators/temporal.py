@@ -349,10 +349,12 @@ def interval_overlap_join(
     true-match verification: pick ``bin_seconds`` near the median
     interval length so most intervals cover 1-2 bins.
 
-    Inputs need (id, s, e) integer-second columns; returns
-    (a_id, b_id, overlap_s) with exact integer overlap lengths —
-    fully deterministic, so a theta-join oracle checks it
-    row-for-row.
+    Inputs need (id, s, e) integer-second columns with ``s <= e``
+    (an inverted interval would make Spark's ``sequence`` count
+    DOWNWARD while a SQL oracle's generate_series returns empty —
+    validate upstream); returns (a_id, b_id, overlap_s) with exact
+    integer overlap lengths — fully deterministic, so a theta-join
+    oracle checks it row-for-row.
     """
     step = int(bin_seconds)
 

@@ -137,6 +137,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a10_kmv_set_intersection",
     "s33_column_defaults",
     "w4_range_frame",
+    "x10_try_functions",
     "an4_association_rules",
     "ts5_linear_interpolate",
     "ts6_rolling_median_iqr",

@@ -474,3 +474,47 @@ def x9_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_avg_price"),
     )
+
+
+@register(
+    "x10_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25.0 THEN NULL
+                ELSE floor((l_extendedprice / (l_quantity - 25.0)) * 10000.0 + 0.5)
+                     / 10000.0 END AS safe_div,
+           TRY_CAST(CASE WHEN l_orderkey % 2 = 0 THEN l_linestatus
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS bad_int,
+           CASE WHEN l_orderkey > 307445734561825860
+                THEN NULL ELSE l_orderkey * 30 END AS safe_mul,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num
+    FROM lineitem
+    """,
+    doc=(
+        "X10 the ANSI-safe try_* tier (Spark 4 ships ANSI mode ON, so "
+        "division-by-zero and overflow are runtime ERRORS unless "
+        "handled): try_divide (zero denominator -> NULL, never a "
+        "crashed 100 TB job at row 3 billion), try_cast on "
+        "non-numeric strings, try_multiply at the int64 overflow "
+        "boundary. The oracle hand-lowers each into the explicit "
+        "CASE/TRY_CAST guards a SQL migration would write — proving "
+        "the try_* forms ARE that lowering, value-for-value"
+    ),
+)
+def x10_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0)
+                * 10000.0 + 0.5
+            ) / 10000.0
+        ).alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN l_orderkey % 2 = 0 THEN l_linestatus "
+            "ELSE CAST(l_linenumber AS STRING) END AS int)"
+        ).alias("bad_int"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(30).cast("long")).alias("safe_mul"),
+        F.expr("try_cast(l_returnflag AS double)").alias("flag_num"),
+    )

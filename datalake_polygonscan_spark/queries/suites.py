@@ -1469,7 +1469,9 @@ _suite(
         "JSON (passthrough of the round-4 pair) + the round-5 "
         "x2_x8_p5 suite (X2 date / X3 math / X4 array HOFs / X6 CASE / "
         "X7 VARIANT / X8 collation / P5 unpivot, passthrough) + X9 map "
-        "functions (merged round 5b)"
+        "functions (merged round 5b) + X10 the ANSI-safe try_* tier "
+        "(try_divide/try_cast/try_multiply vs hand-lowered CASE "
+        "guards; round 6)"
     ),
     layout=(
         [
@@ -1527,6 +1529,12 @@ _suite(
             "str_key": "c_mktsegment", "n_statuses": "n_statuses",
             "open_cnt": "open_cnt", "n_big_statuses": "n_big_statuses",
             "f_avg_price": "f_avg_price",
+        }),
+        ("try_tier", "x10_try_functions", {
+            "event_id": "l_orderkey",
+            "k_val": "l_linenumber", "val": "safe_div",
+            "k_mod10": "bad_int", "k": "safe_mul",
+            "f_avg_price": "flag_num",
         }),
     ],
 )
