@@ -645,3 +645,62 @@ def leakage_free_split(
     return df.withColumn("split_bucket", bucket).withColumn(
         "split", F.when(F.col("split_bucket") < cutoff, "train").otherwise("test")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    (Robertson & Walker, SIGIR'94) — THE lexical ranking function of
+    every retrieval/RAG curation stack, from scratch on DataFrame ops.
+
+    Shape for 100 TB: the explode is filtered to the |terms| query
+    tokens BEFORE the (doc, term) tf aggregate, so only matching
+    postings ever shuffle; corpus stats (N, avgdl) and per-term df are
+    tiny aggregates broadcast back; the final per-doc sum is one
+    map-side-combinable groupBy.
+
+    Determinism contract: each (doc, term) contribution is quantized
+    to integer nano-scores via floor(x*1e9 + 0.5) and summed as BIGINT,
+    so float addition order cannot flip the result; the one division
+    back to double at the end is a single IEEE op identical on any
+    engine. The oracle replays the same formula text.
+    """
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "nano",
+            F.expr(
+                f"CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+                f" * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"
+                f" * 1000000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        (F.sum("nano").cast("double") / F.lit(1000000000.0)).alias("bm25"),
+    )

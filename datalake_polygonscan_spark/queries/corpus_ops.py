@@ -485,3 +485,53 @@ def l5n_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("split_bucket").alias("n_buckets"),
         )
     )
+
+
+_BM25_TERMS = ("vector", "spark", "merge", "window", "scan")
+
+
+@register(
+    "l9_bm25_scoring",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+    ), st AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        WHERE term IN {_BM25_TERMS!r}
+        GROUP BY 1, 2, 3
+    ), dfs AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), c AS (
+        SELECT t.doc_id,
+               CAST(floor(ln(1 + (st.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS nano
+        FROM tf t JOIN dfs f USING (term) CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(nano) AS DOUBLE) / 1000000000.0 AS bm25
+    FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "L9 Okapi BM25 relevance scoring from scratch (operators/"
+        "curation.py:bm25_scores) — the lexical ranking function of "
+        "retrieval/RAG curation, k1=1.2 b=0.75 over a 5-term query. "
+        "Postings are filtered to the query terms BEFORE the (doc,term) "
+        "tf shuffle; N/avgdl and per-term df are broadcast; per-(doc,"
+        "term) contributions quantize to integer nano-scores before the "
+        "per-doc BIGINT sum so float addition order cannot flip the "
+        "result on any partitioning. Oracle replays the identical "
+        "formula text"
+    ),
+)
+def l9_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.curation import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "text", "doc_id", list(_BM25_TERMS))

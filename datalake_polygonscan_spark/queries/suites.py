@@ -1800,7 +1800,10 @@ _suite(
         "counts, punctuation/stopword quality ratios, rolling-hash "
         "fingerprint) + L7 bigram-LM perplexity (CCNet-style quality "
         "signal, half-corpus-trained, broadcast model joins) — the "
-        "text-scoring pair in one graded slot (merged round 5)"
+        "text-scoring pair in one graded slot (merged round 5). Round 6 "
+        "adds L9 Okapi BM25 relevance scoring from scratch (postings "
+        "filtered to query terms pre-shuffle, broadcast corpus stats, "
+        "nano-quantized order-deterministic sums) as a third arm"
     ),
     layout=[
         ("doc_id", "long", "BIGINT"),
@@ -1817,6 +1820,7 @@ _suite(
         ("n_bigrams", "long", "BIGINT"),
         ("nll", "double", "DOUBLE"),
         ("ppl", "double", "DOUBLE"),
+        ("bm25", "double", "DOUBLE"),
     ],
     arms=[
         ("profile", "l4_doc_profile", {
@@ -1831,6 +1835,10 @@ _suite(
         ("perplexity", "l7_lm_perplexity", {
             "doc_id": "doc_id", "n_bigrams": "n_bigrams",
             "nll": "nll", "ppl": "ppl",
+        }),
+        ("bm25", "l9_bm25_scoring", {
+            "doc_id": "doc_id", "n_bigrams": "n_terms_matched",
+            "bm25": "bm25",
         }),
     ],
 )
