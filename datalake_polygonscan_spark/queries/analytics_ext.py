@@ -1548,3 +1548,210 @@ def j6b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak="eid", tolerance_seconds=3600, direction="forward",
     )
     return shape(back, "backward_tol").unionByName(shape(fwd, "forward_tol"))
+
+
+@register(
+    "ts7_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS e
+        FROM events WHERE event_type IN ('view', 'click')
+    ), m AS (
+        SELECT user_id, event_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        FROM iv
+    ), isl AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(min(s) AS BIGINT) AS island_start,
+           CAST(max(e) AS BIGINT) AS island_end,
+           CAST(max(e) - min(s) AS BIGINT) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+    doc=(
+        "TS7 interval coalescing (gaps-and-islands): merge each user's "
+        "overlapping-or-touching 30-minute activity intervals into "
+        "maximal islands — the range-consolidation primitive behind "
+        "sessionized billing, on-call coverage and CDC window merging. "
+        "Single per-key sort feeds BOTH window passes (trailing "
+        "max-end, then cumulative island counter — one Exchange, one "
+        "Sort) and the final island rollup; all arithmetic is integer "
+        "epoch seconds, so island boundaries are bit-deterministic "
+        "under any partitioning. Strictly-greater comparison makes "
+        "touching intervals merge; ties ordered by (start, event_id)"
+    ),
+)
+def ts7_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").alias("s"),
+            (F.unix_timestamp("ts") + 1800).alias("e"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = order.rowsBetween(Window.unboundedPreceding, -1)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = iv.withColumn("prev_max_e", F.max("e").over(prev_max)).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1)
+            .otherwise(0)
+        ).over(cum),
+    )
+    return isl.groupBy("user_id", F.col("island").cast("long").alias("island")).agg(
+        F.min("s").cast("long").alias("island_start"),
+        F.max("e").cast("long").alias("island_end"),
+        (F.max("e") - F.min("s")).cast("long").alias("duration_s"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "ts9_autocorrelation",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS xs, ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ), led AS (
+        SELECT user_id, xs,
+               lead(xs, 1) OVER w AS y1,
+               lead(xs, 2) OVER w AS y2,
+               lead(xs, 3) OVER w AS y3
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), lagged AS (
+        SELECT user_id, 1 AS lag, xs, y1 AS ys FROM led
+        UNION ALL SELECT user_id, 2 AS lag, xs, y2 AS ys FROM led
+        UNION ALL SELECT user_id, 3 AS lag, xs, y3 AS ys FROM led
+    ), s AS (
+        SELECT user_id, lag,
+               CAST(count(ys) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN ys IS NOT NULL THEN xs END) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(ys) AS DECIMAL(38,0)) AS sy,
+               sum(CAST(CASE WHEN ys IS NOT NULL THEN xs * xs END AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(ys * ys AS DECIMAL(38,0))) AS syy,
+               sum(CAST(xs * ys AS DECIMAL(38,0))) AS sxy
+        FROM lagged GROUP BY user_id, lag
+    )
+    SELECT user_id, CAST(lag AS INTEGER) AS lag, m AS n_pairs,
+           CASE WHEN m >= 8
+                     AND m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN floor((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS acf
+    FROM s
+    """,
+    doc=(
+        "TS9 lag-k autocorrelation (ACF for k=1..3) per purchase "
+        "series — the seasonality/trend diagnostic behind forecasting "
+        "feature pipelines. Values quantize to integer 1e4-ticks, all "
+        "five moments accumulate as exact DECIMAL(38,0) (order-"
+        "insensitive under any partitioning), and the Pearson ratio is "
+        "one identical IEEE expression over those exact sums on both "
+        "engines; series shorter than 8 overlapping pairs or with zero "
+        "variance emit NULL. All three lead(k) columns ride ONE window "
+        "over one per-user sort (one Exchange, one Sort), then stack "
+        "into (lag, pair) rows — never a per-lag re-sort"
+    ),
+)
+def ts9_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("xs"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = x.select(
+        "user_id", "xs",
+        F.lead("xs", 1).over(w).alias("y1"),
+        F.lead("xs", 2).over(w).alias("y2"),
+        F.lead("xs", 3).over(w).alias("y3"),
+    )
+    lagged = led.selectExpr(
+        "user_id", "xs", "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, ys)"
+    )
+    pair = F.col("ys").isNotNull()
+    d38 = "decimal(38,0)"
+    s = lagged.groupBy("user_id", "lag").agg(
+        F.count("ys").alias("m"),
+        F.sum(F.when(pair, F.col("xs"))).cast(d38).alias("sx"),
+        F.sum("ys").cast(d38).alias("sy"),
+        F.sum(F.when(pair, F.col("xs") * F.col("xs")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ys") * F.col("ys")).cast(d38)).alias("syy"),
+        F.sum((F.col("xs") * F.col("ys")).cast(d38)).alias("sxy"),
+    )
+    return s.select(
+        "user_id",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN m >= 8"
+            "          AND m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0"
+            "          AND m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0"
+            "     THEN CAST(floor((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            "          / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "                 * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            "          * 1e6 + 0.5) AS DOUBLE) / 1e6 END"
+        ).alias("acf"),
+    )
+
+
+@register(
+    "pr3_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(min(o_totalprice) AS DOUBLE), 4) AS lo,
+           ROUND(CAST(max(o_totalprice) AS DOUBLE), 4) AS hi
+    FROM b GROUP BY bucket
+    """,
+    doc=(
+        "PR3 equi-depth histogram (8 quantile buckets over order "
+        "totals) — the optimizer-statistics structure CBO range "
+        "estimates ride on; unlike equi-WIDTH bins it bounds per-bucket "
+        "row counts regardless of skew. ntile over a total order "
+        "(value, key) makes bucket assignment deterministic across "
+        "engines even at duplicate boundary values. The global sort is "
+        "the honest cost at this output fidelity; the 100 TB path for "
+        "approximate depth histograms is the mergeable KLL sketch "
+        "already shipped as A7/A7g"
+    ),
+)
+def pr3_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.min("o_totalprice").cast("double"), 4).alias("lo"),
+        F.round(F.max("o_totalprice").cast("double"), 4).alias("hi"),
+    )

@@ -1246,7 +1246,9 @@ _suite(
         "round 6) + PR2 distributed parquet-footer profiling "
         "(footer-only KB-per-file scan; counts must equal the data) "
         "+ AN4 market-basket association rules (a-priori prune before "
-        "the bounded within-basket self-join; added round 6)"
+        "the bounded within-basket self-join) + PR3 equi-depth "
+        "histogram (8 ntile quantile buckets over a deterministic "
+        "total order — the CBO-statistics structure; both round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1305,6 +1307,10 @@ _suite(
             "n_rows": "pair_cnt", "retention": "support",
             "conf_ab": "conf_ab", "conf_ba": "conf_ba",
             "chi2_stat": "lift",
+        }),
+        ("histogram", "pr3_equidepth_histogram", {
+            "funnel_depth": "bucket", "n_rows": "n_rows",
+            "retention": "lo", "conf_ab": "hi",
         }),
     ],
 )
@@ -1865,9 +1871,12 @@ _suite(
         "matching via the mirrored frame), plus TS5 linear "
         "interpolation of grid gaps (Timescale interpolate() "
         "semantics), TS6 rolling median/IQR robust outliers (one "
-        "window pass, three ordered-set aggregates on one frame) and "
+        "window pass, three ordered-set aggregates on one frame), "
         "J9 binned interval-overlap join (no equi key, hash-join via "
-        "time bins, nested-loop-free plan-locked; all round 6)"
+        "time bins, nested-loop-free plan-locked), TS7 interval "
+        "coalescing (gaps-and-islands range consolidation, all-integer "
+        "boundaries) and TS9 lag-1..3 autocorrelation (exact-decimal "
+        "moments, one window pass for all three leads; all round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1931,6 +1940,15 @@ _suite(
             "value": "value", "n_events": "roll_n",
             "roll_mean": "roll_median", "z": "roll_iqr",
             "is_anomaly": "is_outlier",
+        }),
+        ("islands", "ts7_interval_coalesce", {
+            "user_id": "user_id", "event_id": "island",
+            "bucket_start": "island_start", "asof_event_id": "island_end",
+            "n_events": "n_events",
+        }),
+        ("acf", "ts9_autocorrelation", {
+            "user_id": "user_id", "is_gap": "lag",
+            "n_events": "n_pairs", "z": "acf",
         }),
     ],
 )
