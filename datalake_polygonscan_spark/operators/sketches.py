@@ -390,3 +390,112 @@ def kmv_intersection(a: list[int], b: list[int], k: int) -> float:
     in_both = np.intersect1d(union, np.intersect1d(ua, ub, assume_unique=True))
     jac = in_both.size / union.size if union.size else 0.0
     return jac * kmv_estimate([int(x) for x in union], k)
+
+
+# ---------------------------------------------------------------------------
+# A11 — HyperLogLog from scratch (Flajolet et al., AofA'07)
+# ---------------------------------------------------------------------------
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """Dense HLL register table for ``df[key_col]``: bucket = low ``p``
+    bits of xxhash64, rho = leading-zero run of the remaining 64-p bits
+    + 1, registers = ``groupBy(bucket).max(rho)``.
+
+    100 TB shape: the register build is ONE map-side-combinable
+    groupBy whose shuffle carries at most 2^p rows per partition
+    regardless of input cardinality — the canonical mergeable-sketch
+    contract (merging two registers tables is the same max-groupBy).
+    All-JVM: xxhash64 + bit ops + length(bin()) — bin() is an exact
+    bit-length (no float log2 off-by-one at power-of-two boundaries).
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    keyed = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
+    h = F.xxhash64(F.col("k"))
+    w = F.expr(f"shiftrightunsigned(xxhash64(k), {p})")
+    rho = (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        keyed.select(h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> float:
+    """Distinct-count estimate from a register table: raw HLL
+    harmonic mean with the standard small-range linear-counting
+    correction (E <= 2.5m with empty registers). Deterministic given
+    the fixed xxhash64 — the same input always yields the same
+    estimate on any cluster/partitioning."""
+    import math as _math
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    row = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s"),
+        F.count("*").alias("present"),
+    ).collect()[0]
+    s = float(row["s"] or 0.0)
+    zeros = m - int(row["present"])
+    e = alpha * m * m / (s + zeros)  # absent registers contribute 2^-0 = 1
+    if e <= 2.5 * m and zeros > 0:
+        return m * _math.log(m / zeros)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# A12 — count-min sketch (Cormode & Muthukrishnan, J.Alg'05)
+# ---------------------------------------------------------------------------
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch as a (row, bucket, cnt) table: ``depth``
+    independent xxhash64 seeds (seed folded in as a literal first
+    column), each key increments one bucket per row.
+
+    100 TB shape: one posexplode + map-side-combinable groupBy; the
+    shuffle carries at most depth x width rows per partition no matter
+    the key cardinality, and two sketches merge by summing cells."""
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    cms: DataFrame, keys_df: DataFrame, key_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-frequency estimates for ``keys_df[key_col]``: min over the
+    ``depth`` rows of the sketch cell each key hashes into. The sketch
+    side is tiny (<= depth*width rows) and broadcast; estimates carry
+    the one-sided CM guarantee est >= exact, est <= exact + eps*N
+    w.h.p. (eps = e/width)."""
+    probes = keys_df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -331,7 +331,11 @@ _suite(
         "per-group rank-verified) plus A9 exact weighted median "
         "(integer cumulative-weight threshold, division-free) and A10 "
         "KMV bottom-k sketches with SET INTERSECTION estimates — the "
-        "operation HLL cannot express (all round 6)"
+        "operation HLL cannot express — plus A11 HyperLogLog itself "
+        "from scratch (p=12 dense registers, linear-counting "
+        "correction, 7%-bound measured grading) and A12 count-min "
+        "sketch point frequencies (4x2048 cells, graded on the CM "
+        "inequality est in [exact, exact + eps*N]) (all round 6)"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -376,6 +380,15 @@ _suite(
         ("kll_grouped", "a7g_kll_grouped_quantiles", {
             "l_returnflag": "l_returnflag", "n": "n",
             "rank_ok_p50": "rank_ok_p50", "rank_ok_p90": "rank_ok_p90",
+        }),
+        ("hll", "a11_hll_distinct", {
+            "n": "exact_orders", "key": "exact_parts", "cnt": "exact_custs",
+            "rank_ok_p50": "est_orders_ok", "rank_ok_p90": "est_parts_ok",
+            "rank_ok_p99": "est_custs_ok",
+        }),
+        ("countmin", "a12_countmin_freq", {
+            "key": "key", "cnt": "exact_cnt",
+            "rank_ok_p50": "lower_ok", "rank_ok_p90": "upper_ok",
         }),
     ],
 )
