@@ -1866,3 +1866,80 @@ def a12_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") <= F.col("exact_cnt") + slack).cast("int").alias("upper_ok"),
         )
     )
+
+
+@register(
+    "geo1_radius_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 100000 AS x,
+               (c_custkey * 69621) % 100000 AS y
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 16807) % 100000 AS x,
+               (s_suppkey * 39916801) % 100000 AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(floor(sqrt(CAST((c.x - s.x) * (c.x - s.x)
+                               + (c.y - s.y) * (c.y - s.y) AS DOUBLE))) AS BIGINT) AS dist_m
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 3000 * 3000
+    """,
+    doc=(
+        "GEO1 spatial RADIUS join (find all (customer, supplier) pairs "
+        "within 3 km on a 100 km planar grid; coordinates derived "
+        "deterministically from keys since the test tables carry no "
+        "geometry): the Spark side NEVER cross-joins — each point bins "
+        "to a radius-sized grid cell, one side explodes its 3x3 "
+        "neighborhood, and candidates meet in a plain equi-join on the "
+        "cell key (the standard distributed spatial-join decomposition "
+        "— candidates per cell are O(density), total work O(n) not "
+        "O(n^2) at 100 TB). The distance predicate is EXACT integer "
+        "arithmetic and the reported distance floor(sqrt(int)) rides "
+        "IEEE-mandated correctly-rounded sqrt, so both engines agree "
+        "bit-for-bit. The oracle replays the semantic definition as a "
+        "cross-join filter — quadratic there, which is exactly why the "
+        "graded plan is the binned one"
+    ),
+)
+def geo1_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    radius = 3000
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("x"),
+        ((F.col("c_custkey") * 69621) % 100000).alias("y"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 16807) % 100000).alias("x"),
+        ((F.col("s_suppkey") * 39916801) % 100000).alias("y"),
+    )
+    cb = c.select(
+        "c_custkey", F.col("x").alias("cx_m"), F.col("y").alias("cy_m"),
+        F.floor(F.col("x") / radius).alias("gx"),
+        F.floor(F.col("y") / radius).alias("gy"),
+    )
+    # supplier side fans out to its 3x3 cell neighborhood so every pair
+    # within `radius` shares at least one (gx, gy) candidate cell
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    sb = s.crossJoin(F.broadcast(off)).select(
+        "s_suppkey", F.col("x").alias("sx_m"), F.col("y").alias("sy_m"),
+        (F.floor(F.col("x") / radius) + F.col("dx")).alias("gx"),
+        (F.floor(F.col("y") / radius) + F.col("dy")).alias("gy"),
+    )
+    d2 = (F.col("cx_m") - F.col("sx_m")) * (F.col("cx_m") - F.col("sx_m")) + (
+        F.col("cy_m") - F.col("sy_m")
+    ) * (F.col("cy_m") - F.col("sy_m"))
+    return (
+        cb.join(sb, ["gx", "gy"])
+        .filter(d2 <= radius * radius)
+        .select(
+            "c_custkey", "s_suppkey",
+            F.floor(F.sqrt(d2.cast("double"))).cast("long").alias("dist_m"),
+        )
+    )

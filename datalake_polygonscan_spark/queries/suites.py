@@ -1888,8 +1888,11 @@ _suite(
         "J9 binned interval-overlap join (no equi key, hash-join via "
         "time bins, nested-loop-free plan-locked), TS7 interval "
         "coalescing (gaps-and-islands range consolidation, all-integer "
-        "boundaries) and TS9 lag-1..3 autocorrelation (exact-decimal "
-        "moments, one window pass for all three leads; all round 6)"
+        "boundaries), TS9 lag-1..3 autocorrelation (exact-decimal "
+        "moments, one window pass for all three leads) and GEO1 "
+        "grid-binned spatial radius join (3x3 cell-neighborhood "
+        "equi-join, never a cross join, exact integer distance "
+        "predicate; all round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1962,6 +1965,10 @@ _suite(
         ("acf", "ts9_autocorrelation", {
             "user_id": "user_id", "is_gap": "lag",
             "n_events": "n_pairs", "z": "acf",
+        }),
+        ("geo", "geo1_radius_join", {
+            "event_id": "c_custkey", "asof_event_id": "s_suppkey",
+            "n_events": "dist_m",
         }),
     ],
 )
