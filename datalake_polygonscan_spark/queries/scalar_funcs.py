@@ -518,3 +518,93 @@ def x10_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_multiply(F.col("l_orderkey"), F.lit(30).cast("long")).alias("safe_mul"),
         F.expr("try_cast(l_returnflag AS double)").alias("flag_num"),
     )
+
+
+#: (cidr, prefix_len, lo, hi) routing table for X11 — ranges precomputed
+#: once in exact Python ints and embedded as literals on BOTH engines.
+_X11_CIDRS: list[tuple[str, int, int, int]] = [
+    ("0.0.0.0/0", 0, 0, 4294967295),
+    ("0.0.0.0/2", 2, 0, 1073741823),
+    ("64.0.0.0/2", 2, 1073741824, 2147483647),
+    ("64.0.0.0/6", 6, 1073741824, 1140850687),
+    ("128.0.0.0/1", 1, 2147483648, 4294967295),
+    ("128.0.0.0/3", 3, 2147483648, 2684354559),
+    ("192.0.0.0/2", 2, 3221225472, 4294967295),
+    ("240.0.0.0/4", 4, 4026531840, 4294967295),
+]
+
+_X11_VALUES = ", ".join(f"('{c}', {ln}, {lo}, {hi})" for c, ln, lo, hi in _X11_CIDRS)
+
+
+@register(
+    "x11_cidr_match",
+    oracle=f"""
+    WITH ips AS (
+        SELECT c_custkey,
+               concat(CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) // 16777216, '.',
+                      (CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) // 65536) % 256, '.',
+                      (CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) // 256) % 256, '.',
+                      CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) % 256) AS ip_str
+        FROM customer
+    ), parsed AS (
+        SELECT c_custkey, ip_str,
+               CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_int
+        FROM ips
+    ), rt(cidr, prefix_len, lo, hi) AS (
+        VALUES {_X11_VALUES}
+    )
+    SELECT p.c_custkey, p.ip_str, p.ip_int,
+           arg_max(r.cidr, r.prefix_len) AS matched_cidr,
+           CAST(max(r.prefix_len) AS INTEGER) AS prefix_len
+    FROM parsed p JOIN rt r ON p.ip_int BETWEEN r.lo AND r.hi
+    GROUP BY p.c_custkey, p.ip_str, p.ip_int
+    """,
+    doc=(
+        "X11 IP/CIDR longest-prefix match — the log-enrichment "
+        "primitive (geo/ASN/VPC attribution): dotted-quad strings "
+        "(key-derived, the tables carry no IPs) are PARSED back to "
+        "uint32 with split+casts (the graded operator), range-joined "
+        "against a tiny routing table (BROADCAST — at 100 TB the dim "
+        "is KBs, the fact never shuffles), and the winning route is "
+        "the longest matching prefix via max_by (unique argmax: "
+        "same-length CIDR blocks are disjoint, so no tie exists by "
+        "construction). Exact integer arithmetic end to end"
+    ),
+)
+def x11_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ip_int_raw = (F.col("c_custkey") * 2654435761) % 4294967296
+    ips = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            ".",
+            F.floor(ip_int_raw / 16777216).cast("long"),
+            (F.floor(ip_int_raw / 65536) % 256).cast("long"),
+            (F.floor(ip_int_raw / 256) % 256).cast("long"),
+            (ip_int_raw % 256).cast("long"),
+        ).alias("ip_str"),
+    )
+    oct_ = F.split(F.col("ip_str"), r"\.")
+    parsed = ips.select(
+        "c_custkey", "ip_str",
+        (
+            oct_.getItem(0).cast("long") * 16777216
+            + oct_.getItem(1).cast("long") * 65536
+            + oct_.getItem(2).cast("long") * 256
+            + oct_.getItem(3).cast("long")
+        ).alias("ip_int"),
+    )
+    rt = spark.createDataFrame(_X11_CIDRS, "cidr string, prefix_len int, lo long, hi long")
+    return (
+        parsed.join(
+            F.broadcast(rt),
+            (F.col("ip_int") >= F.col("lo")) & (F.col("ip_int") <= F.col("hi")),
+        )
+        .groupBy("c_custkey", "ip_str", "ip_int")
+        .agg(
+            F.max_by("cidr", "prefix_len").alias("matched_cidr"),
+            F.max("prefix_len").cast("int").alias("prefix_len"),
+        )
+    )

@@ -1490,7 +1490,9 @@ _suite(
         "X7 VARIANT / X8 collation / P5 unpivot, passthrough) + X9 map "
         "functions (merged round 5b) + X10 the ANSI-safe try_* tier "
         "(try_divide/try_cast/try_multiply vs hand-lowered CASE "
-        "guards; round 6)"
+        "guards) + X11 IP/CIDR longest-prefix match (dotted-quad "
+        "parse, broadcast routing-table range join, unique-argmax "
+        "route pick; both round 6)"
     ),
     layout=(
         [
@@ -1554,6 +1556,11 @@ _suite(
             "k_val": "l_linenumber", "val": "safe_div",
             "k_mod10": "bad_int", "k": "safe_mul",
             "f_avg_price": "flag_num",
+        }),
+        ("cidr", "x11_cidr_match", {
+            "event_id": "c_custkey", "type_upper": "ip_str",
+            "type_lower": "matched_cidr", "k_val": "prefix_len",
+            "k": "ip_int",
         }),
     ],
 )
