@@ -428,3 +428,104 @@ def ml5_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return naive_bayes_language_id(docs)
+
+
+@register(
+    "ml7_decision_stump",
+    oracle="""
+    WITH pts AS (
+        SELECT l_extendedprice AS x,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), d AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+        FROM pts GROUP BY x
+    ), c AS (
+        SELECT x,
+               SUM(cnt) OVER (ORDER BY x) AS n_l,
+               SUM(pos) OVER (ORDER BY x) AS pos_l,
+               SUM(cnt) OVER () AS n,
+               SUM(pos) OVER () AS pos_t
+        FROM d
+    ), s AS (
+        SELECT x AS thr,
+               CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+               CAST(n - n_l AS BIGINT) AS n_right,
+               CAST(pos_t - pos_l AS BIGINT) AS pos_right,
+               CAST(n AS BIGINT) AS n
+        FROM c WHERE n_l < n
+    )
+    SELECT ROUND(CAST(thr AS DOUBLE), 4) AS threshold,
+           n_left, pos_left, n_right, pos_right,
+           n_left * n_right * n
+             - (pos_left * pos_left + (n_left - pos_left) * (n_left - pos_left)) * n_right
+             - (pos_right * pos_right + (n_right - pos_right) * (n_right - pos_right)) * n_left
+             AS gini_crit
+    FROM s
+    ORDER BY gini_crit ASC, thr ASC LIMIT 1
+    """,
+    doc=(
+        "ML7 decision stump: the optimal binary split (x <= t) of "
+        "l_extendedprice against the returnflag='R' label — the "
+        "depth-1 CART node every boosted-tree library builds billions "
+        "of. The weighted-Gini criterion is cleared of all division by "
+        "multiplying through the common denominator n_L*n_R*n, so the "
+        "argmin is over EXACT BIGINT integers (no float impurity "
+        "comparisons to flip across engines); ties break to the "
+        "smallest threshold. One groupBy collapses rows to distinct "
+        "feature values, one cumulative window over that (bounded) "
+        "candidate set scores every split, TakeOrdered(1) picks the "
+        "winner. The 100 TB path pre-bins candidates into KLL/PR3 "
+        "quantile histogram bins first — identical scoring math over "
+        "hundreds instead of millions of candidates (the "
+        "LightGBM/XGBoost hist strategy)"
+    ),
+)
+def ml7_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    d = pts.groupBy("x").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    )
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    c = d.select(
+        "x",
+        F.sum("cnt").over(cum).alias("n_l"),
+        F.sum("pos").over(cum).alias("pos_l"),
+        F.sum("cnt").over(tot).alias("n"),
+        F.sum("pos").over(tot).alias("pos_t"),
+    )
+    s = c.filter(F.col("n_l") < F.col("n")).select(
+        F.col("x").alias("thr"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        (F.col("n") - F.col("n_l")).alias("n_right"),
+        (F.col("pos_t") - F.col("pos_l")).alias("pos_right"),
+        "n",
+    )
+    scored = s.select(
+        F.round(F.col("thr").cast("double"), 4).alias("threshold"),
+        "n_left", "pos_left", "n_right", "pos_right",
+        (
+            F.col("n_left") * F.col("n_right") * F.col("n")
+            - (
+                F.col("pos_left") * F.col("pos_left")
+                + (F.col("n_left") - F.col("pos_left"))
+                * (F.col("n_left") - F.col("pos_left"))
+            )
+            * F.col("n_right")
+            - (
+                F.col("pos_right") * F.col("pos_right")
+                + (F.col("n_right") - F.col("pos_right"))
+                * (F.col("n_right") - F.col("pos_right"))
+            )
+            * F.col("n_left")
+        ).alias("gini_crit"),
+        F.col("thr").alias("_thr_order"),
+    )
+    return scored.orderBy("gini_crit", "_thr_order").limit(1).drop("_thr_order")

@@ -257,7 +257,9 @@ _suite(
         "value-checked, eigen invariants riding the hash; added "
         "round 6) + ML5 multinomial Naive Bayes language ID "
         "(count-only training, broadcast-model scoring, per-document "
-        "MAP decisions oracled value-for-value; added round 6)"
+        "MAP decisions oracled value-for-value) + ML7 decision stump "
+        "(optimal CART split via division-free exact-BIGINT weighted "
+        "Gini over a cumulative window; both added round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -308,6 +310,11 @@ _suite(
         ("nbayes", "ml5_naive_bayes_langid", {
             "n_vectors": "doc_id", "lang": "lang", "pred": "pred",
             "correct": "correct", "n_docs": "n_tokens",
+        }),
+        ("stump", "ml7_decision_stump", {
+            "mean": "threshold", "n_vectors": "n_left",
+            "dim": "pos_left", "k": "n_right", "n_docs": "pos_right",
+            "variance": ("CAST(gini_crit AS DOUBLE)", "CAST(gini_crit AS DOUBLE)"),
         }),
     ],
 )
