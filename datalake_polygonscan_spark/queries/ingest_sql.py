@@ -713,3 +713,37 @@ _Q22_SQL = """
 def q22_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+#: QG — the GROUP BY ALL / ORDER BY ALL dialect tier (Spark 4 and
+#: DuckDB both implement the de-facto modern-SQL shorthand: every
+#: non-aggregate select item becomes a grouping key / sort key).
+_QG_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "qg_group_by_all",
+    oracle=_QG_SQL,
+    doc=(
+        "QG — GROUP BY ALL + ORDER BY ALL through spark.sql, identical "
+        "text both engines: the modern-SQL shorthand (every "
+        "non-aggregate select item becomes a grouping/sort key) that "
+        "analysts paste from DuckDB/BigQuery/Databricks notebooks "
+        "daily; proves the dialect resolves to the same Aggregate as "
+        "the explicit column list (sums exact DECIMAL inside, double "
+        "only at the boundary)"
+    ),
+)
+def qg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QG_SQL)

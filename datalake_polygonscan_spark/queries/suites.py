@@ -887,7 +887,9 @@ _suite(
         "SQL-defined functions (inlined at analysis time, zero-UDF "
         "plan), QS SQL scripting (BEGIN/DECLARE/SET compound), QE "
         "parameterized SQL (named :marker binds) — each oracled against "
-        "its hand-lowered ANSI equivalent"
+        "its hand-lowered ANSI equivalent — and QG GROUP BY ALL / "
+        "ORDER BY ALL (the modern-SQL shorthand, identical text both "
+        "engines)"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -948,6 +950,11 @@ _suite(
         ("qe", "qe_parameterized_sql", {
             "o_orderpriority": "o_orderpriority",
             "order_count": "n_orders", "revenue": "segment_total",
+        }),
+        ("qg", "qg_group_by_all", {
+            "s_name": "l_returnflag || '/' || l_linestatus",
+            "order_count": "n_lines", "sum_qty": "sum_qty",
+            "sum_base": "sum_base",
         }),
     ],
 )
