@@ -1164,7 +1164,9 @@ _suite(
         "zero extra scans) — standalone and embedded data quality in "
         "one graded slot (merged round 5) + DQ3 table-health monitors "
         "(complete day spine, trailing-mean volume drops, gap days, "
-        "staleness; added round 6)"
+        "staleness) + ER2 from-scratch Jaro-Winkler linkage scored in "
+        "an Arrow-batched pandas UDF and cross-validated bit-for-bit "
+        "against DuckDB's independent C++ builtin (both round 6)"
     ),
     layout=[
         ("check_name", "string", "VARCHAR"),
@@ -1197,6 +1199,10 @@ _suite(
             "day": "day", "n_rows": "n_rows",
             "trailing_avg": "trailing_avg", "passed": "volume_drop",
             "n_big": "is_gap", "staleness_days": "staleness_days",
+        }),
+        ("jw_linkage", "er2_jaro_winkler", {
+            "check_name": "block", "n_rows": "id_a", "n_big": "id_b",
+            "metric": "jw",
         }),
     ],
 )
