@@ -374,15 +374,20 @@ def test_sql_q3_text_plans_like_dataframe_form(spark):
 
 
 def test_window_suite_one_exchange_per_source(spark):
-    """w1_w3: eight window functions over events share ONE Window node
-    and ONE hash exchange on user_id; the lineitem side adds its own
-    single exchange on l_suppkey; the union itself is exchange-free."""
+    """w1_w3: eight ROWS-frame window functions over events share ONE
+    Window node and ONE hash exchange on user_id; the lineitem side
+    adds its own single exchange on l_suppkey; the W4 arm (round 6)
+    adds exactly one more Window+Exchange — its RANGE frame orders by
+    epoch seconds, a different sort key than the ROWS arm, so it
+    cannot share that Window node; the union itself is exchange-free."""
     from datalake_polygonscan_spark.queries.windows import w1_w3
 
     plan = _plan(w1_w3(spark, SF))
-    # one Window node and one exchange per source, nothing more
-    assert plan.count(") Window") == 2
-    assert plan.count(") Exchange") == 2
+    # one Window node and one exchange per union branch, nothing more
+    assert plan.count(") Window") == 3
+    assert plan.count(") Exchange") == 3
+    # the RANGE arm really evaluates as a RangeFrame, not eight ROWS
+    assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
 
 
 def test_udf_suite_uses_arrow_nodes_not_row_python(spark):
