@@ -573,3 +573,81 @@ def ewma(
 def _order_types(df: DataFrame, cols: list[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    target: str = "40",
+    slack: str = "10",
+    threshold: str = "400",
+    last_k: int | None = None,
+) -> DataFrame:
+    """TS8 — two-sided CUSUM drift detection per series (Page '54):
+    the sequential change-point statistic SPC/telemetry stacks run on
+    every metric stream —
+
+        hi_i = max(0, hi_{i-1} + (x_i - target - slack))
+        lo_i = max(0, lo_{i-1} + (target - slack - x_i))
+
+    alarming when either side exceeds ``threshold``. Like
+    :func:`ewma` this is a data-dependent ordered recurrence no window
+    function expresses; UNLIKE ewma it needs no multiplication at all,
+    so the recurrence is pure DECIMAL add/subtract/max — exact with no
+    quantization step, bit-identical under any partitioning, and a
+    recursive CTE replays it verbatim.
+
+    Scale shape: one shuffle on the series key (applyInPandas), O(1)
+    state per series; ``last_k`` caps each series to its trailing-k
+    rows, bounding both memory and the replaying oracle's recursion.
+    """
+    from decimal import Decimal
+
+    t = Decimal(target)
+    k = Decimal(slack)
+    h = Decimal(threshold)
+    zero = Decimal(0)
+    dec_in = df.select(
+        F.col(key).alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("decimal(18,6)").alias("_x"),
+    )
+    if last_k is not None:
+        rdesc = F.row_number().over(
+            Window.partitionBy("_k").orderBy(*[F.col(c).desc() for c in order_cols])
+        )
+        dec_in = dec_in.withColumn("_rdesc", rdesc).filter(F.col("_rdesc") <= last_k).drop("_rdesc")
+
+    out_schema = (
+        "_k long, i long, "
+        + ", ".join(f"{c} {t_}" for c, t_ in zip(order_cols, _order_types(df, order_cols)))
+        + ", _x decimal(18,6), hi decimal(28,6), lo decimal(28,6), alarm int"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        hi = lo = zero
+        his, los, alarms = [], [], []
+        for x in pdf["_x"]:
+            hi = max(zero, hi + (x - t - k))
+            lo = max(zero, lo + (t - k - x))
+            his.append(hi)
+            los.append(lo)
+            alarms.append(1 if (hi > h or lo > h) else 0)
+        return pd.DataFrame(
+            {
+                "_k": pdf["_k"],
+                "i": range(1, len(pdf) + 1),
+                **{c: pdf[c] for c in order_cols},
+                "_x": pdf["_x"],
+                "hi": his,
+                "lo": los,
+                "alarm": alarms,
+            }
+        )
+
+    return dec_in.groupBy("_k").applyInPandas(run, out_schema)

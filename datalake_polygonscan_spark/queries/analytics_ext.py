@@ -1979,3 +1979,61 @@ def er2_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     block = F.expr("substr(c_name, 1, length(c_name) - 2)")
     pairs = blocked_jw_pairs(c, "c_custkey", "c_name", block, min_sim=0.9)
     return pairs.select("block", "id_a", "id_b", F.round("jw", 6).alias("jw"))
+
+
+@register(
+    "ts8_cusum_drift",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,6)) AS x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+        FROM events WHERE event_type = 'purchase'
+    ), lastk AS (
+        SELECT event_id, user_id, ts, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS i
+        FROM base WHERE rdesc <= 24
+    ), rec(user_id, i, event_id, ts, x, hi, lo) AS (
+        SELECT user_id, i, event_id, ts, x,
+               greatest(CAST(0 AS DECIMAL(28,6)), CAST(x - 40 - 10 AS DECIMAL(28,6))),
+               greatest(CAST(0 AS DECIMAL(28,6)), CAST(40 - 10 - x AS DECIMAL(28,6)))
+        FROM lastk WHERE i = 1
+        UNION ALL
+        SELECT l.user_id, l.i, l.event_id, l.ts, l.x,
+               greatest(CAST(0 AS DECIMAL(28,6)), CAST(r.hi + (l.x - 40 - 10) AS DECIMAL(28,6))),
+               greatest(CAST(0 AS DECIMAL(28,6)), CAST(r.lo + (40 - 10 - l.x) AS DECIMAL(28,6)))
+        FROM rec r JOIN lastk l ON l.user_id = r.user_id AND l.i = r.i + 1
+    )
+    SELECT event_id, user_id, ts, CAST(i AS BIGINT) AS i,
+           CAST(round(x, 4) AS DOUBLE) AS value,
+           CAST(round(hi, 4) AS DOUBLE) AS cusum_hi,
+           CAST(round(lo, 4) AS DOUBLE) AS cusum_lo,
+           CAST(CASE WHEN hi > 400 OR lo > 400 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM rec
+    """,
+    doc=(
+        "TS8 two-sided CUSUM drift detection (operators/temporal.py:"
+        "cusum; Page '54) — the sequential change-point statistic SPC "
+        "and telemetry monitors run on every metric stream: "
+        "hi_i = max(0, hi_{i-1} + (x - target - slack)), mirrored low "
+        "side, alarm above the decision interval h. A data-dependent "
+        "ordered recurrence (like EWMA) but with NO multiplication — "
+        "pure DECIMAL add/max, exact with no quantization anywhere, "
+        "bit-identical on any partitioning; one applyInPandas shuffle, "
+        "O(1) state per series, trailing-24 cap bounds the replaying "
+        "recursive-CTE oracle's depth"
+    ),
+)
+def ts8_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import cusum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = cusum(ev, key="user_id", value_col="value", order_cols=["ts", "event_id"],
+                target="40", slack="10", threshold="400", last_k=24)
+    return out.select(
+        "event_id", F.col("_k").alias("user_id"), "ts",
+        F.col("i").cast("long").alias("i"),
+        F.round("_x", 4).cast("double").alias("value"),
+        F.round("hi", 4).cast("double").alias("cusum_hi"),
+        F.round("lo", 4).cast("double").alias("cusum_lo"),
+        F.col("alarm").cast("int").alias("alarm"),
+    )

@@ -1916,10 +1916,12 @@ _suite(
         "time bins, nested-loop-free plan-locked), TS7 interval "
         "coalescing (gaps-and-islands range consolidation, all-integer "
         "boundaries), TS9 lag-1..3 autocorrelation (exact-decimal "
-        "moments, one window pass for all three leads) and GEO1 "
+        "moments, one window pass for all three leads), GEO1 "
         "grid-binned spatial radius join (3x3 cell-neighborhood "
         "equi-join, never a cross join, exact integer distance "
-        "predicate; all round 6)"
+        "predicate) and TS8 two-sided CUSUM drift detection (pure "
+        "DECIMAL add/max recurrence, recursive-CTE-replayed; all "
+        "round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -1996,6 +1998,12 @@ _suite(
         ("geo", "geo1_radius_join", {
             "event_id": "c_custkey", "asof_event_id": "s_suppkey",
             "n_events": "dist_m",
+        }),
+        ("cusum", "ts8_cusum_drift", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "n_events": "i",
+            "roll_mean": "cusum_hi", "z": "cusum_lo",
+            "is_anomaly": "alarm",
         }),
     ],
 )
