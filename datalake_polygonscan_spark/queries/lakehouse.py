@@ -2344,3 +2344,85 @@ def s33_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(old_rows_defaulted)).alias("old_rows_defaulted"),
         F.lit(bool(explicit_null_preserved)).alias("explicit_null_preserved"),
     )
+
+
+@register(
+    "s34_position_deletes",
+    oracle="""
+    WITH base0 AS (
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 5 = 0
+    ), base AS (
+        SELECT * FROM base0
+        UNION ALL
+        SELECT * FROM base0 WHERE l_orderkey % 10 = 0
+    ), vis AS (
+        SELECT * FROM base
+        WHERE NOT (l_quantity <= 10) AND NOT (l_extendedprice > 40000)
+    ), dels AS (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM base
+        WHERE l_quantity <= 10 OR l_extendedprice > 40000
+    )
+    SELECT CAST(l_orderkey % 3 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           (SELECT c FROM dels) AS n_delete_entries,
+           TRUE AS zero_rewrite
+    FROM vis GROUP BY 1
+    """,
+    doc=(
+        "S34 POSITION-delete files (io/posdeletes.py; Iceberg v2 "
+        "positional deletes): the MoR delete encoding that needs no "
+        "key — the base table contains EXACT DUPLICATE rows (every "
+        "orderkey%10 row twice), then two predicate deletes over "
+        "non-key columns commit (file_name, row_index) pairs located "
+        "via Spark's _metadata row identity, each copy of a duplicate "
+        "deleted by its own entry (n_delete_entries counts BOTH "
+        "copies — a key tombstone could not even express this table). "
+        "Data files are never rewritten: both delete commits hard-link "
+        "every file (zero_rewrite rides inode identity) and cost "
+        "O(matches); reads pay one broadcast anti-join on (file, pos). "
+        "The second delete targets only still-VISIBLE rows, so "
+        "already-deleted positions never duplicate into later batches"
+    ),
+)
+def s34_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.posdeletes import (
+        position_delete,
+        read_with_position_deletes,
+    )
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    base = li.unionByName(li.filter(F.col("l_orderkey") % 10 == 0))
+    table = _scratch("s34_position_deletes", "lineitem_posdel")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(base.repartition(4), table)
+
+    def _data_inodes(snap):
+        out = {}
+        for dp, dirs, fs in os.walk(snap):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    out[f] = os.stat(os.path.join(dp, f)).st_ino
+        return out
+
+    before = _data_inodes(current_snapshot_path(table))
+    n1 = position_delete(spark, table, F.col("l_quantity") <= 10)
+    n2 = position_delete(spark, table, F.col("l_extendedprice") > 40000)
+    zero_rewrite = _data_inodes(current_snapshot_path(table)) == before
+
+    vis = read_with_position_deletes(spark, table)
+    return vis.groupBy((F.col("l_orderkey") % 3).cast("long").alias("grp")).agg(
+        F.count("*").alias("n_rows"),
+        _dbl_sum("l_extendedprice", "sum_price"),
+    ).select(
+        "grp", "n_rows", "sum_price",
+        F.lit(n1 + n2).cast("long").alias("n_delete_entries"),
+        F.lit(zero_rewrite).alias("zero_rewrite"),
+    )

@@ -2055,7 +2055,11 @@ _suite(
         "commits, inode-checked — passthrough) + S10b INCREMENTAL "
         "OPTIMIZE (already-compacted files re-linked untouched, only "
         "the small tail rewritten) — write-optimized commits and their "
-        "maintenance in one graded slot (merged round 5)"
+        "maintenance in one graded slot (merged round 5) + S34 "
+        "POSITION-delete files (Iceberg v2 positional deletes: "
+        "predicate deletes over non-key columns, exact-duplicate rows "
+        "deleted copy-by-copy via (file, row_index) identity, "
+        "zero-rewrite hard-link commits; round 6)"
     ),
     layout=[
         ("o_orderstatus", "string", "VARCHAR"),
@@ -2065,6 +2069,8 @@ _suite(
         ("zero_rewrite_delete", "boolean", "BOOLEAN"),
         ("large_files_linked", "boolean", "BOOLEAN"),
         ("small_tail_packed", "boolean", "BOOLEAN"),
+        ("grp", "long", "BIGINT"),
+        ("n_delete_entries", "long", "BIGINT"),
     ],
     arms=[
         ("mor", "s15_s18_mor_upsert_delete", {
@@ -2078,6 +2084,11 @@ _suite(
             "sum_price": "sum_price",
             "large_files_linked": "large_files_linked",
             "small_tail_packed": "small_tail_packed",
+        }),
+        ("posdelete", "s34_position_deletes", {
+            "grp": "grp", "n_rows": "n_rows", "sum_price": "sum_price",
+            "n_delete_entries": "n_delete_entries",
+            "zero_rewrite_delete": "zero_rewrite",
         }),
     ],
 )
