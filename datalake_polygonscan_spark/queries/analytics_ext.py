@@ -2037,3 +2037,58 @@ def ts8_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).cast("double").alias("cusum_lo"),
         F.col("alarm").cast("int").alias("alarm"),
     )
+
+
+@register(
+    "w5_session_window_batch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'click'
+    ), marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ), isl AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM isl GROUP BY user_id, sess
+    """,
+    doc=(
+        "W5 BATCH session windows via Spark's built-in session_window "
+        "(dynamic-gap gap-session aggregation in one groupBy — no "
+        "window function, no self-join; the same operator the "
+        "streaming tier runs in E3, here proven in batch): sessions "
+        "close 30 minutes after their LAST event. The oracle replays "
+        "the semantics as the classic gaps-and-islands SQL (lag + "
+        "cumulative new-session counter), so Spark's native operator "
+        "is cross-proved against the hand-derivation — a session "
+        "starts exactly when the gap to the previous event reaches "
+        "the timeout, window end = last event + gap"
+    ),
+)
+def w5_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )

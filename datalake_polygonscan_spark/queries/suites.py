@@ -1919,9 +1919,11 @@ _suite(
         "moments, one window pass for all three leads), GEO1 "
         "grid-binned spatial radius join (3x3 cell-neighborhood "
         "equi-join, never a cross join, exact integer distance "
-        "predicate) and TS8 two-sided CUSUM drift detection (pure "
-        "DECIMAL add/max recurrence, recursive-CTE-replayed; all "
-        "round 6)"
+        "predicate), TS8 two-sided CUSUM drift detection (pure "
+        "DECIMAL add/max recurrence, recursive-CTE-replayed) and W5 "
+        "batch session windows via the native session_window operator, "
+        "cross-proved against the gaps-and-islands hand-derivation "
+        "(all round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -2004,6 +2006,11 @@ _suite(
             "value": "value", "n_events": "i",
             "roll_mean": "cusum_hi", "z": "cusum_lo",
             "is_anomaly": "alarm",
+        }),
+        ("session", "w5_session_window_batch", {
+            "user_id": "user_id", "ts": "session_start",
+            "asof_ts": "session_end", "n_events": "n_events",
+            "value": "sum_value",
         }),
     ],
 )
