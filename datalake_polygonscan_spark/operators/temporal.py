@@ -651,3 +651,79 @@ def cusum(
         )
 
     return dec_in.groupBy("_k").applyInPandas(run, out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    alpha: str = "0.5",
+    beta: str = "0.25",
+    last_k: int | None = None,
+    scale: int = 12,
+) -> DataFrame:
+    """TS10 — Holt double-exponential smoothing per series: EWMA plus a
+    TREND state, the minimal forecasting recurrence —
+
+        l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    seeded l_1 = x_1, b_1 = 0; one-step-ahead forecast = l_i + b_i.
+    Same exact-decimal contract as :func:`ewma` (every state update
+    quantizes to ``scale`` decimals HALF-UP in decimal arithmetic, no
+    binary floats in the recurrence) so the two-state loop is
+    bit-identical under any partitioning and a recursive CTE replays
+    it verbatim. One applyInPandas shuffle, O(1) state per series.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    a = Decimal(alpha)
+    na = Decimal(1) - a
+    b_ = Decimal(beta)
+    nb = Decimal(1) - b_
+    q = Decimal(1).scaleb(-scale)
+    dec_in = df.select(
+        F.col(key).alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("decimal(18,6)").alias("_x"),
+    )
+    if last_k is not None:
+        rdesc = F.row_number().over(
+            Window.partitionBy("_k").orderBy(*[F.col(c).desc() for c in order_cols])
+        )
+        dec_in = dec_in.withColumn("_rdesc", rdesc).filter(F.col("_rdesc") <= last_k).drop("_rdesc")
+
+    out_schema = (
+        "_k long, i long, "
+        + ", ".join(f"{c} {t_}" for c, t_ in zip(order_cols, _order_types(df, order_cols)))
+        + ", _x decimal(18,6), level decimal(28,12), trend decimal(28,12)"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        lev = tr = None
+        levs, trs = [], []
+        for x in pdf["_x"]:
+            if lev is None:
+                lev, tr = Decimal(x), Decimal(0)
+            else:
+                prev = lev
+                lev = (a * x + na * (prev + tr)).quantize(q, ROUND_HALF_UP)
+                tr = (b_ * (lev - prev) + nb * tr).quantize(q, ROUND_HALF_UP)
+            levs.append(lev)
+            trs.append(tr)
+        return pd.DataFrame(
+            {
+                "_k": pdf["_k"],
+                "i": range(1, len(pdf) + 1),
+                **{c: pdf[c] for c in order_cols},
+                "_x": pdf["_x"],
+                "level": levs,
+                "trend": trs,
+            }
+        )
+
+    return dec_in.groupBy("_k").applyInPandas(run, out_schema)

@@ -2092,3 +2092,62 @@ def w5_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "sum_value",
         )
     )
+
+
+@register(
+    "ts10_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,6)) AS x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+        FROM events WHERE event_type = 'purchase'
+    ), lastk AS (
+        SELECT event_id, user_id, ts, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS i
+        FROM base WHERE rdesc <= 24
+    ), rec(user_id, i, event_id, ts, x, lev, tr) AS (
+        SELECT user_id, i, event_id, ts, x,
+               CAST(x AS DECIMAL(28,12)), CAST(0 AS DECIMAL(28,12))
+        FROM lastk WHERE i = 1
+        UNION ALL
+        SELECT l.user_id, l.i, l.event_id, l.ts, l.x,
+               CAST(round(0.5 * l.x + 0.5 * (r.lev + r.tr), 12) AS DECIMAL(28,12)),
+               CAST(round(0.25 * (CAST(round(0.5 * l.x + 0.5 * (r.lev + r.tr), 12) AS DECIMAL(28,12)) - r.lev)
+                          + 0.75 * r.tr, 12) AS DECIMAL(28,12))
+        FROM rec r JOIN lastk l ON l.user_id = r.user_id AND l.i = r.i + 1
+    )
+    SELECT event_id, user_id, ts, CAST(i AS BIGINT) AS i,
+           CAST(round(x, 4) AS DOUBLE) AS value,
+           CAST(round(lev, 6) AS DOUBLE) AS level,
+           CAST(round(tr, 6) AS DOUBLE) AS trend,
+           CAST(round(lev + tr, 6) AS DOUBLE) AS forecast
+    FROM rec
+    """,
+    doc=(
+        "TS10 Holt double-exponential smoothing (operators/temporal.py:"
+        "holt_linear) — EWMA plus a TREND state, the minimal "
+        "forecasting recurrence (level/trend coupled updates, "
+        "one-step-ahead forecast = level + trend): alpha=0.5 beta=0.25 "
+        "over each user's trailing 24 purchases. TWO coupled decimal "
+        "states quantized half-up at 12 places per step — the oracle "
+        "recursive CTE replays the coupled update verbatim (the level "
+        "expression appears inside the trend update exactly as the "
+        "operator computes it), so a reordered or float-contaminated "
+        "recurrence driver-fails; one applyInPandas shuffle, O(1) "
+        "state per series"
+    ),
+)
+def ts10_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import holt_linear
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = holt_linear(ev, key="user_id", value_col="value",
+                      order_cols=["ts", "event_id"], alpha="0.5", beta="0.25", last_k=24)
+    return out.select(
+        "event_id", F.col("_k").alias("user_id"), "ts",
+        F.col("i").cast("long").alias("i"),
+        F.round("_x", 4).cast("double").alias("value"),
+        F.round("level", 6).cast("double").alias("level"),
+        F.round("trend", 6).cast("double").alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).cast("double").alias("forecast"),
+    )

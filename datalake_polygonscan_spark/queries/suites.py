@@ -2012,6 +2012,12 @@ _suite(
             "asof_ts": "session_end", "n_events": "n_events",
             "value": "sum_value",
         }),
+        ("holt", "ts10_holt_smoothing", {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts",
+            "value": "value", "n_events": "i",
+            "roll_mean": "level", "z": "trend",
+            "asof_value": "forecast",
+        }),
     ],
 )
 
