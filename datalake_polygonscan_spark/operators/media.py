@@ -2243,3 +2243,207 @@ def jpeg_encode_gray(pixels, quality: int = 85) -> bytes:
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# M-TIFF — real TIFF container (IFD metadata tree) + PackBits RLE codec
+# ---------------------------------------------------------------------------
+
+TIFF_WIDTH = 16
+
+#: TIFF tag ids used by the writer/reader (TIFF 6.0 spec §8)
+_T_WIDTH, _T_HEIGHT, _T_BITS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
+_T_STRIP_OFF, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_CNT = 273, 277, 278, 279
+_PACKBITS = 32773
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """From-scratch PackBits (TIFF 6.0 §9 / Apple RLE): replicate runs
+    of n>=3 emit (257-n, byte); literal stretches emit (n-1, bytes),
+    both capped at 128. The -128 no-op code is never emitted."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        lit_start = i
+        i = j
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        chunk = data[lit_start:min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits inverse: n in 0..127 copies n+1 literal bytes, n in
+    129..255 replicates the next byte 257-n times, 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out.extend(data[i : i + c + 1])
+            i += c + 1
+        elif c > 128:
+            out.extend(data[i : i + 1] * (257 - c))
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _le(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "little")
+
+
+def tiff_bytes(media_id: int, payload: bytes, width: int = TIFF_WIDTH) -> bytes:
+    """A real little-endian TIFF 6.0 file: 8-byte header, one
+    PackBits-compressed grayscale strip, and a 9-entry IFD (width,
+    height, bits, compression, photometric, strip offset/count,
+    samples, rows-per-strip). Readable by any TIFF implementation
+    (javax.imageio cross-validates in tests)."""
+    height = len(payload) // width
+    strip = packbits_encode(payload)
+    # layout: header(8) | strip | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    if ifd_off % 2:  # IFDs must be word-aligned
+        strip = strip + b"\x00"
+        ifd_off += 1
+    head = b"II" + _le(42, 2) + _le(ifd_off, 4)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return _le(tag, 2) + _le(typ, 2) + _le(count, 4) + _le(value, 4)
+
+    entries = [
+        entry(_T_WIDTH, 3, 1, width),
+        entry(_T_HEIGHT, 3, 1, height),
+        entry(_T_BITS, 3, 1, 8),
+        entry(_T_COMP, 3, 1, _PACKBITS),
+        entry(_T_PHOTO, 3, 1, 1),  # BlackIsZero
+        entry(_T_STRIP_OFF, 4, 1, strip_off),
+        entry(_T_SPP, 3, 1, 1),
+        entry(_T_ROWS_PER_STRIP, 3, 1, height),
+        entry(_T_STRIP_CNT, 4, 1, len(packbits_encode(payload))),
+    ]
+    ifd = _le(len(entries), 2) + b"".join(entries) + _le(0, 4)
+    return head + strip + ifd
+
+
+def decode_tiff_bytes(blob: bytes) -> tuple[int, int, bytes]:
+    """Parse a single-strip TIFF: byte order (II/MM both), IFD walk,
+    PackBits or uncompressed strip. Returns (width, height, pixels)."""
+    if blob[:2] == b"II":
+        order = "little"
+    elif blob[:2] == b"MM":
+        order = "big"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+
+    def rd(off: int, n: int) -> int:
+        return int.from_bytes(blob[off : off + n], order)
+
+    if rd(2, 2) != 42:
+        raise ValueError("not a TIFF: bad magic")
+    ifd = rd(4, 4)
+    n_entries = rd(ifd, 2)
+    tags: dict[int, int] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        tag, typ = rd(e, 2), rd(e + 2, 2)
+        # inline SHORT/LONG scalar values only (all this writer emits)
+        tags[tag] = rd(e + 8, 2 if typ == 3 else 4)
+    width, height = tags[_T_WIDTH], tags[_T_HEIGHT]
+    comp = tags.get(_T_COMP, 1)
+    off, cnt = tags[_T_STRIP_OFF], tags[_T_STRIP_CNT]
+    strip = blob[off : off + cnt]
+    pixels = packbits_decode(strip) if comp == _PACKBITS else bytes(strip)
+    if len(pixels) != width * height:
+        raise ValueError(f"strip decodes to {len(pixels)}, want {width * height}")
+    return width, height, pixels
+
+
+def tiff_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic TIFF fixture mirroring :func:`gif_table`: each
+    doc's first ``width*height`` UTF-8 bytes (space-padded) become a
+    PackBits-compressed grayscale strip; height = id%3+1."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                h = int(mid) % 3 + 1
+                raw = str(text).encode("utf-8")[: TIFF_WIDTH * h]
+                raw = raw + b" " * (TIFF_WIDTH * h - len(raw))
+                out.append(
+                    {"media_id": int(mid), "mime": "image/tiff",
+                     "content": tiff_bytes(int(mid), raw)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "mime", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(build, schema=schema)
+
+
+def decode_tiff_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched TIFF decode: container parse + PackBits expansion
+    per blob, grayscale pixel sum + mean luma per image."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, px = decode_tiff_bytes(bytes(blob))
+                s = sum(px)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": w * h,
+                        "sum_v": s,
+                        "mean_luma": round(s / (w * h), 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels", "sum_v", "mean_luma"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)

@@ -571,3 +571,54 @@ def m_jpegp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = decode_jpeg_pixels(jpeg_table(docs, progressive=True))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+@register(
+    "m_tiff_pixel_decode",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+               substr(rpad(hex(encode(text)), 96, '20'),
+                      1, CAST((doc_id % 3 + 1) * 16 * 2 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, h, ph,
+               unnest(generate_series(1, CAST(length(ph) // 2 AS BIGINT))) AS i
+        FROM ids
+    ), b AS (
+        SELECT media_id, h,
+               CAST(concat('0x', substr(ph, CAST((i - 1) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+        FROM pos
+    )
+    SELECT media_id,
+           CAST(16 AS BIGINT) AS width,
+           h AS height,
+           h * 16 AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           ROUND(CAST(sum(v) AS DOUBLE) / (h * 16), 6) AS mean_luma
+    FROM b GROUP BY media_id, h
+    """,
+    doc=(
+        "Third real compressed image codec beside PNG (DEFLATE) and "
+        "GIF (LZW dictionary coder), exercising RUN-LENGTH coding and "
+        "a tag-tree container (operators/media.py:tiff_bytes/"
+        "decode_tiff_bytes): each doc becomes a valid little-endian "
+        "TIFF 6.0 — 9-entry IFD (width/height/bits/compression/"
+        "photometric/strip layout), one grayscale strip compressed "
+        "with from-scratch PackBits (TIFF 6.0 section 9: replicate "
+        "runs 257-n, literal stretches n-1, both capped at 128) — "
+        "decoded back in Arrow-batched mapInPandas by walking the IFD "
+        "(both II and MM byte orders) and expanding the strip. The "
+        "encoder is cross-validated against Java's javax.imageio TIFF "
+        "plugin in tests/test_media.py; the oracle recomputes the "
+        "gray-channel sum from the same payload bytes "
+        "(compression-invariant, 96 = 2 hex chars x 16 px x 3 rows)"
+    ),
+)
+def m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import decode_tiff_pixels, tiff_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_tiff_pixels(tiff_table(docs))
+    return out.withColumn("mean_luma", F.round("mean_luma", 6))

@@ -558,7 +558,10 @@ _suite(
         "closed-form oracle: both coding paths must land on identical "
         "pixels; and IMA ADPCM compressed audio (fmt 0x11, predictive "
         "coding — the fourth compression family), its oracle a "
-        "recursive CTE replaying the step-adaptive recurrence"
+        "recursive CTE replaying the step-adaptive recurrence; and "
+        "TIFF with from-scratch PackBits RLE (the fifth compression "
+        "family: run-length + a tag-tree container, javax.imageio "
+        "cross-validated)"
     ),
     layout=[
         ("media_id", "long", "BIGINT"),
@@ -639,6 +642,11 @@ _suite(
         ("jpeg_prog", "m_jpegp_pixel_decode", {
             "media_id": "media_id", "width": "width", "height": "height",
             "n_pixels": "n_pixels", "sum_luma": "sum_luma",
+            "mean_luma": "mean_luma",
+        }),
+        ("tiff", "m_tiff_pixel_decode", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_luma": "sum_v",
             "mean_luma": "mean_luma",
         }),
         ("wav", "m_wav_pcm_decode", {

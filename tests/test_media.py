@@ -991,3 +991,93 @@ def test_adpcm_decode_rejects_pcm_and_bad_index(spark):
     bad = spark.createDataFrame([(1, bytes(b))], ["media_id", "content"])
     with _pytest.raises(Exception, match="out of range"):
         decode_adpcm_pcm(bad).collect()
+
+
+def test_packbits_roundtrip_property():
+    """PackBits encode/decode round-trips arbitrary byte strings,
+    including >=128-byte literal stretches and >=128-byte runs (both
+    must split at the cap)."""
+    import random
+
+    from datalake_polygonscan_spark.operators.media import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"ab",
+        b"aaa",
+        bytes([5]) * 300,                      # run split at 128
+        bytes(range(256)),                     # pure literal > 128
+        bytes(rng.choice([0, 1, 32, 200]) for _ in range(1000)),
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 500)
+        cases.append(bytes(rng.choice([rng.randrange(256), 32, 65]) for _ in range(n)))
+    for data in cases:
+        enc = packbits_encode(data)
+        assert packbits_decode(enc) == data
+        # worst-case expansion bound from the spec: 1 extra byte per 128
+        assert len(enc) <= len(data) + (len(data) // 128) + 2
+
+
+def test_tiff_roundtrip_and_ifd():
+    """Our TIFF container round-trips: IFD walk finds the strip, the
+    PackBits strip expands to the exact payload."""
+    from datalake_polygonscan_spark.operators.media import (
+        decode_tiff_bytes,
+        tiff_bytes,
+    )
+
+    payload = (b"PackBits!!  " + bytes([9] * 20) + b"tail").ljust(16 * 3)[: 16 * 3]
+    w, h, px = decode_tiff_bytes(tiff_bytes(5, payload))
+    assert (w, h) == (16, 3)
+    assert px == payload
+
+
+def test_tiff_encoder_decodes_in_java_imageio(javac, tmp_path):
+    """Our PackBits TIFFs decode pixel-identically in a FOREIGN codec
+    (Java's javax.imageio TIFF plugin, JDK 9+): the IFD layout, strip
+    offsets and every RLE opcode must match the spec or Java reads
+    garbage. Raw raster samples are compared (getRGB would run Java's
+    linear-gray -> sRGB color conversion and scramble the values)."""
+    import random
+    import subprocess
+
+    from datalake_polygonscan_spark.operators.media import tiff_bytes
+
+    (tmp_path / "DecodeRaw.java").write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class DecodeRaw {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    System.out.println(img.getWidth() + " " + img.getHeight());
+    for (int y = 0; y < img.getHeight(); y++)
+      for (int x = 0; x < img.getWidth(); x++)
+        System.out.println(img.getRaster().getSample(x, y, 0));
+  }
+}
+"""
+    )
+    subprocess.run(["javac", "DecodeRaw.java"], cwd=tmp_path, check=True)
+
+    rng = random.Random(321)
+    for name, payload in {
+        "mixed": bytes(rng.choice([rng.randrange(256), 32]) for _ in range(16 * 40)),
+        "runs": bytes([200]) * (16 * 30),
+        "literal": bytes(rng.randrange(256) for _ in range(16 * 25)),
+    }.items():
+        p = tmp_path / f"{name}.tiff"
+        p.write_bytes(tiff_bytes(3, payload, width=16))
+        out = subprocess.run(
+            ["java", "-cp", str(tmp_path), "DecodeRaw", str(p)],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        assert out[0] == f"16 {len(payload) // 16}", name
+        assert [int(v) for v in out[1:]] == list(payload), name
