@@ -2151,3 +2151,93 @@ def ts10_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).cast("double").alias("trend"),
         F.round(F.col("level") + F.col("trend"), 6).cast("double").alias("forecast"),
     )
+
+
+@register(
+    "an6_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS revenue
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ), paths AS (
+        SELECT c.conv_id, c.revenue, t.touch_id, t.channel,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.touch_ts ASC, t.touch_id ASC) AS rn_first,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ), credits AS (
+        SELECT 'first_touch' AS model, channel,
+               CAST(floor(revenue * 1000000000.0 + 0.5) AS BIGINT) AS nano
+        FROM paths WHERE rn_first = 1
+        UNION ALL
+        SELECT 'last_touch' AS model, channel,
+               CAST(floor(revenue * 1000000000.0 + 0.5) AS BIGINT) AS nano
+        FROM paths WHERE rn_last = 1
+        UNION ALL
+        SELECT 'linear' AS model, channel,
+               CAST(floor(revenue / n_touches * 1000000000.0 + 0.5) AS BIGINT) AS nano
+        FROM paths
+    )
+    SELECT model, channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(nano) AS DOUBLE) / 1000000000.0 AS credited_revenue
+    FROM credits GROUP BY model, channel
+    """,
+    doc=(
+        "AN6 multi-touch marketing attribution — first-touch, "
+        "last-touch and linear models over each purchase's trailing "
+        "7-day view/click path, the ROAS pipeline every growth team "
+        "runs: per-conversion touch paths come from ONE user-key "
+        "equi-join bounded by the time window (per-user cardinality, "
+        "never cross-join), both endpoint models ride row_number over "
+        "the same partition, and every credit quantizes to integer "
+        "nano-revenue before the BIGINT sum — fractional linear splits "
+        "(revenue/n_touches, one IEEE divide) cannot reorder into "
+        "different totals on any partitioning"
+    ),
+)
+def an6_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.col("ts").alias("conv_ts"), F.col("value").alias("revenue"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"), "user_id",
+        F.col("ts").alias("touch_ts"), F.col("event_type").alias("channel"),
+    )
+    paths = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("touch_ts") < F.col("conv_ts"))
+            & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+        )
+    )
+    by_conv = Window.partitionBy("conv_id")
+    paths = paths.select(
+        "conv_id", "revenue", "channel",
+        F.row_number().over(by_conv.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc())).alias("rn_last"),
+        F.row_number().over(by_conv.orderBy(F.col("touch_ts").asc(), F.col("touch_id").asc())).alias("rn_first"),
+        F.count("*").over(by_conv).alias("n_touches"),
+    )
+    nano_full = F.floor(F.col("revenue") * 1e9 + 0.5).cast("long")
+    nano_lin = F.floor(F.col("revenue") / F.col("n_touches") * 1e9 + 0.5).cast("long")
+    credits = (
+        paths.filter(F.col("rn_first") == 1).select(F.lit("first_touch").alias("model"), "channel", nano_full.alias("nano"))
+        .unionByName(paths.filter(F.col("rn_last") == 1).select(F.lit("last_touch").alias("model"), "channel", nano_full.alias("nano")))
+        .unionByName(paths.select(F.lit("linear").alias("model"), "channel", nano_lin.alias("nano")))
+    )
+    return credits.groupBy("model", "channel").agg(
+        F.count("*").cast("long").alias("n_credits"),
+        (F.sum("nano").cast("double") / F.lit(1e9)).alias("credited_revenue"),
+    )

@@ -1289,7 +1289,10 @@ _suite(
         "+ AN4 market-basket association rules (a-priori prune before "
         "the bounded within-basket self-join) + PR3 equi-depth "
         "histogram (8 ntile quantile buckets over a deterministic "
-        "total order — the CBO-statistics structure; both round 6)"
+        "total order — the CBO-statistics structure) + AN6 multi-touch "
+        "attribution (first/last/linear models over trailing-7-day "
+        "touch paths, nano-quantized order-deterministic credits; all "
+        "round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1352,6 +1355,10 @@ _suite(
         ("histogram", "pr3_equidepth_histogram", {
             "funnel_depth": "bucket", "n_rows": "n_rows",
             "retention": "lo", "conf_ab": "hi",
+        }),
+        ("attribution", "an6_attribution", {
+            "col_name": "model", "max_value": "channel",
+            "n_rows": "n_credits", "retention": "credited_revenue",
         }),
     ],
 )
