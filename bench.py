@@ -143,6 +143,28 @@ HEADLINE = [
     "s33_column_defaults",
     "w4_range_frame",
     "x10_try_functions",
+    # round-6 fourth batch: BM25 ranking, HLL + count-min sketches,
+    # grid-binned spatial join, Jaro-Winkler linkage (pandas-UDF
+    # scorer over blocked pairs), decision stump, CUSUM + Holt
+    # recurrences, batch session windows, position-delete commits,
+    # TIFF/PackBits decode, attribution models, interval coalescing
+    "l9_bm25_scoring",
+    "a11_hll_distinct",
+    "a12_countmin_freq",
+    "geo1_radius_join",
+    "er2_jaro_winkler",
+    "ml7_decision_stump",
+    "ts7_interval_coalesce",
+    "ts8_cusum_drift",
+    "ts9_autocorrelation",
+    "ts10_holt_smoothing",
+    "w5_session_window_batch",
+    "s34_position_deletes",
+    "m_tiff_pixel_decode",
+    "an6_attribution",
+    "x11_cidr_match",
+    "qg_group_by_all",
+    "pr3_equidepth_histogram",
 ]
 
 
@@ -227,6 +249,25 @@ WARMUP = [
     "a10_kmv_set_intersection",
     "w4_range_frame",
     "x10_try_functions",
+    # round-6 fourth batch (s34 stays unwarmed: commit-protocol
+    # scenario; er2's pandas-UDF scorer warms so Python worker
+    # startup doesn't read as throughput)
+    "l9_bm25_scoring",
+    "a11_hll_distinct",
+    "a12_countmin_freq",
+    "geo1_radius_join",
+    "er2_jaro_winkler",
+    "ml7_decision_stump",
+    "ts7_interval_coalesce",
+    "ts8_cusum_drift",
+    "ts9_autocorrelation",
+    "ts10_holt_smoothing",
+    "w5_session_window_batch",
+    "m_tiff_pixel_decode",
+    "an6_attribution",
+    "x11_cidr_match",
+    "qg_group_by_all",
+    "pr3_equidepth_histogram",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
