@@ -2241,3 +2241,76 @@ def an6_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_credits"),
         (F.sum("nano").cast("double") / F.lit(1e9)).alias("credited_revenue"),
     )
+
+
+@register(
+    "pr4_correlation_matrix",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ), pairs AS (
+        SELECT 'quantity~price' AS pair, q AS a, p AS b FROM x
+        UNION ALL SELECT 'quantity~discount', q, d FROM x
+        UNION ALL SELECT 'price~discount', p, d FROM x
+    ), s AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS DECIMAL(38,0)) AS sa,
+               CAST(sum(b) AS DECIMAL(38,0)) AS sb,
+               sum(CAST(a * a AS DECIMAL(38,0))) AS saa,
+               sum(CAST(b * b AS DECIMAL(38,0))) AS sbb,
+               sum(CAST(a * b AS DECIMAL(38,0))) AS sab
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           floor((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS corr
+    FROM s
+    """,
+    doc=(
+        "PR4 pairwise Pearson correlation matrix over the numeric "
+        "columns (quantity, price, discount) — the feature-screening "
+        "profile every training pipeline computes before model "
+        "selection: values quantize to integer ticks, all five moments "
+        "per pair accumulate as exact DECIMAL(38,0) in ONE scan (the "
+        "three pairs stack before the aggregate, so a single "
+        "map-side-combinable groupBy carries the whole matrix), and "
+        "the correlation is one identical IEEE expression over exact "
+        "sums on both engines — the TS9 determinism contract applied "
+        "column-pairwise"
+    ),
+)
+def pr4_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("d"),
+    )
+    pairs = x.selectExpr(
+        "stack(3, 'quantity~price', q, p,"
+        " 'quantity~discount', q, d,"
+        " 'price~discount', p, d) AS (pair, a, b)"
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast(d38).alias("sa"),
+        F.sum("b").cast(d38).alias("sb"),
+        F.sum((F.col("a") * F.col("a")).cast(d38)).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast(d38)).alias("sbb"),
+        F.sum((F.col("a") * F.col("b")).cast(d38)).alias("sab"),
+    )
+    return s.select(
+        "pair", "n",
+        F.expr(
+            "CAST(floor((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+            " / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+            "        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
+            " * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        ).alias("corr"),
+    )

@@ -747,3 +747,48 @@ _QG_SQL = """
 def qg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_QG_SQL)
+
+
+#: DG2 — k-anonymity: quasi-identifier generalization + suppression.
+#: Identical text both engines (the governance primitive behind every
+#: privacy-preserving data release: generalize quasi-identifiers into
+#: bands, then SUPPRESS any equivalence class smaller than k).
+_DG2_K = 5
+_DG2_SQL = f"""
+    WITH generalized AS (
+        SELECT c_nationkey % 5               AS region_band,
+               CAST(floor(c_acctbal / 4000) * 4000 AS BIGINT) AS balance_band,
+               c_acctbal
+        FROM customer
+    ), classes AS (
+        SELECT region_band, balance_band,
+               CAST(count(*) AS BIGINT) AS class_size,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_bal
+        FROM generalized
+        GROUP BY region_band, balance_band
+    )
+    SELECT CAST(region_band AS BIGINT) AS region_band, balance_band,
+           class_size, sum_bal,
+           CAST(class_size >= {_DG2_K} AS INTEGER) AS released
+    FROM classes WHERE class_size >= {_DG2_K}
+"""
+
+
+@register(
+    "dg2_k_anonymity",
+    oracle=_DG2_SQL,
+    doc=(
+        "DG2 k-anonymity release (Sweeney '02) — the governance "
+        "primitive behind privacy-preserving data publishing: "
+        "quasi-identifiers (nation band, account-balance band) "
+        "generalize into bands, then every equivalence class smaller "
+        "than k=5 is SUPPRESSED, so no released row describes fewer "
+        "than 5 individuals. Identical ANSI text through spark.sql and "
+        "the oracle; one hash aggregate + HAVING — the generalization "
+        "lattice search that picks band widths is offline policy, the "
+        "release itself is this single scan at any scale"
+    ),
+)
+def dg2_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_DG2_SQL)

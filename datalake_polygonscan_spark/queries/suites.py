@@ -1291,8 +1291,9 @@ _suite(
         "histogram (8 ntile quantile buckets over a deterministic "
         "total order — the CBO-statistics structure) + AN6 multi-touch "
         "attribution (first/last/linear models over trailing-7-day "
-        "touch paths, nano-quantized order-deterministic credits; all "
-        "round 6)"
+        "touch paths, nano-quantized order-deterministic credits) + "
+        "PR4 pairwise Pearson correlation matrix (one stacked scan, "
+        "exact-decimal moments; all round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1360,6 +1361,9 @@ _suite(
             "col_name": "model", "max_value": "channel",
             "n_rows": "n_credits", "retention": "credited_revenue",
         }),
+        ("correlation", "pr4_correlation_matrix", {
+            "col_name": "pair", "n_rows": "n", "retention": "corr",
+        }),
     ],
 )
 
@@ -1379,7 +1383,9 @@ _suite(
         "zero-copy metadata commits, passthrough) (merged round 5) + "
         "S29 SCD Type 2 dimension history (change-filtered "
         "close-and-open versioning in one bucket-pruned MERGE per "
-        "batch) + S31 dynamic partition overwrite (INSERT OVERWRITE "
+        "batch) + DG2 k-anonymity release (quasi-identifier bands, "
+        "classes under k=5 suppressed; round 6) + S31 dynamic "
+        "partition overwrite (INSERT OVERWRITE "
         "replacing only the arriving partitions, the backfill "
         "primitive; both added round 6) + S32 branches/WAP (zero-copy "
         "fork, staged audit, fast-forward publish, divergence "
@@ -1455,6 +1461,11 @@ _suite(
             "bad_batch_rejected": "bad_audit_failed",
             "rejection_atomic": "bad_never_published",
             "constraint_inherited": "diverged_detected",
+        }),
+        ("k_anon", "dg2_k_anonymity", {
+            "c_custkey": "region_band", "valid_from": "balance_band",
+            "n_rows": "class_size", "sum_price": "sum_bal",
+            "v0_n_cols": ("CAST(released AS BIGINT)", "CAST(released AS BIGINT)"),
         }),
     ],
 )
