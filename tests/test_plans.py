@@ -684,3 +684,61 @@ def test_a9_weighted_median_shares_one_exchange(spark):
     df = REGISTRY["a9_weighted_median"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_geo1_radius_join_is_binned_equi_join(spark):
+    """GEO1 never cross-joins the point sets: candidates meet in a
+    hash equi-join on the grid-cell key; the only nested-loop nodes
+    are the 9-row broadcast neighborhood fan-outs."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["geo1_radius_join"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the point-set join itself is a real equi-join on (gx, gy)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bm25_stats_are_broadcast(spark):
+    """L9: per-term df and corpus stats join back via broadcast — the
+    postings side never shuffles for the tiny dimension."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["l9_bm25_scoring"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+
+
+def test_x11_routing_table_is_broadcast_range_join(spark):
+    """X11: the CIDR routing table joins as a broadcast nested loop
+    (non-equi BETWEEN on 8 rows) — the fact side never shuffles to
+    meet the dim."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["x11_cidr_match"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ml7_stump_uses_take_ordered(spark):
+    """ML7: the winning split comes from TakeOrderedAndProject(1) —
+    never a global sort materializing every candidate."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml7_decision_stump"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pr4_correlation_single_scan(spark):
+    """PR4: the three column pairs stack BEFORE the aggregate — one
+    scan of lineitem, one hash aggregate, no self-join or union of
+    three scans."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["pr4_correlation_matrix"].fn(spark, SF))
+    # formatted plans list each node once in the tree and once in the
+    # details section — one scan node appears as exactly one "(N) Scan"
+    assert plan.count(") Scan parquet") == 1
+    assert "Generate" in plan  # the stack() expansion
