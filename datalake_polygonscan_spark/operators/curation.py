@@ -35,6 +35,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -703,4 +705,80 @@ def bm25_scores(
     return contrib.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_terms_matched"),
         (F.sum("nano").cast("double") / F.lit(1000000000.0)).alias("bm25"),
+    )
+
+
+#: L10 fixed tokenizer vocabulary (longest-match-wins). Multi-char
+#: entries are corpus words; every other character falls back to a
+#: 1-char token, so segmentation is total. Order is irrelevant — the
+#: matcher always takes the LONGEST match at the cursor.
+TOKENIZER_VOCAB: tuple[str, ...] = (
+    "scan", "column", "window", "order", "sort", "merge", "part",
+    "agg", "value", "line", "key", "join", "query", "group",
+    "vector", "hash", "slow", "stream", "filter", "fast", "the",
+    "spark", "batch", "table", "row", "data", "small", "big",
+    "customer", "dup",
+)
+
+
+def greedy_tokenize(text: str, vocab: tuple[str, ...] = TOKENIZER_VOCAB) -> list[str]:
+    """Greedy longest-match segmentation (the WordPiece/BPE-apply
+    inference rule: at each cursor take the longest vocabulary entry
+    matching, else a single-character token). Deterministic — ties are
+    impossible because two distinct equal-length tokens cannot both be
+    prefixes of the same suffix."""
+    by_len = sorted({len(v) for v in vocab}, reverse=True)
+    vset = set(vocab)
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        for ln in by_len:
+            if text[i : i + ln] in vset:
+                out.append(text[i : i + ln])
+                i += ln
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return out
+
+
+def tokenize_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_chars: int = 48,
+    vocab: tuple[str, ...] = TOKENIZER_VOCAB,
+) -> DataFrame:
+    """L10 — tokenizer APPLY over a corpus: greedy longest-match
+    segmentation of each document's first ``max_chars`` normalized
+    characters via an Arrow-batched pandas UDF (the inference half of
+    BPE/WordPiece — training the merge table is a separate offline
+    job; applying it is THE hot loop of every data pipeline that
+    counts tokens for billing/packing).
+
+    One projection, zero shuffle, O(len x |len-classes|) per doc.
+    Returns (id, n_tokens, tokens) with tokens '|'-joined in order —
+    the exact segmentation, value-checked by a recursive-CTE oracle
+    that walks a precomputed longest-match step table."""
+    from pyspark.sql.functions import pandas_udf
+
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    @pandas_udf("string")
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            ["|".join(greedy_tokenize(t[:max_chars])) for t in texts.astype(str)]
+        )
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        _tok(normalize_text(text_col)).alias("tokens"),
+    )
+    return out.select(
+        "doc_id",
+        (F.size(F.split("tokens", r"\|")) * (F.length("tokens") > 0).cast("int"))
+        .cast("long")
+        .alias("n_tokens"),
+        "tokens",
     )

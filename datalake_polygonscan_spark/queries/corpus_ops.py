@@ -535,3 +535,61 @@ def l9_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "text", "doc_id", list(_BM25_TERMS))
+
+
+from datalake_polygonscan_spark.operators.curation import TOKENIZER_VOCAB
+
+_L10_VOCAB_VALUES = ", ".join(f"('{t}')" for t in TOKENIZER_VOCAB)
+
+
+@register(
+    "l10_tokenizer_apply",
+    oracle=f"""
+    WITH RECURSIVE vocab(tok) AS (
+        VALUES {_L10_VOCAB_VALUES}
+    ), docs AS (
+        SELECT doc_id, substr({_NORM_SQL}, 1, 48) AS txt FROM documents
+    ), pos AS (
+        SELECT doc_id, txt, unnest(generate_series(1, length(txt))) AS p
+        FROM docs WHERE length(txt) > 0
+    ), match AS (
+        SELECT o.doc_id, o.p,
+               coalesce(arg_max(v.tok, length(v.tok)),
+                        min(substr(o.txt, CAST(o.p AS INT), 1))) AS tok
+        FROM pos o LEFT JOIN vocab v
+          ON substr(o.txt, CAST(o.p AS INT), length(v.tok)) = v.tok
+        GROUP BY o.doc_id, o.p
+    ), rec(doc_id, p, tok, ord) AS (
+        SELECT doc_id, p, tok, 1 FROM match WHERE p = 1
+        UNION ALL
+        SELECT m.doc_id, m.p, m.tok, r.ord + 1
+        FROM rec r JOIN match m
+          ON m.doc_id = r.doc_id AND m.p = r.p + length(r.tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, '|' ORDER BY ord)) AS tokens_md5
+    FROM rec GROUP BY doc_id
+    """,
+    doc=(
+        "L10 tokenizer APPLY — greedy longest-match segmentation "
+        "(operators/curation.py:greedy_tokenize; the WordPiece/"
+        "BPE-inference rule: longest vocabulary entry at the cursor, "
+        "1-char fallback, ties impossible) over each doc's first 48 "
+        "normalized chars, the hot loop of every token-counting/"
+        "packing pipeline. Arrow-batched pandas UDF, zero shuffle. "
+        "The oracle value-checks the EXACT segmentation: a "
+        "precomputed longest-match table for every (doc, position) "
+        "feeds a recursive CTE that replays the cursor walk, and the "
+        "md5 of the ordered token string must match byte-for-byte"
+    ),
+)
+def l10_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.text import normalize_text
+    from datalake_polygonscan_spark.operators.curation import tokenize_corpus
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(normalize_text("text")) > 0
+    )
+    out = tokenize_corpus(docs, "text", "doc_id", max_chars=48)
+    return out.select("doc_id", "n_tokens", F.md5("tokens").alias("tokens_md5"))

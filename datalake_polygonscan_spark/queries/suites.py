@@ -1875,7 +1875,10 @@ _suite(
         "text-scoring pair in one graded slot (merged round 5). Round 6 "
         "adds L9 Okapi BM25 relevance scoring from scratch (postings "
         "filtered to query terms pre-shuffle, broadcast corpus stats, "
-        "nano-quantized order-deterministic sums) as a third arm"
+        "nano-quantized order-deterministic sums) and L10 tokenizer "
+        "APPLY (greedy longest-match WordPiece-inference segmentation, "
+        "md5-exact against a recursive-CTE cursor-walk oracle) as "
+        "third and fourth arms"
     ),
     layout=[
         ("doc_id", "long", "BIGINT"),
@@ -1911,6 +1914,10 @@ _suite(
         ("bm25", "l9_bm25_scoring", {
             "doc_id": "doc_id", "n_bigrams": "n_terms_matched",
             "bm25": "bm25",
+        }),
+        ("tokenize", "l10_tokenizer_apply", {
+            "doc_id": "doc_id", "n_ws_tokens": "n_tokens",
+            "fingerprint": "tokens_md5",
         }),
     ],
 )
