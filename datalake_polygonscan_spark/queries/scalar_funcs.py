@@ -608,3 +608,57 @@ def x11_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("prefix_len").cast("int").alias("prefix_len"),
         )
     )
+
+
+@register(
+    "x12_xml_functions",
+    oracle="""
+    WITH xml AS (
+        SELECT o_orderkey,
+               concat('<order id="', o_orderkey, '"><status>', o_orderstatus,
+                      '</status><priority>', o_orderpriority,
+                      '</priority><total>', CAST(round(o_totalprice, 2) AS VARCHAR),
+                      '</total></order>') AS doc
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey, doc,
+           regexp_extract(doc, '<status>(.*)</status>', 1) AS status,
+           regexp_extract(doc, '<priority>(.*)</priority>', 1) AS priority,
+           CAST(regexp_extract(doc, '<total>(.*)</total>', 1) AS DOUBLE) AS total
+    FROM xml
+    """,
+    doc=(
+        "X12 XML ingestion — Spark 4's native from_xml parses "
+        "order documents built from table columns (the B2B/EDI "
+        "interchange shape: attributes + nested elements) into a "
+        "typed struct via schema_of_xml-style schema, entirely "
+        "JVM-side; the oracle extracts the same fields from the same "
+        "constructed documents with regexes, so a namespace/"
+        "whitespace/coercion bug in the XML path shows as a value "
+        "mismatch. Values are XML-safe by construction (keys, enum "
+        "letters, numbers), so escaping cannot mask a parse defect"
+    ),
+)
+def x12_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xml = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.concat(
+            F.lit('<order id="'), F.col("o_orderkey"), F.lit('"><status>'),
+            F.col("o_orderstatus"), F.lit("</status><priority>"),
+            F.col("o_orderpriority"), F.lit("</priority><total>"),
+            F.round("o_totalprice", 2).cast("string"), F.lit("</total></order>"),
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "o_orderkey", "doc",
+        F.from_xml(
+            "doc",
+            "struct<_id:bigint, status:string, priority:string, total:double>",
+        ).alias("x"),
+    )
+    return parsed.select(
+        "o_orderkey", "doc",
+        F.col("x.status").alias("status"),
+        F.col("x.priority").alias("priority"),
+        F.col("x.total").alias("total"),
+    )

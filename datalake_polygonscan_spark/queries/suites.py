@@ -1538,7 +1538,8 @@ _suite(
         "(try_divide/try_cast/try_multiply vs hand-lowered CASE "
         "guards) + X11 IP/CIDR longest-prefix match (dotted-quad "
         "parse, broadcast routing-table range join, unique-argmax "
-        "route pick; both round 6)"
+        "route pick) + X12 native from_xml ingestion (typed-struct "
+        "parse cross-checked against regex extraction; all round 6)"
     ),
     layout=(
         [
@@ -1607,6 +1608,11 @@ _suite(
             "event_id": "c_custkey", "type_upper": "ip_str",
             "type_lower": "matched_cidr", "k_val": "prefix_len",
             "k": "ip_int",
+        }),
+        ("xml", "x12_xml_functions", {
+            "event_id": "o_orderkey", "props_prefix": "doc",
+            "type_upper": "status", "type_lower": "priority",
+            "val": "total",
         }),
     ],
 )
