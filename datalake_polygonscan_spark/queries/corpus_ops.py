@@ -593,3 +593,62 @@ def l10_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tokenize_corpus(docs, "text", "doc_id", max_chars=48)
     return out.select("doc_id", "n_tokens", F.md5("tokens").alias("tokens_md5"))
+
+
+@register(
+    "l11_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE length(term) >= 3 GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           md5(string_agg(concat(doc_id, ':', tf), ',' ORDER BY doc_id)) AS postings_md5
+    FROM postings GROUP BY term
+    """,
+    doc=(
+        "L11 inverted-index build — the retrieval structure BM25 (L9) "
+        "queries against, materialized as sorted posting lists: one "
+        "explode + (term, doc) tf aggregate + per-term ordered "
+        "doc-list assembly. The doc_id-ordered postings string is "
+        "md5'd per term, so the EXACT posting list (ids AND "
+        "term frequencies, in order) is value-checked — a dropped "
+        "posting, wrong tf or unsorted list all hash-mismatch. Scale "
+        "shape: both aggregates are map-side combinable; per-term "
+        "posting lists are the only per-key state (the same bound an "
+        "index shard carries), and terms shorter than 3 chars are "
+        "stoplisted before the shuffle"
+    ),
+)
+def l11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.text import normalize_text
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "tf"))
+                        ),
+                        lambda s: F.concat(
+                            s["doc_id"].cast("string"), F.lit(":"), s["tf"].cast("string")
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("postings_md5"),
+        )
+    )

@@ -1883,8 +1883,9 @@ _suite(
         "filtered to query terms pre-shuffle, broadcast corpus stats, "
         "nano-quantized order-deterministic sums) and L10 tokenizer "
         "APPLY (greedy longest-match WordPiece-inference segmentation, "
-        "md5-exact against a recursive-CTE cursor-walk oracle) as "
-        "third and fourth arms"
+        "md5-exact against a recursive-CTE cursor-walk oracle) and "
+        "L11 inverted-index build (sorted posting lists, md5-exact "
+        "per term) as third, fourth and fifth arms"
     ),
     layout=[
         ("doc_id", "long", "BIGINT"),
@@ -1924,6 +1925,10 @@ _suite(
         ("tokenize", "l10_tokenizer_apply", {
             "doc_id": "doc_id", "n_ws_tokens": "n_tokens",
             "fingerprint": "tokens_md5",
+        }),
+        ("index", "l11_inverted_index", {
+            "labeled_lang": "term", "n_chars": "df", "n_re_tokens": "cf",
+            "fingerprint": "postings_md5",
         }),
     ],
 )
