@@ -2314,3 +2314,83 @@ def pr4_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e6 + 0.5) AS DOUBLE) / 1e6"
         ).alias("corr"),
     )
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@register(
+    "geo2_geohash_encode",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 48271) % 100000) * 0.0036 - 180.0 AS lon,
+               ((c_custkey * 69621) % 100000) * 0.0018 - 90.0  AS lat
+        FROM customer
+    ), q AS (
+        SELECT c_custkey, lon, lat,
+               CAST(least(floor((lon + 180.0) / 360.0 * 8192), 8191) AS BIGINT) AS ix,
+               CAST(least(floor((lat + 90.0) / 180.0 * 4096), 4095) AS BIGINT) AS iy
+        FROM pts
+    ), z AS (
+        SELECT c_custkey, lon, lat,
+               ({" + ".join(f"(((ix >> {12 - b}) & 1) << {24 - 2 * b}) + (((iy >> {11 - b if b < 12 else 0}) & 1) << {23 - 2 * b})" if b < 12 else f"(((ix >> {12 - b}) & 1) << {24 - 2 * b})" for b in range(13))}) AS g
+        FROM q
+    )
+    SELECT c_custkey,
+           floor(lon * 1e4 + 0.5) / 1e4 AS lon,
+           floor(lat * 1e4 + 0.5) / 1e4 AS lat,
+           concat(
+               substr('{_GEOHASH_B32}', CAST((g >> 20) & 31 AS INT) + 1, 1),
+               substr('{_GEOHASH_B32}', CAST((g >> 15) & 31 AS INT) + 1, 1),
+               substr('{_GEOHASH_B32}', CAST((g >> 10) & 31 AS INT) + 1, 1),
+               substr('{_GEOHASH_B32}', CAST((g >> 5) & 31 AS INT) + 1, 1),
+               substr('{_GEOHASH_B32}', CAST(g & 31 AS INT) + 1, 1)
+           ) AS geohash
+    FROM z
+    """,
+    doc=(
+        "GEO2 geohash encoding from scratch (Niemeyer '08) — the "
+        "prefix-searchable spatial key every geo index shards on: "
+        "lon/lat (key-derived, the tables carry no geometry) quantize "
+        "to 13+12 bisection bits, interleave lon-first into a 25-bit "
+        "curve value by pure shift/mask/add codegen (no UDF — same "
+        "device as the Z-order clustering), then map 5-bit groups "
+        "through the base32 alphabet. Every step is exact integer "
+        "arithmetic replayed verbatim by the oracle, so a single "
+        "off-by-one in any of the 25 bit positions flips a character "
+        "and hash-fails. Standard 5-char precision (~4.9 km cells) — "
+        "rows sharing a prefix are spatial neighbors, the property "
+        "GEO1's explicit grid join exploits"
+    ),
+)
+def geo2_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 48271) % 100000) * 0.0036 - 180.0).alias("lon"),
+        (((F.col("c_custkey") * 69621) % 100000) * 0.0018 - 90.0).alias("lat"),
+    )
+    q = pts.select(
+        "c_custkey", "lon", "lat",
+        F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 8192), F.lit(8191)).cast("long").alias("ix"),
+        F.least(F.floor((F.col("lat") + 90.0) / 180.0 * 4096), F.lit(4095)).cast("long").alias("iy"),
+    )
+    g = F.lit(0).cast("long")
+    for b in range(13):
+        g = g + F.shiftleft(F.shiftright("ix", 12 - b).bitwiseAND(F.lit(1)), 24 - 2 * b)
+        if b < 12:
+            g = g + F.shiftleft(F.shiftright("iy", 11 - b).bitwiseAND(F.lit(1)), 23 - 2 * b)
+    z = q.select("c_custkey", "lon", "lat", g.alias("g"))
+    alpha = F.lit(_GEOHASH_B32)
+    chars = [
+        F.substring(alpha, 1, 32).substr(
+            (F.shiftright("g", sh).bitwiseAND(F.lit(31)) + 1).cast("int"), F.lit(1)
+        )
+        for sh in (20, 15, 10, 5, 0)
+    ]
+    return z.select(
+        "c_custkey",
+        (F.floor(F.col("lon") * 1e4 + 0.5) / 1e4).alias("lon"),
+        (F.floor(F.col("lat") * 1e4 + 0.5) / 1e4).alias("lat"),
+        F.concat(*chars).alias("geohash"),
+    )

@@ -1539,7 +1539,9 @@ _suite(
         "guards) + X11 IP/CIDR longest-prefix match (dotted-quad "
         "parse, broadcast routing-table range join, unique-argmax "
         "route pick) + X12 native from_xml ingestion (typed-struct "
-        "parse cross-checked against regex extraction; all round 6)"
+        "parse cross-checked against regex extraction) + GEO2 geohash "
+        "encoding from scratch (25-bit interleave by pure shift/mask "
+        "codegen, canonical-vector-validated; all round 6)"
     ),
     layout=(
         [
@@ -1613,6 +1615,10 @@ _suite(
             "event_id": "o_orderkey", "props_prefix": "doc",
             "type_upper": "status", "type_lower": "priority",
             "val": "total",
+        }),
+        ("geohash", "geo2_geohash_encode", {
+            "event_id": "c_custkey", "type_upper": "geohash",
+            "val": "lon", "f_avg_price": "lat",
         }),
     ],
 )
