@@ -854,3 +854,61 @@ def j2_j3_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty_shipped_60d").alias("total_spend"),
     )
     return base.unionByName(range_arm)
+
+
+@register(
+    "j10_null_safe_join",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 100 END AS k,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), r AS (
+        SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 100 END AS k,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_bal
+        FROM customer GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.k,
+           ROUND(CAST(l.o_totalprice AS DOUBLE), 4) AS o_totalprice,
+           r.n_cust, r.sum_bal
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    doc=(
+        "J10 NULL-SAFE equi-join (Spark `<=>` == ANSI IS NOT DISTINCT "
+        "FROM): the join form where NULL keys MATCH EACH OTHER instead "
+        "of vanishing — the semantics dimension-join ETL needs when "
+        "'unknown' is itself a bucket (SCD dimensions keep a NULL/-1 "
+        "member row for exactly this). Both sides derive ~1/7 and "
+        "~1/11 NULL keys, so the null-bucket row is a real fan-out the "
+        "hash must route like any other key: Spark plans `<=>` as a "
+        "plain hash join on the coalesced key (no nested loop), and "
+        "the oracle replays IS NOT DISTINCT FROM. A regular equi-join "
+        "would silently drop every NULL-key order — the diff IS the "
+        "graded content"
+    ),
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_custkey") % 100).alias("k"),
+        "o_totalprice",
+    )
+    r = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey") % 100)
+            .alias("k")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 4).alias("sum_bal"),
+        )
+    )
+    return l.join(r, l["k"].eqNullSafe(r["k"])).select(
+        "o_orderkey", l["k"].alias("k"),
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+        "n_cust", "sum_bal",
+    )

@@ -95,7 +95,9 @@ _suite(
         "dim join + J5 range join as one tagged union — the whole join "
         "surface in one graded slot (merged round 5; per-id entries "
         "stay in the local sweep). Arms are the existing oracled "
-        "entries verbatim"
+        "entries verbatim. Round 6 adds J10 NULL-SAFE equi-join "
+        "(`<=>` / IS NOT DISTINCT FROM — NULL keys match each other, "
+        "planned as a plain hash join) as a fourth arm"
     ),
     layout=[
         ("c_custkey", "long", "BIGINT"),
@@ -116,6 +118,11 @@ _suite(
         ("broadcast", "j4_broadcast_dim_join", {
             "label": "r_name || '/' || n_name", "n_orders": "n_customers",
             "total_spend": "total_acctbal",
+        }),
+        ("null_safe", "j10_null_safe_join", {
+            "c_custkey": "o_orderkey",
+            "label": ("CAST(k AS STRING)", "CAST(k AS VARCHAR)"),
+            "n_orders": "n_cust", "total_spend": "sum_bal",
         }),
     ],
 )
