@@ -2394,3 +2394,83 @@ def geo2_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("lat") * 1e4 + 0.5) / 1e4).alias("lat"),
         F.concat(*chars).alias("geohash"),
     )
+
+
+@register(
+    "an7_rfm_segmentation",
+    oracle="""
+    WITH mx AS (
+        SELECT max(ts) AS now_ts FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT user_id,
+               CAST(floor(date_diff('second', max(ts), (SELECT now_ts FROM mx)) / 86400) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               5 - ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+               ntile(4) OVER (ORDER BY frequency, user_id)  AS f_score,
+               ntile(4) OVER (ORDER BY monetary, user_id)   AS m_score
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 1 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc=(
+        "AN7 RFM customer segmentation — the recency/frequency/"
+        "monetary quartile model behind retention marketing: one "
+        "groupBy builds the per-user profile (exact-decimal monetary "
+        "sum), three ntile(4) windows score the quartiles over "
+        "deterministic (value, user_id) total orders (recency "
+        "inverted: most recent = best), and the classic "
+        "champion/loyal/at_risk/hibernating bands fall out of a CASE. "
+        "Recency is measured against the corpus max timestamp so the "
+        "entry is reproducible (no wall clock); identical formula both "
+        "engines, integer day arithmetic"
+    ),
+)
+def an7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("monetary"),
+    ).crossJoin(F.broadcast(p.agg(F.max("ts").alias("now_ts"))))
+    per_user = per_user.select(
+        "user_id",
+        F.floor(
+            (F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")) / 86400
+        ).cast("long").alias("recency_days"),
+        "frequency", "monetary",
+    )
+    scored = per_user.select(
+        "*",
+        (5 - F.ntile(4).over(Window.orderBy("recency_days", "user_id"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 4) & (F.col("f_score") == 4), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )

@@ -1300,7 +1300,9 @@ _suite(
         "attribution (first/last/linear models over trailing-7-day "
         "touch paths, nano-quantized order-deterministic credits) + "
         "PR4 pairwise Pearson correlation matrix (one stacked scan, "
-        "exact-decimal moments; all round 6)"
+        "exact-decimal moments) + AN7 RFM quartile segmentation "
+        "(deterministic ntile scoring, wall-clock-free recency; all "
+        "round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1370,6 +1372,13 @@ _suite(
         }),
         ("correlation", "pr4_correlation_matrix", {
             "col_name": "pair", "n_rows": "n", "retention": "corr",
+        }),
+        ("rfm", "an7_rfm_segmentation", {
+            "user_id": "user_id", "n_rows": "recency_days",
+            "n_active": "frequency", "retention": "monetary",
+            "funnel_depth": "r_score", "periods_since": "f_score",
+            "n_distinct": ("CAST(m_score AS BIGINT)", "CAST(m_score AS BIGINT)"),
+            "col_name": "segment",
         }),
     ],
 )
