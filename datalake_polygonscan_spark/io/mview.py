@@ -505,3 +505,55 @@ def refresh_join(
     if live is None:
         raise ValueError("refresh_join called with no feed")
     return live
+
+
+def rewrite_groupby_agg(
+    spark: SparkSession,
+    mv_path: str,
+    mv_group_cols: list[str],
+    mv_sum_cols: list[str],
+    want_group_cols: list[str],
+    want_aggs: list[tuple[str, str, str]],
+) -> DataFrame | None:
+    """MV6 — transparent aggregate QUERY REWRITE (the Oracle/BigQuery/
+    Databricks 'automatic MV matching' feature): a groupBy/agg query
+    against the BASE table is answered from this aggregate MV when
+
+    - every requested grouping column is one of the MV's group keys
+      (coarser groupings re-aggregate the MV's partial states), and
+    - every requested aggregate is count(*)/sum(c)/avg(c) over a
+      column the MV carries sums for (all three derive from the
+      (n_rows, sum_c) state pair: counts add, sums add, avg = sum of
+      sums / sum of counts).
+
+    Returns the rewritten DataFrame reading ONLY the MV (group
+    cardinality rows instead of the base table — the 100 TB win), or
+    None when the query doesn't match (grouping key or aggregate the
+    MV state can't derive) — the caller falls back to the base scan.
+    Soundness note: avg must recompute from the summed states, never
+    average the per-group averages.
+
+    ``want_aggs``: (func, col, alias) with func in {count, sum, avg}.
+    """
+    if not set(want_group_cols) <= set(mv_group_cols):
+        return None
+    for func, col, _alias in want_aggs:
+        if func == "count":
+            continue
+        if func in ("sum", "avg") and col in mv_sum_cols:
+            continue
+        return None
+    from datalake_polygonscan_spark.io.sinks import read_table
+
+    mv = read_table(spark, mv_path)
+    exprs = []
+    for func, col, alias in want_aggs:
+        if func == "count":
+            exprs.append(F.sum("n_rows").cast("long").alias(alias))
+        elif func == "sum":
+            exprs.append(F.sum(_sum_col(col)).alias(alias))
+        else:  # avg — exact states, one final divide
+            exprs.append(
+                (F.sum(_sum_col(col)).cast("double") / F.sum("n_rows")).alias(alias)
+            )
+    return mv.groupBy(*want_group_cols).agg(*exprs)

@@ -2426,3 +2426,117 @@ def s34_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n1 + n2).cast("long").alias("n_delete_entries"),
         F.lit(zero_rewrite).alias("zero_rewrite"),
     )
+
+
+@register(
+    "mv6_query_rewrite",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus, o_orderpriority, o_totalprice, o_custkey
+        FROM orders
+    )
+    SELECT 'by_status' AS q, o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS avg_price,
+           CAST(1 AS INTEGER) AS answered_from_mv
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'by_priority', o_orderpriority,
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4,
+           CAST(1 AS INTEGER)
+    FROM base GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'by_custband', CAST(o_custkey % 10 AS VARCHAR),
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4,
+           CAST(0 AS INTEGER)
+    FROM base GROUP BY o_custkey % 10
+    """,
+    doc=(
+        "MV6 transparent aggregate QUERY REWRITE (io/mview.py:"
+        "rewrite_groupby_agg — the automatic-MV-matching feature of "
+        "Oracle/BigQuery/Databricks): a (status, priority) count+sum "
+        "MV answers BOTH coarser user queries (by status alone, by "
+        "priority alone — counts add, sums add, avg recomputes from "
+        "summed states, never averaged averages) by re-aggregating "
+        "group-cardinality partial states instead of scanning the "
+        "base — answered_from_mv=1 is ASSERTED against the executed "
+        "plan's scan paths (MV files only, base never read). The "
+        "third query groups by a column the MV doesn't carry: the "
+        "matcher refuses (soundness), the query falls back to the "
+        "base scan, answered_from_mv=0. The oracle recomputes all "
+        "three from the base table — rewrite must be exactly equal"
+    ),
+)
+def mv6_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.mview import build_aggregate, rewrite_groupby_agg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"
+    )
+    base_tbl = _scratch("mv6_query_rewrite", "orders_base")
+    mv_tbl = _scratch("mv6_query_rewrite", "orders_mv")
+    shutil.rmtree(base_tbl, ignore_errors=True)
+    shutil.rmtree(mv_tbl, ignore_errors=True)
+    atomic_overwrite(o, base_tbl)
+    base = read_table(spark, base_tbl)
+    build_aggregate(
+        spark, mv_tbl, base, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"]
+    )
+
+    def scan_paths(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan
+
+    aggs = [("count", "*", "n_rows"), ("sum", "o_totalprice", "sum_raw"),
+            ("avg", "o_totalprice", "avg_raw")]
+
+    def finish(df, q, grp_expr, from_mv):
+        return df.select(
+            F.lit(q).alias("q"), grp_expr.alias("grp"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("sum_raw").cast("double"), 4).alias("sum_price"),
+            (F.floor(F.col("avg_raw") * 1e4 + 0.5) / 1e4).alias("avg_price"),
+            F.lit(from_mv).cast("int").alias("answered_from_mv"),
+        )
+
+    out = []
+    for q, cols, grp in (
+        ("by_status", ["o_orderstatus"], F.col("o_orderstatus")),
+        ("by_priority", ["o_orderpriority"], F.col("o_orderpriority")),
+    ):
+        rw = rewrite_groupby_agg(
+            spark, mv_tbl, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"],
+            cols, aggs,
+        )
+        assert rw is not None
+        plan = scan_paths(rw)
+        # the rewrite must read the MV's files and never the base's
+        assert "orders_mv" in plan and "orders_base" not in plan
+        out.append(finish(rw, q, grp, 1))
+
+    # grouping key the MV does not carry -> matcher refuses, base scan
+    refused = rewrite_groupby_agg(
+        spark, mv_tbl, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"],
+        ["cust_band"], aggs,
+    )
+    assert refused is None
+    fb = base.groupBy((F.col("o_custkey") % 10).alias("cust_band")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sum_raw"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("avg_raw"),
+    )
+    out.append(finish(fb, "by_custband", F.col("cust_band").cast("string"), 0))
+
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res

@@ -1067,7 +1067,10 @@ _suite(
         "aggregate + MV3 delete-aware MIN/MAX (passthrough arms) + MV2 "
         "exactly-once STREAMING maintenance (real readStream, "
         "checkpointed) + MV4 approx-distinct via mergeable HLL sketches "
-        "with the tolerance verdict riding the hash (merged round 5)"
+        "with the tolerance verdict riding the hash (merged round 5) "
+        "+ MV6 transparent aggregate query REWRITE (coarser groupings "
+        "answered from MV partial states, plan-asserted MV-only scans, "
+        "sound fallback when the grouping key is missing; round 6)"
     ),
     layout=[
         ("grp", "string", "VARCHAR"),
@@ -1087,6 +1090,11 @@ _suite(
         ("sketch_mv", "mv4_distinct_sketch_mv", {
             "grp": "o_orderstatus", "n_rows": "n_exact",
             "flags_ok": "within_tolerance",
+        }),
+        ("rewrite", "mv6_query_rewrite", {
+            "grp": ("q || '/' || grp", "q || '/' || grp"),
+            "n_rows": "n_rows", "v1": "sum_price", "v2": "avg_price",
+            "flags_ok": ("answered_from_mv = 1", "answered_from_mv = 1"),
         }),
     ],
 )
