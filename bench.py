@@ -165,6 +165,18 @@ HEADLINE = [
     "x11_cidr_match",
     "qg_group_by_all",
     "pr3_equidepth_histogram",
+    # round-6 fifth batch: retrieval index + tokenizer apply, XML
+    # ingestion, geohash codegen, null-safe join, RFM, MV rewrite,
+    # k-anonymity, correlation profile
+    "l10_tokenizer_apply",
+    "l11_inverted_index",
+    "x12_xml_functions",
+    "geo2_geohash_encode",
+    "j10_null_safe_join",
+    "an7_rfm_segmentation",
+    "mv6_query_rewrite",
+    "dg2_k_anonymity",
+    "pr4_correlation_matrix",
 ]
 
 
@@ -268,6 +280,15 @@ WARMUP = [
     "x11_cidr_match",
     "qg_group_by_all",
     "pr3_equidepth_histogram",
+    # fifth batch (mv6 stays unwarmed: commit-scenario signal)
+    "l10_tokenizer_apply",
+    "l11_inverted_index",
+    "x12_xml_functions",
+    "geo2_geohash_encode",
+    "j10_null_safe_join",
+    "an7_rfm_segmentation",
+    "dg2_k_anonymity",
+    "pr4_correlation_matrix",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
