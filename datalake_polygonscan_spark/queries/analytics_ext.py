@@ -2474,3 +2474,67 @@ def an7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("int").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+@register(
+    "ts11_seasonal_profile",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), hourly AS (
+        SELECT hour_of_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS DECIMAL(38,0)) AS sv
+        FROM x GROUP BY hour_of_day
+    ), total AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sv) AS DECIMAL(38,0)) AS tsv
+        FROM hourly
+    )
+    SELECT hour_of_day, n,
+           floor(CAST(sv AS DOUBLE) / n / 10000.0 * 1e6 + 0.5) / 1e6 AS hourly_mean,
+           floor((CAST(sv AS DOUBLE) / n) / (CAST(tsv AS DOUBLE) / tn) * 1e6 + 0.5) / 1e6
+               AS seasonal_index
+    FROM hourly CROSS JOIN total
+    """,
+    doc=(
+        "TS11 seasonal profile (multiplicative hour-of-day "
+        "decomposition — the load-shaping/forecast-baseline primitive): "
+        "seasonal index = hourly mean / global mean over purchase "
+        "values. Values quantize to integer ticks and both means come "
+        "from exact DECIMAL(38,0) sums, so the two divisions and one "
+        "ratio are the same IEEE ops on both engines; one map-side "
+        "combinable groupBy + a broadcast 1-row total — no second "
+        "scan, no window"
+    ),
+)
+def ts11_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v"),
+        )
+    )
+    hourly = x.groupBy("hour_of_day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("sv"),
+    )
+    total = hourly.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sv").cast("decimal(38,0)").alias("tsv"),
+    )
+    return hourly.crossJoin(F.broadcast(total)).select(
+        "hour_of_day", "n",
+        (F.floor(F.col("sv").cast("double") / F.col("n") / 10000.0 * 1e6 + 0.5) / 1e6)
+        .alias("hourly_mean"),
+        (
+            F.floor(
+                (F.col("sv").cast("double") / F.col("n"))
+                / (F.col("tsv").cast("double") / F.col("tn"))
+                * 1e6 + 0.5
+            ) / 1e6
+        ).alias("seasonal_index"),
+    )

@@ -1994,10 +1994,11 @@ _suite(
         "grid-binned spatial radius join (3x3 cell-neighborhood "
         "equi-join, never a cross join, exact integer distance "
         "predicate), TS8 two-sided CUSUM drift detection (pure "
-        "DECIMAL add/max recurrence, recursive-CTE-replayed) and W5 "
-        "batch session windows via the native session_window operator, "
-        "cross-proved against the gaps-and-islands hand-derivation "
-        "(all round 6)"
+        "DECIMAL add/max recurrence, recursive-CTE-replayed), W5 "
+        "batch session windows via the native session_window operator "
+        "(cross-proved against the gaps-and-islands hand-derivation), "
+        "TS10 Holt double-exponential smoothing and TS11 hour-of-day "
+        "seasonal indices (exact-decimal means; all round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -2091,6 +2092,10 @@ _suite(
             "value": "value", "n_events": "i",
             "roll_mean": "level", "z": "trend",
             "asof_value": "forecast",
+        }),
+        ("seasonal", "ts11_seasonal_profile", {
+            "is_gap": "hour_of_day", "n_events": "n",
+            "roll_mean": "hourly_mean", "z": "seasonal_index",
         }),
     ],
 )
