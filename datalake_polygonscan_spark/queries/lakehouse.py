@@ -2540,3 +2540,69 @@ def mv6_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in out[1:]:
         res = res.unionByName(part)
     return res
+
+
+@register(
+    "s36_symlink_manifest",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price,
+           CAST(1 AS INTEGER) AS manifest_pinned,
+           CAST(1 AS INTEGER) AS regenerated_sees_new
+    FROM base GROUP BY l_returnflag
+    """,
+    doc=(
+        "S36 symlink-format manifest export (io/interop.py; Delta's "
+        "GENERATE symlink_format_manifest — the Athena/Presto/Trino "
+        "interop contract): the live snapshot's data files are listed "
+        "in a text manifest (one dir walk, zero data reads, atomic "
+        "rename publish) and a consumer plans its scan from that list "
+        "ALONE — no pointer, no commit log. Pinning semantics proven "
+        "in-entry: after a second commit REPLACES the table content, "
+        "the stale manifest still reads the ORIGINAL snapshot "
+        "(manifest_pinned — Delta's documented stale-but-consistent "
+        "behavior, possible because snapshots are immutable), and "
+        "regeneration flips the consumer to the new version "
+        "(regenerated_sees_new). The graded aggregate reads through "
+        "the REGENERATED manifest; the oracle states the final "
+        "content in closed form"
+    ),
+)
+def s36_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.interop import (
+        read_via_manifest,
+        write_symlink_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    table = _scratch("s36_symlink_manifest", "lineitem_interop")
+    shutil.rmtree(table, ignore_errors=True)
+
+    v0 = li.filter(F.col("l_orderkey") % 2 == 1)  # first version: odd keys
+    atomic_overwrite(v0.repartition(4), table, retain=4)
+    write_symlink_manifest(table)
+    n_v0 = read_via_manifest(spark, table).count()
+
+    v1 = li.filter(F.col("l_orderkey") % 2 == 0)  # replace with even keys
+    atomic_overwrite(v1.repartition(4), table, retain=4)
+    # stale manifest still reads the v0 snapshot byte-for-byte
+    pinned = read_via_manifest(spark, table).count() == n_v0 and n_v0 != v1.count()
+
+    write_symlink_manifest(table)
+    fresh = read_via_manifest(spark, table)
+    regenerated = fresh.count() == v1.count()
+
+    return fresh.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        _dbl_sum("l_extendedprice", "sum_price"),
+    ).select(
+        "l_returnflag", "n_rows", "sum_price",
+        F.lit(pinned).cast("int").alias("manifest_pinned"),
+        F.lit(regenerated).cast("int").alias("regenerated_sees_new"),
+    )

@@ -736,7 +736,10 @@ _suite(
         "S23 TIMESTAMP AS OF + S24 VACUUM retention + S25 shallow "
         "clone — the whole commit-log lifecycle (travel, rollback, "
         "retention, zero-copy clone) in one graded slot (merged "
-        "round 5); zero-copy/isolation/raise verdicts ride the hash"
+        "round 5); zero-copy/isolation/raise verdicts ride the hash. "
+        "Round 6 adds S36 symlink-format manifest export (the Athena/"
+        "Presto/Trino interop contract: snapshot-pinned file-list "
+        "manifests, stale-but-consistent until regenerated)"
     ),
     layout=[
         ("o_orderstatus", "string", "VARCHAR"),
@@ -782,6 +785,13 @@ _suite(
             "source_sum": "source_sum", "clone_sum": "clone_sum",
             "zero_copy_clone": "zero_copy_clone",
             "source_isolated": "source_isolated",
+        }),
+        ("manifest", "s36_symlink_manifest", {
+            "o_orderstatus": "l_returnflag", "n_rows": "n_rows",
+            "sum_live": "sum_price",
+            "resolved_v0": ("manifest_pinned = 1", "manifest_pinned = 1"),
+            "live_resolves_latest": ("regenerated_sees_new = 1",
+                                      "regenerated_sees_new = 1"),
         }),
     ],
 )
