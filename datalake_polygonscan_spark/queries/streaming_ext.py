@@ -517,3 +517,99 @@ def _e13_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "e14_join_state_audit",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           TRUE AS left_state_subset,
+           TRUE AS right_state_subset,
+           TRUE AS state_bounded,
+           TRUE AS retained_after_cutoff
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    doc=(
+        "E14 stream-stream JOIN STATE audit via the Spark 4 statestore "
+        "source (joinSide option) — the operational surface for "
+        "debugging retained-row buildup in interval joins: after the "
+        "E6-shape join runs (availableNow, watermark 1h, 30m interval) "
+        "the entry reads BOTH sides' checkpointed state back and "
+        "verifies the eviction CONTRACT with margin-robust invariants "
+        "— every retained row is a real input row (subset, exact set "
+        "containment), state is STRICTLY smaller than its input (the "
+        "watermark must have evicted; the month-long corpus guarantees "
+        "slack), and every retained event time lies within watermark+"
+        "interval+2h of the corpus max (nothing ancient survives — "
+        "bounded memory at any horizon, the property that makes the "
+        "join viable at 100 TB). Exact per-user match counts ride the "
+        "oracle; the four flags ride the value hash. The EXACT "
+        "eviction frontier is deliberately not graded (boundary "
+        "semantics are engine-internal); tests/test_streaming.py pins "
+        "it on controlled timestamps"
+    ),
+)
+def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+    from datalake_polygonscan_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    l_src = _scratch("e14_stream", "clicks")
+    r_src = _scratch("e14_stream", "errors")
+    chk = _scratch("e14_stream", "chk_" + _uuid.uuid4().hex[:8])
+    shutil.rmtree(os.path.dirname(chk), ignore_errors=True)
+    os.makedirs(os.path.dirname(chk), exist_ok=True)
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks.coalesce(1).write.mode("overwrite").parquet(l_src)
+    errors.coalesce(1).write.mode("overwrite").parquet(r_src)
+
+    joined = interval_join(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(l_src),
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(r_src),
+        "user_id", upper="30 minutes", watermark="1 hour",
+    )
+    name = "mem_" + _uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).option("checkpointLocation", chk).start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+
+    left_state = spark.read.format("statestore").option("joinSide", "left").load(chk)
+    right_state = spark.read.format("statestore").option("joinSide", "right").load(chk)
+    l_ids = {r["value"]["l_event_id"] for r in left_state.collect()}
+    r_ids = {r["value"]["r_event_id"] for r in right_state.collect()}
+    l_ts = [r["value"]["l_ts"] for r in left_state.collect()]
+    r_ts = [r["value"]["r_ts"] for r in right_state.collect()]
+
+    click_ids = {r["event_id"] for r in clicks.select("event_id").collect()}
+    error_ids = {r["event_id"] for r in errors.select("event_id").collect()}
+    # the query's global watermark derives from the SLOWEST side's max
+    # event time (min over sides), not the whole corpus max
+    wm_base = min(
+        clicks.agg(F.max("ts")).collect()[0][0],
+        errors.agg(F.max("ts")).collect()[0][0],
+    )
+    import datetime
+
+    cutoff = wm_base - datetime.timedelta(hours=3, minutes=30)  # 1h wm + 30m + 2h margin
+    flags = {
+        "left_state_subset": l_ids <= click_ids,
+        "right_state_subset": r_ids <= error_ids,
+        "state_bounded": len(l_ids) < len(click_ids) and len(r_ids) < len(error_ids),
+        "retained_after_cutoff": all(t >= cutoff for t in l_ts + r_ts),
+    }
+    return out.groupBy("user_id").agg(F.count("*").cast("long").alias("n_pairs")).select(
+        "user_id", "n_pairs",
+        *[F.lit(v).alias(k) for k, v in flags.items()],
+    )

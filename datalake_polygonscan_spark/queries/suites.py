@@ -1289,6 +1289,19 @@ _suite(
             "c_mktsegment": "c_mktsegment", "event_type": "event_type",
             "n_events": "n_events", "total_value": "total_value",
         }),
+        ("state_audit", "e14_join_state_audit", {
+            "user_id": "user_id", "n_events": "n_pairs",
+            "event_type": (
+                "concat(CAST(left_state_subset AS STRING), '/',"
+                " CAST(right_state_subset AS STRING), '/',"
+                " CAST(state_bounded AS STRING), '/',"
+                " CAST(retained_after_cutoff AS STRING))",
+                "concat(CAST(left_state_subset AS VARCHAR), '/',"
+                " CAST(right_state_subset AS VARCHAR), '/',"
+                " CAST(state_bounded AS VARCHAR), '/',"
+                " CAST(retained_after_cutoff AS VARCHAR))",
+            ),
+        }),
     ],
 )
 
