@@ -129,6 +129,26 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW tr AS (PARTITION BY user_id
                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'distribution',
+           o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           o_orderstatus,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           pct_rank,
+           cume_dist,
+           third_cheapest
+    FROM (
+        SELECT o_orderkey, o_orderstatus,
+               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_dist,
+               ROUND(CAST(nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4)
+                   AS third_cheapest
+        FROM orders WHERE o_orderkey % 5 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ) _w6
     """,
     doc=(
         "W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user "
@@ -138,7 +158,10 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union — one graded slot for all three W ids; each source keeps its own "
         "single exchange, the union is exchange-free. Round 6 adds W4 "
         "event-time RANGE frames (value-offset boundary, trailing "
-        "3600 s; ties = peers by definition) as a fourth arm"
+        "3600 s; ties = peers by definition) and W6 distribution "
+        "functions (percent_rank/cume_dist/nth_value — three frames, "
+        "one shared Window node per (partition, order)) as fourth and "
+        "fifth arms"
     ),
 )
 def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +229,32 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_qty"),
         F.lit(None).cast("double").alias("moving_avg_qty"),
     )
-    return rank_part.unionByName(framed_part).unionByName(range_part)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    wd = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist_part = o.select(
+        F.lit("distribution").alias("mode"),
+        F.col("o_orderkey").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        F.col("o_orderstatus").alias("event_type"),
+        F.lit(None).cast("long").alias("rn"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("long").alias("drnk"),
+        F.lit(None).cast("long").alias("quartile"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("string").alias("first_type"),
+        (F.floor(F.percent_rank().over(wd) * 1e6 + 0.5) / 1e6).alias("value_delta"),
+        (F.floor(F.cume_dist().over(wd) * 1e6 + 0.5) / 1e6).alias("running_qty"),
+        F.round(F.nth_value("o_totalprice", 3).over(wfull).cast("double"), 4)
+        .alias("moving_avg_qty"),
+    )
+    return (
+        rank_part.unionByName(framed_part)
+        .unionByName(range_part)
+        .unionByName(dist_part)
+    )
 
 
 @register(
@@ -222,6 +270,26 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW tr AS (PARTITION BY user_id
                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'distribution',
+           o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           o_orderstatus,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           pct_rank,
+           cume_dist,
+           third_cheapest
+    FROM (
+        SELECT o_orderkey, o_orderstatus,
+               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_dist,
+               ROUND(CAST(nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4)
+                   AS third_cheapest
+        FROM orders WHERE o_orderkey % 5 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ) _w6
     """,
     doc=(
         "W4 event-time RANGE frame — the frame type W3's ROWS frames "
@@ -248,4 +316,48 @@ def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
         ).alias("sum_trailing_1h"),
+    )
+
+
+@register(
+    "w6_distribution_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_dist,
+           ROUND(CAST(nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4)
+               AS third_cheapest
+    FROM orders WHERE o_orderkey % 5 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc=(
+        "W6 distribution window functions — percent_rank (rank-1)/"
+        "(n-1), cume_dist (rows <= current)/n, and nth_value over the "
+        "full-partition frame (the 'third cheapest in its status "
+        "class' lookup): completes the ranking family W1 started. "
+        "Total order (price, key) makes every rank deterministic; the "
+        "two ratios are single IEEE divisions of exact integers, "
+        "quantized floor(x*1e6+0.5) per the half-way lesson; one "
+        "Exchange + one Sort serve all three functions"
+    ),
+)
+def w6_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+            (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cume_dist"),
+            F.round(F.nth_value("o_totalprice", 3).over(wfull).cast("double"), 4)
+            .alias("third_cheapest"),
+        )
     )

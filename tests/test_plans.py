@@ -379,13 +379,16 @@ def test_window_suite_one_exchange_per_source(spark):
     adds its own single exchange on l_suppkey; the W4 arm (round 6)
     adds exactly one more Window+Exchange — its RANGE frame orders by
     epoch seconds, a different sort key than the ROWS arm, so it
-    cannot share that Window node; the union itself is exchange-free."""
+    cannot share that Window node; the W6 distribution arm (orders
+    source) likewise adds one Window+Exchange whose single node serves
+    all THREE frames (rank ratios + full-partition nth_value share the
+    (partition, order) spec); the union itself is exchange-free."""
     from datalake_polygonscan_spark.queries.windows import w1_w3
 
     plan = _plan(w1_w3(spark, SF))
     # one Window node and one exchange per union branch, nothing more
-    assert plan.count(") Window") == 3
-    assert plan.count(") Exchange") == 3
+    assert plan.count(") Window") == 4
+    assert plan.count(") Exchange") == 4
     # the RANGE arm really evaluates as a RangeFrame, not eight ROWS
     assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
 
