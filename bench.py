@@ -177,6 +177,10 @@ HEADLINE = [
     "mv6_query_rewrite",
     "dg2_k_anonymity",
     "pr4_correlation_matrix",
+    "ts11_seasonal_profile",
+    "s36_symlink_manifest",
+    "e14_join_state_audit",
+    "w6_distribution_windows",
 ]
 
 
@@ -289,6 +293,8 @@ WARMUP = [
     "an7_rfm_segmentation",
     "dg2_k_anonymity",
     "pr4_correlation_matrix",
+    "ts11_seasonal_profile",
+    "w6_distribution_windows",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
