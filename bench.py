@@ -181,6 +181,7 @@ HEADLINE = [
     "s36_symlink_manifest",
     "e14_join_state_audit",
     "w6_distribution_windows",
+    "ml8_knn_classifier",
 ]
 
 
@@ -295,6 +296,7 @@ WARMUP = [
     "pr4_correlation_matrix",
     "ts11_seasonal_profile",
     "w6_distribution_windows",
+    "ml8_knn_classifier",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

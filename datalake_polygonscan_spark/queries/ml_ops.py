@@ -529,3 +529,93 @@ def ml7_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("thr").alias("_thr_order"),
     )
     return scored.orderBy("gini_crit", "_thr_order").limit(1).drop("_thr_order")
+
+
+@register(
+    "ml8_knn_classifier",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label AS neigh_label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                   c.vec_id ASC
+               ) AS rnk
+        FROM q JOIN corpus c ON TRUE
+    ), votes AS (
+        SELECT query_id, true_label, neigh_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rnk <= 5
+        GROUP BY query_id, true_label, neigh_label
+    ), pred AS (
+        SELECT query_id, true_label, neigh_label AS pred_label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, neigh_label ASC) AS pick
+        FROM votes
+    )
+    SELECT query_id,
+           CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           n_votes,
+           CAST(pred_label = true_label AS INTEGER) AS correct
+    FROM pred WHERE pick = 1
+    """,
+    doc=(
+        "ML8 k-NN classifier over the embeddings table (k=5 majority "
+        "vote, the baseline every vector-labeling pipeline starts "
+        "from): held-out queries (vec_id%20==0) score against the "
+        "remaining corpus via the same brute-force top-k operator L3 "
+        "grades (per-query TakeOrdered heaps — at 100 TB the corpus "
+        "side swaps to the IVF/PQ tiers, identical voting logic), "
+        "neighbor labels vote with deterministic (count desc, label "
+        "asc) tie-break, per-query verdicts value-checked. The oracle "
+        "replays scoring, ranking AND voting in SQL — a wrong "
+        "neighbor, vote count or tie-break flips a row"
+    ),
+)
+def ml8_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    top5 = brute_force_topk(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
+        corpus, k=5,
+    )
+    labeled = (
+        top5.join(
+            corpus.select(F.col("vec_id"), F.col("label").alias("neigh_label")), "vec_id"
+        )
+        .join(
+            F.broadcast(q.select(F.col("vec_id").alias("query_id"),
+                                 F.col("label").alias("true_label"))),
+            "query_id",
+        )
+    )
+    votes = labeled.groupBy("query_id", "true_label", "neigh_label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neigh_label").asc()
+    )
+    return (
+        votes.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neigh_label").cast("int").alias("pred_label"),
+            "n_votes",
+            (F.col("neigh_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )

@@ -266,7 +266,9 @@ _suite(
         "(count-only training, broadcast-model scoring, per-document "
         "MAP decisions oracled value-for-value) + ML7 decision stump "
         "(optimal CART split via division-free exact-BIGINT weighted "
-        "Gini over a cumulative window; both added round 6)"
+        "Gini over a cumulative window) + ML8 k-NN majority-vote "
+        "classifier (held-out queries, L3's top-k operator, voting "
+        "replayed in SQL; all added round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -317,6 +319,12 @@ _suite(
         ("nbayes", "ml5_naive_bayes_langid", {
             "n_vectors": "doc_id", "lang": "lang", "pred": "pred",
             "correct": "correct", "n_docs": "n_tokens",
+        }),
+        ("knn_clf", "ml8_knn_classifier", {
+            "n_vectors": "query_id",
+            "lang": ("CAST(true_label AS STRING)", "CAST(true_label AS VARCHAR)"),
+            "pred": ("CAST(pred_label AS STRING)", "CAST(pred_label AS VARCHAR)"),
+            "n_docs": "n_votes", "correct": "correct",
         }),
         ("stump", "ml7_decision_stump", {
             "mean": "threshold", "n_vectors": "n_left",
