@@ -270,26 +270,6 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW tr AS (PARTITION BY user_id
                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    UNION ALL
-    SELECT 'distribution',
-           o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           o_orderstatus,
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           pct_rank,
-           cume_dist,
-           third_cheapest
-    FROM (
-        SELECT o_orderkey, o_orderstatus,
-               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
-               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_dist,
-               ROUND(CAST(nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
-                     ORDER BY o_totalprice, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4)
-                   AS third_cheapest
-        FROM orders WHERE o_orderkey % 5 = 0
-        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-    ) _w6
     """,
     doc=(
         "W4 event-time RANGE frame — the frame type W3's ROWS frames "
