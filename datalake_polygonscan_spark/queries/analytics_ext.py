@@ -2538,3 +2538,64 @@ def ts11_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "an8_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS dst
+        FROM events
+    ), trans AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst
+    )
+    SELECT src, dst, n_trans,
+           CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS n_src,
+           floor(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY src) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS p
+    FROM trans
+    """,
+    doc=(
+        "AN8 first-order Markov transition matrix over per-user event "
+        "timelines — the behavioral model behind next-action "
+        "prediction and anomalous-session scoring: adjacent "
+        "(src, dst) event pairs via one lead() over the (ts, event_id) "
+        "total order, exact BIGINT transition counts, row-transition "
+        "probability normalized by an exact windowed source total "
+        "(|states|^2 rows, so the second window is noise). At 100 TB: "
+        "one shuffle on user_id for the lead, one combinable groupBy "
+        "on (src,dst) — the matrix itself never exceeds |states|^2 "
+        "rows regardless of data size. Same text runs in the oracle"
+    ),
+)
+def an8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    per_src = W.partitionBy("src")
+    n_src = F.sum("n_trans").over(per_src).cast("long")
+    return trans.select(
+        "src", "dst", "n_trans",
+        n_src.alias("n_src"),
+        (
+            F.floor(
+                F.col("n_trans").cast("double") / n_src.cast("double") * 1e6 + 0.5
+            ) / 1e6
+        ).alias("p"),
+    )

@@ -619,3 +619,94 @@ def ml8_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("neigh_label") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+@register(
+    "ml6_ols_regression",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - 1704067200 AS xs,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yt
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(xs) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(yt) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(xs AS DECIMAL(38,0)) * yt) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(xs AS DECIMAL(38,0)) * xs) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(yt AS DECIMAL(38,0)) * yt) AS DECIMAL(38,0)) AS syy
+        FROM x GROUP BY event_type
+    ), c AS (
+        SELECT event_type, n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+               CAST(n * syy - sy * sy AS DOUBLE) AS var_y_n
+        FROM m
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           floor(cov_n / var_x_n * 1e12 + 0.5) / 1e12 AS slope_ticks_per_sec,
+           floor((CAST(sy AS DOUBLE) - cov_n / var_x_n * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 10000.0 * 1e6 + 0.5) / 1e6 AS intercept,
+           floor(cov_n * cov_n / (var_x_n * var_y_n) * 1e6 + 0.5) / 1e6 AS r2
+    FROM c WHERE var_x_n <> 0 AND var_y_n <> 0
+    """,
+    doc=(
+        "ML6 closed-form OLS linear regression per group (the "
+        "trend-line primitive of every metrics warehouse): per "
+        "event_type, regress tick-quantized value on seconds since "
+        "the 2024-01-01 epoch. One map-side-combinable groupBy "
+        "produces the five exact DECIMAL(38,0) moment sums (n, Σx, "
+        "Σy, Σxy, Σx², Σy²); slope, intercept and R² come from "
+        "Cramer's rule on those exact moments, so the only IEEE ops "
+        "are the final divisions — identical expressions both "
+        "engines, quantized to 1e-6. No second scan, no window, no "
+        "driver iteration: at 100 TB this is one partial-agg "
+        "exchange of ~|groups| rows. Moment magnitude bound: "
+        "|x|<2^31 s, |y|<2^40 ticks, n<2^40 keeps every sum inside "
+        "DECIMAL(38,0)"
+    ),
+)
+def ml6_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long").alias("xs"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("yt"),
+    )
+    dec = "decimal(38,0)"
+    m = x.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xs").cast(dec).alias("sx"),
+        F.sum("yt").cast(dec).alias("sy"),
+        F.sum(F.col("xs").cast(dec) * F.col("yt")).cast(dec).alias("sxy"),
+        F.sum(F.col("xs").cast(dec) * F.col("xs")).cast(dec).alias("sxx"),
+        F.sum(F.col("yt").cast(dec) * F.col("yt")).cast(dec).alias("syy"),
+    )
+    cov_n = (m["n"] * m["sxy"] - m["sx"] * m["sy"]).cast("double")
+    var_x_n = (m["n"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    var_y_n = (m["n"] * m["syy"] - m["sy"] * m["sy"]).cast("double")
+    c = m.select(
+        "event_type", "n", "sx", "sy",
+        cov_n.alias("cov_n"), var_x_n.alias("var_x_n"), var_y_n.alias("var_y_n"),
+    )
+    slope = F.col("cov_n") / F.col("var_x_n")
+    return c.filter((F.col("var_x_n") != 0) & (F.col("var_y_n") != 0)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(slope * 1e12 + 0.5) / 1e12).alias("slope_ticks_per_sec"),
+        (
+            F.floor(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double") / 10000.0 * 1e6 + 0.5
+            ) / 1e6
+        ).alias("intercept"),
+        (
+            F.floor(
+                F.col("cov_n") * F.col("cov_n")
+                / (F.col("var_x_n") * F.col("var_y_n")) * 1e6 + 0.5
+            ) / 1e6
+        ).alias("r2"),
+    )

@@ -662,3 +662,63 @@ def x12_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.priority").alias("priority"),
         F.col("x.total").alias("total"),
     )
+
+
+@register(
+    "x13_url_functions",
+    oracle="""
+    WITH u AS (
+        SELECT p_partkey,
+               'https://catalog.example.test/brand/'
+                   || replace(p_brand, '#', '-')
+                   || '/part?pk=' || CAST(p_partkey AS VARCHAR)
+                   || '&size=' || CAST(p_size AS VARCHAR) AS url,
+               replace(p_name, ' ', '%20') AS enc_name,
+               p_name
+        FROM part
+    )
+    SELECT p_partkey,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]pk=([^&]*)', 1) AS pk_param,
+           regexp_extract(url, '[?&]size=([^&]*)', 1) AS size_param,
+           CAST(replace(enc_name, '%20', ' ') = p_name AS INTEGER)
+               AS decode_roundtrip
+    FROM u
+    """,
+    doc=(
+        "X13 URL functions — the clickstream/web-log parsing tier: "
+        "URLs constructed from part attributes ('#' sanitized out of "
+        "the brand, since it would start a fragment), then Spark's "
+        "native parse_url extracts HOST / PATH / a named QUERY "
+        "parameter (java.net.URI semantics, JVM codegen) and "
+        "url_decode reverses a constrained %-encoding of the part "
+        "name. The oracle re-derives every extraction with regexes "
+        "and replace() arithmetic over the same constructed strings, "
+        "so a delimiter bug in either engine's URL path flips a "
+        "value. Pure per-row codegen: zero shuffles beyond the scan"
+    ),
+)
+def x13_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.lit("https://catalog.example.test/brand/"),
+            F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")),
+            F.lit("/part?pk="),
+            F.col("p_partkey").cast("string"),
+            F.lit("&size="),
+            F.col("p_size").cast("string"),
+        ).alias("url"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("%20")).alias("enc_name"),
+    )
+    return u.select(
+        "p_partkey",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("pk")).alias("pk_param"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("size")).alias("size_param"),
+        (F.url_decode(F.col("enc_name")) == F.col("p_name")).cast("int")
+        .alias("decode_roundtrip"),
+    )

@@ -268,7 +268,9 @@ _suite(
         "(optimal CART split via division-free exact-BIGINT weighted "
         "Gini over a cumulative window) + ML8 k-NN majority-vote "
         "classifier (held-out queries, L3's top-k operator, voting "
-        "replayed in SQL; all added round 6)"
+        "replayed in SQL) + ML6 closed-form per-group OLS regression "
+        "(exact DECIMAL(38,0) moment sums, Cramer's-rule slope/"
+        "intercept/R², one partial-agg exchange; all added round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -330,6 +332,10 @@ _suite(
             "mean": "threshold", "n_vectors": "n_left",
             "dim": "pos_left", "k": "n_right", "n_docs": "pos_right",
             "variance": ("CAST(gini_crit AS DOUBLE)", "CAST(gini_crit AS DOUBLE)"),
+        }),
+        ("ols", "ml6_ols_regression", {
+            "lang": "event_type", "n_docs": "n",
+            "w0": "slope_ticks_per_sec", "w1": "intercept", "w2": "r2",
         }),
     ],
 )
@@ -1340,7 +1346,9 @@ _suite(
         "touch paths, nano-quantized order-deterministic credits) + "
         "PR4 pairwise Pearson correlation matrix (one stacked scan, "
         "exact-decimal moments) + AN7 RFM quartile segmentation "
-        "(deterministic ntile scoring, wall-clock-free recency; all "
+        "(deterministic ntile scoring, wall-clock-free recency) + AN8 "
+        "first-order Markov transition matrix (one lead() pass, exact "
+        "BIGINT counts, windowed source-total normalization; all "
         "round 6)"
     ),
     layout=[
@@ -1418,6 +1426,10 @@ _suite(
             "funnel_depth": "r_score", "periods_since": "f_score",
             "n_distinct": ("CAST(m_score AS BIGINT)", "CAST(m_score AS BIGINT)"),
             "col_name": "segment",
+        }),
+        ("markov", "an8_markov_transitions", {
+            "col_name": "src", "max_value": "dst",
+            "n_rows": "n_trans", "n_active": "n_src", "retention": "p",
         }),
     ],
 )
@@ -1596,7 +1608,9 @@ _suite(
         "route pick) + X12 native from_xml ingestion (typed-struct "
         "parse cross-checked against regex extraction) + GEO2 geohash "
         "encoding from scratch (25-bit interleave by pure shift/mask "
-        "codegen, canonical-vector-validated; all round 6)"
+        "codegen, canonical-vector-validated) + X13 URL functions "
+        "(native parse_url HOST/PATH/QUERY + url_decode vs regex/"
+        "replace re-derivation; all round 6)"
     ),
     layout=(
         [
@@ -1674,6 +1688,11 @@ _suite(
         ("geohash", "geo2_geohash_encode", {
             "event_id": "c_custkey", "type_upper": "geohash",
             "val": "lon", "f_avg_price": "lat",
+        }),
+        ("url", "x13_url_functions", {
+            "event_id": "p_partkey", "type_upper": "host",
+            "type_lower": "path", "props_prefix": "pk_param",
+            "trimmed": "size_param", "k_val": "decode_roundtrip",
         }),
     ],
 )
