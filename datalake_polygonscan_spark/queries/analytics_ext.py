@@ -2599,3 +2599,252 @@ def an8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("p"),
     )
+
+
+#: GEO3 polygon rings: (zone_id, zone, [(x, y), ...]) — integer planar
+#: vertices on GEO1's 100 km grid; zones 1 and 3 are CONCAVE so the
+#: even-odd crossing parity actually matters (a bounding-box or convex
+#: test would misclassify points in the notch).
+_GEO3_POLYGONS: list[tuple[int, str, list[tuple[int, int]]]] = [
+    (1, "delta", [(10000, 10000), (45000, 10000), (45000, 25000),
+                  (25000, 25000), (25000, 45000), (10000, 45000)]),
+    (2, "mesa", [(55000, 55000), (90000, 60000), (85000, 90000),
+                 (65000, 95000), (50000, 75000)]),
+    (3, "wedge", [(60000, 5000), (95000, 20000), (60000, 35000),
+                  (75000, 20000)]),
+]
+
+
+def _geo3_edges_sql() -> str:
+    rows = []
+    for zone_id, zone, ring in _GEO3_POLYGONS:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({zone_id}, '{zone}', {x1}, {y1}, {x2}, {y2})")
+    return ",\n               ".join(rows)
+
+
+@register(
+    "geo3_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 100000 AS px,
+               (c_custkey * 69621) % 100000 AS py
+        FROM customer
+    ), edges(zone_id, zone, x1, y1, x2, y2) AS (
+        VALUES {_geo3_edges_sql()}
+    ), hits AS (
+        SELECT p.c_custkey, p.px, p.py, e.zone_id, e.zone,
+               CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                         AND (((p.py - e.y1) * (e.x2 - e.x1)
+                               - (p.px - e.x1) * (e.y2 - e.y1) > 0)
+                              = (e.y2 > e.y1))
+                    THEN 1 ELSE 0 END AS crossing
+        FROM pts p CROSS JOIN edges e
+    )
+    SELECT c_custkey, zone_id, zone,
+           CAST(px AS BIGINT) AS x, CAST(py AS BIGINT) AS y,
+           CAST(sum(crossing) AS BIGINT) AS crossings
+    FROM hits
+    GROUP BY c_custkey, zone_id, zone, px, py
+    HAVING sum(crossing) % 2 = 1
+    """,
+    doc=(
+        "GEO3 point-in-polygon via even-odd ray casting — the "
+        "geofencing primitive (which delivery zone / tax region / "
+        "coverage cell contains this point): customers take GEO1's "
+        "deterministic planar coordinates, three literal polygon "
+        "rings (two CONCAVE, so crossing parity is load-bearing) "
+        "broadcast as an edge table, and each (point, edge) pair "
+        "evaluates the EXACT-integer crossing test — the px < "
+        "x-intersect comparison cross-multiplied so no division ever "
+        "happens: ((py-y1)(x2-x1) - (px-x1)(y2-y1) > 0) == (y2 > y1). "
+        "Inside = odd crossing count per (point, ring). At 100 TB "
+        "this is a broadcast nested-loop against a ~15-row edge "
+        "table then one combinable groupBy — O(n·edges), no shuffle "
+        "of the points beyond the agg; a real geo index would bin "
+        "rings to cells first (GEO1's decomposition composes). The "
+        "oracle replays the identical integer arithmetic"
+    ),
+)
+def geo3_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("px"),
+        ((F.col("c_custkey") * 69621) % 100000).alias("py"),
+    )
+    edge_rows = []
+    for zone_id, zone, ring in _GEO3_POLYGONS:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            edge_rows.append((zone_id, zone, x1, y1, x2, y2))
+    edges = spark.createDataFrame(
+        edge_rows, "zone_id int, zone string, x1 long, y1 long, x2 long, y2 long"
+    )
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & (
+            (
+                (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+                - (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+                > 0
+            )
+            == (F.col("y2") > F.col("y1"))
+        )
+    ).cast("int")
+    return (
+        pts.crossJoin(F.broadcast(edges))
+        .select("c_custkey", "px", "py", "zone_id", "zone", crossing.alias("crossing"))
+        .groupBy("c_custkey", "zone_id", "zone", "px", "py")
+        .agg(F.sum("crossing").cast("long").alias("crossings"))
+        .filter(F.col("crossings") % 2 == 1)
+        .select(
+            "c_custkey", "zone_id", "zone",
+            F.col("px").cast("long").alias("x"),
+            F.col("py").cast("long").alias("y"),
+            "crossings",
+        )
+    )
+
+
+@register(
+    "ts12_m4_downsample",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS xs,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yt,
+               event_id
+        FROM events
+    ), bp AS (
+        SELECT event_type, CAST(floor(xs / 3600) AS BIGINT) AS bkt,
+               xs, yt, event_id
+        FROM pts
+    ), b AS (
+        SELECT event_type, bkt,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xs) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(yt) AS DECIMAL(38,0)) AS sy
+        FROM bp GROUP BY event_type, bkt
+    ), nb AS (
+        SELECT event_type, bkt, n,
+               lag(n)  OVER w AS np, lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp,
+               lead(n) OVER w AS nn, lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY bkt ASC)
+    ), m4 AS (
+        SELECT event_type, bkt, xs, yt, event_id,
+               row_number() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY xs ASC, event_id ASC) AS rn_first,
+               row_number() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY xs DESC, event_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY yt ASC, event_id ASC) AS rn_min,
+               row_number() OVER (PARTITION BY event_type, bkt
+                                  ORDER BY yt DESC, event_id ASC) AS rn_max
+        FROM bp
+    ), lt AS (
+        SELECT p.event_type, p.bkt, p.xs, p.yt, p.event_id,
+               row_number() OVER (
+                   PARTITION BY p.event_type, p.bkt
+                   ORDER BY abs(  n2.sxp * (CAST(p.yt AS DECIMAL(38,0)) * n2.nn - n2.syn)
+                                + CAST(p.xs AS DECIMAL(38,0))
+                                      * (n2.syn * n2.np - n2.syp * n2.nn)
+                                + n2.sxn * (n2.syp - CAST(p.yt AS DECIMAL(38,0)) * n2.np)
+                               ) DESC, p.event_id ASC
+               ) AS rn_lt
+        FROM bp p JOIN nb n2 ON n2.event_type = p.event_type AND n2.bkt = p.bkt
+        WHERE n2.np IS NOT NULL AND n2.nn IS NOT NULL
+    ), roles AS (
+        SELECT event_type, bkt, 1 AS role_id, 'first' AS role, event_id, xs, yt
+        FROM m4 WHERE rn_first = 1
+        UNION ALL
+        SELECT event_type, bkt, 2, 'last', event_id, xs, yt FROM m4 WHERE rn_last = 1
+        UNION ALL
+        SELECT event_type, bkt, 3, 'vmin', event_id, xs, yt FROM m4 WHERE rn_min = 1
+        UNION ALL
+        SELECT event_type, bkt, 4, 'vmax', event_id, xs, yt FROM m4 WHERE rn_max = 1
+        UNION ALL
+        SELECT event_type, bkt, 5, 'lt', event_id, xs, yt FROM lt WHERE rn_lt = 1
+    )
+    SELECT r.event_type, r.bkt, r.role_id, r.role, r.event_id, r.xs, r.yt, b.n
+    FROM roles r JOIN b ON b.event_type = r.event_type AND b.bkt = r.bkt
+    """,
+    doc=(
+        "TS12 visualization-oriented downsampling: M4 (Jugel et al., "
+        "VLDB'14 — per fixed time bucket keep first/last/min/max, the "
+        "lossless envelope for line rendering) + the largest-triangle "
+        "representative (Steinarsson's LTTB selection rule with "
+        "prev/next BUCKET-CENTROID anchors, which removes LTTB's "
+        "sequential dependency so the whole operator is one shuffle). "
+        "All selections are deterministic row_number totals orders; "
+        "the triangle area comparison is EXACT — multiplied through "
+        "by np*nn so the centroid rationals never divide, DECIMAL"
+        "(38,0) terms bounded ~1e21 at 1e4 rows/bucket. At 100 TB: "
+        "one (event_type,bkt) hash shuffle, window passes + a "
+        "bucket-level lag/lead join — no per-point Python. The "
+        "oracle replays bucketing, all four M4 orders AND the exact "
+        "area argmax verbatim"
+    ),
+)
+def ts12_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    bp = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("xs"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("yt"),
+        "event_id",
+    ).withColumn("bkt", F.floor(F.col("xs") / 3600).cast("long"))
+    b = bp.groupBy("event_type", "bkt").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xs").cast(dec).alias("sx"),
+        F.sum("yt").cast(dec).alias("sy"),
+    )
+    wb = W.partitionBy("event_type").orderBy(F.col("bkt").asc())
+    nb = b.select(
+        "event_type", "bkt", "n",
+        F.lag("n").over(wb).alias("np"), F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lead("n").over(wb).alias("nn"), F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+    )
+    pb = W.partitionBy("event_type", "bkt")
+    m4 = bp.select(
+        "event_type", "bkt", "xs", "yt", "event_id",
+        F.row_number().over(pb.orderBy(F.col("xs").asc(), F.col("event_id").asc())).alias("rn_first"),
+        F.row_number().over(pb.orderBy(F.col("xs").desc(), F.col("event_id").desc())).alias("rn_last"),
+        F.row_number().over(pb.orderBy(F.col("yt").asc(), F.col("event_id").asc())).alias("rn_min"),
+        F.row_number().over(pb.orderBy(F.col("yt").desc(), F.col("event_id").asc())).alias("rn_max"),
+    )
+    area = F.abs(
+        F.col("sxp") * (F.col("yt").cast(dec) * F.col("nn") - F.col("syn"))
+        + F.col("xs").cast(dec) * (F.col("syn") * F.col("np") - F.col("syp") * F.col("nn"))
+        + F.col("sxn") * (F.col("syp") - F.col("yt").cast(dec) * F.col("np"))
+    )
+    lt = (
+        bp.join(nb, ["event_type", "bkt"])
+        .filter(F.col("np").isNotNull() & F.col("nn").isNotNull())
+        .withColumn(
+            "rn_lt",
+            F.row_number().over(pb.orderBy(area.desc(), F.col("event_id").asc())),
+        )
+    )
+    def role(df, rn, role_id, name):
+        return df.filter(F.col(rn) == 1).select(
+            "event_type", "bkt",
+            F.lit(role_id).alias("role_id"), F.lit(name).alias("role"),
+            "event_id", "xs", "yt",
+        )
+    roles = (
+        role(m4, "rn_first", 1, "first")
+        .unionByName(role(m4, "rn_last", 2, "last"))
+        .unionByName(role(m4, "rn_min", 3, "vmin"))
+        .unionByName(role(m4, "rn_max", 4, "vmax"))
+        .unionByName(role(lt, "rn_lt", 5, "lt"))
+    )
+    return roles.join(b.select("event_type", "bkt", "n"), ["event_type", "bkt"]).select(
+        "event_type", "bkt", "role_id", "role", "event_id", "xs", "yt", "n"
+    )

@@ -2048,7 +2048,12 @@ _suite(
         "batch session windows via the native session_window operator "
         "(cross-proved against the gaps-and-islands hand-derivation), "
         "TS10 Holt double-exponential smoothing and TS11 hour-of-day "
-        "seasonal indices (exact-decimal means; all round 6)"
+        "seasonal indices (exact-decimal means), GEO3 point-in-polygon "
+        "via exact-integer even-odd ray casting (concave rings, "
+        "division-free crossing test) and TS12 M4 + largest-triangle "
+        "visual downsampling (Jugel VLDB'14 envelope + LTTB selection "
+        "with centroid anchors, exact DECIMAL area argmax; all "
+        "round 6)"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -2146,6 +2151,16 @@ _suite(
         ("seasonal", "ts11_seasonal_profile", {
             "is_gap": "hour_of_day", "n_events": "n",
             "roll_mean": "hourly_mean", "z": "seasonal_index",
+        }),
+        ("pip", "geo3_point_in_polygon", {
+            "event_id": "c_custkey", "user_id": "x",
+            "asof_event_id": "y", "is_gap": "zone_id",
+            "n_events": "crossings",
+        }),
+        ("m4", "ts12_m4_downsample", {
+            "event_id": "event_id", "user_id": "xs",
+            "bucket_start": "yt", "is_gap": "role_id",
+            "n_events": "n", "asof_event_id": "bkt",
         }),
     ],
 )
