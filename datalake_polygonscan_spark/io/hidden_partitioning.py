@@ -1,0 +1,86 @@
+"""Hidden (transform) partitioning — Iceberg's headline layout idea.
+
+The table is physically partitioned by TRANSFORMS of source columns
+(``month(ts_col)``, ``bucket(n, key_col)``) that the query author never
+references: they filter the RAW column, and the reader derives the
+matching partition predicate automatically, so partition pruning
+happens without the query knowing the layout (and the layout can later
+change without breaking queries — the partition columns are an
+implementation detail carried under a ``__p_`` prefix).
+
+Reference behavior being re-expressed: the reference pins its weekly
+job to hand-named date folders (walletDataConsumer.py's per-run output
+paths); hidden partitioning is the lakehouse-native generalization —
+derivation and pruning move into the table layer. Spark-first: the
+derived columns are ordinary hive partition columns, so Catalyst's
+``PartitionFilters`` does the actual pruning; this module only owns
+predicate DERIVATION (raw filter -> transform filter), never scanning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MonthTransform:
+    """Partition by calendar month of a timestamp column."""
+
+    source: str
+    part_col: str
+
+    def derive(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.part_col, F.date_format(F.col(self.source), "yyyy-MM"))
+
+    def range_predicate(self, lo: str, hi: str) -> Column:
+        """Partition predicate implied by ``source BETWEEN lo AND hi``.
+
+        'yyyy-MM' sorts lexicographically, so the month interval is a
+        plain string BETWEEN on the partition column.
+        """
+        return F.col(self.part_col).between(lo[:7], hi[:7])
+
+
+@dataclass(frozen=True)
+class BucketTransform:
+    """Partition by a modulo bucket of an integer key column."""
+
+    source: str
+    part_col: str
+    n: int
+
+    def derive(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.part_col, F.pmod(F.col(self.source), F.lit(self.n)))
+
+    def eq_predicate(self, value: int) -> Column:
+        """Partition predicate implied by ``source = value``."""
+        return F.col(self.part_col) == value % self.n
+
+
+def write_hidden(df: DataFrame, path: str, transforms) -> None:
+    """Write ``df`` hive-partitioned by the derived transform columns."""
+    out = df
+    for t in transforms:
+        out = t.derive(out)
+    out.write.mode("overwrite").partitionBy(*[t.part_col for t in transforms]).parquet(path)
+
+
+def read_hidden(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hidden-partitioned table WITHOUT the layout columns.
+
+    Callers filter raw columns; use the transform ``*_predicate``
+    helpers to inject the pruning predicate before this projection.
+    """
+    return spark.read.parquet(path)
+
+
+def scan_is_pruned(df: DataFrame, part_col: str) -> bool:
+    """True when the executed plan pushes a partition filter on
+    ``part_col`` (Catalyst lists it under PartitionFilters, meaning
+    non-matching partition directories are never opened)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    at = plan.find("PartitionFilters: [")
+    return at >= 0 and part_col in plan[at : plan.find("]", at) + 1]

@@ -24,6 +24,7 @@ import json
 import math
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -300,3 +301,41 @@ def auto_optimize(
         retain=retain,
     )
     return {"triggered": True, "small_files": small, **stats}
+
+
+def gc_orphans(table_path: str, min_age_s: float = 86400.0) -> list[str]:
+    """Remove ORPHAN artifacts from a snapshot table directory: data
+    laid down by writers that never committed (a crashed writer's
+    ``snapshot=`` dir whose name appears in neither the commit log nor
+    the live pointer, or stray files dropped at the table root).
+
+    This is the counterpart of :func:`~..io.sinks.vacuum`, which prunes
+    OLD COMMITTED versions — orphan GC may only touch data the log has
+    never heard of, so a bug here can never lose a committed row. The
+    ``min_age_s`` guard (Iceberg's ``older_than``, default 24 h) keeps
+    an in-flight writer's not-yet-committed snapshot safe: a writer
+    writes, then CAS-commits, so anything younger than the guard may
+    still be about to commit. Returns the removed entry names.
+    """
+    from datalake_polygonscan_spark.io.sinks import _load_log_entries
+
+    meta = read_pointer(table_path)
+    referenced = {e["snapshot"] for e in _load_log_entries(table_path) if "snapshot" in e}
+    if meta is not None:
+        referenced.add(meta["snapshot"])
+    now = time.time()
+    removed: list[str] = []
+    for entry in sorted(os.listdir(table_path)):
+        if entry in ("_log", "_CURRENT") or entry.startswith("_CURRENT"):
+            continue
+        full = os.path.join(table_path, entry)
+        if entry.startswith("snapshot=") and entry in referenced:
+            continue
+        if now - os.path.getmtime(full) < min_age_s:
+            continue
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.remove(full)
+        removed.append(entry)
+    return removed

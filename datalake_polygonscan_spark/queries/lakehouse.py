@@ -2606,3 +2606,65 @@ def s36_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pinned).cast("int").alias("manifest_pinned"),
         F.lit(regenerated).cast("int").alias("regenerated_sees_new"),
     )
+
+
+@register(
+    "s38_orphan_file_gc",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(c_acctbal + 100.0 AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_live,
+           CAST(2 AS BIGINT) AS n_orphans_removed,
+           TRUE AS age_guard_held,
+           TRUE AS committed_v0_readable,
+           TRUE AS stray_file_gone
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc=(
+        "S38 ORPHAN-FILE GC (io/maintenance.py:gc_orphans; Iceberg's "
+        "remove_orphan_files): a crashed writer's never-committed "
+        "snapshot dir and a stray temp file at the table root are "
+        "removed — but ONLY data the commit log has never referenced, "
+        "so GC can never lose a committed row (the complement of S24's "
+        "VACUUM, which retires OLD COMMITTED versions). The min_age "
+        "guard is exercised first: with a 1 h threshold the young "
+        "orphans survive (an in-flight writer may still be about to "
+        "CAS-commit), then age-0 GC removes exactly the two planted "
+        "orphans. v0 stays time-travel-readable and the live v1 read "
+        "(acctbal+100, the oracle's closed form) is byte-identical "
+        "after GC; every verdict rides the value hash"
+    ),
+)
+def s38_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.maintenance import gc_orphans
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = _scratch("s38_orphan_gc", "cust")
+    shutil.rmtree(table, ignore_errors=True)
+    atomic_overwrite(c, table, retain=10)
+    atomic_overwrite(c.withColumn("c_acctbal", F.col("c_acctbal") + 100.0), table, retain=10)
+
+    # a crashed writer: data fully written, commit never happened
+    orphan_dir = os.path.join(table, "snapshot=99-orphandeadbeef")
+    c.limit(10).write.mode("overwrite").parquet(orphan_dir)
+    stray = os.path.join(table, "_tmp_part-00099-leftover.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1 leftover")
+
+    guard_held = len(gc_orphans(table, min_age_s=3600.0)) == 0
+    removed = gc_orphans(table, min_age_s=0.0)
+    v0_ok = read_version(spark, table, 0).count() == c.count()
+    return (
+        read_table(spark, table)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("c_acctbal", "sum_live"))
+        .withColumn("n_orphans_removed", F.lit(len(removed)).cast("long"))
+        .withColumn("age_guard_held", F.lit(bool(guard_held)))
+        .withColumn("committed_v0_readable", F.lit(bool(v0_ok)))
+        .withColumn("stray_file_gone", F.lit(not os.path.exists(stray) and not os.path.exists(orphan_dir)))
+    )

@@ -254,3 +254,90 @@ def s31_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("price", "sum_price"))
         .withColumn("untouched_partitions_survive", F.lit(survived == 3))
     )
+
+
+@register(
+    "s37_hidden_partitioning",
+    oracle="""
+    SELECT 'month_range' AS mode, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+           TRUE AS pruned
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+                         AND TIMESTAMP '1995-08-31 23:59:59'
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'bucket_eq', 'key',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM lineitem
+    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+    """,
+    doc=(
+        "S37 HIDDEN partitioning (Iceberg's transform partitioning — "
+        "io/hidden_partitioning.py): the table is physically laid out "
+        "by month(l_shipdate) and bucket(8, l_orderkey), but queries "
+        "filter only the RAW columns; the table layer derives the "
+        "matching partition predicate (month interval from the "
+        "timestamp range, key%8 from the key equality) and Catalyst "
+        "prunes directories via PartitionFilters — asserted against "
+        "the EXECUTED plan and ridden on the value hash as `pruned`. "
+        "This is what keeps user SQL stable across layout changes at "
+        "100 TB: pruning without the query knowing the layout. The "
+        "oracle computes the same aggregates from the raw table with "
+        "the raw predicates, so a derivation bug that drops or "
+        "duplicates boundary rows value-fails"
+    ),
+)
+def s37_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.hidden_partitioning import (
+        BucketTransform, MonthTransform, read_hidden, scan_is_pruned, write_hidden,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price"),
+    )
+    month_t = MonthTransform("l_shipdate", "__p_month")
+    bucket_t = BucketTransform("l_orderkey", "__p_bucket", 8)
+    path = _scratch("s37_hidden", "lineitem_hidden")
+    _shutil.rmtree(path, ignore_errors=True)
+    write_hidden(li, path, [month_t, bucket_t])
+
+    t = read_hidden(spark, path)
+    lo, hi = "1995-06-01 00:00:00", "1995-08-31 23:59:59"
+    month_q = (
+        t.filter(month_t.range_predicate(lo, hi))
+        .filter(F.col("l_shipdate").between(F.lit(lo).cast("timestamp"),
+                                            F.lit(hi).cast("timestamp")))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("qty", "total"))
+    )
+    month_pruned = scan_is_pruned(month_q, "__p_month")
+
+    key = li.agg(F.min("l_orderkey").alias("k")).collect()[0]["k"]
+    bucket_q = (
+        t.filter(bucket_t.eq_predicate(key))
+        .filter(F.col("l_orderkey") == key)
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("price", "total"))
+        .select(F.lit("key").alias("grp"), "n_rows", "total")
+    )
+    bucket_pruned = scan_is_pruned(bucket_q, "__p_bucket")
+
+    return (
+        month_q.select(
+            F.lit("month_range").alias("mode"), "grp", "n_rows", "total",
+            F.lit(bool(month_pruned)).alias("pruned"),
+        )
+        .unionByName(
+            bucket_q.select(
+                F.lit("bucket_eq").alias("mode"), "grp", "n_rows", "total",
+                F.lit(bool(bucket_pruned)).alias("pruned"),
+            )
+        )
+    )

@@ -753,7 +753,10 @@ _suite(
         "round 5); zero-copy/isolation/raise verdicts ride the hash. "
         "Round 6 adds S36 symlink-format manifest export (the Athena/"
         "Presto/Trino interop contract: snapshot-pinned file-list "
-        "manifests, stale-but-consistent until regenerated)"
+        "manifests, stale-but-consistent until regenerated) and S38 "
+        "orphan-file GC (Iceberg's remove_orphan_files: only "
+        "never-committed data is removable, min_age in-flight-writer "
+        "guard exercised, committed versions byte-identical after GC)"
     ),
     layout=[
         ("o_orderstatus", "string", "VARCHAR"),
@@ -799,6 +802,13 @@ _suite(
             "source_sum": "source_sum", "clone_sum": "clone_sum",
             "zero_copy_clone": "zero_copy_clone",
             "source_isolated": "source_isolated",
+        }),
+        ("orphan_gc", "s38_orphan_file_gc", {
+            "o_orderstatus": "c_mktsegment", "n_rows": "n_rows",
+            "sum_live": "sum_live", "n_vacuumed": "n_orphans_removed",
+            "vacuumed_raise": "age_guard_held",
+            "survivor_readable": "committed_v0_readable",
+            "source_isolated": "stray_file_gone",
         }),
         ("manifest", "s36_symlink_manifest", {
             "o_orderstatus": "l_returnflag", "n_rows": "n_rows",
@@ -1461,7 +1471,10 @@ _suite(
         "later explicit NULLs survive, inode-asserted zero rewrite) "
         "+ DG1 secured view: column masking "
         "(sha2 token, partial disclosure, k-anonymous banding) + "
-        "row-level security as a broadcast policy join (round 6)"
+        "row-level security as a broadcast policy join + S37 HIDDEN "
+        "partitioning: month/bucket transform layout, raw-column "
+        "queries pruned via derived PartitionFilters, executed-plan "
+        "asserted (round 6)"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1533,6 +1546,10 @@ _suite(
             "c_custkey": "region_band", "valid_from": "balance_band",
             "n_rows": "class_size", "sum_price": "sum_bal",
             "v0_n_cols": ("CAST(released AS BIGINT)", "CAST(released AS BIGINT)"),
+        }),
+        (None, "s37_hidden_partitioning", {
+            "mode": "mode", "status": "grp", "n_rows": "n_rows",
+            "metric": "total", "semantics_ok": "pruned",
         }),
     ],
 )
