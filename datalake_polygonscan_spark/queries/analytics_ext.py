@@ -2848,3 +2848,104 @@ def ts12_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roles.join(b.select("event_type", "bkt", "n"), ["event_type", "bkt"]).select(
         "event_type", "bkt", "role_id", "role", "event_id", "xs", "yt", "n"
     )
+
+
+@register(
+    "pr5_drift_monitor",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 'base' ELSE 'cur' END AS era,
+               o_orderpriority AS cat_p,
+               'b' || CAST(least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9)
+                           AS VARCHAR) AS cat_b
+        FROM orders
+    ), stacked AS (
+        SELECT era, 'priority' AS col_name, cat_p AS category FROM tagged
+        UNION ALL
+        SELECT era, 'price_bucket', cat_b FROM tagged
+    ), cnt AS (
+        SELECT col_name, category,
+               CAST(sum(CASE WHEN era = 'base' THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS nb,
+               CAST(sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS nc
+        FROM stacked GROUP BY col_name, category
+    ), tot AS (
+        SELECT col_name, category, nb, nc,
+               CAST(sum(nb) OVER (PARTITION BY col_name) AS DECIMAL(38,0)) AS tb,
+               CAST(sum(nc) OVER (PARTITION BY col_name) AS DECIMAL(38,0)) AS tc
+        FROM cnt
+    )
+    SELECT col_name, category,
+           CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+           floor(CAST(abs(nb * tc - nc * tb) AS DOUBLE)
+                 / CAST(2 * tb * tc AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tvd_comp,
+           CASE WHEN nb = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE floor(CAST((nc * tb - nb * tc) * (nc * tb - nb * tc) AS DOUBLE)
+                           / CAST(nb * tc * tb AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS chi2_comp
+    FROM tot
+    """,
+    doc=(
+        "PR5 distribution-DRIFT monitor between table eras (the "
+        "pre-retrain check of every production ML pipeline): orders "
+        "split at 1998-01-01 into base/current, two stacked "
+        "categorical views (priority, price bucket) profiled in ONE "
+        "scan; per-category total-variation and chi-square "
+        "components from EXACT DECIMAL cross-products (|nb·tc − "
+        "nc·tb| never divides until the single per-row IEEE division "
+        "at the output boundary, so engine-order float accumulation "
+        "can't diverge — the an3/pr4 moment discipline). At 100 TB: "
+        "one combinable groupBy over |categories| cells + a window "
+        "over the tiny profile — the drift table is O(categories) "
+        "regardless of data size. Same text in the oracle"
+    ),
+)
+def pr5_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.lit("base"),
+        ).otherwise(F.lit("cur")).alias("era"),
+        F.col("o_orderpriority").alias("cat_p"),
+        F.concat(
+            F.lit("b"),
+            F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)).cast("string"),
+        ).alias("cat_b"),
+    )
+    stacked = tagged.select("era", F.lit("priority").alias("col_name"), F.col("cat_p").alias("category")).unionByName(
+        tagged.select("era", F.lit("price_bucket").alias("col_name"), F.col("cat_b").alias("category"))
+    )
+    cnt = stacked.groupBy("col_name", "category").agg(
+        F.sum(F.when(F.col("era") == "base", 1).otherwise(0)).cast(dec).alias("nb"),
+        F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).cast(dec).alias("nc"),
+    )
+    wcol = W.partitionBy("col_name")
+    tot = cnt.select(
+        "col_name", "category", "nb", "nc",
+        F.sum("nb").over(wcol).cast(dec).alias("tb"),
+        F.sum("nc").over(wcol).cast(dec).alias("tc"),
+    )
+    cross = F.col("nc") * F.col("tb") - F.col("nb") * F.col("tc")
+    return tot.select(
+        "col_name", "category",
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("nc").cast("long").alias("n_cur"),
+        (
+            F.floor(
+                F.abs(F.col("nb") * F.col("tc") - F.col("nc") * F.col("tb")).cast("double")
+                / (F.lit(2).cast(dec) * F.col("tb") * F.col("tc")).cast("double")
+                * 1e6 + 0.5
+            ) / 1e6
+        ).alias("tvd_comp"),
+        F.when(F.col("nb") == 0, F.lit(None).cast("double")).otherwise(
+            F.floor(
+                (cross * cross).cast("double")
+                / (F.col("nb") * F.col("tc") * F.col("tb")).cast("double")
+                * 1e6 + 0.5
+            ) / 1e6
+        ).alias("chi2_comp"),
+    )

@@ -613,3 +613,103 @@ def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_pairs",
         *[F.lit(v).alias(k) for k, v in flags.items()],
     )
+
+
+@register(
+    "e15_fanout_txn_stream",
+    oracle="""
+    SELECT 'by_type' AS mode, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           CAST(4 AS BIGINT) AS n_batches,
+           TRUE AS replay_noop, TRUE AS versions_lockstep, TRUE AS totals_agree
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_hour', 'h' || CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS VARCHAR),
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4),
+           CAST(4 AS BIGINT), TRUE, TRUE, TRUE
+    FROM events GROUP BY 2
+    """,
+    doc=(
+        "E15 one stream, TWO sinks, atomically consistent "
+        "(streaming/ingest.py:stream_fanout_txn): every micro-batch "
+        "(maxFilesPerTrigger=1, 4 batches) derives two DIFFERENT "
+        "rollups of the same rows — by event_type and by hour-of-day "
+        "— and commits BOTH through one multi-table transaction "
+        "(S30's write-ahead intent + ordered CAS), so no reader ever "
+        "sees one sink reflecting a batch the other hasn't applied — "
+        "the invariant plain foreachBatch double-writes cannot give. "
+        "Exactly-once: the batch id rides every table's commit "
+        "metadata; a hand-replayed batch 0 is skipped before staging "
+        "(replay_noop = both version counts unchanged). Sink states "
+        "are O(|groups|) rollup re-aggregations, not O(rows) "
+        "rewrites. Verdicts riding the hash: replay_noop, "
+        "versions_lockstep (equal commit counts), totals_agree (both "
+        "sinks partition the same row set). Oracle: closed-form "
+        "rollups of the fully-drained source"
+    ),
+)
+def e15_fanout_txn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history, read_table
+    from datalake_polygonscan_spark.streaming.ingest import stream_fanout_txn
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _scratch("e15_fanout", "x")
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    src = _scratch("e15_fanout", "events_src")
+    t_type = _scratch("e15_fanout", "by_type")
+    t_hour = _scratch("e15_fanout", "by_hour")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _step(group_expr):
+        def step(old, batch):
+            delta = batch.groupBy(group_expr.alias("grp")).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+            )
+            if old is None:
+                return delta
+            return (
+                old.unionByName(delta)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+                )
+            )
+        return step
+
+    apply_fn, bids = stream_fanout_txn(
+        spark, src, t_type, t_hour,
+        _step(F.col("event_type")),
+        _step(F.concat(F.lit("h"), F.hour("ts").cast("string"))),
+        max_files_per_trigger=1,
+    )
+    va, vb = len(history(t_type)), len(history(t_hour))
+    # hand-replay batch 0: the full source as a pretend micro-batch with
+    # an already-committed id — must be skipped before any staging
+    apply_fn(spark.read.parquet(src), 0)
+    replay_noop = len(history(t_type)) == va and len(history(t_hour)) == vb
+
+    a = read_table(spark, t_type)
+    b = read_table(spark, t_hour)
+    tot_a = a.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+    tot_b = b.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+    flags = {
+        "n_batches": F.lit(va).cast("long"),
+        "replay_noop": F.lit(bool(replay_noop)),
+        "versions_lockstep": F.lit(va == vb),
+        "totals_agree": F.lit(tot_a == tot_b),
+    }
+    out_a = a.select(
+        F.lit("by_type").alias("mode"), "grp",
+        "n_rows", F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    out_b = b.select(
+        F.lit("by_hour").alias("mode"), "grp",
+        "n_rows", F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    return out_a.unionByName(out_b)

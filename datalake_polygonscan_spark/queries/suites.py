@@ -1358,8 +1358,10 @@ _suite(
         "exact-decimal moments) + AN7 RFM quartile segmentation "
         "(deterministic ntile scoring, wall-clock-free recency) + AN8 "
         "first-order Markov transition matrix (one lead() pass, exact "
-        "BIGINT counts, windowed source-total normalization; all "
-        "round 6)"
+        "BIGINT counts, windowed source-total normalization) + PR5 "
+        "distribution-drift monitor (per-category TVD + chi-square "
+        "from exact DECIMAL cross-products, one scan, single "
+        "output-boundary division; all round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1440,6 +1442,11 @@ _suite(
         ("markov", "an8_markov_transitions", {
             "col_name": "src", "max_value": "dst",
             "n_rows": "n_trans", "n_active": "n_src", "retention": "p",
+        }),
+        ("drift", "pr5_drift_monitor", {
+            "col_name": "col_name", "min_value": "category",
+            "n_rows": "n_base", "n_active": "n_cur",
+            "retention": "tvd_comp", "chi2_stat": "chi2_comp",
         }),
     ],
 )
@@ -1727,7 +1734,11 @@ _suite(
         "(passthrough) + E2 watermarked late-data drop + E4 streaming "
         "dedup (passthrough, one chained real stream) + E7 streaming "
         "MERGE ingest into the lakehouse table, exactly-once across "
-        "micro-batches (merged round 5)"
+        "micro-batches (merged round 5) + E15 one-stream-two-sinks "
+        "fan-out: both rollups committed per micro-batch through ONE "
+        "multi-table transaction, hand-replayed batch skipped, "
+        "version-lockstep/totals-agree verdicts riding the hash "
+        "(round 6)"
     ),
     layout=[
         ("window_start", "timestamp", "TIMESTAMP"),
@@ -1736,6 +1747,7 @@ _suite(
         ("n_events", "long", "BIGINT"),
         ("total_value", "double", "DOUBLE"),
         ("sum_value", "double", "DOUBLE"),
+        ("fanout_consistent", "boolean", "BOOLEAN"),
     ],
     arms=[
         (None, "e1_e3_windowed_session_agg", {
@@ -1751,6 +1763,15 @@ _suite(
         ("merge_ingest", "e7_stream_merge_ingest", {
             "grp": "event_type", "n_events": "n_rows",
             "sum_value": "sum_value",
+        }),
+        (None, "e15_fanout_txn_stream", {
+            "mode": ("'fanout_' || mode", "'fanout_' || mode"),
+            "grp": "grp", "n_events": "n_rows",
+            "sum_value": "sum_value",
+            "fanout_consistent": (
+                "replay_noop AND versions_lockstep AND totals_agree",
+                "replay_noop AND versions_lockstep AND totals_agree",
+            ),
         }),
     ],
 )

@@ -161,3 +161,72 @@ def subscribe_changes(spark: SparkSession, table_path: str, feed_schema: StructT
 
     repair_change_feed(table_path)
     return spark.readStream.schema(feed_schema).parquet(changes_glob(table_path))
+
+
+def stream_fanout_txn(
+    spark: SparkSession,
+    source_dir: str,
+    table_a: str,
+    table_b: str,
+    step_a,
+    step_b,
+    schema: StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """E15 — one stream, TWO sinks, atomically consistent.
+
+    Every micro-batch derives each sink's next state (``step_a`` /
+    ``step_b``: (old_state | None, batch_df) -> new_state) and commits
+    BOTH states through one multi-table transaction (io/txn.py), so no
+    reader ever sees sink A reflecting a batch sink B hasn't applied —
+    the invariant foreachBatch alone cannot give (two independent
+    writes can interleave with failure between them).
+
+    Exactly-once: the batch id rides the commit metadata of every
+    table in the transaction; a replayed batch (checkpoint loss,
+    manual re-fire) whose id is already in the commit log is skipped
+    BEFORE any staging. Sink states are ROLLUPS (old state union
+    delta, re-aggregated), so each commit costs O(|groups|), not
+    O(rows) — the 100 TB shape; pair with MoR deltas for fact sinks.
+
+    Returns ``(apply_fn, applied_batch_ids)`` after draining an
+    AvailableNow run: ``apply_fn`` lets tests replay a batch by hand.
+    """
+    from datalake_polygonscan_spark.io.sinks import history
+    from datalake_polygonscan_spark.io.txn import txn_commit
+
+    txn_root = os.path.join(os.path.dirname(table_a), "_fanout_txn")
+
+    def _applied() -> set:
+        return {
+            e.get("stream_batch_id")
+            for e in (history(table_a) if read_pointer(table_a) else [])
+        }
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = f"b{batch_id}"
+        if bid in _applied():
+            return
+        sp = batch_df.sparkSession
+        states = []
+        for table, step in ((table_a, step_a), (table_b, step_b)):
+            old = read_table(sp, table) if read_pointer(table) is not None else None
+            states.append((table, step(old, batch_df)))
+        txn_commit(sp, txn_root, states, extra_meta={"stream_batch_id": bid})
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    chk = checkpoint_dir or os.path.join(table_a, "_stream_chk")
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return _apply, _applied()
