@@ -832,3 +832,32 @@ def table_files_df(spark: SparkSession, table_path: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def migrate_in_place(spark: SparkSession, source_dir: str, table_path: str) -> DataFrame:
+    """S39 — MIGRATE an existing plain-parquet directory (flat or
+    hive-partitioned) into the snapshot table format WITHOUT rewriting
+    a byte: the table's v0 snapshot hard-links every source file
+    (Iceberg's ``snapshot``/``migrate`` procedure, Delta's ``CONVERT
+    TO DELTA``). The source directory keeps working for legacy readers
+    — hard links mean both paths reference the same inodes until
+    either side's retention drops its last referent — while the new
+    table immediately gets the full commit-log feature set (time
+    travel, CAS commits, CDF, retention). At 100 TB this is THE
+    adoption path: converting a petabyte of historical parquet must
+    cost O(files) metadata, never a rewrite."""
+    from datalake_polygonscan_spark.io.tombstones import _link_tree
+
+    if read_pointer(table_path) is not None:
+        raise FileExistsError(f"migration target {table_path} is already a table")
+    os.makedirs(table_path, exist_ok=True)
+    name = new_snapshot_name(None)
+    _link_tree(source_dir, os.path.join(table_path, name), set())
+    df = spark.read.parquet(os.path.join(table_path, name))
+    meta = {
+        "op": "MIGRATE",
+        "migrated_from": os.path.abspath(source_dir),
+        "table_schema": logical_schema_json(df),
+    }
+    commit_snapshot(table_path, name, None, meta)
+    return read_table(spark, table_path)

@@ -2668,3 +2668,96 @@ def s38_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("committed_v0_readable", F.lit(bool(v0_ok)))
         .withColumn("stray_file_gone", F.lit(not os.path.exists(stray) and not os.path.exists(orphan_dir)))
     )
+
+
+@register(
+    "s39_migrate_in_place",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_v0,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                                    THEN o_totalprice + 50.0
+                                    ELSE o_totalprice END
+                               AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_live,
+           TRUE AS zero_copy_migration,
+           TRUE AS legacy_path_intact,
+           TRUE AS v0_time_travels
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "S39 in-place table-format MIGRATION (io/sinks.py:"
+        "migrate_in_place; Iceberg's migrate procedure / Delta's "
+        "CONVERT TO DELTA): a plain hive-partitioned parquet "
+        "directory becomes a snapshot table whose v0 HARD-LINKS every "
+        "source file — zero_copy_migration asserts inode identity "
+        "file-by-file, so converting historical data costs O(files) "
+        "metadata at any size. The legacy directory keeps serving "
+        "byte-identical rows to old readers (legacy_path_intact), "
+        "while the migrated table immediately time-travels: a post-"
+        "migration reprice commit (orderkey%7 +50) moves the live "
+        "state (sum_live, the oracle's closed form) and VERSION AS OF "
+        "0 still reads the original rows exactly (v0_time_travels, "
+        "sum_v0). All verdicts ride the value hash"
+    ),
+)
+def s39_migrate_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import migrate_in_place
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    legacy = _scratch("s39_migrate", "legacy_orders")
+    table = _scratch("s39_migrate", "orders_table")
+    shutil.rmtree(legacy, ignore_errors=True)
+    shutil.rmtree(table, ignore_errors=True)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(legacy)
+
+    migrated = migrate_in_place(spark, legacy, table)
+
+    # inode identity: every data file in snapshot v0 is a hard link of
+    # its legacy counterpart (relative path equality + same inode)
+    def _files(root):
+        out = {}
+        for dirpath, _dirs, names in os.walk(root):
+            for nm in names:
+                if nm.endswith(".parquet"):
+                    full = os.path.join(dirpath, nm)
+                    out[os.path.relpath(full, root)] = os.stat(full).st_ino
+        return out
+
+    snap_dir = os.path.join(table, sorted(
+        e for e in os.listdir(table) if e.startswith("snapshot=")
+    )[0])
+    legacy_files, snap_files = _files(legacy), _files(snap_dir)
+    zero_copy = bool(legacy_files) and legacy_files == snap_files
+
+    n_legacy = spark.read.parquet(legacy).count()
+    base = migrated
+    repriced = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 50.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    atomic_overwrite(repriced, table, retain=10)
+    legacy_intact = spark.read.parquet(legacy).count() == n_legacy
+
+    v0 = read_version(spark, table, 0)
+    v0_travels = v0.count() == n_legacy
+    live = read_table(spark, table)
+    v0_agg = v0.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"), _dbl_sum("o_totalprice", "sum_v0")
+    )
+    live_agg = live.groupBy("o_orderstatus").agg(_dbl_sum("o_totalprice", "sum_live"))
+    return (
+        v0_agg.join(live_agg, "o_orderstatus")
+        .select(
+            "o_orderstatus", "n_rows", "sum_v0", "sum_live",
+            F.lit(bool(zero_copy)).alias("zero_copy_migration"),
+            F.lit(bool(legacy_intact)).alias("legacy_path_intact"),
+            F.lit(bool(v0_travels)).alias("v0_time_travels"),
+        )
+    )

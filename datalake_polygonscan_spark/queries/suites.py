@@ -753,10 +753,13 @@ _suite(
         "round 5); zero-copy/isolation/raise verdicts ride the hash. "
         "Round 6 adds S36 symlink-format manifest export (the Athena/"
         "Presto/Trino interop contract: snapshot-pinned file-list "
-        "manifests, stale-but-consistent until regenerated) and S38 "
+        "manifests, stale-but-consistent until regenerated), S38 "
         "orphan-file GC (Iceberg's remove_orphan_files: only "
         "never-committed data is removable, min_age in-flight-writer "
-        "guard exercised, committed versions byte-identical after GC)"
+        "guard exercised, committed versions byte-identical after GC) "
+        "and S39 in-place MIGRATION (plain hive parquet becomes a "
+        "snapshot table by hard-linking every file — inode-asserted "
+        "zero rewrite, legacy path intact, v0 time-travels)"
     ),
     layout=[
         ("o_orderstatus", "string", "VARCHAR"),
@@ -802,6 +805,13 @@ _suite(
             "source_sum": "source_sum", "clone_sum": "clone_sum",
             "zero_copy_clone": "zero_copy_clone",
             "source_isolated": "source_isolated",
+        }),
+        ("migrate", "s39_migrate_in_place", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_v0": "sum_v0", "sum_live": "sum_live",
+            "zero_copy_clone": "zero_copy_migration",
+            "source_isolated": "legacy_path_intact",
+            "resolved_v0": "v0_time_travels",
         }),
         ("orphan_gc", "s38_orphan_file_gc", {
             "o_orderstatus": "c_mktsegment", "n_rows": "n_rows",
