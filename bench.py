@@ -182,6 +182,20 @@ HEADLINE = [
     "e14_join_state_audit",
     "w6_distribution_windows",
     "ml8_knn_classifier",
+    # round-6 sixth batch: closed-form OLS, Markov transitions, URL
+    # parsing, point-in-polygon, M4/LTTB downsampling, drift monitor,
+    # hidden partitioning, orphan GC, in-place migration, two-sink
+    # transactional stream fan-out
+    "ml6_ols_regression",
+    "an8_markov_transitions",
+    "x13_url_functions",
+    "geo3_point_in_polygon",
+    "ts12_m4_downsample",
+    "pr5_drift_monitor",
+    "s37_hidden_partitioning",
+    "s38_orphan_file_gc",
+    "s39_migrate_in_place",
+    "e15_fanout_txn_stream",
 ]
 
 
@@ -297,6 +311,14 @@ WARMUP = [
     "ts11_seasonal_profile",
     "w6_distribution_windows",
     "ml8_knn_classifier",
+    # sixth batch (s37/s38/s39/e15 stay unwarmed: write/commit/stream
+    # scenarios whose latency is the signal)
+    "ml6_ols_regression",
+    "an8_markov_transitions",
+    "x13_url_functions",
+    "geo3_point_in_polygon",
+    "ts12_m4_downsample",
+    "pr5_drift_monitor",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -710,3 +710,132 @@ def ml6_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("r2"),
     )
+
+
+@register(
+    "ml9_chi2_feature_selection",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term
+    ), vocab AS (
+        SELECT term, df FROM (
+            SELECT term, df,
+                   row_number() OVER (ORDER BY df DESC, term ASC) AS rnk
+            FROM dfreq
+        ) WHERE rnk <= 40
+    ), cls AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_c
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), a AS (
+        SELECT t.term, t.lang, CAST(count(*) AS BIGINT) AS a
+        FROM tok t JOIN vocab v ON v.term = t.term
+        GROUP BY t.term, t.lang
+    ), grid AS (
+        SELECT v.term, v.df, c.lang, c.n_c, tt.n,
+               CAST(coalesce(a.a, 0) AS DECIMAL(38,0)) AS a
+        FROM vocab v CROSS JOIN cls c CROSS JOIN tot tt
+        LEFT JOIN a ON a.term = v.term AND a.lang = c.lang
+    ), cells AS (
+        SELECT term, lang, a,
+               CAST(df - a AS DECIMAL(38,0)) AS b,
+               CAST(n_c - a AS DECIMAL(38,0)) AS c,
+               CAST(n - df - n_c + a AS DECIMAL(38,0)) AS d,
+               CAST(n AS DECIMAL(38,0)) AS n
+        FROM grid
+    )
+    SELECT term, lang,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE floor(CAST(n * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+                           / CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6
+           END AS chi2
+    FROM cells
+    """,
+    doc=(
+        "ML9 chi-square FEATURE SELECTION for text classification — "
+        "the vocabulary-pruning step before training any text model: "
+        "per (term, language) contingency cells (A/B/C/D from "
+        "per-document DISTINCT term presence) over the top-40-df "
+        "vocabulary, chi2 = N(AD-BC)^2 / ((A+B)(C+D)(A+C)(B+D)) from "
+        "EXACT DECIMAL cross-products with the single IEEE division "
+        "at the output boundary (the PR5 moment discipline). The "
+        "vocab x class grid is built by crossing two broadcast-sized "
+        "dims and LEFT-joining observed counts so zero cells (term "
+        "absent from a class — the most informative case) are not "
+        "silently dropped. At 100 TB: one explode + two combinable "
+        "groupBys + broadcast joins of 40-row/5-row dims; the "
+        "contingency table is O(|vocab| x |classes|) at any corpus "
+        "size. Same text in the oracle"
+    ),
+)
+def ml9_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split(norm, " "))).alias("term")
+    ).distinct()
+    dfreq = tok.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vocab = (
+        dfreq.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.col("df").desc(), F.col("term").asc())),
+        )
+        .filter(F.col("rnk") <= 40)
+        .drop("rnk")
+    )
+    cls = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_c"))
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    a = (
+        tok.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("term", "lang")
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(tot))
+        .join(a, ["term", "lang"], "left")
+        .select(
+            "term", "lang", "df", "n_c", "n",
+            F.coalesce(F.col("a"), F.lit(0)).cast(dec).alias("a"),
+        )
+    )
+    cells = grid.select(
+        "term", "lang", "a",
+        (F.col("df").cast(dec) - F.col("a")).alias("b"),
+        (F.col("n_c").cast(dec) - F.col("a")).alias("c"),
+        (F.col("n").cast(dec) - F.col("df") - F.col("n_c") + F.col("a")).alias("d"),
+        F.col("n").cast(dec).alias("n"),
+    )
+    cross = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    denom = (
+        (F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))
+    )
+    degenerate = (
+        ((F.col("a") + F.col("b")) == 0) | ((F.col("c") + F.col("d")) == 0)
+        | ((F.col("a") + F.col("c")) == 0) | ((F.col("b") + F.col("d")) == 0)
+    )
+    return cells.select(
+        "term", "lang",
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"), F.col("d").cast("long").alias("d"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.floor(
+                (F.col("n") * cross * cross).cast("double") / denom.cast("double")
+                * 1e6 + 0.5
+            ) / 1e6
+        ).alias("chi2"),
+    )

@@ -646,3 +646,88 @@ def pr2_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("null_count", F.lit(0))).cast("long").alias("n_nulls"),
         )
     )
+
+
+@register(
+    "j11_aqe_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey % 1000 END AS skew_key,
+               l_extendedprice
+        FROM lineitem
+    ), dim AS (
+        SELECT i AS dim_key, 'seg' || CAST(i % 4 AS VARCHAR) AS segment
+        FROM generate_series(0, 999) AS t(i)
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS revenue,
+           TRUE AS skew_split_applied
+    FROM fact JOIN dim ON dim_key = skew_key
+    GROUP BY segment
+    """,
+    doc=(
+        "J11 AQE SKEW-JOIN handling — the runtime answer to the "
+        "problem SK's salting solves by hand: a fact side where 80% "
+        "of rows share one hot key sort-merge-joins a 1000-key dim; "
+        "with adaptive skew-join enabled (thresholds scaled to the "
+        "test SF the way a 1000-executor default scales to real "
+        "partitions) AQE detects the oversized partition at RUNTIME "
+        "and splits it across tasks — asserted from the EXECUTED "
+        "adaptive plan (the SortMergeJoin marked 'skew=true'), riding "
+        "the hash as skew_split_applied. No query rewrite, no salt "
+        "column: the engine re-plans mid-shuffle, which is exactly "
+        "what survives at 100 TB when the hot key isn't known ahead "
+        "of time. The oracle replays the join itself"
+    ),
+)
+def j11_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew splitting subdivides a reduce partition at MAP-OUTPUT block
+    # granularity, so the fact side must come from several map tasks —
+    # at test SF the scan is one file/one task, so fan the maps out
+    # explicitly (at 100 TB the scan has thousands of map tasks anyway)
+    fact = load_table(spark, sf_dir, "lineitem").repartition(8).select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000).alias("skew_key"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("dim_key"),
+        F.concat(F.lit("seg"), (F.col("id") % 4).cast("string")).alias("segment"),
+    )
+    joined = (
+        fact.join(dim, F.col("skew_key") == F.col("dim_key"))
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("l_extendedprice", "revenue"))
+    )
+    confs = {
+        # force the SMJ path and shrink the skew thresholds so the hot
+        # key's partition is "oversized" at test SF exactly as a
+        # multi-GB hot partition is against production defaults
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # execute through the DataFrame's OWN QueryExecution: with AQE
+        # the skew split only exists in the FINAL adaptive plan, which
+        # materializes after this execution
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        skewed = "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return joined.withColumn("skew_split_applied", F.lit(bool(skewed)))

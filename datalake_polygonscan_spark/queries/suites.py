@@ -270,7 +270,11 @@ _suite(
         "classifier (held-out queries, L3's top-k operator, voting "
         "replayed in SQL) + ML6 closed-form per-group OLS regression "
         "(exact DECIMAL(38,0) moment sums, Cramer's-rule slope/"
-        "intercept/R², one partial-agg exchange; all added round 6)"
+        "intercept/R², one partial-agg exchange) + ML9 chi-square "
+        "feature selection (per-(term,language) contingency cells "
+        "over the top-df vocabulary, zero cells preserved via a "
+        "broadcast grid, exact cross-products, boundary-only IEEE "
+        "division; all added round 6)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -336,6 +340,11 @@ _suite(
         ("ols", "ml6_ols_regression", {
             "lang": "event_type", "n_docs": "n",
             "w0": "slope_ticks_per_sec", "w1": "intercept", "w2": "r2",
+        }),
+        ("chi2_fs", "ml9_chi2_feature_selection", {
+            "pred": "term", "lang": "lang",
+            "n_vectors": "a", "dim": "b", "k": "c", "n_docs": "d",
+            "variance": "chi2",
         }),
     ],
 )
@@ -1031,7 +1040,9 @@ _suite(
         "plan's dynamicpruningexpression) + J8 runtime bloom-filter "
         "join (row-group-level pushdown of the build side's key set) — "
         "Spark's two runtime-filter optimizations in one graded slot "
-        "(merged round 5)"
+        "(merged round 5) + J11 AQE skew-join handling (80%-hot-key "
+        "fact re-planned mid-shuffle, SortMergeJoin 'skew=true' "
+        "asserted from the executed adaptive plan; round 6)"
     ),
     layout=[
         ("ship_month", "string", "VARCHAR"),
@@ -1048,6 +1059,10 @@ _suite(
         ("bloom", "j8_runtime_bloom_join", {
             "o_orderpriority": "o_orderpriority", "n_items": "n_items",
             "revenue": "revenue", "verdict": "bloom_filter_injected",
+        }),
+        ("skew", "j11_aqe_skew_join", {
+            "o_orderpriority": "segment", "n_items": "n_rows",
+            "revenue": "revenue", "verdict": "skew_split_applied",
         }),
     ],
 )
