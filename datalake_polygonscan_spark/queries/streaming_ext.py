@@ -713,3 +713,76 @@ def e15_fanout_txn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[v.alias(k) for k, v in flags.items()],
     )
     return out_a.unionByName(out_b)
+
+
+@register(
+    "e16_checkpoint_resume",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           TRUE AS first_run_partial,
+           TRUE AS resume_incremental,
+           TRUE AS no_redelivery
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "E16 checkpointed RESUME across separate stream runs — the "
+        "operational contract every nightly AvailableNow pipeline "
+        "rests on: run 1 drains the two files present, STOPS, two new "
+        "files land, run 2 starts from the SAME checkpoint and "
+        "ingests ONLY them. first_run_partial (run-1 table is exactly "
+        "the first half), resume_incremental (run 2 adds exactly the "
+        "new-file batches to the commit log, none re-run) and "
+        "no_redelivery (final row count = corpus count, not corpus + "
+        "replays — the merge sink would tolerate re-delivery, the "
+        "checkpoint must prevent it) all ride the value hash. At "
+        "100 TB this is the daily-incremental pattern: checkpoint "
+        "state is O(files seen), each run touches only new data. "
+        "Oracle states the fully-drained aggregate"
+    ),
+)
+def e16_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.sinks import history, read_table
+    from datalake_polygonscan_spark.streaming.ingest import stream_merge_ingest
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch("e16_resume", "x")
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    src = _scratch("e16_resume", "events_src")
+    table = _scratch("e16_resume", "events_table")
+    chk = _scratch("e16_resume", "chk")
+
+    first = ev.filter(F.col("event_id") % 4 < 2)
+    second = ev.filter(F.col("event_id") % 4 >= 2)
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream_merge_ingest(
+        spark, src, table, keys=["event_id"],
+        max_files_per_trigger=1, checkpoint_dir=chk,
+    )
+    n_first_expected = first.count()
+    n_first = read_table(spark, table).count()
+    v_first = len(history(table))
+
+    second.repartition(2).write.mode("append").parquet(src)
+    live = stream_merge_ingest(
+        spark, src, table, keys=["event_id"],
+        max_files_per_trigger=1, checkpoint_dir=chk,
+    )
+    v_second = len(history(table))
+    n_final = live.count()
+
+    first_run_partial = n_first == n_first_expected
+    # run 2 commits exactly the two new-file batches (2 more versions),
+    # not a replay of all four files
+    resume_incremental = v_second == v_first + 2
+    no_redelivery = n_final == ev.count()
+    return (
+        live.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_rows"), 
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"))
+        .withColumn("first_run_partial", F.lit(bool(first_run_partial)))
+        .withColumn("resume_incremental", F.lit(bool(resume_incremental)))
+        .withColumn("no_redelivery", F.lit(bool(no_redelivery)))
+    )

@@ -1762,8 +1762,10 @@ _suite(
         "micro-batches (merged round 5) + E15 one-stream-two-sinks "
         "fan-out: both rollups committed per micro-batch through ONE "
         "multi-table transaction, hand-replayed batch skipped, "
-        "version-lockstep/totals-agree verdicts riding the hash "
-        "(round 6)"
+        "version-lockstep/totals-agree verdicts riding the hash + E16 "
+        "checkpointed resume across separate runs (run 2 ingests ONLY "
+        "files that landed after run 1 — the nightly AvailableNow "
+        "contract; both round 6)"
     ),
     layout=[
         ("window_start", "timestamp", "TIMESTAMP"),
@@ -1796,6 +1798,14 @@ _suite(
             "fanout_consistent": (
                 "replay_noop AND versions_lockstep AND totals_agree",
                 "replay_noop AND versions_lockstep AND totals_agree",
+            ),
+        }),
+        ("chk_resume", "e16_checkpoint_resume", {
+            "grp": "event_type", "n_events": "n_rows",
+            "sum_value": "sum_value",
+            "fanout_consistent": (
+                "first_run_partial AND resume_incremental AND no_redelivery",
+                "first_run_partial AND resume_incremental AND no_redelivery",
             ),
         }),
     ],
