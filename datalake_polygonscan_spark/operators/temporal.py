@@ -166,14 +166,19 @@ def _asof_forward(
     # time asc; at equal ts LEFT rows first (is_r asc) so an equal-ts
     # right row is inside the left row's FOLLOWING frame (inclusive
     # >=); among equal-ts right rows ascending tiebreak puts the MIN
-    # tiebreak first — the deterministic 'earliest' winner
+    # tiebreak first — the deterministic 'earliest' winner. Executed
+    # as the REVERSED-sort RUNNING frame (last-non-null over DESC,
+    # unbounded..current == first-non-null over ASC,
+    # current..unboundedFollowing): Spark streams the running frame in
+    # O(n) per partition but rescans the tail per row — O(n^2) — for
+    # an unbounded-FOLLOWING frame
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_is_r").asc(), F.col("_tie").asc_nulls_first())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_ts").desc(), F.col("_is_r").desc(), F.col("_tie").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = tagged_l.unionByName(tagged_r).withColumn(
-        "_match", F.first("_r", ignorenulls=True).over(w)
+        "_match", F.last("_r", ignorenulls=True).over(w)
     )
     return matched.filter(F.col("_is_r") == 0).select(
         "_l.*",
@@ -304,10 +309,15 @@ def resample_linear_interpolate(
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_fwd = (
+    # forward neighbor as a RUNNING frame over the REVERSED sort:
+    # last-non-null over (DESC, unbounded..current) == first-non-null
+    # over (ASC, current..unboundedFollowing), but Spark executes the
+    # running frame in O(n) per partition while the unbounded-FOLLOWING
+    # frame rescans the tail per row — O(n^2), 16 s vs ~4 s at sf0.1
+    w_fwd_rev = (
         Window.partitionBy("key")
-        .orderBy("bucket_start")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_start").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_b = F.when(F.col("_v").isNotNull(), F.col("bucket_start"))
     joined = grid.join(per_bucket, ["key", "bucket_start"], "left").select(
@@ -316,8 +326,8 @@ def resample_linear_interpolate(
         "_v",
         F.last("_v", ignorenulls=True).over(w_back).alias("_pv"),
         F.last(obs_b, ignorenulls=True).over(w_back).alias("_pb"),
-        F.first("_v", ignorenulls=True).over(w_fwd).alias("_nv"),
-        F.first(obs_b, ignorenulls=True).over(w_fwd).alias("_nb"),
+        F.last("_v", ignorenulls=True).over(w_fwd_rev).alias("_nv"),
+        F.last(obs_b, ignorenulls=True).over(w_fwd_rev).alias("_nb"),
     )
     frac = (F.col("bucket_start") - F.col("_pb")) / (F.col("_nb") - F.col("_pb"))
     interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
