@@ -61,11 +61,20 @@ class BucketTransform:
 
 
 def write_hidden(df: DataFrame, path: str, transforms) -> None:
-    """Write ``df`` hive-partitioned by the derived transform columns."""
+    """Write ``df`` hive-partitioned by the derived transform columns.
+
+    The data is repartitioned ON the derived keys first so each
+    partition directory receives one file instead of one per upstream
+    task — without this, an m-task write into p directories fans out
+    to m*p small files, the classic partitioned-write mistake that
+    turns a 100 TB table into a small-files incident."""
     out = df
     for t in transforms:
         out = t.derive(out)
-    out.write.mode("overwrite").partitionBy(*[t.part_col for t in transforms]).parquet(path)
+    part_cols = [t.part_col for t in transforms]
+    out.repartition(*[F.col(c) for c in part_cols]).write.mode("overwrite").partitionBy(
+        *part_cols
+    ).parquet(path)
 
 
 def read_hidden(spark: SparkSession, path: str) -> DataFrame:

@@ -792,3 +792,88 @@ _DG2_SQL = f"""
 def dg2_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_DG2_SQL)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l_discount AS DECIMAL(18,6)) AS volume
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=_Q7_SQL,
+    doc=(
+        "Q7-shape bi-directional nation-pair trade volume through the "
+        "spark.sql entry point (identical text in the oracle): a "
+        "6-table snowflake whose selective predicate is a symmetric "
+        "OR across TWO dimension arms — the shape that defeats "
+        "single-sided predicate pushdown (neither nation filter can "
+        "be pushed alone; Catalyst pushes the union of both names "
+        "into each nation scan via InferFiltersFromConstraints / OR "
+        "factoring and keeps the pair check at the join). Exact "
+        "decimal volume sums; per-(pair, year) grouping keeps the "
+        "output O(pairs x years) at any SF"
+    ),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+    FROM (
+        SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+               n1.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l_discount AS DECIMAL(18,6)) AS volume
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@register(
+    "q8_market_share",
+    oracle=_Q8_SQL,
+    doc=(
+        "Q8-shape market share through the spark.sql entry point "
+        "(identical text in the oracle): one nation's fraction of "
+        "yearly trade volume in a part segment — the conditional-"
+        "aggregate RATIO pattern (sum(CASE)/sum) every BI layer "
+        "generates. Both sums stay exact DECIMAL(18,6) through the "
+        "aggregation; the ratio is the single IEEE division at the "
+        "output boundary, quantized to 1e-6, so engine-order float "
+        "accumulation cannot diverge. 5-table snowflake, one "
+        "combinable groupBy on year"
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)

@@ -957,7 +957,10 @@ _suite(
         "parameterized SQL (named :marker binds) — each oracled against "
         "its hand-lowered ANSI equivalent — and QG GROUP BY ALL / "
         "ORDER BY ALL (the modern-SQL shorthand, identical text both "
-        "engines)"
+        "engines), plus the Q7 symmetric-OR nation-pair snowflake "
+        "(the shape that defeats single-sided pushdown) and the Q8 "
+        "conditional-aggregate market-share ratio (exact decimal "
+        "sums, boundary-only division; both round 6)"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -1023,6 +1026,15 @@ _suite(
             "s_name": "l_returnflag || '/' || l_linestatus",
             "order_count": "n_lines", "sum_qty": "sum_qty",
             "sum_base": "sum_base",
+        }),
+        ("q7", "q7_volume_shipping", {
+            "o_orderpriority": "supp_nation", "s_name": "cust_nation",
+            "l_orderkey": ("CAST(l_year AS LONG)", "CAST(l_year AS BIGINT)"),
+            "order_count": "n_rows", "revenue": "revenue",
+        }),
+        ("q8", "q8_market_share", {
+            "l_orderkey": ("CAST(o_year AS LONG)", "CAST(o_year AS BIGINT)"),
+            "order_count": "n_rows", "avg_disc": "mkt_share",
         }),
     ],
 )
