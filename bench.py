@@ -196,6 +196,11 @@ HEADLINE = [
     "s38_orphan_file_gc",
     "s39_migrate_in_place",
     "e15_fanout_txn_stream",
+    "ml9_chi2_feature_selection",
+    "j11_aqe_skew_join",
+    "e16_checkpoint_resume",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 
@@ -319,6 +324,10 @@ WARMUP = [
     "geo3_point_in_polygon",
     "ts12_m4_downsample",
     "pr5_drift_monitor",
+    "ml9_chi2_feature_selection",
+    "j11_aqe_skew_join",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
