@@ -2916,9 +2916,21 @@ def pr5_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)).cast("string"),
         ).alias("cat_b"),
     )
-    stacked = tagged.select("era", F.lit("priority").alias("col_name"), F.col("cat_p").alias("category")).unionByName(
-        tagged.select("era", F.lit("price_bucket").alias("col_name"), F.col("cat_b").alias("category"))
-    )
+    # stack via explode-of-structs, NOT a self-union: the union form
+    # scans orders once per profiled column; this is one scan total
+    stacked = tagged.select(
+        "era",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("col_name"), F.col("cat_p").alias("category")
+                ),
+                F.struct(
+                    F.lit("price_bucket").alias("col_name"), F.col("cat_b").alias("category")
+                ),
+            )
+        ).alias("x"),
+    ).select("era", F.col("x.col_name").alias("col_name"), F.col("x.category").alias("category"))
     cnt = stacked.groupBy("col_name", "category").agg(
         F.sum(F.when(F.col("era") == "base", 1).otherwise(0)).cast(dec).alias("nb"),
         F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).cast(dec).alias("nc"),
