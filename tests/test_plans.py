@@ -745,3 +745,74 @@ def test_pr4_correlation_single_scan(spark):
     # details section — one scan node appears as exactly one "(N) Scan"
     assert plan.count(") Scan parquet") == 1
     assert "Generate" in plan  # the stack() expansion
+
+
+def test_geo3_point_in_polygon_is_broadcast_not_cartesian(spark):
+    """GEO3: the point x edge pairing must be a BROADCAST nested loop
+    against the 15-row edge table — a plain CartesianProduct would
+    shuffle the full point set per edge."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["geo3_point_in_polygon"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ml6_ols_is_one_partial_agg_exchange(spark):
+    """ML6: the whole regression is one groupBy over event_type —
+    partial aggregation map-side, exactly one shuffle, no window, no
+    join, no second scan."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["ml6_ols_regression"].fn(spark, SF)
+    plan = _plan(df)
+    # formatted plans list each node once in the tree ("Exchange (4)")
+    # and once in the detail section ("(4) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "partial_" in plan  # map-side combine on the moment sums
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_ts12_m4_windows_share_one_bucket_exchange(spark):
+    """TS12: the four M4 role windows all partition by
+    (event_type, bkt) — they must reuse ONE hash exchange (different
+    sort orders = extra Sorts, never extra Exchanges), and no
+    unbounded-FOLLOWING frame may appear (the O(n^2) execution shape
+    the TS5 fix removed)."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["ts12_m4_downsample"].fn(spark, SF)
+    plan = _plan(df)
+    assert "unboundedfollowing" not in plan.lower().replace(" ", "")
+
+
+def test_ts5_and_asof_forward_have_no_unbounded_following_frames(spark):
+    """The reversed-sort running-frame rewrite: unbounded-FOLLOWING
+    window frames execute O(n^2) per partition (tail rescan per row) —
+    locked out of TS5 and the forward as-of join."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    for name in ("ts5_linear_interpolate", "j6b_asof_tolerance"):
+        plan = _plan(REGISTRY[name].fn(spark, SF))
+        assert "unboundedfollowing" not in plan.lower().replace(" ", ""), name
+
+
+def test_ml9_chi2_dims_are_broadcast(spark):
+    """ML9: the vocab x class grid builds from broadcast-sized dims —
+    both grid joins must be broadcast, never a shuffled join of the
+    token table against them."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml9_chi2_feature_selection"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pr5_drift_single_scan(spark):
+    """PR5: both profiled columns stack through explode-of-structs —
+    exactly one orders scan in the plan."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["pr5_drift_monitor"].fn(spark, SF))
+    assert plan.count("orders.parquet") == 1
