@@ -2961,3 +2961,162 @@ def pr5_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("chi2_comp"),
     )
+
+
+@register(
+    "a13_exact_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus, floor(l_quantity / 10)
+    ), ranked AS (
+        SELECT l_returnflag, l_linestatus, qty_band, n,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY n DESC, l_linestatus ASC, qty_band ASC
+               ) AS rnk
+        FROM cnt
+    )
+    SELECT l_returnflag, l_linestatus AS modal_status,
+           qty_band AS modal_qty_band, n AS modal_count
+    FROM ranked WHERE rnk = 1
+    """,
+    doc=(
+        "A13 exact grouped MODE — the most-frequent-value statistic "
+        "(imputation defaults, category baselines) that Spark has no "
+        "builtin for: count per (group, value) with one combinable "
+        "groupBy, then a deterministic row_number argmax (count desc, "
+        "value asc — 'whichever came first' is not an answer) over "
+        "the tiny count table. Two shuffles total, the second over "
+        "O(|groups| x |values|) rows; same text in the oracle"
+    ),
+)
+def a13_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag", "l_linestatus",
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_band"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(
+            F.col("n").desc(), F.col("l_linestatus").asc(), F.col("qty_band").asc()
+        )
+    )
+    return (
+        cnt.withColumn("rnk", rnk)
+        .filter(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("modal_status"),
+            F.col("qty_band").alias("modal_qty_band"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+@register(
+    "dq4_quarantine_flow",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN -value ELSE value END AS value,
+               CASE WHEN event_id % 17 = 0 THEN NULL ELSE user_id END AS uid
+        FROM events
+    ), tagged AS (
+        SELECT *,
+               CASE WHEN uid IS NULL THEN 'null_user'
+                    WHEN value <= 0 THEN 'non_positive_value'
+               END AS reason
+        FROM src
+    )
+    SELECT 'good' AS mode, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           TRUE AS partition_complete, TRUE AS atomic_pair
+    FROM tagged WHERE reason IS NULL GROUP BY event_type
+    UNION ALL
+    SELECT 'quarantine', reason,
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE, TRUE
+    FROM tagged WHERE reason IS NOT NULL GROUP BY reason
+    """,
+    doc=(
+        "DQ4 atomic QUARANTINE flow (the dead-letter pattern every "
+        "ingest pipeline needs): a batch with injected defects "
+        "(negated values for id%13, null users for id%17) splits "
+        "against the DQ1-style expectation set — passing rows to the "
+        "good table, failing rows to a quarantine table WITH their "
+        "first-failed-reason column — and BOTH tables commit through "
+        "one S30 multi-table transaction, so no reader can see the "
+        "cleaned table without its quarantine ledger (audit "
+        "completeness). partition_complete (good + quarantined == "
+        "input, nothing dropped or double-counted) and atomic_pair "
+        "(both tables advanced exactly one version with the same "
+        "txn id) ride the hash. One scan, two filter branches, "
+        "O(batch) staging; the oracle replays the split in closed "
+        "form"
+    ),
+)
+def dq4_quarantine_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from datalake_polygonscan_spark.io.sinks import history, read_table
+    from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
+    from datalake_polygonscan_spark.io.txn import txn_commit
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _scratch("dq4_quarantine", "x")
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    t_good = _scratch("dq4_quarantine", "events_good")
+    t_quar = _scratch("dq4_quarantine", "events_quarantine")
+
+    src = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 13 == 0, -F.col("value"))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")).alias("uid"),
+    )
+    reason = (
+        F.when(F.col("uid").isNull(), F.lit("null_user"))
+        .when(F.col("value") <= 0, F.lit("non_positive_value"))
+    )
+    tagged = src.withColumn("reason", reason)
+    good = tagged.filter(F.col("reason").isNull()).drop("reason")
+    quarantine = tagged.filter(F.col("reason").isNotNull())
+    txn_root = _scratch("dq4_quarantine", "_txn")
+    txn_commit(spark, txn_root, [(t_good, good), (t_quar, quarantine)])
+
+    g = read_table(spark, t_good)
+    q = read_table(spark, t_quar)
+    n_in = ev.count()
+    n_g, n_q = g.count(), q.count()
+    hg, hq = history(t_good), history(t_quar)
+    atomic_pair = (
+        len(hg) == 1 and len(hq) == 1
+        and hg[0].get("txn_id") == hq[0].get("txn_id")
+        and hg[0].get("txn_id") is not None
+    )
+    flags = {
+        "partition_complete": F.lit(n_g + n_q == n_in),
+        "atomic_pair": F.lit(bool(atomic_pair)),
+    }
+    out_g = g.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows"), _dbl_sum("value", "sum_value")
+    ).select(F.lit("good").alias("mode"), "grp", "n_rows", "sum_value",
+             *[v.alias(k) for k, v in flags.items()])
+    out_q = q.groupBy(F.col("reason").alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows"), _dbl_sum("value", "sum_value")
+    ).select(F.lit("quarantine").alias("mode"), "grp", "n_rows", "sum_value",
+             *[v.alias(k) for k, v in flags.items()])
+    return out_g.unionByName(out_q)

@@ -722,3 +722,55 @@ def x13_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.url_decode(F.col("enc_name")) == F.col("p_name")).cast("int")
         .alias("decode_roundtrip"),
     )
+
+
+@register(
+    "x14_bitwise_functions",
+    oracle="""
+    WITH x AS (
+        SELECT p_partkey,
+               (p_partkey * 2654435761) % 4294967296 AS h,
+               p_brand
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_and(h) AS BIGINT) AS band,
+           CAST(bit_or(h) AS BIGINT) AS bor,
+           CAST(bit_xor(h) AS BIGINT) AS bxor,
+           CAST(sum(bit_count(CAST(h AS BIGINT))) AS BIGINT) AS popcnt_sum,
+           CAST(sum((h << 3) % 4294967296) AS BIGINT) AS shl_sum,
+           CAST(sum(h >> 7) AS BIGINT) AS shr_sum,
+           CAST(sum(xor(h, 2863311530)) AS BIGINT) AS xor_sum,
+           CAST(sum(h & 16777215) AS BIGINT) AS and_sum,
+           CAST(sum(h | 255) AS BIGINT) AS or_sum
+    FROM x GROUP BY p_brand
+    """,
+    doc=(
+        "X14 the BITWISE tier — hash partitioning, bitmap indexes and "
+        "feature hashing all reduce to these: a Knuth multiplicative "
+        "hash derived from the part key, then shiftleft/shiftright/"
+        "XOR/AND/OR/popcount per row and the BIT_AND/BIT_OR/BIT_XOR "
+        "aggregate family per brand — every op exact 64-bit integer "
+        "arithmetic, so a single flipped bit anywhere hash-fails the "
+        "row. All JVM codegen: one scan, one combinable groupBy"
+    ),
+)
+def x14_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m32 = 4294967296
+    x = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        ((F.col("p_partkey") * 2654435761) % m32).alias("h"),
+    )
+    return x.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.bit_and("h").cast("long").alias("band"),
+        F.bit_or("h").cast("long").alias("bor"),
+        F.bit_xor("h").cast("long").alias("bxor"),
+        F.sum(F.bit_count(F.col("h").cast("long"))).cast("long").alias("popcnt_sum"),
+        F.sum(F.shiftleft(F.col("h"), 3) % m32).cast("long").alias("shl_sum"),
+        F.sum(F.shiftright(F.col("h"), 7)).cast("long").alias("shr_sum"),
+        F.sum(F.expr("h ^ 2863311530")).cast("long").alias("xor_sum"),
+        F.sum(F.expr("h & 16777215")).cast("long").alias("and_sum"),
+        F.sum(F.expr("h | 255")).cast("long").alias("or_sum"),
+    )

@@ -427,6 +427,10 @@ _suite(
             "key": "key", "cnt": "exact_cnt",
             "rank_ok_p50": "lower_ok", "rank_ok_p90": "upper_ok",
         }),
+        ("exact_mode", "a13_exact_mode", {
+            "l_returnflag": "l_returnflag || '/' || modal_status",
+            "key": "modal_qty_band", "cnt": "modal_count",
+        }),
     ],
 )
 
@@ -1260,7 +1264,10 @@ _suite(
         "(complete day spine, trailing-mean volume drops, gap days, "
         "staleness) + ER2 from-scratch Jaro-Winkler linkage scored in "
         "an Arrow-batched pandas UDF and cross-validated bit-for-bit "
-        "against DuckDB's independent C++ builtin (both round 6)"
+        "against DuckDB's independent C++ builtin + DQ4 the atomic "
+        "QUARANTINE dead-letter flow (good + quarantine tables "
+        "committed in ONE multi-table txn, first-failed-reason ledger, "
+        "partition-complete and same-txn-id verdicts; all round 6)"
     ),
     layout=[
         ("check_name", "string", "VARCHAR"),
@@ -1297,6 +1304,13 @@ _suite(
         ("jw_linkage", "er2_jaro_winkler", {
             "check_name": "block", "n_rows": "id_a", "n_big": "id_b",
             "metric": "jw",
+        }),
+        (None, "dq4_quarantine_flow", {
+            "mode": ("'dl_' || mode", "'dl_' || mode"),
+            "check_name": "grp", "n_rows": "n_rows",
+            "metric": "sum_value",
+            "from_observation": "partition_complete",
+            "single_scan": "atomic_pair",
         }),
     ],
 )
@@ -1667,7 +1681,10 @@ _suite(
         "guards) + X11 IP/CIDR longest-prefix match (dotted-quad "
         "parse, broadcast routing-table range join, unique-argmax "
         "route pick) + X12 native from_xml ingestion (typed-struct "
-        "parse cross-checked against regex extraction) + GEO2 geohash "
+        "parse cross-checked against regex extraction) + X14 the "
+        "bitwise tier (shift/XOR/AND/OR/popcount rows + the "
+        "BIT_AND/OR/XOR aggregate family, exact 64-bit; round 6) "
+        "+ GEO2 geohash "
         "encoding from scratch (25-bit interleave by pure shift/mask "
         "codegen, canonical-vector-validated) + X13 URL functions "
         "(native parse_url HOST/PATH/QUERY + url_decode vs regex/"
@@ -1754,6 +1771,13 @@ _suite(
             "event_id": "p_partkey", "type_upper": "host",
             "type_lower": "path", "props_prefix": "pk_param",
             "trimmed": "size_param", "k_val": "decode_roundtrip",
+        }),
+        ("bitwise", "x14_bitwise_functions", {
+            "type_upper": "p_brand", "n_events": "n", "k": "band",
+            "event_id": "bor", "sum_k": "bxor", "max_k": "popcnt_sum",
+            "n_missing": "shl_sum", "n_customers": "shr_sum",
+            "n_building_ci": "xor_sum", "n_statuses": "and_sum",
+            "open_cnt": "or_sum",
         }),
     ],
 )
