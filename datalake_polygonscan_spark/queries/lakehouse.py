@@ -2761,3 +2761,119 @@ def s39_migrate_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(v0_travels)).alias("v0_time_travels"),
         )
     )
+
+
+@register(
+    "s35_equality_deletes",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        FROM customer
+        WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 20 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal + 777.0 AS DECIMAL(18,6))
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+          AND c_custkey % 20 <> 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(bal) AS DOUBLE), 4) AS sum_bal,
+           TRUE AS zero_rewrite,
+           TRUE AS reinsert_survives,
+           TRUE AS seq_ordering_held
+    FROM final GROUP BY c_mktsegment
+    """,
+    doc=(
+        "S35 EQUALITY-delete files (io/eqdeletes.py; Iceberg v2 "
+        "equality deletes) — the delete encoding that is written "
+        "BLIND: the writer never reads the table, so a CDC stream can "
+        "retire keys in O(1) at 100 TB (key tombstones S15 need a "
+        "key; position deletes S34 need a locating scan). Sequence-"
+        "number semantics proven end-to-end: seq0 seeds all "
+        "customers, a seq1 one-ROW delete tuple (mktsegment="
+        "'BUILDING') retires a whole segment, seq2 RE-INSERTS some "
+        "BUILDING customers (+777) — they SURVIVE the earlier delete "
+        "(reinsert_survives; strictly-lower-sequence matching), and a "
+        "seq3 blind key-list delete then hits both generations "
+        "(seq_ordering_held). Data files only ever hard-link between "
+        "commits (zero_rewrite asserts inode identity of the seq0 "
+        "batch across all four snapshots). Reads pay one broadcast "
+        "anti-join per (data batch, later delete batch) — the read-"
+        "amplifying trade the Iceberg spec documents, folded away by "
+        "OPTIMIZE. The oracle states the final visible state in "
+        "closed form"
+    ),
+)
+def s35_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_polygonscan_spark.io.eqdeletes import (
+        eq_append, eq_delete, read_with_equality_deletes,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+    )
+    table = _scratch("s35_eqdel", "cust")
+    shutil.rmtree(table, ignore_errors=True)
+
+    eq_append(c, table)  # seq 0
+
+    def _seq0_inodes():
+        snap = os.path.join(
+            table,
+            sorted(e for e in os.listdir(table) if e.startswith("snapshot="))[-1],
+        )
+        root = os.path.join(snap, "_data", "seq-0")
+        return {
+            f: os.stat(os.path.join(root, f)).st_ino
+            for f in os.listdir(root) if f.endswith(".parquet")
+        }
+
+    inodes_before = _seq0_inodes()
+
+    # seq 1: BLIND segment retirement — one delete tuple, no table read
+    eq_delete(spark, table, spark.createDataFrame(
+        [("BUILDING",)], "c_mktsegment string"))
+    # seq 2: re-insert a slice of the retired segment, repriced
+    reinsert = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 10 == 0)
+    ).withColumn("bal", (F.col("bal") + 777.0).cast("decimal(18,6)"))
+    eq_append(reinsert, table)
+    # seq 3: BLIND key-list delete — hits seq0 AND seq2 generations
+    eq_delete(spark, table, c.filter(F.col("c_custkey") % 20 == 0)
+              .select("c_custkey").distinct())
+
+    inodes_after = _seq0_inodes()
+    zero_rewrite = inodes_before == inodes_after and len(inodes_before) > 0
+
+    live = read_with_equality_deletes(spark, table)
+    n_reinserted_expected = reinsert.filter(F.col("c_custkey") % 20 != 0).count()
+    n_building = live.filter(F.col("c_mktsegment") == "BUILDING").count()
+    reinsert_survives = n_building == n_reinserted_expected and n_building > 0
+    # every surviving %10 (but not %20) BUILDING row must carry the
+    # seq2 price (+777), proving the seq1 delete removed ALL seq0 copies
+    seq_held = (
+        live.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 20 != 0)
+        )
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING")
+              .select("c_custkey", F.col("bal").alias("orig_bal")), "c_custkey")
+        # decimal-exact comparison: + 777.0 as a double drifts one ulp
+        .filter(
+            F.col("bal")
+            != (F.col("orig_bal") + F.lit("777.0").cast("decimal(18,6)"))
+        )
+        .count() == 0
+    )
+    return (
+        live.groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("bal", "sum_bal"))
+        .withColumn("zero_rewrite", F.lit(bool(zero_rewrite)))
+        .withColumn("reinsert_survives", F.lit(bool(reinsert_survives)))
+        .withColumn("seq_ordering_held", F.lit(bool(seq_held)))
+    )

@@ -2325,7 +2325,11 @@ _suite(
         "POSITION-delete files (Iceberg v2 positional deletes: "
         "predicate deletes over non-key columns, exact-duplicate rows "
         "deleted copy-by-copy via (file, row_index) identity, "
-        "zero-rewrite hard-link commits; round 6)"
+        "zero-rewrite hard-link commits) + S35 EQUALITY-delete files "
+        "(Iceberg v2's blind-write delete: the writer never reads the "
+        "table, sequence numbers make delete-then-reinsert sound — "
+        "completing the tombstone/positional/equality MoR delete "
+        "ladder; both round 6)"
     ),
     layout=[
         ("o_orderstatus", "string", "VARCHAR"),
@@ -2355,6 +2359,13 @@ _suite(
             "grp": "grp", "n_rows": "n_rows", "sum_price": "sum_price",
             "n_delete_entries": "n_delete_entries",
             "zero_rewrite_delete": "zero_rewrite",
+        }),
+        ("eqdelete", "s35_equality_deletes", {
+            "o_orderstatus": "c_mktsegment", "n_rows": "n_rows",
+            "sum_price": "sum_bal",
+            "zero_rewrite_delete": "zero_rewrite",
+            "zero_rewrite_upserts": "reinsert_survives",
+            "large_files_linked": "seq_ordering_held",
         }),
     ],
 )
