@@ -201,6 +201,10 @@ HEADLINE = [
     "e16_checkpoint_resume",
     "q7_volume_shipping",
     "q8_market_share",
+    "x14_bitwise_functions",
+    "a13_exact_mode",
+    "dq4_quarantine_flow",
+    "s35_equality_deletes",
 ]
 
 
@@ -328,6 +332,8 @@ WARMUP = [
     "j11_aqe_skew_join",
     "q7_volume_shipping",
     "q8_market_share",
+    "x14_bitwise_functions",
+    "a13_exact_mode",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

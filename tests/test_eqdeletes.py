@@ -1,0 +1,75 @@
+"""S35 equality-delete files: blind-write deletes, sequence-number
+ordering, multi-column tuples, hard-link zero-rewrite contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_polygonscan_spark.io.eqdeletes import (
+    eq_append,
+    eq_delete,
+    read_with_equality_deletes,
+)
+
+
+def _rows(spark, *tuples):
+    return spark.createDataFrame(list(tuples), "id long, tag string, v double")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    eq_append(_rows(spark, (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)), path)
+    return path
+
+
+def test_blind_delete_by_value(spark, table):
+    eq_delete(spark, table, spark.createDataFrame([("a",)], "tag string"))
+    left = read_with_equality_deletes(spark, table)
+    assert sorted(r.id for r in left.collect()) == [2]
+
+
+def test_reinsert_after_delete_survives(spark, table):
+    eq_delete(spark, table, spark.createDataFrame([(1,)], "id long"))
+    eq_append(_rows(spark, (1, "z", 99.0)), table)
+    rows = {r.id: r.tag for r in read_with_equality_deletes(spark, table).collect()}
+    # the seq2 re-insert postdates the seq1 delete: it must be visible,
+    # and it must be the NEW generation
+    assert rows[1] == "z"
+    assert set(rows) == {1, 2, 3}
+
+
+def test_later_delete_hits_all_generations(spark, table):
+    eq_delete(spark, table, spark.createDataFrame([(1,)], "id long"))
+    eq_append(_rows(spark, (1, "z", 99.0)), table)
+    eq_delete(spark, table, spark.createDataFrame([(1,)], "id long"))
+    assert sorted(r.id for r in read_with_equality_deletes(spark, table).collect()) == [2, 3]
+
+
+def test_multi_column_tuple_matches_conjunctively(spark, table):
+    # (id=3, tag='b') matches nothing; (id=3, tag='a') matches row 3
+    eq_delete(spark, table, spark.createDataFrame([(3, "b")], "id long, tag string"))
+    assert sorted(r.id for r in read_with_equality_deletes(spark, table).collect()) == [1, 2, 3]
+    eq_delete(spark, table, spark.createDataFrame([(3, "a")], "id long, tag string"))
+    assert sorted(r.id for r in read_with_equality_deletes(spark, table).collect()) == [1, 2]
+
+
+def test_delete_commit_never_rewrites_data(spark, table):
+    from datalake_polygonscan_spark.io.sinks import current_snapshot_path
+
+    def seq0_inodes():
+        snap = current_snapshot_path(table)
+        root = os.path.join(snap, "_data", "seq-0")
+        return {
+            f: os.stat(os.path.join(root, f)).st_ino
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+
+    before = seq0_inodes()
+    eq_delete(spark, table, spark.createDataFrame([("a",)], "tag string"))
+    eq_delete(spark, table, spark.createDataFrame([(2,)], "id long"))
+    assert seq0_inodes() == before and before

@@ -529,3 +529,71 @@ def test_zombie_commit_replay_rejected(tmp_path):
     with _pytest.raises(SnapshotConflict):
         commit_snapshot(table, "snapshot=1-attempt-retry", base)  # zombie replay
     assert read_pointer(table) == v1  # winner untouched
+
+
+def test_gc_orphans_only_touches_unreferenced(spark, tmp_path):
+    """S38: orphan GC may remove ONLY data the commit log never heard
+    of — committed versions (even vacuum-eligible old ones) and young
+    orphans survive."""
+    import os
+
+    from datalake_polygonscan_spark.io.maintenance import gc_orphans
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    path = str(tmp_path / "t")
+    atomic_overwrite(df, path, retain=10)
+    atomic_overwrite(df.withColumn("k", F.col("k") + 1), path, retain=10)
+
+    orphan = os.path.join(path, "snapshot=99-nevercommitted")
+    df.limit(2).write.mode("overwrite").parquet(orphan)
+    stray = os.path.join(path, "_tmp_junk.bin")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+
+    # young orphans survive the age guard
+    assert gc_orphans(path, min_age_s=3600) == []
+    assert os.path.isdir(orphan) and os.path.exists(stray)
+
+    removed = gc_orphans(path, min_age_s=0)
+    assert sorted(removed) == ["_tmp_junk.bin", "snapshot=99-nevercommitted"]
+    assert not os.path.exists(orphan) and not os.path.exists(stray)
+    # both committed versions intact
+    assert read_table(spark, path).count() == 10
+    from datalake_polygonscan_spark.io.sinks import read_version
+
+    assert read_version(spark, path, 0).count() == 10
+
+
+def test_migrate_in_place_is_zero_copy_and_isolated(spark, tmp_path):
+    """S39: migration hard-links every file (same inodes) and later
+    table commits never disturb the legacy directory."""
+    import os
+
+    from datalake_polygonscan_spark.io.sinks import (
+        atomic_overwrite, migrate_in_place, read_table,
+    )
+
+    legacy = str(tmp_path / "legacy")
+    table = str(tmp_path / "t")
+    src = spark.range(20).withColumn("p", F.col("id") % 2)
+    src.write.mode("overwrite").partitionBy("p").parquet(legacy)
+
+    def inodes(root):
+        out = {}
+        for dirpath, _d, names in os.walk(root):
+            for nm in names:
+                if nm.endswith(".parquet"):
+                    full = os.path.join(dirpath, nm)
+                    out[os.path.relpath(full, root)] = os.stat(full).st_ino
+        return out
+
+    li = inodes(legacy)
+    migrated = migrate_in_place(spark, legacy, table)
+    snap = [e for e in os.listdir(table) if e.startswith("snapshot=")][0]
+    assert inodes(os.path.join(table, snap)) == li and li
+    assert migrated.count() == 20
+
+    atomic_overwrite(migrated.filter(F.col("id") < 5), table, retain=10)
+    assert spark.read.parquet(legacy).count() == 20  # legacy untouched
+    assert read_table(spark, table).count() == 5
