@@ -149,6 +149,36 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 5 = 0
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     ) _w6
+    UNION ALL
+    SELECT 'streaks',
+           user_id, CAST(longest_up_streak AS BIGINT), CAST(n_streaks AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(n_events AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT user_id, max(n) AS longest_up_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN value > lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC)
+                                THEN 0 ELSE 1 END AS brk
+                    FROM events
+                ) _flags
+            ) _islands
+            GROUP BY user_id, sid
+        ) _runs
+        GROUP BY user_id
+    ) _w7
     """,
     doc=(
         "W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user "
@@ -158,10 +188,13 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union — one graded slot for all three W ids; each source keeps its own "
         "single exchange, the union is exchange-free. Round 6 adds W4 "
         "event-time RANGE frames (value-offset boundary, trailing "
-        "3600 s; ties = peers by definition) and W6 distribution "
+        "3600 s; ties = peers by definition), W6 distribution "
         "functions (percent_rank/cume_dist/nth_value — three frames, "
-        "one shared Window node per (partition, order)) as fourth and "
-        "fifth arms"
+        "one shared Window node per (partition, order)) and W7 "
+        "longest-increasing-streak (value-direction gaps-and-islands "
+        "computed ENTIRELY in window space — running last-start "
+        "position + full-partition aggregates, ONE user_id exchange, "
+        "zero groupBy re-shuffles) as fourth, fifth and sixth arms"
     ),
 )
 def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,10 +283,57 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("o_totalprice", 3).over(wfull).cast("double"), 4)
         .alias("moving_avg_qty"),
     )
+    # W7 longest increasing streak: value-direction gaps-and-islands
+    # computed ENTIRELY in window space — brk flags a streak start,
+    # the running last-start position gives each row's current streak
+    # length, and full-partition frames take the max/count/sum — so
+    # the whole arm rides the ONE user_id exchange (a groupBy(user,
+    # island) formulation would re-shuffle the full event set twice)
+    wrun = we.rowsBetween(Window.unboundedPreceding, 0)
+    wfull_u = we.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    brk = F.when(F.col("value") > F.lag("value").over(we), F.lit(0)).otherwise(F.lit(1))
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        brk.alias("brk"),
+        F.row_number().over(we).alias("rn"),
+    ).withColumn(
+        "cur_len",
+        F.col("rn")
+        - F.last(F.when(F.col("brk") == 1, F.col("rn")), ignorenulls=True).over(wrun)
+        + 1,
+    )
+    runs = (
+        flagged.select(
+            "user_id", "rn",
+            F.max("cur_len").over(wfull_u).cast("long").alias("longest"),
+            F.sum("brk").over(wfull_u).cast("long").alias("n_streaks"),
+            F.count(F.lit(1)).over(wfull_u).cast("long").alias("n_events"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    streak_part = runs.select(
+        F.lit("streaks").alias("mode"),
+        F.col("user_id").alias("k1"),
+        F.col("longest").cast("long").alias("k2"),
+        F.col("n_streaks").alias("k3"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_events").alias("rn"),
+        F.lit(None).cast("long").alias("rnk"),
+        F.lit(None).cast("long").alias("drnk"),
+        F.lit(None).cast("long").alias("quartile"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("string").alias("first_type"),
+        F.lit(None).cast("double").alias("value_delta"),
+        F.lit(None).cast("double").alias("running_qty"),
+        F.lit(None).cast("double").alias("moving_avg_qty"),
+    )
     return (
         rank_part.unionByName(framed_part)
         .unionByName(range_part)
         .unionByName(dist_part)
+        .unionByName(streak_part)
     )
 
 

@@ -382,13 +382,19 @@ def test_window_suite_one_exchange_per_source(spark):
     cannot share that Window node; the W6 distribution arm (orders
     source) likewise adds one Window+Exchange whose single node serves
     all THREE frames (rank ratios + full-partition nth_value share the
-    (partition, order) spec); the union itself is exchange-free."""
+    (partition, order) spec); the W7 streak arm (round 6) stacks
+    THREE Window nodes (offset/ranking, running last-start, full-
+    partition aggregates — later tiers consume earlier outputs) but
+    only ONE more exchange: the whole gaps-and-islands derivation
+    stays inside its single user_id shuffle (a groupBy-islands
+    formulation would re-shuffle the event set twice more); the union
+    itself is exchange-free."""
     from datalake_polygonscan_spark.queries.windows import w1_w3
 
     plan = _plan(w1_w3(spark, SF))
-    # one Window node and one exchange per union branch, nothing more
-    assert plan.count(") Window") == 4
-    assert plan.count(") Exchange") == 4
+    # bounded Window nodes and ONE exchange per union branch
+    assert plan.count(") Window") == 7
+    assert plan.count(") Exchange") == 5
     # the RANGE arm really evaluates as a RangeFrame, not eight ROWS
     assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
 
