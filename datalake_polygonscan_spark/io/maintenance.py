@@ -326,7 +326,12 @@ def gc_orphans(table_path: str, min_age_s: float = 86400.0) -> list[str]:
     now = time.time()
     removed: list[str] = []
     for entry in sorted(os.listdir(table_path)):
-        if entry in ("_log", "_CURRENT") or entry.startswith("_CURRENT"):
+        # underscore entries are SYSTEM namespaces (_log, _CURRENT and
+        # its lock, the _changes CDF feed, _stream_chk checkpoints,
+        # _posdeletes siblings, ...) — never GC candidates: orphan GC
+        # may only ever touch writer DATA artifacts, i.e. snapshot=
+        # dirs the log has never referenced and stray non-system files
+        if entry.startswith("_") or entry.startswith("."):
             continue
         full = os.path.join(table_path, entry)
         if entry.startswith("snapshot=") and entry in referenced:

@@ -2652,7 +2652,7 @@ def s38_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a crashed writer: data fully written, commit never happened
     orphan_dir = os.path.join(table, "snapshot=99-orphandeadbeef")
     c.limit(10).write.mode("overwrite").parquet(orphan_dir)
-    stray = os.path.join(table, "_tmp_part-00099-leftover.parquet")
+    stray = os.path.join(table, "part-00099-leftover.parquet.tmp")
     with open(stray, "wb") as fh:
         fh.write(b"PAR1 leftover")
 

@@ -547,7 +547,7 @@ def test_gc_orphans_only_touches_unreferenced(spark, tmp_path):
 
     orphan = os.path.join(path, "snapshot=99-nevercommitted")
     df.limit(2).write.mode("overwrite").parquet(orphan)
-    stray = os.path.join(path, "_tmp_junk.bin")
+    stray = os.path.join(path, "junk-leftover.bin")
     with open(stray, "wb") as fh:
         fh.write(b"junk")
 
@@ -556,7 +556,7 @@ def test_gc_orphans_only_touches_unreferenced(spark, tmp_path):
     assert os.path.isdir(orphan) and os.path.exists(stray)
 
     removed = gc_orphans(path, min_age_s=0)
-    assert sorted(removed) == ["_tmp_junk.bin", "snapshot=99-nevercommitted"]
+    assert sorted(removed) == ["junk-leftover.bin", "snapshot=99-nevercommitted"]
     assert not os.path.exists(orphan) and not os.path.exists(stray)
     # both committed versions intact
     assert read_table(spark, path).count() == 10
@@ -597,3 +597,23 @@ def test_migrate_in_place_is_zero_copy_and_isolated(spark, tmp_path):
     atomic_overwrite(migrated.filter(F.col("id") < 5), table, retain=10)
     assert spark.read.parquet(legacy).count() == 20  # legacy untouched
     assert read_table(spark, table).count() == 5
+
+
+def test_gc_orphans_never_touches_system_namespaces(spark, tmp_path):
+    """S38 regression: underscore-prefixed table-root entries are
+    SYSTEM namespaces (_changes CDF feed, _stream_chk checkpoints) —
+    orphan GC must never remove them even though the commit log does
+    not reference them by name."""
+    import os
+
+    from datalake_polygonscan_spark.io.maintenance import gc_orphans
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    path = str(tmp_path / "t")
+    atomic_overwrite(df, path)
+    for system_dir in ("_changes", "_stream_chk"):
+        os.makedirs(os.path.join(path, system_dir, "x"), exist_ok=True)
+    assert gc_orphans(path, min_age_s=0) == []
+    assert os.path.isdir(os.path.join(path, "_changes", "x"))
+    assert os.path.isdir(os.path.join(path, "_stream_chk", "x"))
