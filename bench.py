@@ -205,6 +205,7 @@ HEADLINE = [
     "a13_exact_mode",
     "dq4_quarantine_flow",
     "s35_equality_deletes",
+    "geo4_trajectory_stats",
 ]
 
 
@@ -334,6 +335,7 @@ WARMUP = [
     "q8_market_share",
     "x14_bitwise_functions",
     "a13_exact_mode",
+    "geo4_trajectory_stats",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

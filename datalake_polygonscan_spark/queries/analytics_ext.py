@@ -3128,3 +3128,73 @@ def dq4_quarantine_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("quarantine").alias("mode"), "grp", "n_rows", "sum_value",
              *[v.alias(k) for k, v in flags.items()])
     return out_g.unionByName(out_q)
+
+
+@register(
+    "geo4_trajectory_stats",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               (event_id * 48271) % 100000 AS x,
+               (event_id * 69621) % 100000 AS y
+        FROM events
+    ), hops AS (
+        SELECT user_id,
+               x - lag(x) OVER w AS dx,
+               y - lag(y) OVER w AS dy
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), d AS (
+        SELECT user_id,
+               CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE))) AS BIGINT) AS hop_m
+        FROM hops WHERE dx IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_hops,
+           CAST(sum(hop_m) AS BIGINT) AS path_m,
+           CAST(max(hop_m) AS BIGINT) AS longest_hop_m,
+           CAST(sum(CASE WHEN hop_m > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_jumps
+    FROM d GROUP BY user_id
+    """,
+    doc=(
+        "GEO4 trajectory statistics per moving entity — the "
+        "fleet/telemetry primitive (distance travelled, longest leg, "
+        "implausible-jump count for GPS-glitch detection): event "
+        "positions derive deterministically from ids on GEO1's planar "
+        "grid, consecutive-hop vectors come from one lag() pass over "
+        "the (ts, event_id) total order, and each hop length is "
+        "floor(sqrt(exact-integer d2)) — IEEE-mandated correctly-"
+        "rounded sqrt of an exactly-representable integer, so both "
+        "engines agree bit-for-bit and the BIGINT path sums are "
+        "order-insensitive. One user_id shuffle + one combinable "
+        "groupBy; O(1) state per hop at any trajectory length"
+    ),
+)
+def geo4_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id") * 48271) % 100000).alias("x"),
+        ((F.col("event_id") * 69621) % 100000).alias("y"),
+    )
+    hops = pts.select(
+        "user_id",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).filter(F.col("dx").isNotNull())
+    hop_m = F.floor(
+        F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double"))
+    ).cast("long")
+    return (
+        hops.select("user_id", hop_m.alias("hop_m"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hops"),
+            F.sum("hop_m").cast("long").alias("path_m"),
+            F.max("hop_m").cast("long").alias("longest_hop_m"),
+            F.sum(F.when(F.col("hop_m") > 50000, 1).otherwise(0)).cast("long").alias("n_jumps"),
+        )
+    )

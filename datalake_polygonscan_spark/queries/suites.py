@@ -2159,9 +2159,11 @@ _suite(
         "TS10 Holt double-exponential smoothing and TS11 hour-of-day "
         "seasonal indices (exact-decimal means), GEO3 point-in-polygon "
         "via exact-integer even-odd ray casting (concave rings, "
-        "division-free crossing test) and TS12 M4 + largest-triangle "
+        "division-free crossing test), TS12 M4 + largest-triangle "
         "visual downsampling (Jugel VLDB'14 envelope + LTTB selection "
-        "with centroid anchors, exact DECIMAL area argmax; all "
+        "with centroid anchors, exact DECIMAL area argmax) and GEO4 "
+        "per-entity trajectory statistics (exact-integer hop vectors, "
+        "correctly-rounded sqrt legs, glitch-jump counts; all "
         "round 6)"
     ),
     layout=[
@@ -2270,6 +2272,11 @@ _suite(
             "event_id": "event_id", "user_id": "xs",
             "bucket_start": "yt", "is_gap": "role_id",
             "n_events": "n", "asof_event_id": "bkt",
+        }),
+        ("trajectory", "geo4_trajectory_stats", {
+            "user_id": "user_id", "n_events": "n_hops",
+            "event_id": "path_m", "asof_event_id": "longest_hop_m",
+            "bucket_start": "n_jumps",
         }),
     ],
 )
