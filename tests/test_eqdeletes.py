@@ -73,3 +73,50 @@ def test_delete_commit_never_rewrites_data(spark, table):
     eq_delete(spark, table, spark.createDataFrame([("a",)], "tag string"))
     eq_delete(spark, table, spark.createDataFrame([(2,)], "id long"))
     assert seq0_inodes() == before and before
+
+
+def test_random_op_sequences_match_reference_model(spark, tmp_path):
+    """Model-based check: any interleaving of appends and blind
+    equality deletes must leave exactly the rows a sequential
+    dict-of-generations reference model predicts. Deterministic
+    pseudo-random program (seeded) so the case replays identically."""
+    import random
+
+    rng = random.Random(0xE9DE1)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        model: list[tuple[int, int, str]] = []  # (seq, id, tag) visible rows
+        seq = 0
+        next_id = 0
+        ops = []
+        for _ in range(6):
+            if seq == 0 or rng.random() < 0.55:
+                rows = [
+                    (next_id + i, rng.choice("abc")) for i in range(rng.randint(1, 4))
+                ]
+                next_id += len(rows)
+                ops.append(("append", rows))
+                eq_append(
+                    spark.createDataFrame(
+                        [(i, t, 1.0) for i, t in rows], "id long, tag string, v double"
+                    ),
+                    path,
+                )
+                model.extend((seq, i, t) for i, t in rows)
+            else:
+                if rng.random() < 0.5 and model:
+                    tag = rng.choice("abc")
+                    ops.append(("del_tag", tag))
+                    eq_delete(spark, path, spark.createDataFrame([(tag,)], "tag string"))
+                    model = [r for r in model if r[2] != tag]
+                else:
+                    victim = rng.randrange(max(next_id, 1))
+                    ops.append(("del_id", victim))
+                    eq_delete(spark, path, spark.createDataFrame([(victim,)], "id long"))
+                    model = [r for r in model if r[1] != victim]
+            seq += 1
+        got = sorted(
+            (r.id, r.tag) for r in read_with_equality_deletes(spark, path).collect()
+        )
+        want = sorted((i, t) for _s, i, t in model)
+        assert got == want, f"trial {trial} ops={ops}: {got} != {want}"
