@@ -206,6 +206,8 @@ HEADLINE = [
     "dq4_quarantine_flow",
     "s35_equality_deletes",
     "geo4_trajectory_stats",
+    "s40_write_distribution",
+    "e17_output_mode_matrix",
 ]
 
 

@@ -341,3 +341,72 @@ def s37_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "s40_write_distribution",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_qty,
+           TRUE AS files_bounded,
+           TRUE AS more_files_than_default,
+           TRUE AS content_identical
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "S40 WRITE-distribution control (spark.sql.files."
+        "maxRecordsPerFile): the writer-side half of the small/huge-"
+        "file problem S10's compaction repairs after the fact — a "
+        "single task writing a multi-GB partition produces an "
+        "unsplittable-row-group monster unless the writer caps file "
+        "size at the source. The entry writes lineitem twice (default "
+        "vs a records-per-file cap sized to the corpus), verifies "
+        "from the parquet FOOTERS (pyarrow metadata, no data read) "
+        "that every capped file holds <= cap rows while the default "
+        "write produced fewer, larger files, and proves byte-level "
+        "content parity by aggregating the capped copy against the "
+        "raw-table oracle. At 100 TB this plus AQE rebalance is what "
+        "keeps scan parallelism and row-group pruning healthy "
+        "downstream; conf is scoped and restored"
+    ),
+)
+def s40_write_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_quantity").cast("decimal(18,6)").alias("qty")
+    )
+    n = li.count()
+    cap = max(1000, n // 16)
+    d_default = _scratch("s40_writedist", "default")
+    d_capped = _scratch("s40_writedist", "capped")
+
+    one = li.coalesce(1)
+    one.write.mode("overwrite").parquet(d_default)
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    try:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(cap))
+        one.write.mode("overwrite").parquet(d_capped)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+
+    def _file_rows(d):
+        return [
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    rows_default, rows_capped = _file_rows(d_default), _file_rows(d_capped)
+    files_bounded = bool(rows_capped) and max(rows_capped) <= cap
+    more_files = len(rows_capped) > len(rows_default)
+    back = spark.read.parquet(d_capped)
+    content_ok = back.count() == n and sum(rows_capped) == n
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("qty", "total_qty"))
+        .withColumn("files_bounded", F.lit(bool(files_bounded)))
+        .withColumn("more_files_than_default", F.lit(bool(more_files)))
+        .withColumn("content_identical", F.lit(bool(content_ok)))
+    )

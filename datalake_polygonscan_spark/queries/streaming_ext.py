@@ -786,3 +786,120 @@ def e16_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("resume_incremental", F.lit(bool(resume_incremental)))
         .withColumn("no_redelivery", F.lit(bool(no_redelivery)))
     )
+
+
+@register(
+    "e17_output_mode_matrix",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) * 86400 AS BIGINT)
+                   AS window_start_s,
+               event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT window_start_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS update_emitted_intermediates,
+           TRUE AS append_exactly_once,
+           TRUE AS append_subset_correct,
+           TRUE AS modes_converge
+    FROM w GROUP BY window_start_s
+    """,
+    doc=(
+        "E17 the OUTPUT-MODE matrix — the semantics every streaming "
+        "consumer must pick correctly: ONE daily windowed count over "
+        "purchase events runs twice from the same two-file source "
+        "(time-split so one window straddles the batch boundary), in "
+        "UPDATE mode and in APPEND mode with a 1 h watermark. Proven "
+        "from the collected sink logs and riding the hash: update "
+        "re-EMITS the straddling window with its growing count "
+        "(update_emitted_intermediates — consumers must upsert, not "
+        "append), append emits each window AT MOST ONCE and only "
+        "after the watermark closes it (append_exactly_once), every "
+        "append row already equals the batch ground truth "
+        "(append_subset_correct — append rows are FINAL), and "
+        "latest-per-window across the update log converges to the "
+        "same ground truth (modes_converge). The graded rows are the "
+        "update-mode latest counts; the oracle recomputes them as a "
+        "batch daily rollup"
+    ),
+)
+def e17_output_mode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = _scratch("e17_modes", "x")
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    src = _scratch("e17_modes", "src")
+    os.makedirs(src)
+    split = ev.agg(
+        (F.min("ts") + (F.max("ts") - F.min("ts")) / 2).alias("m")
+    ).collect()[0]["m"]
+    # split INSIDE a day so that window straddles both batches
+    split = split.replace(hour=12, minute=0, second=0, microsecond=0)
+    ev.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(
+        os.path.join(src, "f1.parquet"))
+    ev.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(
+        os.path.join(src, "f2.parquet"))
+
+    def run(mode: str, name: str):
+        spark.sql(f"DROP VIEW IF EXISTS {name}")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_s"),
+                "n_events",
+            )
+        )
+        chk = _scratch("e17_modes", f"chk_{name}")
+        q = (
+            agg.writeStream.outputMode(mode).format("memory").queryName(name)
+            .option("checkpointLocation", chk).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    up = run("update", "e17_up").cache()
+    ap = run("append", "e17_ap").cache()
+
+    truth = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long").alias("window_start_s")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+
+    n_up_rows = up.count()
+    n_up_windows = up.select("window_start_s").distinct().count()
+    update_intermediates = n_up_rows > n_up_windows
+
+    n_ap_rows = ap.count()
+    n_ap_windows = ap.select("window_start_s").distinct().count()
+    append_once = n_ap_rows == n_ap_windows and n_ap_rows > 0
+    truth_r = truth.withColumnRenamed("n_events", "n_true")
+    append_correct = (
+        ap.join(truth_r, "window_start_s")
+        .filter(F.col("n_events") != F.col("n_true")).count() == 0
+        if n_ap_rows else False
+    )
+
+    latest = up.groupBy("window_start_s").agg(F.max("n_events").alias("n_events"))
+    converge = (
+        latest.join(truth_r, "window_start_s", "full")
+        .filter(
+            F.col("n_events").isNull() | F.col("n_true").isNull()
+            | (F.col("n_events") != F.col("n_true"))
+        ).count() == 0
+    )
+    return latest.select(
+        "window_start_s", "n_events",
+        F.lit(bool(update_intermediates)).alias("update_emitted_intermediates"),
+        F.lit(bool(append_once)).alias("append_exactly_once"),
+        F.lit(bool(append_correct)).alias("append_subset_correct"),
+        F.lit(bool(converge)).alias("modes_converge"),
+    )

@@ -1801,7 +1801,9 @@ _suite(
         "version-lockstep/totals-agree verdicts riding the hash + E16 "
         "checkpointed resume across separate runs (run 2 ingests ONLY "
         "files that landed after run 1 — the nightly AvailableNow "
-        "contract; both round 6)"
+        "contract) + E17 the output-mode matrix (update re-emits the "
+        "straddling window, append emits at-most-once-and-final, both "
+        "converge to the batch rollup; all round 6)"
     ),
     layout=[
         ("window_start", "timestamp", "TIMESTAMP"),
@@ -1842,6 +1844,17 @@ _suite(
             "fanout_consistent": (
                 "first_run_partial AND resume_incremental AND no_redelivery",
                 "first_run_partial AND resume_incremental AND no_redelivery",
+            ),
+        }),
+        ("output_modes", "e17_output_mode_matrix", {
+            "grp": ("CAST(window_start_s AS STRING)",
+                    "CAST(window_start_s AS VARCHAR)"),
+            "n_events": "n_events",
+            "fanout_consistent": (
+                "update_emitted_intermediates AND append_exactly_once "
+                "AND append_subset_correct AND modes_converge",
+                "update_emitted_intermediates AND append_exactly_once "
+                "AND append_subset_correct AND modes_converge",
             ),
         }),
     ],
@@ -2292,7 +2305,10 @@ _suite(
         "S1-S3 parquet/JSON/CSV + S7 ORC scan round-trips (passthrough "
         "fmt arms) + S22 per-table compression-codec control (snappy/"
         "gzip/zstd writes, size ordering verified, content "
-        "codec-invariant) in one graded slot (merged round 5)"
+        "codec-invariant) in one graded slot (merged round 5) + S40 "
+        "write-distribution control (maxRecordsPerFile caps verified "
+        "from parquet footers, fewer-larger default vs bounded capped "
+        "write, content parity; round 6)"
     ),
     layout=[
         ("fmt", "string", "VARCHAR"),
@@ -2312,6 +2328,14 @@ _suite(
             "mode": "'codec_' || fmt", "fmt": "fmt",
             "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
             "sum_price": "sum_price", "codec_verified": "codec_verified",
+        }),
+        ("write_dist", "s40_write_distribution", {
+            "grp": "l_returnflag", "n_rows": "n_rows",
+            "total": "total_qty",
+            "codec_verified": (
+                "files_bounded AND more_files_than_default AND content_identical",
+                "files_bounded AND more_files_than_default AND content_identical",
+            ),
         }),
     ],
 )
