@@ -208,6 +208,7 @@ HEADLINE = [
     "geo4_trajectory_stats",
     "s40_write_distribution",
     "e17_output_mode_matrix",
+    "an9_revenue_concentration",
 ]
 
 
@@ -338,6 +339,7 @@ WARMUP = [
     "x14_bitwise_functions",
     "a13_exact_mode",
     "geo4_trajectory_stats",
+    "an9_revenue_concentration",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -3198,3 +3198,91 @@ def geo4_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hop_m") > 50000, 1).otherwise(0)).cast("long").alias("n_jumps"),
         )
     )
+
+
+@register(
+    "an9_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT r,
+               row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS i
+        FROM rev
+    ), tot AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(r) AS DECIMAL(38,6)) AS s,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * r) AS DECIMAL(38,6)) AS si
+        FROM ranked
+    ), deciles AS (
+        SELECT CAST(ntile(10) OVER (ORDER BY i ASC) AS BIGINT) AS decile, r
+        FROM ranked
+    )
+    SELECT d.decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(CAST(SUM(d.r) AS DOUBLE) / CAST(t.s AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS revenue_share,
+           floor((2.0 * CAST(t.si AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE))
+                  - (CAST(t.n AS DOUBLE) + 1.0) / CAST(t.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS gini
+    FROM deciles d CROSS JOIN tot t
+    GROUP BY d.decile, t.n, t.s, t.si
+    """,
+    doc=(
+        "AN9 revenue CONCENTRATION — the Lorenz/Gini economics of a "
+        "customer base (how much of revenue the top decile carries; "
+        "the whale-dependence metric every marketplace tracks): "
+        "per-customer revenue in exact decimals, ranked over the "
+        "deterministic (revenue, custkey) total order, Gini from the "
+        "classic rank-weighted closed form G = 2·Σi·x_i/(n·Σx) − "
+        "(n+1)/n with every sum an exact DECIMAL and only boundary "
+        "IEEE divisions (1e-6 quantized); decile revenue shares from "
+        "the same ranking. One groupBy + one global sort of the "
+        "per-customer rollup (O(customers), not O(orders)) + a "
+        "broadcast 1-row total. Same text in the oracle"
+    ),
+)
+def an9_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)").alias("r"))
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(W.orderBy(F.col("r").asc(), F.col("o_custkey").asc())).alias("i"),
+    )
+    tot = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("r").cast("decimal(38,6)").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r")).cast("decimal(38,6)").alias("si"),
+    )
+    deciles = ranked.select(
+        F.ntile(10).over(W.orderBy(F.col("i").asc())).cast("long").alias("decile"), "r"
+    )
+    gini = (
+        F.floor(
+            (
+                2.0 * F.col("si").cast("double") / (F.col("n").cast("double") * F.col("s").cast("double"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+            ) * 1e6 + 0.5
+        ) / 1e6
+    )
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "n", "s", "si")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("r").cast("decimal(38,6)").alias("dr"),
+        )
+        .select(
+            "decile", "n_customers",
+            (F.floor(F.col("dr").cast("double") / F.col("s").cast("double") * 1e6 + 0.5) / 1e6)
+            .alias("revenue_share"),
+            gini.alias("gini"),
+        )
+    )

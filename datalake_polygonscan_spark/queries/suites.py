@@ -1412,7 +1412,9 @@ _suite(
         "BIGINT counts, windowed source-total normalization) + PR5 "
         "distribution-drift monitor (per-category TVD + chi-square "
         "from exact DECIMAL cross-products, one scan, single "
-        "output-boundary division; all round 6)"
+        "output-boundary division) + AN9 Lorenz/Gini revenue "
+        "concentration (rank-weighted exact-decimal closed form, "
+        "decile shares, O(customers) sort; all round 6)"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1498,6 +1500,11 @@ _suite(
             "col_name": "col_name", "min_value": "category",
             "n_rows": "n_base", "n_active": "n_cur",
             "retention": "tvd_comp", "chi2_stat": "chi2_comp",
+        }),
+        ("lorenz", "an9_revenue_concentration", {
+            "funnel_depth": ("CAST(decile AS INT)", "CAST(decile AS INTEGER)"),
+            "n_rows": "n_customers",
+            "retention": "revenue_share", "chi2_stat": "gini",
         }),
     ],
 )
