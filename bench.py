@@ -209,6 +209,8 @@ HEADLINE = [
     "s40_write_distribution",
     "e17_output_mode_matrix",
     "an9_revenue_concentration",
+    "ql_lateral_topn",
+    "qv_sql_pivot",
 ]
 
 
@@ -340,6 +342,8 @@ WARMUP = [
     "a13_exact_mode",
     "geo4_trajectory_stats",
     "an9_revenue_concentration",
+    "ql_lateral_topn",
+    "qv_sql_pivot",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

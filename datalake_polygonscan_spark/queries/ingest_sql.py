@@ -877,3 +877,82 @@ _Q8_SQL = """
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q8_SQL)
+
+
+_QL_SQL = """
+    SELECT c.c_custkey, top_o.o_orderkey,
+           ROUND(CAST(top_o.o_totalprice AS DOUBLE), 4) AS price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) top_o
+"""
+
+
+@register(
+    "ql_lateral_topn",
+    oracle=_QL_SQL,
+    doc=(
+        "QL LATERAL correlated subquery through spark.sql (identical "
+        "text in the oracle): top-2 orders per customer written the "
+        "way an analyst writes it — a correlated ORDER BY ... LIMIT "
+        "subquery in the FROM clause. Catalyst plans the lateral as a "
+        "DomainJoin-decorrelated window/filter (never one subquery "
+        "execution per outer row — the naive interpretation would be "
+        "O(customers) query launches); the deterministic (price desc, "
+        "key asc) total order makes the LIMIT reproducible. The "
+        "lateral-join surface is the last SQL correlation form the "
+        "Q4/Q17/Q20/Q21/Q22 set did not cover"
+    ),
+)
+def ql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QL_SQL)
+
+
+@register(
+    "qv_sql_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent_n,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS urgent_s,
+           CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low_n,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS low_s
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "QV the SQL PIVOT clause through spark.sql — the "
+        "spreadsheet-shaped rotation BI tools emit as raw SQL (P4 "
+        "covers the DataFrame .pivot() form; this is the parser "
+        "surface): two aggregates (count + exact-decimal sum) FOR two "
+        "priority values with explicit aliases. Spark lowers PIVOT to "
+        "the same single-scan conditional aggregation the oracle "
+        "states by hand, so parser lowering bugs (alias order, "
+        "aggregate pairing, null cells for empty combinations) "
+        "value-fail"
+    ),
+)
+def qv_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               urgent_n, ROUND(CAST(urgent_s AS DOUBLE), 4) AS urgent_s,
+               low_n, ROUND(CAST(low_s AS DOUBLE), 4) AS low_s
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS p
+            FROM orders
+        ) PIVOT (
+            COUNT(*) AS n, SUM(p) AS s
+            FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low)
+        )
+        """
+    )

@@ -962,9 +962,12 @@ _suite(
         "its hand-lowered ANSI equivalent — and QG GROUP BY ALL / "
         "ORDER BY ALL (the modern-SQL shorthand, identical text both "
         "engines), plus the Q7 symmetric-OR nation-pair snowflake "
-        "(the shape that defeats single-sided pushdown) and the Q8 "
+        "(the shape that defeats single-sided pushdown), the Q8 "
         "conditional-aggregate market-share ratio (exact decimal "
-        "sums, boundary-only division; both round 6)"
+        "sums, boundary-only division), QL the LATERAL correlated "
+        "top-n subquery (decorrelated, never per-row execution) and "
+        "QV the SQL PIVOT clause (parser-surface rotation lowered to "
+        "one conditional-agg scan; all round 6)"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -1039,6 +1042,15 @@ _suite(
         ("q8", "q8_market_share", {
             "l_orderkey": ("CAST(o_year AS LONG)", "CAST(o_year AS BIGINT)"),
             "order_count": "n_rows", "avg_disc": "mkt_share",
+        }),
+        ("ql", "ql_lateral_topn", {
+            "order_count": "c_custkey", "l_orderkey": "o_orderkey",
+            "revenue": "price",
+        }),
+        ("qv", "qv_sql_pivot", {
+            "o_orderpriority": "o_orderstatus",
+            "order_count": "urgent_n", "revenue": "urgent_s",
+            "numwait": "low_n", "avg_yearly": "low_s",
         }),
     ],
 )
