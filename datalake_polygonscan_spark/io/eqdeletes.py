@@ -114,20 +114,28 @@ def eq_delete(spark: SparkSession, table_path: str, values: DataFrame) -> int:
     if base is None:
         raise FileNotFoundError(f"no snapshot at {table_path}")
 
+    seq_holder = {}
+
     def write_into(snap_dir: str) -> None:
         seq = _next_seq(snap_dir)
         values.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(snap_dir, _EQDEL, f"seq-{seq}")
         )
+        seq_holder["seq"] = seq
 
     _commit_linked(table_path, base, "EQ_DELETE", write_into)
-    return 0
+    return seq_holder["seq"]
 
 
 def read_with_equality_deletes(spark: SparkSession, table_path: str) -> DataFrame:
     """Union of data batches, each minus the delete tuples written at a
     STRICTLY HIGHER sequence: one broadcast anti-join per data batch
-    (delete sets are small until OPTIMIZE folds them in)."""
+    (delete sets are small until OPTIMIZE folds them in).
+
+    Delete matching uses NULL-SAFE equality (``<=>``), per the Iceberg
+    v2 equality-delete semantics: a delete tuple with a NULL value
+    matches data rows whose value IS NULL — plain ``=`` would silently
+    no-op such deletes."""
     meta = read_pointer(table_path)
     if meta is None:
         raise FileNotFoundError(f"no snapshot at {table_path}")
@@ -140,7 +148,11 @@ def read_with_equality_deletes(spark: SparkSession, table_path: str) -> DataFram
         part = spark.read.parquet(path)
         for dseq, dvals in dels:
             if dseq > seq:
-                part = part.join(F.broadcast(dvals), on=list(dvals.columns), how="left_anti")
+                cond = None
+                for c in dvals.columns:
+                    e = part[c].eqNullSafe(dvals[c])
+                    cond = e if cond is None else cond & e
+                part = part.join(F.broadcast(dvals), on=cond, how="left_anti")
         out = part if out is None else out.unionByName(part)
     if out is None:
         raise FileNotFoundError(f"no data batches at {snap_dir}")

@@ -77,13 +77,21 @@ def write_hidden(df: DataFrame, path: str, transforms) -> None:
     ).parquet(path)
 
 
-def read_hidden(spark: SparkSession, path: str) -> DataFrame:
+def read_hidden(
+    spark: SparkSession, path: str, partition_predicates=()
+) -> DataFrame:
     """Read a hidden-partitioned table WITHOUT the layout columns.
 
-    Callers filter raw columns; use the transform ``*_predicate``
-    helpers to inject the pruning predicate before this projection.
+    ``partition_predicates`` (built with the transform ``*_predicate``
+    helpers) are applied BEFORE the layout columns are dropped, so
+    Catalyst turns them into PartitionFilters; the returned schema then
+    carries only the raw columns — the layout truly is hidden from
+    queries, which is the whole point of transform partitioning.
     """
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    for pred in partition_predicates:
+        df = df.filter(pred)
+    return df.drop(*[c for c in df.columns if c.startswith("__p_")])
 
 
 def scan_is_pruned(df: DataFrame, part_col: str) -> bool:

@@ -303,6 +303,24 @@ def auto_optimize(
     return {"triggered": True, "small_files": small, **stats}
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself for a
+    plain file). The in-flight-writer guard must key on the LAST write
+    a candidate received, not on when its root dir was created: a
+    writer whose data write runs longer than ``min_age_s`` before its
+    CAS commit keeps touching files under the snapshot dir, and those
+    touches are what prove it is still alive."""
+    newest = os.path.getmtime(path)
+    if os.path.isdir(path):
+        for root, dirs, files in os.walk(path):
+            for name in dirs + files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+                except OSError:
+                    pass
+    return newest
+
+
 def gc_orphans(table_path: str, min_age_s: float = 86400.0) -> list[str]:
     """Remove ORPHAN artifacts from a snapshot table directory: data
     laid down by writers that never committed (a crashed writer's
@@ -336,7 +354,7 @@ def gc_orphans(table_path: str, min_age_s: float = 86400.0) -> list[str]:
         full = os.path.join(table_path, entry)
         if entry.startswith("snapshot=") and entry in referenced:
             continue
-        if now - os.path.getmtime(full) < min_age_s:
+        if now - _newest_mtime(full) < min_age_s:
             continue
         if os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)

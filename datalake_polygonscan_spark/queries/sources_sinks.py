@@ -309,10 +309,9 @@ def s37_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(path, ignore_errors=True)
     write_hidden(li, path, [month_t, bucket_t])
 
-    t = read_hidden(spark, path)
     lo, hi = "1995-06-01 00:00:00", "1995-08-31 23:59:59"
     month_q = (
-        t.filter(month_t.range_predicate(lo, hi))
+        read_hidden(spark, path, [month_t.range_predicate(lo, hi)])
         .filter(F.col("l_shipdate").between(F.lit(lo).cast("timestamp"),
                                             F.lit(hi).cast("timestamp")))
         .groupBy(F.col("l_returnflag").alias("grp"))
@@ -322,7 +321,7 @@ def s37_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = li.agg(F.min("l_orderkey").alias("k")).collect()[0]["k"]
     bucket_q = (
-        t.filter(bucket_t.eq_predicate(key))
+        read_hidden(spark, path, [bucket_t.eq_predicate(key)])
         .filter(F.col("l_orderkey") == key)
         .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("price", "total"))
         .select(F.lit("key").alias("grp"), "n_rows", "total")

@@ -57,6 +57,37 @@ def test_multi_column_tuple_matches_conjunctively(spark, table):
     assert sorted(r.id for r in read_with_equality_deletes(spark, table).collect()) == [1, 2]
 
 
+def test_delete_returns_its_sequence_number(spark, table):
+    # appends and deletes share one sequence counter; the delete's seq
+    # is what auditing / OPTIMIZE folding keys on
+    assert eq_delete(spark, table, spark.createDataFrame([(1,)], "id long")) == 1
+    assert eq_append(_rows(spark, (9, "q", 1.0)), table) == 2
+    assert eq_delete(spark, table, spark.createDataFrame([(9,)], "id long")) == 3
+
+
+def test_null_delete_tuple_matches_null_rows(spark, tmp_path):
+    """Iceberg v2 equality deletes treat NULL as equal to NULL in
+    delete matching — a delete tuple with a NULL value must retire
+    data rows whose value IS NULL (plain ``=`` would silently no-op)."""
+    path = str(tmp_path / "t")
+    eq_append(
+        spark.createDataFrame(
+            [(1, None, 10.0), (2, "b", 20.0), (3, None, 30.0)],
+            "id long, tag string, v double",
+        ),
+        path,
+    )
+    eq_delete(spark, path, spark.createDataFrame([(None,)], "tag string"))
+    assert sorted(r.id for r in read_with_equality_deletes(spark, path).collect()) == [2]
+    # multi-column tuple with a NULL component is still conjunctive:
+    # (id=2, tag=NULL) matches nothing — row 2's tag is 'b'
+    eq_delete(
+        spark, path,
+        spark.createDataFrame([(2, None)], "id long, tag string"),
+    )
+    assert sorted(r.id for r in read_with_equality_deletes(spark, path).collect()) == [2]
+
+
 def test_delete_commit_never_rewrites_data(spark, table):
     from datalake_polygonscan_spark.io.sinks import current_snapshot_path
 

@@ -565,6 +565,43 @@ def test_gc_orphans_only_touches_unreferenced(spark, tmp_path):
     assert read_version(spark, path, 0).count() == 10
 
 
+def test_gc_orphans_inflight_guard_keys_on_newest_inner_mtime(spark, tmp_path):
+    """The min_age guard must key on the newest write ANYWHERE under a
+    candidate tree, not its root dir's creation time: a slow writer
+    creates the snapshot dir early, keeps writing files, and commits
+    at the end — the recent inner files prove it is still in flight."""
+    import os
+    import time as _time
+
+    from datalake_polygonscan_spark.io.maintenance import gc_orphans
+    from datalake_polygonscan_spark.io.sinks import atomic_overwrite
+
+    path = str(tmp_path / "t")
+    atomic_overwrite(spark.range(5).withColumnRenamed("id", "k"), path, retain=10)
+
+    inflight = os.path.join(path, "snapshot=99-inflight")
+    spark.range(3).write.mode("overwrite").parquet(inflight)
+    # age the ROOT dir and one early file far past the guard, then
+    # simulate the writer still appending: touch one inner file now
+    old = _time.time() - 7200
+    os.utime(inflight, (old, old))
+    inner = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(inflight)
+        for f in fs
+    ]
+    for f in inner:
+        os.utime(f, (old, old))
+    os.utime(inner[-1], None)  # most recent write: writer is alive
+
+    assert gc_orphans(path, min_age_s=3600) == []
+    assert os.path.isdir(inflight)
+
+    # once every file is old, the same candidate is collectable
+    os.utime(inner[-1], (old, old))
+    assert gc_orphans(path, min_age_s=3600) == ["snapshot=99-inflight"]
+
+
 def test_migrate_in_place_is_zero_copy_and_isolated(spark, tmp_path):
     """S39: migration hard-links every file (same inodes) and later
     table commits never disturb the legacy directory."""
