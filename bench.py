@@ -211,6 +211,22 @@ HEADLINE = [
     "an9_revenue_concentration",
     "ql_lateral_topn",
     "qv_sql_pivot",
+    # round 7: TPC-H completion — the 12 remaining spec queries, each
+    # locking a distinct optimizer surface (Q1 map-side combine, Q2/Q15
+    # decorrelation, Q6/Q19 pushdown, Q10 TakeOrdered, Q11 scalar
+    # subquery, Q13 outer-join histogram, Q16 distinct-count anti-join)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q19_disjunctive_revenue",
 ]
 
 
@@ -344,6 +360,18 @@ WARMUP = [
     "an9_revenue_concentration",
     "ql_lateral_topn",
     "qv_sql_pivot",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q19_disjunctive_revenue",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -42,6 +42,7 @@ from datalake_polygonscan_spark.queries import (  # noqa: F401,E402
     multimodal_ext,   # M4 media frame sampling + decode/feature tier
     lakehouse,        # S9 time travel, S10 compaction, S11 merge CDC
     ml_ops,           # ML1 k-means clustering, ML2 SemDeDup
+    tpch_full,        # TPC-H completion: Q1/Q2/Q6/Q9-Q16/Q19
 )
 
 # suites composes already-registered entries into merged graded slots,

@@ -1230,12 +1230,22 @@ _suite(
 _suite(
     "q5_q18_tpch_suite",
     doc=(
-        "Q5-shape local-supplier-volume (the 6-table snowflake "
-        "gauntlet: region->nation pushed through both supplier and "
-        "customer sides, join cycle closed on nation equality) + "
-        "Q18-shape large-volume-customer (aggregate-as-predicate LEFT "
-        "SEMI self-restriction, deterministic top-100) in one graded "
-        "slot (merged round 5)"
+        "THE FULL TPC-H SURFACE in one graded slot (merged round 5, "
+        "completed round 7): Q5 local-supplier-volume (6-table "
+        "snowflake, join cycle closed on nation equality) + Q18 "
+        "large-volume-customer (aggregate-as-predicate, top-100), "
+        "joined round 7 by the 12 remaining spec queries — Q1 wide "
+        "map-side-combine aggregate, Q2 correlated-MIN decorrelation, "
+        "Q6 pure pushdown, Q9 5-table star profit, Q10 deterministic "
+        "top-20 (TakeOrderedAndProject), Q11 HAVING vs global scalar "
+        "subquery, Q12 interval-predicate conditional counts, Q13 "
+        "outer-join count histogram, Q14 conditional-numerator ratio, "
+        "Q15 CTE + MAX scalar equality, Q16 COUNT(DISTINCT) with NOT "
+        "IN anti-join, Q19 OR-of-ANDs disjunctive pushdown. The "
+        "remaining spec queries (Q3/Q4/Q7/Q8/Q17/Q20/Q21/Q22) ride "
+        "the q_sql suite; with this suite all 22 are driver-graded. "
+        "Plan locks for the distinctive surfaces live in "
+        "tests/test_plans.py (q6/q2/q10/q19/q15)"
     ),
     layout=[
         ("n_name", "string", "VARCHAR"),
@@ -1246,6 +1256,15 @@ _suite(
         ("o_orderdate", "timestamp", "TIMESTAMP"),
         ("total_price", "double", "DOUBLE"),
         ("sum_qty", "double", "DOUBLE"),
+        ("grp1", "string", "VARCHAR"),
+        ("grp2", "string", "VARCHAR"),
+        ("key1", "long", "BIGINT"),
+        ("key2", "long", "BIGINT"),
+        ("val1", "double", "DOUBLE"),
+        ("val2", "double", "DOUBLE"),
+        ("val3", "double", "DOUBLE"),
+        ("val4", "double", "DOUBLE"),
+        ("cnt", "long", "BIGINT"),
     ],
     arms=[
         ("q5", "q5_local_supplier_volume", {
@@ -1256,6 +1275,41 @@ _suite(
             "o_orderkey": "o_orderkey", "o_orderdate": "o_orderdate",
             "total_price": "total_price", "sum_qty": "sum_qty",
         }),
+        ("q1", "q1_pricing_summary", {
+            "grp1": "l_returnflag", "grp2": "l_linestatus",
+            "val1": "sum_qty", "val2": "sum_base_price",
+            "val3": "sum_disc_price", "val4": "sum_charge",
+            "revenue": "avg_price", "total_price": "avg_qty",
+            "sum_qty": "avg_disc", "cnt": "count_order",
+        }),
+        ("q2", "q2_min_cost_supplier", {
+            "key1": "p_partkey", "key2": "s_suppkey",
+            "grp1": "s_name", "grp2": "n_name", "val1": "cost",
+        }),
+        ("q6", "q6_forecast_revenue", {"val1": "revenue", "cnt": "n_rows"}),
+        ("q9", "q9_product_profit", {
+            "grp1": "supp_nation", "key1": "CAST(o_year AS BIGINT)",
+            "val1": "profit", "cnt": "n_rows",
+        }),
+        ("q10", "q10_returned_items", {
+            "key1": "c_custkey", "grp1": "c_name", "grp2": "n_name",
+            "val1": "revenue",
+        }),
+        ("q11", "q11_important_stock", {"key1": "part_key", "val1": "value"}),
+        ("q12", "q12_late_shipments", {
+            "grp1": "flag_bucket", "cnt": "high_line_count",
+            "key1": "low_line_count",
+        }),
+        ("q13", "q13_customer_distribution", {"key1": "c_count", "cnt": "custdist"}),
+        ("q14", "q14_promo_effect", {"val1": "promo_revenue_pct", "cnt": "n_rows"}),
+        ("q15", "q15_top_supplier", {
+            "key1": "s_suppkey", "grp1": "s_name", "val1": "total_revenue",
+        }),
+        ("q16", "q16_parts_supplier_relation", {
+            "grp1": "p_brand", "grp2": "p_type",
+            "key1": "CAST(p_size AS BIGINT)", "cnt": "supplier_cnt",
+        }),
+        ("q19", "q19_disjunctive_revenue", {"val1": "revenue", "cnt": "n_rows"}),
     ],
 )
 

@@ -822,3 +822,70 @@ def test_pr5_drift_single_scan(spark):
 
     plan = _plan(REGISTRY["pr5_drift_monitor"].fn(spark, SF))
     assert plan.count("orders.parquet") == 1
+
+
+def test_q6_all_three_predicates_push_to_scan(spark):
+    """Q6: the pure-pushdown benchmark — the timestamp range AND both
+    numeric predicates must reach the parquet scan as PushedFilters,
+    and the ReadSchema must carry only the four referenced columns."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+
+
+def test_q2_correlated_min_decorrelates_to_aggregate_join(spark):
+    """Q2: the correlated scalar MIN subquery must decorrelate into a
+    grouped partial_min aggregate joined back on partkey — never one
+    subquery execution per outer part row."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Subquery" not in plan
+
+
+def test_q10_topk_plans_take_ordered(spark):
+    """Q10: the deterministic top-20 must plan as TakeOrderedAndProject
+    (per-partition heads merged k-way on the driver), never a global
+    sort of every customer's revenue."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q10_returned_items"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_still_pushes_common_filters(spark):
+    """Q19: the three-branch OR-of-ANDs must not defeat pushdown — the
+    fact scan still receives an Or-filter on the lineitem-side columns
+    and the part scan a filter on brand/size, so neither side scans
+    clean at 100 TB."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q19_disjunctive_revenue"].fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li_pushed = [ln for ln in pushed if "l_quantity" in ln or "l_returnflag" in ln]
+    part_pushed = [ln for ln in pushed if "p_brand" in ln or "p_size" in ln]
+    assert li_pushed, "lineitem scan lost its pushed disjunction"
+    assert part_pushed, "part scan lost its pushed disjunction"
+
+
+def test_q15_cte_max_is_reused_not_reexecuted(spark):
+    """Q15: the revenue CTE feeds both the join and the MAX scalar
+    subquery; the physical plan must not contain a nested-loop replay,
+    and the scalar MAX must come from one aggregate over the reused
+    relation."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
