@@ -577,23 +577,43 @@ def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA).parquet(r_src),
         "user_id", upper="30 minutes", watermark="1 hour",
     )
-    name = "mem_" + _uuid.uuid4().hex[:12]
+    out_dir = _scratch("e14_stream", "joined_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
     q = (
-        joined.writeStream.format("memory").queryName(name).outputMode("append")
-        .trigger(availableNow=True).option("checkpointLocation", chk).start()
+        joined.writeStream.format("parquet").option("path", out_dir)
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", chk).start()
     )
     q.awaitTermination()
-    out = spark.table(name)
+    out = spark.read.parquet(out_dir)
 
+    # every audit below is DISTRIBUTED — the state tables and both
+    # input sides stay on executors; only scalar verdicts reach the
+    # driver (the earlier form collected full id sets, which is both
+    # slow at sf0.1 and impossible at 100 TB)
     left_state = spark.read.format("statestore").option("joinSide", "left").load(chk)
     right_state = spark.read.format("statestore").option("joinSide", "right").load(chk)
-    l_ids = {r["value"]["l_event_id"] for r in left_state.collect()}
-    r_ids = {r["value"]["r_event_id"] for r in right_state.collect()}
-    l_ts = [r["value"]["l_ts"] for r in left_state.collect()]
-    r_ts = [r["value"]["r_ts"] for r in right_state.collect()]
+    l_state = left_state.select(
+        F.col("value.l_event_id").alias("event_id"), F.col("value.l_ts").alias("ts")
+    )
+    r_state = right_state.select(
+        F.col("value.r_event_id").alias("event_id"), F.col("value.r_ts").alias("ts")
+    )
 
-    click_ids = {r["event_id"] for r in clicks.select("event_id").collect()}
-    error_ids = {r["event_id"] for r in errors.select("event_id").collect()}
+    def _audit(state, side):
+        stray, n_state, min_ts = (
+            state.join(side.select("event_id"), "event_id", "left_anti")
+            .agg(F.count("*"))
+            .collect()[0][0],
+            state.count(),
+            state.agg(F.min("ts")).collect()[0][0],
+        )
+        return stray, n_state, min_ts
+
+    l_stray, n_l_state, l_min_ts = _audit(l_state, clicks)
+    r_stray, n_r_state, r_min_ts = _audit(r_state, errors)
+    n_clicks = clicks.count()
+    n_errors = errors.count()
     # the query's global watermark derives from the SLOWEST side's max
     # event time (min over sides), not the whole corpus max
     wm_base = min(
@@ -604,14 +624,14 @@ def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff = wm_base - datetime.timedelta(hours=3, minutes=30)  # 1h wm + 30m + 2h margin
     flags = {
-        "left_state_subset": l_ids <= click_ids,
-        "right_state_subset": r_ids <= error_ids,
-        "state_bounded": len(l_ids) < len(click_ids) and len(r_ids) < len(error_ids),
-        "retained_after_cutoff": all(t >= cutoff for t in l_ts + r_ts),
+        "left_state_subset": l_stray == 0,
+        "right_state_subset": r_stray == 0,
+        "state_bounded": n_l_state < n_clicks and n_r_state < n_errors,
+        "retained_after_cutoff": min(l_min_ts, r_min_ts) >= cutoff,
     }
     return out.groupBy("user_id").agg(F.count("*").cast("long").alias("n_pairs")).select(
         "user_id", "n_pairs",
-        *[F.lit(v).alias(k) for k, v in flags.items()],
+        *[F.lit(bool(v)).alias(k) for k, v in flags.items()],
     )
 
 
