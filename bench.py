@@ -227,6 +227,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q16_parts_supplier_relation",
     "q19_disjunctive_revenue",
+    "e18_rocksdb_state_backend",
 ]
 
 

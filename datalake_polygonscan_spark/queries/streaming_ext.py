@@ -923,3 +923,92 @@ def e17_output_mode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(append_correct)).alias("append_subset_correct"),
         F.lit(bool(converge)).alias("modes_converge"),
     )
+
+
+@register(
+    "e18_rocksdb_state_backend",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value,
+           TRUE AS provider_pinned,
+           TRUE AS rocksdb_files_present
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "E18 the RocksDB state-store provider — the state backend a "
+        "100 TB streaming deployment actually tunes (off-heap "
+        "point-lookup state with changelog/zip snapshots instead of "
+        "the default in-memory HDFS-backed map, the knob that decides "
+        "whether a billion-key stateful query fits on an executor): "
+        "the E5-shape applyInPandasWithState running totals run under "
+        "spark.sql.streaming.stateStore.providerClass=RocksDB..., "
+        "conf scoped to the entry and restored after. Two verdicts "
+        "ride the value hash: the checkpoint's offsets log PINS the "
+        "provider class (Spark persists state-store confs there so a "
+        "restart cannot silently switch backends — the operational "
+        "guarantee this entry exists to prove), and the state dirs "
+        "contain RocksDB artifacts (.zip/.sst snapshots), so the "
+        "backend demonstrably held the state. Final per-user update "
+        "must still equal the batch group-by — backend swap, "
+        "identical semantics. HDFS-vs-RocksDB output parity for the "
+        "E8 sessionizer is asserted in tests/test_streaming.py. "
+        "transformWithStateInPandas (the Spark 4 typed-state API) is "
+        "implemented as a gated module "
+        "(streaming/transform_with_state.py) — its state protocol "
+        "needs google.protobuf, absent in this container; the gate "
+        "and skipping test document the dependency"
+    ),
+)
+def e18_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e18_stream", "events_two_files")
+    chk = _scratch("e18_stream", "chk")
+    shutil.rmtree(chk, ignore_errors=True)
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = run_stream_available_now(
+            spark, src, stateful_running_totals,
+            output_mode="update", max_files_per_trigger=1, checkpoint_dir=chk,
+        )
+        updates = updates.localCheckpoint()  # pin results before conf restore
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # verdict 1: the offsets log pins the provider class for restarts
+    offset_files = sorted(_glob.glob(os.path.join(chk, "*", "offsets", "*")))
+    provider_pinned = bool(offset_files) and all(
+        "RocksDBStateStoreProvider" in open(f).read() for f in offset_files[:1]
+    )
+    # verdict 2: the state dirs hold RocksDB snapshot artifacts
+    rocks_files = [
+        name
+        for root, _dirs, names in os.walk(os.path.join(chk))
+        for name in names
+        if (".zip" in name or name.endswith(".sst")) and f"{os.sep}state{os.sep}" in root
+    ]
+    rocksdb_files_present = bool(rocks_files)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("total_value", 4).alias("total_value"),
+            F.lit(bool(provider_pinned)).alias("provider_pinned"),
+            F.lit(bool(rocksdb_files_present)).alias("rocksdb_files_present"),
+        )
+    )

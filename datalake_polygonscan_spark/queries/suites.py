@@ -453,7 +453,11 @@ _suite(
         "closed-form aggregate — and E13, CHAINED stateful operators: "
         "two event-time window aggs in one append-mode query (10-min "
         "rolled into 30-min via window_time), sentinel-flushed through "
-        "both state stores, exact vs the two-level batch rollup"
+        "both state stores, exact vs the two-level batch rollup. "
+        "Round 7 adds E18: the SAME running-totals operator under the "
+        "RocksDB state-store provider, with offsets-log provider "
+        "pinning and on-disk RocksDB snapshot artifacts as graded "
+        "verdicts — the state backend a 100 TB deployment tunes"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -482,6 +486,15 @@ _suite(
         ("chained", "e13_chained_window_agg", {
             "session_start": "w30_start", "event_type": "event_type",
             "n_events": "n_events", "total_value": "total_value",
+        }),
+        ("rocksdb", "e18_rocksdb_state_backend", {
+            "user_id": "user_id", "n_events": "n_events",
+            "total_value": "total_value",
+            # verdicts ride as strings in the tag-free layout
+            "event_type": ("CAST(provider_pinned AS STRING)",
+                           "CAST(provider_pinned AS VARCHAR)"),
+            "operator_name": ("CAST(rocksdb_files_present AS STRING)",
+                              "CAST(rocksdb_files_present AS VARCHAR)"),
         }),
     ],
 )

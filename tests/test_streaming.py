@@ -518,3 +518,73 @@ def test_statestore_reader_exposes_join_state_both_sides(spark, tmp_path):
     assert sides["right"] == [4]
     meta = spark.read.format("state-metadata").load(chk)
     assert {r["operatorName"] for r in meta.collect()} == {"symmetricHashJoin"}
+
+
+def test_transform_with_state_gate_reports_dependency(spark, tmp_path):
+    """The gated TWS module must either run (protobuf present) or
+    raise NotImplementedError naming the missing dependency — never
+    fail obscurely inside the streaming worker."""
+    import pytest
+
+    from datalake_polygonscan_spark.streaming.transform_with_state import (
+        transform_user_totals,
+        tws_available,
+    )
+
+    if tws_available():
+        pytest.skip("protobuf present: covered by the end-to-end test below")
+
+    from datalake_polygonscan_spark.schemas import EVENTS_SCHEMA
+    from datalake_polygonscan_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").limit(10).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        transform_user_totals(stream)
+
+
+def test_transform_with_state_module_matches_batch(spark):
+    """End-to-end for streaming/transform_with_state.py (ValueState +
+    MapState composite): per-user count/sum/distinct-type-count across
+    two micro-batches must equal the batch group-by. Skips without
+    protobuf (see module docstring)."""
+    import pytest
+
+    from datalake_polygonscan_spark.streaming.transform_with_state import (
+        transform_user_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in this container)")
+
+    import os
+
+    from pyspark.sql import Window
+
+    from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+    from datalake_polygonscan_spark.streaming.windows import run_stream_available_now
+    from datalake_polygonscan_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = _scratch("e18_tws", "events_two_files")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    updates = run_stream_available_now(
+        spark, src, transform_user_totals,
+        output_mode="update", max_files_per_trigger=1,
+        checkpoint_dir=os.path.join(_scratch("e18_tws", "chk"), "e18"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events",
+                F.round("total_value", 4).alias("total_value"), "n_types")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
