@@ -228,6 +228,7 @@ HEADLINE = [
     "q16_parts_supplier_relation",
     "q19_disjunctive_revenue",
     "e18_rocksdb_state_backend",
+    "s41_binaryfile_source",
 ]
 
 

@@ -731,3 +731,87 @@ def j11_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return joined.withColumn("skew_split_applied", F.lit(bool(skewed)))
+
+
+@register(
+    "s41_binaryfile_source",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           ELSE 'audio/wav' END AS sniffed_mime,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 12 ELSE 8 END
+                + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(CASE (doc_id) % 3
+                 WHEN 0 THEN '89504E470D0A1A0A'
+                             || lpad(hex(((doc_id) * 37) % 1920 + 16), 8, '0')
+                             || lpad(hex(((doc_id) * 53) % 1080 + 16), 8, '0')
+                 WHEN 1 THEN 'FFD8FFE0'
+                             || lpad(hex(((doc_id) * 37) % 1920 + 16), 8, '0')
+                             || lpad(hex(((doc_id) * 53) % 1080 + 16), 8, '0')
+                 ELSE '52494646' || lpad(hex(((doc_id) % 5) * 8000 + 8000), 8, '0')
+               END || hex(encode(text))) AS content_md5,
+           TRUE AS length_col_consistent
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+    doc=(
+        "S41 the binaryFile source — Spark's ingest front door for "
+        "multimodal assets (one row per FILE: path, modificationTime, "
+        "length, content), the step every image/audio pipeline runs "
+        "before the M-tier decode operators: the deterministic media "
+        "fixture (operators/media.py:media_table) is materialized as "
+        "individual .bin files (executor-side foreachPartition write, "
+        "no driver loop), read back via "
+        "spark.read.format('binaryFile') with a pathGlobFilter, ids "
+        "recovered from file names, and the M1 metadata extractor run "
+        "on the content column. Graded values: per-file sniffed mime, "
+        "byte count and content md5 against the documents-table "
+        "closed form, plus a verdict that the source's LENGTH column "
+        "agrees with the actual content size for every file. At "
+        "100 TB this source partitions by file (maxPartitionBytes "
+        "binpacking) and never materializes a blob twice; decode "
+        "stays in the Arrow-batched M tier"
+    ),
+)
+def s41_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.operators.media import media_metadata, media_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    blobs = media_table(docs)
+    out_dir = _scratch("s41_binaryfile", "assets")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def _write_files(rows) -> None:
+        import os
+
+        for r in rows:
+            tmp = os.path.join(out_dir, f".{r['media_id']}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(r["content"]))
+            os.replace(tmp, os.path.join(out_dir, f"{r['media_id']}.bin"))
+
+    blobs.foreachPartition(_write_files)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("media_id"),
+            "length",
+            "content",
+        )
+    )
+    meta = media_metadata(files.select("media_id", "content"))
+    return (
+        meta.join(files.select("media_id", "length"), "media_id")
+        .select(
+            "media_id", "sniffed_mime", "n_bytes", "content_md5",
+            (F.col("length") == F.col("n_bytes")).alias("length_col_consistent"),
+        )
+    )

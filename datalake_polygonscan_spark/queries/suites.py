@@ -2394,7 +2394,10 @@ _suite(
         "codec-invariant) in one graded slot (merged round 5) + S40 "
         "write-distribution control (maxRecordsPerFile caps verified "
         "from parquet footers, fewer-larger default vs bounded capped "
-        "write, content parity; round 6)"
+        "write, content parity; round 6) + S41 the binaryFile source: "
+        "the multimodal ingest front door — fixture blobs written as "
+        "real files, read back one-row-per-file, M1 metadata + md5 + "
+        "length-column consistency graded (round 7)"
     ),
     layout=[
         ("fmt", "string", "VARCHAR"),
@@ -2422,6 +2425,12 @@ _suite(
                 "files_bounded AND more_files_than_default AND content_identical",
                 "files_bounded AND more_files_than_default AND content_identical",
             ),
+        }),
+        ("binaryfile", "s41_binaryfile_source", {
+            "grp": "sniffed_mime", "n_rows": "media_id",
+            "total": ("CAST(n_bytes AS DOUBLE)", "CAST(n_bytes AS DOUBLE)"),
+            "o_orderstatus": "content_md5",
+            "codec_verified": "length_col_consistent",
         }),
     ],
 )
