@@ -229,6 +229,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "e18_rocksdb_state_backend",
     "s41_binaryfile_source",
+    "l12_incremental_dedup",
 ]
 
 

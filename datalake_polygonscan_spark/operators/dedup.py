@@ -142,18 +142,14 @@ def minhash_signatures(
     return _signatures_from_shingles(shingle_sets(df, text_col, id_col, shingle_k), num_perm)
 
 
-def minhash_lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 4,
-) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` equal rows,
-    hash each band, equi-join on (band, band_hash) to get candidate
-    pairs (doc_a < doc_b). One explode + one shuffle join — linear in
-    corpus size, never quadratic.
-    """
+def banded_signatures(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding projection: ``bands`` (doc_id, band, band_hash)
+    rows per signature. This IS the persistable LSH index — a table of
+    these rows is what :func:`incremental_lsh_candidates` probes, so a
+    growing corpus never re-hashes old documents."""
     sig_len = F.size("signature")
     rows_per_band = (sig_len / F.lit(bands)).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -175,6 +171,37 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
+
+
+def incremental_lsh_candidates(new_banded: DataFrame, index: DataFrame) -> DataFrame:
+    """Candidate pairs between a NEW batch and a PERSISTED LSH index:
+    equi-join the batch's band rows against the stored (doc_id, band,
+    band_hash) table. Cost follows the BATCH — the corpus contributes
+    one build side keyed by (band, band_hash), never a re-shingle or
+    re-hash of old text. Output (doc_a, doc_b) with doc_a = index doc,
+    doc_b = batch doc, distinct."""
+    n = new_banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
+    i = index.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    return (
+        n.join(i, ["band", "band_hash"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal rows,
+    hash each band, equi-join on (band, band_hash) to get candidate
+    pairs (doc_a < doc_b). One explode + one shuffle join — linear in
+    corpus size, never quadratic.
+    """
+    banded = banded_signatures(signatures, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

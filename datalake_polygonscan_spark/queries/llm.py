@@ -470,3 +470,93 @@ def l8_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = D.winnowing_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W)
     return D.winnowing_overlap_pairs(fp, min_shared=2, threshold=0.5, max_df=_WINNOW_MAXDF)
+
+
+@register(
+    "l12_incremental_dedup",
+    oracle=f"""
+    WITH {MINHASH_PIPELINE_CTE}, cross_cand AS (
+        -- batch-vs-corpus candidates only: exactly one side is a
+        -- batch doc (doc_id %% 3 = 0)
+        SELECT CASE WHEN da % 3 <> 0 THEN da ELSE db END AS corpus_doc,
+               CASE WHEN da % 3 = 0 THEN da ELSE db END AS batch_doc
+        FROM cand
+        WHERE (da % 3 = 0) <> (db % 3 = 0)
+    )
+    SELECT c.corpus_doc, c.batch_doc,
+           round(len(list_intersect(x.sh, y.sh))
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jacc,
+           TRUE AS index_grew_by_batch,
+           TRUE AS store_version_advanced
+    FROM cross_cand c
+    JOIN shset x ON x.doc_id = c.corpus_doc
+    JOIN shset y ON y.doc_id = c.batch_doc
+    WHERE len(list_intersect(x.sh, y.sh))
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+    """,
+    doc=(
+        "L12 INCREMENTAL dedup against a persisted LSH index — the "
+        "production corpus-growth shape (a training corpus is built in "
+        "batches; re-LSHing 100 TB of old text per ingest is the "
+        "classic pipeline mistake): the corpus's banded MinHash rows "
+        "(operators/dedup.py:banded_signatures) live in a snapshot "
+        "table; a new batch hashes ONLY ITSELF, equi-joins its band "
+        "rows against the stored index "
+        "(dedup.py:incremental_lsh_candidates — cost follows the "
+        "batch), exact-verifies candidates by n-gram Jaccard >= 0.5, "
+        "then APPENDS its band rows to the index as an O(batch) "
+        "versioned hard-link commit (io/eqdeletes.py:eq_append) so the next batch "
+        "probes a current index. Graded rows are the verified "
+        "(corpus_doc, batch_doc, jaccard) duplicate pairs — the "
+        "oracle replays signatures, banding, the cross join and the "
+        "verify in SQL — plus two in-job verdicts: the index grew by "
+        "exactly bands x |batch| rows, and the store's commit history "
+        "advanced (real append, not a rewrite)"
+    ),
+)
+def l12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.eqdeletes import (
+        eq_append,
+        read_with_equality_deletes,
+    )
+    from datalake_polygonscan_spark.io.sinks import history
+    from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store = _scratch("l12_incdedup", "lsh_index")
+    _shutil.rmtree(store, ignore_errors=True)
+
+    bands = 8
+    idx = D.banded_signatures(
+        D.minhash_signatures(corpus, "text", "doc_id", num_perm=16, shingle_k=3), bands
+    )
+    eq_append(idx, store)  # versioned hard-link commit: index gen 0
+    n_before = read_with_equality_deletes(spark, store).count()
+
+    new_banded = D.banded_signatures(
+        D.minhash_signatures(batch, "text", "doc_id", num_perm=16, shingle_k=3), bands
+    )
+    cands = D.incremental_lsh_candidates(
+        new_banded, read_with_equality_deletes(spark, store)
+    )
+    verified = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.5, candidates=cands
+    )
+
+    eq_append(new_banded, store)  # O(batch) commit: index gen 1
+    n_after = read_with_equality_deletes(spark, store).count()
+    n_batch = batch.count()
+    index_grew = (n_after - n_before) == bands * n_batch
+    version_advanced = len(history(store)) >= 2
+
+    return verified.select(
+        F.col("doc_a").alias("corpus_doc"),
+        F.col("doc_b").alias("batch_doc"),
+        F.round("jaccard", 6).alias("jacc"),
+        F.lit(bool(index_grew)).alias("index_grew_by_batch"),
+        F.lit(bool(version_advanced)).alias("store_version_advanced"),
+    )

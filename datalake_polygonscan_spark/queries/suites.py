@@ -225,7 +225,10 @@ _suite(
         "L2 MinHash-LSH end-to-end text dedup + n-gram Jaccard pairs "
         "(value-oracled, md5-deterministic pipeline replayed in SQL) + "
         "the embedding near-dup LSH SCALE PATH with its probe-recall "
-        "measured oracle, merged into one graded slot (round 5)"
+        "measured oracle, merged into one graded slot (round 5). "
+        "Round 7 adds L12 INCREMENTAL dedup: a new batch probed "
+        "against the persisted banded-LSH index, verified pairs "
+        "graded, index appended O(batch) as a versioned commit"
     ),
     layout=[
         ("doc_a", "long", "BIGINT"),
@@ -243,6 +246,17 @@ _suite(
         ("emb_lsh", "l2_embedding_near_dup_lsh", {
             "n_vectors": "n_vectors", "pairs_verified": "pairs_verified",
             "recall_ok": "recall_ok",
+        }),
+        ("incremental", "l12_incremental_dedup", {
+            "doc_a": "corpus_doc", "doc_b": "batch_doc", "jaccard": "jacc",
+            "pairs_verified": (
+                "CAST(index_grew_by_batch AS INT)",
+                "CAST(index_grew_by_batch AS INTEGER)",
+            ),
+            "recall_ok": (
+                "CAST(store_version_advanced AS INT)",
+                "CAST(store_version_advanced AS INTEGER)",
+            ),
         }),
     ],
 )
