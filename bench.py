@@ -230,6 +230,7 @@ HEADLINE = [
     "e18_rocksdb_state_backend",
     "s41_binaryfile_source",
     "l12_incremental_dedup",
+    "qd_catalog_ddl",
 ]
 
 

@@ -994,7 +994,10 @@ _suite(
         "sums, boundary-only division), QL the LATERAL correlated "
         "top-n subquery (decorrelated, never per-row execution) and "
         "QV the SQL PIVOT clause (parser-surface rotation lowered to "
-        "one conditional-agg scan; all round 6)"
+        "one conditional-agg scan; all round 6). Round 7 adds QD, the "
+        "session-catalog DDL surface: CTAS -> INSERT INTO -> "
+        "metadata-only ALTER TABLE ADD COLUMNS (inode-asserted) -> "
+        "catalog read-back"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -1078,6 +1081,18 @@ _suite(
             "o_orderpriority": "o_orderstatus",
             "order_count": "urgent_n", "revenue": "urgent_s",
             "numwait": "low_n", "avg_yearly": "low_s",
+        }),
+        ("qd", "qd_catalog_ddl", {
+            "o_orderpriority": "o_orderstatus",
+            "order_count": "n_orders", "revenue": "total_spend",
+            "n_above": (
+                "CAST(table_registered AS LONG)",
+                "CAST(table_registered AS BIGINT)",
+            ),
+            "n_above_total": (
+                "CAST(alter_was_metadata_only AS LONG)",
+                "CAST(alter_was_metadata_only AS BIGINT)",
+            ),
         }),
     ],
 )
