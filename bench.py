@@ -231,6 +231,7 @@ HEADLINE = [
     "s41_binaryfile_source",
     "l12_incremental_dedup",
     "qd_catalog_ddl",
+    "a14_bitmap_distinct",
 ]
 
 

@@ -3286,3 +3286,58 @@ def an9_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             gini.alias("gini"),
         )
     )
+
+
+@register(
+    "a14_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_totalprice > 1000.0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__all__' AS o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_totalprice > 1000.0
+    """,
+    doc=(
+        "A14 EXACT distinct counting via the Spark 3.5+ bitmap "
+        "function family (bitmap_bucket_number / bitmap_bit_position "
+        "/ bitmap_construct_agg / bitmap_count / bitmap_or_agg) — the "
+        "scale-out alternative to COUNT(DISTINCT): a plain distinct "
+        "shuffles raw keys (the exchange carries O(rows)), while the "
+        "bitmap form partial-aggregates each 32k-key bucket into a "
+        "<=4 KB bitmap MAP-SIDE so the exchange carries O(groups x "
+        "buckets) bitmaps — HLL-shaped cost, exact answer. The entry "
+        "also proves MERGEABILITY, the property that makes bitmaps an "
+        "incremental-MV building block: the per-status bucket bitmaps "
+        "are bitmap_or_agg-merged into a global distinct count "
+        "('__all__' row) WITHOUT rescanning the fact — a re-scan "
+        "would be the giveaway that the sketch isn't really "
+        "mergeable. Oracle: plain COUNT(DISTINCT) closed forms, so "
+        "bit-position collisions or bucket-boundary bugs value-fail"
+    ),
+)
+def a14_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000.0)
+    buckets = (
+        o.groupBy(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+        )
+    )
+    per_status = buckets.groupBy("o_orderstatus").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_customers")
+    )
+    merged = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm_all"))
+        .agg(F.expr("sum(bitmap_count(bm_all))").cast("long").alias("n_customers"))
+        .select(F.lit("__all__").alias("o_orderstatus"), "n_customers")
+    )
+    return per_status.unionByName(merged)

@@ -386,7 +386,9 @@ _suite(
         "from scratch (p=12 dense registers, linear-counting "
         "correction, 7%-bound measured grading) and A12 count-min "
         "sketch point frequencies (4x2048 cells, graded on the CM "
-        "inequality est in [exact, exact + eps*N]) (all round 6)"
+        "inequality est in [exact, exact + eps*N]) (all round 6); "
+        "round 7 adds A14 exact distinct via the bitmap function "
+        "family, bucketed map-side bitmaps + bitmap_or_agg merge"
     ),
     layout=[
         ("l_returnflag", "string", "VARCHAR"),
@@ -444,6 +446,9 @@ _suite(
         ("exact_mode", "a13_exact_mode", {
             "l_returnflag": "l_returnflag || '/' || modal_status",
             "key": "modal_qty_band", "cnt": "modal_count",
+        }),
+        ("bitmap", "a14_bitmap_distinct", {
+            "l_returnflag": "o_orderstatus", "n": "n_customers",
         }),
     ],
 )
