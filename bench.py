@@ -232,6 +232,7 @@ HEADLINE = [
     "l12_incremental_dedup",
     "qd_catalog_ddl",
     "a14_bitmap_distinct",
+    "ml10_sparkml_pipeline",
 ]
 
 

@@ -839,3 +839,75 @@ def ml9_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("chi2"),
     )
+
+
+@register(
+    "ml10_sparkml_pipeline",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN l_quantity + 100 * l_discount > 27 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           TRUE AS accuracy_ok,
+           TRUE AS rerun_identical
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0
+    """,
+    doc=(
+        "ML10 the pyspark.ml PIPELINE surface — the interop a real "
+        "user brings with them (VectorAssembler -> StandardScaler -> "
+        "LogisticRegression as one Pipeline.fit/transform), proving "
+        "this engine runs stock spark.ml workloads alongside the "
+        "from-scratch ML tier (ML1-ML9 exist because exact-decimal "
+        "determinism is gradeable; MLlib's LBFGS floats are not, so "
+        "this entry grades the MEASURED contract instead): trained on "
+        "the 80% split (l_orderkey%5!=0) against the deterministic "
+        "separable label qty + 100*disc > 27, scored on the held-out "
+        "20%. Graded: held-out row count and true-label positives "
+        "(closed form), accuracy >= 0.9 on a linearly separable "
+        "target (LR must clear it by a wide margin), and transform() "
+        "re-run bit-identity — model application is deterministic "
+        "even though training arithmetic is float. At 100 TB the "
+        "pipeline is the same shuffle shape as ML3's codegen GD: "
+        "per-iteration tree-aggregated gradients, broadcast "
+        "coefficients at scoring"
+    ),
+)
+def ml10_sparkml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice", "l_tax",
+        (
+            (F.col("l_quantity") + 100 * F.col("l_discount") > 27).cast("double")
+        ).alias("label"),
+    )
+    train = li.filter(F.col("l_orderkey") % 5 != 0)
+    test = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["l_quantity", "l_discount", "l_extendedprice", "l_tax"],
+                outputCol="raw",
+            ),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LogisticRegression(maxIter=30, regParam=0.0, labelCol="label"),
+        ]
+    )
+    model = pipe.fit(train)
+    scored = model.transform(test).select("l_orderkey", "label", "prediction")
+
+    n_scored = scored.count()
+    n_correct = scored.filter(F.col("label") == F.col("prediction")).count()
+    accuracy_ok = n_scored > 0 and (n_correct / n_scored) >= 0.9
+    rerun = model.transform(test).select("l_orderkey", "label", "prediction")
+    rerun_identical = (
+        scored.exceptAll(rerun).count() == 0 and rerun.exceptAll(scored).count() == 0
+    )
+    n_positive = scored.filter(F.col("label") == 1.0).count()
+
+    return spark.createDataFrame(
+        [(int(n_scored), int(n_positive), bool(accuracy_ok), bool(rerun_identical))],
+        "n_scored long, n_positive long, accuracy_ok boolean, rerun_identical boolean",
+    )

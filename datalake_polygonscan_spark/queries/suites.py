@@ -288,7 +288,11 @@ _suite(
         "feature selection (per-(term,language) contingency cells "
         "over the top-df vocabulary, zero cells preserved via a "
         "broadcast grid, exact cross-products, boundary-only IEEE "
-        "division; all added round 6)"
+        "division; all added round 6). Round 7 adds ML10, the stock "
+        "pyspark.ml Pipeline surface (VectorAssembler -> "
+        "StandardScaler -> LogisticRegression), graded on held-out "
+        "counts, a 0.9 accuracy floor on a separable target, and "
+        "transform() re-run bit-identity"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -359,6 +363,11 @@ _suite(
             "pred": "term", "lang": "lang",
             "n_vectors": "a", "dim": "b", "k": "c", "n_docs": "d",
             "variance": "chi2",
+        }),
+        ("sparkml", "ml10_sparkml_pipeline", {
+            "n_vectors": "n_scored", "n_docs": "n_positive",
+            "clusters_in_range": "accuracy_ok",
+            "self_consistent": "rerun_identical",
         }),
     ],
 )
