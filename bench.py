@@ -378,6 +378,10 @@ WARMUP = [
     "q15_top_supplier",
     "q16_parts_supplier_relation",
     "q19_disjunctive_revenue",
+    "a14_bitmap_distinct",
+    # ml10's first fit pays MLlib's one-time Breeze/netlib init (~10 s);
+    # warming at sf0.001 keeps the measured number data-proportional
+    "ml10_sparkml_pipeline",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -892,7 +892,7 @@ def ml10_sparkml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputCol="raw",
             ),
             StandardScaler(inputCol="raw", outputCol="features"),
-            LogisticRegression(maxIter=30, regParam=0.0, labelCol="label"),
+            LogisticRegression(maxIter=10, regParam=0.0, labelCol="label"),
         ]
     )
     model = pipe.fit(train)
