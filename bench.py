@@ -233,6 +233,7 @@ HEADLINE = [
     "qd_catalog_ddl",
     "a14_bitmap_distinct",
     "ml10_sparkml_pipeline",
+    "s42_copy_into",
 ]
 
 

@@ -409,3 +409,89 @@ def s40_write_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("more_files_than_default", F.lit(bool(more_files)))
         .withColumn("content_identical", F.lit(bool(content_ok)))
     )
+
+
+@register(
+    "s42_copy_into",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_qty,
+           TRUE AS replay_noop,
+           TRUE AS incremental_only,
+           TRUE AS third_commit_versioned
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "S42 COPY INTO — idempotent bulk file ingest "
+        "(io/copy_into.py), the incremental replacement for the "
+        "reference's TRUNCATE+COPY full reload "
+        "(resources/redshift.py:80,98-104): two landing-zone files "
+        "load in one versioned commit; REPLAYING the command is a "
+        "no-op that does not advance the table version (retry/cron "
+        "safety — verdict replay_noop); a third file arriving later "
+        "loads ALONE as an O(new bytes) hard-link commit (verdict "
+        "incremental_only: exactly 1 loaded, 2 skipped; verdict "
+        "third_commit_versioned: the commit log gained exactly one "
+        "version for it). The graded values are the final table's "
+        "per-flag counts/sums, equal to the full lineitem closed form "
+        "— so a dropped, double-loaded or partially-loaded file "
+        "value-fails. The loaded-file set rides the commit log "
+        "(metadata-sized, checkpoint-readable), which is what makes "
+        "the pattern viable against a 100 TB landing zone"
+    ),
+)
+def s42_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.copy_into import copy_into
+    from datalake_polygonscan_spark.io.sinks import history, read_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    landing = _scratch("s42_copy", "landing")
+    table = _scratch("s42_copy", "table")
+    _shutil.rmtree(os.path.dirname(landing), ignore_errors=True)
+    os.makedirs(landing)
+
+    def _one_file(df, name: str) -> None:
+        tmp = os.path.join(landing, f".{name}.tmpdir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(landing, name))
+        _shutil.rmtree(tmp)
+
+    _one_file(li.filter(F.col("l_orderkey") % 3 == 0), "arrival_0.parquet")
+    _one_file(li.filter(F.col("l_orderkey") % 3 == 1), "arrival_1.parquet")
+
+    pattern = os.path.join(landing, "*.parquet")
+    first = copy_into(spark, table, pattern)
+    replay = copy_into(spark, table, pattern)
+    replay_noop = (
+        first["committed"] and not replay["committed"]
+        and replay["skipped_files"] == 2
+    )
+
+    _one_file(li.filter(F.col("l_orderkey") % 3 == 2), "arrival_2.parquet")
+    versions_before = len(history(table))
+    third = copy_into(spark, table, pattern)
+    incremental_only = third["loaded_files"] == 1 and third["skipped_files"] == 2
+    third_commit_versioned = len(history(table)) == versions_before + 1
+
+    return (
+        read_table(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            _dbl_sum("l_quantity", "total_qty"),
+        )
+        .select(
+            "l_returnflag", "n_rows", "total_qty",
+            F.lit(bool(replay_noop)).alias("replay_noop"),
+            F.lit(bool(incremental_only)).alias("incremental_only"),
+            F.lit(bool(third_commit_versioned)).alias("third_commit_versioned"),
+        )
+    )

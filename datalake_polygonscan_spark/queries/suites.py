@@ -2440,7 +2440,9 @@ _suite(
         "write, content parity; round 6) + S41 the binaryFile source: "
         "the multimodal ingest front door — fixture blobs written as "
         "real files, read back one-row-per-file, M1 metadata + md5 + "
-        "length-column consistency graded (round 7)"
+        "length-column consistency graded (round 7) + S42 COPY INTO: "
+        "idempotent bulk file ingest — replay no-op, incremental-only "
+        "loads, versioned O(new-bytes) commits (round 7)"
     ),
     layout=[
         ("fmt", "string", "VARCHAR"),
@@ -2467,6 +2469,14 @@ _suite(
             "codec_verified": (
                 "files_bounded AND more_files_than_default AND content_identical",
                 "files_bounded AND more_files_than_default AND content_identical",
+            ),
+        }),
+        ("copy_into", "s42_copy_into", {
+            "grp": "l_returnflag", "n_rows": "n_rows",
+            "total": "total_qty",
+            "codec_verified": (
+                "replay_noop AND incremental_only AND third_commit_versioned",
+                "replay_noop AND incremental_only AND third_commit_versioned",
             ),
         }),
         ("binaryfile", "s41_binaryfile_source", {
