@@ -234,6 +234,7 @@ HEADLINE = [
     "a14_bitmap_distinct",
     "ml10_sparkml_pipeline",
     "s42_copy_into",
+    "l13_span_dedup",
 ]
 
 
@@ -383,6 +384,7 @@ WARMUP = [
     # ml10's first fit pays MLlib's one-time Breeze/netlib init (~10 s);
     # warming at sf0.001 keeps the measured number data-proportional
     "ml10_sparkml_pipeline",
+    "l13_span_dedup",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

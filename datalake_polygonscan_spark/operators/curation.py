@@ -782,3 +782,55 @@ def tokenize_corpus(
         .alias("n_tokens"),
         "tokens",
     )
+
+
+def duplicated_span_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """L13 — per-document duplicated-SPAN fraction: chunk every
+    document into non-overlapping ``chunk_tokens`` windows, hash each
+    chunk (md5, engine-neutral), and call a chunk DUPLICATED when the
+    same hash occurs in more than one distinct document. The fraction
+    of a document's tokens living in duplicated chunks is the
+    FineWeb-style intra-corpus contamination signal — documents can be
+    near-unique at whole-doc granularity (L1/L2 pass them) while still
+    being mostly stitched-together boilerplate spans.
+
+    Scale shape: the chunk-hash groupBy is the blocking structure
+    (never pairwise text comparison); one groupBy on the hash, one
+    hash-join back, one groupBy per doc — all keys are 32-char
+    digests, so the shuffles carry hashes + counts, not text.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, total_tokens,
+    dup_token_fraction) with the fraction floor-quantized to 1e-6.
+    """
+    chunks = chunk_documents(df, text_col, id_col, chunk_tokens, overlap=0)
+    hashed = chunks.select(
+        "doc_id", "n_chunk_tokens", F.md5("chunk_text").alias("h")
+    )
+    spread = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("_ndocs")
+    )
+    marked = hashed.join(spread, "h").withColumn("_dup", F.col("_ndocs") > 1)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("_dup").cast("long")).cast("long").alias("n_dup_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_dup"), F.col("n_chunk_tokens")).otherwise(0)
+            ).cast("long").alias("_dup_tokens"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks", "total_tokens",
+            (
+                F.floor(
+                    F.col("_dup_tokens") / F.col("total_tokens") * 1e6
+                ) / 1e6
+            ).alias("dup_token_fraction"),
+        )
+    )

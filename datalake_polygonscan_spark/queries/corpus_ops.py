@@ -652,3 +652,60 @@ def l11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_md5"),
         )
     )
+
+
+@register(
+    "l13_span_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 32)) AS start
+        FROM t
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS h
+        FROM s WHERE start = 0 OR start < n
+    ), spread AS (
+        SELECT h, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY h
+    ), marked AS (
+        SELECT c.doc_id, c.n_chunk_tokens, (sp.ndocs > 1) AS dup
+        FROM chunks c JOIN spread sp ON c.h = sp.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS total_tokens,
+           floor(sum(CASE WHEN dup THEN n_chunk_tokens ELSE 0 END)
+                 / sum(n_chunk_tokens) * 1e6) / 1e6 AS dup_token_fraction,
+           CAST(sum(CASE WHEN dup THEN n_chunk_tokens ELSE 0 END)
+                / sum(n_chunk_tokens) >= 0.5 AS BOOLEAN) AS flagged
+    FROM marked GROUP BY doc_id
+    """,
+    doc=(
+        "L13 duplicated-SPAN fraction per document "
+        "(operators/curation.py:duplicated_span_fraction) — the "
+        "FineWeb-style contamination signal whole-document dedup "
+        "misses: documents assembled mostly from boilerplate spans "
+        "pass L1/L2 (each whole text is unique) while most of their "
+        "TOKENS live in 32-token chunks that also occur in other "
+        "documents. Chunking reuses L5's codegen slicer (no overlap, "
+        "so token attribution is exact); the chunk-hash groupBy is "
+        "the blocking structure — shuffles carry md5 digests and "
+        "counts, never text pairs. Docs with >=50%% duplicated tokens "
+        "are flagged for the curation gate. The oracle replays "
+        "chunking, hashing, cross-doc spread and the roll-up in SQL, "
+        "value-for-value"
+    ),
+)
+def l13_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.duplicated_span_fraction(docs, "text", "doc_id", chunk_tokens=32)
+    return out.select(
+        "doc_id", "n_chunks", "n_dup_chunks", "total_tokens",
+        "dup_token_fraction",
+        (F.col("dup_token_fraction") >= 0.5).alias("flagged"),
+    )

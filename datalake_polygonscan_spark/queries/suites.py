@@ -228,7 +228,10 @@ _suite(
         "measured oracle, merged into one graded slot (round 5). "
         "Round 7 adds L12 INCREMENTAL dedup: a new batch probed "
         "against the persisted banded-LSH index, verified pairs "
-        "graded, index appended O(batch) as a versioned commit"
+        "graded, index appended O(batch) as a versioned commit — and "
+        "L13 duplicated-span fractions: per-doc token share living in "
+        "cross-document 32-token chunks, the contamination signal "
+        "whole-doc dedup misses"
     ),
     layout=[
         ("doc_a", "long", "BIGINT"),
@@ -246,6 +249,16 @@ _suite(
         ("emb_lsh", "l2_embedding_near_dup_lsh", {
             "n_vectors": "n_vectors", "pairs_verified": "pairs_verified",
             "recall_ok": "recall_ok",
+        }),
+        ("span", "l13_span_dedup", {
+            "doc_a": "doc_id", "doc_b": "n_chunks",
+            "n_vectors": "total_tokens", "jaccard": "dup_token_fraction",
+            "pairs_verified": (
+                "CAST(n_dup_chunks AS INT)", "CAST(n_dup_chunks AS INTEGER)",
+            ),
+            "recall_ok": (
+                "CAST(flagged AS INT)", "CAST(flagged AS INTEGER)",
+            ),
         }),
         ("incremental", "l12_incremental_dedup", {
             "doc_a": "corpus_doc", "doc_b": "batch_doc", "jaccard": "jacc",

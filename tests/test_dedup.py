@@ -203,3 +203,42 @@ def test_winnowing_overlap_pairs_cap_and_containment(spark):
     assert got.get((1, 2)) == 1.0
     # boilerplate-only pairs (3..9 share only >max_df prints) are out
     assert all(p == (1, 2) for p in got)
+
+
+def test_incremental_lsh_equals_global_restricted(spark):
+    """L12's incremental path must find EXACTLY the candidate pairs the
+    global banding finds between batch and corpus — persisting the
+    index and probing it with only the batch's band rows is a pure
+    refactoring of the one-shot join, never a recall trade."""
+    from datalake_polygonscan_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+        minhash_lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from datalake_polygonscan_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    sigs_all = minhash_signatures(docs, "text", "doc_id", num_perm=16, shingle_k=3)
+    global_pairs = minhash_lsh_candidate_pairs(sigs_all, bands=8)
+    global_cross = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in global_pairs.collect()
+        if (r.doc_a % 3 == 0) != (r.doc_b % 3 == 0)
+    }
+
+    idx = banded_signatures(
+        minhash_signatures(corpus, "text", "doc_id", num_perm=16, shingle_k=3), 8
+    )
+    probe = banded_signatures(
+        minhash_signatures(batch, "text", "doc_id", num_perm=16, shingle_k=3), 8
+    )
+    incremental = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in incremental_lsh_candidates(probe, idx).collect()
+    }
+    assert incremental == global_cross
+    assert incremental  # non-vacuous: the fixture contains near-dups
