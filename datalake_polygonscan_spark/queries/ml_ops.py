@@ -895,7 +895,23 @@ def ml10_sparkml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             LogisticRegression(maxIter=10, regParam=0.0, labelCol="label"),
         ]
     )
-    model = pipe.fit(train)
+    fitted = pipe.fit(train)
+    # persist + reload before scoring — both the model-persistence
+    # surface users need AND a required workaround: the fitted LR
+    # model carries a trainingSummary that references the
+    # SparkSession, and once any Observation has registered in the
+    # session (DQ2), that session stops being Java-serializable
+    # (ObservationManager), so scoring closures that drag the summary
+    # along fail with Task-not-serializable. A reloaded model has no
+    # summary — which is also the only form that can ship to another
+    # cluster.
+    from pyspark.ml import PipelineModel
+
+    from datalake_polygonscan_spark.queries.sources_sinks import _scratch
+
+    model_dir = _scratch("ml10_pipeline", "model")
+    fitted.write().overwrite().save(model_dir)
+    model = PipelineModel.load(model_dir)
     scored = model.transform(test).select("l_orderkey", "label", "prediction")
 
     n_scored = scored.count()
