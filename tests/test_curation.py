@@ -279,3 +279,28 @@ def test_leakage_free_split_colocates_duplicates(spark):
 
     with pytest.raises(ValueError, match="train_frac"):
         leakage_free_split(df, "text", train_frac=1.5)
+
+
+def test_duplicated_span_fraction_hand_fixture(spark):
+    """Two docs sharing one 4-token chunk verbatim, one unique doc:
+    shared chunks are duplicated (cross-doc), unique chunks are not,
+    and the token fraction attributes exactly."""
+    from datalake_polygonscan_spark.operators.curation import duplicated_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one text here"),
+            (2, "alpha beta gamma delta other tail words xx"),
+            (3, "totally different content with no shared span"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_fraction(
+        docs, "text", "doc_id", chunk_tokens=4).collect()}
+    # docs 1 and 2: chunk[0] = 'alpha beta gamma delta' shared -> dup;
+    # chunk[1] (4 tokens) unique -> 4/8 of tokens duplicated
+    for d in (1, 2):
+        assert out[d].n_chunks == 2 and out[d].n_dup_chunks == 1
+        assert out[d].total_tokens == 8
+        assert abs(out[d].dup_token_fraction - 0.5) < 1e-9
+    assert out[3].n_dup_chunks == 0 and out[3].dup_token_fraction == 0.0
