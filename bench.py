@@ -235,6 +235,9 @@ HEADLINE = [
     "ml10_sparkml_pipeline",
     "s42_copy_into",
     "l13_span_dedup",
+    # round-8 additions: adversarial-diameter star CC, weighted SSSP
+    "g7_cc_largestar",
+    "g8_sssp",
 ]
 
 

@@ -303,3 +303,176 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """G7 — connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., SoCC'14) — the O(log n)-round scale path
+    :func:`connected_components`'s docstring reserves for adversarial
+    diameters.
+
+    Min-label propagation needs DIAMETER rounds: a 10M-node chain
+    (lineage graphs, session stitches, road networks) means 10M
+    shuffles — dead at any scale. The star algorithm contracts the
+    graph toward component-min-rooted stars instead, provably halving
+    potential every alternation, so a 10M-node chain settles in ~25
+    rounds and each round is one groupBy + one equi-join on node keys
+    (no all-pairs, no frontier × visited):
+
+    - ``large-star(u)``: connect every neighbor v > u to
+      m(u) = min(Γ(u) ∪ {u}).
+    - ``small-star(u)`` over edges oriented high→low: connect every
+      smaller neighbor AND u itself to the minimum smaller neighbor.
+
+    Both emissions preserve connectivity and never raise a node's
+    eventual root (labels only contract toward the component min);
+    at fixpoint the edge set IS the (node → component-min) star map.
+    Equality with min-label propagation is property-tested on seeded
+    random graphs in tests/test_graph_star.py.
+
+    Returns (node, comp) for every node appearing in ``edges``,
+    comp = min node id of the component (identical contract to
+    :func:`connected_components`). Deterministic; raises if
+    ``max_rounds`` alternations don't converge.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; m(u) = min(Γ(u) ∪ {u})
+        sym = ed.select("u", "v").union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least("_mn", "u").alias("m")
+        )
+        out = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))  # strictly-greater neighbors re-attach
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # edges already oriented u > v: connect v-neighborhood ∪ {u}
+        # to the minimum smaller neighbor
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = ed.join(m, "u")
+        out = (
+            with_m.select(F.col("v").alias("n"), F.col("m"))
+            .union(m.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
+            .distinct()
+        )
+        return out
+
+    def _sig(ed: DataFrame) -> tuple[int, int]:
+        # one partial-agg scan: (count, order-insensitive hash sum) —
+        # the cheap fixpoint probe; a hash match merely TRIGGERS the
+        # exact exceptAll confirmation below, it never decides alone
+        row = ed.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive and overflow-free under ANSI
+            # (the edge set is distinct, so xor acts on unique hashes)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _sig(e2)
+        if sig2 == sig and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, sig = e2, sig2
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_rounds} alternations")
+
+    # fixpoint edges are (node → root) stars; roots map to themselves,
+    # and nodes that contracted away entirely (isolated after dedup)
+    # are their own roots
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    max_iter: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """G8 — single-source shortest WEIGHTED paths by frontier-restricted
+    Bellman-Ford relaxation (delta-less: every improved node joins the
+    next frontier).
+
+    The Pregel SSSP shape: each round relaxes only edges leaving nodes
+    whose distance IMPROVED last round — after the wavefront passes a
+    subgraph, its edges never rejoin the work set, so total work is
+    O(m × relaxations-per-node) with the frontier join the only
+    shuffle per round. Distances are exact integers (weights cast to
+    long): no float accumulation, any partitioning reproduces the
+    same table, and a staged-CTE oracle replays every round verbatim.
+
+    Returns (node, dist) for reached nodes only — callers left-join
+    their node universe to surface unreachable nodes as NULL.
+    Deterministic; raises if ``max_iter`` rounds don't converge.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                # least() skips NULLs, so this is "keep the better of
+                # (old dist, new candidate)" with either side absent
+                F.least(F.col("dist"), F.col("d")).alias("dist"),
+                # improved: first sighting, or a strictly shorter path
+                (F.col("dist").isNull() | (F.col("d") < F.col("dist"))).alias("_improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter("_improved").select("node", "dist").localCheckpoint(eager=True)
+        dist = merged.select("node", "dist")
+        if frontier.isEmpty():
+            return dist
+    raise RuntimeError(f"sssp did not converge in {max_iter} rounds")

@@ -373,3 +373,163 @@ def g6_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_nodes).cast("long").alias("n_nodes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G7 alternating-star connected components, G8 weighted shortest paths
+# ---------------------------------------------------------------------------
+
+_STAR_CHAINS = 7  # residue classes -> 7 long user chains
+
+
+@register(
+    "g7_cc_largestar",
+    oracle=f"""
+    WITH nodes AS (
+        SELECT DISTINCT user_id AS node FROM events
+    )
+    SELECT node,
+           min(node) OVER (PARTITION BY node % {_STAR_CHAINS}) AS component,
+           CAST(count(*) OVER (PARTITION BY node % {_STAR_CHAINS}) AS BIGINT) AS comp_size,
+           CAST({_STAR_CHAINS} AS BIGINT) AS n_components
+    FROM nodes
+    """,
+    doc=(
+        "G7 connected components by ALTERNATING LARGE-STAR/SMALL-STAR "
+        "(Kiveris et al. SoCC'14; operators/graph.py:"
+        "connected_components_star) — the O(log n)-round scale path "
+        "for ADVERSARIAL-DIAMETER graphs, where round-per-hop "
+        "min-label propagation (L2g's connected_components) needs "
+        "DIAMETER shuffles and dies on any long chain. Input is "
+        "deliberately the worst case: 7 user-id chains (consecutive "
+        "ranks within user_id % 7 linked pairwise), diameter ~ n/7 — "
+        "hundreds of min-label rounds at bench SF, but the star "
+        "alternation contracts each chain toward its minimum in "
+        "~log2(diameter) rounds (convergence asserted, rounds bounded "
+        "in tests/test_graph_star.py; equality with min-label "
+        "propagation property-tested on seeded random graphs). The "
+        "oracle states the semantic truth in closed form — each "
+        "chain's component IS its minimum user id — so any wrong "
+        "attachment, dropped node or non-converged root value-fails"
+    ),
+)
+def g7_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import connected_components_star
+
+    nodes = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("node")
+    ).distinct()
+    w = Window.partitionBy(F.col("node") % _STAR_CHAINS).orderBy("node")
+    chain = nodes.select("node", F.lead("node").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    comp = connected_components_star(chain, "node", "nxt")
+    return (
+        comp.select("node", F.col("comp").alias("component"))
+        .withColumn(
+            "comp_size",
+            F.count("*").over(Window.partitionBy("component")).cast("long"),
+        )
+        .withColumn("n_components", F.lit(_STAR_CHAINS).cast("long"))
+    )
+
+
+_SSSP_NODES = 1500
+_SSSP_QMAX = 3
+_SSSP_STAGES = 12  # oracle replay depth; Spark converges in <= 8 rounds
+
+
+def _g8_oracle_sql(k: int = _SSSP_STAGES) -> str:
+    """Staged-CTE Bellman-Ford replay: d_{{i+1}}(v) = min(d_i(v),
+    min over edges (u,v) of d_i(u) + w) — K materialized rounds, the
+    same exact-integer recurrence the frontier operator runs."""
+    stages = []
+    for i in range(1, k + 1):
+        stages.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i-1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{i-1} d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    )"""
+        )
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH raw AS (
+        SELECT l_partkey % {_SSSP_NODES} AS a, l_suppkey % {_SSSP_NODES} AS b,
+               CAST(1 + l_orderkey % 9 AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_quantity <= {_SSSP_QMAX}
+          AND l_partkey % {_SSSP_NODES} <> l_suppkey % {_SSSP_NODES}
+    ), canon AS (
+        SELECT least(a, b) AS v, greatest(a, b) AS u, min(w) AS w
+        FROM raw GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst, w FROM canon
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM canon
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), d0 AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    ),
+    {joined}
+    SELECT n.node, d.dist,
+           CAST((SELECT count(*) FROM d{k}) AS BIGINT) AS n_reached,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN d{k} d ON d.node = n.node
+    """
+
+
+@register(
+    "g8_sssp",
+    oracle=_g8_oracle_sql(),
+    doc=(
+        "G8 single-source shortest WEIGHTED paths by frontier-"
+        "restricted Bellman-Ford (operators/graph.py:sssp, the Pregel "
+        "SSSP shape): each round relaxes only edges leaving nodes "
+        "whose distance improved last round, so the wavefront never "
+        "re-scans settled subgraphs — O(m x relaxations) total, one "
+        "frontier equi-join shuffle per round, converges here in <= 8 "
+        "rounds. Graph: lineitem quantity<=3 keys mod 1500 "
+        "symmetrized, min-weight per pair, weights 1+l_orderkey%9 so "
+        "weighted distances genuinely disagree with hop counts "
+        "(max dist 18 over <= 8 hops at driver SF). Exact integer "
+        "distances — no float accumulation, any partitioning "
+        "reproduces the table bit-for-bit; the oracle replays all 12 "
+        "relaxation rounds as materialized staged CTEs (the G2 "
+        "PageRank replay pattern), so a wrong relaxation order, "
+        "dropped frontier node or off-by-one weight value-fails; "
+        "unreachable nodes surface as NULL via the node-universe "
+        "left join"
+    ),
+)
+def g8_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import sssp
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= _SSSP_QMAX)
+    raw = li.select(
+        (F.col("l_partkey") % _SSSP_NODES).alias("a"),
+        (F.col("l_suppkey") % _SSSP_NODES).alias("b"),
+        (1 + F.col("l_orderkey") % 9).cast("long").alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    canon = (
+        raw.select(F.least("a", "b").alias("v"), F.greatest("a", "b").alias("u"), "w")
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    edges = canon.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").union(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = sssp(edges, source=0, max_iter=30)
+    n_reached = dist.count()
+    n_nodes = nodes.count()
+    return nodes.join(dist, "node", "left").select(
+        "node",
+        F.col("dist").cast("long").alias("dist"),
+        F.lit(n_reached).cast("long").alias("n_reached"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+    )

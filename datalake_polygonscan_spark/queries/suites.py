@@ -951,7 +951,12 @@ _suite(
         "slot (merged round 5); G5 label-propagation communities "
         "(deterministic argmax tie-break, round-replayed oracle) and "
         "G6 frontier BFS shortest hops (O(m) total across rounds, "
-        "bounded-depth recursive-CTE oracle) joined round 6"
+        "bounded-depth recursive-CTE oracle) joined round 6; round 8 "
+        "adds G7 alternating large-star/small-star CC (Kiveris et al. "
+        "— O(log n) rounds on the adversarial-diameter chains that "
+        "kill min-label propagation, closed-form chain-min oracle) "
+        "and G8 weighted SSSP by frontier-restricted Bellman-Ford "
+        "(exact integer distances, 12-round staged-CTE replay oracle)"
     ),
     layout=[
         ("node", "long", "BIGINT"),
@@ -981,6 +986,14 @@ _suite(
             "n_edges": "community_size", "n_nodes": "n_communities",
         }),
         ("bfs", "g6_bfs_shortest_hops", {
+            "node": "node", "depth": "CAST(dist AS BIGINT)",
+            "n_edges": "n_reached", "n_nodes": "n_nodes",
+        }),
+        ("star_cc", "g7_cc_largestar", {
+            "node": "node", "depth": "component",
+            "n_edges": "comp_size", "n_nodes": "n_components",
+        }),
+        ("sssp", "g8_sssp", {
             "node": "node", "depth": "CAST(dist AS BIGINT)",
             "n_edges": "n_reached", "n_nodes": "n_nodes",
         }),
