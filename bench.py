@@ -235,9 +235,11 @@ HEADLINE = [
     "ml10_sparkml_pipeline",
     "s42_copy_into",
     "l13_span_dedup",
-    # round-8 additions: adversarial-diameter star CC, weighted SSSP
+    # round-8 additions: adversarial-diameter star CC, weighted SSSP,
+    # grid-blocked DBSCAN
     "g7_cc_largestar",
     "g8_sssp",
+    "ml11_dbscan",
 ]
 
 

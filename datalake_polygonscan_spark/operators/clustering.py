@@ -252,3 +252,111 @@ def semantic_dedup(
         )
     ).select(F.col("_id").alias(id_col), "cluster", "is_survivor")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")), marked
+
+
+def dbscan_planar(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """ML11 — density-based clustering (DBSCAN, Ester et al. KDD'96)
+    over integer planar points, distributed by the grid-cell blocking
+    the GEO1 radius join established.
+
+    The sequential algorithm's region queries become ONE blocked
+    self-join: each point bins to an eps-sized grid cell, one side
+    explodes its 3x3 cell neighborhood, and every eps-ball pair meets
+    in a plain equi-join on the cell key — candidates per cell are
+    O(local density), total work O(n x density), never O(n^2). From
+    the neighbor-pair relation the three DBSCAN roles are pure
+    relational algebra:
+
+    - **core**: |N_eps(p)| >= min_pts (the point itself counts);
+    - **cluster**: connected components over CORE-CORE neighbor edges
+      (min-label propagation — dense eps-balls make near-cliques, so
+      diameter and round count stay small), cluster id = min core id;
+    - **border**: non-core with >= 1 core neighbor, attached to the
+      MINIMUM core neighbor's cluster (the deterministic version of
+      the textbook's "first core that reaches it");
+    - **noise**: everything else, cluster -1.
+
+    Exact integer distance predicate (dx^2 + dy^2 <= eps^2): no floats
+    anywhere, so roles and clusters reproduce bit-for-bit under any
+    partitioning and a cross-join SQL oracle replays them row-for-row.
+
+    Returns (id, role, cluster).
+    """
+    from datalake_polygonscan_spark.operators.graph import connected_components_star
+
+    spark = points.sparkSession
+    pts = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+
+    a = pts.select(
+        F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.floor(F.col("x") / eps).alias("gx"), F.floor(F.col("y") / eps).alias("gy"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    b = pts.crossJoin(F.broadcast(off)).select(
+        F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        (F.floor(F.col("x") / eps) + F.col("dx")).alias("gx"),
+        (F.floor(F.col("y") / eps) + F.col("dy")).alias("gy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbr = (
+        a.join(b, ["gx", "gy"])
+        .filter((F.col("ia") != F.col("ib")) & (d2 <= eps * eps))
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)
+    )
+
+    core = (
+        nbr.groupBy(F.col("ia").alias("id"))
+        .agg((F.count("*") + 1).alias("n"))
+        .filter(F.col("n") >= min_pts)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        nbr.join(core.select(F.col("id").alias("ia")), "ia")
+        .join(core.select(F.col("id").alias("ib")), "ib")
+        .select("ia", "ib")
+    )
+    # star CC, not min-label: an eps-ball mesh has hop-diameter ~
+    # cluster-extent/eps (10+ rounds at bench SF); the alternating-star
+    # contraction closes it in O(log diameter) alternations
+    comp = connected_components_star(core_edges, "ia", "ib")
+    # isolated cores (>= min_pts neighbors but none of them core) seed
+    # their own single-core cluster
+    core_cluster = core.join(comp, core["id"] == comp["node"], "left").select(
+        core["id"], F.coalesce("comp", core["id"]).alias("cluster")
+    )
+    border = (
+        nbr.join(core_cluster.withColumnRenamed("id", "ib"), "ib")
+        .join(core.withColumnRenamed("id", "ia"), "ia", "left_anti")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        pts.select("id")
+        .join(core_cluster.withColumnRenamed("cluster", "_core_cl"), "id", "left")
+        .join(border.withColumnRenamed("cluster", "_border_cl"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_core_cl", "_border_cl", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )

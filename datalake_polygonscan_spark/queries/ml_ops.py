@@ -927,3 +927,99 @@ def ml10_sparkml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_scored), int(n_positive), bool(accuracy_ok), bool(rerun_identical))],
         "n_scored long, n_positive long, accuracy_ok boolean, rerun_identical boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# ML11 DBSCAN: density clustering by grid-blocked region queries
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 300
+_DB_MINPTS = 5
+# deterministic planar points (the GEO1 device: the test tables carry
+# no geometry): 12 latent blobs on a 100 km grid with +-1 km jitter,
+# every 10th key a uniform scatter point — same arithmetic both engines
+_DB_X = (
+    "CASE WHEN {k} % 10 = 0 THEN ({k} * 48271) % 100000 "
+    "ELSE (({k} % 12) * 7919) % 1000 * 100 + ({k} * 48271) % 2000 - 1000 END"
+)
+_DB_Y = (
+    "CASE WHEN {k} % 10 = 0 THEN ({k} * 69621) % 100000 "
+    "ELSE (({k} % 12) * 104729) % 1000 * 100 + ({k} * 69621) % 2000 - 1000 END"
+)
+
+
+@register(
+    "ml11_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id,
+               CAST({_DB_X.format(k='c_custkey')} AS BIGINT) AS x,
+               CAST({_DB_Y.format(k='c_custkey')} AS BIGINT) AS y
+        FROM customer
+    ), nbr AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pts a JOIN pts b
+          ON a.id <> b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_DB_EPS * _DB_EPS}
+    ), core AS MATERIALIZED (
+        SELECT ia AS id FROM nbr GROUP BY ia HAVING count(*) + 1 >= {_DB_MINPTS}
+    ), ce AS MATERIALIZED (
+        SELECT n.ia, n.ib FROM nbr n
+        JOIN core ca ON ca.id = n.ia
+        JOIN core cb ON cb.id = n.ib
+    ), reach(a, b) AS (
+        SELECT ia, ib FROM ce
+        UNION
+        SELECT r.a, e.ib FROM reach r JOIN ce e ON r.b = e.ia
+    ), comp AS (
+        SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ), corec AS (
+        SELECT c.id, coalesce(p.cluster, c.id) AS cluster
+        FROM core c LEFT JOIN comp p ON p.id = c.id
+    ), border AS (
+        SELECT n.ia AS id, min(cc.cluster) AS cluster
+        FROM nbr n JOIN corec cc ON cc.id = n.ib
+        WHERE n.ia NOT IN (SELECT id FROM core)
+        GROUP BY n.ia
+    )
+    SELECT p.id, p.x, p.y,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM pts p
+    LEFT JOIN corec c ON c.id = p.id
+    LEFT JOIN border b ON b.id = p.id
+    """,
+    doc=(
+        "ML11 DBSCAN density clustering (Ester et al. KDD'96; "
+        "operators/clustering.py:dbscan_planar) — the cluster-count-"
+        "free, noise-aware complement to ML1's k-means: the "
+        "sequential region queries become ONE grid-blocked self-join "
+        "(eps-sized cells, 3x3 neighborhood explode, equi-join on the "
+        "cell key — O(n x density) candidates, never O(n^2)), core "
+        "points by neighbor count, clusters = connected components "
+        "over core-core edges (near-cliques, so min-label converges "
+        "in a few rounds), borders attach to their MINIMUM core "
+        "neighbor's cluster, noise = -1. Points are 12 deterministic "
+        "planar blobs + uniform scatter derived from customer keys "
+        "(the GEO1 device); the distance predicate is exact integer "
+        "arithmetic, so every role and cluster id reproduces "
+        "bit-for-bit and the oracle replays the SEMANTIC definition "
+        "— cross-join region queries + recursive-CTE closure — "
+        "row-for-row (quadratic there, which is exactly why the "
+        "graded plan is the blocked one)"
+    ),
+)
+def ml11_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.clustering import dbscan_planar
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_DB_X.format(k="c_custkey")).cast("long").alias("x"),
+        F.expr(_DB_Y.format(k="c_custkey")).cast("long").alias("y"),
+    )
+    roles = dbscan_planar(pts, eps=_DB_EPS, min_pts=_DB_MINPTS)
+    return pts.join(roles, "id").select("id", "x", "y", "role", "cluster")

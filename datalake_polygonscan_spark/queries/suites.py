@@ -305,7 +305,11 @@ _suite(
         "pyspark.ml Pipeline surface (VectorAssembler -> "
         "StandardScaler -> LogisticRegression), graded on held-out "
         "counts, a 0.9 accuracy floor on a separable target, and "
-        "transform() re-run bit-identity"
+        "transform() re-run bit-identity. Round 8 adds ML11 DBSCAN — "
+        "grid-blocked region queries (O(n x density), never O(n^2)), "
+        "exact-integer eps predicate, core/border/noise roles and "
+        "min-core-id clusters replayed row-for-row by a cross-join + "
+        "recursive-closure oracle"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -381,6 +385,10 @@ _suite(
             "n_vectors": "n_scored", "n_docs": "n_positive",
             "clusters_in_range": "accuracy_ok",
             "self_consistent": "rerun_identical",
+        }),
+        ("dbscan", "ml11_dbscan", {
+            "n_vectors": "id", "dim": "x", "k": "y",
+            "lang": "role", "n_docs": "cluster",
         }),
     ],
 )

@@ -186,3 +186,80 @@ def test_naive_bayes_learns_separable_classes(spark):
     assert acc > 0.9, acc
     assert holdout > 0.9, holdout
     assert out.count() == 300
+
+
+class TestDBSCANPlanar:
+    """Constructed geometry: known blobs, a border point, and noise."""
+
+    def test_blobs_border_noise(self, spark):
+        from datalake_polygonscan_spark.operators.clustering import dbscan_planar
+
+        # blob A: 5 points in a tight cross at (0,0); blob B: 5 points
+        # at (10_000, 0); a border point 90 units from blob A's rim
+        # (within eps of one core, not core itself); one far-away
+        # noise point
+        pts = (
+            [(i, dx, dy) for i, (dx, dy) in enumerate(
+                [(0, 0), (50, 0), (-50, 0), (0, 50), (0, -50)])]
+            + [(10 + i, 10_000 + dx, dy) for i, (dx, dy) in enumerate(
+                [(0, 0), (50, 0), (-50, 0), (0, 50), (0, -50)])]
+            + [(20, 140, 0)]      # border: within 100 of (50,0) only
+            + [(30, 50_000, 50_000)]  # noise
+        )
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {r["id"]: (r["role"], r["cluster"]) for r in
+               dbscan_planar(df, eps=100, min_pts=4).collect()}
+        for i in range(5):
+            assert out[i] == ("core", 0)
+        for i in range(10, 15):
+            assert out[i] == ("core", 10)
+        # border point: not core (only 2 neighbors: (50,0) and... just
+        # (50,0) at dist 90 and (0,0) at 140>eps), attaches to blob A
+        assert out[20] == ("border", 0)
+        assert out[30] == ("noise", -1)
+
+    def test_matches_naive_python_dbscan(self, spark):
+        """Seeded random points vs a driver-side textbook DBSCAN."""
+        import random
+
+        from datalake_polygonscan_spark.operators.clustering import dbscan_planar
+
+        rnd = random.Random(99)
+        pts = [(i, rnd.randrange(0, 2_000), rnd.randrange(0, 2_000)) for i in range(120)]
+        eps, min_pts = 220, 4
+
+        def naive():
+            nbr = {i: [] for i, _, _ in pts}
+            for i, xi, yi in pts:
+                for j, xj, yj in pts:
+                    if i != j and (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps:
+                        nbr[i].append(j)
+            core = {i for i in nbr if len(nbr[i]) + 1 >= min_pts}
+            # min-id connected components over core-core edges
+            parent = {c: c for c in core}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for c in core:
+                for j in nbr[c]:
+                    if j in core:
+                        ra, rb = find(c), find(j)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+            out = {}
+            for i in nbr:
+                if i in core:
+                    out[i] = ("core", find(i))
+                else:
+                    cl = [find(j) for j in nbr[i] if j in core]
+                    out[i] = ("border", min(cl)) if cl else ("noise", -1)
+            return out
+
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = {r["id"]: (r["role"], r["cluster"]) for r in
+               dbscan_planar(df, eps=eps, min_pts=min_pts).collect()}
+        assert got == naive()
