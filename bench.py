@@ -240,6 +240,7 @@ HEADLINE = [
     "g7_cc_largestar",
     "g8_sssp",
     "ml11_dbscan",
+    "ts13_theil_sen",
 ]
 
 

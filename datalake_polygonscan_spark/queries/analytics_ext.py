@@ -3341,3 +3341,134 @@ def a14_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("o_orderstatus"), "n_customers")
     )
     return per_status.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# TS13 Theil-Sen robust trend: median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+_TS13_K = 16  # trailing points per series -> <= 120 pairs, O(K^2) bounded
+
+
+@register(
+    "ts13_theil_sen",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - 1704067200 AS xs,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rdesc
+        FROM events WHERE event_type = 'purchase'
+    ), lastk AS (
+        SELECT * FROM base WHERE rdesc <= {_TS13_K}
+    ), pairs AS (
+        SELECT a.user_id,
+               a.event_id AS ea, b.event_id AS eb,
+               CAST(b.yt - a.yt AS DOUBLE) / CAST(b.xs - a.xs AS DOUBLE) AS sl
+        FROM lastk a JOIN lastk b
+          ON a.user_id = b.user_id AND a.rdesc > b.rdesc AND a.xs <> b.xs
+    ), ranked AS (
+        SELECT user_id, sl,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY sl, ea, eb) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM pairs
+    ), med AS (
+        SELECT user_id, sl AS slope, n_pairs
+        FROM ranked WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+    ), resid AS (
+        SELECT l.user_id, m.slope, m.n_pairs,
+               CAST(l.yt AS DOUBLE) - m.slope * CAST(l.xs AS DOUBLE) AS r,
+               l.event_id,
+               count(*) OVER (PARTITION BY l.user_id) AS n_points
+        FROM lastk l JOIN med m ON m.user_id = l.user_id
+    ), ranked_r AS (
+        SELECT user_id, slope, n_pairs, n_points, r,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY r, event_id) AS rn
+        FROM resid
+    )
+    SELECT user_id,
+           CAST(n_points AS BIGINT) AS n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor(slope * 1e9 + 0.5) / 1e9 AS slope_ticks_per_sec,
+           floor(r / 10000.0 * 1e6 + 0.5) / 1e6 AS intercept
+    FROM ranked_r
+    WHERE rn = CAST(floor((n_points + 1) / 2.0) AS BIGINT)
+    """,
+    doc=(
+        "TS13 Theil-Sen robust trend estimation — the median-of-"
+        "pairwise-slopes regressor (29.3%% breakdown point vs OLS's "
+        "zero: one fat-finger tick cannot move it), the robust "
+        "sibling of ML6's closed-form OLS: per user, all C(K,2) "
+        "slopes over the trailing K=16 purchases (the trailing-window "
+        "bound makes the quadratic pair stage a CONSTANT <=120 pairs "
+        "per key — one self-join shuffle on user_id, never "
+        "cross-key), slope = lower median by deterministic (slope, "
+        "event-pair) order, intercept = matching median residual. "
+        "Pair slopes are single IEEE divisions of exact integer "
+        "deltas — bit-identical both engines — so the median "
+        "SELECTION (rank on the quantized-identical sort key) picks "
+        "the same element, and only the reported values round. "
+        "Same-timestamp pairs (dx=0) are excluded per the standard "
+        "estimator"
+    ),
+)
+def ts13_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "event_id", "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long").alias("xs"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("yt"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ).alias("rdesc"),
+    ).filter(F.col("rdesc") <= _TS13_K)
+
+    a = base.select(
+        "user_id", F.col("event_id").alias("ea"), F.col("xs").alias("xa"),
+        F.col("yt").alias("ya"), F.col("rdesc").alias("ra"),
+    )
+    b = base.select(
+        F.col("user_id").alias("ub"), F.col("event_id").alias("eb"),
+        F.col("xs").alias("xb"), F.col("yt").alias("yb"), F.col("rdesc").alias("rb"),
+    )
+    pairs = (
+        a.join(b, (a["user_id"] == b["ub"]) & (a["ra"] > b["rb"]) & (a["xa"] != b["xb"]))
+        .select(
+            "user_id", "ea", "eb",
+            ((F.col("yb") - F.col("ya")).cast("double")
+             / (F.col("xb") - F.col("xa")).cast("double")).alias("sl"),
+        )
+    )
+    wp = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id", "sl",
+        F.row_number().over(wp.orderBy("sl", "ea", "eb")).alias("rn"),
+        F.count("*").over(wp).alias("n_pairs"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2.0).cast("long")
+    ).select("user_id", F.col("sl").alias("slope"), "n_pairs")
+
+    resid = base.join(med, "user_id").select(
+        "user_id", "slope", "n_pairs", "event_id",
+        (F.col("yt").cast("double") - F.col("slope") * F.col("xs").cast("double")).alias("r"),
+        F.count("*").over(wp).alias("n_points"),
+    )
+    ranked_r = resid.withColumn(
+        "rn", F.row_number().over(wp.orderBy("r", "event_id"))
+    )
+    return ranked_r.filter(
+        F.col("rn") == F.floor((F.col("n_points") + 1) / 2.0).cast("long")
+    ).select(
+        "user_id",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.floor(F.col("slope") * 1e9 + 0.5) / 1e9).alias("slope_ticks_per_sec"),
+        (F.floor(F.col("r") / 10000.0 * 1e6 + 0.5) / 1e6).alias("intercept"),
+    )

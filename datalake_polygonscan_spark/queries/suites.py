@@ -2340,7 +2340,10 @@ _suite(
         "with centroid anchors, exact DECIMAL area argmax) and GEO4 "
         "per-entity trajectory statistics (exact-integer hop vectors, "
         "correctly-rounded sqrt legs, glitch-jump counts; all "
-        "round 6)"
+        "round 6). Round 8 adds TS13 Theil-Sen robust trend — median "
+        "of pairwise slopes over the trailing K=16 window (bounded "
+        "<=120 pairs/key, one self-join shuffle), deterministic "
+        "median selection on bit-identical IEEE pair slopes"
     ),
     layout=[
         ("event_id", "long", "BIGINT"),
@@ -2453,6 +2456,11 @@ _suite(
             "user_id": "user_id", "n_events": "n_hops",
             "event_id": "path_m", "asof_event_id": "longest_hop_m",
             "bucket_start": "n_jumps",
+        }),
+        ("theil_sen", "ts13_theil_sen", {
+            "user_id": "user_id", "bucket_start": "n_points",
+            "n_events": "n_pairs", "value": "slope_ticks_per_sec",
+            "roll_mean": "intercept",
         }),
     ],
 )

@@ -259,3 +259,35 @@ def test_interval_overlap_join_boundaries_and_dedup(spark):
         for r in interval_overlap_join(a, b, bin_seconds=100).collect()
     }
     assert got == {(1, 10): 0, (3, 12): 4000}
+
+
+def test_theil_sen_ignores_single_outlier(spark, tmp_path):
+    """The estimator's reason to exist: one corrupted tick must not
+    move the slope, while OLS on the same series would swing wildly.
+    Build a perfect y = 2x + 100 line of 15 purchase events plus one
+    10000x fat-finger, run the registered query on a scratch events
+    table, and require the exact clean slope (2 ticks/sec of value
+    0.0002/sec after tick quantization)."""
+    import datetime as dtm
+
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    base = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(15):
+        # xs = i*10 seconds, value = 0.0002*xs + 0.01  (yt = 2*xs + 100)
+        rows.append((i + 1, base + dtm.timedelta(seconds=i * 10), 7,
+                     "purchase", 0.0002 * (i * 10) + 0.01, "{}"))
+    rows.append((99, base + dtm.timedelta(seconds=155), 7,
+                 "purchase", 9999.0, "{}"))  # the fat finger
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {r["user_id"]: r for r in REGISTRY["ts13_theil_sen"].fn(spark, sf_dir).collect()}
+    r = out[7]
+    # 16 points (15 clean + outlier), 120 pairs; the median slope must
+    # be the CLEAN 2 ticks/sec: only 15 of 120 pairs touch the outlier
+    assert r["n_points"] == 16 and r["n_pairs"] == 120
+    assert r["slope_ticks_per_sec"] == 2.0
