@@ -241,6 +241,7 @@ HEADLINE = [
     "g8_sssp",
     "ml11_dbscan",
     "ts13_theil_sen",
+    "l14_mmr_rerank",
 ]
 
 

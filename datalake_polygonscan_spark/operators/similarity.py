@@ -642,3 +642,93 @@ def ivf_pq_topk(
         .withColumn("cosine", cosine_similarity("query_vec", "embedding"))
     )
     return _topk_per_query(rer, k)
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """L14 — Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lam * relevance - (1 - lam) * max-similarity-to-already-picked``
+    — the diversity stage every retrieval/curation pipeline bolts onto
+    its ANN top-k so the k results aren't k near-duplicates.
+
+    Inputs (both tiny — this runs AFTER the ANN stage has cut the
+    corpus to a per-query shortlist):
+    - ``shortlist``: (query_id, vec_id, rel) — rel pre-quantized
+      (round 6) so both engines order identically;
+    - ``pair_sims``: (query_id, ca, cb, s) — candidate-candidate
+      similarity within each query's shortlist, same quantization.
+
+    The greedy loop unrolls into k relational steps — each one
+    left-anti (drop picked) + left-join picked + left-join sims +
+    groupBy max + row_number argmax, all JVM-side, zero Python in the
+    row path — so a staged-CTE oracle replays the selection verbatim.
+    Step 1 falls out of the SAME formula: an empty picked set makes
+    max-sim coalesce to 0 and the score lam * rel.
+
+    Deterministic: score ties break to the lowest vec_id. Work is
+    O(queries x k x shortlist^2) — shortlist is a constant (the ANN
+    k'), so this is linear in query count at any corpus scale.
+
+    Returns (query_id, rank, vec_id, rel, mmr_score).
+    """
+    # materialize both inputs once: every unrolled step references
+    # them, and without the checkpoint step i re-executes the whole
+    # ANN shortlist + pair-sim lineage i times over
+    cand = shortlist.select(
+        "query_id", F.col("vec_id").alias("c"), "rel"
+    ).localCheckpoint(eager=True)
+    sims = pair_sims.select("query_id", "ca", "cb", "s").localCheckpoint(eager=True)
+    picked: DataFrame | None = None
+    out: DataFrame | None = None
+    for i in range(1, k + 1):
+        remaining = cand
+        if picked is not None:
+            remaining = cand.join(
+                picked.select("query_id", F.col("c").alias("_pc")).withColumnRenamed("_pc", "c"),
+                ["query_id", "c"],
+                "left_anti",
+            )
+        if picked is None:
+            scored = remaining.withColumn("_maxsim", F.lit(0.0))
+        else:
+            p = picked.select("query_id", F.col("c").alias("pc"))
+            scored = (
+                remaining.join(p, "query_id", "left")
+                .join(
+                    sims,
+                    (sims["query_id"] == remaining["query_id"])
+                    & (sims["ca"] == remaining["c"])
+                    & (sims["cb"] == F.col("pc")),
+                    "left",
+                )
+                .groupBy(remaining["query_id"], "c", "rel")
+                .agg(F.coalesce(F.max("s"), F.lit(0.0)).alias("_maxsim"))
+            )
+        scored = scored.withColumn(
+            "score", F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_maxsim")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("c").asc())
+        pick_i = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", "c", "rel", "score", F.lit(i).alias("rank"))
+            # one row per query: keep later steps' plans one step deep
+            .localCheckpoint(eager=True)
+        )
+        picked = pick_i.select("query_id", "c") if picked is None else picked.unionByName(
+            pick_i.select("query_id", "c")
+        )
+        out = pick_i if out is None else out.unionByName(pick_i)
+    assert out is not None
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("c").alias("vec_id"),
+        "rel",
+        F.round("score", 6).alias("mmr_score"),
+    )

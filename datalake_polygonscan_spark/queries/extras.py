@@ -395,3 +395,128 @@ def l3ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_entry(
         spark, sf_dir, lambda q, emb: S.ivf_pq_topk(q, emb, k=10, shortlist=128, nprobe=8)
     )
+
+
+# ---------------------------------------------------------------------------
+# L14 MMR diversified re-ranking over the ANN shortlist
+# ---------------------------------------------------------------------------
+
+_L14_SHORTLIST = 12
+_L14_K = 5
+_L14_LAM = 0.7
+# 1-lam computed ONCE in Python and injected as its exact repr: the
+# SQL literal 0.3 and Python's 1.0-0.7 are DIFFERENT doubles
+# (0.30000000000000004), and the greedy argmax would diverge on it
+_L14_ONE_MINUS = repr(1.0 - _L14_LAM)
+
+
+def _l14_oracle_sql() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform({a}.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform({b}.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    steps = []
+    for i in range(1, _L14_K + 1):
+        steps.append(f"""m{i} AS (
+        SELECT c.query_id, c.c, c.rel,
+               {_L14_LAM} * c.rel - {_L14_ONE_MINUS} * coalesce(max(s.s), 0) AS score
+        FROM cand c
+        LEFT JOIN sel{i-1} p ON p.query_id = c.query_id
+        LEFT JOIN sims s ON s.query_id = c.query_id AND s.ca = c.c AND s.cb = p.c
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i-1} x
+                          WHERE x.query_id = c.query_id AND x.c = c.c)
+        GROUP BY c.query_id, c.c, c.rel
+    ), p{i} AS (
+        SELECT query_id, c, rel, score, {i} AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, c ASC) AS rn
+              FROM m{i})
+        WHERE rn = 1
+    ), sel{i} AS (
+        SELECT query_id, c FROM sel{i-1} UNION ALL SELECT query_id, c FROM p{i}
+    )""")
+    stages = ",\n    ".join(steps)
+    picks = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, _L14_K + 1))
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 7
+    ), cor AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 7
+    ), scored AS (
+        SELECT q.query_id, c.vec_id, {cos.format(a='q', b='c')} AS cos
+        FROM q JOIN cor c ON true
+    ), cand AS MATERIALIZED (
+        SELECT query_id, vec_id AS c, ROUND(cos, 6) AS rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {_L14_SHORTLIST}
+    ), sims AS MATERIALIZED (
+        SELECT a.query_id, a.c AS ca, b.c AS cb,
+               ROUND({cos.format(a='ea', b='eb')}, 6) AS s
+        FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.c <> b.c
+        JOIN embeddings ea ON ea.vec_id = a.c
+        JOIN embeddings eb ON eb.vec_id = b.c
+    ), sel0 AS (
+        SELECT query_id, c FROM cand WHERE 1 = 0
+    ),
+    {stages}
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, c AS vec_id, rel,
+           ROUND(score, 6) AS mmr_score
+    FROM ({picks})
+    """
+
+
+@register(
+    "l14_mmr_rerank",
+    oracle=_l14_oracle_sql(),
+    doc=(
+        "L14 Maximal Marginal Relevance diversified re-ranking "
+        "(Carbonell & Goldstein SIGIR'98; operators/similarity.py:"
+        "mmr_rerank) — the diversity stage every retrieval/curation "
+        "pipeline bolts onto its ANN top-k so the k results aren't k "
+        "near-duplicates: greedily pick argmax of lam*rel - "
+        "(1-lam)*max-sim-to-picked over the per-query shortlist. The "
+        "greedy loop unrolls into 5 relational steps (left-anti + "
+        "picked-join + groupBy max + row_number argmax), all "
+        "JVM-side; step 1 falls out of the same formula via the empty "
+        "picked set. Work after the ANN stage is O(queries x k x "
+        "shortlist^2) with shortlist a CONSTANT — linear in query "
+        "count at any corpus scale. Determinism: rel and "
+        "candidate-candidate sims quantize to 6 places BEFORE any "
+        "comparison, 1-lam is injected as the identical double on "
+        "both engines, ties break to the lowest vec_id; the oracle "
+        "replays all 5 greedy selections as staged CTEs verbatim"
+    ),
+)
+def l14_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.vectors import cosine_similarity
+    from datalake_polygonscan_spark.operators.similarity import brute_force_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 100 != 7)
+    top = brute_force_topk(q, corpus, k=_L14_SHORTLIST)
+    shortlist = top.select("query_id", "vec_id", F.round("cosine", 6).alias("rel"))
+
+    ea = emb.select(F.col("vec_id").alias("ca"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("cb"), F.col("embedding").alias("_vb"))
+    a = shortlist.select("query_id", F.col("vec_id").alias("ca"))
+    b = shortlist.select(F.col("query_id").alias("_qb"), F.col("vec_id").alias("cb"))
+    sims = (
+        a.join(b, (a["query_id"] == b["_qb"]) & (a["ca"] != b["cb"]))
+        .join(ea, "ca")
+        .join(eb, "cb")
+        .select(
+            "query_id", "ca", "cb",
+            F.round(
+                cosine_similarity(
+                    F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    return mmr_rerank(shortlist, sims, k=_L14_K, lam=_L14_LAM)

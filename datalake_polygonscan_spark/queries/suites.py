@@ -1199,7 +1199,10 @@ _suite(
         "product-quantization ADC scoring + L3ivfpq the IVF-PQ composite "
         "(sub-linear candidates AND compressed scoring — the "
         "billion-scale pair), each with its measured-recall floor "
-        "verdict riding the hash (merged round 5)"
+        "verdict riding the hash (merged round 5). Round 8 adds L14 "
+        "MMR diversified re-ranking — the greedy lam*rel - "
+        "(1-lam)*max-sim selection unrolled into 5 JVM relational "
+        "steps, staged-CTE-replayed verbatim"
     ),
     layout=[
         ("query_id", "long", "BIGINT"),
@@ -1228,6 +1231,11 @@ _suite(
         ("ivfpq", "l3ivfpq_ann", {
             "n_queries": "n_queries", "k": "k",
             "meets_recall_floor": "meets_recall_floor",
+        }),
+        ("mmr", "l14_mmr_rerank", {
+            "query_id": "query_id", "vec_id": "vec_id",
+            "cosine": "rel", "rank": ("CAST(rank AS LONG)", "CAST(rank AS BIGINT)"),
+            "recall_at_k": "mmr_score",
         }),
     ],
 )

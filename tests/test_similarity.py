@@ -182,3 +182,23 @@ def test_ivf_pq_recall_floor(spark, sf_dir):
     approx = S.ivf_pq_topk(q, emb, k=10).select("query_id", "vec_id")
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
     assert hits / exact.count() >= 0.7
+
+
+def test_mmr_rerank_diversifies_near_duplicate_shortlist(spark):
+    """Constructed shortlist where plain top-k returns 3 near-identical
+    candidates first: MMR must interleave the distinct one ahead of the
+    duplicates. rel(A1)=.99, rel(A2)=.98, rel(A3)=.97 (mutual sim .99),
+    rel(B)=.90 (sim to A* = 0.0). Scores: step1 -> A1; step2: A2 =
+    .7*.98-.3*.99=.389 vs B = .7*.9=.63 -> B wins despite lower rel."""
+    from datalake_polygonscan_spark.operators.similarity import mmr_rerank
+
+    shortlist = spark.createDataFrame(
+        [(1, 11, 0.99), (1, 12, 0.98), (1, 13, 0.97), (1, 20, 0.90)],
+        "query_id long, vec_id long, rel double",
+    )
+    dup = [(1, a, b, 0.99) for a in (11, 12, 13) for b in (11, 12, 13) if a != b]
+    cross = [(1, a, 20, 0.0) for a in (11, 12, 13)] + [(1, 20, a, 0.0) for a in (11, 12, 13)]
+    sims = spark.createDataFrame(dup + cross, "query_id long, ca long, cb long, s double")
+    out = [(r["rank"], r["vec_id"]) for r in
+           mmr_rerank(shortlist, sims, k=4, lam=0.7).orderBy("rank").collect()]
+    assert out == [(1, 11), (2, 20), (3, 12), (4, 13)]
