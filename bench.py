@@ -242,6 +242,7 @@ HEADLINE = [
     "ml11_dbscan",
     "ts13_theil_sen",
     "l14_mmr_rerank",
+    "ml12_kfold_cv",
 ]
 
 

@@ -1023,3 +1023,136 @@ def ml11_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roles = dbscan_planar(pts, eps=_DB_EPS, min_pts=_DB_MINPTS)
     return pts.join(roles, "id").select("id", "x", "y", "role", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# ML12 k-fold cross-validation by mergeable-moment subtraction
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+@register(
+    "ml12_kfold_cv",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type, event_id % {_CV_FOLDS} AS fold,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - 1704067200 AS xs,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS yt
+        FROM events
+    ), fm AS (
+        SELECT event_type, fold,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(xs) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(yt) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(xs AS DECIMAL(38,0)) * yt) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(xs AS DECIMAL(38,0)) * xs) AS DECIMAL(38,0)) AS sxx
+        FROM x GROUP BY event_type, fold
+    ), tot AS (
+        SELECT event_type,
+               sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+               sum(sxy) AS sxy, sum(sxx) AS sxx
+        FROM fm GROUP BY event_type
+    ), train AS (
+        SELECT f.event_type, f.fold,
+               t.n - f.n AS n, t.sx - f.sx AS sx, t.sy - f.sy AS sy,
+               t.sxy - f.sxy AS sxy, t.sxx - f.sxx AS sxx
+        FROM fm f JOIN tot t ON t.event_type = f.event_type
+    ), model AS (
+        SELECT event_type, fold, CAST(n AS BIGINT) AS n_train,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b
+        FROM train WHERE CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+    ), ev AS (
+        SELECT x.event_type, x.fold, m.n_train, m.slope, m.b,
+               CAST(floor((CAST(x.yt AS DOUBLE)
+                           - (m.slope * CAST(x.xs AS DOUBLE) + m.b)) * 100 + 0.5)
+                    AS BIGINT) AS rc
+        FROM x JOIN model m ON m.event_type = x.event_type AND m.fold = x.fold
+    )
+    SELECT event_type, CAST(fold AS BIGINT) AS fold,
+           n_train, CAST(count(*) AS BIGINT) AS n_test,
+           floor(slope * 1e12 + 0.5) / 1e12 AS slope_ticks_per_sec,
+           floor(b / 10000.0 * 1e6 + 0.5) / 1e6 AS intercept,
+           floor(CAST(sum(CAST(rc AS DECIMAL(38,0)) * rc) AS DOUBLE)
+                 / count(*) / 10000.0 * 1e6 + 0.5) / 1e6 AS test_mse_ticks2
+    FROM ev
+    GROUP BY event_type, fold, n_train, slope, b
+    """,
+    doc=(
+        "ML12 k-fold cross-validation WITHOUT k training scans — the "
+        "mergeable-sufficient-statistics trick every distributed CV "
+        "harness should use: per-(group, fold) exact DECIMAL(38,0) "
+        "OLS moments from ONE scan, then train-fold moments = total "
+        "MINUS held-out fold (sufficient statistics subtract exactly "
+        "— floats would not), slope/intercept by Cramer's rule per "
+        "fold, and held-out MSE from centi-tick-quantized residuals "
+        "summed as exact decimals (order-insensitive under any "
+        "partitioning). event_id %% 5 folds are hash-disjoint by "
+        "construction — the leakage-free-split discipline L5n "
+        "established. At 100 TB: one partial-agg exchange of "
+        "|groups x folds| moment rows + one broadcast model join for "
+        "scoring — k-fold CV for the price of two scans, not 2k"
+    ),
+)
+def ml12_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % _CV_FOLDS).alias("fold"),
+        (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long").alias("xs"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("yt"),
+    )
+    fm = x.groupBy("event_type", "fold").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xs").cast(dec).alias("sx"),
+        F.sum("yt").cast(dec).alias("sy"),
+        F.sum(F.col("xs").cast(dec) * F.col("yt")).cast(dec).alias("sxy"),
+        F.sum(F.col("xs").cast(dec) * F.col("xs")).cast(dec).alias("sxx"),
+    )
+    tot = fm.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"), F.sum("sxx").alias("tsxx"),
+    )
+    train = fm.join(tot, "event_type").select(
+        "event_type", "fold",
+        (F.col("tn") - F.col("n")).alias("n"),
+        (F.col("tsx") - F.col("sx")).alias("sx"),
+        (F.col("tsy") - F.col("sy")).alias("sy"),
+        (F.col("tsxy") - F.col("sxy")).alias("sxy"),
+        (F.col("tsxx") - F.col("sxx")).alias("sxx"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = cov_n / var_n
+    model = train.filter(var_n != 0).select(
+        "event_type", "fold",
+        F.col("n").cast("long").alias("n_train"),
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+         / F.col("n").cast("double")).alias("b"),
+    )
+    ev = x.join(F.broadcast(model), ["event_type", "fold"]).select(
+        "event_type", "fold", "n_train", "slope", "b",
+        F.floor(
+            (F.col("yt").cast("double")
+             - (F.col("slope") * F.col("xs").cast("double") + F.col("b"))) * 100 + 0.5
+        ).cast("long").alias("rc"),
+    )
+    return ev.groupBy("event_type", "fold", "n_train", "slope", "b").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.col("rc").cast(dec) * F.col("rc")).alias("_ssq"),
+    ).select(
+        "event_type",
+        F.col("fold").cast("long").alias("fold"),
+        "n_train", "n_test",
+        (F.floor(F.col("slope") * 1e12 + 0.5) / 1e12).alias("slope_ticks_per_sec"),
+        (F.floor(F.col("b") / 10000.0 * 1e6 + 0.5) / 1e6).alias("intercept"),
+        (F.floor(F.col("_ssq").cast("double") / F.col("n_test") / 10000.0 * 1e6 + 0.5)
+         / 1e6).alias("test_mse_ticks2"),
+    )

@@ -309,7 +309,10 @@ _suite(
         "grid-blocked region queries (O(n x density), never O(n^2)), "
         "exact-integer eps predicate, core/border/noise roles and "
         "min-core-id clusters replayed row-for-row by a cross-join + "
-        "recursive-closure oracle"
+        "recursive-closure oracle — and ML12 k-fold CV by mergeable-"
+        "moment SUBTRACTION (train = total - held-out fold, exact "
+        "DECIMAL sufficient statistics): 5-fold OLS validation from "
+        "one scan + one broadcast scoring join, not 2k scans"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -389,6 +392,12 @@ _suite(
         ("dbscan", "ml11_dbscan", {
             "n_vectors": "id", "dim": "x", "k": "y",
             "lang": "role", "n_docs": "cluster",
+        }),
+        ("kfold_cv", "ml12_kfold_cv", {
+            "lang": "event_type", "dim": "fold",
+            "n_vectors": "n_train", "n_docs": "n_test",
+            "w0": "slope_ticks_per_sec", "w1": "intercept",
+            "variance": "test_mse_ticks2",
         }),
     ],
 )

@@ -81,3 +81,39 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench.HEADLINE references unknown entries: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
+
+
+def test_kfold_cv_moment_subtraction_equals_direct_training(spark, tmp_path):
+    """The crux of ML12: train-fold sufficient statistics obtained by
+    SUBTRACTING the held-out fold from the totals must produce exactly
+    the model a direct train-only regression would — verified against
+    numpy lstsq per fold at 1e-9."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    rng = np.random.RandomState(5)
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        xs = int(rng.randint(0, 10_000))
+        val = 0.5 + 0.003 * xs + float(rng.randn()) * 0.2
+        rows.append((i, base + dtm.timedelta(seconds=xs), int(i % 13),
+                     "purchase", round(val, 4), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {r["fold"]: r for r in REGISTRY["ml12_kfold_cv"].fn(spark, str(tmp_path)).collect()}
+    pts = [(int((r[1] - base).total_seconds()), int(np.floor(r[4] * 10000 + 0.5)), r[0] % 5)
+           for r in rows]
+    for f in range(5):
+        train = [(x, y) for x, y, ff in pts if ff != f]
+        A = np.array([[x, 1.0] for x, _ in train])
+        b = np.array([float(y) for _, y in train])
+        slope, intercept = np.linalg.lstsq(A, b, rcond=None)[0]
+        assert abs(got[f]["slope_ticks_per_sec"] - slope) < 1e-6
+        assert abs(got[f]["intercept"] - intercept / 10000.0) < 1e-5
+        assert got[f]["n_train"] == len(train)
