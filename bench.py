@@ -243,6 +243,7 @@ HEADLINE = [
     "ts13_theil_sen",
     "l14_mmr_rerank",
     "ml12_kfold_cv",
+    "s43_hilbert_clustering",
 ]
 
 

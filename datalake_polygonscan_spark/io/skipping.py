@@ -347,3 +347,84 @@ def pruned_scan(
 
         reader = reader.schema(T.StructType.fromJson(json.loads(meta["table_schema"])))
     return reader.parquet(*kept), decision
+
+
+def hilbert_index_udf(bits: int):
+    """Vectorized (Arrow-batched numpy) 2D Hilbert index: (x, y) in
+    [0, 2**bits)^2 -> position along the Hilbert curve.
+
+    Z-order is expressible as pure codegen bit-interleave (zorder_by),
+    but the Hilbert transform carries an ORIENTATION STATE through its
+    bit levels (each quadrant rotates/reflects the sub-curve), and
+    unrolling that state into column expressions multiplies the tree
+    ~3x per level — 6k+ nodes at 8 bits, a codegen-compile cliff. A
+    numpy pandas UDF keeps the whole batch in vector registers
+    (``bits`` iterations of vector ops, no per-row Python) and the
+    cost sits on the WRITE path only, amortized over every read the
+    better layout accelerates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # no type hints: skipping.py runs under `from __future__ import
+    # annotations`, and the stringified pd.Series hints can't resolve
+    # against this factory's local pandas import — the hint-free form
+    # takes the scalar eval type directly
+    @F.pandas_udf("long")
+    def _hilbert(xs, ys):
+        X = xs.to_numpy(dtype="int64", na_value=0).copy()
+        Y = ys.to_numpy(dtype="int64", na_value=0).copy()
+        d = np.zeros_like(X)
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = ((X & s) > 0).astype("int64")
+            ry = ((Y & s) > 0).astype("int64")
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate the sub-quadrant so the curve stays continuous
+            flip = (ry == 0) & (rx == 1)
+            X[flip] = s - 1 - X[flip]
+            Y[flip] = s - 1 - Y[flip]
+            swap = ry == 0
+            X[swap], Y[swap] = Y[swap], X[swap].copy()
+            s >>= 1
+        return pd.Series(d)
+
+    return _hilbert
+
+
+def hilbert_by(df: DataFrame, cols: list[str], n_files: int, bits: int = 8) -> DataFrame:
+    """S43 — Hilbert-curve multi-dimensional clustering, the layout
+    Delta's liquid clustering and Iceberg's hilbert sort order use
+    where Z-order used to be the default: both are space-filling
+    curves, but the Hilbert curve is CONTINUOUS (consecutive indexes
+    are always adjacent cells — Z-order jumps across the space at
+    every power-of-two boundary), so a file holding a contiguous index
+    range covers a tighter bounding box and range predicates prune
+    more files from the same file count.
+
+    Same contract as :func:`zorder_by`: quantize each column into
+    ``2**bits`` buckets (one metadata agg for the bounds, nulls to
+    bucket 0), compute the curve index, range-cluster on it. 2-D only
+    (the classic rotation algorithm); quantization by value keeps it
+    one-pass."""
+    from pyspark.sql import functions as F
+
+    assert len(cols) == 2, "hilbert_by implements the classic 2-D transform"
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    max_bucket = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        num = F.coalesce(F.col(c), F.lit(lo)).cast("double") - F.lit(lo).cast("double")
+        den = F.lit(hi).cast("double") - F.lit(lo).cast("double")
+        q = F.when(F.lit(lo is None or hi is None or lo == hi), F.lit(0)).otherwise(
+            F.floor(num / den * max_bucket)
+        )
+        quantized.append(F.least(F.greatest(q, F.lit(0)), F.lit(max_bucket)).cast("long"))
+    h = hilbert_index_udf(bits)(quantized[0], quantized[1])
+    tagged = df.withColumn("_h", h)
+    return tagged.repartitionByRange(n_files, "_h").sortWithinPartitions("_h").drop("_h")

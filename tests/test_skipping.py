@@ -187,3 +187,45 @@ def test_bloom_rejects_unportable_column_types(spark, tmp_path):
     atomic_overwrite(df, tbl)
     with pytest.raises(TypeError):
         write_bloom_filters(spark, tbl, ["x"])
+
+
+def test_hilbert_index_matches_reference_bijective_continuous(spark):
+    """The three properties that make the Hilbert layout worth having:
+    exact equality with the textbook rotation algorithm, bijectivity
+    over the full grid, and CONTINUITY (consecutive indexes are
+    adjacent cells — the property Z-order lacks and the reason a
+    Hilbert file's bounding box is tighter)."""
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.io.skipping import hilbert_index_udf
+
+    def xy2d_ref(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_index_udf(bits)(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    }
+    ref = {(x, y): xy2d_ref(n, x, y) for x, y in pts}
+    assert got == ref
+    inv = {d: xy for xy, d in ref.items()}
+    assert sorted(inv) == list(range(n * n))  # bijective
+    for d in range(n * n - 1):  # continuous: unit Manhattan steps
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
