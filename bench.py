@@ -244,6 +244,7 @@ HEADLINE = [
     "l14_mmr_rerank",
     "ml12_kfold_cv",
     "s43_hilbert_clustering",
+    "dg3_dp_noisy_release",
 ]
 
 

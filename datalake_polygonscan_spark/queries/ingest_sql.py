@@ -1047,3 +1047,87 @@ def qd_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(registered)).alias("table_registered"),
         F.lit(bool(metadata_only)).alias("alter_was_metadata_only"),
     )
+
+
+#: DG3 — epsilon-budgeted noisy-aggregate release: the OTHER half of
+#: the privacy tier (DG2 suppresses small classes; DG3 perturbs the
+#: released statistics). The real mechanism's three moving parts are
+#: all here — per-record CLIPPING (bounds the sum's sensitivity),
+#: sensitivity-scaled Laplace noise via inverse-CDF, and an explicit
+#: per-release epsilon budget — with ONE demo substitution: the
+#: uniform driving the noise comes from a SEEDED LCG on the group's
+#: release index instead of a CSPRNG, so the release is reproducible
+#: and differential-testable (a production release swaps ONLY the u1/
+#: u2 columns for true randomness; every scaling/clipping line stays).
+#: Noise rounds to 1e-6 BEFORE adding so a last-ulp ln() divergence
+#: between engines cannot flip the hash.
+_DG3_EPS = 0.5          # epsilon per released statistic (2 per group)
+_DG3_CLIP = 50          # value clip bound -> sum sensitivity
+_DG3_SQL = f"""
+    WITH clipped AS (
+        SELECT event_type,
+               CASE WHEN value > {_DG3_CLIP} THEN CAST({_DG3_CLIP} AS DOUBLE)
+                    WHEN value < 0 THEN CAST(0 AS DOUBLE)
+                    ELSE value END AS v
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS true_n,
+               SUM(CAST(floor(v * 10000 + 0.5) AS BIGINT)) AS sum_ticks
+        FROM clipped GROUP BY event_type
+    ), seeded AS (
+        SELECT event_type, true_n, sum_ticks,
+               row_number() OVER (ORDER BY event_type) AS gid
+        FROM agg
+    ), uni AS (
+        SELECT event_type, true_n, sum_ticks,
+               CAST((CAST(gid AS BIGINT) * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                   / 2147483648.0 AS u1,
+               CAST((CAST(gid AS BIGINT) * 69069 + 1) % 2147483648 AS DOUBLE)
+                   / 2147483648.0 AS u2
+        FROM seeded
+    ), lap AS (
+        SELECT event_type, true_n, sum_ticks,
+               floor((CASE WHEN u1 >= 0.5 THEN -1.0 ELSE 1.0 END)
+                     * (1.0 / {_DG3_EPS}) * ln(1.0 - 2.0 * abs(u1 - 0.5))
+                     * 1e6 + 0.5) / 1e6 AS noise_n,
+               floor((CASE WHEN u2 >= 0.5 THEN -1.0 ELSE 1.0 END)
+                     * (CAST({_DG3_CLIP} AS DOUBLE) / {_DG3_EPS})
+                     * ln(1.0 - 2.0 * abs(u2 - 0.5))
+                     * 1e6 + 0.5) / 1e6 AS noise_s
+        FROM uni
+    )
+    SELECT event_type,
+           ROUND(CAST(true_n AS DOUBLE) + noise_n, 4) AS noisy_count,
+           ROUND(CAST(sum_ticks AS DOUBLE) / 10000.0 + noise_s, 4) AS noisy_sum,
+           CAST({_DG3_EPS} * 2 AS DOUBLE) AS epsilon_spent,
+           CAST({_DG3_CLIP} AS BIGINT) AS clip_bound
+    FROM lap
+"""
+
+
+@register(
+    "dg3_dp_noisy_release",
+    oracle=_DG3_SQL,
+    doc=(
+        "DG3 epsilon-budgeted noisy-aggregate release (the Laplace "
+        "mechanism, Dwork et al. '06) — DG2's complement in the "
+        "privacy tier: per-record values CLIP to [0, 50] first (the "
+        "step that bounds the sum's sensitivity — without it one "
+        "outlier record forces unbounded noise), count noise scales "
+        "1/eps and sum noise clip/eps via the inverse-CDF Laplace "
+        "transform, and the release carries its explicit epsilon "
+        "budget (2 stats x eps=0.5). Identical ANSI text both "
+        "engines; the uniform is a SEEDED LCG on the group's release "
+        "index so the release is reproducible and differential-"
+        "testable — a production deployment swaps only the u1/u2 "
+        "columns for a CSPRNG, every clipping/sensitivity/scaling "
+        "line stays. Noise quantizes to 1e-6 BEFORE adding (a "
+        "last-ulp ln() divergence between engines cannot flip the "
+        "hash). One partial-agg scan at any scale; noise generation "
+        "is O(groups)"
+    ),
+)
+def dg3_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_DG3_SQL)

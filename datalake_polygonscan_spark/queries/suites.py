@@ -1712,7 +1712,11 @@ _suite(
         "row-level security as a broadcast policy join + S37 HIDDEN "
         "partitioning: month/bucket transform layout, raw-column "
         "queries pruned via derived PartitionFilters, executed-plan "
-        "asserted (round 6)"
+        "asserted (round 6). Round 8 adds DG3 the epsilon-budgeted "
+        "Laplace-mechanism noisy release — per-record clipping bounds "
+        "sum sensitivity, inverse-CDF noise at 1/eps and clip/eps "
+        "scale, explicit epsilon accounting; seeded LCG uniform keeps "
+        "the release reproducible/differential-testable"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1784,6 +1788,15 @@ _suite(
             "c_custkey": "region_band", "valid_from": "balance_band",
             "n_rows": "class_size", "sum_price": "sum_bal",
             "v0_n_cols": ("CAST(released AS BIGINT)", "CAST(released AS BIGINT)"),
+        }),
+        ("dp_release", "dg3_dp_noisy_release", {
+            "status": "event_type", "metric": "noisy_count",
+            "sum_price": "noisy_sum",
+            "valid_from": "clip_bound",
+            "v0_n_cols": (
+                "CAST(epsilon_spent * 10 AS LONG)",
+                "CAST(epsilon_spent * 10 AS BIGINT)",
+            ),
         }),
         (None, "s37_hidden_partitioning", {
             "mode": "mode", "status": "grp", "n_rows": "n_rows",
