@@ -889,3 +889,35 @@ def test_q15_cte_max_is_reused_not_reexecuted(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ml11_dbscan_never_cross_joins(spark):
+    """The grid-blocked region query is the entry's reason to exist:
+    the candidate join must be a hash equi-join on the cell key, never
+    a cartesian/nested-loop product (the oracle's cross-join form is
+    deliberately the thing the graded plan avoids)."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml11_dbscan"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ts13_pair_stage_is_one_equi_join_no_cartesian(spark):
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ts13_theil_sen"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the pair self-join keys on user_id -> a real join operator with
+    # an equi-key, and the trailing-K filter precedes it
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ml12_scoring_join_is_broadcast(spark):
+    """The fold models are |groups x folds| rows — scoring must ship
+    the MODEL to the data (broadcast), never shuffle the events."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml12_kfold_cv"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
