@@ -245,6 +245,7 @@ HEADLINE = [
     "ml12_kfold_cv",
     "s43_hilbert_clustering",
     "dg3_dp_noisy_release",
+    "an10_km_survival",
 ]
 
 

@@ -761,3 +761,55 @@ def holt_linear(
         dec_in, order_cols, out_schema, ["level", "trend"],
         init=lambda: None, step=step, pre_partitioned=last_k is not None,
     )
+
+
+def km_survival(
+    grouped: DataFrame,
+    key: str,
+    t_col: str,
+    d_col: str,
+    n_col: str,
+    scale_pow: int = 12,
+) -> DataFrame:
+    """AN10 — Kaplan-Meier product-limit survival estimator per
+    cohort: S(t) = Π over event times u <= t of (1 - d_u / n_u).
+
+    Input is the PRE-AGGREGATED life table — one row per (cohort,
+    time): ``d_col`` deaths/churns at t, ``n_col`` at-risk count
+    entering t (both integers; the at-risk column is a plain window
+    cumulative subtraction upstream, no recurrence needed there).
+    Only the cumulative PRODUCT is inherently sequential, and it runs
+    in EXACT integer arithmetic: survival is carried as the scaled
+    integer s (s_0 = 10**scale_pow) with
+
+        s_t = (s_{t-1} * (n_t - d_t)) // n_t
+
+    — floor division of exact integers, so any partitioning
+    reproduces the same table bit-for-bit and a recursive CTE replays
+    it verbatim with BIGINT ``//``. Rows with d_t = 0 (pure censoring)
+    leave s EXACTLY unchanged (s*n//n == s). One shuffle on the
+    cohort key, streamed via _stream_series, O(1) state per cohort.
+
+    Returns (_k, i, <t_col>, _x, s) where _x = [d, n] and s is the
+    scaled survival integer.
+    """
+    dec_in = grouped.select(
+        F.col(key).alias("_k"),
+        F.col(t_col),
+        F.array(F.col(d_col).cast("long"), F.col(n_col).cast("long")).alias("_x"),
+    )
+    s0 = 10 ** scale_pow
+    out_schema = (
+        "_k string, i long, "
+        + f"{t_col} long, _x array<long>, s long"
+    )
+
+    def step(state, x):
+        d, n = int(x[0]), int(x[1])
+        s = s0 if state is None else state
+        s = (s * (n - d)) // n
+        return s, (s,)
+
+    return _stream_series(
+        dec_in, [t_col], out_schema, ["s"], lambda: None, step, pre_partitioned=False
+    )

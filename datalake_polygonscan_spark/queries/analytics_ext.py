@@ -3472,3 +3472,116 @@ def ts13_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("slope") * 1e9 + 0.5) / 1e9).alias("slope_ticks_per_sec"),
         (F.floor(F.col("r") / 10000.0 * 1e6 + 0.5) / 1e6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AN10 Kaplan-Meier survival / churn curves
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 10**12
+
+
+@register(
+    "an10_km_survival",
+    oracle=f"""
+    WITH RECURSIVE per_subject AS (
+        SELECT user_id, event_type,
+               min(CAST(ts AS TIMESTAMP)) AS first_ts,
+               max(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events GROUP BY user_id, event_type
+    ), gmax AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+    ), lives AS (
+        SELECT event_type AS cohort,
+               CAST(floor((epoch(last_ts) - epoch(first_ts)) / 86400) AS BIGINT) AS t_days,
+               CASE WHEN last_ts < (SELECT m FROM gmax) - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_subject
+    ), lt AS (
+        SELECT cohort, t_days,
+               CAST(sum(churned) AS BIGINT) AS d,
+               CAST(count(*) - sum(churned) AS BIGINT) AS c
+        FROM lives GROUP BY cohort, t_days
+    ), ordered AS (
+        SELECT cohort, t_days, d, c,
+               row_number() OVER (PARTITION BY cohort ORDER BY t_days) AS rn,
+               sum(d + c) OVER (PARTITION BY cohort)
+                 - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        FROM lt
+    ), rec(cohort, rn, t_days, d, c, n, s) AS (
+        SELECT cohort, rn, t_days, d, c, n,
+               ({_KM_SCALE} * (n - d)) // n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.cohort, o.rn, o.t_days, o.d, o.c, o.n,
+               (r.s * (o.n - o.d)) // o.n
+        FROM rec r JOIN ordered o ON o.cohort = r.cohort AND o.rn = r.rn + 1
+    )
+    SELECT cohort, t_days, CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CAST(s AS DOUBLE) / {_KM_SCALE}.0 AS survival
+    FROM rec
+    """,
+    doc=(
+        "AN10 Kaplan-Meier product-limit survival curves (the churn/"
+        "retention estimator every subscription business runs, with "
+        "CENSORING done right — users still active at the observation "
+        "horizon aren't counted as churned, they just leave the risk "
+        "set): per-user lifetimes from first/last event, churn = "
+        "inactive for the last 7 days of the horizon; subjects are "
+        "(user, event_type) engagement pairs cohorted by type — does "
+        "purchase engagement survive longer than ad-click engagement. The life table (deaths d_t, censored c_t, "
+        "at-risk n_t) is pure groupBy + window arithmetic — only the "
+        "cumulative PRODUCT S(t) = prod(1 - d_u/n_u) is sequential, "
+        "and it runs in EXACT integer arithmetic (scaled s_t = "
+        "s_(t-1)*(n_t-d_t) // n_t, floor division — censoring-only "
+        "rows leave s exactly unchanged since s*n//n == s) through "
+        "the one-pass streamed recurrence runner (operators/temporal."
+        "py:km_survival), so the curve reproduces bit-for-bit under "
+        "any partitioning and the oracle replays it verbatim with "
+        "BIGINT // in a recursive CTE. One shuffle on the cohort key"
+    ),
+)
+def an10_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_polygonscan_spark.operators.temporal import km_survival
+
+    ev = load_table(spark, sf_dir, "events")
+    per_subject = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    gmax = ev.agg(F.max("ts")).collect()[0][0]
+    lives = per_subject.select(
+        F.col("event_type").alias("cohort"),
+        F.floor(
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")) / 86400
+        ).cast("long").alias("t_days"),
+        F.when(
+            F.col("last_ts") < F.lit(gmax) - F.expr("INTERVAL 7 DAY"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("churned"),
+    )
+    lt = lives.groupBy("cohort", "t_days").agg(
+        F.sum("churned").cast("long").alias("d"),
+        (F.count("*") - F.sum("churned")).cast("long").alias("c"),
+    )
+    wc = Window.partitionBy("cohort")
+    wcum = wc.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = lt.select(
+        "cohort", "t_days", "d", "c",
+        (F.sum(F.col("d") + F.col("c")).over(wc)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0))).alias("n"),
+    )
+    km = km_survival(ordered, "cohort", "t_days", "d", "n")
+    return (
+        km.select(F.col("_k").alias("cohort"), "t_days", "s")
+        .join(ordered, ["cohort", "t_days"])
+        .select(
+            "cohort", "t_days",
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            (F.col("s").cast("double") / F.lit(float(_KM_SCALE))).alias("survival"),
+        )
+    )

@@ -1587,7 +1587,10 @@ _suite(
         "from exact DECIMAL cross-products, one scan, single "
         "output-boundary division) + AN9 Lorenz/Gini revenue "
         "concentration (rank-weighted exact-decimal closed form, "
-        "decile shares, O(customers) sort; all round 6)"
+        "decile shares, O(customers) sort; all round 6). Round 8 adds "
+        "AN10 Kaplan-Meier survival curves — censoring-aware churn "
+        "estimation with the cumulative product as an exact-integer "
+        "floor-division recurrence, recursive-CTE-replayed"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1678,6 +1681,12 @@ _suite(
             "funnel_depth": ("CAST(decile AS INT)", "CAST(decile AS INTEGER)"),
             "n_rows": "n_customers",
             "retention": "revenue_share", "chi2_stat": "gini",
+        }),
+        ("survival", "an10_km_survival", {
+            "col_name": "cohort", "periods_since":
+                ("CAST(t_days AS INT)", "CAST(t_days AS INTEGER)"),
+            "n_active": "n_at_risk", "n_rows": "n_events",
+            "n_nulls": "n_censored", "retention": "survival",
         }),
     ],
 )

@@ -291,3 +291,25 @@ def test_theil_sen_ignores_single_outlier(spark, tmp_path):
     # be the CLEAN 2 ticks/sec: only 15 of 120 pairs touch the outlier
     assert r["n_points"] == 16 and r["n_pairs"] == 120
     assert r["slope_ticks_per_sec"] == 2.0
+
+
+def test_km_survival_matches_hand_computed_life_table(spark):
+    """Textbook KM example: cohort of 10, deaths at t=2 (2), t=4 (1),
+    censoring at t=3 (1) and t=5 (3), the rest censored at t=6.
+    S(2)=8/10=.8, S(3)=.8, S(4)=.8*(6/7), S(5)=S(4), S(6)=S(5)."""
+    from datalake_polygonscan_spark.operators.temporal import km_survival
+
+    # life table rows: (cohort, t, d, n) with n = at-risk entering t
+    rows = [
+        ("c", 2, 2, 10),  # S -> 0.8
+        ("c", 3, 0, 8),   # censor only -> unchanged
+        ("c", 4, 1, 7),   # S -> 0.8 * 6/7
+        ("c", 5, 0, 6),
+        ("c", 6, 0, 3),
+    ]
+    df = spark.createDataFrame(rows, "cohort string, t_days long, d long, n long")
+    out = {r["t_days"]: r["s"] for r in km_survival(df, "cohort", "t_days", "d", "n").collect()}
+    S = 10**12
+    s2 = (S * 8) // 10
+    s4 = (s2 * 6) // 7
+    assert out == {2: s2, 3: s2, 4: s4, 5: s4, 6: s4}
