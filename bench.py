@@ -246,6 +246,7 @@ HEADLINE = [
     "s43_hilbert_clustering",
     "dg3_dp_noisy_release",
     "an10_km_survival",
+    "qw_window_clause",
 ]
 
 

@@ -1131,3 +1131,48 @@ _DG3_SQL = f"""
 def dg3_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_DG3_SQL)
+
+
+#: QW — the SQL named-WINDOW clause: one WINDOW definition list shared
+#: by several over-clauses. The surface every analyst's long window
+#: query uses; the physical point is that both named windows partition
+#: on the same key, so Catalyst plans ONE exchange feeding stacked
+#: Window nodes (plan-locked in tests/test_plans.py).
+_QW_SQL = """
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS ticks,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(count(*) OVER p AS BIGINT) AS n_user_events,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER p AS user_ticks
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC),
+               p AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, rnk,
+           CAST(ticks AS DOUBLE) / 10000.0 AS value,
+           n_user_events,
+           CAST(user_ticks AS DOUBLE) / 10000.0 AS user_total
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "qw_window_clause",
+    oracle=_QW_SQL,
+    doc=(
+        "QW — the SQL named-WINDOW clause through spark.sql, identical "
+        "text both engines: two named windows (an ordered rank frame "
+        "and a whole-partition aggregate frame) declared once in a "
+        "WINDOW list and referenced by several over-clauses — the "
+        "readability surface every long analyst query uses. The "
+        "physical payoff is plan-locked: both windows partition on "
+        "user_id, so Catalyst plans ONE hash exchange feeding stacked "
+        "Window nodes instead of re-shuffling per frame. Exact "
+        "tick-integer sums (order-insensitive), rank tie-broken on "
+        "event_id, top-3 per user"
+    ),
+)
+def qw_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QW_SQL)

@@ -1054,7 +1054,9 @@ _suite(
         "one conditional-agg scan; all round 6). Round 7 adds QD, the "
         "session-catalog DDL surface: CTAS -> INSERT INTO -> "
         "metadata-only ALTER TABLE ADD COLUMNS (inode-asserted) -> "
-        "catalog read-back"
+        "catalog read-back. Round 8 adds QW, the named-WINDOW clause "
+        "— two windows declared once, referenced by several "
+        "over-clauses, plan-locked to ONE shared hash exchange"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -1150,6 +1152,11 @@ _suite(
                 "CAST(alter_was_metadata_only AS LONG)",
                 "CAST(alter_was_metadata_only AS BIGINT)",
             ),
+        }),
+        ("qw", "qw_window_clause", {
+            "l_orderkey": "user_id", "order_count": "event_id",
+            "numwait": "rnk", "revenue": "value",
+            "n_small_lines": "n_user_events", "avg_yearly": "user_total",
         }),
     ],
 )

@@ -921,3 +921,18 @@ def test_ml12_scoring_join_is_broadcast(spark):
     plan = _plan(REGISTRY["ml12_kfold_cv"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_qw_named_windows_share_one_exchange(spark):
+    """Both named windows partition on user_id — the plan must carry
+    ONE hashpartitioning exchange on it feeding stacked Window nodes,
+    not one exchange per frame."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["qw_window_clause"].fn(spark, SF))
+    # formatted plans name the node in the tree and its args below:
+    # exactly one Exchange node, partitioned on user_id, >= 2 Windows
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange (" in ln for ln in tree.splitlines()) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert sum("Window (" in ln for ln in tree.splitlines()) >= 2
