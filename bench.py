@@ -247,6 +247,7 @@ HEADLINE = [
     "dg3_dp_noisy_release",
     "an10_km_survival",
     "qw_window_clause",
+    "ts14_seasonal_decompose",
 ]
 
 

@@ -3585,3 +3585,95 @@ def an10_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.lit(float(_KM_SCALE))).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS14 classical seasonal decomposition: trend + seasonal + remainder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts14_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, 2
+    ), tr AS (
+        SELECT event_type, day, n,
+               sum(n) OVER w AS wsum,
+               count(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT event_type, day, day % 7 AS dow, n,
+               CAST(wsum AS DOUBLE) / 7.0 AS trend,
+               CAST(floor((CAST(n AS DOUBLE) - CAST(wsum AS DOUBLE) / 7.0)
+                          * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM tr WHERE wn = 7
+    ), seas AS (
+        SELECT event_type, dow,
+               CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS smicro
+        FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, CAST(d.dow AS BIGINT) AS dow, d.n,
+           floor(d.trend * 1e6 + 0.5) / 1e6 AS trend,
+           CAST(s.smicro AS DOUBLE) / 1e6 AS seasonal,
+           CAST(d.micro - s.smicro AS DOUBLE) / 1e6 AS remainder
+    FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+    """,
+    doc=(
+        "TS14 classical additive seasonal decomposition (the "
+        "moving-average method behind every STL dashboard): daily "
+        "per-type event counts split into TREND (7-day centered "
+        "moving average — an event-day RANGE frame, gap-safe, only "
+        "complete 7-point windows emit), SEASONAL (day-of-week mean "
+        "of the detrended series) and REMAINDER. Exactness ladder: "
+        "counts are integers, the trend divides an exact integer "
+        "window sum by 7.0 (one IEEE op, bit-identical both "
+        "engines), detrended values quantize to integer MICRO-units "
+        "before the seasonal mean so that cross-day aggregation is "
+        "an order-insensitive exact integer sum with floor division, "
+        "and the remainder is an exact integer difference — the "
+        "decomposition reproduces bit-for-bit under any "
+        "partitioning. Two window passes + one groupBy join; "
+        "per-key state is O(period) at any scale"
+    ),
+)
+def ts14_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wn"),
+    )
+    trend = F.col("wsum").cast("double") / 7.0
+    det = tr.filter(F.col("wn") == 7).select(
+        "event_type", "day", (F.col("day") % 7).alias("dow"), "n",
+        trend.alias("trend"),
+        F.floor((F.col("n").cast("double") - trend) * 1000000 + 0.5)
+        .cast("long").alias("micro"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.floor(F.sum("micro").cast("double") / F.count("*")).cast("long").alias("smicro")
+    )
+    return det.join(seas, ["event_type", "dow"]).select(
+        "event_type", "day",
+        F.col("dow").cast("long").alias("dow"), "n",
+        (F.floor(F.col("trend") * 1e6 + 0.5) / 1e6).alias("trend"),
+        (F.col("smicro").cast("double") / 1e6).alias("seasonal"),
+        ((F.col("micro") - F.col("smicro")).cast("double") / 1e6).alias("remainder"),
+    )

@@ -2508,6 +2508,15 @@ _suite(
             "n_events": "n_pairs", "value": "slope_ticks_per_sec",
             "roll_mean": "intercept",
         }),
+        ("decompose", "ts14_seasonal_decompose", {
+            # event_type has no string slot in this layout; both sides
+            # project the same multiset so the hash stays faithful (the
+            # standalone entry keeps the full key)
+            "asof_event_id": "day", "is_gap":
+                ("CAST(dow AS INT)", "CAST(dow AS INTEGER)"),
+            "n_events": "n", "roll_mean": "trend",
+            "z": "seasonal", "value": "remainder",
+        }),
     ],
 )
 
