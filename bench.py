@@ -248,6 +248,7 @@ HEADLINE = [
     "an10_km_survival",
     "qw_window_clause",
     "ts14_seasonal_decompose",
+    "g9_personalized_pagerank",
 ]
 
 

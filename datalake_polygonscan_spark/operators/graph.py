@@ -148,6 +148,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    teleport_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """G2 — PageRank with EXACT-DECIMAL contribution sums: per edge,
     contrib = round(rank_src/outdeg_src, 12) cast to DECIMAL(28,12),
@@ -164,6 +165,14 @@ def pagerank(
     localCheckpoint'd per iteration so the plan stays one-iteration
     deep. Dangling nodes (no out-edges) leak their mass — the
     classic simplification; both engines leak identically.
+
+    G9 — ``teleport_nodes`` turns this into PERSONALIZED PageRank
+    (the recommendation / trust-propagation form): the (1-d) teleport
+    mass concentrates uniformly on that node set instead of the whole
+    graph, and ranks seed from it, so scores measure proximity TO THE
+    SEED SET rather than global centrality. Same per-iteration shape
+    — the personalization is one extra left-join flag on the node
+    table, materialized once.
     """
     # materialize the loop-invariant sides once (localCheckpoint):
     # without it every iteration re-derives the edge list, node set
@@ -184,7 +193,28 @@ def pagerank(
         .agg(F.count("*").alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if teleport_nodes is None:
+        nodes = nodes.withColumn("_base", F.lit((1 - damping) / n))
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        seeds = teleport_nodes.select(F.col(teleport_nodes.columns[0]).alias("node")).distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized PageRank needs a non-empty teleport set")
+        nodes = (
+            nodes.join(seeds.withColumn("_s", F.lit(True)), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_s"), F.lit((1 - damping) / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("_base"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes.select(
+            "node",
+            F.when(F.col("_base") > 0, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
+        )
     for _ in range(n_iter):
         contribs = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
@@ -201,7 +231,7 @@ def pagerank(
             .select(
                 "node",
                 F.round(
-                    F.lit((1 - damping) / n)
+                    F.col("_base")
                     + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
                     12,
                 ).alias("rank"),

@@ -533,3 +533,97 @@ def g8_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_reached).cast("long").alias("n_reached"),
         F.lit(n_nodes).cast("long").alias("n_nodes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 personalized PageRank: teleport mass on a seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 20  # seeds = nodes divisible by 20 (~5% of the graph)
+
+
+def _g9_oracle_sql(n_iter: int = _PR_ITER) -> str:
+    """The G2 staged-CTE replay with the personalization twist: base
+    teleport mass (1-d)/|S| on seed nodes and 0 elsewhere, ranks
+    seeded 1/|S| on S."""
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l_partkey % {_PR_NODES} AS src, l_suppkey % {_PR_NODES} AS dst FROM lineitem
+    ), nodes0 AS MATERIALIZED (
+        SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ), sc AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes0 WHERE node % {_PPR_SEED_MOD} = 0
+    ), nodes AS MATERIALIZED (
+        SELECT node,
+               CASE WHEN node % {_PPR_SEED_MOD} = 0
+                    THEN (1 - 0.85) / (SELECT ns FROM sc) ELSE 0.0 END AS base
+        FROM nodes0
+    ), outdeg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), r_init AS MATERIALIZED (
+        SELECT node, CASE WHEN base > 0 THEN 1.0 / (SELECT ns FROM sc) ELSE 0.0 END AS rank
+        FROM nodes
+    )"""
+    prev = "r_init"
+    for k in range(n_iter):
+        sql += f""",
+    s{k} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               sum(CAST(round(r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+        FROM edges e JOIN {prev} r ON r.node = e.src JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+    ), r{k} AS MATERIALIZED (
+        SELECT n.node,
+               round(n.base + 0.85 * COALESCE(CAST(s.s AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+        prev = f"r{k}"
+    sql += f"""
+    SELECT node, ROUND(rank, 8) AS rank,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT ns FROM sc) AS BIGINT) AS n_seeds
+    FROM {prev}
+    """
+    return sql
+
+
+@register(
+    "g9_personalized_pagerank",
+    oracle=_g9_oracle_sql(),
+    doc=(
+        "G9 PERSONALIZED PageRank (operators/graph.py:pagerank with a "
+        "teleport set — the recommendation / trust-propagation / "
+        "related-items form): the (1-d) teleport mass concentrates "
+        "uniformly on the ~5%% seed set (nodes %% 20 == 0) and ranks "
+        "seed from it, so scores measure proximity TO THE SEEDS "
+        "rather than global centrality — nodes unreachable from the "
+        "seed set score exactly 0, which the exact-decimal arithmetic "
+        "preserves (a float formulation would smear epsilon mass "
+        "everywhere). Same per-iteration shape as G2 — one "
+        "reused-exchange join + one partial-agg exact-decimal sum; "
+        "the personalization is one extra left-join flag materialized "
+        "once. The oracle replays all 5 iterations as staged "
+        "MATERIALIZED CTEs bit-identically"
+    ),
+)
+def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % _PR_NODES).alias("src"),
+        (F.col("l_suppkey") % _PR_NODES).alias("dst"),
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0)
+    n_seeds = seeds.count()
+    ranks = pagerank(edges, n_iter=_PR_ITER, teleport_nodes=seeds)
+    n_nodes = nodes.count()
+    return ranks.select(
+        "node",
+        F.round("rank", 8).alias("rank"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_seeds).cast("long").alias("n_seeds"),
+    )

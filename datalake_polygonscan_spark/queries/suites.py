@@ -973,7 +973,10 @@ _suite(
         "— O(log n) rounds on the adversarial-diameter chains that "
         "kill min-label propagation, closed-form chain-min oracle) "
         "and G8 weighted SSSP by frontier-restricted Bellman-Ford "
-        "(exact integer distances, 12-round staged-CTE replay oracle)"
+        "(exact integer distances, 12-round staged-CTE replay oracle) "
+        "and G9 PERSONALIZED PageRank (teleport mass on a seed set — "
+        "proximity-to-seeds scoring; unreachable nodes score exactly "
+        "0 under the exact-decimal contract)"
     ),
     layout=[
         ("node", "long", "BIGINT"),
@@ -1013,6 +1016,10 @@ _suite(
         ("sssp", "g8_sssp", {
             "node": "node", "depth": "CAST(dist AS BIGINT)",
             "n_edges": "n_reached", "n_nodes": "n_nodes",
+        }),
+        ("ppr", "g9_personalized_pagerank", {
+            "node": "node", "rank": "rank",
+            "n_nodes": "n_nodes", "n_edges": "n_seeds",
         }),
     ],
 )

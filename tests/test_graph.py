@@ -96,3 +96,27 @@ def test_bfs_hops_exact_distances_and_unreachable(spark):
     assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
     # 7 and 9 are in another component: absent from dist entirely
     assert 7 not in got and 9 not in got
+
+
+def test_personalized_pagerank_zero_on_unreachable(spark):
+    """The property that distinguishes PPR from global PageRank: mass
+    only flows FROM the teleport set, so a component not reachable
+    from any seed scores exactly 0.0 — preserved because the teleport
+    base is exactly 0 there and contributions sum exact decimals."""
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.operators.graph import pagerank
+
+    # two components: {0,1,2} (seeded) and {10,11} (unreachable)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = {r["node"]: r["rank"] for r in
+             pagerank(edges, n_iter=4, teleport_nodes=seeds).collect()}
+    assert ranks[10] == 0.0 and ranks[11] == 0.0
+    # the whole seed component carries positive mass
+    assert ranks[0] > 0 and ranks[1] > 0 and ranks[2] > 0
+    # the cycle has no dangling nodes, so mass is conserved exactly
+    # (up to the per-step 1e-12 rounding)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
