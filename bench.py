@@ -249,6 +249,7 @@ HEADLINE = [
     "qw_window_clause",
     "ts14_seasonal_decompose",
     "g9_personalized_pagerank",
+    "l15_containment_pairs",
 ]
 
 

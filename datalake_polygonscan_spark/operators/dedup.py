@@ -641,3 +641,66 @@ def winnowing_overlap_pairs(
         .filter(F.col("overlap") >= threshold)
         .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"), "overlap")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """L15 — n-gram CONTAINMENT pairs: |A ∩ B| / |A| with A the
+    smaller shingle set — the asymmetric signal Jaccard structurally
+    cannot give. A short document quoted verbatim inside a long one
+    has Jaccard ≈ |A|/|B| ≈ 0 (L2 never flags it) but containment
+    ≈ 1. This is the sub-document sibling of L13's span fractions:
+    L13 scores how much of ONE doc is duplicated anywhere; L15 names
+    the specific (contained, container) pairs.
+
+    Same blocking structure as :func:`ngram_jaccard_pairs` — exploded
+    shingle self-equi-join (optionally df-capped so stop-phrase keys
+    never explode), one groupBy pair count, sizes joined after — so
+    the all-pairs cost is O(sum of per-shingle doc-freq squared),
+    never O(n^2). Orientation is deterministic: the smaller set is
+    the contained side, ties break to the lower doc id.
+
+    Output: (doc_contained, doc_container, containment, size_contained,
+    size_container) with containment >= threshold.
+    """
+    sets = shingle_sets(df, text_col, id_col, shingle_k)
+    sizes = sets.select("doc_id", F.size("shingles").alias("set_size"))
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        doc_freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+        exploded = exploded.join(
+            doc_freq.filter(F.col("df") <= max_doc_freq), "shingle", "inner"
+        ).select("doc_id", "shingle")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("set_size").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("set_size").alias("nb"))
+    scored = inter.join(sa, "da").join(sb, "db")
+    # orient: smaller set = contained side; equal sizes -> lower id
+    small_is_a = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("da") < F.col("db"))
+    )
+    oriented = scored.select(
+        F.when(small_is_a, F.col("da")).otherwise(F.col("db")).alias("doc_contained"),
+        F.when(small_is_a, F.col("db")).otherwise(F.col("da")).alias("doc_container"),
+        F.when(small_is_a, F.col("na")).otherwise(F.col("nb")).alias("size_contained"),
+        F.when(small_is_a, F.col("nb")).otherwise(F.col("na")).alias("size_container"),
+        (F.col("i") / F.least("na", "nb")).alias("containment"),
+    )
+    return oriented.filter(F.col("containment") >= threshold).select(
+        "doc_contained", "doc_container",
+        F.round("containment", 6).alias("containment"),
+        F.col("size_contained").cast("long").alias("size_contained"),
+        F.col("size_container").cast("long").alias("size_container"),
+    )

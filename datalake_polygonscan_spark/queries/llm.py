@@ -560,3 +560,59 @@ def l12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(index_grew)).alias("index_grew_by_batch"),
         F.lit(bool(version_advanced)).alias("store_version_advanced"),
     )
+
+
+@register(
+    "l15_containment_pairs",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +') AS toks
+        FROM documents
+    ), shingle_sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               )) AS sh
+        FROM norm
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shingle_sets
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM shingle_sets),
+    oriented AS (
+        SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db) THEN da ELSE db END AS doc_contained,
+               CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db) THEN db ELSE da END AS doc_container,
+               CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db) THEN sa.n ELSE sb.n END AS size_contained,
+               CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db) THEN sb.n ELSE sa.n END AS size_container,
+               i / least(sa.n, sb.n) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+    )
+    SELECT doc_contained, doc_container,
+           ROUND(containment, 6) AS containment,
+           CAST(size_contained AS BIGINT) AS size_contained,
+           CAST(size_container AS BIGINT) AS size_container
+    FROM oriented WHERE containment >= 0.5
+    """,
+    doc=(
+        "L15 n-gram CONTAINMENT pairs (operators/dedup.py:"
+        "ngram_containment_pairs) — the asymmetric near-dup signal "
+        "Jaccard structurally misses: a short document quoted "
+        "verbatim inside a long one has Jaccard ~ |A|/|B| ~ 0 (L2 "
+        "never flags it) but containment |A∩B|/|A| ~ 1. The "
+        "sub-document sibling of L13's span fractions — L13 scores "
+        "how much of one doc is duplicated ANYWHERE, L15 names the "
+        "specific (contained, container) pairs for the curation "
+        "gate. Same blocking as the Jaccard pairs: exploded shingle "
+        "self-equi-join, per-shingle doc-freq bounds the reduce "
+        "keys, O(sum df^2) never O(n^2); orientation deterministic "
+        "(smaller set contained, ties to lower id)"
+    ),
+)
+def l15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.5)

@@ -231,7 +231,10 @@ _suite(
         "graded, index appended O(batch) as a versioned commit — and "
         "L13 duplicated-span fractions: per-doc token share living in "
         "cross-document 32-token chunks, the contamination signal "
-        "whole-doc dedup misses"
+        "whole-doc dedup misses. Round 8 adds L15 n-gram CONTAINMENT "
+        "pairs — the asymmetric |A∩B|/|A| signal that catches a short "
+        "doc quoted inside a long one (Jaccard ~ 0 there), same "
+        "df-bounded shingle blocking, deterministic orientation"
     ),
     layout=[
         ("doc_a", "long", "BIGINT"),
@@ -249,6 +252,16 @@ _suite(
         ("emb_lsh", "l2_embedding_near_dup_lsh", {
             "n_vectors": "n_vectors", "pairs_verified": "pairs_verified",
             "recall_ok": "recall_ok",
+        }),
+        ("containment", "l15_containment_pairs", {
+            "doc_a": "doc_contained", "doc_b": "doc_container",
+            "jaccard": "containment",
+            "pairs_verified": (
+                "CAST(size_contained AS INT)", "CAST(size_contained AS INTEGER)",
+            ),
+            "recall_ok": (
+                "CAST(size_container AS INT)", "CAST(size_container AS INTEGER)",
+            ),
         }),
         ("span", "l13_span_dedup", {
             "doc_a": "doc_id", "doc_b": "n_chunks",

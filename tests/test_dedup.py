@@ -242,3 +242,32 @@ def test_incremental_lsh_equals_global_restricted(spark):
     }
     assert incremental == global_cross
     assert incremental  # non-vacuous: the fixture contains near-dups
+
+
+def test_containment_catches_quotation_jaccard_misses(spark):
+    """L15's reason to exist: a 10-token doc quoted verbatim inside a
+    200-token doc has containment 1.0 but Jaccard ~ 0.05 — below any
+    sane L2 threshold. Both operators run on the same corpus; the
+    quote pair must appear ONLY in the containment output."""
+    from datalake_polygonscan_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(12))
+    long_doc = (
+        " ".join(f"body{i}" for i in range(100))
+        + " " + quote + " "
+        + " ".join(f"tail{i}" for i in range(100))
+    )
+    other = " ".join(f"noise{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_contained"], r["doc_container"]) == (1, 2)
+    assert r["containment"] == 1.0
+    jacc = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert jacc == []  # Jaccard structurally blind to the quotation
