@@ -250,6 +250,7 @@ HEADLINE = [
     "ts14_seasonal_decompose",
     "g9_personalized_pagerank",
     "l15_containment_pairs",
+    "ml13_feature_hashing",
 ]
 
 

@@ -1156,3 +1156,73 @@ def ml12_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("_ssq").cast("double") / F.col("n_test") / 10000.0 * 1e6 + 0.5)
          / 1e6).alias("test_mse_ticks2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML13 the hashing trick: signed feature-hashed bag-of-words
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "ml13_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(
+                   lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks WHERE tok <> ''
+    ), feats AS (
+        SELECT doc_id,
+               h % {_FH_BUCKETS} AS bucket,
+               CASE WHEN (h // {_FH_BUCKETS}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+        FROM hashed
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sign) AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM feats GROUP BY doc_id, bucket
+    """,
+    doc=(
+        "ML13 the HASHING TRICK (Weinberger et al. ICML'09) — signed "
+        "feature-hashed bag-of-words, the featurizer that makes text "
+        "models trainable WITHOUT a vocabulary pass: each token hashes "
+        "straight to one of 64 buckets (bucket = md5-derived 60-bit "
+        "int mod buckets) and contributes +-1 by an INDEPENDENT hash "
+        "bit (h div buckets mod 2 — the sign trick that makes hashed "
+        "inner products unbiased under collisions). No vocabulary "
+        "table, no broadcast, no second scan — ONE explode + one "
+        "partial-agg groupBy at any corpus size, vs L5h's vocabulary "
+        "induction which pays a full df-count pass first. Hash "
+        "arithmetic is the repo's established engine-portable bridge "
+        "(Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT), "
+        "60 bits always fits signed 64); exact integer features, "
+        "bit-identical both engines"
+    ),
+)
+def ml13_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " ")), " +")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    feats = toks.select(
+        "doc_id",
+        (h % _FH_BUCKETS).alias("bucket"),
+        # shiftright, not `/`: h is 60 bits and double division would
+        # lose the low bits the sign lives in
+        F.when(F.shiftright(h, 6) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return feats.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("feat"),
+        F.count("*").cast("long").alias("n_tokens"),
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "feat", "n_tokens")

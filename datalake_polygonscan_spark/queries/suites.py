@@ -325,7 +325,10 @@ _suite(
         "recursive-closure oracle — and ML12 k-fold CV by mergeable-"
         "moment SUBTRACTION (train = total - held-out fold, exact "
         "DECIMAL sufficient statistics): 5-fold OLS validation from "
-        "one scan + one broadcast scoring join, not 2k scans"
+        "one scan + one broadcast scoring join, not 2k scans — and "
+        "ML13 the hashing trick (signed feature-hashed bag-of-words, "
+        "no vocabulary pass, exact integer features via the "
+        "engine-portable md5/conv bridge)"
     ),
     layout=[
         ("n_vectors", "long", "BIGINT"),
@@ -411,6 +414,10 @@ _suite(
             "n_vectors": "n_train", "n_docs": "n_test",
             "w0": "slope_ticks_per_sec", "w1": "intercept",
             "variance": "test_mse_ticks2",
+        }),
+        ("feat_hash", "ml13_feature_hashing", {
+            "n_vectors": "doc_id", "dim": "bucket",
+            "k": "feat", "n_docs": "n_tokens",
         }),
     ],
 )
