@@ -688,11 +688,7 @@ def mmr_rerank(
     for i in range(1, k + 1):
         remaining = cand
         if picked is not None:
-            remaining = cand.join(
-                picked.select("query_id", F.col("c").alias("_pc")).withColumnRenamed("_pc", "c"),
-                ["query_id", "c"],
-                "left_anti",
-            )
+            remaining = cand.join(picked, ["query_id", "c"], "left_anti")
         if picked is None:
             scored = remaining.withColumn("_maxsim", F.lit(0.0))
         else:
