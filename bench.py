@@ -251,6 +251,7 @@ HEADLINE = [
     "g9_personalized_pagerank",
     "l15_containment_pairs",
     "ml13_feature_hashing",
+    "w10_running_distinct",
 ]
 
 

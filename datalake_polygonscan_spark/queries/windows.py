@@ -179,6 +179,38 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) _runs
         GROUP BY user_id
     ) _w7
+    UNION ALL
+    SELECT 'running_distinct',
+           day, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           event_type,
+           n_events, new_users, cum_users, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (
+        WITH d10 AS (
+            SELECT event_type, user_id,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+            FROM events
+        ), daily10 AS (
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+            FROM d10 GROUP BY 1, 2
+        ), firsts10 AS (
+            SELECT event_type, user_id, min(day) AS fday FROM d10 GROUP BY 1, 2
+        ), news10 AS (
+            SELECT event_type, fday AS day, CAST(count(*) AS BIGINT) AS new_users
+            FROM firsts10 GROUP BY 1, 2
+        ), cum10 AS (
+            SELECT DISTINCT event_type, day,
+                   CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day)
+                        AS BIGINT) AS cum_users
+            FROM d10
+        )
+        SELECT dl.event_type, dl.day, dl.n_events,
+               coalesce(n.new_users, 0) AS new_users, c.cum_users
+        FROM daily10 dl
+        LEFT JOIN news10 n ON n.event_type = dl.event_type AND n.day = dl.day
+        JOIN cum10 c ON c.event_type = dl.event_type AND c.day = dl.day
+    ) _w10
     """,
     doc=(
         "W1 row_number/rank/dense_rank/ntile + W2 lag/lead/first_value over per-user "
@@ -194,7 +226,11 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest-increasing-streak (value-direction gaps-and-islands "
         "computed ENTIRELY in window space — running last-start "
         "position + full-partition aggregates, ONE user_id exchange, "
-        "zero groupBy re-shuffles) as fourth, fifth and sixth arms"
+        "zero groupBy re-shuffles) as fourth, fifth and sixth arms. "
+        "Round 8 adds W10 running DISTINCT counts — the windowed "
+        "COUNT(DISTINCT) Spark lacks, via the first-occurrence-flag "
+        "decomposition (O(1) row state, never a set in frame state), "
+        "cross-proved against DuckDB's native windowed DISTINCT"
     ),
 )
 def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,11 +365,35 @@ def w1_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("running_qty"),
         F.lit(None).cast("double").alias("moving_avg_qty"),
     )
+    # round-8 arm: W10 running distinct counts via the first-occurrence
+    # decomposition (scale-correct form of the windowed COUNT DISTINCT
+    # Spark lacks; the standalone entry's oracle cross-proves against
+    # DuckDB's native windowed DISTINCT)
+    from datalake_polygonscan_spark.queries.registry import REGISTRY as _REG
+
+    w10 = _REG["w10_running_distinct"].fn(spark, sf_dir).select(
+        F.lit("running_distinct").alias("mode"),
+        F.col("day").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        "event_type",
+        F.col("n_events").alias("rn"),
+        F.col("new_users").alias("rnk"),
+        F.col("cum_users").alias("drnk"),
+        F.lit(None).cast("long").alias("quartile"),
+        F.lit(None).cast("string").alias("prev_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("string").alias("first_type"),
+        F.lit(None).cast("double").alias("value_delta"),
+        F.lit(None).cast("double").alias("running_qty"),
+        F.lit(None).cast("double").alias("moving_avg_qty"),
+    )
     return (
         rank_part.unionByName(framed_part)
         .unionByName(range_part)
         .unionByName(dist_part)
         .unionByName(streak_part)
+        .unionByName(w10)
     )
 
 
@@ -420,4 +480,73 @@ def w6_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.nth_value("o_totalprice", 3).over(wfull).cast("double"), 4)
             .alias("third_cheapest"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 running DISTINCT counts: the missing-builtin workaround, cross-proved
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w10_running_distinct",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+        FROM d GROUP BY 1, 2
+    ), firsts AS (
+        SELECT event_type, user_id, min(day) AS fday FROM d GROUP BY 1, 2
+    ), news AS (
+        SELECT event_type, fday AS day, CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY 1, 2
+    ), cum AS (
+        SELECT DISTINCT event_type, day,
+               CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS cum_users
+        FROM d
+    )
+    SELECT dl.event_type, dl.day, dl.n_events,
+           coalesce(n.new_users, 0) AS new_users, c.cum_users
+    FROM daily dl
+    LEFT JOIN news n ON n.event_type = dl.event_type AND n.day = dl.day
+    JOIN cum c ON c.event_type = dl.event_type AND c.day = dl.day
+    """,
+    doc=(
+        "W10 running DISTINCT user counts per type-day — the windowed "
+        "COUNT(DISTINCT) Spark's window functions famously do NOT "
+        "support, solved by the scale-correct FIRST-OCCURRENCE "
+        "decomposition: a user's first-seen day carries a +1, and the "
+        "running distinct count is a plain cumulative SUM of those "
+        "flags — two partial-agg groupBys + one window sum, state "
+        "O(1) per row. The tempting collect_set-over-frame form "
+        "holds every partition's ENTIRE user set in each row's frame "
+        "state (OOM at 100 TB); this one never materializes a set. "
+        "The oracle cross-proves against DuckDB's NATIVE windowed "
+        "COUNT(DISTINCT ...) OVER — an independent formulation, so a "
+        "wrong flag, double-counted returning user or frame "
+        "off-by-one value-fails"
+    ),
+)
+def w10_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").cast("long").alias("n_events"))
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("fday"))
+    news = firsts.groupBy("event_type", F.col("fday").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", "n_events",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
     )
