@@ -392,9 +392,13 @@ def test_window_suite_one_exchange_per_source(spark):
     from datalake_polygonscan_spark.queries.windows import w1_w3
 
     plan = _plan(w1_w3(spark, SF))
-    # bounded Window nodes and ONE exchange per union branch
-    assert plan.count(") Window") == 7
-    assert plan.count(") Exchange") == 5
+    # bounded Window nodes and ONE exchange per union branch; the W10
+    # running-distinct arm (round 8) adds 1 Window + 4 exchanges of its
+    # own (three partial-agg groupBys — daily counts, per-user first
+    # days, new-user counts — and the cumulative-sum window; the
+    # news-side join is a BroadcastExchange, not a shuffle)
+    assert plan.count(") Window") == 8
+    assert plan.count(") Exchange") == 9
     # the RANGE arm really evaluates as a RangeFrame, not eight ROWS
     assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
 
