@@ -252,6 +252,7 @@ HEADLINE = [
     "l15_containment_pairs",
     "ml13_feature_hashing",
     "w10_running_distinct",
+    "a15_exact_mad",
 ]
 
 

@@ -3677,3 +3677,90 @@ def ts14_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("smicro").cast("double") / 1e6).alias("seasonal"),
         ((F.col("micro") - F.col("smicro")).cast("double") / 1e6).alias("remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A15 exact grouped MAD: the robust scale estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a15_exact_mad",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
+        FROM events
+    ), ranked AS (
+        SELECT event_type, t,
+               row_number() OVER (PARTITION BY event_type ORDER BY t, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM x
+    ), med AS (
+        SELECT event_type, t AS m, n
+        FROM ranked WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ), dev AS (
+        SELECT x.event_type, x.event_id, m.m, m.n, abs(x.t - m.m) AS d
+        FROM x JOIN med m ON m.event_type = x.event_type
+    ), ranked_d AS (
+        SELECT event_type, m, n, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(m AS DOUBLE) / 10000.0 AS median,
+           CAST(d AS DOUBLE) / 10000.0 AS mad,
+           floor(d * 1.4826 / 10000.0 * 1e6 + 0.5) / 1e6 AS sigma_robust
+    FROM ranked_d
+    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    """,
+    doc=(
+        "A15 exact grouped MAD — median absolute deviation, the "
+        "robust scale estimator (50%% breakdown point vs the standard "
+        "deviation's zero; the denominator every robust z-score "
+        "needs): per event_type, the lower median of tick-quantized "
+        "values by deterministic (value, event_id) rank selection, "
+        "then the lower median of |x - median| by the same device — "
+        "two window rank picks over exact integers, zero float "
+        "accumulation anywhere, so the estimate reproduces "
+        "bit-for-bit under any partitioning and the oracle replays "
+        "both selections verbatim. sigma_robust = 1.4826 * MAD (the "
+        "Gaussian consistency constant, identical literal both "
+        "engines, one IEEE multiply at the boundary). Completes the "
+        "robust-statistics tier beside A9's weighted median, A13's "
+        "exact mode and TS13's Theil-Sen slope; cost = two "
+        "sort-window passes on the group key"
+    ),
+)
+def a15_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("t"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = x.select(
+        "event_type", "t",
+        F.row_number().over(wt.orderBy("t", "event_id")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("long")
+    ).select("event_type", F.col("t").alias("m"), "n")
+    dev = x.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "m", "n", F.abs(F.col("t") - F.col("m")).alias("d")
+    )
+    ranked_d = dev.withColumn(
+        "rn", F.row_number().over(wt.orderBy("d", "event_id"))
+    )
+    return ranked_d.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("long")
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("m").cast("double") / 10000.0).alias("median"),
+        (F.col("d").cast("double") / 10000.0).alias("mad"),
+        (F.floor(F.col("d") * 1.4826 / 10000.0 * 1e6 + 0.5) / 1e6).alias("sigma_robust"),
+    )

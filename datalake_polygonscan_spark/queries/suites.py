@@ -509,6 +509,11 @@ _suite(
         ("bitmap", "a14_bitmap_distinct", {
             "l_returnflag": "o_orderstatus", "n": "n_customers",
         }),
+        ("mad", "a15_exact_mad", {
+            "l_returnflag": "event_type", "n": "n",
+            "p50_qty": "median", "p90_qty": "mad",
+            "p99_price": "sigma_robust",
+        }),
     ],
 )
 
