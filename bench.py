@@ -253,6 +253,7 @@ HEADLINE = [
     "ml13_feature_hashing",
     "w10_running_distinct",
     "a15_exact_mad",
+    "an11_dau_wau_stickiness",
 ]
 
 

@@ -3764,3 +3764,97 @@ def a15_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d").cast("double") / 10000.0).alias("mad"),
         (F.floor(F.col("d") * 1.4826 / 10000.0 * 1e6 + 0.5) / 1e6).alias("sigma_robust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AN11 DAU/WAU stickiness: EXACT sliding-window distinct at scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "an11_dau_wau_stickiness",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM pres
+    ), wau AS (
+        SELECT w.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days w JOIN pres p ON p.day BETWEEN w.day - 6 AND w.day
+        GROUP BY w.day
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pres GROUP BY day
+    )
+    SELECT d.day, d.dau, u.wau,
+           floor(CAST(d.dau AS DOUBLE) / u.wau * 1e6 + 0.5) / 1e6 AS stickiness
+    FROM dau d JOIN wau u ON u.day = d.day
+    """,
+    doc=(
+        "AN11 DAU/WAU stickiness — EXACT sliding-window distinct "
+        "users, the engagement ratio every product dashboard tracks, "
+        "computed the way that survives 100 TB: a SLIDING distinct "
+        "cannot use W10's first-occurrence trick (users LEAVE the "
+        "window) and the naive form fans every presence row out to "
+        "all 7 windows it supports. Instead each user's presence "
+        "days become coverage intervals [d, d+6], consecutive days "
+        "<= 7 apart COALESCE into one interval (gaps-and-islands, "
+        "one per-user window pass — TS7's device), and each merged "
+        "interval contributes just +1/-1 BOUNDARY deltas on the "
+        "window-end axis; the per-day sliding distinct is then one "
+        "global prefix sum over ~2 rows per user-burst, not 7x the "
+        "data. Exact integers end to end (one boundary IEEE divide "
+        "for the ratio); the oracle cross-proves against the "
+        "brute-force range-join COUNT(DISTINCT) — an independent "
+        "formulation, so a wrong merge, off-by-one window edge or "
+        "leaked boundary value-fails"
+    ),
+)
+def an11_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+
+    # gaps-and-islands per user: presence days <= 7 apart share a
+    # coverage interval (each day covers window-ends [d, d+6])
+    wu = Window.partitionBy("user_id").orderBy("day")
+    flagged = pres.select(
+        "user_id", "day",
+        F.when(
+            F.col("day") > F.lag("day").over(wu) + 7, F.lit(1)
+        ).otherwise(F.lit(0)).alias("brk"),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = flagged.groupBy("user_id", "island").agg(
+        F.min("day").alias("s"), (F.max("day") + 7).alias("e1")  # exclusive end
+    )
+    # +1/-1 boundary deltas on the window-end axis, then one prefix sum
+    bounds = intervals.select(F.col("s").alias("pt"), F.lit(1).alias("delta")).unionByName(
+        intervals.select(F.col("e1").alias("pt"), F.lit(-1).alias("delta"))
+    )
+    deltas = bounds.groupBy("pt").agg(F.sum("delta").alias("d"))
+    days = pres.select("day").distinct()
+    axis = days.select(F.col("day").alias("pt"), F.lit(0).alias("d")).unionByName(
+        deltas.select("pt", "d")
+    )
+    wax = Window.orderBy("pt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        axis.groupBy("pt").agg(F.sum("d").alias("d"))
+        .withColumn("wau", F.sum("d").over(wax).cast("long"))
+    )
+    dau = pres.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    return (
+        dau.join(cum.select(F.col("pt").alias("day"), "wau"), "day")
+        .select(
+            "day", "dau", "wau",
+            (F.floor(F.col("dau").cast("double") / F.col("wau") * 1e6 + 0.5) / 1e6)
+            .alias("stickiness"),
+        )
+    )

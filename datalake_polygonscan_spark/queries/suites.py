@@ -1629,7 +1629,11 @@ _suite(
         "decile shares, O(customers) sort; all round 6). Round 8 adds "
         "AN10 Kaplan-Meier survival curves — censoring-aware churn "
         "estimation with the cumulative product as an exact-integer "
-        "floor-division recurrence, recursive-CTE-replayed"
+        "floor-division recurrence, recursive-CTE-replayed — and AN11 "
+        "DAU/WAU stickiness: EXACT sliding-window distinct via "
+        "interval-coalesced +1/-1 boundary prefix sums (never a 7x "
+        "fan-out, never a set in window state), brute-force "
+        "range-join cross-proof"
     ),
     layout=[
         ("user_id", "long", "BIGINT"),
@@ -1726,6 +1730,10 @@ _suite(
                 ("CAST(t_days AS INT)", "CAST(t_days AS INTEGER)"),
             "n_active": "n_at_risk", "n_rows": "n_events",
             "n_nulls": "n_censored", "retention": "survival",
+        }),
+        ("stickiness", "an11_dau_wau_stickiness", {
+            "n_rows": "day", "n_active": "dau",
+            "cohort_size": "wau", "retention": "stickiness",
         }),
     ],
 )

@@ -313,3 +313,34 @@ def test_km_survival_matches_hand_computed_life_table(spark):
     s2 = (S * 8) // 10
     s4 = (s2 * 6) // 7
     assert out == {2: s2, 3: s2, 4: s4, 5: s4, 6: s4}
+
+
+def test_dau_wau_sliding_distinct_window_edges(spark, tmp_path):
+    """The sliding-distinct edges that break naive implementations: a
+    user present on days 0 and 8 (exactly past the 7-day window) must
+    NOT count toward day 7's WAU but must re-enter at day 8; a user
+    present on days 0 and 6 stays one coverage interval."""
+    import datetime as dtm
+
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: days 0 and 8 (disjoint coverage); user 2: days 0 and 6
+    for u, d in [(1, 0), (1, 8), (2, 0), (2, 6)]:
+        eid += 1
+        rows.append((eid, base + dtm.timedelta(days=d), u, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["day"]: (r["dau"], r["wau"]) for r in
+           REGISTRY["an11_dau_wau_stickiness"].fn(spark, str(tmp_path)).collect()}
+    d0 = min(out)
+    # day 0: both present -> dau 2, wau 2
+    assert out[d0] == (2, 2)
+    # day 6: only user 2 active that day; both within trailing 7 days
+    assert out[d0 + 6] == (1, 2)
+    # day 8: user 1 only - user 2's day-6 presence is still in [2, 8],
+    # so wau = 2; user 1's day-0 presence alone would NOT reach day 8
+    assert out[d0 + 8] == (1, 2)
