@@ -2447,3 +2447,162 @@ def decode_tiff_pixels(media: DataFrame) -> DataFrame:
         ]
     )
     return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M7 — perceptual image hashing (aHash + dHash) and Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+#: perceptual hashes are computed over a fixed GRID x GRID downsample
+#: (dHash uses GRID+1 columns), the classic 64-bit aHash/dHash layout
+PHASH_GRID = 8
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("a_hi", T.LongType()),
+        T.StructField("a_lo", T.LongType()),
+        T.StructField("d_hi", T.LongType()),
+        T.StructField("d_lo", T.LongType()),
+    ]
+)
+
+
+def _parse_bmp_pixels(blob: bytes):
+    """Top-down h x w x 3 BGR byte array from a 24-bit BMP blob
+    (shared by decode_bmp_pixels' stats path and the hash path)."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    offset = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = []
+    for r in range(abs(height)):
+        start = offset + r * stride
+        rows.append(np.frombuffer(b[start : start + row_bytes], dtype=np.uint8))
+    px = np.stack(rows[::-1] if height > 0 else rows).reshape(abs(height), width, 3)
+    return px.astype(np.int64)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """64-bit aHash + dHash per image — the image-dedup signature a
+    training-data pipeline computes before Hamming-distance blocking
+    (re-expresses the reference's content-hash dedup idea,
+    walletDataConsumer.py's full-refresh snapshot, at the perceptual
+    level where re-encoded/resized copies still collapse).
+
+    The decoded pixel array is downsampled to an 8x8 grid (8x9 for
+    dHash) by NEAREST NEIGHBOR — src = (dst * size) // 8 — and
+    grayscaled with integer ITU-R BT.601 weights (299/587/114, scale
+    1000), so every step is exact integer arithmetic a SQL oracle can
+    replay. aHash bit(i,j) = 64*g(i,j) > sum(g); dHash bit(i,j) =
+    g(i,j+1) > g(i,j). Each 64-bit hash ships as two 32-bit halves in
+    BIGINT columns (bit 63 never touches a sign bit on either engine).
+    Arrow-batched mapInPandas; O(n), no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        g8 = PHASH_GRID
+
+        def one(mid: int, blob: bytes) -> dict:
+            px = _parse_bmp_pixels(blob)
+            h, w = px.shape[0], px.shape[1]
+            # integer luma (scale 1000): BGR byte order in BMP rows
+            lum = 299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]
+
+            def grid(cols: int) -> "np.ndarray":
+                si = (np.arange(g8) * h) // g8
+                sj = (np.arange(cols) * w) // cols
+                return lum[np.ix_(si, sj)]
+
+            ga = grid(g8)
+            total = int(ga.sum())
+            a_bits = (ga * (g8 * g8) > total).astype(np.int64)
+            gd = grid(g8 + 1)
+            d_bits = (gd[:, 1:] > gd[:, :-1]).astype(np.int64)
+
+            def halves(bits: "np.ndarray") -> tuple[int, int]:
+                flat = bits.reshape(-1)
+                lo = sum(int(flat[k]) << k for k in range(32))
+                hi = sum(int(flat[k]) << (k - 32) for k in range(32, 64))
+                return hi, lo
+
+            a_hi, a_lo = halves(a_bits)
+            d_hi, d_lo = halves(d_bits)
+            return {
+                "media_id": mid, "a_hi": a_hi, "a_lo": a_lo,
+                "d_hi": d_hi, "d_lo": d_lo,
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(int(m), c) for m, c in zip(pdf["media_id"], pdf["content"])],
+                columns=[f.name for f in _PHASH_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, cap: int = 40, max_hamming: int = 10
+) -> DataFrame:
+    """Hamming-distance near-duplicate pairs by BANDED blocking over the
+    aHash — the image twin of the MinHash-LSH text path (never
+    all-pairs): the 64-bit hash splits into four 16-bit bands; images
+    sharing any band value become candidates (pigeonhole: hamming <= 3
+    guarantees a shared band, larger distances are caught
+    probabilistically exactly as text LSH does); one shuffle on
+    (band, value), buckets larger than ``cap`` are dropped
+    DETERMINISTICALLY (boilerplate images — the df-cap rule the shingle
+    pipelines use), candidates verified with exact
+    bit_count(xor) Hamming over both halves. All JVM codegen after the
+    hash UDF; scales as O(n) + sum(bucket^2 <= cap^2)."""
+    bands = []
+    for idx, expr in enumerate(
+        ["a_lo & 65535", "(a_lo >> 16) & 65535", "a_hi & 65535", "(a_hi >> 16) & 65535"]
+    ):
+        bands.append(
+            hashes.select(
+                F.lit(idx).alias("band"),
+                F.expr(expr).alias("band_val"),
+                "media_id", "a_hi", "a_lo", "d_hi", "d_lo",
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    from pyspark.sql import Window
+
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_val"))
+    ).filter(F.col("bucket_n") <= cap)
+    a = sized.select(
+        "band", "band_val",
+        F.col("media_id").alias("doc_a"),
+        F.col("a_hi").alias("ah_a"), F.col("a_lo").alias("al_a"),
+        F.col("d_hi").alias("dh_a"), F.col("d_lo").alias("dl_a"),
+    )
+    b = sized.select(
+        "band", "band_val",
+        F.col("media_id").alias("doc_b"),
+        F.col("a_hi").alias("ah_b"), F.col("a_lo").alias("al_b"),
+        F.col("d_hi").alias("dh_b"), F.col("d_lo").alias("dl_b"),
+    )
+    cand = (
+        a.join(b, on=["band", "band_val"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            (F.expr("bit_count(ah_a ^ ah_b) + bit_count(al_a ^ al_b)")).alias("hamming_a"),
+            (F.expr("bit_count(dh_a ^ dh_b) + bit_count(dl_a ^ dl_b)")).alias("hamming_d"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming_a") <= max_hamming)

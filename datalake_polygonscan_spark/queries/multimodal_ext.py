@@ -622,3 +622,144 @@ def m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = decode_tiff_pixels(tiff_table(docs))
     return out.withColumn("mean_luma", F.round("mean_luma", 6))
+
+
+def _m7_oracle_sql() -> str:
+    """Replays the ENTIRE perceptual-hash pipeline in DuckDB: BMP
+    payload bytes from the fixture hex, nearest-neighbor 8x8 / 8x9
+    downsample, integer BT.601 luma, aHash/dHash bit assembly into
+    32-bit halves, 16-bit banding, bucket cap, and exact
+    bit_count(xor) Hamming verification — so a resample-index, bit
+    -order, banding or Hamming bug value-fails."""
+
+    def byte(p: str) -> str:
+        return f"CAST(concat('0x', substr(ph, CAST(({p})*2 + 1 AS INT), 2)) AS BIGINT)"
+
+    def lum(src_i: str, src_j: str) -> str:
+        base = f"(h-1-({src_i}))*12 + ({src_j})*3"
+        return (
+            f"299 * {byte(f'{base} + 2')} + 587 * {byte(f'{base} + 1')}"
+            f" + 114 * {byte(base)}"
+        )
+
+    return f"""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS h,
+               substr(rpad(hex(encode(text)), 72, '20'),
+                      1, CAST((doc_id % 3 + 1) * 24 AS INT)) AS ph
+        FROM documents
+    ), ga AS (
+        SELECT media_id, gi // 8 AS i, gi % 8 AS j,
+               {lum("((gi // 8) * h) // 8", "(gi % 8) // 2")} AS lum
+        FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS gi) c
+    ), gd AS (
+        SELECT media_id, gi // 9 AS i, gi % 9 AS j,
+               {lum("((gi // 9) * h) // 8", "((gi % 9) * 4) // 9")} AS lum
+        FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS gi) c
+    ), abits AS (
+        SELECT c.media_id, c.i * 8 + c.j AS k,
+               CASE WHEN 64 * c.lum > t.total THEN 1 ELSE 0 END AS bit
+        FROM ga c
+        JOIN (SELECT media_id, SUM(lum) AS total FROM ga GROUP BY media_id) t
+          USING (media_id)
+    ), ahash AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS a_hi,
+               CAST(SUM(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k ELSE 0 END) AS BIGINT) AS a_lo
+        FROM abits GROUP BY media_id
+    ), dbits AS (
+        SELECT l.media_id, l.i * 8 + l.j AS k,
+               CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS bit
+        FROM gd l
+        JOIN gd r ON l.media_id = r.media_id AND l.i = r.i AND r.j = l.j + 1
+        WHERE l.j < 8
+    ), dhash AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS d_hi,
+               CAST(SUM(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k ELSE 0 END) AS BIGINT) AS d_lo
+        FROM dbits GROUP BY media_id
+    ), hash AS (
+        SELECT a.media_id, a.a_hi, a.a_lo, d.d_hi, d.d_lo
+        FROM ahash a JOIN dhash d USING (media_id)
+    ), banded AS (
+        SELECT b.band,
+               CASE b.band
+                 WHEN 0 THEN a_lo & 65535
+                 WHEN 1 THEN (a_lo >> 16) & 65535
+                 WHEN 2 THEN a_hi & 65535
+                 ELSE (a_hi >> 16) & 65535
+               END AS band_val,
+               media_id, a_hi, a_lo, d_hi, d_lo
+        FROM hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_val) AS bucket_n
+            FROM banded
+        ) WHERE bucket_n <= 40
+    ), pairs AS (
+        SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+               CAST(bit_count(xor(a.a_hi, b.a_hi)) + bit_count(xor(a.a_lo, b.a_lo)) AS BIGINT) AS hamming_a,
+               CAST(bit_count(xor(a.d_hi, b.d_hi)) + bit_count(xor(a.d_lo, b.d_lo)) AS BIGINT) AS hamming_d
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.band_val = b.band_val
+                   AND a.media_id < b.media_id
+    )
+    SELECT 'phash' AS mode, media_id, a_hi, a_lo, d_hi, d_lo,
+           CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS hamming_a, CAST(NULL AS BIGINT) AS hamming_d
+    FROM hash
+    UNION ALL
+    SELECT 'phash_pair', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           doc_a, doc_b, hamming_a, hamming_d
+    FROM pairs WHERE hamming_a <= 10
+    """
+
+
+@register(
+    "m7_phash_near_dup",
+    oracle=_m7_oracle_sql(),
+    doc=(
+        "M7 PERCEPTUAL image hashing + Hamming near-dup pairs — the "
+        "image-modality dedup signal of a training-data pipeline (the "
+        "operation that collapses re-encoded/re-saved copies exact "
+        "payload-md5 dedup misses): decoded BMP pixels (the REAL "
+        "decoder from m_bmp_pixel_decode) are nearest-neighbor "
+        "downsampled to the classic 8x8 aHash / 8x9 dHash grids in "
+        "exact integer arithmetic (BT.601 luma at scale 1000; the "
+        "aHash threshold is the division-free 64*g > sum(g)), each "
+        "64-bit hash shipped as two 32-bit BIGINT halves; near-dup "
+        "candidates come from 16-bit BANDED blocking (the image twin "
+        "of MinHash-LSH banding — pigeonhole guarantees hamming<=3 "
+        "pairs share a band), deterministic bucket cap 40, exact "
+        "bit_count(xor) Hamming verify <= 10, all JVM codegen after "
+        "the hash UDF (operators/media.py:perceptual_hashes/"
+        "phash_near_dup_pairs). The oracle replays the WHOLE pipeline "
+        "— resample indices, luma, bit assembly, banding, cap, "
+        "Hamming — from the fixture hex in DuckDB"
+    ),
+)
+def m7_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = perceptual_hashes(bmp_table(docs))
+    pairs = phash_near_dup_pairs(hashes, cap=40, max_hamming=10)
+    nulls = lambda *cols: [F.lit(None).cast("long").alias(c) for c in cols]  # noqa: E731
+    hash_rows = hashes.select(
+        F.lit("phash").alias("mode"),
+        "media_id", "a_hi", "a_lo", "d_hi", "d_lo",
+        *nulls("doc_a", "doc_b", "hamming_a", "hamming_d"),
+    )
+    pair_rows = pairs.select(
+        F.lit("phash_pair").alias("mode"),
+        *nulls("media_id", "a_hi", "a_lo", "d_hi", "d_lo"),
+        "doc_a", "doc_b",
+        F.col("hamming_a").cast("long").alias("hamming_a"),
+        F.col("hamming_d").cast("long").alias("hamming_d"),
+    )
+    return hash_rows.unionByName(pair_rows)

@@ -691,7 +691,12 @@ _suite(
         "recursive CTE replaying the step-adaptive recurrence; and "
         "TIFF with from-scratch PackBits RLE (the fifth compression "
         "family: run-length + a tag-tree container, javax.imageio "
-        "cross-validated)"
+        "cross-validated). Round 9 adds M7 PERCEPTUAL-hash image "
+        "near-dup: 64-bit aHash/dHash over exact-integer "
+        "nearest-neighbor downsampled decoded pixels, 16-bit banded "
+        "Hamming blocking (the image twin of MinHash-LSH), exact "
+        "bit_count(xor) verification — the whole pipeline replayed "
+        "by the oracle from the fixture hex"
     ),
     layout=[
         ("media_id", "long", "BIGINT"),
@@ -794,6 +799,17 @@ _suite(
             "n_frames": "n_frames", "duration_ms": "duration_ms",
             "sum_b": "sum_b", "sum_g": "sum_g", "sum_r": "sum_r",
             "frames_match_header": "frames_match_header",
+        }),
+        # round 9: M7 perceptual-hash near-dup — hash halves and pair
+        # ids ride the suite's free BIGINT columns (documented reuse:
+        # a_hi/a_lo/d_hi/d_lo -> sum_b/sum_g/sum_r/sum_luma,
+        # doc_a/doc_b -> frame_idx/n_frames, hammings -> peak/sum_abs)
+        (None, "m7_phash_near_dup", {
+            "mode": "mode", "media_id": "media_id",
+            "sum_b": "a_hi", "sum_g": "a_lo", "sum_r": "d_hi",
+            "sum_luma": "d_lo", "frame_idx": "doc_a",
+            "n_frames": "doc_b", "peak": "hamming_a",
+            "sum_abs": "hamming_d",
         }),
     ],
 )

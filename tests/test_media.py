@@ -1081,3 +1081,93 @@ public class DecodeRaw {
         ).stdout.splitlines()
         assert out[0] == f"16 {len(payload) // 16}", name
         assert [int(v) for v in out[1:]] == list(payload), name
+
+
+# ---------------------------------------------------------------------------
+# M7 perceptual hashing
+# ---------------------------------------------------------------------------
+
+
+def test_perceptual_hash_identical_pixels_hash_equal(spark):
+    """Two docs with identical text (hence identical BMP pixels) get
+    bit-identical hashes and surface as a Hamming-0 pair; a doc with
+    different pixels does not collide with them."""
+    from datalake_polygonscan_spark.operators.media import (
+        bmp_table,
+        perceptual_hashes,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the same exact document text here"),
+         (3, "the same exact document text here"),   # %3==0: same height
+         (6, "completely different pixel content!")],
+        "doc_id long, text string",
+    )
+    hashes = perceptual_hashes(bmp_table(docs)).collect()
+    by_id = {r["media_id"]: r for r in hashes}
+    for c in ("a_hi", "a_lo", "d_hi", "d_lo"):
+        assert by_id[0][c] == by_id[3][c]
+        assert 0 <= by_id[0][c] < 2**32  # halves never touch the sign bit
+    pairs = phash_near_dup_pairs(
+        perceptual_hashes(bmp_table(docs)), cap=40, max_hamming=0
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(0, 3)}
+    assert all(r["hamming_a"] == 0 for r in pairs if (r["doc_a"], r["doc_b"]) == (0, 3))
+
+
+def test_perceptual_hash_matches_independent_recompute(spark):
+    """Cross-validate the numpy hash path against a from-first-
+    principles pure-Python recompute over the SAME decoded pixels."""
+    from datalake_polygonscan_spark.operators.media import (
+        _parse_bmp_pixels,
+        bmp_table,
+        perceptual_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some distinguishing text {i*7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    media = bmp_table(docs)
+    got = {r["media_id"]: r for r in perceptual_hashes(media).collect()}
+    for row in media.collect():
+        px = _parse_bmp_pixels(bytes(row["content"]))
+        h, w = px.shape[0], px.shape[1]
+        lum = [[299 * int(px[i][j][2]) + 587 * int(px[i][j][1]) + 114 * int(px[i][j][0])
+                for j in range(w)] for i in range(h)]
+        ga = [[lum[(i * h) // 8][(j * w) // 8] for j in range(8)] for i in range(8)]
+        total = sum(sum(r) for r in ga)
+        a_bits = [1 if 64 * ga[i][j] > total else 0 for i in range(8) for j in range(8)]
+        gd = [[lum[(i * h) // 8][(j * w) // 9] for j in range(9)] for i in range(8)]
+        d_bits = [1 if gd[i][j + 1] > gd[i][j] else 0 for i in range(8) for j in range(8)]
+
+        def halves(bits):
+            lo = sum(b << k for k, b in enumerate(bits[:32]))
+            hi = sum(b << k for k, b in enumerate(bits[32:]))
+            return hi, lo
+
+        a_hi, a_lo = halves(a_bits)
+        d_hi, d_lo = halves(d_bits)
+        r = got[row["media_id"]]
+        assert (r["a_hi"], r["a_lo"], r["d_hi"], r["d_lo"]) == (a_hi, a_lo, d_hi, d_lo)
+
+
+def test_phash_bucket_cap_drops_boilerplate_buckets(spark):
+    """A band bucket larger than the cap is dropped entirely (the
+    deterministic boilerplate rule), so a 5-way identical group with
+    cap=4 yields no pairs, while cap=10 yields all C(5,2)=10."""
+    from datalake_polygonscan_spark.operators.media import (
+        bmp_table,
+        perceptual_hashes,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i * 3, "identical boilerplate everywhere") for i in range(5)],
+        "doc_id long, text string",
+    )
+    hashes = perceptual_hashes(bmp_table(docs))
+    assert phash_near_dup_pairs(hashes, cap=4, max_hamming=10).count() == 0
+    assert phash_near_dup_pairs(hashes, cap=10, max_hamming=10).count() == 10
