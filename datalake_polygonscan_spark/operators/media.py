@@ -2606,3 +2606,85 @@ def phash_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming_a") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# M8 — audio feature extraction over decoded PCM (the audio-modality
+# "embedding" step of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("centroid_consistent", T.BooleanType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Signal features over REAL-decoded WAV PCM: zero-crossing count
+    and energy (sum of squared samples) in EXACT integer arithmetic a
+    SQL oracle replays sample-for-sample, plus a spectral-centroid
+    self-consistency verdict — the centroid is computed TWICE by
+    independent implementations (numpy rfft vs a from-first-principles
+    O(n^2) direct DFT with math.cos/sin) and the verdict records that
+    they agree to 1e-9 relative, the cross-validation pattern the KNN/
+    LSH recall verdicts use where bit-exact SQL replay isn't possible
+    (FFT butterflies reorder float additions). Arrow-batched
+    mapInPandas, O(n), no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def centroid_direct(v) -> tuple[float, float]:
+            n = len(v)
+            num = den = 0.0
+            for k in range(n // 2 + 1):
+                re = sum(float(v[t]) * math.cos(2 * math.pi * k * t / n) for t in range(n))
+                im = sum(-float(v[t]) * math.sin(2 * math.pi * k * t / n) for t in range(n))
+                mag = math.hypot(re, im)
+                num += k * mag
+                den += mag
+            return num, den
+
+        def one(mid: int, blob: bytes) -> dict:
+            b = bytes(blob)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError(f"media_id {mid}: not a RIFF/WAVE container")
+            pos, data = 12, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if cid == b"data":
+                    data = b[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            if data is None:
+                raise ValueError(f"media_id {mid}: missing data chunk")
+            v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            zcr = int(((v[1:] < 0) != (v[:-1] < 0)).sum()) if len(v) > 1 else 0
+            sum_sq = int((v * v).sum())
+            mags = np.abs(np.fft.rfft(v.astype(np.float64)))
+            den_fft = float(mags.sum())
+            num_fft = float((np.arange(len(mags)) * mags).sum())
+            num_dir, den_dir = centroid_direct(v)
+            c_fft = num_fft / den_fft if den_fft > 0 else 0.0
+            c_dir = num_dir / den_dir if den_dir > 0 else 0.0
+            ok = abs(c_fft - c_dir) <= 1e-9 * max(1.0, abs(c_dir))
+            return {
+                "media_id": mid, "n_samples": len(v), "zcr": zcr,
+                "sum_sq": sum_sq, "centroid_consistent": bool(ok),
+            }
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(int(m), c) for m, c in zip(pdf["media_id"], pdf["content"])],
+                columns=[f.name for f in _AUDIO_FEAT_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=_AUDIO_FEAT_SCHEMA)

@@ -763,3 +763,65 @@ def m7_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming_d").cast("long").alias("hamming_d"),
     )
     return hash_rows.unionByName(pair_rows)
+
+
+@register(
+    "m8_audio_features",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST((doc_id % 3 + 1) * 4 AS BIGINT) AS n,
+               substr(rpad(hex(encode(text)), 96, '20'),
+                      1, CAST((doc_id % 3 + 1) * 4 * 4 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, n, ph, unnest(generate_series(1, n)) AS i
+        FROM ids
+    ), s AS (
+        SELECT media_id, n, i,
+               CAST(concat('0x',
+                           substr(ph, CAST((i - 1) * 4 + 3 AS INT), 2),
+                           substr(ph, CAST((i - 1) * 4 + 1 AS INT), 2)) AS BIGINT) AS u
+        FROM pos
+    ), sg AS (
+        SELECT media_id, n, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    ), lagged AS (
+        SELECT media_id, n, v,
+               lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        FROM sg
+    )
+    SELECT media_id,
+           n AS n_samples,
+           CAST(sum(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           ROUND(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms,
+           TRUE AS centroid_consistent
+    FROM lagged GROUP BY media_id, n
+    """,
+    doc=(
+        "M8 audio FEATURE EXTRACTION over real-decoded WAV PCM — the "
+        "audio-modality profiling step beside M6's byte features: "
+        "zero-crossing count and signal energy in EXACT integer "
+        "arithmetic (the oracle replays them sample-for-sample from "
+        "the fixture hex: int16-LE byte swap, sign fold, lag-window "
+        "sign transitions, sum of squares), RMS derived from the "
+        "exact energy in identical expression order on both engines, "
+        "plus a spectral-centroid verdict computed TWICE by "
+        "independent implementations (numpy rfft vs a direct O(n^2) "
+        "DFT) and graded on their 1e-9 agreement — cross-validation "
+        "where FFT float reassociation makes bit-exact SQL replay "
+        "impossible (operators/media.py:audio_features)"
+    ),
+)
+def m8_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import audio_features, wav_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = audio_features(wav_table(docs))
+    return feats.select(
+        "media_id", "n_samples", "zcr", "sum_sq",
+        F.round(F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6).alias("rms"),
+        "centroid_consistent",
+    )

@@ -811,6 +811,14 @@ _suite(
             "n_frames": "doc_b", "peak": "hamming_a",
             "sum_abs": "hamming_d",
         }),
+        # round 9: M8 audio features — exact zcr/energy + derived RMS
+        # + the dual-DFT centroid verdict (column reuse documented:
+        # zcr -> peak, sum_sq -> sum_abs, rms -> mean_luma)
+        ("audio_feat", "m8_audio_features", {
+            "media_id": "media_id", "n_samples": "n_samples",
+            "peak": "zcr", "sum_abs": "sum_sq", "mean_luma": "rms",
+            "frames_match_header": "centroid_consistent",
+        }),
     ],
 )
 

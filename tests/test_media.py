@@ -1171,3 +1171,32 @@ def test_phash_bucket_cap_drops_boilerplate_buckets(spark):
     hashes = perceptual_hashes(bmp_table(docs))
     assert phash_near_dup_pairs(hashes, cap=4, max_hamming=10).count() == 0
     assert phash_near_dup_pairs(hashes, cap=10, max_hamming=10).count() == 10
+
+
+def test_audio_features_match_stdlib_recompute(spark):
+    """ZCR/energy cross-checked against a pure-Python recompute over
+    stdlib `wave`-decoded samples, and the dual-DFT centroid verdict
+    holds on every fixture file."""
+    import io
+    import wave
+
+    from datalake_polygonscan_spark.operators.media import audio_features, wav_table
+
+    docs = spark.createDataFrame(
+        [(i, f"audio fixture text {i} {'x' * (i % 7)}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = wav_table(docs)
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    for row in media.collect():
+        with wave.open(io.BytesIO(bytes(row["content"]))) as w:
+            raw = w.readframes(w.getnframes())
+        import struct
+
+        v = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+        zcr = sum(1 for a, b in zip(v, v[1:]) if (a < 0) != (b < 0))
+        r = got[row["media_id"]]
+        assert r["n_samples"] == len(v)
+        assert r["zcr"] == zcr
+        assert r["sum_sq"] == sum(x * x for x in v)
+        assert r["centroid_consistent"] is True
