@@ -506,3 +506,53 @@ def sssp(
         if frontier.isEmpty():
             return dist
     raise RuntimeError(f"sssp did not converge in {max_iter} rounds")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 25,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """G10 — the k-CORE of an undirected graph by iterative peeling
+    (Seidman 1983; the Batagelj-Zaversnik cascade, distributed): each
+    round computes degrees over the surviving subgraph and deletes
+    every node of degree < k, until a fixpoint — what remains is the
+    maximal subgraph where every node keeps >= k neighbors, the
+    standard dense-community / spam-ring signal over a transfer graph.
+
+    Scale shape: each round is ONE symmetric-edge aggregation plus one
+    semi-join against the survivor set — O(m) work per round, never
+    materializing neighborhoods — and rounds are bounded by the
+    peeling depth (degeneracy cascade), not graph size; each round's
+    frontier is localCheckpoint'd so the plan never grows with the
+    iteration count (the G2/G8 iteration pattern).
+
+    Returns (node, core_deg) for k-core members, core_deg their degree
+    WITHIN the core. Deterministic: peeling is confluent (the k-core
+    is unique regardless of deletion order). Raises if ``max_iter``
+    rounds don't converge.
+    """
+    sym = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    alive_edges = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = alive_edges.groupBy("u").agg(F.count("*").alias("core_deg"))
+        weak = deg.filter(F.col("core_deg") < k)
+        if weak.isEmpty():
+            return deg.select(F.col("u").alias("node"), "core_deg")
+        keep = deg.filter(F.col("core_deg") >= k).select("u")
+        alive_edges = (
+            alive_edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

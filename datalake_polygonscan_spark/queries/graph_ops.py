@@ -627,3 +627,104 @@ def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_seeds).cast("long").alias("n_seeds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G10: k-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_N = 3000
+_KCORE_K = 2
+_KCORE_TAILS = 8   # pendant paths hanging off nodes 0..7
+_KCORE_LEN = 8     # path length -> peeling cascade depth
+_KCORE_STAGES = 12  # oracle replay depth; peeling converges in <= 9
+
+
+def _g10_oracle_sql(stages: int = _KCORE_STAGES) -> str:
+    """Replays the peeling cascade as STAGED CTEs (the G8 pattern):
+    round i keeps only edges whose BOTH endpoints had degree >= k in
+    round i-1; rounds past convergence are identities, so a fixed
+    replay depth >= the true cascade length is exact."""
+    k, n, tails, ln = _KCORE_K, _KCORE_N, _KCORE_TAILS, _KCORE_LEN
+    parts = [f"""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_orderkey % {n} AS BIGINT) AS a,
+               CAST({n} + l_partkey % {n} AS BIGINT) AS b
+        FROM lineitem
+    ), tails AS (
+        SELECT unnest(generate_series(0, {tails - 1})) AS t
+    ), chain AS (
+        SELECT t, j FROM tails
+        CROSS JOIN (SELECT unnest(generate_series(0, {ln - 2})) AS j) c
+    ), alledges AS (
+        SELECT a, b FROM base
+        UNION ALL
+        SELECT CAST(t AS BIGINT), CAST(7000 + t * {ln} AS BIGINT) FROM tails
+        UNION ALL
+        SELECT CAST(7000 + t * {ln} + j AS BIGINT),
+               CAST(7000 + t * {ln} + j + 1 AS BIGINT) FROM chain
+    ), sym0 AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM alledges WHERE a <> b
+        UNION
+        SELECT b AS u, a AS v FROM alledges WHERE a <> b
+    )"""]
+    for i in range(1, stages + 1):
+        parts.append(f""", deg{i} AS MATERIALIZED (
+        SELECT u, count(*) AS c FROM sym{i - 1} GROUP BY u
+    ), sym{i} AS MATERIALIZED (
+        SELECT s.u, s.v FROM sym{i - 1} s
+        JOIN deg{i} d1 ON d1.u = s.u AND d1.c >= {k}
+        JOIN deg{i} d2 ON d2.u = s.v AND d2.c >= {k}
+    )""")
+    parts.append(f""", core AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM sym{stages} GROUP BY u
+    )
+    SELECT node, core_deg,
+           CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core
+    FROM core
+    """)
+    return "".join(parts)
+
+
+@register(
+    "g10_kcore",
+    oracle=_g10_oracle_sql(),
+    doc=(
+        "G10 k-CORE decomposition by iterative peeling (Seidman 1983 / "
+        "Batagelj-Zaversnik, distributed as the Pregel-style cascade): "
+        "each round deletes every node whose surviving degree is < k "
+        "until fixpoint — the maximal subgraph where everyone keeps "
+        ">= k neighbors, the dense-community/spam-ring signal over a "
+        "transfer graph. One O(m) aggregation + one survivor semi-join "
+        "per round, frontier localCheckpoint'd so the plan never grows "
+        "(operators/graph.py:k_core); peeling is CONFLUENT so any "
+        "deletion order lands on the same unique core. The fixture "
+        "attaches {tails} pendant {ln}-node paths to the order/part "
+        "bipartite graph, forcing a real multi-round cascade (paths "
+        "peel one node per round from the free end — 8 rounds "
+        "measured, the shape single-pass degree filters get wrong); "
+        "the oracle replays every round as staged CTEs"
+        .format(tails=_KCORE_TAILS, ln=_KCORE_LEN)
+    ),
+)
+def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") % _KCORE_N).cast("long").alias("src"),
+        (F.lit(_KCORE_N) + F.col("l_partkey") % _KCORE_N).cast("long").alias("dst"),
+    )
+    tails = spark.range(_KCORE_TAILS).select(
+        F.col("id").alias("src"), (F.lit(7000) + F.col("id") * _KCORE_LEN).alias("dst")
+    )
+    t_of = F.floor(F.col("id") / (_KCORE_LEN - 1))
+    j_of = F.col("id") % (_KCORE_LEN - 1)
+    chain = spark.range(_KCORE_TAILS * (_KCORE_LEN - 1)).select(
+        (F.lit(7000) + t_of * _KCORE_LEN + j_of).alias("src"),
+        (F.lit(7000) + t_of * _KCORE_LEN + j_of + 1).alias("dst"),
+    )
+    core = k_core(base.unionByName(tails).unionByName(chain), k=_KCORE_K)
+    n_core = core.count()
+    return core.select("node", "core_deg", F.lit(n_core).cast("long").alias("n_core"))

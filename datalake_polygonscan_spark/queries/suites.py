@@ -1070,6 +1070,11 @@ _suite(
             "node": "node", "rank": "rank",
             "n_nodes": "n_nodes", "n_edges": "n_seeds",
         }),
+        # round 9: G10 k-core by iterative peeling (cascade-proof
+        # pendant-path fixture; staged-CTE replay oracle)
+        ("kcore", "g10_kcore", {
+            "node": "node", "depth": "core_deg", "n_nodes": "n_core",
+        }),
     ],
 )
 

@@ -120,3 +120,53 @@ def test_personalized_pagerank_zero_on_unreachable(spark):
     # the cycle has no dangling nodes, so mass is conserved exactly
     # (up to the per-step 1e-12 rounding)
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_k_core_peels_pendant_path_cascade(spark):
+    """A triangle with a 4-node pendant path: the 2-core is exactly the
+    triangle, reached only after the path peels one node per round
+    (the cascade a single-pass degree filter gets wrong)."""
+    from datalake_polygonscan_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),           # triangle = the 2-core
+         (0, 10), (10, 11), (11, 12), (12, 13)],  # pendant path
+        "src long, dst long",
+    )
+    core = {r["node"]: r["core_deg"] for r in k_core(edges, k=2).collect()}
+    assert core == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_empty_when_k_exceeds_degeneracy(spark):
+    from datalake_polygonscan_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_matches_networkx_style_recompute(spark):
+    """Cross-validate against an independent pure-Python peeling over
+    the same derived graph."""
+    import collections
+
+    from datalake_polygonscan_spark.operators.graph import k_core
+
+    rows = [(i * 13 % 40, i * 7 % 40) for i in range(200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in rows:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        weak = {n for n in alive if sum(1 for m in adj[n] if m in alive) < 3}
+        if not weak:
+            break
+        alive -= weak
+    want = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+    assert got == want
