@@ -84,3 +84,117 @@ def predict(
     """Predicted probability column for the trained model — pure
     codegen, broadcast-free (the model IS the plan's literals)."""
     return sigmoid6(_zq([F.col(c) for c in feature_cols], weights, bias))
+
+
+def boosted_regression_stumps(
+    pts: DataFrame,
+    rounds: int = 3,
+    m_scale: int = 1024,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """ML14 — GRADIENT BOOSTING with depth-1 regression trees (Friedman
+    2001, squared loss), the additive-ensemble recipe behind
+    XGBoost/LightGBM, distributed the way those libraries do it: the
+    raw rows collapse ONCE into per-feature-bin sufficient statistics
+    (cnt, sum-residual, sum-residual-squared — the "hist" strategy),
+    and every boosting round then runs entirely on that bounded bin
+    table: one cumulative window scores all splits, the argmax is
+    collected, and the bin statistics update in closed form
+    (S' = S - cnt*u;  SS' = SS - 2*u*S + cnt*u^2), so per-round cost
+    is O(bins), never another pass over the data.
+
+    Exactness contract: residuals live in integer micro-units
+    (``m_scale``x), leaf values are floor divisions (eta = 1/2 applied
+    as a second floor-halving), and all updates are exact BIGINT — a
+    SQL oracle replays every round verbatim. The split criterion
+    S_L^2/n_L + S_R^2/n_R is evaluated as ONE IEEE-double expression
+    over exact integers (bit-identical on any engine — floats only
+    diverge when aggregation REORDERS them), ties to the smaller
+    threshold.
+
+    Returns a tagged union: one 'round' row per boosting round
+    (threshold, leaf deltas, sizes) and one 'final' row with the exact
+    integer SSE before/after and the monotone-improvement verdict.
+    """
+    spark = pts.sparkSession
+    d = pts.groupBy(F.col(x_col).alias("x")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(y_col).cast("long").alias("sy"),
+        F.sum(F.col(y_col) * F.col(y_col)).cast("long").alias("syy"),
+    )
+    tot = d.agg(
+        F.sum("cnt").alias("n"), F.sum("sy").alias("sy"), F.sum("syy").alias("syy")
+    ).collect()[0]
+    n_total, sy_t = int(tot["n"]), int(tot["sy"])
+    f0 = (sy_t * m_scale) // n_total  # floor division, exact
+    m = m_scale
+    d = d.select(
+        "x", "cnt",
+        (F.lit(m) * F.col("sy") - F.col("cnt") * F.lit(f0)).alias("s"),
+        (
+            F.lit(m * m) * F.col("syy")
+            - F.lit(2 * f0 * m) * F.col("sy")
+            + F.col("cnt") * F.lit(f0 * f0)
+        ).alias("ss"),
+    ).localCheckpoint(eager=True)
+    sse0 = int(d.agg(F.sum("ss")).collect()[0][0])
+
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    glob = Window.partitionBy()
+    round_rows = []
+    for t in range(1, rounds + 1):
+        c = d.select(
+            "x",
+            F.sum("cnt").over(cum).alias("n_l"),
+            F.sum("s").over(cum).alias("s_l"),
+            F.sum("cnt").over(glob).alias("n"),
+            F.sum("s").over(glob).alias("s_t"),
+        ).filter(F.col("n_l") < F.col("n"))
+        crit = (
+            F.col("s_l").cast("double") * F.col("s_l").cast("double") / F.col("n_l")
+            + (F.col("s_t") - F.col("s_l")).cast("double")
+            * (F.col("s_t") - F.col("s_l")).cast("double")
+            / (F.col("n") - F.col("n_l"))
+        )
+        best = (
+            c.select("x", "n_l", "s_l", "n", "s_t", crit.alias("crit"))
+            .orderBy(F.desc("crit"), F.asc("x"))
+            .limit(1)
+            .collect()[0]
+        )
+        thr = int(best["x"])
+        n_l, s_l = int(best["n_l"]), int(best["s_l"])
+        n_r, s_r = int(best["n"]) - n_l, int(best["s_t"]) - s_l
+        u_l = (s_l // n_l) // 2  # leaf value, then eta=1/2 — both floor
+        u_r = (s_r // n_r) // 2
+        round_rows.append((t, thr, u_l, u_r, n_l, n_r))
+        u = F.when(F.col("x") <= thr, F.lit(u_l)).otherwise(F.lit(u_r))
+        d = d.select(
+            "x", "cnt",
+            (F.col("s") - F.col("cnt") * u).alias("s"),
+            (F.col("ss") - F.lit(2) * u * F.col("s") + F.col("cnt") * u * u).alias("ss"),
+        ).localCheckpoint(eager=True)
+
+    sse_final = int(d.agg(F.sum("ss")).collect()[0][0])
+    out_rounds = spark.createDataFrame(
+        round_rows,
+        "round_no long, thr long, u_l long, u_r long, n_left long, n_right long",
+    ).select(
+        F.lit("round").alias("mode"), "round_no", "thr", "u_l", "u_r",
+        "n_left", "n_right",
+        F.lit(None).cast("long").alias("sse0"),
+        F.lit(None).cast("long").alias("sse_final"),
+        F.lit(None).cast("boolean").alias("improved"),
+    )
+    final = spark.createDataFrame(
+        [(sse0, sse_final, sse_final <= sse0)], "sse0 long, sse_final long, improved boolean"
+    ).select(
+        F.lit("final").alias("mode"),
+        *[F.lit(None).cast("long").alias(c)
+          for c in ("round_no", "thr", "u_l", "u_r", "n_left", "n_right")],
+        "sse0", "sse_final", "improved",
+    )
+    return out_rounds.unionByName(final)

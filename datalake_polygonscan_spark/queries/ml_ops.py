@@ -1226,3 +1226,126 @@ def ml13_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("feat"),
         F.count("*").cast("long").alias("n_tokens"),
     ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "feat", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# ML14: gradient-boosted regression stumps (exact-integer replayable)
+# ---------------------------------------------------------------------------
+
+_GBM_ROUNDS = 3
+_GBM_SCALE = 1024
+
+
+def _ml14_oracle_sql(rounds: int = _GBM_ROUNDS, m: int = _GBM_SCALE) -> str:
+    """Replays every boosting round verbatim: bin statistics, the
+    cumulative split scan, the single-expression IEEE-double argmax,
+    floor-division leaf values, and the closed-form (S, SS) updates —
+    all integer-exact except the criterion compare, which is the same
+    expression tree over the same exact integers on both engines."""
+
+    def fdiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}) AS BIGINT)"
+
+    parts = [f"""
+    WITH pts AS MATERIALIZED (
+        SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS x,
+               CAST(l_linenumber AS BIGINT) AS y
+        FROM lineitem
+    ), agg0 AS MATERIALIZED (
+        SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pts GROUP BY x
+    ), t0 AS MATERIALIZED (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS syt
+        FROM agg0
+    ), fz AS MATERIALIZED (
+        SELECT {fdiv(f"syt * {m}", "n")} AS f0 FROM t0
+    ), d0 AS MATERIALIZED (
+        SELECT x, cnt,
+               {m} * sy - cnt * f0 AS s,
+               {m * m} * syy - 2 * f0 * {m} * sy + cnt * f0 * f0 AS ss
+        FROM agg0 CROSS JOIN fz
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", c{i} AS MATERIALIZED (
+        SELECT x,
+               sum(cnt) OVER (ORDER BY x) AS n_l,
+               sum(s) OVER (ORDER BY x) AS s_l,
+               sum(cnt) OVER () AS n,
+               sum(s) OVER () AS s_t
+        FROM d{i - 1}
+    ), best{i} AS MATERIALIZED (
+        SELECT x AS thr, CAST(n_l AS BIGINT) AS n_l, CAST(s_l AS BIGINT) AS s_l,
+               CAST(n - n_l AS BIGINT) AS n_r, CAST(s_t - s_l AS BIGINT) AS s_r
+        FROM c{i} WHERE n_l < n
+        ORDER BY (CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                  + CAST(s_t - s_l AS DOUBLE) * CAST(s_t - s_l AS DOUBLE)
+                    / (n - n_l)) DESC, x ASC
+        LIMIT 1
+    ), g{i} AS MATERIALIZED (
+        SELECT thr, n_l AS n_left, n_r AS n_right,
+               {fdiv(fdiv("s_l", "n_l"), "2")} AS u_l,
+               {fdiv(fdiv("s_r", "n_r"), "2")} AS u_r
+        FROM best{i}
+    ), d{i} AS MATERIALIZED (
+        SELECT d.x, d.cnt,
+               d.s - d.cnt * (CASE WHEN d.x <= g.thr THEN g.u_l ELSE g.u_r END) AS s,
+               d.ss - 2 * (CASE WHEN d.x <= g.thr THEN g.u_l ELSE g.u_r END) * d.s
+                    + d.cnt * (CASE WHEN d.x <= g.thr THEN g.u_l ELSE g.u_r END)
+                            * (CASE WHEN d.x <= g.thr THEN g.u_l ELSE g.u_r END) AS ss
+        FROM d{i - 1} d CROSS JOIN g{i} g
+    )""")
+    rounds_union = "\n        UNION ALL\n        ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round_no, thr, u_l, u_r, n_left, n_right FROM g{i}"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT 'round' AS mode, round_no, thr, u_l, u_r, n_left, n_right,
+           CAST(NULL AS BIGINT) AS sse0, CAST(NULL AS BIGINT) AS sse_final,
+           CAST(NULL AS BOOLEAN) AS improved
+    FROM ({rounds_union})
+    UNION ALL
+    SELECT 'final', NULL, NULL, NULL, NULL, NULL, NULL,
+           (SELECT CAST(sum(ss) AS BIGINT) FROM d0),
+           (SELECT CAST(sum(ss) AS BIGINT) FROM d{rounds}),
+           (SELECT CAST(sum(ss) AS BIGINT) FROM d{rounds})
+             <= (SELECT CAST(sum(ss) AS BIGINT) FROM d0)
+    """)
+    return "".join(parts)
+
+
+@register(
+    "ml14_gradient_boosting",
+    oracle=_ml14_oracle_sql(),
+    doc=(
+        "ML14 GRADIENT BOOSTING with depth-1 regression trees "
+        "(Friedman 2001, squared loss; operators/regression.py:"
+        "boosted_regression_stumps) — the XGBoost/LightGBM additive "
+        "ensemble, distributed their way: rows collapse ONCE into "
+        "per-bin sufficient statistics (cnt, S, SS — the hist "
+        "strategy), then every round is O(bins): one cumulative "
+        "window scores all splits, leaf values are floor divisions "
+        "of exact integer residual sums (eta=1/2 as a second floor "
+        "halving), and the bin stats update in closed form "
+        "(S'=S-cnt*u, SS'=SS-2uS+cnt*u^2) with no second data pass. "
+        "Residuals live in 1024x integer micro-units so ALL state is "
+        "exact BIGINT; the split criterion S_L^2/n_L + S_R^2/n_R is "
+        "one IEEE-double expression over those exact integers "
+        "(bit-identical cross-engine — floats only diverge under "
+        "reordered aggregation), ties to the smaller threshold. The "
+        "oracle replays all 3 rounds as staged MATERIALIZED CTEs; "
+        "the graded 'final' row carries the exact SSE before/after "
+        "and the boosting improvement guarantee as a verdict"
+    ),
+)
+def ml14_gbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.regression import (
+        boosted_regression_stumps,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("x"),
+        F.col("l_linenumber").cast("long").alias("y"),
+    )
+    return boosted_regression_stumps(pts, rounds=_GBM_ROUNDS, m_scale=_GBM_SCALE)

@@ -419,6 +419,18 @@ _suite(
             "n_vectors": "doc_id", "dim": "bucket",
             "k": "feat", "n_docs": "n_tokens",
         }),
+        # round 9: ML14 gradient-boosted stumps — tagged passthrough
+        # (round/final rows); documented column reuse: thr/u_l/u_r ->
+        # n_vectors/dim/k, sizes -> n_docs/correct-as-long via w-cols
+        (None, "ml14_gradient_boosting", {
+            "mode": "mode",
+            "n_vectors": "round_no", "dim": "thr", "k": "u_l",
+            "n_docs": "u_r", "w0": ("CAST(n_left AS DOUBLE)", "CAST(n_left AS DOUBLE)"),
+            "w1": ("CAST(n_right AS DOUBLE)", "CAST(n_right AS DOUBLE)"),
+            "w2": ("CAST(sse0 AS DOUBLE)", "CAST(sse0 AS DOUBLE)"),
+            "w3": ("CAST(sse_final AS DOUBLE)", "CAST(sse_final AS DOUBLE)"),
+            "recall_ok": "improved",
+        }),
     ],
 )
 

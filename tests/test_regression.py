@@ -117,3 +117,66 @@ def test_kfold_cv_moment_subtraction_equals_direct_training(spark, tmp_path):
         assert abs(got[f]["slope_ticks_per_sec"] - slope) < 1e-6
         assert abs(got[f]["intercept"] - intercept / 10000.0) < 1e-5
         assert got[f]["n_train"] == len(train)
+
+
+def test_boosted_stumps_match_pure_python_replay(spark):
+    """Every boosting round (threshold, leaf values, sizes) and the
+    final SSE must match an independent pure-Python replay over the
+    same points — and SSE must never increase."""
+    from datalake_polygonscan_spark.operators.regression import (
+        boosted_regression_stumps,
+    )
+
+    rows = [((i * 7) % 13, (i * 3) % 5 + 1) for i in range(300)]
+    pts = spark.createDataFrame(rows, "x long, y long")
+    out = boosted_regression_stumps(pts, rounds=3, m_scale=1024).collect()
+    got_rounds = {int(r["round_no"]): r for r in out if r["mode"] == "round"}
+    got_final = next(r for r in out if r["mode"] == "final")
+
+    # pure-Python replay on per-bin sufficient statistics
+    import collections
+
+    m = 1024
+    agg = collections.defaultdict(lambda: [0, 0, 0])  # cnt, sy, syy
+    for x, y in rows:
+        a = agg[x]
+        a[0] += 1
+        a[1] += y
+        a[2] += y * y
+    n = sum(a[0] for a in agg.values())
+    f0 = (sum(a[1] for a in agg.values()) * m) // n
+    d = {x: (a[0], m * a[1] - a[0] * f0,
+             m * m * a[2] - 2 * f0 * m * a[1] + a[0] * f0 * f0)
+         for x, a in agg.items()}
+    sse0 = sum(v[2] for v in d.values())
+    for t in range(1, 4):
+        xs = sorted(d)
+        n_t = sum(d[x][0] for x in xs)
+        s_t = sum(d[x][1] for x in xs)
+        best, best_crit = None, None
+        n_l = s_l = 0
+        for x in xs:
+            n_l += d[x][0]
+            s_l += d[x][1]
+            if n_l >= n_t:
+                break
+            crit = float(s_l) * float(s_l) / n_l \
+                + float(s_t - s_l) * float(s_t - s_l) / (n_t - n_l)
+            if best_crit is None or crit > best_crit:
+                best_crit, best = crit, (x, n_l, s_l)
+        thr, n_l, s_l = best
+        n_r, s_r = n_t - n_l, s_t - s_l
+        u_l, u_r = (s_l // n_l) // 2, (s_r // n_r) // 2
+        g = got_rounds[t]
+        assert (g["thr"], g["u_l"], g["u_r"], g["n_left"], g["n_right"]) == (
+            thr, u_l, u_r, n_l, n_r
+        )
+        d = {x: (c, s - c * (u_l if x <= thr else u_r),
+                 ss - 2 * (u_l if x <= thr else u_r) * s
+                 + c * (u_l if x <= thr else u_r) ** 2)
+             for x, (c, s, ss) in d.items()}
+    sse_final = sum(v[2] for v in d.values())
+    assert got_final["sse0"] == sse0
+    assert got_final["sse_final"] == sse_final
+    assert got_final["improved"] is True
+    assert sse_final <= sse0
