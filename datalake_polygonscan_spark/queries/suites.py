@@ -1813,7 +1813,11 @@ _suite(
         "Laplace-mechanism noisy release — per-record clipping bounds "
         "sum sensitivity, inverse-CDF noise at 1/eps and clip/eps "
         "scale, explicit epsilon accounting; seeded LCG uniform keeps "
-        "the release reproducible/differential-testable"
+        "the release reproducible/differential-testable. Round 9 "
+        "adds S44 ROW LINEAGE (Iceberg v3 / Delta row tracking): "
+        "engine-assigned _row_id surviving upserts, fresh monotone "
+        "ids for inserts, _last_updated_version stamps, stability "
+        "verified in-job via VERSION AS OF against v0"
     ),
     layout=[
         ("status_slot", "string", "VARCHAR"),
@@ -1898,6 +1902,13 @@ _suite(
         (None, "s37_hidden_partitioning", {
             "mode": "mode", "status": "grp", "n_rows": "n_rows",
             "metric": "total", "semantics_ok": "pruned",
+        }),
+        # round 9: S44 row lineage — stable row ids across upserts
+        ("row_lineage", "s44_row_lineage", {
+            "c_custkey": "o_orderkey", "valid_from": "row_id",
+            "valid_to": "last_updated", "metric": "price",
+            "zero_copy": "ids_unique", "semantics_ok": "v0_ids_stable",
+            "is_current": "ids_dense",
         }),
     ],
 )

@@ -309,3 +309,58 @@ def test_auto_optimize_triggers_only_past_threshold(spark, tmp_table):
     assert out["triggered"] and out["small_files"] == 7
     assert out["rewritten"] == 7 and out["files_after"] < out["files_before"]
     assert read_table(spark, tmp_table).count() == 50007
+
+
+# ---------------------------------------------------------------------------
+# S44 row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_row_lineage_ids_survive_upsert_and_inserts_extend(spark, tmp_path):
+    from datalake_polygonscan_spark.io.rowlineage import (
+        LAST_UPDATED,
+        ROW_ID,
+        rl_create,
+        rl_read,
+        rl_upsert,
+    )
+
+    path = str(tmp_path / "rl")
+    base = spark.createDataFrame(
+        [(10, 1.0), (20, 2.0), (30, 3.0)], "k long, p double"
+    )
+    rl_create(base, path, "k")
+    v0 = {r["k"]: r[ROW_ID] for r in rl_read(spark, path).collect()}
+    assert v0 == {10: 1, 20: 2, 30: 3}
+
+    batch = spark.createDataFrame(
+        [(20, 99.0), (40, 4.0), (5, 0.5)], "k long, p double"
+    )
+    rl_upsert(spark, path, batch, "k")
+    rows = {r["k"]: r for r in rl_read(spark, path).collect()}
+    # survivors keep ids; only the touched key advances its stamp
+    assert rows[10][ROW_ID] == 1 and rows[10][LAST_UPDATED] == 0
+    assert rows[20][ROW_ID] == 2 and rows[20][LAST_UPDATED] == 1
+    assert rows[20]["p"] == 99.0
+    assert rows[30][ROW_ID] == 3 and rows[30][LAST_UPDATED] == 0
+    # inserts: fresh ids above max, allocated in key order
+    assert rows[5][ROW_ID] == 4 and rows[40][ROW_ID] == 5
+    assert rows[5][LAST_UPDATED] == 1 and rows[40][LAST_UPDATED] == 1
+
+
+def test_row_lineage_noop_update_still_advances_stamp(spark, tmp_path):
+    from datalake_polygonscan_spark.io.rowlineage import (
+        LAST_UPDATED,
+        ROW_ID,
+        rl_create,
+        rl_read,
+        rl_upsert,
+    )
+
+    path = str(tmp_path / "rl2")
+    rl_create(spark.createDataFrame([(1, 7.0)], "k long, p double"), path, "k")
+    rl_upsert(
+        spark, path, spark.createDataFrame([(1, 7.0)], "k long, p double"), "k"
+    )
+    r = rl_read(spark, path).collect()[0]
+    assert r[ROW_ID] == 1 and r[LAST_UPDATED] == 1 and r["p"] == 7.0
