@@ -1176,3 +1176,62 @@ _QW_SQL = """
 def qw_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_QW_SQL)
+
+
+@register(
+    "qx_session_variables",
+    oracle="""
+    WITH cut AS (
+        SELECT max(o_totalprice) AS v_cut FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(o.o_totalprice) AS DOUBLE), 4) AS revenue,
+           ROUND(CAST((SELECT v_cut FROM cut) AS DOUBLE), 4) AS cutoff_used
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    CROSS JOIN cut
+    WHERE o.o_totalprice <= cut.v_cut / 2 AND c.c_mktsegment <> 'BUILDING'
+    GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "QX the Spark 4 SESSION-VARIABLE + dynamic-SQL surface: "
+        "DECLARE VARIABLE / SET VARIABLE (including assignment from a "
+        "scalar subquery over the data), EXECUTE IMMEDIATE with "
+        "positional ? markers bound via USING from those variables, "
+        "and the injection-safe IDENTIFIER() clause resolving a table "
+        "name from a bound parameter — the parameterized-report flow "
+        "a warehouse user scripts daily, run end-to-end through "
+        "spark.sql. The variable is set to an exact MAX (never an "
+        "order-sensitive float aggregate), and the oracle hand-lowers "
+        "the whole flow to plain ANSI (the variable becomes a scalar "
+        "CTE, the dynamic text becomes the static text it must be "
+        "equivalent to) — so a binding, coercion or identifier-"
+        "resolution bug value-fails"
+    ),
+)
+def qx_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE qx_cut DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE qx_seg STRING DEFAULT ''")
+    spark.sql("DECLARE OR REPLACE VARIABLE qx_tbl STRING DEFAULT ''")
+    spark.sql(
+        "SET VARIABLE qx_cut = "
+        "(SELECT max(o_totalprice) FROM orders WHERE o_orderkey % 7 = 3)"
+    )
+    spark.sql("SET VARIABLE qx_seg = 'BUILDING'")
+    spark.sql("SET VARIABLE qx_tbl = 'orders'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c.c_mktsegment AS segment,
+                count(*) AS n_orders,
+                ROUND(CAST(sum(o.o_totalprice) AS DOUBLE), 4) AS revenue,
+                ROUND(CAST(? AS DOUBLE), 4) AS cutoff_used
+         FROM IDENTIFIER(?) o
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE o.o_totalprice <= ? / 2 AND c.c_mktsegment <> ?
+         GROUP BY c.c_mktsegment'
+        USING qx_cut, qx_tbl, qx_cut, qx_seg
+        """
+    )

@@ -1129,7 +1129,12 @@ _suite(
         "metadata-only ALTER TABLE ADD COLUMNS (inode-asserted) -> "
         "catalog read-back. Round 8 adds QW, the named-WINDOW clause "
         "— two windows declared once, referenced by several "
-        "over-clauses, plan-locked to ONE shared hash exchange"
+        "over-clauses, plan-locked to ONE shared hash exchange. "
+        "Round 9 adds QX, the session-variable + dynamic-SQL tier: "
+        "DECLARE/SET VARIABLE (assignment from a scalar subquery), "
+        "EXECUTE IMMEDIATE with positional USING binds, and the "
+        "injection-safe IDENTIFIER() table-name resolution — the "
+        "oracle hand-lowers the whole flow to static ANSI"
     ),
     layout=[
         ("l_orderkey", "long", "BIGINT"),
@@ -1230,6 +1235,11 @@ _suite(
             "l_orderkey": "user_id", "order_count": "event_id",
             "numwait": "rnk", "revenue": "value",
             "n_small_lines": "n_user_events", "avg_yearly": "user_total",
+        }),
+        # round 9: QX session variables + EXECUTE IMMEDIATE + IDENTIFIER()
+        ("qx_vars", "qx_session_variables", {
+            "s_name": "segment", "order_count": "n_orders",
+            "revenue": "revenue", "cutoff": "cutoff_used",
         }),
     ],
 )
