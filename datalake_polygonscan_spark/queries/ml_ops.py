@@ -1349,3 +1349,94 @@ def ml14_gbm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("long").alias("y"),
     )
     return boosted_regression_stumps(pts, rounds=_GBM_ROUNDS, m_scale=_GBM_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# ML16: exact AUC (Mann-Whitney rank-sum with tie correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml16_exact_auc",
+    oracle="""
+    WITH pts AS (
+        SELECT l_linestatus AS grp, l_extendedprice AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), d AS (
+        SELECT grp, s, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM pts GROUP BY grp, s
+    ), c AS (
+        SELECT grp, s, cnt, pos,
+               CAST(coalesce(sum(cnt) OVER (
+                   PARTITION BY grp ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS c_prev
+        FROM d
+    ), g AS (
+        SELECT grp,
+               CAST(sum(pos * (2 * c_prev + cnt + 1)) AS BIGINT) AS s2,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+        FROM c GROUP BY grp
+    )
+    SELECT grp,
+           n_pos, n_neg,
+           CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           ROUND(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM g
+    """,
+    doc=(
+        "ML16 EXACT AUC — the ranking metric every quality-classifier "
+        "pipeline gates on, computed exactly at any scale via the "
+        "Mann-Whitney rank-sum identity with full tie correction: "
+        "rows collapse to distinct-score groups (one partial-agg "
+        "shuffle), a cumulative window assigns each group its exact "
+        "tie-averaged rank block IN DOUBLED integer units (2*c_prev + "
+        "cnt + 1, so the .5 average-rank never leaves integer space), "
+        "and AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) divides "
+        "once at the boundary — no sampling, no trapezoid "
+        "approximation, no per-row sort beyond the grouped window, "
+        "all state exact BIGINT (the numerator/denominator pair is "
+        "graded alongside the rounded ratio). Per l_linestatus "
+        "stratum, label returnflag='R', score extendedprice"
+    ),
+)
+def ml16_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_extendedprice").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    d = pts.groupBy("grp", "s").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    prev = (
+        Window.partitionBy("grp")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "grp", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(prev), F.lit(0)).cast("long").alias("c_prev"),
+    )
+    g = c.groupBy("grp").agg(
+        F.sum(F.col("pos") * (2 * F.col("c_prev") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("s2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    u2 = (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("long")
+    return g.select(
+        "grp", "n_pos", "n_neg",
+        u2.alias("u2"),
+        F.round(
+            u2.cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )

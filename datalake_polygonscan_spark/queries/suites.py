@@ -422,6 +422,11 @@ _suite(
         # round 9: ML14 gradient-boosted stumps — tagged passthrough
         # (round/final rows); documented column reuse: thr/u_l/u_r ->
         # n_vectors/dim/k, sizes -> n_docs/correct-as-long via w-cols
+        # round 9: ML16 exact tie-corrected AUC (Mann-Whitney)
+        ("auc", "ml16_exact_auc", {
+            "lang": "grp", "n_vectors": "n_pos", "dim": "n_neg",
+            "k": "u2", "variance": "auc",
+        }),
         (None, "ml14_gradient_boosting", {
             "mode": "mode",
             "n_vectors": "round_no", "dim": "thr", "k": "u_l",

@@ -263,3 +263,45 @@ class TestDBSCANPlanar:
         got = {r["id"]: (r["role"], r["cluster"]) for r in
                dbscan_planar(df, eps=eps, min_pts=min_pts).collect()}
         assert got == naive()
+
+
+def test_exact_auc_matches_sklearn_style_recompute(spark):
+    """Tie-corrected AUC equals the probability-of-correct-ranking
+    definition computed by brute force on a small set."""
+    from datalake_polygonscan_spark.queries.ml_ops import ml16_exact_auc  # noqa: F401
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    # brute force over all pos x neg pairs, ties count 1/2
+    import itertools
+
+    rows = [("A", float(s), y) for s, y in
+            [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (4, 1), (5, 1), (5, 0)]]
+    df = spark.createDataFrame(rows, "grp string, s double, y int")
+
+    # run the same pipeline the entry uses, against this small frame
+    from pyspark.sql import Window, functions as F
+
+    d = df.groupBy("grp", "s").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    )
+    prev = Window.partitionBy("grp").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = d.select(
+        "grp", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(prev), F.lit(0)).cast("long").alias("c_prev"),
+    )
+    g = c.groupBy("grp").agg(
+        F.sum(F.col("pos") * (2 * F.col("c_prev") + F.col("cnt") + 1)).alias("s2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    ).collect()[0]
+    auc = (g["s2"] - g["n_pos"] * (g["n_pos"] + 1)) / (2.0 * g["n_pos"] * g["n_neg"])
+
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    assert abs(auc - brute) < 1e-12
