@@ -813,3 +813,66 @@ def km_survival(
     return _stream_series(
         dec_in, [t_col], out_schema, ["s"], lambda: None, step, pre_partitioned=False
     )
+
+
+def dtw_to_reference(
+    series: DataFrame,
+    reference: list[int],
+    band: int = 2,
+    key_col: str = "user_id",
+    slot_col: str = "sl",
+    value_col: str = "c",
+) -> DataFrame:
+    """TS15 — banded DYNAMIC TIME WARPING distance (Sakoe & Chiba 1978)
+    from each key's integer series to a shared reference series: the
+    alignment-tolerant similarity the plain L2 grid distance misses
+    (a shifted-by-one-slot activity pattern scores near-0 under DTW,
+    huge under pointwise distance) — the trajectory/seasonality
+    matcher of a behavioral-analytics pipeline.
+
+    DTW's recurrence is non-associative per key, so this is the
+    textbook ``applyInPandas`` slot: one shuffle groups each key's L
+    slots, then the O(L*band) DP runs Arrow-batched per key,
+    embarrassingly parallel across keys — the per-key work is CONSTANT
+    (L and band are fixed), so 100 TB of keys scales linearly with no
+    cross-key communication. All arithmetic is exact integers
+    (|a_i - b_j| costs, integer min), replayable by a staged
+    anti-diagonal SQL oracle.
+    """
+    import pandas as pd
+
+    ref = [int(v) for v in reference]
+    n = len(ref)
+    inf = 10**15
+
+    def one_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        a = [0] * n
+        for sl, c in zip(pdf[slot_col], pdf[value_col]):
+            a[int(sl)] = int(c)
+        # banded DP over (i, j), 1-indexed
+        prev2: dict[tuple[int, int], int] = {}
+        prev1: dict[tuple[int, int], int] = {}
+        cur: dict[tuple[int, int], int] = {}
+        for k in range(2, 2 * n + 1):
+            cur = {}
+            lo = max(1, k - n)
+            for i in range(lo, min(n, k - 1) + 1):
+                j = k - i
+                if abs(i - j) > band:
+                    continue
+                cost = abs(a[i - 1] - ref[j - 1])
+                if i == 1 and j == 1:
+                    cur[(i, j)] = cost
+                else:
+                    best = min(
+                        prev1.get((i - 1, j), inf),
+                        prev1.get((i, j - 1), inf),
+                        prev2.get((i - 1, j - 1), inf),
+                    )
+                    cur[(i, j)] = cost + best
+            prev2, prev1 = prev1, cur
+        return pd.DataFrame(
+            {"user_id": [int(pdf[key_col].iloc[0])], "dtw": [cur[(n, n)]]}
+        )
+
+    return series.groupBy(key_col).applyInPandas(one_key, schema="user_id long, dtw long")

@@ -3858,3 +3858,107 @@ def an11_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS15: banded dynamic time warping to a reference series
+# ---------------------------------------------------------------------------
+
+_DTW_L = 8
+_DTW_BAND = 2
+
+
+def _ts15_oracle_sql(n: int = _DTW_L, band: int = _DTW_BAND) -> str:
+    """Replays the banded DTW dynamic program as staged MATERIALIZED
+    CTEs, one per ANTI-DIAGONAL (cells on i+j = k depend only on
+    diagonals k-1 and k-2), so the non-associative recurrence becomes
+    a fixed join chain — the same staged-replay pattern as G8/ML14."""
+    big = 10**15
+    parts = [f"""
+    WITH slots AS (SELECT unnest(generate_series(0, {n - 1})) AS sl
+    ), users AS MATERIALIZED (SELECT DISTINCT user_id AS u FROM events
+    ), cnts AS MATERIALIZED (
+        SELECT user_id AS u, hour(ts) % {n} AS sl, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), a AS MATERIALIZED (
+        SELECT users.u, slots.sl, COALESCE(cnts.c, 0) AS c
+        FROM users CROSS JOIN slots
+        LEFT JOIN cnts ON cnts.u = users.u AND cnts.sl = slots.sl
+    ), nu AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM users
+    ), r AS MATERIALIZED (
+        SELECT sl, CAST(sum(c) // (SELECT nn FROM nu) AS BIGINT) AS rc
+        FROM a GROUP BY sl
+    ), cells AS MATERIALIZED (
+        SELECT a.u, a.sl + 1 AS i, r.sl + 1 AS j,
+               CAST(abs(a.c - r.rc) AS BIGINT) AS cost
+        FROM a JOIN r ON abs(a.sl - r.sl) <= {band}
+    ), diag1 AS (
+        SELECT CAST(NULL AS BIGINT) AS u, 0 AS i, 0 AS j,
+               CAST(0 AS BIGINT) AS d
+        WHERE FALSE
+    )"""]
+    for k in range(2, 2 * n + 1):
+        pm1 = "diag1" if k == 2 else f"diag{k - 1}"
+        pm2 = "diag1" if k <= 3 else f"diag{k - 2}"
+        parts.append(f""", diag{k} AS MATERIALIZED (
+        SELECT c.u, c.i, c.j,
+               CASE WHEN c.i = 1 AND c.j = 1 THEN c.cost
+                    ELSE c.cost + least(
+                        COALESCE(p1.d, {big}), COALESCE(p2.d, {big}),
+                        COALESCE(p0.d, {big}))
+               END AS d
+        FROM cells c
+        LEFT JOIN {pm1} p1 ON p1.u = c.u AND p1.i = c.i - 1 AND p1.j = c.j
+        LEFT JOIN {pm1} p2 ON p2.u = c.u AND p2.i = c.i AND p2.j = c.j - 1
+        LEFT JOIN {pm2} p0 ON p0.u = c.u AND p0.i = c.i - 1 AND p0.j = c.j - 1
+        WHERE c.i + c.j = {k}
+    )""")
+    parts.append(f"""
+    SELECT u AS user_id, CAST(d AS BIGINT) AS dtw
+    FROM diag{2 * n} WHERE i = {n} AND j = {n}
+    """)
+    return "".join(parts)
+
+
+@register(
+    "ts15_dtw_distance",
+    oracle=_ts15_oracle_sql(),
+    doc=(
+        "TS15 banded DYNAMIC TIME WARPING (Sakoe-Chiba band 2) from "
+        "each user's hourly-slot activity series to the fleet "
+        "reference series — the alignment-tolerant similarity a "
+        "pointwise grid distance misses (operators/temporal.py:"
+        "dtw_to_reference). The non-associative per-key DP is the "
+        "textbook applyInPandas slot: one shuffle groups each key's "
+        "L=8 slots, the O(L*band) recurrence runs Arrow-batched per "
+        "key with CONSTANT per-key work, linear in keys with zero "
+        "cross-key communication. All costs and minima are exact "
+        "integers; the oracle replays the DP as staged MATERIALIZED "
+        "CTEs, one per anti-diagonal (cells on i+j=k depend only on "
+        "k-1 and k-2) — so a band, indexing or tie bug value-fails"
+    ),
+)
+def ts15_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import dtw_to_reference
+
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        "user_id", (F.hour("ts") % _DTW_L).alias("sl")
+    ).agg(F.count("*").cast("long").alias("c"))
+    users = ev.select("user_id").distinct()
+    slots = spark.range(_DTW_L).select(F.col("id").cast("long").alias("sl"))
+    a = (
+        users.crossJoin(slots)
+        .join(cnts, ["user_id", "sl"], "left")
+        .select("user_id", "sl", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    n_users = users.count()
+    ref_rows = (
+        a.groupBy("sl")
+        .agg(F.expr(f"CAST(sum(c) div {n_users} AS LONG)").alias("rc"))
+        .collect()
+    )
+    reference = [0] * _DTW_L
+    for row in ref_rows:
+        reference[int(row["sl"])] = int(row["rc"])
+    return dtw_to_reference(a, reference, band=_DTW_BAND)

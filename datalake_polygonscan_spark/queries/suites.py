@@ -2624,6 +2624,10 @@ _suite(
             "n_events": "n", "roll_mean": "trend",
             "z": "seasonal", "value": "remainder",
         }),
+        # round 9: TS15 banded DTW to the fleet reference series
+        ("dtw", "ts15_dtw_distance", {
+            "user_id": "user_id", "event_id": "dtw",
+        }),
     ],
 )
 

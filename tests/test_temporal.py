@@ -344,3 +344,53 @@ def test_dau_wau_sliding_distinct_window_edges(spark, tmp_path):
     # day 8: user 1 only - user 2's day-6 presence is still in [2, 8],
     # so wau = 2; user 1's day-0 presence alone would NOT reach day 8
     assert out[d0 + 8] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# TS15 banded DTW
+# ---------------------------------------------------------------------------
+
+
+def test_dtw_shifted_series_beats_pointwise_distance(spark):
+    """A series that is the reference shifted by one slot has a small
+    DTW distance (alignment absorbs the shift) while the pointwise L1
+    distance stays large — the property DTW exists for."""
+    from datalake_polygonscan_spark.operators.temporal import dtw_to_reference
+
+    ref = [0, 10, 0, 0, 0, 10, 0, 0]
+    shifted = [10, 0, 0, 0, 10, 0, 0, 0]  # ref shifted left by one
+    rows = [(1, sl, c) for sl, c in enumerate(shifted)]
+    series = spark.createDataFrame(rows, "user_id long, sl long, c long")
+    got = dtw_to_reference(series, ref, band=2).collect()[0]
+    pointwise = sum(abs(a - b) for a, b in zip(shifted, ref))
+    assert pointwise == 40
+    assert got["dtw"] < pointwise  # alignment absorbs the shift
+
+
+def test_dtw_identical_series_is_zero_and_matches_bruteforce(spark):
+    from datalake_polygonscan_spark.operators.temporal import dtw_to_reference
+
+    ref = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [(7, sl, c) for sl, c in enumerate(ref)]
+    series = spark.createDataFrame(rows, "user_id long, sl long, c long")
+    assert dtw_to_reference(series, ref, band=2).collect()[0]["dtw"] == 0
+
+    # brute-force full (unbanded within band-2 reach) DP cross-check
+    other = [5, 1, 4, 2, 5, 8, 2, 7]
+    rows = [(8, sl, c) for sl, c in enumerate(other)]
+    series = spark.createDataFrame(rows, "user_id long, sl long, c long")
+    got = dtw_to_reference(series, ref, band=2).collect()[0]["dtw"]
+
+    inf = 10**15
+    n = 8
+    D = [[inf] * (n + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            if abs(i - j) > 2:
+                continue
+            cost = abs(other[i - 1] - ref[j - 1])
+            if i == 1 and j == 1:
+                D[i][j] = cost
+            else:
+                D[i][j] = cost + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    assert got == D[n][n]
