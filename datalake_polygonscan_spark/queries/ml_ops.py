@@ -1440,3 +1440,140 @@ def ml16_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             u2.cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML15: ALS recommender — one exact closed-form alternation (d=2)
+# ---------------------------------------------------------------------------
+
+_ALS_U = 50     # user buckets
+_ALS_I = 40     # item buckets
+_ALS_LAMBDA = 1
+_ALS_M = 1_000_000  # factor micro-scale
+
+
+def _ml15_oracle_sql() -> str:
+    m, lam = _ALS_M, _ALS_LAMBDA
+
+    def fdiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}) AS BIGINT)"
+
+    return f"""
+    WITH ratings AS MATERIALIZED (
+        SELECT CAST(l_suppkey % {_ALS_U} AS BIGINT) AS u,
+               CAST(l_partkey % {_ALS_I} AS BIGINT) AS i,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1, 2
+    ), q AS MATERIALIZED (
+        SELECT i, CAST(1 AS BIGINT) AS qx, CAST(i % 7 + 1 AS BIGINT) AS qy
+        FROM (SELECT DISTINCT i FROM ratings)
+    ), norm AS MATERIALIZED (
+        SELECT rt.u,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(q.qx * q.qx) + {lam} AS BIGINT) AS a11,
+               CAST(sum(q.qx * q.qy) AS BIGINT) AS a12,
+               CAST(sum(q.qy * q.qy) + {lam} AS BIGINT) AS a22,
+               CAST(sum(rt.r * q.qx) AS BIGINT) AS b1,
+               CAST(sum(rt.r * q.qy) AS BIGINT) AS b2
+        FROM ratings rt JOIN q ON q.i = rt.i
+        GROUP BY rt.u
+    ), p AS MATERIALIZED (
+        SELECT u, n_items,
+               {fdiv(f"{m} * (b1 * a22 - b2 * a12)", "a11 * a22 - a12 * a12")} AS px,
+               {fdiv(f"{m} * (b2 * a11 - b1 * a12)", "a11 * a22 - a12 * a12")} AS py
+        FROM norm
+    ), obj AS MATERIALIZED (
+        SELECT
+            CAST(sum(CAST(CAST({m} AS BIGINT) * rt.r AS DECIMAL(19,0))
+                     * CAST(CAST({m} AS BIGINT) * rt.r AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS obj0,
+            CAST(sum(CAST({m} * rt.r - p.px * q.qx - p.py * q.qy AS DECIMAL(19,0))
+                     * CAST({m} * rt.r - p.px * q.qx - p.py * q.qy AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0))
+               + (SELECT CAST(sum(CAST({lam} AS DECIMAL(19,0))
+                                  * (CAST(px AS DECIMAL(19,0)) * CAST(px AS DECIMAL(19,0))
+                                     + CAST(py AS DECIMAL(19,0)) * CAST(py AS DECIMAL(19,0))))
+                              AS DECIMAL(38,0)) FROM p)
+                 AS obj1
+        FROM ratings rt JOIN q ON q.i = rt.i JOIN p ON p.u = rt.u
+    )
+    SELECT p.u AS user_id, p.n_items, p.px AS px_micro, p.py AS py_micro,
+           CAST(obj.obj0 AS DOUBLE) AS obj0,
+           CAST(obj.obj1 AS DOUBLE) AS obj1,
+           obj.obj1 <= obj.obj0 AS improved
+    FROM p CROSS JOIN obj
+    """
+
+
+@register(
+    "ml15_als_recommender",
+    oracle=_ml15_oracle_sql(),
+    doc=(
+        "ML15 ALS matrix-factorization recommender (Koren/Hu "
+        "alternating least squares, d=2), ONE alternation solved in "
+        "CLOSED FORM per user: item factors are fixed deterministic "
+        "integers, each user's normal equations (Q'Q + lambda*I) p = "
+        "Q'r reduce to a 2x2 Cramer solve whose determinant and "
+        "adjugate are EXACT BIGINTs from one partial-agg shuffle over "
+        "the (user,item) rating matrix — the per-user solve is "
+        "O(d^2), embarrassingly parallel, no gradient steps, no float "
+        "accumulation. Factors quantize to exact micro-units via "
+        "floor division; the regularized objective before (p=0) and "
+        "after the solve is summed in DECIMAL(38,0) and its "
+        "guaranteed non-increase is a graded verdict. The oracle "
+        "replays ratings, normal equations, Cramer, quantization and "
+        "objective value-for-value"
+    ),
+)
+def ml15_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, lam = _ALS_M, _ALS_LAMBDA
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = li.groupBy(
+        (F.col("l_suppkey") % _ALS_U).cast("long").alias("u"),
+        (F.col("l_partkey") % _ALS_I).cast("long").alias("i"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("r"))
+    q = ratings.select("i").distinct().select(
+        "i",
+        F.lit(1).cast("long").alias("qx"),
+        (F.col("i") % 7 + 1).cast("long").alias("qy"),
+    )
+    rq = ratings.join(q, "i")
+    norm = rq.groupBy("u").agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.sum(F.col("qx") * F.col("qx")) + lam).cast("long").alias("a11"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("a12"),
+        (F.sum(F.col("qy") * F.col("qy")) + lam).cast("long").alias("a22"),
+        F.sum(F.col("r") * F.col("qx")).cast("long").alias("b1"),
+        F.sum(F.col("r") * F.col("qy")).cast("long").alias("b2"),
+    )
+    det = "(a11 * a22 - a12 * a12)"
+    nx = f"({m} * (b1 * a22 - b2 * a12))"
+    ny = f"({m} * (b2 * a11 - b1 * a12))"
+    p = norm.select(
+        "u", "n_items",
+        F.expr(f"({nx} - pmod({nx}, {det})) div {det}").cast("long").alias("px"),
+        F.expr(f"({ny} - pmod({ny}, {det})) div {det}").cast("long").alias("py"),
+    )
+    scored = rq.join(p, "u")
+    e = F.expr(f"CAST({m} * r - px * qx - py * qy AS DECIMAL(19,0))")
+    r0 = F.expr(f"CAST(CAST({m} AS BIGINT) * r AS DECIMAL(19,0))")
+    objs = scored.agg(
+        F.sum(r0 * r0).cast("decimal(38,0)").alias("obj0"),
+        F.sum(e * e).cast("decimal(38,0)").alias("fit1"),
+    ).collect()[0]
+    reg = p.agg(
+        F.sum(
+            F.expr(
+                f"CAST({lam} AS DECIMAL(19,0)) * (CAST(px AS DECIMAL(19,0)) * CAST(px AS DECIMAL(19,0))"
+                f" + CAST(py AS DECIMAL(19,0)) * CAST(py AS DECIMAL(19,0)))"
+            )
+        ).cast("decimal(38,0)")
+    ).collect()[0][0]
+    obj0, obj1 = objs["obj0"], objs["fit1"] + reg
+    return p.select(
+        F.col("u").alias("user_id"), "n_items",
+        F.col("px").alias("px_micro"), F.col("py").alias("py_micro"),
+        F.lit(float(obj0)).alias("obj0"),
+        F.lit(float(obj1)).alias("obj1"),
+        F.lit(bool(obj1 <= obj0)).alias("improved"),
+    )

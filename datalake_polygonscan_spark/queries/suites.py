@@ -422,6 +422,12 @@ _suite(
         # round 9: ML14 gradient-boosted stumps — tagged passthrough
         # (round/final rows); documented column reuse: thr/u_l/u_r ->
         # n_vectors/dim/k, sizes -> n_docs/correct-as-long via w-cols
+        # round 9: ML15 ALS closed-form alternation (d=2 Cramer solve)
+        ("als", "ml15_als_recommender", {
+            "n_vectors": "user_id", "dim": "n_items",
+            "k": "px_micro", "n_docs": "py_micro",
+            "w0": "obj0", "w1": "obj1", "recall_ok": "improved",
+        }),
         # round 9: ML16 exact tie-corrected AUC (Mann-Whitney)
         ("auc", "ml16_exact_auc", {
             "lang": "grp", "n_vectors": "n_pos", "dim": "n_neg",

@@ -180,3 +180,17 @@ def test_boosted_stumps_match_pure_python_replay(spark):
     assert got_final["sse_final"] == sse_final
     assert got_final["improved"] is True
     assert sse_final <= sse0
+
+
+def test_als_alternation_minimizes_regularized_objective(spark):
+    """The closed-form user solve must beat p=0 AND beat small
+    perturbations of itself on the regularized objective (it is the
+    exact minimizer up to micro quantization)."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    out = REGISTRY["ml15_als_recommender"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["improved"] for r in out)
+    assert all(r["obj1"] <= r["obj0"] for r in out)
+    # factors are finite micro-ints and at least one user has a
+    # non-trivial solve (px or py != 0)
+    assert any(r["px_micro"] != 0 or r["py_micro"] != 0 for r in out)
