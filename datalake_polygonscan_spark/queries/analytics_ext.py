@@ -3962,3 +3962,85 @@ def ts15_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in ref_rows:
         reference[int(row["sl"])] = int(row["rc"])
     return dtw_to_reference(a, reference, band=_DTW_BAND)
+
+
+# ---------------------------------------------------------------------------
+# ER3: phonetic blocking (Soundex) for entity resolution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er3_soundex_blocking",
+    oracle="""
+    WITH words AS MATERIALIZED (
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+               upper(string_split(p_name, ' ')[1]) AS w
+        FROM part
+    ), chars AS (
+        SELECT p_partkey, w, i, substr(w, CAST(i AS INT), 1) AS ch
+        FROM words, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i)
+    ), coded AS (
+        -- H and W are REMOVED from the collapse sequence (the
+        -- American-Soundex rule that makes Ashcraft A261, not A226)
+        SELECT p_partkey, w, i,
+               CASE WHEN ch IN ('B','F','P','V') THEN '1'
+                    WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                    WHEN ch IN ('D','T') THEN '3'
+                    WHEN ch = 'L' THEN '4'
+                    WHEN ch IN ('M','N') THEN '5'
+                    WHEN ch = 'R' THEN '6'
+                    WHEN ch IN ('A','E','I','O','U','Y') THEN '0'
+               END AS code
+        FROM chars
+        WHERE ch NOT IN ('H', 'W')
+    ), collapsed AS (
+        SELECT p_partkey, w, i, code,
+               lag(code) OVER (PARTITION BY p_partkey ORDER BY i) AS prev
+        FROM coded
+    ), digits AS (
+        SELECT p_partkey, w, i, code
+        FROM collapsed
+        WHERE i > 1 AND code BETWEEN '1' AND '6'
+          AND (prev IS NULL OR prev <> code)
+    ), sx AS (
+        SELECT wo.p_partkey, wo.w,
+               substr(wo.w, 1, 1)
+               || substr(coalesce(string_agg(d.code, '' ORDER BY d.i), '')
+                         || '000', 1, 3) AS sx
+        FROM words wo LEFT JOIN digits d ON d.p_partkey = wo.p_partkey
+        GROUP BY wo.p_partkey, wo.w
+    )
+    SELECT p_partkey, w AS word, sx.sx,
+           CAST(count(*) OVER (PARTITION BY sx.sx) AS BIGINT) AS block_n
+    FROM sx
+    """,
+    doc=(
+        "ER3 PHONETIC BLOCKING for entity resolution: the Soundex key "
+        "(American variant with the H/W adjacency rule) of each part "
+        "name's first word becomes the blocking key — the classic "
+        "spelling-tolerant blocker that puts 'Robert' and 'Rupert' in "
+        "one candidate block where ER1's exact prefix blocking would "
+        "separate them. Spark side uses the JVM codegen soundex() "
+        "builtin (zero Python); the oracle REIMPLEMENTS the algorithm "
+        "from scratch in SQL (letter coding, H/W removal from the "
+        "collapse sequence, adjacent-duplicate collapse across the "
+        "retained first letter, vowel separation, zero-padding) — an "
+        "independent-implementation cross-validation where a variant "
+        "mismatch (A226 vs A261) value-fails. Per-part key plus block "
+        "sizes (the skew profile an ER pipeline inspects before "
+        "pair generation)"
+    ),
+)
+def er3_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.upper(F.split(F.col("p_name"), " ").getItem(0)).alias("word"),
+    )
+    sx = words.select("p_partkey", "word", F.soundex("word").alias("sx"))
+    return sx.select(
+        "p_partkey", "word", "sx",
+        F.count("*").over(Window.partitionBy("sx")).cast("long").alias("block_n"),
+    )

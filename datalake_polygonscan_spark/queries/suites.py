@@ -1541,7 +1541,10 @@ _suite(
         "against DuckDB's independent C++ builtin + DQ4 the atomic "
         "QUARANTINE dead-letter flow (good + quarantine tables "
         "committed in ONE multi-table txn, first-failed-reason ledger, "
-        "partition-complete and same-txn-id verdicts; all round 6)"
+        "partition-complete and same-txn-id verdicts; all round 6). "
+        "Round 9 adds ER3 Soundex phonetic blocking: the JVM "
+        "soundex() builtin cross-validated against a from-scratch "
+        "SQL reimplementation (H/W adjacency rule included)"
     ),
     layout=[
         ("check_name", "string", "VARCHAR"),
@@ -1578,6 +1581,12 @@ _suite(
         ("jw_linkage", "er2_jaro_winkler", {
             "check_name": "block", "n_rows": "id_a", "n_big": "id_b",
             "metric": "jw",
+        }),
+        # round 9: ER3 Soundex phonetic blocking — builtin vs a
+        # from-scratch SQL reimplementation of the American variant
+        ("soundex_block", "er3_soundex_blocking", {
+            "check_name": "sx", "col_name": "word",
+            "n_rows": "p_partkey", "n_big": "block_n",
         }),
         (None, "dq4_quarantine_flow", {
             "mode": ("'dl_' || mode", "'dl_' || mode"),

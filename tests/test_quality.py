@@ -101,3 +101,61 @@ def test_uniqueness_approx_tier(spark):
     )["uniqueness"]
     assert abs(approx[0] - exact[0]) <= 0.05
     assert exact[0] == 0.8
+
+
+def test_soundex_replay_matches_spark_builtin_on_tricky_names(spark):
+    """The oracle's from-scratch Soundex must agree with Spark's
+    builtin on the names that distinguish the American H/W variant
+    from the simplified one."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    words = ["Ashcraft", "Tymczak", "Pfister", "Robert", "Rupert",
+             "Honeyman", "Washington", "Lee", "Jackson", "aaa", "hhh"]
+    got = {
+        r["w"]: r["sx"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("sx"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE words AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{w}')" for w in words)
+        + ") t(w)"
+    )
+    rows = con.execute("""
+        WITH up AS (SELECT w, upper(w) AS u FROM words),
+        chars AS (
+            SELECT w, u, i, substr(u, CAST(i AS INT), 1) AS ch
+            FROM up, LATERAL (SELECT unnest(generate_series(1, length(u))) AS i)
+        ), coded AS (
+            SELECT w, u, i,
+                   CASE WHEN ch IN ('B','F','P','V') THEN '1'
+                        WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                        WHEN ch IN ('D','T') THEN '3'
+                        WHEN ch = 'L' THEN '4'
+                        WHEN ch IN ('M','N') THEN '5'
+                        WHEN ch = 'R' THEN '6'
+                        WHEN ch IN ('A','E','I','O','U','Y') THEN '0'
+                   END AS code
+            FROM chars WHERE ch NOT IN ('H', 'W')
+        ), collapsed AS (
+            SELECT w, u, i, code,
+                   lag(code) OVER (PARTITION BY w ORDER BY i) AS prev
+            FROM coded
+        ), digits AS (
+            SELECT w, i, code FROM collapsed
+            WHERE i > 1 AND code BETWEEN '1' AND '6'
+              AND (prev IS NULL OR prev <> code)
+        )
+        SELECT up.w,
+               substr(up.u, 1, 1)
+               || substr(coalesce(string_agg(d.code, '' ORDER BY d.i), '')
+                         || '000', 1, 3) AS sx
+        FROM up LEFT JOIN digits d ON d.w = up.w
+        GROUP BY up.w, up.u
+    """).fetchall()
+    for w, sx in rows:
+        assert got[w] == sx, (w, got[w], sx)
