@@ -254,6 +254,20 @@ HEADLINE = [
     "w10_running_distinct",
     "a15_exact_mad",
     "an11_dau_wau_stickiness",
+    # round-9 additions: perceptual-hash image near-dup, audio
+    # features, k-core peeling, hist-strategy boosting, row lineage
+    # (commit scenario), session-variable dynamic SQL, exact AUC,
+    # banded DTW, closed-form ALS, Soundex blocking
+    "m7_phash_near_dup",
+    "m8_audio_features",
+    "g10_kcore",
+    "ml14_gradient_boosting",
+    "s44_row_lineage",
+    "qx_session_variables",
+    "ml16_exact_auc",
+    "ts15_dtw_distance",
+    "ml15_als_recommender",
+    "er3_soundex_blocking",
 ]
 
 
@@ -404,6 +418,16 @@ WARMUP = [
     # warming at sf0.001 keeps the measured number data-proportional
     "ml10_sparkml_pipeline",
     "l13_span_dedup",
+    # round-9 analytics (s44 stays unwarmed: commit scenario; qx stays
+    # unwarmed with the SQL-dialect trio)
+    "m7_phash_near_dup",
+    "m8_audio_features",
+    "g10_kcore",
+    "ml14_gradient_boosting",
+    "ml16_exact_auc",
+    "ts15_dtw_distance",
+    "ml15_als_recommender",
+    "er3_soundex_blocking",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -515,44 +515,69 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """G10 — the k-CORE of an undirected graph by iterative peeling
-    (Seidman 1983; the Batagelj-Zaversnik cascade, distributed): each
-    round computes degrees over the surviving subgraph and deletes
-    every node of degree < k, until a fixpoint — what remains is the
+    """G10 — the k-CORE of an undirected graph by FRONTIER-DECREMENT
+    peeling (Seidman 1983; the Batagelj-Zaversnik cascade,
+    distributed): round 0 computes degrees once, then each round only
+    touches edges INCIDENT TO NEWLY-REMOVED nodes — their neighbors'
+    degrees are decremented in place, nodes falling below k join the
+    next frontier — until the frontier is empty. What remains is the
     maximal subgraph where every node keeps >= k neighbors, the
     standard dense-community / spam-ring signal over a transfer graph.
 
-    Scale shape: each round is ONE symmetric-edge aggregation plus one
-    semi-join against the survivor set — O(m) work per round, never
-    materializing neighborhoods — and rounds are bounded by the
-    peeling depth (degeneracy cascade), not graph size; each round's
-    frontier is localCheckpoint'd so the plan never grows with the
-    iteration count (the G2/G8 iteration pattern).
+    Scale shape (the property that survives 100 TB): the symmetric
+    edge table is checkpointed ONCE and never rewritten; each round is
+    a broadcast semi-join of edges against the (small) frontier plus
+    an n-row degree update — so TOTAL work across all rounds is
+    O(m + rounds * n), not O(rounds * m), and the big side is scanned,
+    never shuffled, after round 0. (For a first frontier too large to
+    broadcast, drop the hint and AQE picks the join side.) Rounds are
+    bounded by the peeling depth, and the n-row degree state is
+    localCheckpoint'd so the plan never grows (the G2/G8 pattern).
 
     Returns (node, core_deg) for k-core members, core_deg their degree
-    WITHIN the core. Deterministic: peeling is confluent (the k-core
-    is unique regardless of deletion order). Raises if ``max_iter``
-    rounds don't converge.
+    WITHIN the core (maintained incrementally: every dead neighbor
+    decremented it exactly once, via its directed dead edge).
+    Deterministic: peeling is confluent — the k-core is unique
+    regardless of deletion order. Raises if ``max_iter`` rounds don't
+    converge.
     """
-    sym = (
+    one_way = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    alive_edges = (
-        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = (
+        one_way.unionByName(one_way.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("u").alias("node"), "core_deg", F.lit(True).alias("alive"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        deg = alive_edges.groupBy("u").agg(F.count("*").alias("core_deg"))
-        weak = deg.filter(F.col("core_deg") < k)
-        if weak.isEmpty():
-            return deg.select(F.col("u").alias("node"), "core_deg")
-        keep = deg.filter(F.col("core_deg") >= k).select("u")
-        alive_edges = (
-            alive_edges.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        frontier = deg.filter(F.col("alive") & (F.col("core_deg") < k)).select("node")
+        if frontier.isEmpty():
+            return deg.filter("alive").select("node", "core_deg")
+        # edges leaving the frontier: each decrements its target once
+        dead = sym.join(
+            F.broadcast(frontier.withColumnRenamed("node", "u")), "u", "left_semi"
+        )
+        dec = dead.groupBy("v").agg(F.count("*").alias("d"))
+        deg = (
+            deg.join(dec, deg["node"] == dec["v"], "left")
+            .join(
+                F.broadcast(frontier.select(F.col("node").alias("r"))),
+                deg["node"] == F.col("r"),
+                "left",
+            )
+            .select(
+                "node",
+                (F.col("core_deg") - F.coalesce(F.col("d"), F.lit(0))).alias("core_deg"),
+                (F.col("alive") & F.col("r").isNull()).alias("alive"),
+            )
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

@@ -728,3 +728,95 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = k_core(base.unionByName(tails).unionByName(chain), k=_KCORE_K)
     n_core = core.count()
     return core.select("node", "core_deg", F.lit(n_core).cast("long").alias("n_core"))
+
+
+# ---------------------------------------------------------------------------
+# L16: dedup SURVIVORSHIP — canonical-document election per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l16_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PIPELINE_CTE}, dupp AS (
+        SELECT c.da, c.db
+        FROM cand c JOIN shset x ON x.doc_id = c.da JOIN shset y ON y.doc_id = c.db
+        WHERE len(list_intersect(x.sh, y.sh))
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5
+    ), sym AS (
+        SELECT da AS a, db AS b FROM dupp UNION SELECT db, da FROM dupp
+    ), reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ), grp AS (
+        SELECT d.doc_id,
+               coalesce(c.comp, d.doc_id) AS group_id,
+               CAST(length(d.text) AS BIGINT) AS doc_len
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), surv AS (
+        SELECT group_id, doc_id AS survivor_id FROM (
+            SELECT group_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY doc_len DESC, doc_id ASC) AS rn
+            FROM grp
+        ) WHERE rn = 1
+    )
+    SELECT g.doc_id, g.group_id,
+           CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS group_size,
+           s.survivor_id,
+           CAST(g.doc_id = s.survivor_id AS INT) AS is_survivor,
+           g.doc_len
+    FROM grp g JOIN surv s USING (group_id)
+    """,
+    doc=(
+        "L16 dedup SURVIVORSHIP: after near-dup groups form (verified "
+        "MinHash-LSH pairs closed transitively — the L2g structure), "
+        "a canonical document is ELECTED per group by an explicit "
+        "policy (longest text wins, ties to the smallest id) and "
+        "every member maps to its canonical — the keep-the-best rule "
+        "real corpus dedup applies where L1/L2's min-id pick is "
+        "arbitrary, and the survivorship step every ER pipeline runs "
+        "after clustering. One rank window over the grouped table; "
+        "the mapping (doc -> survivor) is the output a downstream "
+        "rewrite joins against. Oracle replays shingles -> signatures "
+        "-> banding -> verify -> transitive closure -> election "
+        "value-for-value"
+    ),
+)
+def l16_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicate_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    grp = (
+        docs.select("doc_id", F.length("text").cast("long").alias("doc_len"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("group_id"),
+            "doc_len",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("group_id").orderBy(F.desc("doc_len"), F.asc("doc_id"))
+    )
+    surv = (
+        grp.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("group_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        grp.join(surv, "group_id")
+        .select(
+            "doc_id", "group_id",
+            F.count("*").over(Window.partitionBy("group_id")).cast("long").alias("group_size"),
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("is_survivor"),
+            "doc_len",
+        )
+    )

@@ -2331,7 +2331,11 @@ _suite(
         "per key — passthrough of the round-4 pair) + L2g TRANSITIVE "
         "dedup groups via distributed connected components (min-label "
         "propagation, one join per round) in one graded slot (merged "
-        "round 5)"
+        "round 5). Round 9 adds L16 SURVIVORSHIP: a canonical "
+        "document ELECTED per near-dup group by explicit policy "
+        "(longest text, ties to smallest id), every member mapped to "
+        "its canonical — the keep-the-best rule corpus dedup and ER "
+        "pipelines apply after clustering"
     ),
     layout=[
         ("dkey", "string", "VARCHAR"),
@@ -2339,6 +2343,9 @@ _suite(
         ("doc_id", "long", "BIGINT"),
         ("group_id", "long", "BIGINT"),
         ("group_size", "long", "BIGINT"),
+        ("survivor_id", "long", "BIGINT"),
+        ("is_survivor", "int", "INTEGER"),
+        ("doc_len", "long", "BIGINT"),
     ],
     arms=[
         (None, "l1_t3_exact_key_dedup", {
@@ -2347,6 +2354,11 @@ _suite(
         ("groups", "l2_dedup_groups", {
             "doc_id": "doc_id", "group_id": "group_id",
             "group_size": "group_size",
+        }),
+        ("survivorship", "l16_dedup_survivorship", {
+            "doc_id": "doc_id", "group_id": "group_id",
+            "group_size": "group_size", "survivor_id": "survivor_id",
+            "is_survivor": "is_survivor", "doc_len": "doc_len",
         }),
     ],
 )
