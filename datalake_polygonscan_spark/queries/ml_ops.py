@@ -1577,3 +1577,81 @@ def ml15_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(obj1)).alias("obj1"),
         F.lit(bool(obj1 <= obj0)).alias("improved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML17: calibration evaluation — reliability bins, exact ECE, Brier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml17_calibration_eval",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) % 10000 AS BIGINT) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), bins AS (
+        SELECT s // 1000 AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(s) AS BIGINT) AS conf_sum,
+               CAST(sum((s - 10000 * y) * (s - 10000 * y)) AS BIGINT) AS brier_num
+        FROM pts GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(abs(10000 * pos - conf_sum)) AS BIGINT) AS ece_micro,
+               CAST(sum(brier_num) AS BIGINT) AS brier_micro
+        FROM bins
+    )
+    SELECT b.bin, b.n, b.pos, b.conf_sum,
+           ROUND(CAST(b.pos AS DOUBLE) / b.n, 6) AS acc,
+           ROUND(CAST(b.conf_sum AS DOUBLE) / (10000.0 * b.n), 6) AS conf,
+           t.ece_micro,
+           ROUND(CAST(t.ece_micro AS DOUBLE) / (10000.0 * t.n_total), 6) AS ece,
+           ROUND(CAST(t.brier_micro AS DOUBLE) / (100000000.0 * t.n_total), 6) AS brier
+    FROM bins b CROSS JOIN tot t
+    """,
+    doc=(
+        "ML17 CALIBRATION evaluation — the model-quality report "
+        "beside ML16's AUC: a 10-bin reliability diagram (per-bin "
+        "count, positives, confidence mass), EXPECTED CALIBRATION "
+        "ERROR computed EXACTLY in integer micro-units (scores are "
+        "integer ticks 0..9999, so per-bin |accuracy - confidence| "
+        "weighted by bin size collapses to |10000*pos - conf_sum| — "
+        "a sum of integer absolute values, no float accumulation "
+        "anywhere), and the Brier score likewise as an exact integer "
+        "numerator (sum of squared tick residuals) divided once at "
+        "the boundary. One partial-agg shuffle over the scored "
+        "table; every quantity value-replayed by the oracle"
+    ),
+)
+def ml17_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        (F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT) % 10000")).cast("long").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    bins = pts.groupBy(F.expr("s div 1000").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("s").cast("long").alias("conf_sum"),
+        F.sum((F.col("s") - 10000 * F.col("y")) * (F.col("s") - 10000 * F.col("y")))
+        .cast("long")
+        .alias("brier_num"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.abs(10000 * F.col("pos") - F.col("conf_sum"))).alias("ece_micro"),
+        F.sum("brier_num").alias("brier_micro"),
+    ).collect()[0]
+    n_total, ece_micro, brier_micro = (
+        int(tot["n_total"]), int(tot["ece_micro"]), int(tot["brier_micro"])
+    )
+    return bins.select(
+        F.col("bin").cast("long").alias("bin"), "n", "pos", "conf_sum",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("acc"),
+        F.round(F.col("conf_sum").cast("double") / (10000.0 * F.col("n")), 6).alias("conf"),
+        F.lit(ece_micro).cast("long").alias("ece_micro"),
+        F.lit(round(ece_micro / (10000.0 * n_total), 6)).alias("ece"),
+        F.lit(round(brier_micro / (100000000.0 * n_total), 6)).alias("brier"),
+    )

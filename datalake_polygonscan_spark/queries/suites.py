@@ -428,6 +428,14 @@ _suite(
             "k": "px_micro", "n_docs": "py_micro",
             "w0": "obj0", "w1": "obj1", "recall_ok": "improved",
         }),
+        # round 9: ML17 calibration eval — reliability bins, exact
+        # integer-micro ECE + Brier
+        ("calibration", "ml17_calibration_eval", {
+            "n_vectors": "bin", "dim": "n", "k": "pos",
+            "n_docs": "conf_sum", "mean": "acc", "variance": "conf",
+            "w0": "ece", "w1": "brier",
+            "w2": ("CAST(ece_micro AS DOUBLE)", "CAST(ece_micro AS DOUBLE)"),
+        }),
         # round 9: ML16 exact tie-corrected AUC (Mann-Whitney)
         ("auc", "ml16_exact_auc", {
             "lang": "grp", "n_vectors": "n_pos", "dim": "n_neg",
