@@ -940,3 +940,63 @@ def test_qw_named_windows_share_one_exchange(spark):
     assert sum("Exchange (" in ln for ln in tree.splitlines()) == 1
     assert "hashpartitioning(user_id" in plan
     assert sum("Window (" in ln for ln in tree.splitlines()) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operator plan locks
+# ---------------------------------------------------------------------------
+
+
+def test_m7_phash_pairs_is_equijoin_never_cartesian(spark):
+    """The banded Hamming blocking must plan as a hash equi-join on
+    (band, band_val) — a Cartesian or nested-loop pair stage would be
+    the quadratic shape the banding exists to avoid."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["m7_phash_near_dup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er3_soundex_stays_jvm_side(spark):
+    """The phonetic key is the codegen soundex() builtin — no Python
+    evaluation node may appear in the plan."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["er3_soundex_blocking"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "soundex" in plan
+
+
+def test_ml16_auc_two_exchanges_with_partial_agg(spark):
+    """Exact AUC: one shuffle to distinct-score groups (with map-side
+    partial aggregation), one to the per-stratum window/final agg —
+    never a per-row global sort."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml16_exact_auc"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_ml17_calibration_single_shuffle(spark):
+    """The reliability bins come from ONE partial-agg shuffle over the
+    scored table."""
+    from datalake_polygonscan_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["ml17_calibration_eval"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_s44_upsert_plan_has_no_cartesian(spark, tmp_path):
+    """Row-lineage upsert is one outer join on the key plus a rank
+    over the inserted subset — never a cross product."""
+    from datalake_polygonscan_spark.io.rowlineage import rl_create, rl_read
+
+    path = str(tmp_path / "rl_plan")
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, p double")
+    rl_create(base, path, "k")
+    plan = _plan(rl_read(spark, path))
+    assert "CartesianProduct" not in plan
