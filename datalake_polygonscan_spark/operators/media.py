@@ -2688,3 +2688,71 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, schema=_AUDIO_FEAT_SCHEMA)
+
+
+def decode_avi_raw_frames(media: DataFrame) -> DataFrame:
+    """M9 support — the same chunk-walking AVI parse as
+    :func:`decode_avi_frames`, but emitting ONE ROW PER FRAME with the
+    pad-stripped pixel bytes (stored row order), so downstream
+    frame-to-frame operators (scene-change SAD, per-shot sampling)
+    stay in JVM codegen over a binary column instead of re-entering
+    Python per comparison."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def chunks(b: bytes, pos: int, end: int):
+            while pos + 8 <= end:
+                cid = b[pos : pos + 4]
+                size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                yield cid, pos + 8, size
+                pos += 8 + size + (size & 1)
+
+        def rows_of(mid: int, blob: bytes) -> list[dict]:
+            b = bytes(blob)
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                raise ValueError(f"media_id {mid}: not a RIFF/AVI container")
+            width = height = None
+            frames: list[bytes] = []
+            for cid, off, size in chunks(b, 12, len(b)):
+                if cid != b"LIST":
+                    continue
+                ltype = b[off : off + 4]
+                if ltype == b"hdrl":
+                    for c2, o2, s2 in chunks(b, off + 4, off + size):
+                        if c2 == b"avih":
+                            width = int.from_bytes(b[o2 + 32 : o2 + 36], "little")
+                            height = int.from_bytes(b[o2 + 36 : o2 + 40], "little")
+                elif ltype == b"movi":
+                    for c2, o2, s2 in chunks(b, off + 4, off + size):
+                        if c2 == b"00db":
+                            frames.append(b[o2 : o2 + s2])
+            if width is None:
+                raise ValueError(f"media_id {mid}: missing AVI headers")
+            stride = ((width * 3 + 3) // 4) * 4
+            out = []
+            for idx, fr in enumerate(frames):
+                raw = b"".join(
+                    fr[r * stride : r * stride + width * 3] for r in range(height)
+                )
+                out.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": len(frames),
+                        "frame_idx": idx,
+                        "fbytes": raw,
+                    }
+                )
+            return out
+
+        for pdf in batches:
+            rows = []
+            for m, c in zip(pdf["media_id"], pdf["content"]):
+                rows.extend(rows_of(int(m), c))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "frame_idx", "fbytes"]
+            )
+
+    return media.mapInPandas(
+        decode, schema="media_id long, n_frames long, frame_idx long, fbytes binary"
+    )

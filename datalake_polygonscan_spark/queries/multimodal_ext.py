@@ -825,3 +825,189 @@ def m8_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6).alias("rms"),
         "centroid_consistent",
     )
+
+
+@register(
+    "m9_scene_change_detect",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS n,
+               rpad(hex(encode(text)), 96, '20') AS ph
+        FROM documents
+    ), px AS (
+        SELECT media_id, n, ph,
+               unnest(generate_series(0, CAST((n - 1) * 12 - 1 AS INT))) AS p
+        FROM ids WHERE n > 1
+    ), sad AS (
+        SELECT media_id, n, (p // 12) + 1 AS f,
+               abs(CAST(concat('0x', substr(ph,
+                     CAST((((p // 12) + 1) * 16 + ((p % 12) // 6) * 8 + (p % 6)) * 2 + 1 AS INT),
+                     2)) AS BIGINT)
+                 - CAST(concat('0x', substr(ph,
+                     CAST(((p // 12) * 16 + ((p % 12) // 6) * 8 + (p % 6)) * 2 + 1 AS INT),
+                     2)) AS BIGINT)) AS d
+        FROM px
+    ), frames AS (
+        SELECT media_id, n, f AS frame_idx,
+               CAST(sum(d) AS BIGINT) AS sad,
+               CAST(sum(d) > 600 AS INT) AS is_cut
+        FROM sad GROUP BY media_id, n, f
+    )
+    SELECT i.media_id, i.n AS n_frames,
+           coalesce(f.frame_idx, CAST(NULL AS BIGINT)) AS frame_idx,
+           f.sad, f.is_cut,
+           CAST(1 + coalesce(sum(f.is_cut) OVER (PARTITION BY i.media_id), 0)
+                AS BIGINT) AS n_scenes
+    FROM ids i LEFT JOIN frames f ON f.media_id = i.media_id
+    """,
+    doc=(
+        "M9 video SCENE-CHANGE detection — the shot-boundary step of "
+        "a video curation pipeline (dedup/sample per shot, not per "
+        "frame): consecutive decoded AVI frames are compared by exact "
+        "integer SAD (sum of absolute per-byte differences over the "
+        "BGR pixels the real container decoder emits), a cut fires "
+        "where SAD exceeds the threshold, scenes = 1 + cuts. The "
+        "decode is the REAL chunk-walking AVI parser "
+        "(operators/media.py:decode_avi_frames raw-frame variant); "
+        "comparison and thresholding are exact integers, and the "
+        "oracle replays frame extraction + SAD + cuts from the "
+        "fixture hex byte-for-byte. Single-frame clips emit a "
+        "NULL-frame row with one scene — the boundary case a "
+        "frame-diff pipeline must not drop"
+    ),
+)
+def m9_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import avi_table, decode_avi_raw_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = decode_avi_raw_frames(avi_table(docs))  # (media_id, n_frames, frame_idx, fbytes)
+    from pyspark.sql import Window
+
+    a = frames.select("media_id", "n_frames", "frame_idx", "fbytes")
+    b = frames.select(
+        F.col("media_id").alias("media_id_b"),
+        (F.col("frame_idx") + 1).alias("frame_idx_b"),
+        F.col("fbytes").alias("prev_bytes"),
+    )
+    diffs = (
+        a.join(
+            b,
+            (F.col("media_id") == F.col("media_id_b"))
+            & (F.col("frame_idx") == F.col("frame_idx_b")),
+            "inner",
+        )
+        .select(
+            "media_id", "n_frames", "frame_idx",
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.split(F.hex("fbytes"), "(?<=\\G..)"),
+                                lambda h: F.conv(h, 16, 10).cast("long")),
+                    F.transform(F.split(F.hex("prev_bytes"), "(?<=\\G..)"),
+                                lambda h: F.conv(h, 16, 10).cast("long")),
+                    lambda x, y: F.abs(x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+            ).alias("sad"),
+        )
+        .withColumn("is_cut", (F.col("sad") > 600).cast("int"))
+    )
+    base = frames.select("media_id", "n_frames").distinct()
+    w = Window.partitionBy("media_id")
+    return (
+        base.join(diffs.drop("n_frames"), "media_id", "left")
+        .select(
+            "media_id",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "sad", "is_cut",
+            (1 + F.coalesce(F.sum("is_cut").over(w), F.lit(0)))
+            .cast("long")
+            .alias("n_scenes"),
+        )
+    )
+
+
+@register(
+    "m10_silence_detect",
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST((doc_id % 3 + 1) * 4 AS BIGINT) AS n,
+               substr(rpad(hex(encode(text)), 96, '20'),
+                      1, CAST((doc_id % 3 + 1) * 4 * 4 AS INT)) AS ph
+        FROM documents
+    ), pos AS (
+        SELECT media_id, n, ph, unnest(generate_series(1, n)) AS i FROM ids
+    ), s AS (
+        SELECT media_id, n, i,
+               CAST(concat('0x',
+                           substr(ph, CAST((i - 1) * 4 + 3 AS INT), 2),
+                           substr(ph, CAST((i - 1) * 4 + 1 AS INT), 2)) AS BIGINT) AS u
+        FROM pos
+    ), sg AS (
+        SELECT media_id, n, i, (i - 1) // 4 AS w,
+               abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS av
+        FROM s
+    ), win AS (
+        SELECT media_id, n, w,
+               CAST(sum(av) AS BIGINT) AS win_abs,
+               CAST(sum(av) < 50000 AS INT) AS is_silent
+        FROM sg GROUP BY media_id, n, w
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS win_idx, win_abs, is_silent,
+           CAST(sum(is_silent) OVER (PARTITION BY media_id) AS BIGINT) AS n_silent,
+           CAST(n / 4 AS BIGINT) AS n_windows
+    FROM win
+    """,
+    doc=(
+        "M10 audio SILENCE detection (VAD-lite) — the speech-data "
+        "curation gate that drops dead air before transcription or "
+        "packing: real-decoded PCM samples group into fixed 4-sample "
+        "windows, a window is silent when its EXACT integer "
+        "sum-of-|amplitude| falls under the energy threshold, and the "
+        "per-clip silent-window count is the drop signal. Everything "
+        "is integer arithmetic replayed sample-for-sample by the "
+        "oracle (int16-LE decode, sign fold, windowed energy, "
+        "threshold); the windowing is a plain groupBy on (i-1)//4 — "
+        "one partial-agg shuffle, no Python beyond the real container "
+        "decode"
+    ),
+)
+def m10_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.media import wav_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = wav_table(docs)
+    # decode samples JVM-side from the fixture layout: data chunk at
+    # byte offset 44, int16-LE; hex surgery + conv keeps this codegen
+    n = (F.col("media_id") % 3 + 1) * 4
+    idx = F.explode(F.sequence(F.lit(1), n.cast("int"))).alias("i")
+    samples = media.select("media_id", n.cast("long").alias("n"),
+                           F.hex(F.col("content")).alias("hx"), idx)
+    u = F.conv(
+        F.concat(
+            F.substring(F.col("hx"), (F.lit(88) + (F.col("i") - 1) * 4 + 3).cast("int"), 2),
+            F.substring(F.col("hx"), (F.lit(88) + (F.col("i") - 1) * 4 + 1).cast("int"), 2),
+        ),
+        16, 10,
+    ).cast("long")
+    sg = samples.select(
+        "media_id", "n",
+        ((F.col("i") - 1) / 4).cast("long").alias("w"),
+        F.abs(F.when(u >= 32768, u - 65536).otherwise(u)).alias("av"),
+    )
+    win = sg.groupBy("media_id", "n", "w").agg(
+        F.sum("av").cast("long").alias("win_abs")
+    ).withColumn("is_silent", (F.col("win_abs") < 50000).cast("int"))
+    from pyspark.sql import Window
+
+    return win.select(
+        "media_id",
+        F.col("w").alias("win_idx"),
+        "win_abs", "is_silent",
+        F.sum("is_silent").over(Window.partitionBy("media_id")).cast("long").alias("n_silent"),
+        (F.col("n") / 4).cast("long").alias("n_windows"),
+    )

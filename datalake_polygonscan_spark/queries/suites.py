@@ -850,6 +850,18 @@ _suite(
             "peak": "zcr", "sum_abs": "sum_sq", "mean_luma": "rms",
             "frames_match_header": "centroid_consistent",
         }),
+        # round 9: M9 scene cuts (SAD over consecutive raw frames) and
+        # M10 silence windows (exact energy gate) — column reuse noted
+        ("scene", "m9_scene_change_detect", {
+            "media_id": "media_id", "n_frames": "n_frames",
+            "frame_idx": "frame_idx", "sum_luma": "sad",
+            "is_survivor": "is_cut", "n_samples": "n_scenes",
+        }),
+        ("silence", "m10_silence_detect", {
+            "media_id": "media_id", "frame_idx": "win_idx",
+            "sum_abs": "win_abs", "is_survivor": "is_silent",
+            "peak": "n_silent", "n_samples": "n_windows",
+        }),
     ],
 )
 
