@@ -4044,3 +4044,150 @@ def er3_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "word", "sx",
         F.count("*").over(Window.partitionBy("sx")).cast("long").alias("block_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AN12: funnel time-to-convert latency percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "an12_conversion_latency",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_type FROM events
+    ), w1 AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM base GROUP BY user_id
+    ), w2 AS (
+        SELECT b.user_id, w1.t_view,
+               min(CASE WHEN b.event_type = 'purchase' AND b.ts >= w1.t_view
+                        THEN b.ts END) AS t_purchase
+        FROM base b JOIN w1 USING (user_id) GROUP BY b.user_id, w1.t_view
+    ), conv AS (
+        SELECT user_id,
+               CAST(hour(CAST(t_view AS TIMESTAMP)) % 6 AS BIGINT) AS cohort,
+               epoch_us(CAST(t_purchase AS TIMESTAMP))
+                 - epoch_us(CAST(t_view AS TIMESTAMP)) AS delay_us
+        FROM w2 WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(delay_us, 0.5), 4) AS p50_us,
+           ROUND(quantile_cont(delay_us, 0.9), 4) AS p90_us,
+           CAST(max(delay_us) AS BIGINT) AS max_us
+    FROM conv GROUP BY cohort
+    """,
+    doc=(
+        "AN12 funnel TIME-TO-CONVERT latency: per converting user the "
+        "exact integer microsecond delay from first view to first "
+        "at-or-after purchase (the AN1 funnel chain), aggregated per "
+        "cohort into exact-interpolation p50/p90 and max — the "
+        "conversion-SLA report beside AN1's depth counts. Delays are "
+        "exact BIGINT epoch-microsecond differences (no float time "
+        "math); percentile() == quantile_cont by the A5 contract"
+    ),
+)
+def an12_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(ev, "user_id", "ts", "event_type", ["view", "purchase"])
+    conv = f.filter(
+        F.col("t_view").isNotNull() & F.col("t_purchase").isNotNull()
+    ).select(
+        (F.hour("t_view") % 6).cast("long").alias("cohort"),
+        (F.unix_micros(F.col("t_purchase").cast("timestamp"))
+         - F.unix_micros(F.col("t_view").cast("timestamp"))).alias("delay_us"),
+    )
+    return conv.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("delay_us", F.lit(0.5)), 4).alias("p50_us"),
+        F.round(F.percentile("delay_us", F.lit(0.9)), 4).alias("p90_us"),
+        F.max("delay_us").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: exact grouped skewness / kurtosis from integer power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a16_skew_kurtosis",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem
+    ), sums AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s1,
+               CAST(sum(x * x) AS BIGINT) AS s2,
+               CAST(sum(x * x * x) AS BIGINT) AS s3,
+               CAST(sum(x * x * x * x) AS BIGINT) AS s4
+        FROM pts GROUP BY grp
+    )
+    SELECT grp, n, s1, s2, s3, s4,
+           ROUND(
+             (CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
+             6) AS skewness,
+           ROUND(
+             (CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0,
+             6) AS kurtosis_excess
+    FROM sums
+    """,
+    doc=(
+        "A16 exact grouped SKEWNESS and excess KURTOSIS: the third/"
+        "fourth-moment shape statistics from EXACT integer power sums "
+        "(S1..S4 over integer-valued quantities — one partial-agg "
+        "shuffle, fully mergeable, no per-group sort), combined into "
+        "the population moments by a SINGLE IEEE-double expression "
+        "over those exact integers — bit-identical across engines by "
+        "the round-9 single-expression discipline, unlike calling "
+        "each engine's own skewness()/kurtosis() whose internal "
+        "accumulation orders differ. Power sums graded as exact "
+        "BIGINTs beside the rounded statistics"
+    ),
+)
+def a16_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    sums = pts.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2r = F.col("s2").cast("double") / F.col("n")
+    m3r = F.col("s3").cast("double") / F.col("n")
+    m4r = F.col("s4").cast("double") / F.col("n")
+    var = m2r - m1 * m1
+    skew = (m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r - 3.0 * m1 * m1 * m1 * m1) / (
+        var * var
+    ) - 3.0
+    return sums.select(
+        "grp", "n", "s1", "s2", "s3", "s4",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )

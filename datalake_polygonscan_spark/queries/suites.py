@@ -545,6 +545,15 @@ _suite(
             "p50_qty": "median", "p90_qty": "mad",
             "p99_price": "sigma_robust",
         }),
+        # round 9: A16 exact skewness/kurtosis from integer power sums
+        ("shape", "a16_skew_kurtosis", {
+            "l_returnflag": "grp", "n": "n", "key": "s1", "cnt": "s2",
+            "p50_qty": "skewness", "p90_qty": "kurtosis_excess",
+            "rank_ok_p50": ("CAST(s3 % 1000000 AS INT)",
+                            "CAST(s3 % 1000000 AS INTEGER)"),
+            "rank_ok_p90": ("CAST(s4 % 1000000 AS INT)",
+                            "CAST(s4 % 1000000 AS INTEGER)"),
+        }),
     ],
 )
 
@@ -1825,6 +1834,12 @@ _suite(
         ("stickiness", "an11_dau_wau_stickiness", {
             "n_rows": "day", "n_active": "dau",
             "cohort_size": "wau", "retention": "stickiness",
+        }),
+        # round 9: AN12 funnel time-to-convert percentiles
+        ("latency", "an12_conversion_latency", {
+            "user_id": "cohort", "n_rows": "n_converted",
+            "retention": "p50_us", "conf_ab": "p90_us",
+            "n_active": "max_us",
         }),
     ],
 )
