@@ -485,6 +485,14 @@ def main() -> None:
                 # value/queries by this to compare across rounds
                 "calibration_ratio": ratio,
                 "value_normalized": round(total / ratio, 3) if ratio > 0 else total,
+                # the headline set GROWS every round (new operators join
+                # it), so the comparable cross-round number is per-query,
+                # not the total: divide by n_queries AND the host ratio
+                "n_queries": len(timings),
+                "per_query_mean_sec": round(total / len(timings), 3),
+                "per_query_mean_normalized": round(
+                    total / len(timings) / ratio, 3
+                ) if ratio > 0 else round(total / len(timings), 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )

@@ -538,11 +538,14 @@ def png_bytes(media_id: int, payload: bytes, width: int = PNG_WIDTH) -> bytes:
     )
 
 
-def decode_png_bytes(blob: bytes) -> tuple[int, int, bytes]:
+def decode_png_bytes(blob: bytes, inflate_fn=None) -> tuple[int, int, bytes]:
     """Parse a PNG (8-bit RGB, non-interlaced), decompress the IDAT
-    stream with stdlib zlib and REVERSE the per-row filters; returns
-    (width, height, raw RGB bytes). Pure Python + zlib — the real
-    compressed-codec decode path, no PIL."""
+    stream and REVERSE the per-row filters; returns (width, height,
+    raw RGB bytes). Pure Python — the real compressed-codec decode
+    path, no PIL. ``inflate_fn`` defaults to stdlib zlib; pass
+    :func:`datalake_polygonscan_spark.operators.deflate.zlib_decompress_scratch`
+    for the fully from-scratch DEFLATE path (RFC 1951/1950 in-repo,
+    Adler-32 verified)."""
     import struct
     import zlib as _z
 
@@ -563,7 +566,7 @@ def decode_png_bytes(blob: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    lines = _z.decompress(bytes(idat))
+    lines = (inflate_fn or _z.decompress)(bytes(idat))
     bpp = 3
     row_bytes = width * bpp
     out = bytearray()
@@ -632,7 +635,7 @@ def png_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(id_col, text_col).mapInPandas(build, schema=schema)
 
 
-def decode_png_pixels(media: DataFrame) -> DataFrame:
+def decode_png_pixels(media: DataFrame, inflate_fn=None) -> DataFrame:
     """Pixel decode for REAL compressed PNGs through the same
     Arrow-batched ``mapInPandas`` tier as :func:`decode_bmp_pixels`:
     stdlib-zlib IDAT decompression + full five-filter unfiltering
@@ -644,7 +647,7 @@ def decode_png_pixels(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         def one(mid: int, blob: bytes) -> dict:
-            width, height, raw = decode_png_bytes(blob)
+            width, height, raw = decode_png_bytes(blob, inflate_fn=inflate_fn)
             px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
             rsum, gsum, bsum = (int(px[:, i].sum()) for i in range(3))
             n = px.shape[0]

@@ -804,6 +804,12 @@ _suite(
             "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
             "sum_r": "sum_r", "mean_luma": "mean_luma",
         }),
+        # round 9: the same PNG decode over the FROM-SCRATCH inflate
+        ("png_scratch", "m_png_scratch_inflate", {
+            "media_id": "media_id", "width": "width", "height": "height",
+            "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",
+            "sum_r": "sum_r", "mean_luma": "mean_luma",
+        }),
         ("gif", "m_gif_pixel_decode", {
             "media_id": "media_id", "width": "width", "height": "height",
             "n_pixels": "n_pixels", "sum_b": "sum_b", "sum_g": "sum_g",

@@ -1200,3 +1200,48 @@ def test_audio_features_match_stdlib_recompute(spark):
         assert r["zcr"] == zcr
         assert r["sum_sq"] == sum(x * x for x in v)
         assert r["centroid_consistent"] is True
+
+
+# ---------------------------------------------------------------------------
+# from-scratch INFLATE (operators/deflate.py)
+# ---------------------------------------------------------------------------
+
+
+def test_scratch_inflate_matches_zlib_all_block_types():
+    """Cross-validate the RFC 1951 decoder against stdlib zlib across
+    stored (level 0), fixed- and dynamic-Huffman blocks, overlapping
+    LZ77 runs, and >258-byte matches, plus the Adler-32 check."""
+    import random
+    import zlib
+
+    from datalake_polygonscan_spark.operators.deflate import (
+        adler32_scratch,
+        zlib_decompress_scratch,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"hello world",
+        b"A" * 1000 + b"B" * 300,          # long runs -> overlapping copies
+        b"abc" * 500,                       # period-3 overlap
+        bytes(rng.randrange(256) for _ in range(5000)),  # incompressible
+        b"".join(bytes([rng.choice([32, 65, rng.randrange(256)])]) for _ in range(8000)),
+    ]
+    for payload in cases:
+        for level in (0, 1, 6, 9):
+            assert zlib_decompress_scratch(zlib.compress(payload, level)) == payload
+        assert adler32_scratch(payload) == zlib.adler32(payload)
+
+
+def test_scratch_inflate_rejects_corruption():
+    import zlib
+
+    import pytest
+
+    from datalake_polygonscan_spark.operators.deflate import zlib_decompress_scratch
+
+    z = bytearray(zlib.compress(b"payload under test", 6))
+    z[-1] ^= 0xFF  # corrupt the adler32 trailer
+    with pytest.raises(ValueError, match="adler32"):
+        zlib_decompress_scratch(bytes(z))
