@@ -775,7 +775,10 @@ def e16_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     first = ev.filter(F.col("event_id") % 4 < 2)
     second = ev.filter(F.col("event_id") % 4 >= 2)
-    first.repartition(2).write.mode("overwrite").parquet(src)
+    # one file for run 1: the resume property rides run 2's two new
+    # files (v_first + 2), so a second run-1 batch only adds a full
+    # MERGE commit of bench cost without strengthening any verdict
+    first.repartition(1).write.mode("overwrite").parquet(src)
 
     stream_merge_ingest(
         spark, src, table, keys=["event_id"],
