@@ -268,6 +268,13 @@ HEADLINE = [
     "ts15_dtw_distance",
     "ml15_als_recommender",
     "er3_soundex_blocking",
+    "ml17_calibration_eval",
+    "l16_dedup_survivorship",
+    "m9_scene_change_detect",
+    "m10_silence_detect",
+    "an12_conversion_latency",
+    "a16_skew_kurtosis",
+    "m_png_scratch_inflate",
 ]
 
 
@@ -428,6 +435,13 @@ WARMUP = [
     "ts15_dtw_distance",
     "ml15_als_recommender",
     "er3_soundex_blocking",
+    "ml17_calibration_eval",
+    "l16_dedup_survivorship",
+    "m9_scene_change_detect",
+    "m10_silence_detect",
+    "an12_conversion_latency",
+    "a16_skew_kurtosis",
+    "m_png_scratch_inflate",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the
