@@ -275,6 +275,7 @@ HEADLINE = [
     "an12_conversion_latency",
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
+    "dg4_fpe_pseudonymize",
 ]
 
 
@@ -442,6 +443,7 @@ WARMUP = [
     "an12_conversion_latency",
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
+    "dg4_fpe_pseudonymize",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

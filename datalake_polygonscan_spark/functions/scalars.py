@@ -63,3 +63,56 @@ def scale_token_amount(raw_value: Column | str, decimals: Column | str) -> Colum
     frac_part = padded.substr(n - d + 1, d)
     # try_cast: overflow -> NULL under ANSI mode too (Spark 4 default)
     return F.concat(int_part, F.lit("."), frac_part).try_cast(T.DecimalType(38, 18))
+
+
+# ---------------------------------------------------------------------------
+# DG4 — format-preserving pseudonymization (Feistel over the md5 bridge)
+# ---------------------------------------------------------------------------
+
+#: half-width of the Feistel domain: ids live in [0, 2^62) as two
+#: 31-bit halves, so every intermediate stays a positive BIGINT on
+#: both engines
+FEISTEL_HALF_BITS = 31
+FEISTEL_ROUNDS = 4
+
+
+def _feistel_round(v: Column, r: int, seed: str) -> Column:
+    """Round function: keyed md5 of the half's decimal digits, folded
+    to 31 bits via the engine-portable md5/conv bridge (identical
+    construction in the SQL oracle)."""
+    h = F.md5(F.concat(F.lit(f"{seed}{r}:"), v.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(
+        2**FEISTEL_HALF_BITS
+    )
+
+
+def feistel_pseudonymize(key: Column, seed: str = "dg4", inverse: bool = False) -> Column:
+    """DG4 — deterministic FORMAT-PRESERVING pseudonymization: a
+    4-round balanced Feistel network over 62-bit integers whose round
+    function is keyed md5 — the tokenization-vault primitive that
+    replaces a PII key with a stable opaque token WITHOUT a lookup
+    table (the mapping is a pure function of key + seed), stays inside
+    the BIGINT type so every downstream join/partition scheme keeps
+    working, and is EXACTLY invertible (``inverse=True`` runs the
+    rounds backwards). Feistel guarantees bijectivity regardless of
+    the round function, so distinct-count semantics survive
+    pseudonymization — the property k-anonymity (DG2) and masking
+    (DG1) releases cannot offer. Pure codegen: zero Python, zero
+    shuffle, replayable verbatim by a SQL oracle."""
+    # exact bit arithmetic (never double division — keys up to 2^62
+    # would lose precision through a float)
+    half_mod = F.lit(2**FEISTEL_HALF_BITS)
+    hi = F.shiftright(key.cast("long"), FEISTEL_HALF_BITS)
+    lo = key.cast("long").bitwiseAND(F.lit(2**FEISTEL_HALF_BITS - 1))
+    if not inverse:
+        for r in range(1, FEISTEL_ROUNDS + 1):
+            hi, lo = lo, _xor31(hi, _feistel_round(lo, r, seed))
+    else:
+        for r in range(FEISTEL_ROUNDS, 0, -1):
+            hi, lo = _xor31(lo, _feistel_round(hi, r, seed)), hi
+    return (hi * half_mod + lo).cast("long")
+
+
+def _xor31(a: Column, b: Column) -> Column:
+    """Bitwise XOR of two sub-2^31 longs (stays positive)."""
+    return a.bitwiseXOR(b)

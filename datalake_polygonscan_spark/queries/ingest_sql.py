@@ -1235,3 +1235,90 @@ def qx_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING qx_cut, qx_tbl, qx_cut, qx_seg
         """
     )
+
+
+def _dg4_oracle_sql() -> str:
+    """Replays the 4-round Feistel (both directions) in SQL: the round
+    function is the same keyed-md5/conv bridge construction, halves
+    stay sub-2^31 positive BIGINTs, and the inverse rounds prove the
+    bijection row-for-row."""
+    half = 2**31
+    mask = half - 1
+
+    def fr(r: int, v: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('dg4{r}:', "
+            f"CAST({v} AS VARCHAR))), 1, 15)) AS BIGINT) % {half}"
+        )
+
+    fwd = ["base AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS k, "
+           f"CAST(c_custkey AS BIGINT) >> 31 AS hi, "
+           f"CAST(c_custkey AS BIGINT) & {mask} AS lo FROM customer)"]
+    prev = "base"
+    for r in range(1, 5):
+        fwd.append(
+            f"f{r} AS MATERIALIZED (SELECT k, lo AS hi, "
+            f"xor(hi, {fr(r, 'lo')}) AS lo FROM {prev})"
+        )
+        prev = f"f{r}"
+    fwd.append(
+        f"tok AS MATERIALIZED (SELECT k, hi * {half} + lo AS token, hi, lo FROM f4)"
+    )
+    prev = "tok"
+    for i, r in enumerate((4, 3, 2, 1), start=1):
+        fwd.append(
+            f"b{i} AS MATERIALIZED (SELECT k, token, "
+            f"xor(lo, {fr(r, 'hi')}) AS hi, hi AS lo FROM {prev})"
+        )
+        prev = f"b{i}"
+    return f"""
+    WITH {', '.join(fwd)}
+    SELECT k AS c_custkey, token,
+           (b4.hi * {half} + b4.lo) = k AS roundtrip_ok,
+           (SELECT count(*) = count(DISTINCT token) FROM tok)
+             AS distinct_preserved
+    FROM b4
+    """
+
+
+@register(
+    "dg4_fpe_pseudonymize",
+    oracle=_dg4_oracle_sql(),
+    doc=(
+        "DG4 FORMAT-PRESERVING pseudonymization — the tokenization-"
+        "vault primitive completing the privacy tier beside masking "
+        "(DG1), k-anonymity (DG2) and DP noise (DG3): a 4-round "
+        "balanced Feistel network over 62-bit integers with a keyed-"
+        "md5 round function (functions/scalars.py:"
+        "feistel_pseudonymize). The token is a stable pure function "
+        "of key + seed (no lookup-table vault to secure), stays a "
+        "BIGINT so joins/bucketing/partitioning keep working, and the "
+        "Feistel structure guarantees a BIJECTION regardless of the "
+        "round function — distinct counts survive, and the inverse "
+        "rounds recover the original exactly (graded per-row via the "
+        "in-job decrypt). Pure codegen: zero Python, zero shuffle, "
+        "exact bit arithmetic (shifts/masks, never double division); "
+        "the oracle replays both directions round-for-round over the "
+        "portable md5/conv bridge"
+    ),
+)
+def dg4_fpe_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.functions.scalars import feistel_pseudonymize
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    enc = cust.select("k", feistel_pseudonymize(F.col("k")).alias("token"))
+    rt = enc.select(
+        "k", "token",
+        (feistel_pseudonymize(F.col("token"), inverse=True) == F.col("k")).alias(
+            "roundtrip_ok"
+        ),
+    )
+    stats = rt.agg(
+        F.count("*").alias("n"), F.countDistinct("token").alias("nd")
+    ).collect()[0]
+    return rt.select(
+        F.col("k").alias("c_custkey"), "token", "roundtrip_ok",
+        F.lit(bool(stats["n"] == stats["nd"])).alias("distinct_preserved"),
+    )

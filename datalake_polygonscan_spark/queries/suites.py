@@ -1974,6 +1974,12 @@ _suite(
             "mode": "mode", "status": "grp", "n_rows": "n_rows",
             "metric": "total", "semantics_ok": "pruned",
         }),
+        # round 9: DG4 format-preserving pseudonymization (Feistel)
+        ("fpe_token", "dg4_fpe_pseudonymize", {
+            "c_custkey": "c_custkey", "valid_from": "token",
+            "zero_copy": "roundtrip_ok",
+            "bad_batch_rejected": "distinct_preserved",
+        }),
         # round 9: S44 row lineage — stable row ids across upserts
         ("row_lineage", "s44_row_lineage", {
             "c_custkey": "o_orderkey", "valid_from": "row_id",

@@ -159,3 +159,37 @@ def test_soundex_replay_matches_spark_builtin_on_tricky_names(spark):
     """).fetchall()
     for w, sx in rows:
         assert got[w] == sx, (w, got[w], sx)
+
+
+def test_feistel_pseudonymization_bijective_and_invertible(spark):
+    """Round-trip identity on small and near-2^62 keys, and the token
+    set is a permutation (no collisions) on a contiguous range."""
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.functions.scalars import feistel_pseudonymize
+
+    df = spark.range(0, 4096).select(F.col("id").alias("k")).unionByName(
+        spark.range(0, 16).select((F.lit(2**62 - 1) - F.col("id")).alias("k"))
+    )
+    rt = df.select(
+        "k",
+        feistel_pseudonymize(F.col("k")).alias("t"),
+    ).select("k", "t", feistel_pseudonymize(F.col("t"), inverse=True).alias("back"))
+    assert rt.filter("back != k").count() == 0
+    row = rt.agg(F.count("*").alias("n"), F.countDistinct("t").alias("nd")).collect()[0]
+    assert row["n"] == row["nd"]
+    # tokens are in-domain (format preserving: still sub-2^62 BIGINTs)
+    assert rt.filter("t < 0 OR t >= 4611686018427387904").count() == 0
+
+
+def test_feistel_seed_changes_mapping(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_polygonscan_spark.functions.scalars import feistel_pseudonymize
+
+    df = spark.range(0, 256).select(F.col("id").alias("k"))
+    both = df.select(
+        feistel_pseudonymize(F.col("k"), seed="dg4").alias("a"),
+        feistel_pseudonymize(F.col("k"), seed="other").alias("b"),
+    )
+    assert both.filter("a = b").count() < 8  # different keyed permutations
