@@ -101,3 +101,47 @@ def scan_is_pruned(df: DataFrame, part_col: str) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     at = plan.find("PartitionFilters: [")
     return at >= 0 and part_col in plan[at : plan.find("]", at) + 1]
+
+
+@dataclass(frozen=True)
+class TruncateTransform:
+    """Partition by a fixed-width prefix of a string column (Iceberg's
+    ``truncate[W]`` transform — the layout for prefix-searchable
+    string keys)."""
+
+    source: str
+    part_col: str
+    width: int
+
+    def derive(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.part_col, F.substring(F.col(self.source), 1, self.width))
+
+    def prefix_predicate(self, prefix: str) -> Column:
+        """Partition predicate implied by ``source LIKE 'prefix%'``
+        when ``len(prefix) >= width``: the partition value is exactly
+        the prefix's first ``width`` chars. (Shorter prefixes imply a
+        range predicate — callers with that shape should filter on
+        ``between(prefix, prefix + chr(0x10FFFF))``.)"""
+        if len(prefix) < self.width:
+            raise ValueError(
+                f"prefix {prefix!r} shorter than truncate width {self.width}"
+            )
+        return F.col(self.part_col) == prefix[: self.width]
+
+
+@dataclass(frozen=True)
+class DayTransform:
+    """Partition by calendar day of a timestamp column (Iceberg's
+    ``day`` transform — finer than MonthTransform, the layout for
+    retention/replay windows)."""
+
+    source: str
+    part_col: str
+
+    def derive(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.part_col, F.date_format(F.col(self.source), "yyyy-MM-dd"))
+
+    def range_predicate(self, lo: str, hi: str) -> Column:
+        """'yyyy-MM-dd' sorts lexicographically, so the day interval is
+        a plain string BETWEEN on the partition column."""
+        return F.col(self.part_col).between(lo[:10], hi[:10])

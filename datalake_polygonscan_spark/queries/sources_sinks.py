@@ -495,3 +495,97 @@ def s42_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(third_commit_versioned)).alias("third_commit_versioned"),
         )
     )
+
+
+@register(
+    "s46_transform_parity",
+    oracle="""
+    SELECT 'truncate_prefix' AS mode, p_brand AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+           TRUE AS pruned
+    FROM part
+    WHERE substr(p_name, 1, 3) = (SELECT substr(min(p_name), 1, 3) FROM part)
+    GROUP BY p_brand
+    UNION ALL
+    SELECT 'day_range', event_type,
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4),
+           TRUE
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                 AND TIMESTAMP '2024-01-12 23:59:59'
+    GROUP BY event_type
+    """,
+    doc=(
+        "S46 transform-partitioning PARITY — completes the Iceberg "
+        "transform set beside S37's month/bucket: TRUNCATE[3] on a "
+        "string key (the layout for prefix-searchable keys; a raw "
+        "prefix filter derives an exact partition-value equality) and "
+        "DAY on an event timestamp (the retention/replay layout; a "
+        "raw timestamp range derives a lexicographic day BETWEEN). "
+        "Both queries filter only RAW columns, pruning is asserted "
+        "against the EXECUTED plan's PartitionFilters and ridden on "
+        "the value hash as `pruned`, and the oracle recomputes the "
+        "aggregates from the raw table with the raw predicates — "
+        "boundary-row derivation bugs value-fail "
+        "(io/hidden_partitioning.py:TruncateTransform/DayTransform)"
+    ),
+)
+def s46_transform_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.hidden_partitioning import (
+        DayTransform,
+        TruncateTransform,
+        read_hidden,
+        scan_is_pruned,
+        write_hidden,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand",
+        F.col("p_retailprice").cast("decimal(18,6)").alias("price"),
+    )
+    trunc_t = TruncateTransform("p_name", "__p_pfx", 3)
+    ppath = _scratch("s46_transforms", "part_trunc")
+    _shutil.rmtree(ppath, ignore_errors=True)
+    write_hidden(part, ppath, [trunc_t])
+    prefix = part.agg(
+        F.substring(F.min("p_name"), 1, 3).alias("p")
+    ).collect()[0]["p"]
+    trunc_q = (
+        read_hidden(spark, ppath, [trunc_t.prefix_predicate(prefix)])
+        .filter(F.substring("p_name", 1, 3) == prefix)
+        .groupBy(F.col("p_brand").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("price", "total"))
+    )
+    trunc_pruned = scan_is_pruned(trunc_q, "__p_pfx")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    day_t = DayTransform("ts", "__p_day")
+    epath = _scratch("s46_transforms", "events_day")
+    _shutil.rmtree(epath, ignore_errors=True)
+    write_hidden(ev, epath, [day_t])
+    lo, hi = "2024-01-05 00:00:00", "2024-01-12 23:59:59"
+    day_q = (
+        read_hidden(spark, epath, [day_t.range_predicate(lo, hi)])
+        .filter(F.col("ts").between(F.lit(lo).cast("timestamp"),
+                                    F.lit(hi).cast("timestamp")))
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("value", "total"))
+    )
+    day_pruned = scan_is_pruned(day_q, "__p_day")
+
+    return trunc_q.select(
+        F.lit("truncate_prefix").alias("mode"), "grp", "n_rows", "total",
+        F.lit(bool(trunc_pruned)).alias("pruned"),
+    ).unionByName(
+        day_q.select(
+            F.lit("day_range").alias("mode"), "grp", "n_rows", "total",
+            F.lit(bool(day_pruned)).alias("pruned"),
+        )
+    )

@@ -1974,6 +1974,11 @@ _suite(
             "mode": "mode", "status": "grp", "n_rows": "n_rows",
             "metric": "total", "semantics_ok": "pruned",
         }),
+        # round 9: S46 truncate/day transform parity (same shape)
+        (None, "s46_transform_parity", {
+            "mode": "mode", "status": "grp", "n_rows": "n_rows",
+            "metric": "total", "semantics_ok": "pruned",
+        }),
         # round 9: DG4 format-preserving pseudonymization (Feistel)
         ("fpe_token", "dg4_fpe_pseudonymize", {
             "c_custkey": "c_custkey", "valid_from": "token",

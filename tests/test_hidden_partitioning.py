@@ -59,3 +59,54 @@ def test_bucket_predicate_prunes(spark, tmp_path):
     q = read_hidden(spark, path, [bucket_t.eq_predicate(3)]).filter(F.col("k") == 3)
     assert [r.k for r in q.collect()] == [3]
     assert scan_is_pruned(q, "__p_bucket")
+
+
+def test_truncate_transform_prunes_and_rejects_short_prefix(spark, tmp_path):
+    import pytest
+
+    from datalake_polygonscan_spark.io.hidden_partitioning import (
+        TruncateTransform,
+        read_hidden,
+        scan_is_pruned,
+        write_hidden,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alps"), (3, "beta"), (4, "bets")],
+        "k long, name string",
+    )
+    t = TruncateTransform("name", "__p_pfx", 3)
+    path = str(tmp_path / "trunc")
+    write_hidden(df, path, [t])
+    q = read_hidden(spark, path, [t.prefix_predicate("alp")]).filter(
+        "name LIKE 'alp%'"
+    )
+    assert sorted(r["k"] for r in q.collect()) == [1, 2]
+    assert scan_is_pruned(q, "__p_pfx")
+    assert "__p_pfx" not in q.columns  # layout stays hidden
+    with pytest.raises(ValueError, match="shorter than truncate width"):
+        t.prefix_predicate("al")
+
+
+def test_day_transform_prunes_range(spark, tmp_path):
+    import datetime
+
+    from datalake_polygonscan_spark.io.hidden_partitioning import (
+        DayTransform,
+        read_hidden,
+        scan_is_pruned,
+        write_hidden,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0, 0)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    t = DayTransform("ts", "__p_day")
+    path = str(tmp_path / "day")
+    write_hidden(df, path, [t])
+    q = read_hidden(
+        spark, path, [t.range_predicate("2024-01-03 00:00:00", "2024-01-05 23:59:59")]
+    ).filter("ts BETWEEN '2024-01-03' AND '2024-01-06'")
+    assert sorted(r["k"] for r in q.collect()) == [2, 3, 4]
+    assert scan_is_pruned(q, "__p_day")
