@@ -276,6 +276,7 @@ HEADLINE = [
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
     "dg4_fpe_pseudonymize",
+    "s46_transform_parity",
 ]
 
 
