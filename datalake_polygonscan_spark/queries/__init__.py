@@ -150,6 +150,27 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g6_bfs_shortest_hops",
     "q20_nested_in_scalar",
     "q22_global_scalar_notexists",
+    # round-9 operators (each also rides a graded suite as an arm;
+    # here so a window overflow grades them as standalone rows next)
+    "m7_phash_near_dup",
+    "m8_audio_features",
+    "m9_scene_change_detect",
+    "m10_silence_detect",
+    "m_png_scratch_inflate",
+    "g10_kcore",
+    "ml14_gradient_boosting",
+    "ml15_als_recommender",
+    "ml16_exact_auc",
+    "ml17_calibration_eval",
+    "s44_row_lineage",
+    "s46_transform_parity",
+    "qx_session_variables",
+    "ts15_dtw_distance",
+    "er3_soundex_blocking",
+    "l16_dedup_survivorship",
+    "an12_conversion_latency",
+    "a16_skew_kurtosis",
+    "dg4_fpe_pseudonymize",
     "l3q_int8_quantized_knn",
     "l3pq_ann",
     "l3ivfpq_ann",
