@@ -275,6 +275,7 @@ HEADLINE = [
     "an12_conversion_latency",
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
+    "ml18_ranking_metrics",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
 ]
@@ -444,6 +445,7 @@ WARMUP = [
     "an12_conversion_latency",
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
+    "ml18_ranking_metrics",
     "dg4_fpe_pseudonymize",
 ]
 

@@ -1655,3 +1655,153 @@ def ml17_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(round(ece_micro / (10000.0 * n_total), 6)).alias("ece"),
         F.lit(round(brier_micro / (100000000.0 * n_total), 6)).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML18: ranking metrics — average precision + nDCG@20
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml18_ranking_metrics",
+    oracle="""
+    WITH ranked AS MATERIALIZED (
+        SELECT l_linestatus AS grp,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(l_quantity AS BIGINT) % 4 AS rel,
+               row_number() OVER (
+                   PARTITION BY l_linestatus
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS k
+        FROM lineitem
+    ), ap_terms AS (
+        SELECT grp, k, y,
+               sum(y) OVER (PARTITION BY grp ORDER BY k) AS pos_seen
+        FROM ranked
+    ), ap AS (
+        SELECT grp,
+               CAST(sum(CASE WHEN y = 1
+                             THEN CAST(round(CAST(pos_seen AS DOUBLE) / k, 9)
+                                       AS DECIMAL(28,9))
+                             ELSE CAST(0 AS DECIMAL(28,9)) END)
+                    AS DECIMAL(38,9)) AS ap_sum,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ap_terms GROUP BY grp
+    ), dcg AS (
+        SELECT grp,
+               CAST(sum(CASE WHEN k <= 20
+                             THEN CAST(round(((1 << rel) - 1) / log2(k + 1), 9)
+                                       AS DECIMAL(28,9))
+                             ELSE CAST(0 AS DECIMAL(28,9)) END)
+                    AS DECIMAL(38,9)) AS dcg20
+        FROM ranked GROUP BY grp
+    ), ideal AS (
+        SELECT grp,
+               CAST(sum(CASE WHEN ik <= 20
+                             THEN CAST(round(((1 << rel) - 1) / log2(ik + 1), 9)
+                                       AS DECIMAL(28,9))
+                             ELSE CAST(0 AS DECIMAL(28,9)) END)
+                    AS DECIMAL(38,9)) AS idcg20
+        FROM (
+            SELECT grp, rel,
+                   row_number() OVER (
+                       PARTITION BY grp ORDER BY rel DESC, k ASC) AS ik
+            FROM ranked
+        ) GROUP BY grp
+    )
+    SELECT ap.grp, ap.n, ap.n_pos,
+           ROUND(CAST(ap.ap_sum AS DOUBLE) / ap.n_pos, 6) AS avg_precision,
+           ROUND(CAST(dcg.dcg20 AS DOUBLE), 6) AS dcg20,
+           ROUND(CAST(ideal.idcg20 AS DOUBLE), 6) AS idcg20,
+           ROUND(CAST(dcg.dcg20 AS DOUBLE) / CAST(ideal.idcg20 AS DOUBLE), 6)
+             AS ndcg20
+    FROM ap JOIN dcg ON dcg.grp = ap.grp JOIN ideal ON ideal.grp = ap.grp
+    """,
+    doc=(
+        "ML18 RANKING metrics — average precision and nDCG@20, the "
+        "retrieval-evaluation pair beside ML16's AUC and L9's BM25: a "
+        "deterministic total ranking per stratum (score desc with "
+        "full tie-break chain), AP as the mean of precision@k at "
+        "positive ranks, DCG/IDCG@20 with graded relevance (2^rel-1 "
+        "gains). Per-term values are ROUNDed to 9 dp and summed as "
+        "DECIMAL(28,9) — the AN3/ML3/L9 order-determinism discipline "
+        "that makes float-valued metric sums independent of "
+        "partitioning on both engines; divisions happen once at the "
+        "boundary. One rank window + one partial agg per metric"
+    ),
+)
+def ml18_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("long") % 4).alias("rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_linestatus").orderBy(
+                F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+            )
+        )
+        .alias("k"),
+    )
+    cum = Window.partitionBy("grp").orderBy("k")
+    terms = ranked.withColumn("pos_seen", F.sum("y").over(cum))
+    ap = terms.groupBy("grp").agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.round(F.col("pos_seen").cast("double") / F.col("k"), 9).cast(
+                    "decimal(28,9)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        )
+        .cast("decimal(38,9)")
+        .alias("ap_sum"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    gain = F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS DOUBLE)")
+    dcg = ranked.groupBy("grp").agg(
+        F.sum(
+            F.when(
+                F.col("k") <= 20,
+                F.round(gain / F.log2(F.col("k") + 1), 9).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        )
+        .cast("decimal(38,9)")
+        .alias("dcg20")
+    )
+    iranked = ranked.withColumn(
+        "ik",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.desc("rel"), F.asc("k"))
+        ),
+    )
+    ideal = iranked.groupBy("grp").agg(
+        F.sum(
+            F.when(
+                F.col("ik") <= 20,
+                F.round(gain / F.log2(F.col("ik") + 1), 9).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        )
+        .cast("decimal(38,9)")
+        .alias("idcg20")
+    )
+    return (
+        ap.join(dcg, "grp")
+        .join(ideal, "grp")
+        .select(
+            "grp", "n", "n_pos",
+            F.round(F.col("ap_sum").cast("double") / F.col("n_pos"), 6).alias(
+                "avg_precision"
+            ),
+            F.round(F.col("dcg20").cast("double"), 6).alias("dcg20"),
+            F.round(F.col("idcg20").cast("double"), 6).alias("idcg20"),
+            F.round(
+                F.col("dcg20").cast("double") / F.col("idcg20").cast("double"), 6
+            ).alias("ndcg20"),
+        )
+    )

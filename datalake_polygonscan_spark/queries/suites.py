@@ -428,6 +428,12 @@ _suite(
             "k": "px_micro", "n_docs": "py_micro",
             "w0": "obj0", "w1": "obj1", "recall_ok": "improved",
         }),
+        # round 9: ML18 ranking metrics — AP + nDCG@20 (nano-quantized)
+        ("ranking", "ml18_ranking_metrics", {
+            "lang": "grp", "n_vectors": "n", "dim": "n_pos",
+            "mean": "avg_precision", "w0": "dcg20", "w1": "idcg20",
+            "variance": "ndcg20",
+        }),
         # round 9: ML17 calibration eval — reliability bins, exact
         # integer-micro ECE + Brier
         ("calibration", "ml17_calibration_eval", {

@@ -305,3 +305,54 @@ def test_exact_auc_matches_sklearn_style_recompute(spark):
         for p, n in itertools.product(pos, neg)
     ) / (len(pos) * len(neg))
     assert abs(auc - brute) < 1e-12
+
+
+def test_ranking_metrics_match_textbook_recompute(spark):
+    """AP and nDCG from the entry's pipeline must equal a pure-Python
+    textbook computation on a small ranked list."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [  # (score, y, rel)
+        (9.0, 1, 3), (8.0, 0, 1), (7.0, 1, 2), (6.0, 0, 0),
+        (5.0, 1, 0), (4.0, 0, 2), (3.0, 1, 1), (2.0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, y, r) for i, (s, y, r) in enumerate(rows)],
+        "id long, s double, y int, rel long",
+    )
+    ranked = df.select(
+        "y", "rel",
+        F.row_number().over(Window.orderBy(F.desc("s"), F.asc("id"))).alias("k"),
+    )
+    terms = ranked.withColumn("pos_seen", F.sum("y").over(Window.orderBy("k")))
+    got = terms.agg(
+        F.sum(
+            F.when(F.col("y") == 1,
+                   F.round(F.col("pos_seen").cast("double") / F.col("k"), 9)
+                   .cast("decimal(28,9)"))
+            .otherwise(F.lit(0).cast("decimal(28,9)"))
+        ).alias("ap_sum"),
+        F.sum("y").alias("n_pos"),
+    ).collect()[0]
+    ap = float(got["ap_sum"]) / got["n_pos"]
+
+    import math
+
+    pos_seen, ap_terms = 0, []
+    for k, (s, y, rel) in enumerate(rows, start=1):
+        pos_seen += y
+        if y:
+            ap_terms.append(pos_seen / k)
+    want_ap = sum(ap_terms) / pos_seen
+    assert abs(ap - want_ap) < 1e-8
+
+    dcg = sum((2**rel - 1) / math.log2(k + 1)
+              for k, (s, y, rel) in enumerate(rows, start=1))
+    rels = sorted((r for _, _, r in rows), reverse=True)
+    idcg = sum((2**r - 1) / math.log2(k + 1) for k, r in enumerate(rels, start=1))
+    gain = F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS DOUBLE)")
+    got2 = ranked.agg(
+        F.sum(F.round(gain / F.log2(F.col("k") + 1), 9).cast("decimal(28,9)")).alias("dcg")
+    ).collect()[0]
+    assert abs(float(got2["dcg"]) - dcg) < 1e-6
+    assert idcg >= dcg
