@@ -276,6 +276,7 @@ HEADLINE = [
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
     "ml18_ranking_metrics",
+    "geo5_nearest_facility",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
 ]
@@ -446,6 +447,7 @@ WARMUP = [
     "a16_skew_kurtosis",
     "m_png_scratch_inflate",
     "ml18_ranking_metrics",
+    "geo5_nearest_facility",
     "dg4_fpe_pseudonymize",
 ]
 

@@ -4191,3 +4191,81 @@ def a16_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GEO5: nearest-facility (nearest-neighbour) spatial join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo5_nearest_facility",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 100000 AS x,
+               (c_custkey * 69621) % 100000 AS y
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 16807) % 100000 AS x,
+               (s_suppkey * 39916801) % 100000 AS y
+        FROM supplier
+    ), scored AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               CAST((c.x - s.x) * (c.x - s.x)
+                  + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS d2,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY (c.x - s.x) * (c.x - s.x)
+                          + (c.y - s.y) * (c.y - s.y) ASC,
+                            s.s_suppkey ASC) AS rn
+        FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, d2,
+           CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS dist_m
+    FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "GEO5 NEAREST-FACILITY assignment (the nearest-neighbour "
+        "spatial join — store-allocation / catchment analysis): every "
+        "customer point maps to its closest supplier facility by "
+        "EXACT integer squared distance, ties to the smallest "
+        "facility key (a total order, so the argmin is deterministic "
+        "on any engine). The facility side is a BROADCAST dimension — "
+        "the assignment is one broadcast nested-loop + a min_by-style "
+        "struct-min aggregation, zero shuffles of the big side, the "
+        "right plan while facilities fit in memory (when they don't, "
+        "GEO1's grid decomposition with ring search takes over — "
+        "documented trade). Reported distance floor(sqrt(int)) rides "
+        "IEEE correctly-rounded sqrt; the oracle replays the argmin "
+        "via a rank window over the cross product"
+    ),
+)
+def geo5_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("cx"),
+        ((F.col("c_custkey") * 69621) % 100000).alias("cy"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 16807) % 100000).alias("sx"),
+        ((F.col("s_suppkey") * 39916801) % 100000).alias("sy"),
+    )
+    d2 = (
+        (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+        + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+    ).cast("long")
+    scored = c.join(F.broadcast(s)).select(
+        "c_custkey", d2.alias("d2"), "s_suppkey"
+    )
+    best = scored.groupBy("c_custkey").agg(
+        F.min(F.struct("d2", "s_suppkey")).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.s_suppkey").alias("nearest_suppkey"),
+        F.col("b.d2").alias("d2"),
+        F.floor(F.sqrt(F.col("b.d2").cast("double"))).cast("long").alias("dist_m"),
+    )

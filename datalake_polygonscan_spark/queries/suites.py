@@ -2659,6 +2659,11 @@ _suite(
             "event_id": "c_custkey", "asof_event_id": "s_suppkey",
             "n_events": "dist_m",
         }),
+        # round 9: GEO5 nearest-facility assignment (broadcast argmin)
+        ("nearest", "geo5_nearest_facility", {
+            "event_id": "c_custkey", "asof_event_id": "nearest_suppkey",
+            "n_events": "dist_m", "bucket_start": "d2",
+        }),
         ("cusum", "ts8_cusum_drift", {
             "event_id": "event_id", "user_id": "user_id", "ts": "ts",
             "value": "value", "n_events": "i",
