@@ -279,6 +279,7 @@ HEADLINE = [
     "geo5_nearest_facility",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
+    "e19_stream_listener_metrics",
 ]
 
 

@@ -1015,3 +1015,114 @@ def e18_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(rocksdb_files_present)).alias("rocksdb_files_present"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E19: StreamingQueryListener — stream observability as data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e19_stream_listener_metrics",
+    oracle="""
+    WITH parts AS (
+        SELECT 1 AS part, CAST(count(*) AS BIGINT) AS input_rows
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT)
+        FROM events WHERE event_id % 3 <> 0
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY input_rows ASC, part ASC) AS size_rank,
+               input_rows
+        FROM parts
+    )
+    SELECT 'batch' AS mode, CAST(size_rank AS BIGINT) AS size_rank, input_rows,
+           CAST(NULL AS BIGINT) AS n_batches, CAST(NULL AS BIGINT) AS total_rows,
+           CAST(NULL AS BOOLEAN) AS listener_complete
+    FROM ranked
+    UNION ALL
+    SELECT 'total', NULL, NULL,
+           CAST(2 AS BIGINT),
+           (SELECT CAST(sum(input_rows) AS BIGINT) FROM parts),
+           TRUE
+    """,
+    doc=(
+        "E19 the StreamingQueryListener surface — stream "
+        "OBSERVABILITY as queryable data, the ops lever a production "
+        "deployment alarms on: a Python listener subscribes to "
+        "onQueryProgress, captures every micro-batch's batchId and "
+        "numInputRows while an AvailableNow file stream drains two "
+        "known single-file batches (maxFilesPerTrigger=1), and the "
+        "captured metrics themselves become the graded DataFrame. "
+        "File-to-batch ASSIGNMENT order is engine-internal, so the "
+        "grading is order-free: batch sizes ranked by size (the "
+        "deterministic multiset), plus batch count, total rows and a "
+        "listener-completeness verdict (metrics sum == ground truth "
+        "— no dropped progress events). The oracle recomputes the "
+        "two known batch sizes from the same split predicates"
+    ),
+)
+def e19_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e19_listener", "events_src")
+    chk = _scratch("e19_listener", "chk")
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter(F.col("event_id") % 3 != 0).coalesce(1).write.mode("append").parquet(src)
+
+    captured: list[tuple[int, int]] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            rows = int(p.numInputRows)
+            if rows > 0:
+                captured.append((int(p.batchId), rows))
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        # progress events are delivered asynchronously on the listener
+        # bus; wait (bounded) until both non-empty batches arrived
+        deadline = _time.time() + 30
+        while len(captured) < 2 and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    total_truth = ev.count()
+    sizes = sorted(rows for _, rows in captured)
+    complete = bool(sum(sizes) == total_truth and len(sizes) == 2)
+    batch_rows = [
+        ("batch", i + 1, int(rows), None, None, None)
+        for i, rows in enumerate(sizes)
+    ]
+    total_row = [("total", None, None, len(sizes), int(sum(sizes)), complete)]
+    return spark.createDataFrame(
+        batch_rows + total_row,
+        "mode string, size_rank long, input_rows long, n_batches long, "
+        "total_rows long, listener_complete boolean",
+    )

@@ -1701,6 +1701,14 @@ _suite(
                 " CAST(retained_after_cutoff AS VARCHAR))",
             ),
         }),
+        # round 9: E19 listener metrics — order-free passthrough
+        (None, "e19_stream_listener_metrics", {
+            "mode": ("'listener_' || mode", "'listener_' || mode"),
+            "user_id": "size_rank", "l_event_id": "input_rows",
+            "event_id": "n_batches", "n_events": "total_rows",
+            "event_type": ("CAST(listener_complete AS STRING)",
+                           "CAST(listener_complete AS VARCHAR)"),
+        }),
     ],
 )
 
