@@ -277,6 +277,7 @@ HEADLINE = [
     "m_png_scratch_inflate",
     "ml18_ranking_metrics",
     "geo5_nearest_facility",
+    "u8_scalar_iter_udf",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
@@ -449,6 +450,7 @@ WARMUP = [
     "m_png_scratch_inflate",
     "ml18_ranking_metrics",
     "geo5_nearest_facility",
+    "u8_scalar_iter_udf",
     "dg4_fpe_pseudonymize",
 ]
 

@@ -932,6 +932,12 @@ _suite(
             "token": "l_returnflag", "status_tag": "l_linestatus",
             "val": "min_disc_price", "val2": "max_disc_price",
         }),
+        # round 9: U8 iterator-of-series (SCALAR_ITER) pandas UDF —
+        # per-partition model init, exact-integer scored aggregate
+        ("scalar_iter", "u8_scalar_iter_udf", {
+            "status_tag": "o_orderpriority", "k1": "n_orders",
+            "k2": "score_sum",
+        }),
     ],
 )
 

@@ -12,6 +12,8 @@ SQL oracle can verify the UDF machinery end-to-end.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -496,4 +498,55 @@ def u7_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
         F.round("min_disc_price", 4).alias("min_disc_price"),
         F.round("max_disc_price", 4).alias("max_disc_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U8: iterator-of-series pandas UDF — per-partition init (model loading)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u8_scalar_iter_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE substr(o_orderpriority, 1, 1)
+                      WHEN '1' THEN 50 WHEN '2' THEN 40 WHEN '3' THEN 30
+                      WHEN '4' THEN 20 ELSE 10 END
+                    * (o_orderkey % 100)) AS BIGINT) AS score_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "U8 the ITERATOR-of-series pandas UDF (SCALAR_ITER) — the "
+        "fourth Python evaluation mode beside scalar pandas UDFs "
+        "(U1), grouped UDAFs (U2) and mapInPandas UDTFs (U3), and "
+        "the one a real ML-scoring pipeline needs: expensive state "
+        "(the 'model' — here a deterministic priority-weight table) "
+        "initializes ONCE PER PARTITION before the batch loop, then "
+        "every Arrow batch streams through the already-loaded state "
+        "instead of paying the init per batch or per row. Scoring is "
+        "exact integer arithmetic (weight * key%100) so the oracle "
+        "replays it as plain SQL — the graded aggregate proves the "
+        "iterator plumbing delivered every batch exactly once"
+    ),
+)
+def u8_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def score(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        # per-partition init: the "model load" happens once, not per batch
+        model = {"1": 50, "2": 40, "3": 30, "4": 20, "5": 10}
+        for prio, okey in batches:
+            w = prio.str.slice(0, 1).map(lambda c: model.get(c, 10))
+            yield (w * (okey % 100)).astype("int64")
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderpriority",
+        score(F.col("o_orderpriority"), F.col("o_orderkey")).alias("s"),
+    )
+    return scored.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("s").cast("long").alias("score_sum"),
     )
