@@ -278,6 +278,7 @@ HEADLINE = [
     "ml18_ranking_metrics",
     "geo5_nearest_facility",
     "u8_scalar_iter_udf",
+    "x15_bounded_levenshtein",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
@@ -451,6 +452,7 @@ WARMUP = [
     "ml18_ranking_metrics",
     "geo5_nearest_facility",
     "u8_scalar_iter_udf",
+    "x15_bounded_levenshtein",
     "dg4_fpe_pseudonymize",
 ]
 

@@ -1635,6 +1635,13 @@ _suite(
             "check_name": "sx", "col_name": "word",
             "n_rows": "p_partkey", "n_big": "block_n",
         }),
+        # round 9: X15 thresholded levenshtein (early-exit fuzzy pairs)
+        ("lv_bounded", "x15_bounded_levenshtein", {
+            "check_name": "blk", "n_rows": "id_a", "n_big": "id_b",
+            "col_name": "w_a",
+            "metric": ("CAST(lv3 AS DOUBLE)", "CAST(lv3 AS DOUBLE)"),
+            "from_observation": "within_bound",
+        }),
         (None, "dq4_quarantine_flow", {
             "mode": ("'dl_' || mode", "'dl_' || mode"),
             "check_name": "grp", "n_rows": "n_rows",
