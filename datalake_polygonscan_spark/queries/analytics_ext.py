@@ -4282,13 +4282,13 @@ def geo5_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
         SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
                upper(string_split(p_name, ' ')[1]) AS w
-        FROM part
+        FROM part WHERE p_partkey % 20 = 0
     ), blocked AS (
         SELECT p_partkey, w, substr(w, 1, 2) AS blk FROM words
     ), sized AS (
         SELECT * FROM (
             SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM blocked
-        ) WHERE bn <= 40
+        ) WHERE bn <= 300
     ), pairs AS (
         SELECT a.blk, a.p_partkey AS id_a, b.p_partkey AS id_b,
                a.w AS w_a, b.w AS w_b,
@@ -4318,13 +4318,22 @@ def geo5_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x15_bounded_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    words = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("long").alias("p_partkey"),
-        F.upper(F.split(F.col("p_name"), " ").getItem(0)).alias("w"),
-    ).withColumn("blk", F.substring("w", 1, 2))
+    words = (
+        load_table(spark, sf_dir, "part")
+        # deterministic 1-in-20 key sample: the color vocabulary is
+        # tiny, so unsampled prefix blocks grow linearly with SF and
+        # the pair stage would be the quadratic blob the cap exists
+        # to prevent
+        .filter(F.col("p_partkey") % 20 == 0)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.upper(F.split(F.col("p_name"), " ").getItem(0)).alias("w"),
+        )
+        .withColumn("blk", F.substring("w", 1, 2))
+    )
     sized = words.withColumn(
         "bn", F.count("*").over(Window.partitionBy("blk"))
-    ).filter(F.col("bn") <= 40)
+    ).filter(F.col("bn") <= 300)
     a = sized.select(
         "blk", F.col("p_partkey").alias("id_a"), F.col("w").alias("w_a")
     )
