@@ -279,6 +279,7 @@ HEADLINE = [
     "geo5_nearest_facility",
     "u8_scalar_iter_udf",
     "x15_bounded_levenshtein",
+    "a17_filter_clause_aggs",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
@@ -453,6 +454,7 @@ WARMUP = [
     "geo5_nearest_facility",
     "u8_scalar_iter_udf",
     "x15_bounded_levenshtein",
+    "a17_filter_clause_aggs",
     "dg4_fpe_pseudonymize",
 ]
 

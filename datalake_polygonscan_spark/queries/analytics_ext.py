@@ -4349,3 +4349,55 @@ def x15_bounded_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("within_bound", F.col("lv3") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# A17: modern aggregate surface — FILTER clause, count_if, bool aggs,
+# deterministic max_by/min_by
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a17_filter_clause_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_totalprice > 1000) AS all_above_floor,
+           CAST(max_by(o_orderkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                  + o_orderkey % 10000000) AS BIGINT) AS priciest_order,
+           CAST(min_by(o_orderkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                  + o_orderkey % 10000000) AS BIGINT) AS cheapest_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "A17 the MODERN aggregate surface in one grouped scan: the "
+        "SQL:2003 FILTER clause (conditional aggregation without "
+        "CASE-NULL contortions), count_if, bool_or/bool_and (the "
+        "any/every verdict aggregates), and max_by/min_by argmin "
+        "aggregation — with the A5b/TS2 determinism rule applied: "
+        "the argmin SCORE is made globally unique (price ticks via "
+        "explicit floor — the round-9 cast discipline — plus a key "
+        "tiebreak in the low digits), because max_by on a tied score "
+        "is engine-arbitrary and would hash-flap. One partial-agg "
+        "shuffle; every aggregate a native DuckDB twin value-checks"
+    ),
+)
+def a17_filter_clause_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    score = F.expr(
+        "CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey % 10000000"
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("o_totalprice") > 150000).cast("long").alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_f"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_floor"),
+        F.max_by(F.col("o_orderkey"), score).cast("long").alias("priciest_order"),
+        F.min_by(F.col("o_orderkey"), score).cast("long").alias("cheapest_order"),
+    )

@@ -551,6 +551,20 @@ _suite(
             "p50_qty": "median", "p90_qty": "mad",
             "p99_price": "sigma_robust",
         }),
+        # round 9: A17 modern aggregate surface (FILTER/count_if/
+        # bool aggs/deterministic argmin) — casts documented
+        ("filter_aggs", "a17_filter_clause_aggs", {
+            "l_returnflag": "o_orderpriority", "n": "n",
+            "key": "n_big", "cnt": "n_f",
+            "rank_ok_p50": ("CAST(any_huge AS INT)",
+                            "CAST(any_huge AS INTEGER)"),
+            "rank_ok_p90": ("CAST(all_above_floor AS INT)",
+                            "CAST(all_above_floor AS INTEGER)"),
+            "p50_qty": ("CAST(priciest_order AS DOUBLE)",
+                        "CAST(priciest_order AS DOUBLE)"),
+            "p90_qty": ("CAST(cheapest_order AS DOUBLE)",
+                        "CAST(cheapest_order AS DOUBLE)"),
+        }),
         # round 9: A16 exact skewness/kurtosis from integer power sums
         ("shape", "a16_skew_kurtosis", {
             "l_returnflag": "grp", "n": "n", "key": "s1", "cnt": "s2",
