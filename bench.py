@@ -280,6 +280,7 @@ HEADLINE = [
     "u8_scalar_iter_udf",
     "x15_bounded_levenshtein",
     "a17_filter_clause_aggs",
+    "qu_sql_unpivot",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
@@ -455,6 +456,7 @@ WARMUP = [
     "u8_scalar_iter_udf",
     "x15_bounded_levenshtein",
     "a17_filter_clause_aggs",
+    "qu_sql_unpivot",
     "dg4_fpe_pseudonymize",
 ]
 

@@ -1322,3 +1322,41 @@ def dg4_fpe_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("c_custkey"), "token", "roundtrip_ok",
         F.lit(bool(stats["n"] == stats["nd"])).alias("distinct_preserved"),
     )
+
+
+@register(
+    "qu_sql_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               ROUND(CAST(o_totalprice AS DOUBLE), 4) AS price,
+               CAST(o_custkey % 1000 AS DOUBLE) AS cust_band
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey, 'price' AS metric, price AS val FROM base
+    UNION ALL
+    SELECT o_orderkey, 'cust_band', cust_band FROM base
+    """,
+    doc=(
+        "QU the SQL UNPIVOT clause — the parser-level twin of QV's "
+        "PIVOT (Spark 3.4+): columns rotate into (name, value) rows "
+        "through the dedicated grammar instead of a hand-written "
+        "stack()/UNION, lowered by the analyzer to the same Expand "
+        "node the DataFrame unpivot (P5) produces. The oracle is the "
+        "hand-lowered UNION ALL the clause must be equivalent to — "
+        "so a column-name literal, NULL-row or type-coercion "
+        "divergence in the rotation value-fails"
+    ),
+)
+def qu_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, metric, val FROM (
+            SELECT o_orderkey,
+                   ROUND(CAST(o_totalprice AS DOUBLE), 4) AS price,
+                   CAST(o_custkey % 1000 AS DOUBLE) AS cust_band
+            FROM orders WHERE o_orderkey % 50 = 0
+        ) UNPIVOT (val FOR metric IN (price, cust_band))
+        """
+    )

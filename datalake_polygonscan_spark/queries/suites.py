@@ -1308,6 +1308,11 @@ _suite(
             "numwait": "rnk", "revenue": "value",
             "n_small_lines": "n_user_events", "avg_yearly": "user_total",
         }),
+        # round 9: QU the SQL UNPIVOT clause (QV's parser twin)
+        ("qu", "qu_sql_unpivot", {
+            "l_orderkey": "o_orderkey", "s_name": "metric",
+            "revenue": "val",
+        }),
         # round 9: QX session variables + EXECUTE IMMEDIATE + IDENTIFIER()
         ("qx_vars", "qx_session_variables", {
             "s_name": "segment", "order_count": "n_orders",
