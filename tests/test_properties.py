@@ -134,3 +134,48 @@ def test_heavy_hitter_summary_guarantee(key_freqs, theta):
     heavy = {k for k, c in Counter(rows).items() if c >= thresh}
     # full recall: every theta-heavy key must be a candidate
     assert heavy <= candidates or not heavy
+
+
+# ---------------------------------------------------------------------------
+# round-9 primitives: from-scratch inflate and the Feistel permutation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4000), st.sampled_from([0, 1, 6, 9]))
+def test_scratch_inflate_inverts_zlib_compress(payload, level):
+    """inflate(deflate(x)) == x for arbitrary payloads at every
+    compression level (stored, fixed- and dynamic-Huffman blocks all
+    appear across the sampled levels)."""
+    import zlib
+
+    from datalake_polygonscan_spark.operators.deflate import zlib_decompress_scratch
+
+    assert zlib_decompress_scratch(zlib.compress(payload, level)) == payload
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62 - 1), st.text(min_size=1, max_size=8))
+def test_feistel_pure_python_roundtrip_and_domain(key, seed):
+    """Driver-side replay of the Feistel rounds (same md5 construction
+    as the codegen path): encrypt then decrypt is the identity for any
+    key in [0, 2^62) under any seed, and tokens stay in-domain."""
+    import hashlib
+
+    half_bits = 31
+    mask = (1 << half_bits) - 1
+
+    def fr(v: int, r: int) -> int:
+        h = hashlib.md5(f"{seed}{r}:{v}".encode()).hexdigest()
+        return int(h[:15], 16) % (1 << half_bits)
+
+    hi, lo = key >> half_bits, key & mask
+    for r in range(1, 5):
+        hi, lo = lo, hi ^ fr(lo, r)
+    token = (hi << half_bits) | lo
+    assert 0 <= token < 1 << 62
+
+    hi, lo = token >> half_bits, token & mask
+    for r in range(4, 0, -1):
+        hi, lo = lo ^ fr(hi, r), hi
+    assert (hi << half_bits) | lo == key
