@@ -281,6 +281,7 @@ HEADLINE = [
     "x15_bounded_levenshtein",
     "a17_filter_clause_aggs",
     "qu_sql_unpivot",
+    "ts16_rate_of_change",
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
@@ -457,6 +458,7 @@ WARMUP = [
     "x15_bounded_levenshtein",
     "a17_filter_clause_aggs",
     "qu_sql_unpivot",
+    "ts16_rate_of_change",
     "dg4_fpe_pseudonymize",
 ]
 

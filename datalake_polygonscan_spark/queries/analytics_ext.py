@@ -4401,3 +4401,83 @@ def a17_filter_clause_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("o_orderkey"), score).cast("long").alias("priciest_order"),
         F.min_by(F.col("o_orderkey"), score).cast("long").alias("cheapest_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS16: irregular-sampling rate of change (exact integer micro-slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts16_rate_of_change",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               CAST(floor(value * 100) AS BIGINT) AS v_c,
+               event_id
+        FROM events
+    ), lagged AS (
+        SELECT user_id, event_id, t_us, v_c,
+               lag(t_us) OVER w AS pt, lag(v_c) OVER w AS pv
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), slopes AS (
+        SELECT user_id, event_id,
+               t_us - pt AS dt_us,
+               v_c - pv AS dv_c,
+               CAST(((v_c - pv) * 1000000
+                     - ((((v_c - pv) * 1000000) % (t_us - pt)) + (t_us - pt))
+                       % (t_us - pt)) // (t_us - pt) AS BIGINT) AS slope_micro
+        FROM lagged WHERE pt IS NOT NULL AND t_us > pt
+    )
+    SELECT user_id, event_id, dt_us, dv_c, slope_micro,
+           CAST(max(abs(slope_micro)) OVER (PARTITION BY user_id) AS BIGINT)
+             AS user_max_abs_slope
+    FROM slopes
+    """,
+    doc=(
+        "TS16 rate-of-change over IRREGULAR sampling — the derivative "
+        "signal (spike/velocity detection) where TS4/TS8 assume a "
+        "regular grid: consecutive same-user readings pair by one lag "
+        "window (event-id tiebreak for simultaneous micro-timestamps; "
+        "zero-dt pairs excluded as undefined), value deltas quantize "
+        "to exact centi-units via explicit floor (the round-9 cast "
+        "discipline), time deltas are exact epoch microseconds, and "
+        "the slope is an exact FLOOR-DIVISION integer in "
+        "centi-per-second-micro units — no float division anywhere, "
+        "so any partitioning reproduces the same table. Per-user max "
+        "|slope| rides a second window over the same partitioning "
+        "(one exchange total)"
+    ),
+)
+def ts16_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_c"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    lagged = pts.select(
+        "user_id", "event_id", "t_us", "v_c",
+        F.lag("t_us").over(w).alias("pt"),
+        F.lag("v_c").over(w).alias("pv"),
+    ).filter(F.col("pt").isNotNull() & (F.col("t_us") > F.col("pt")))
+    num = "((v_c - pv) * 1000000)"
+    den = "(t_us - pt)"
+    slopes = lagged.select(
+        "user_id", "event_id",
+        (F.col("t_us") - F.col("pt")).alias("dt_us"),
+        (F.col("v_c") - F.col("pv")).alias("dv_c"),
+        F.expr(f"({num} - pmod({num}, {den})) div {den}")
+        .cast("long")
+        .alias("slope_micro"),
+    )
+    return slopes.withColumn(
+        "user_max_abs_slope",
+        F.max(F.abs("slope_micro")).over(Window.partitionBy("user_id")).cast("long"),
+    )

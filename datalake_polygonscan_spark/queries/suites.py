@@ -2758,6 +2758,15 @@ _suite(
         ("dtw", "ts15_dtw_distance", {
             "user_id": "user_id", "event_id": "dtw",
         }),
+        # round 9: TS16 irregular-sampling rate of change (exact
+        # integer micro-slopes)
+        ("roc", "ts16_rate_of_change", {
+            "user_id": "user_id", "event_id": "event_id",
+            "bucket_start": "dt_us", "asof_event_id": "dv_c",
+            "n_events": "slope_micro",
+            "is_gap": ("CAST(user_max_abs_slope % 1000000 AS INT)",
+                       "CAST(user_max_abs_slope % 1000000 AS INTEGER)"),
+        }),
     ],
 )
 
