@@ -41,13 +41,23 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """CPU-heavy per-row stages (shingle hashing, bit votes) must not
     run on a handful of input splits: a single small parquet file would
     serialize the whole corpus onto one core. Round-robin repartition
-    to the session's shuffle parallelism. The extra exchange is cheap
-    relative to the md5/bit-vote work it parallelizes; checking the
-    current partition count would force a plan->RDD conversion
-    (``df.rdd``), which is itself a planning cost, so repartition
-    unconditionally. (At real scale, drop this and rely on well-split
-    inputs.)"""
+    to the session's shuffle parallelism — but ONLY when the scan is
+    actually under-split. The gate reads the catalog file index
+    (``df.inputFiles()``, planning-only — no ``df.rdd`` conversion, no
+    job): a file-backed input with >= target files already gives every
+    core work, so the exchange would be pure overhead — at 100 TB a
+    well-split corpus (tens of thousands of files) skips straight to
+    the hash stage. Fewer files than target (or a non-file source,
+    where ``inputFiles`` is empty/unavailable) keeps the round-robin
+    exchange, whose cost is small next to the md5/bit-vote work it
+    parallelizes."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # streaming relations etc. — assume under-split
+        n_files = 0
+    if n_files >= target:
+        return df
     return df.repartition(target)
 
 

@@ -107,10 +107,14 @@ def inflate(data: bytes, pos: int = 0) -> bytes:
         if btype == 0:  # stored
             bits.align()
             b = bits.byte
+            if b + 4 > len(data):
+                raise ValueError("inflate: truncated stored-block header")
             ln = data[b] | (data[b + 1] << 8)
             nlen = data[b + 2] | (data[b + 3] << 8)
             if ln ^ 0xFFFF != nlen:
                 raise ValueError("inflate: stored-block LEN/NLEN mismatch")
+            if b + 4 + ln > len(data):
+                raise ValueError("inflate: truncated stored block")
             out += data[b + 4 : b + 4 + ln]
             bits.byte = b + 4 + ln
         else:

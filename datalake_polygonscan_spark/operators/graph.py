@@ -514,6 +514,7 @@ def k_core(
     max_iter: int = 25,
     src: str = "src",
     dst: str = "dst",
+    broadcast_threshold: int = 4_000_000,
 ) -> DataFrame:
     """G10 — the k-CORE of an undirected graph by FRONTIER-DECREMENT
     peeling (Seidman 1983; the Batagelj-Zaversnik cascade,
@@ -529,8 +530,12 @@ def k_core(
     a broadcast semi-join of edges against the (small) frontier plus
     an n-row degree update — so TOTAL work across all rounds is
     O(m + rounds * n), not O(rounds * m), and the big side is scanned,
-    never shuffled, after round 0. (For a first frontier too large to
-    broadcast, drop the hint and AQE picks the join side.) Rounds are
+    never shuffled, after round 0. The broadcast hint is GATED on the
+    measured frontier size (``broadcast_threshold`` rows, counted from
+    the checkpointed n-row state — cheap): a large-k first frontier
+    can be O(n), and an unconditional hint there is a driver OOM at
+    cluster scale, so oversized frontiers fall back to a plain
+    shuffled semi-join and AQE picks the join side. Rounds are
     bounded by the peeling depth, and the n-row degree state is
     localCheckpoint'd so the plan never grows (the G2/G8 pattern).
 
@@ -559,17 +564,23 @@ def k_core(
     )
     for _ in range(max_iter):
         frontier = deg.filter(F.col("alive") & (F.col("core_deg") < k)).select("node")
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             return deg.filter("alive").select("node", "core_deg")
+        if n_frontier <= broadcast_threshold:
+            hint = F.broadcast
+        else:  # O(n) frontier (large k): shuffled semi-join, no driver OOM
+            def hint(df: DataFrame) -> DataFrame:
+                return df
         # edges leaving the frontier: each decrements its target once
         dead = sym.join(
-            F.broadcast(frontier.withColumnRenamed("node", "u")), "u", "left_semi"
+            hint(frontier.withColumnRenamed("node", "u")), "u", "left_semi"
         )
         dec = dead.groupBy("v").agg(F.count("*").alias("d"))
         deg = (
             deg.join(dec, deg["node"] == dec["v"], "left")
             .join(
-                F.broadcast(frontier.select(F.col("node").alias("r"))),
+                hint(frontier.select(F.col("node").alias("r"))),
                 deg["node"] == F.col("r"),
                 "left",
             )

@@ -848,7 +848,12 @@ def dtw_to_reference(
     def one_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
         a = [0] * n
         for sl, c in zip(pdf[slot_col], pdf[value_col]):
-            a[int(sl)] = int(c)
+            sl = int(sl)
+            if not 0 <= sl < n:
+                raise ValueError(
+                    f"dtw_to_reference: slot {sl} outside reference length {n}"
+                )
+            a[sl] = int(c)
         # banded DP over (i, j), 1-indexed
         prev2: dict[tuple[int, int], int] = {}
         prev1: dict[tuple[int, int], int] = {}
@@ -872,7 +877,10 @@ def dtw_to_reference(
                     cur[(i, j)] = cost + best
             prev2, prev1 = prev1, cur
         return pd.DataFrame(
-            {"user_id": [int(pdf[key_col].iloc[0])], "dtw": [cur[(n, n)]]}
+            {key_col: [pdf[key_col].iloc[0]], "dtw": [cur[(n, n)]]}
         )
 
-    return series.groupBy(key_col).applyInPandas(one_key, schema="user_id long, dtw long")
+    key_type = dict(series.dtypes)[key_col]
+    return series.groupBy(key_col).applyInPandas(
+        one_key, schema=f"{key_col} {key_type}, dtw long"
+    )

@@ -4367,11 +4367,11 @@ def x15_bounded_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_or(o_totalprice > 400000) AS any_huge,
            bool_and(o_totalprice > 1000) AS all_above_floor,
            CAST(max_by(o_orderkey,
-                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
-                  + o_orderkey % 10000000) AS BIGINT) AS priciest_order,
+                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+                  + o_orderkey) AS BIGINT) AS priciest_order,
            CAST(min_by(o_orderkey,
-                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
-                  + o_orderkey % 10000000) AS BIGINT) AS cheapest_order
+                CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000
+                  + o_orderkey) AS BIGINT) AS cheapest_order
     FROM orders GROUP BY o_orderpriority
     """,
     doc=(
@@ -4390,7 +4390,7 @@ def x15_bounded_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a17_filter_clause_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     score = F.expr(
-        "CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey % 10000000"
+        "CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey"
     )
     return o.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),

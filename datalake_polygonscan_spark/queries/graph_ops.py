@@ -637,14 +637,21 @@ _KCORE_N = 3000
 _KCORE_K = 2
 _KCORE_TAILS = 8   # pendant paths hanging off nodes 0..7
 _KCORE_LEN = 8     # path length -> peeling cascade depth
-_KCORE_STAGES = 12  # oracle replay depth; peeling converges in <= 9
+_KCORE_STAGES = 20  # oracle replay depth; cascade measured <= 9 at all
+#                     shipped SFs, and the oracle PROVES convergence at
+#                     its own depth via the oracle_converged flag below
 
 
 def _g10_oracle_sql(stages: int = _KCORE_STAGES) -> str:
     """Replays the peeling cascade as STAGED CTEs (the G8 pattern):
     round i keeps only edges whose BOTH endpoints had degree >= k in
     round i-1; rounds past convergence are identities, so a fixed
-    replay depth >= the true cascade length is exact."""
+    replay depth >= the true cascade length is exact. Because the base
+    bipartite graph's cascade depth varies with scale factor, the
+    replay SELF-CHECKS: ``oracle_converged`` is 1 iff the last two
+    rounds kept the same edge count (a fixpoint — identity rounds
+    follow), so an under-deep replay value-fails LOUDLY on that flag
+    instead of silently under-peeling."""
     k, n, tails, ln = _KCORE_K, _KCORE_N, _KCORE_TAILS, _KCORE_LEN
     parts = [f"""
     WITH base AS MATERIALIZED (
@@ -681,7 +688,10 @@ def _g10_oracle_sql(stages: int = _KCORE_STAGES) -> str:
         FROM sym{stages} GROUP BY u
     )
     SELECT node, core_deg,
-           CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core
+           CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core,
+           CAST((SELECT count(*) FROM sym{stages})
+                = (SELECT count(*) FROM sym{stages - 1}) AS INTEGER)
+               AS oracle_converged
     FROM core
     """)
     return "".join(parts)
@@ -727,7 +737,14 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = k_core(base.unionByName(tails).unionByName(chain), k=_KCORE_K)
     n_core = core.count()
-    return core.select("node", "core_deg", F.lit(n_core).cast("long").alias("n_core"))
+    # k_core iterates to FIXPOINT, so the Spark side is converged by
+    # construction; the literal 1 pins the oracle's self-check flag.
+    return core.select(
+        "node",
+        "core_deg",
+        F.lit(n_core).cast("long").alias("n_core"),
+        F.lit(1).alias("oracle_converged"),
+    )
 
 
 # ---------------------------------------------------------------------------
