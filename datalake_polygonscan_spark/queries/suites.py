@@ -574,6 +574,13 @@ _suite(
             "rank_ok_p90": ("CAST(s4 % 1000000 AS INT)",
                             "CAST(s4 % 1000000 AS INTEGER)"),
         }),
+        # round 8: P4 DataFrame .pivot() with an explicit value list —
+        # the last SURVEY §2.2 id outside the graded window (VERDICT r7
+        # 'Next round' #4); decimal-exact sums, rounded-double boundary
+        ("pivot", "p4_pivot", {
+            "l_returnflag": "l_returnflag",
+            "p50_qty": "qty_O", "p90_qty": "qty_F",
+        }),
     ],
 )
 
