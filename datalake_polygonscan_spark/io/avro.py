@@ -1,0 +1,578 @@
+"""S45 — a FROM-SCRATCH Apache Avro Object Container File DataSource
+(reader + writer), built only from the public Avro 1.11 specification:
+no avro library, no spark-avro jar.
+
+Wire format (spec "Object Container Files"):
+
+    header  = magic 'Obj\\x01'
+            + file metadata map {avro.schema: <JSON>, avro.codec: ...}
+            + 16-byte sync marker
+    block   = long row-count, long byte-size, payload, sync marker
+    payload = rows encoded back-to-back with Avro binary encoding
+              (zig-zag varint ints/longs, little-endian IEEE floats,
+              length-prefixed bytes/strings, union = branch index then
+              value), optionally DEFLATE-compressed (raw RFC 1951)
+
+Codec family is entirely in-repo: reads decode via
+``operators/deflate.py:inflate`` (from-scratch INFLATE), writes encode
+via ``deflate_fixed`` (fixed-Huffman LZ77, also from scratch).
+
+Spark integration is the Spark 4 Python DataSource API, same tier as
+the paginated wallet source (io/paginated_source.py) and the CSV
+export sink (io/export_sink.py):
+
+- ``spark.read.format("avro_scratch").load(dir)`` — schema inferred
+  from the first file's embedded writer schema; ONE InputPartition per
+  sync-delimited byte range, so a single large container file scans in
+  parallel exactly the way Hadoop splits Avro: a partition seeks to
+  its start offset, scans forward to the next 16-byte sync marker, and
+  owns every block whose preceding sync starts inside [start, end).
+  Blocks decode straight into pyarrow RecordBatches (the Arrow fast
+  path — no per-row pickling across the Python/JVM boundary).
+- ``df.write.format("avro_scratch").mode(...).save(dir)`` — one
+  container file per task (write-side parallelism = input partitions),
+  staged under a dot-name then atomically renamed, commit/abort
+  protocol via WriterCommitMessages; ``option("codec", "deflate")``
+  for compressed blocks, ``"null"`` (default) for plain.
+
+Type coverage (both directions, nullable via ["null", T] unions):
+boolean, int, long, float, double, string, bytes(binary), date
+(logical date/int), timestamp (logical timestamp-micros/long), and
+one-level arrays of the primitive types — the surface the testdata
+tables need (embeddings.embedding is array<float>).
+
+Scale notes: the sync-range splitter means reader parallelism follows
+BYTES, not files — a 100 GB container fans out into ~3000 32-MiB
+splits with zero coordination (sync markers are self-delimiting; the
+probability of a payload byte-collision with the 16-byte random sync
+is 2^-128). The per-row varint work is Python-side; at cluster scale
+this tier is the interop/container boundary (ingest once, convert to
+parquet), not the per-query hot path — same positioning as the
+reference's CSV hop (csvDataWriter.py:9-33).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from datalake_polygonscan_spark.operators.deflate import deflate_fixed, inflate
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# Avro binary primitives (spec "Binary encoding")
+# ---------------------------------------------------------------------------
+
+
+def _enc_long(n: int, out: bytearray) -> None:
+    """Zig-zag then ULEB128 varint."""
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _dec_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _enc_bytes(v: bytes, out: bytearray) -> None:
+    _enc_long(len(v), out)
+    out += v
+
+
+def _dec_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _dec_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+# ---------------------------------------------------------------------------
+# Schema mapping: Spark DDL <-> Avro record schema JSON
+# ---------------------------------------------------------------------------
+
+#: spark simple type -> (avro type json, arrow factory key)
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-micros"},
+}
+
+
+def _avro_type_of(spark_type) -> object:
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type, T.ArrayType):
+        return {"type": "array", "items": _avro_type_of(spark_type.elementType)}
+    name = spark_type.simpleString()
+    if name not in _SPARK_TO_AVRO:
+        raise ValueError(f"avro_scratch: unsupported Spark type {name}")
+    return _SPARK_TO_AVRO[name]
+
+
+def schema_to_avro_json(schema) -> str:
+    """StructType -> Avro record schema (nullables become unions)."""
+    fields = []
+    for f in schema.fields:
+        t = _avro_type_of(f.dataType)
+        if f.nullable:
+            t = ["null", t]
+        fields.append({"name": f.name, "type": t})
+    return json.dumps({"type": "record", "name": "row", "fields": fields})
+
+
+def _base_of(t: object) -> tuple[object, bool]:
+    """Strip a ["null", T] union -> (T, nullable)."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1 or len(t) != len(branches) + 1:
+            raise ValueError(f"avro_scratch: only ['null', T] unions supported, got {t}")
+        return branches[0], True
+    return t, False
+
+
+def _ddl_of(t: object) -> str:
+    base, _ = _base_of(t)
+    if isinstance(base, dict):
+        lt = base.get("logicalType")
+        if lt == "date":
+            return "date"
+        if lt == "timestamp-micros":
+            return "timestamp"
+        if lt == "local-timestamp-micros":
+            return "timestamp_ntz"
+        if base.get("type") == "array":
+            return f"array<{_ddl_of(base['items'])}>"
+        base = base.get("type")
+    return {
+        "boolean": "boolean", "int": "int", "long": "long", "float": "float",
+        "double": "double", "string": "string", "bytes": "binary",
+    }[base]
+
+
+def avro_json_to_ddl(schema_json: str) -> str:
+    rec = json.loads(schema_json)
+    if rec.get("type") != "record":
+        raise ValueError("avro_scratch: top-level schema must be a record")
+    parts = []
+    for f in rec["fields"]:
+        parts.append(f"`{f['name']}` {_ddl_of(f['type'])}")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Row codecs compiled per field (closure per type, no per-value dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _encoder_of(t: object):
+    base, nullable = _base_of(t)
+    lt = base.get("logicalType") if isinstance(base, dict) else None
+    kind = base.get("type") if isinstance(base, dict) else base
+
+    if kind == "array":
+        item = _encoder_of(base["items"])
+
+        def enc_base(v, out: bytearray) -> None:
+            if len(v):
+                _enc_long(len(v), out)
+                for x in v:
+                    item(x, out)
+            _enc_long(0, out)
+    elif kind in ("long", "int") or lt in (
+        "date", "timestamp-micros", "local-timestamp-micros"
+    ):
+        def enc_base(v, out: bytearray) -> None:
+            _enc_long(v, out)
+    elif kind == "double":
+        def enc_base(v, out: bytearray) -> None:
+            out += struct.pack("<d", v)
+    elif kind == "float":
+        def enc_base(v, out: bytearray) -> None:
+            out += struct.pack("<f", v)
+    elif kind == "boolean":
+        def enc_base(v, out: bytearray) -> None:
+            out.append(1 if v else 0)
+    elif kind == "string":
+        def enc_base(v, out: bytearray) -> None:
+            _enc_bytes(v.encode("utf-8"), out)
+    elif kind == "bytes":
+        def enc_base(v, out: bytearray) -> None:
+            _enc_bytes(bytes(v), out)
+    else:
+        raise ValueError(f"avro_scratch: unsupported type {t}")
+
+    if not nullable:
+        return enc_base
+
+    def enc(v, out: bytearray) -> None:  # union index 0=null, 1=value
+        if v is None:
+            out.append(0)  # zigzag(0) varint
+        else:
+            out.append(2)  # zigzag(1) varint
+            enc_base(v, out)
+
+    return enc
+
+
+def _decoder_of(t: object):
+    base, nullable = _base_of(t)
+    lt = base.get("logicalType") if isinstance(base, dict) else None
+    kind = base.get("type") if isinstance(base, dict) else base
+
+    if kind == "array":
+        item = _decoder_of(base["items"])
+
+        def dec_base(buf: bytes, pos: int):
+            vals = []
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    return vals, pos
+                if n < 0:  # size-prefixed block form (spec-legal)
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    vals.append(v)
+    elif kind in ("long", "int") or lt in (
+        "date", "timestamp-micros", "local-timestamp-micros"
+    ):
+        dec_base = _dec_long
+    elif kind == "double":
+        def dec_base(buf: bytes, pos: int):
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    elif kind == "float":
+        def dec_base(buf: bytes, pos: int):
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    elif kind == "boolean":
+        def dec_base(buf: bytes, pos: int):
+            return buf[pos] != 0, pos + 1
+    elif kind == "string":
+        def dec_base(buf: bytes, pos: int):
+            b, pos = _dec_bytes(buf, pos)
+            return b.decode("utf-8"), pos
+    elif kind == "bytes":
+        dec_base = _dec_bytes
+    else:
+        raise ValueError(f"avro_scratch: unsupported type {t}")
+
+    if not nullable:
+        return dec_base
+
+    def dec(buf: bytes, pos: int):
+        idx, pos = _dec_long(buf, pos)
+        if idx == 0:
+            return None, pos
+        return dec_base(buf, pos)
+
+    return dec
+
+
+def _arrow_type_of(t: object):
+    import pyarrow as pa
+
+    base, _ = _base_of(t)
+    lt = base.get("logicalType") if isinstance(base, dict) else None
+    kind = base.get("type") if isinstance(base, dict) else base
+    if lt == "date":
+        return pa.date32()
+    if lt == "timestamp-micros":
+        return pa.timestamp("us", tz="UTC")
+    if lt == "local-timestamp-micros":
+        return pa.timestamp("us")
+    if kind == "array":
+        return pa.list_(_arrow_type_of(base["items"]))
+    return {
+        "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "bytes": pa.binary(),
+    }[kind]
+
+
+# ---------------------------------------------------------------------------
+# Container file writer (task side)
+# ---------------------------------------------------------------------------
+
+
+def write_header(schema_json: str, codec: str, sync: bytes) -> bytes:
+    out = bytearray(MAGIC)
+    _enc_long(2, out)  # metadata map: 2 entries
+    _enc_bytes(b"avro.schema", out)
+    _enc_bytes(schema_json.encode("utf-8"), out)
+    _enc_bytes(b"avro.codec", out)
+    _enc_bytes(codec.encode("ascii"), out)
+    _enc_long(0, out)  # map terminator
+    out += sync
+    return bytes(out)
+
+
+def parse_header(buf: bytes) -> tuple[dict[str, bytes], bytes, int]:
+    """-> (metadata, sync, header_end_offset). ``buf`` must hold at
+    least the full header (metadata maps are small; 64 KiB is ample)."""
+    if buf[:4] != MAGIC:
+        raise ValueError("avro_scratch: bad magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _dec_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # size-prefixed map block
+            n = -n
+            _, pos = _dec_long(buf, pos)
+        for _ in range(n):
+            k, pos = _dec_bytes(buf, pos)
+            v, pos = _dec_bytes(buf, pos)
+            meta[k.decode("utf-8")] = v
+    sync = bytes(buf[pos : pos + 16])
+    if len(sync) != 16:
+        raise ValueError("avro_scratch: truncated header")
+    return meta, sync, pos + 16
+
+
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class AvroWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.root = options["path"]
+        self.codec = (options.get("codec") or "null").lower()
+        if self.codec not in ("null", "deflate"):
+            raise ValueError(f"avro_scratch: unsupported codec {self.codec!r}")
+        self.schema_json = schema_to_avro_json(schema)
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _AvroCommit:
+        import pyarrow as pa
+
+        rec = json.loads(self.schema_json)
+        encoders = [(_encoder_of(f["type"]), f["name"]) for f in rec["fields"]]
+        logical = {
+            f["name"]: (_base_of(f["type"])[0].get("logicalType")
+                        if isinstance(_base_of(f["type"])[0], dict) else None)
+            for f in rec["fields"]
+        }
+        sync = uuid.uuid4().bytes  # random per file, as the spec intends
+        os.makedirs(self.root, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.avro"
+        tmp = os.path.join(self.root, "." + name + ".tmp")
+        n_total = 0
+        with open(tmp, "wb") as f:
+            f.write(write_header(self.schema_json, self.codec, sync))
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                cols = []
+                for _, fname in encoders:
+                    arr = batch.column(batch.schema.get_field_index(fname))
+                    # temporal columns encode as their underlying ints
+                    if logical[fname] in ("timestamp-micros", "local-timestamp-micros"):
+                        arr = arr.cast(pa.int64())
+                    elif logical[fname] == "date":
+                        arr = arr.cast(pa.int32())
+                    cols.append(arr.to_pylist())
+                payload = bytearray()
+                for i in range(batch.num_rows):
+                    for (enc, _), col in zip(encoders, cols):
+                        enc(col[i], payload)
+                if self.codec == "deflate":
+                    payload = deflate_fixed(bytes(payload))
+                block = bytearray()
+                _enc_long(batch.num_rows, block)
+                _enc_long(len(payload), block)
+                block += payload
+                block += sync
+                f.write(block)
+                n_total += batch.num_rows
+        os.replace(tmp, os.path.join(self.root, name))
+        return _AvroCommit(name, n_total)
+
+    # -- driver side ---------------------------------------------------
+    def commit(self, messages) -> None:
+        staged = {m.filename for m in messages if m is not None}
+        if self.overwrite:
+            for p in glob.glob(os.path.join(self.root, "*.avro")):
+                if os.path.basename(p) not in staged:
+                    os.remove(p)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.root, m.filename))
+                except OSError:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# Split-aware reader
+# ---------------------------------------------------------------------------
+
+_HEADER_PROBE = 1 << 16  # headers are tiny; 64 KiB covers any sane schema
+
+
+class _AvroSplit(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _files_of(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.avro")))
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.split_size = int(options.get("split_size") or 32 * 1024 * 1024)
+
+    def partitions(self):
+        parts = []
+        for p in _files_of(self.path):
+            size = os.path.getsize(p)
+            start = 0
+            while start < size:
+                parts.append(_AvroSplit(p, start, min(start + self.split_size, size)))
+                start += self.split_size
+        if not parts:
+            raise FileNotFoundError(f"avro_scratch: no .avro files under {self.path}")
+        return parts
+
+    def read(self, partition: _AvroSplit):
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as f:
+            head = f.read(_HEADER_PROBE)
+            meta, sync, header_end = parse_header(head)
+            codec = meta.get("avro.codec", b"null").decode("ascii")
+            rec = json.loads(meta["avro.schema"].decode("utf-8"))
+            decoders = [_decoder_of(fl["type"]) for fl in rec["fields"]]
+            arrow_schema = pa.schema(
+                [(fl["name"], _arrow_type_of(fl["type"])) for fl in rec["fields"]]
+            )
+
+            # position on the first sync this split OWNS: the header's
+            # trailing sync belongs to the split containing offset 0;
+            # otherwise scan forward from `start` for the marker
+            if partition.start == 0:
+                sync_pos = header_end - 16
+            else:
+                sync_pos = self._find_sync(f, sync, partition.start)
+                if sync_pos is None or sync_pos >= partition.end:
+                    return
+
+            while sync_pos < partition.end:
+                f.seek(sync_pos + 16)
+                head_bytes = f.read(20)  # two varint longs max 10 bytes each
+                if len(head_bytes) == 0:
+                    return  # clean EOF after the final sync
+                n_rows, p = _dec_long(head_bytes, 0)
+                n_bytes, p = _dec_long(head_bytes, p)
+                f.seek(sync_pos + 16 + p)
+                payload = f.read(n_bytes)
+                if len(payload) != n_bytes:
+                    raise ValueError(f"avro_scratch: truncated block in {partition.path}")
+                if codec == "deflate":
+                    payload = inflate(payload)
+                elif codec != "null":
+                    raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
+                cols: list[list] = [[] for _ in decoders]
+                pos = 0
+                for _ in range(n_rows):
+                    for dec, col in zip(decoders, cols):
+                        v, pos = dec(payload, pos)
+                        col.append(v)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=fld.type) for c, fld in zip(cols, arrow_schema)],
+                    schema=arrow_schema,
+                )
+                next_sync = f.read(16)
+                if next_sync != sync:
+                    raise ValueError(f"avro_scratch: sync mismatch in {partition.path}")
+                sync_pos = sync_pos + 16 + p + n_bytes
+
+    @staticmethod
+    def _find_sync(f, sync: bytes, start: int) -> int | None:
+        """First occurrence of the 16-byte sync at offset >= start
+        (chunked scan with a 15-byte overlap for straddlers)."""
+        chunk_size = 1 << 20
+        offset = start
+        f.seek(offset)
+        prev_tail = b""
+        while True:
+            chunk = f.read(chunk_size)
+            if not chunk:
+                return None
+            buf = prev_tail + chunk
+            i = buf.find(sync)
+            if i != -1:
+                return offset - len(prev_tail) + i
+            prev_tail = buf[-15:]
+            offset += len(chunk)
+
+
+class AvroDataSource(DataSource):
+    """``spark.dataSource.register(AvroDataSource)`` then
+    ``spark.read.format("avro_scratch").load(dir)`` /
+    ``df.write.format("avro_scratch").save(dir)``."""
+
+    @classmethod
+    def name(cls):
+        return "avro_scratch"
+
+    def schema(self):
+        files = _files_of(self.options["path"])
+        if not files:
+            raise FileNotFoundError(f"avro_scratch: no .avro files under {self.options['path']}")
+        with open(files[0], "rb") as f:
+            meta, _, _ = parse_header(f.read(_HEADER_PROBE))
+        return avro_json_to_ddl(meta["avro.schema"].decode("utf-8"))
+
+    def reader(self, schema):
+        return AvroReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return AvroWriter(self.options, schema, overwrite)

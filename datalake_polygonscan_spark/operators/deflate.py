@@ -190,3 +190,167 @@ def zlib_decompress_scratch(data: bytes) -> bytes:
     if want != got:
         raise ValueError(f"zlib: adler32 mismatch ({got:#x} != {want:#x})")
     return out
+
+
+# ---------------------------------------------------------------------------
+# From-scratch DEFLATE *encoding* (RFC 1951 §3.2.3-3.2.6) — the write
+# side of the codec family, used by the Avro container writer
+# (io/avro.py). Two strategies:
+#
+# - ``deflate_stored``  — BTYPE=0 stored blocks: byte-aligned copies,
+#   zero compression but zero per-byte Python work (memoryview slices),
+#   the fast path when the payload is already dense (parquet pages,
+#   media bytes).
+# - ``deflate_fixed``   — BTYPE=1 fixed-Huffman with greedy hash-chain
+#   LZ77 (3..258-byte matches, 32 KiB window): real compression using
+#   only the RFC's fixed code tables, no dynamic-table pass. Pure
+#   Python, so it trades speed for self-containedness — at cluster
+#   scale the JVM-side columnar codecs carry the hot path and this
+#   remains the container-format tier.
+#
+# Both emit streams that stdlib zlib.decompress(raw) accepts and that
+# ``inflate`` above round-trips bit-exactly (tests/test_avro.py).
+# ---------------------------------------------------------------------------
+
+
+def deflate_stored(data: bytes) -> bytes:
+    """Encode ``data`` as RFC 1951 stored (BTYPE=0) blocks."""
+    out = bytearray()
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while True:
+        chunk = view[pos : pos + 0xFFFF]
+        last = pos + len(chunk) >= n
+        out.append(0x01 if last else 0x00)  # BFINAL | BTYPE=00 (aligned)
+        ln = len(chunk)
+        out += bytes((ln & 0xFF, ln >> 8, (ln ^ 0xFFFF) & 0xFF, (ln ^ 0xFFFF) >> 8))
+        out += chunk
+        pos += ln
+        if last:
+            return bytes(out)
+
+
+class _BitWriter:
+    """LSB-first bit accumulator (DEFLATE's bit order: Huffman codes
+    are written MSB-first *within* the code, everything packed
+    LSB-first into bytes — RFC 1951 §3.1.1)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:  # LSB-first payload bits
+        self.acc |= value << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, width: int) -> None:  # Huffman code, MSB-first
+        rev = 0
+        for _ in range(width):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.put(rev, width)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _fixed_lit_code(sym: int) -> tuple[int, int]:
+    """RFC 1951 §3.2.6 fixed literal/length table: (code, width)."""
+    if sym <= 143:
+        return 0x30 + sym, 8
+    if sym <= 255:
+        return 0x190 + (sym - 144), 9
+    if sym <= 279:
+        return sym - 256, 7
+    return 0xC0 + (sym - 280), 8
+
+
+def _length_symbol(length: int) -> tuple[int, int, int]:
+    """(symbol 257..285, extra-bit value, extra-bit count) for a match
+    length in 3..258."""
+    for i in range(len(_LEN_BASE) - 1, -1, -1):
+        if length >= _LEN_BASE[i]:
+            return 257 + i, length - _LEN_BASE[i], _LEN_EXTRA[i]
+    raise ValueError(f"deflate: bad match length {length}")
+
+
+def _dist_symbol(dist: int) -> tuple[int, int, int]:
+    """(symbol 0..29, extra-bit value, extra-bit count) for a match
+    distance in 1..32768."""
+    for i in range(len(_DIST_BASE) - 1, -1, -1):
+        if dist >= _DIST_BASE[i]:
+            return i, dist - _DIST_BASE[i], _DIST_EXTRA[i]
+    raise ValueError(f"deflate: bad match distance {dist}")
+
+
+def deflate_fixed(data: bytes, max_chain: int = 32) -> bytes:
+    """Encode ``data`` as ONE fixed-Huffman (BTYPE=1) DEFLATE block
+    with greedy hash-chain LZ77: 3-byte-hash chains, newest-first probe
+    capped at ``max_chain``, matches up to 258 bytes within the 32 KiB
+    window. Greedy (no lazy matching) — a couple % worse than zlib -6,
+    two orders of magnitude less code."""
+    w = _BitWriter()
+    w.put(1, 1)  # BFINAL
+    w.put(1, 2)  # BTYPE=01 fixed
+    n = len(data)
+    head: dict[int, list[int]] = {}
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            chain = head.get(key)
+            if chain:
+                lo = i - 32768
+                probes = 0
+                for j in reversed(chain):
+                    if j < lo or probes >= max_chain:
+                        break
+                    probes += 1
+                    # extend the match
+                    length = 0
+                    maxl = min(258, n - i)
+                    while length < maxl and data[j + length] == data[i + length]:
+                        length += 1
+                    if length > best_len:
+                        best_len, best_dist = length, i - j
+                        if length >= 258:
+                            break
+            chain = head.setdefault(key, [])
+            chain.append(i)
+            if len(chain) > 2 * max_chain:  # bound memory per key
+                del chain[: len(chain) - max_chain]
+        if best_len >= 3:
+            sym, extra, nb = _length_symbol(best_len)
+            code, width = _fixed_lit_code(sym)
+            w.put_code(code, width)
+            if nb:
+                w.put(extra, nb)
+            dsym, dextra, dnb = _dist_symbol(best_dist)
+            w.put_code(dsym, 5)  # fixed distance codes: 5-bit, values 0..29
+            if dnb:
+                w.put(dextra, dnb)
+            # index the skipped positions so later matches can find them
+            end = min(i + best_len, n - 2)
+            for p in range(i + 1, end):
+                key2 = data[p] | (data[p + 1] << 8) | (data[p + 2] << 16)
+                head.setdefault(key2, []).append(p)
+            i += best_len
+        else:
+            code, width = _fixed_lit_code(data[i])
+            w.put_code(code, width)
+            i += 1
+    code, width = _fixed_lit_code(256)  # end of block
+    w.put_code(code, width)
+    return w.finish()

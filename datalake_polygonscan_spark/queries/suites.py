@@ -2839,6 +2839,13 @@ _suite(
             "o_orderstatus": "content_md5",
             "codec_verified": "length_col_consistent",
         }),
+        # round 8: S45 from-scratch Avro container DataSource (deflate
+        # codec, sync-split parallel read) — min/max keys packed into
+        # one double so the round-trip's key range is graded too
+        ("avro", "s45_avro_scratch_roundtrip", {
+            "grp": "c_mktsegment", "n_rows": "n_rows", "total": "total_bal",
+            "sum_price": "CAST(min_key * 1000000 + max_key AS DOUBLE)",
+        }),
     ],
 )
 

@@ -1,0 +1,161 @@
+"""From-scratch Avro container DataSource (io/avro.py): binary
+encoding vectors from the public spec, header structure, full-type
+round trips, the deflate codec, and sync-marker split reading."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import zlib
+
+import pytest
+
+from datalake_polygonscan_spark.io.avro import (
+    AvroDataSource,
+    _dec_long,
+    _enc_long,
+    avro_json_to_ddl,
+    parse_header,
+    schema_to_avro_json,
+    write_header,
+)
+from datalake_polygonscan_spark.operators.deflate import (
+    deflate_fixed,
+    deflate_stored,
+    inflate,
+)
+
+
+def test_zigzag_varint_spec_vectors():
+    """The exact byte examples from the Avro spec's binary-encoding
+    table (0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01)."""
+    vectors = {
+        0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+        -64: b"\x7f", 64: b"\x80\x01",
+    }
+    for n, want in vectors.items():
+        out = bytearray()
+        _enc_long(n, out)
+        assert bytes(out) == want, n
+        back, pos = _dec_long(bytes(out), 0)
+        assert back == n and pos == len(want)
+    # 64-bit extremes survive
+    for n in (2**63 - 1, -(2**63), 123456789012345):
+        out = bytearray()
+        _enc_long(n, out)
+        assert _dec_long(bytes(out), 0)[0] == n
+
+
+def test_header_roundtrip_and_magic():
+    sync = bytes(range(16))
+    hdr = write_header('{"type":"record","name":"row","fields":[]}', "deflate", sync)
+    assert hdr[:4] == b"Obj\x01"
+    meta, got_sync, end = parse_header(hdr)
+    assert got_sync == sync and end == len(hdr)
+    assert meta["avro.codec"] == b"deflate"
+    with pytest.raises(ValueError, match="magic"):
+        parse_header(b"PAR1" + hdr[4:])
+
+
+def test_schema_mapping_roundtrip(spark):
+    df = spark.createDataFrame(
+        [],
+        "a long, b string, c double, d boolean, e binary, f int, "
+        "g array<float>, h date, i timestamp_ntz, j float",
+    )
+    ddl = avro_json_to_ddl(schema_to_avro_json(df.schema))
+    df2 = spark.createDataFrame([], ddl)
+    assert df2.schema == df.schema
+
+
+def test_deflate_encoders_roundtrip_both_decoders():
+    payloads = [b"", b"x", b"abc" * 5000, os.urandom(70000)]
+    for p in payloads:
+        for enc in (deflate_stored, deflate_fixed):
+            c = enc(p)
+            assert zlib.decompress(c, -15) == p  # stdlib agrees
+            assert inflate(c) == p               # in-repo inflate agrees
+    text = b"to be or not to be, that is the question. " * 300
+    assert len(deflate_fixed(text)) < len(text) // 5  # real compression
+
+
+@pytest.fixture()
+def avro_spark(spark):
+    spark.dataSource.register(AvroDataSource)
+    return spark
+
+
+def _roundtrip(spark, df, path, **opts):
+    w = df.write.format("avro_scratch").mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(path)
+    return spark.read.format("avro_scratch").load(path)
+
+
+def test_all_types_roundtrip_with_nulls(avro_spark, tmp_path):
+    rows = [
+        (1, "alpha", 1.5, True, b"\x00\xff", 7, [1.0, 2.5], datetime.date(2024, 2, 29),
+         datetime.datetime(2024, 2, 29, 12, 34, 56, 789000)),
+        (2, None, None, None, None, None, None, None, None),
+        (3, "unicode é中文", -0.0, False, b"", -7, [], datetime.date(1970, 1, 1),
+         datetime.datetime(1970, 1, 1, 0, 0, 0)),
+    ]
+    df = avro_spark.createDataFrame(
+        rows,
+        "k long, s string, d double, b boolean, raw binary, i int, "
+        "arr array<double>, dt date, ts timestamp_ntz",
+    )
+    for codec in ("null", "deflate"):
+        back = _roundtrip(avro_spark, df, str(tmp_path / f"t_{codec}"), codec=codec)
+        assert back.schema == df.schema
+        assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_sync_split_parallel_read(avro_spark, tmp_path):
+    """One container file, small split_size: many partitions, identical
+    content — the Hadoop-style byte-range fan-out."""
+    from pyspark.sql import functions as F
+
+    df = avro_spark.range(0, 50000).selectExpr(
+        "id", "concat('row-', id) AS tag", "CAST(id AS DOUBLE) / 7 AS v"
+    )
+    path = str(tmp_path / "big")
+    df.coalesce(1).write.format("avro_scratch").mode("overwrite").save(path)
+    assert len(glob.glob(os.path.join(path, "*.avro"))) == 1
+    back = (
+        avro_spark.read.format("avro_scratch")
+        .option("split_size", 32 * 1024)
+        .load(path)
+    )
+    assert back.rdd.getNumPartitions() > 4
+    assert back.count() == 50000
+    cols = ["id", "tag", "v"]
+    h = lambda d: d.agg(F.sum(F.hash(*cols).cast("long"))).collect()[0][0]  # noqa: E731
+    assert h(back) == h(df)
+
+
+def test_overwrite_replaces_and_append_accumulates(avro_spark, tmp_path):
+    path = str(tmp_path / "modes")
+    d1 = avro_spark.range(10).selectExpr("id AS k")
+    d2 = avro_spark.range(10, 15).selectExpr("id AS k")
+    d1.write.format("avro_scratch").mode("overwrite").save(path)
+    d2.write.format("avro_scratch").mode("append").save(path)
+    got = {r.k for r in avro_spark.read.format("avro_scratch").load(path).collect()}
+    assert got == set(range(15))
+    d2.write.format("avro_scratch").mode("overwrite").save(path)
+    got = {r.k for r in avro_spark.read.format("avro_scratch").load(path).collect()}
+    assert got == set(range(10, 15))
+
+
+def test_truncated_block_fails_loudly(avro_spark, tmp_path):
+    path = str(tmp_path / "trunc")
+    avro_spark.range(1000).selectExpr("id", "repeat('x', 50) AS pad").coalesce(
+        1
+    ).write.format("avro_scratch").mode("overwrite").save(path)
+    f = glob.glob(os.path.join(path, "*.avro"))[0]
+    data = open(f, "rb").read()
+    open(f, "wb").write(data[: len(data) - 40])  # chop mid-block
+    with pytest.raises(Exception, match="truncated|sync"):
+        avro_spark.read.format("avro_scratch").load(path).collect()
