@@ -3142,3 +3142,108 @@ def s44_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ids_dense).alias("ids_dense"),
         F.lit(v0_stable).alias("v0_ids_stable"),
     )
+
+
+@register(
+    "s47_delta_log_reader",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS p
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), removed AS (
+        SELECT max(o_orderstatus) AS st FROM sub WHERE o_orderkey % 2 = 0
+    ), live AS (
+        SELECT * FROM sub
+        WHERE NOT (o_orderkey % 2 = 0
+                   AND o_orderstatus = (SELECT st FROM removed))
+    ), v0 AS (
+        SELECT * FROM sub WHERE o_orderkey % 2 = 0
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.p) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM v0 v
+             WHERE v.o_orderstatus = l.o_orderstatus) AS n_rows_v0,
+           (SELECT ROUND(CAST(SUM(v.p) AS DOUBLE), 4) FROM v0 v
+             WHERE v.o_orderstatus = l.o_orderstatus) AS sum_v0,
+           CAST((SELECT count(DISTINCT o_orderstatus) FROM sub WHERE o_orderkey % 2 = 0)
+              + (SELECT count(DISTINCT o_orderstatus) FROM sub WHERE o_orderkey % 2 = 1)
+              - 1 AS BIGINT) AS n_files_live,
+           CAST(2 AS BIGINT) AS resolved_version,
+           TRUE AS protocol_gate_raises
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S47 FOREIGN Delta-log reader (io/delta_reader.py — the open "
+        "delta-io PROTOCOL.md, no delta jar/package): the fixture's "
+        "_delta_log is composed DIRECTLY from the protocol doc (v0 "
+        "protocol+metaData+adds, v1 adds, v2 remove), never by this "
+        "repo's own lakehouse writer, so the reader is graded against "
+        "the open format. Replay = last-writer-wins over JSON actions; "
+        "schemaString resolves via Spark's own StructType.fromJson "
+        "(Delta inherited Spark's schema JSON); partition columns "
+        "re-enter as typed literals per add.partitionValues. Graded: "
+        "live snapshot content, VERSION AS OF 0 content, live-file "
+        "count from metadata alone, and the protocol CAPABILITY GATE "
+        "(a minReaderVersion=3 table requiring deletionVectors must "
+        "raise DeltaProtocolError, not silently mis-scan). VERDICT r7 "
+        "'Next round' #3; Iceberg manifests follow via S45's Avro"
+    ),
+)
+def s47_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from datalake_polygonscan_spark.io.delta_reader import (
+        DeltaProtocolError,
+        read_delta_table,
+        snapshot_info,
+        write_foreign_delta_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    table = _scratch("s47_delta_log", "foreign_orders")
+    write_foreign_delta_fixture(spark, sub, table, "o_orderstatus", "o_orderkey")
+
+    info = snapshot_info(spark, table)
+    live = read_delta_table(spark, table)
+    v0 = read_delta_table(spark, table, version=0)
+
+    # the protocol gate: a table demanding deletionVectors must raise
+    gate = _scratch("s47_delta_log", "unsupported")
+    log_dir = _os.path.join(gate, "_delta_log")
+    _os.makedirs(log_dir, exist_ok=True)
+    with open(_os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "x", "schemaString": sub.schema.json(), "partitionColumns": [],
+        }}) + "\n")
+    try:
+        read_delta_table(spark, gate)
+        gate_raises = False
+    except DeltaProtocolError:
+        gate_raises = True
+
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_live")
+    )
+    v0_agg = v0.groupBy(F.col("o_orderstatus").alias("st0")).agg(
+        F.count("*").alias("n_rows_v0"), _dbl_sum("o_totalprice", "sum_v0")
+    )
+    return (
+        live_agg.join(v0_agg, live_agg["o_orderstatus"] == v0_agg["st0"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v0", "sum_v0",
+            F.lit(info["n_files"]).cast("long").alias("n_files_live"),
+            F.lit(info["version"]).cast("long").alias("resolved_version"),
+            F.lit(gate_raises).alias("protocol_gate_raises"),
+        )
+    )

@@ -1037,6 +1037,16 @@ _suite(
             "source_isolated": "legacy_path_intact",
             "resolved_v0": "v0_time_travels",
         }),
+        # round 8: S47 foreign Delta-log reader — live snapshot +
+        # VERSION AS OF + metadata file count + the protocol gate
+        ("foreign_delta", "s47_delta_log_reader", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v0",
+            "n_versions": "n_files_live",
+            "n_versions_logged": "resolved_version",
+            "n_vacuumed": "n_rows_v0",
+            "bad_version_still_readable": "protocol_gate_raises",
+        }),
         ("orphan_gc", "s38_orphan_file_gc", {
             "o_orderstatus": "c_mktsegment", "n_rows": "n_rows",
             "sum_live": "sum_live", "n_vacuumed": "n_orphans_removed",
