@@ -834,3 +834,95 @@ def duplicated_span_fraction(
             ).alias("dup_token_fraction"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    max_word_len: int = 12,
+    replace_passes: int = 4,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """L18 — BYTE-PAIR-ENCODING tokenizer TRAINING at corpus scale
+    (Sennrich, Haddow & Birch, ACL 2016 — the public BPE algorithm):
+    learn ``n_merges`` merge rules by repeatedly counting adjacent
+    symbol pairs over the corpus and merging the most frequent one.
+
+    The corpus-scale shape (what makes this work at 100 TB):
+
+    - the corpus COLLAPSES to its vocabulary first — one groupBy over
+      lowercased ``[a-z]+`` words ([1..max_word_len] chars) with
+      counts, so every later round works on |vocab| rows, not |corpus|
+      rows (the standard trick: pair frequencies are linear in word
+      counts);
+    - each round is ONE partial-agg shuffle (pair -> weighted count,
+      map-side combinable) + a driver-side argmax of that tiny pair
+      table (count DESC, then lexicographic (a, b) — a deterministic
+      unique winner) + a broadcast-literal merge applied map-side with
+      zero shuffle; the working set localCheckpoints per round so the
+      plan never deepens (the G2/G8 iterative discipline).
+
+    Merge application is EXACT GREEDY leftmost, expressed as an
+    engine-portable fixpoint: the space-joined symbol string wrapped
+    in sentinels has ``' a b '`` replaced by ``' ab '`` repeatedly
+    (``replace_passes`` passes). One pass of SQL replace() consumes
+    the shared separator of back-to-back occurrences ("a b a b" only
+    merges the first), so iterating to fixpoint reproduces greedy
+    semantics; convergence within the fixed pass budget is VERIFIED
+    per row per round (one more pass must be a no-op) and surfaced in
+    the returned ``ok`` column — an under-budgeted replay fails loudly
+    (the g10 oracle-convergence discipline). Using the same replace()
+    primitive on both engines is what lets a SQL oracle replay
+    training round-for-round, winner selection included.
+
+    Returns ``(merges, words)``: ``merges`` = [(rank, left, right,
+    merged, pair_count)] in learned order; ``words`` = DataFrame
+    (w, cnt, s, ok) with each vocab word's final segmentation.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    work = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" </w>")
+        ).alias("s"),
+        F.lit(True).alias("ok"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    pair_list = (
+        "transform(sequence(0, size(split(s, ' ')) - 2), "
+        "i -> concat_ws(' ', split(s, ' ')[i], split(s, ' ')[i+1]))"
+    )
+    for k in range(n_merges):
+        top = (
+            work.select("cnt", F.explode(F.expr(pair_list)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .select(
+                F.split("pair", " ")[0].alias("a"),
+                F.split("pair", " ")[1].alias("b"),
+                "pc",
+            )
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # 1-row argmax: loop control, not data movement
+        )
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        merges.append((k + 1, a, b, a + b, pc))
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        p = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _ in range(replace_passes):
+            p = F.replace(p, pat, rep)
+        conv = F.replace(p, pat, rep) == p
+        work = work.select(
+            "w", "cnt", F.trim(p).alias("s"), (F.col("ok") & conv).alias("ok")
+        ).localCheckpoint(eager=True)
+    return merges, work

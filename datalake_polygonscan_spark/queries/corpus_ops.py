@@ -709,3 +709,152 @@ def l13_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_token_fraction",
         (F.col("dup_token_fraction") >= 0.5).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L18: BPE tokenizer TRAINING (Sennrich et al. 2016), oracled round-for-round
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+_BPE_PASSES = 4
+_BPE_MAXLEN = 12
+_BPE_TOPK = 20
+
+
+def _l18_oracle_sql(
+    n_merges: int = _BPE_MERGES,
+    passes: int = _BPE_PASSES,
+    max_word_len: int = _BPE_MAXLEN,
+    topk: int = _BPE_TOPK,
+) -> str:
+    """Replays BPE training as staged MATERIALIZED CTEs — one
+    (pair-count, argmax winner, merge-application) triple per round,
+    winner selection INCLUDED, so a wrong pair count, a broken
+    tie-break or a non-greedy merge all value-fail. The merge is the
+    same replace()-to-fixpoint expression the Spark side runs; the
+    convergence flag proves the pass budget sufficed (g10
+    discipline)."""
+    p_chain = "p0"
+    for _ in range(passes):
+        p_chain = f"replace({p_chain}, pat, rep)"
+    parts = [f"""
+    words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ) WHERE len(w) BETWEEN 1 AND {max_word_len}
+        GROUP BY w
+    ), seq0 AS MATERIALIZED (
+        SELECT w, cnt,
+               concat(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' </w>') AS s,
+               TRUE AS ok
+        FROM words
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", pc{k} AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b,
+               SUM(cnt) AS pc
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(s, ' ')) - 1),
+                       i -> array_to_string(string_split(s, ' ')[i:i+1], ' ')
+                   )) AS pair
+            FROM seq{k - 1}
+        ) GROUP BY 1, 2
+    ), win{k} AS MATERIALIZED (
+        SELECT a, b, CAST(pc AS BIGINT) AS pc
+        FROM pc{k} ORDER BY pc DESC, a, b LIMIT 1
+    ), seq{k} AS MATERIALIZED (
+        SELECT w, cnt, trim(p_fix) AS s,
+               ok AND (replace(p_fix, pat, rep) = p_fix) AS ok
+        FROM (
+            SELECT w, cnt, ok, pat, rep, {p_chain} AS p_fix
+            FROM (
+                SELECT q.w, q.cnt, q.ok,
+                       ' ' || win{k}.a || ' ' || win{k}.b || ' ' AS pat,
+                       ' ' || win{k}.a || win{k}.b || ' ' AS rep,
+                       ' ' || q.s || ' ' AS p0
+                FROM seq{k - 1} q CROSS JOIN win{k}
+            )
+        )
+    )""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"        SELECT {k} AS k, a, b, pc FROM win{k}" for k in range(1, n_merges + 1)
+    )
+    parts.append(f""", allok AS (
+        SELECT CAST(bool_and(ok) AS INTEGER) AS flag FROM seq{n_merges}
+    )
+    SELECT 'merge' AS part, CAST(k AS BIGINT) AS rank, a AS left_sym,
+           b AS right_sym, a || b AS merged, pc AS cnt,
+           CAST(NULL AS VARCHAR) AS tokenized,
+           CAST(NULL AS INTEGER) AS all_converged
+    FROM (
+{merge_rows}
+    )
+    UNION ALL
+    SELECT 'word', CAST(rn AS BIGINT), w, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), cnt, s, (SELECT flag FROM allok)
+    FROM (
+        SELECT w, cnt, s, row_number() OVER (ORDER BY cnt DESC, w) AS rn
+        FROM seq{n_merges}
+    ) WHERE rn <= {topk}
+    """)
+    return "WITH " + "".join(parts)
+
+
+@register(
+    "l18_bpe_train",
+    oracle=_l18_oracle_sql(),
+    doc=(
+        "L18 BPE tokenizer TRAINING at corpus scale (Sennrich et al. "
+        "ACL 2016, the public byte-pair-encoding algorithm; "
+        "operators/curation.py:bpe_train): the corpus collapses to "
+        "its weighted vocabulary ONCE, then each of the 8 rounds is "
+        "one partial-agg pair-count shuffle + a deterministic argmax "
+        "(count DESC, lexicographic tie-break) + a broadcast-literal "
+        "greedy merge with zero shuffle — the corpus-scale shape "
+        "(count pairs -> pick max -> broadcast merge rule). Greedy "
+        "merge is an engine-portable replace()-to-fixpoint whose "
+        "convergence within the pass budget is verified per row per "
+        "round and graded (all_converged). The oracle replays "
+        "TRAINING ITSELF round-for-round — pair counts, winner "
+        "selection, merge application — as staged MATERIALIZED CTEs, "
+        "then checks the learned merge table AND the top-{k} word "
+        "segmentations. VERDICT r7 'Next round' #7"
+        .format(k=_BPE_TOPK)
+    ),
+)
+def l18_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words = C.bpe_train(
+        docs, "text", n_merges=_BPE_MERGES,
+        max_word_len=_BPE_MAXLEN, replace_passes=_BPE_PASSES,
+    )
+    all_ok = bool(words.agg(F.bool_and("ok")).collect()[0][0])
+    merges_df = spark.createDataFrame(
+        [(r, a, b, m, c) for r, a, b, m, c in merges],
+        "rank long, left_sym string, right_sym string, merged string, cnt long",
+    ).select(
+        F.lit("merge").alias("part"), "rank", "left_sym", "right_sym", "merged",
+        "cnt", F.lit(None).cast("string").alias("tokenized"),
+        F.lit(None).cast("int").alias("all_converged"),
+    )
+    # vocab is corpus-collapsed (small by construction), so the global
+    # ranking window is metadata-sized, not data-sized
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    word_rows = (
+        words.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select(
+            F.lit("word").alias("part"), "rank", F.col("w").alias("left_sym"),
+            F.lit(None).cast("string").alias("right_sym"),
+            F.lit(None).cast("string").alias("merged"), "cnt",
+            F.col("s").alias("tokenized"),
+            F.lit(all_ok).cast("int").alias("all_converged"),
+        )
+    )
+    return merges_df.unionByName(word_rows)

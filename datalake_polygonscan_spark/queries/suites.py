@@ -2421,6 +2421,14 @@ _suite(
             "doc_id": "doc_id", "term": "term", "tf": "tf",
             "doc_freq": "doc_freq", "tfidf": "tfidf", "rank": "rank",
         }),
+        # round 8: L18 BPE tokenizer training — merge table + top-k
+        # word segmentations + the convergence verdict (VERDICT r7 #7)
+        (None, "l18_bpe_train", {
+            "mode": "'bpe_' || part",
+            "rank": "rank", "term": "left_sym", "shingle": "right_sym",
+            "chunk_text": "merged", "n_occurrences": "cnt",
+            "redacted": "tokenized", "flagged_repetitive": "all_converged",
+        }),
         ("repetition", "l5_repetition_score", {
             "doc_id": "doc_id", "n_tokens": "n_tokens",
             "n_shingles": "n_shingles",

@@ -304,3 +304,18 @@ def test_duplicated_span_fraction_hand_fixture(spark):
         assert out[d].total_tokens == 8
         assert abs(out[d].dup_token_fraction - 0.5) < 1e-9
     assert out[3].n_dup_chunks == 0 and out[3].dup_token_fraction == 0.0
+
+
+def test_bpe_train_greedy_and_deterministic(spark):
+    """Greedy leftmost merge on repeated pairs ("aaaa" + (a,a) ->
+    [aa, aa]), deterministic lexicographic tie-break, convergence
+    flag true within the pass budget."""
+    from datalake_polygonscan_spark.operators.curation import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa aaaa"), (2, "aaaa")], "doc_id long, text string")
+    merges, words = bpe_train(df, "text", n_merges=2)
+    assert merges[0][1:4] == ("a", "a", "aa") and merges[0][4] == 9  # 3 pairs x 3 words
+    # round 2: (aa,aa) and (aa,</w>) tie at 3 -> '</w>' sorts first
+    assert merges[1][1:4] == ("aa", "</w>", "aa</w>")
+    row = words.collect()[0]
+    assert row["s"] == "aa aa</w>" and row["ok"] is True
