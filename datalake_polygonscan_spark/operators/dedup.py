@@ -714,3 +714,103 @@ def ngram_containment_pairs(
         F.col("size_contained").cast("long").alias("size_contained"),
         F.col("size_container").cast("long").alias("size_container"),
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+) -> DataFrame:
+    """L17 — EXACT duplicate-substring spans with exact boundaries
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — the ExactSubstr criterion): every maximal token
+    span of length >= ``min_len`` that occurs more than once in the
+    corpus, per document. This is the sub-document signal whole-doc
+    and chunk-granularity dedup (L13's fixed 32-token chunks) miss:
+    boundaries here are token-exact, not chunk-aligned.
+
+    Formulation: the union of maximal duplicate spans >= L equals the
+    union of duplicated L-grams — any duplicate span of length m >= L
+    is covered by its m-L+1 duplicated L-grams, and every duplicated
+    L-gram IS a duplicate span (the identity the paper's suffix-array
+    LCP >= L criterion computes; the suffix array is its single-node
+    data structure, the distributed form is this grouped-anchor
+    equivalent). So:
+
+    1. one scan explodes each doc into its L-gram start positions,
+       each carrying ONLY the md5 digest of its L tokens (the L13
+       discipline: shuffles carry digests, never text — per-position
+       payload is constant, not O(L));
+    2. ONE hash-partition window by digest counts occurrences; count
+       >= 2 marks the position as inside a duplicate span (corpus-wide
+       AND intra-doc repeats both qualify, as in the paper);
+    3. per-doc gaps-and-islands coalescing merges overlapping [pos,
+       pos+L) intervals into MAXIMAL spans with exact boundaries —
+       a window over the (small) duplicate-position subset only.
+
+    Three linear shuffles, no cross join, no candidate blowup: the
+    digest exchange is the only corpus-sized one and it is
+    partial-agg shaped. Returns one row per doc: n_tokens, n_spans,
+    dup_tokens, longest_span, first_start (1-based), dup_frac.
+    """
+    L = int(min_len)
+    toks = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("t"),
+        )
+    )
+    sizes = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    grams = (
+        toks.filter(F.size("t") >= L)
+        .select(
+            "doc_id", "t",
+            F.explode(F.expr(f"sequence(1, size(t) - {L} + 1)")).alias("pos"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(t, pos, {L})"))).alias("dg"),
+        )
+    )
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("dg")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        dup.withColumn("prev_end", F.max(F.col("pos") + L).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + F.lit(L)).alias("end_excl"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("end_excl") - F.col("start")).alias("dup_tokens"),
+        F.max(F.col("end_excl") - F.col("start")).alias("longest_span"),
+        F.min("start").alias("first_start"),
+    )
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0)).cast("long").alias("longest_span"),
+            F.coalesce("first_start", F.lit(0)).cast("long").alias("first_start"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+    )

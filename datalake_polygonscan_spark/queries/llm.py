@@ -616,3 +616,87 @@ def l12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# L17: exact duplicate-substring spans (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_L17_LEN = 20
+
+
+def _l17_oracle_sql(L: int = _L17_LEN) -> str:
+    """Full-pipeline replay: L-gram digests, the corpus-wide
+    duplicate-count window, and the per-doc gaps-and-islands maximal
+    span coalescing — token-exact boundaries value-checked."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sizes AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS MATERIALIZED (
+        SELECT doc_id, unnest(generate_series(1, len(t) - {L} + 1)) AS pos, t
+        FROM toks WHERE len(t) >= {L}
+    ), dgt AS MATERIALIZED (
+        SELECT doc_id, pos, md5(array_to_string(t[pos:pos+{L}-1], ' ')) AS dg
+        FROM grams
+    ), dup AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY dg) AS c FROM dgt
+        ) WHERE c >= 2
+    ), isl AS MATERIALIZED (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + {L}) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM dup
+        )
+    ), spans AS (
+        SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + {L} AS en
+        FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(SUM(en - st) AS BIGINT) AS dup_tokens,
+               CAST(MAX(en - st) AS BIGINT) AS longest_span,
+               CAST(MIN(st) AS BIGINT) AS first_start
+        FROM spans GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.longest_span, 0) AS longest_span,
+           COALESCE(p.first_start, 0) AS first_start,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / s.n_tokens, 4) AS dup_frac
+    FROM sizes s LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "l17_duplicate_spans",
+    oracle=_l17_oracle_sql(),
+    doc=(
+        "L17 EXACT duplicate-substring spans with token-exact "
+        "boundaries (Lee et al. 2022 ExactSubstr; operators/dedup.py:"
+        "duplicate_token_spans): maximal token spans >= {L} occurring "
+        "more than once ANYWHERE in the corpus, per document — the "
+        "sub-document contamination signal chunk-aligned L13 misses. "
+        "Uses the L-gram-union identity (union of maximal duplicate "
+        "spans >= L == union of duplicated L-grams — what the paper's "
+        "suffix-array LCP >= L criterion computes), so the distributed "
+        "plan is three linear shuffles: digest-anchored position "
+        "explode (constant payload per position, never text), one "
+        "corpus-wide duplicate-count window, one per-doc "
+        "gaps-and-islands coalesce over the duplicate subset only. No "
+        "cross join, no candidate blowup. Oracle replays every stage. "
+        "VERDICT r7 'Next round' #6"
+        .format(L=_L17_LEN)
+    ),
+)
+def l17_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.dedup import duplicate_token_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_token_spans(docs, "text", "doc_id", min_len=_L17_LEN)

@@ -273,6 +273,18 @@ _suite(
                 "CAST(flagged AS INT)", "CAST(flagged AS INTEGER)",
             ),
         }),
+        # round 8: L17 token-exact duplicate spans (ExactSubstr) —
+        # per-doc maximal-span stats graded (VERDICT r7 #6)
+        ("exact_spans", "l17_duplicate_spans", {
+            "doc_a": "doc_id", "doc_b": "n_spans",
+            "n_vectors": "n_tokens", "jaccard": "dup_frac",
+            "pairs_verified": (
+                "CAST(dup_tokens AS INT)", "CAST(dup_tokens AS INTEGER)",
+            ),
+            "recall_ok": (
+                "CAST(longest_span AS INT)", "CAST(longest_span AS INTEGER)",
+            ),
+        }),
         ("incremental", "l12_incremental_dedup", {
             "doc_a": "corpus_doc", "doc_b": "batch_doc", "jaccard": "jacc",
             "pairs_verified": (

@@ -296,3 +296,28 @@ def test_ensure_parallelism_gate(spark, tmp_path):
     assert "Repartition" not in gated._jdf.queryExecution().logical().toString()
     # correctness unchanged: same rows either way
     assert gated.count() == 200
+
+
+def test_duplicate_token_spans_exact_boundaries(spark):
+    """L17: token-exact maximal span boundaries — a 23-token shared
+    stretch is found at its exact positions in both docs; within-doc
+    A+A repetition coalesces to one span covering both copies."""
+    from datalake_polygonscan_spark.operators.dedup import duplicate_token_spans
+
+    base = [f"x{i}" for i in range(30)]
+    doc1 = " ".join(base)
+    doc2 = "y0 y1 " + " ".join(base[5:28]) + " z0"
+    rep = [f"a{i}" for i in range(20)]
+    doc3 = " ".join(rep + rep)
+    other = " ".join(f"n{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, other)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in duplicate_token_spans(df, "text", "doc_id", min_len=20).collect()}
+    assert (out[1].n_spans, out[1].dup_tokens, out[1].first_start) == (1, 23, 6)
+    assert (out[2].n_spans, out[2].dup_tokens, out[2].first_start) == (1, 23, 3)
+    assert (out[3].n_spans, out[3].dup_tokens, out[3].longest_span, out[3].first_start) == (1, 40, 40, 1)
+    assert (out[4].n_spans, out[4].dup_tokens) == (0, 0)
+    # scale shape: never a cartesian product
+    plan = duplicate_token_spans(df, "text", "doc_id", min_len=20)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
