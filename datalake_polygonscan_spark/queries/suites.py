@@ -658,6 +658,18 @@ _suite(
             "operator_name": ("CAST(rocksdb_files_present AS STRING)",
                               "CAST(rocksdb_files_present AS VARCHAR)"),
         }),
+        # round 8: E20 transformWithStateInPandas (typed ValueState +
+        # MapState) running through the from-scratch state-protocol
+        # runtime — n_types proves the MapState persisted across
+        # batches (VERDICT r7 #8)
+        ("tws_typed", "e20_tws_typed_state", {
+            "user_id": "user_id", "n_events": "n_events",
+            "total_value": "total_value",
+            "session_value": ("CAST(n_types AS DOUBLE)",
+                              "CAST(n_types AS DOUBLE)"),
+            "event_type": ("CAST(typed_state_ran AS STRING)",
+                           "CAST(typed_state_ran AS VARCHAR)"),
+        }),
     ],
 )
 

@@ -9,23 +9,49 @@ bootstrap, and schema evolution of state. It REQUIRES the RocksDB
 state-store provider (exercised by the graded
 ``e18_rocksdb_state_backend`` entry).
 
-GATED DEPENDENCY: the Python<->JVM state protocol for this API is
-protobuf-serialized (``pyspark.sql.streaming.proto.StateMessage_pb2``),
-so it needs the ``protobuf`` package at RUNTIME on both driver and
-executors. This container does not ship it, so :func:`tws_available`
-gates every entry point and tests/test_streaming.py skips with the
-reason recorded; the processor below is the REAL implementation, not a
-sketch — on a cluster with protobuf installed it runs as-is.
+STATE-PROTOCOL RUNTIME: the Python<->JVM state protocol for this API
+is protobuf-serialized (``pyspark.sql.streaming.proto.StateMessage_pb2``),
+whose generated code needs the ``google.protobuf`` runtime — absent in
+this container. Since round 8 that gap is CLOSED from scratch:
+``state_protocol.py`` rebuilds the pb2 module from the real embedded
+FileDescriptorProto with a hand-written wire-format codec and installs
+it under the pb2 name (a no-op when the genuine protobuf is present).
+Importing THIS module performs the install — and the Python worker
+imports this module while unpickling the StatefulProcessor, strictly
+before the first state call, so driver and executors are both covered
+with no environment changes. The JVM's real protobuf parser accepting
+every byte is the end-to-end proof (tests/test_streaming.py runs the
+stream for real, RocksDB provider included).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from datalake_polygonscan_spark.streaming.state_protocol import install as _install_shim
+
+#: install at import time: covers the worker via processor unpickling
+_SHIMMED = _install_shim()
+
+
+class _StateProtocolHandle:
+    """Pickled BY REFERENCE into every StatefulProcessor this module
+    ships: cloudpickle serializes the (dynamically defined) processor
+    class by value, which would NOT import this module in the Python
+    worker — but unpickling this module-level sentinel does, and the
+    module import installs the state-protocol shim strictly before the
+    worker's first pb2 import (the set_handle_state(PRE_INIT) call)."""
+
+    def __reduce__(self):
+        return (_StateProtocolHandle, ())
+
 
 def tws_available() -> bool:
-    """True when transformWithStateInPandas can actually run: its state
-    protocol imports google.protobuf inside the streaming worker."""
+    """True when transformWithStateInPandas can run: either the real
+    google.protobuf runtime exists, or the from-scratch state-protocol
+    shim (state_protocol.py) is installed."""
+    if _SHIMMED:
+        return True
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -61,12 +87,13 @@ def make_user_totals_processor():
                 n += len(pdf)
                 s += float(pdf["value"].sum())
                 for t, c in pdf.groupby("event_type").size().items():
+                    # MapState keys/values are SCHEMA TUPLES, not scalars
                     prev = (
-                        self._by_type.getValue(t)
-                        if self._by_type.containsKey(t)
+                        self._by_type.getValue((t,))[0]
+                        if self._by_type.containsKey((t,))
                         else 0
                     )
-                    self._by_type.updateValue(t, int(prev) + int(c))
+                    self._by_type.updateValue((t,), (int(prev) + int(c),))
             self._totals.update((n, s))
             n_types = sum(1 for _ in self._by_type.keys())
             yield pd.DataFrame(
@@ -81,7 +108,9 @@ def make_user_totals_processor():
         def close(self) -> None:
             pass
 
-    return UserTotals()
+    proc = UserTotals()
+    proc._state_protocol = _StateProtocolHandle()  # worker-side shim install
+    return proc
 
 
 def transform_user_totals(stream: DataFrame) -> DataFrame:
