@@ -285,6 +285,14 @@ HEADLINE = [
     "dg4_fpe_pseudonymize",
     "s46_transform_parity",
     "e19_stream_listener_metrics",
+    # round-10 additions: from-scratch Avro DataSource round trip,
+    # foreign Delta-log reader, exact duplicate spans, BPE training,
+    # typed-state streaming through the scratch protobuf runtime
+    "s45_avro_scratch_roundtrip",
+    "s47_delta_log_reader",
+    "l17_duplicate_spans",
+    "l18_bpe_train",
+    "e20_tws_typed_state",
 ]
 
 
@@ -460,6 +468,10 @@ WARMUP = [
     "qu_sql_unpivot",
     "ts16_rate_of_change",
     "dg4_fpe_pseudonymize",
+    # round-10 analytics (s45/s47/e20 stay unwarmed: container-write,
+    # log-replay and stream scenarios whose latency is the signal)
+    "l17_duplicate_spans",
+    "l18_bpe_train",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

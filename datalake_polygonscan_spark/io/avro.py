@@ -140,6 +140,21 @@ def _avro_type_of(spark_type) -> object:
 
     if isinstance(spark_type, T.ArrayType):
         return {"type": "array", "items": _avro_type_of(spark_type.elementType)}
+    if isinstance(spark_type, T.MapType):
+        if not isinstance(spark_type.keyType, T.StringType):
+            raise ValueError("avro_scratch: avro maps require string keys")
+        return {"type": "map", "values": _avro_type_of(spark_type.valueType)}
+    if isinstance(spark_type, T.StructType):
+        return {
+            "type": "record",
+            "name": f"r{abs(hash(spark_type.simpleString())) % 10**8}",
+            "fields": [
+                {"name": f.name,
+                 "type": (["null", _avro_type_of(f.dataType)] if f.nullable
+                          else _avro_type_of(f.dataType))}
+                for f in spark_type.fields
+            ],
+        }
     name = spark_type.simpleString()
     if name not in _SPARK_TO_AVRO:
         raise ValueError(f"avro_scratch: unsupported Spark type {name}")
@@ -179,6 +194,13 @@ def _ddl_of(t: object) -> str:
             return "timestamp_ntz"
         if base.get("type") == "array":
             return f"array<{_ddl_of(base['items'])}>"
+        if base.get("type") == "map":
+            return f"map<string,{_ddl_of(base['values'])}>"
+        if base.get("type") == "record":
+            inner = ",".join(
+                f"`{f['name']}`:{_ddl_of(f['type'])}" for f in base["fields"]
+            )
+            return f"struct<{inner}>"
         base = base.get("type")
     return {
         "boolean": "boolean", "int": "int", "long": "long", "float": "float",
@@ -215,6 +237,28 @@ def _encoder_of(t: object):
                 for x in v:
                     item(x, out)
             _enc_long(0, out)
+    elif kind == "map":
+        val_enc = _encoder_of(base["values"])
+
+        def enc_base(v, out: bytearray) -> None:
+            items = sorted(v.items()) if isinstance(v, dict) else sorted(v)
+            if items:
+                _enc_long(len(items), out)
+                for k2, v2 in items:
+                    _enc_bytes(k2.encode("utf-8"), out)
+                    val_enc(v2, out)
+            _enc_long(0, out)
+    elif kind == "record":
+        subs = [(f["name"], _encoder_of(f["type"])) for f in base["fields"]]
+
+        def enc_base(v, out: bytearray) -> None:
+            # v: dict (by field name) or sequence (positional)
+            if isinstance(v, dict):
+                for fname, fe in subs:
+                    fe(v.get(fname), out)
+            else:
+                for (fname, fe), item in zip(subs, v):
+                    fe(item, out)
     elif kind in ("long", "int") or lt in (
         "date", "timestamp-micros", "local-timestamp-micros"
     ):
@@ -271,6 +315,30 @@ def _decoder_of(t: object):
                 for _ in range(n):
                     v, pos = item(buf, pos)
                     vals.append(v)
+    elif kind == "map":
+        val_dec = _decoder_of(base["values"])
+
+        def dec_base(buf: bytes, pos: int):
+            vals = {}
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    return vals, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    k2, pos = _dec_bytes(buf, pos)
+                    v2, pos = val_dec(buf, pos)
+                    vals[k2.decode("utf-8")] = v2
+    elif kind == "record":
+        subs = [(f["name"], _decoder_of(f["type"])) for f in base["fields"]]
+
+        def dec_base(buf: bytes, pos: int):
+            row = {}
+            for fname, fd in subs:
+                row[fname], pos = fd(buf, pos)
+            return row, pos
     elif kind in ("long", "int") or lt in (
         "date", "timestamp-micros", "local-timestamp-micros"
     ):
@@ -319,6 +387,12 @@ def _arrow_type_of(t: object):
         return pa.timestamp("us")
     if kind == "array":
         return pa.list_(_arrow_type_of(base["items"]))
+    if kind == "map":
+        return pa.map_(pa.string(), _arrow_type_of(base["values"]))
+    if kind == "record":
+        return pa.struct(
+            [(f["name"], _arrow_type_of(f["type"])) for f in base["fields"]]
+        )
     return {
         "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
         "float": pa.float32(), "double": pa.float64(),
@@ -576,3 +650,62 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return AvroWriter(self.options, schema, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Plain-Python container helpers (no Spark): used by the Iceberg
+# metadata layer (io/iceberg_reader.py), whose manifests ARE Avro files
+# ---------------------------------------------------------------------------
+
+
+def write_avro_file(path: str, schema_json: str, rows: list, codec: str = "null") -> int:
+    """Write one Avro Object Container File holding ``rows`` (dicts or
+    positional sequences matching the record schema) as a single
+    block. Returns the byte size."""
+    rec = json.loads(schema_json)
+    enc = _encoder_of(rec)
+    sync = uuid.uuid4().bytes
+    payload = bytearray()
+    for r in rows:
+        enc(r, payload)
+    if codec == "deflate":
+        payload = bytearray(deflate_fixed(bytes(payload)))
+    elif codec != "null":
+        raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
+    out = bytearray(write_header(schema_json, codec, sync))
+    if rows:
+        _enc_long(len(rows), out)
+        _enc_long(len(payload), out)
+        out += payload
+        out += sync
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+def read_avro_file(path: str) -> tuple[dict, list]:
+    """Read a whole Avro container file -> (writer schema record, rows
+    as dicts). Plain Python, driver-side — the metadata-file tier, not
+    the parallel scan path (that is AvroReader)."""
+    data = open(path, "rb").read()
+    meta, sync, pos = parse_header(data)
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    rec = json.loads(meta["avro.schema"].decode("utf-8"))
+    dec = _decoder_of(rec)
+    rows: list = []
+    n = len(data)
+    while pos < n:
+        n_rows, pos = _dec_long(data, pos)
+        n_bytes, pos = _dec_long(data, pos)
+        payload = bytes(data[pos : pos + n_bytes])
+        pos += n_bytes
+        if codec == "deflate":
+            payload = inflate(payload)
+        p2 = 0
+        for _ in range(n_rows):
+            row, p2 = dec(payload, p2)
+            rows.append(row)
+        if data[pos : pos + 16] != sync:
+            raise ValueError(f"avro_scratch: sync mismatch in {path}")
+        pos += 16
+    return rec, rows

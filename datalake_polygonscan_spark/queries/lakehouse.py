@@ -3247,3 +3247,119 @@ def s47_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(gate_raises).alias("protocol_gate_raises"),
         )
     )
+
+
+@register(
+    "s48_iceberg_reader",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS p
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), live AS (
+        SELECT * FROM sub WHERE k % 2 = 0
+        UNION ALL
+        SELECT * FROM sub WHERE k % 7 = 3
+    ), v2 AS (
+        SELECT * FROM sub
+        UNION ALL
+        SELECT * FROM sub WHERE k % 7 = 3
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.p) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2 v
+             WHERE v.o_orderstatus = l.o_orderstatus) AS n_rows_v2,
+           (SELECT ROUND(CAST(SUM(v.p) AS DOUBLE), 4) FROM v2 v
+             WHERE v.o_orderstatus = l.o_orderstatus) AS sum_v2,
+           (SELECT CAST(count(*) AS BIGINT) FROM live) AS meta_count,
+           TRUE AS meta_count_matches,
+           CAST(3 AS BIGINT) AS n_snapshots,
+           TRUE AS delete_gate_raises
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S48 FOREIGN Apache Iceberg v2 reader (io/iceberg_reader.py — "
+        "public table spec only, the metadata tree decoded by the "
+        "in-repo from-scratch Avro layer: no iceberg runtime, no "
+        "pyiceberg, no jars — the S45 follow-up VERDICT r7 named): "
+        "version-hint -> metadata.json -> snapshot -> manifest-list "
+        "Avro -> manifest Avro -> live data files by entry status "
+        "(ADDED/EXISTING live, DELETED removed), file-level MULTISET "
+        "semantics (the fixture's overlapping extra file is replayed "
+        "as UNION ALL), snapshot_id time travel, and the spec's "
+        "metadata-only statistics: the manifests' record_count sum "
+        "must equal the scanned live count WITHOUT opening data files "
+        "(graded meta_count/meta_count_matches). Protocol gates: "
+        "format-version > 2 and content=1 DELETE manifests raise "
+        "IcebergProtocolError rather than silently over-returning "
+        "rows (graded delete_gate_raises). Fixture manifests are "
+        "composed by the from-scratch Avro ENCODER, so a green hash "
+        "certifies encoder and decoder against each other on the "
+        "spec's nested-record schemas"
+    ),
+)
+def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from datalake_polygonscan_spark.io.avro import write_avro_file
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        _MANIFEST_FILE_SCHEMA,
+        IcebergProtocolError,
+        read_iceberg_table,
+        snapshot_info,
+        write_foreign_iceberg_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(F.col("o_orderkey").alias("k"), "o_orderstatus", "o_totalprice")
+    )
+    table = _scratch("s48_iceberg", "foreign_orders")
+    write_foreign_iceberg_fixture(spark, sub, table, "k")
+
+    live = read_iceberg_table(spark, table)
+    v2 = read_iceberg_table(spark, table, snapshot_id=2)
+    info = snapshot_info(table)
+    meta_count_matches = bool(info["record_count"] == live.count())
+
+    # delete-manifest gate: a content=1 manifest list must raise
+    gate = _scratch("s48_iceberg", "with_deletes")
+    mdir = _os.path.join(gate, "metadata")
+    _os.makedirs(mdir, exist_ok=True)
+    ml = _os.path.join(mdir, "snap-1.avro")
+    write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
+        "manifest_path": _os.path.join(mdir, "nope.avro"), "manifest_length": 0,
+        "partition_spec_id": 0, "content": 1, "added_snapshot_id": 1,
+    }])
+    _json.dump({
+        "format-version": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
+    }, open(_os.path.join(mdir, "v1.metadata.json"), "w"))
+    open(_os.path.join(mdir, "version-hint.text"), "w").write("1")
+    try:
+        read_iceberg_table(spark, gate)
+        delete_gate_raises = False
+    except IcebergProtocolError:
+        delete_gate_raises = True
+
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("o_totalprice", "sum_live")
+    )
+    v2_agg = v2.groupBy(F.col("o_orderstatus").alias("st2")).agg(
+        F.count("*").alias("n_rows_v2"), _dbl_sum("o_totalprice", "sum_v2")
+    )
+    return (
+        live_agg.join(v2_agg, live_agg["o_orderstatus"] == v2_agg["st2"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v2", "sum_v2",
+            F.lit(info["record_count"]).cast("long").alias("meta_count"),
+            F.lit(meta_count_matches).alias("meta_count_matches"),
+            F.lit(info["n_snapshots"]).cast("long").alias("n_snapshots"),
+            F.lit(delete_gate_raises).alias("delete_gate_raises"),
+        )
+    )

@@ -1061,6 +1061,18 @@ _suite(
             "source_isolated": "legacy_path_intact",
             "resolved_v0": "v0_time_travels",
         }),
+        # round 8: S48 foreign Iceberg v2 reader — manifests decoded
+        # by the from-scratch Avro layer; metadata-only COUNT(*) and
+        # the delete-manifest gate graded
+        ("foreign_iceberg", "s48_iceberg_reader", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v2",
+            "n_versions": "meta_count",
+            "n_versions_logged": "n_snapshots",
+            "n_vacuumed": "n_rows_v2",
+            "bad_version_still_readable": "delete_gate_raises",
+            "resolved_v0": "meta_count_matches",
+        }),
         # round 8: S47 foreign Delta-log reader — live snapshot +
         # VERSION AS OF + metadata file count + the protocol gate
         ("foreign_delta", "s47_delta_log_reader", {
