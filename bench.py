@@ -292,7 +292,9 @@ HEADLINE = [
     "s47_delta_log_reader",
     "l17_duplicate_spans",
     "l18_bpe_train",
+    "l19_span_removal",
     "e20_tws_typed_state",
+    "s48_iceberg_reader",
 ]
 
 
@@ -468,10 +470,12 @@ WARMUP = [
     "qu_sql_unpivot",
     "ts16_rate_of_change",
     "dg4_fpe_pseudonymize",
-    # round-10 analytics (s45/s47/e20 stay unwarmed: container-write,
-    # log-replay and stream scenarios whose latency is the signal)
+    # round-10 analytics (s45/s47/s48/e20 stay unwarmed: container-
+    # write, log-replay and stream scenarios whose latency is the
+    # signal)
     "l17_duplicate_spans",
     "l18_bpe_train",
+    "l19_span_removal",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

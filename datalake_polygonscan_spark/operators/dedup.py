@@ -814,3 +814,94 @@ def duplicate_token_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+) -> DataFrame:
+    """L19 — APPLY the ExactSubstr policy (Lee et al. 2022 §3.1): cut
+    every token covered by a duplicated span >= ``min_len`` out of
+    every document (the paper removes ALL occurrences, not
+    all-but-one, and reports no quality loss), producing the cleaned
+    corpus the detection pass (:func:`duplicate_token_spans`) only
+    scored.
+
+    Plan: the detector's duplicate-position islands mark covered token
+    index ranges per doc; tokens explode with their positions ONCE, an
+    equi-join on doc_id plus an interval predicate flags covered
+    tokens (span count per doc is small — the fan-out is bounded by
+    spans, not pairs), and the survivors reassemble in exact token
+    order via a sorted struct aggregation. All shuffles are linear
+    (the detector's three + one token-explode exchange); no cross
+    join. Deterministic: token order is positional, not
+    engine-arbitrary.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text).
+    """
+    L = int(min_len)
+    toks = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("t"),
+        )
+    )
+    grams = (
+        toks.filter(F.size("t") >= L)
+        .select(
+            "doc_id", "t",
+            F.explode(F.expr(f"sequence(1, size(t) - {L} + 1)")).alias("pos"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(t, pos, {L})"))).alias("dg"),
+        )
+    )
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("dg")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        dup.withColumn("prev_end", F.max(F.col("pos") + L).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s_start"), (F.max("pos") + F.lit(L)).alias("s_end"))
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode("t").alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    covered = (
+        exploded.join(spans, "doc_id")
+        .filter((F.col("idx") >= F.col("s_start")) & (F.col("idx") < F.col("s_end")))
+        .select("doc_id", "idx")
+        .distinct()
+    )
+    kept = exploded.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"),
+        ).alias("cleaned_text"),
+    )
+    sizes = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -700,3 +700,85 @@ def l17_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_token_spans(docs, "text", "doc_id", min_len=_L17_LEN)
+
+
+def _l19_oracle_sql(L: int = _L17_LEN) -> str:
+    """L17's span replay extended by the removal rewrite: flag covered
+    token indices, drop them, reassemble in exact positional order."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), grams AS MATERIALIZED (
+        SELECT doc_id, unnest(generate_series(1, len(t) - {L} + 1)) AS pos, t
+        FROM toks WHERE len(t) >= {L}
+    ), dgt AS MATERIALIZED (
+        SELECT doc_id, pos, md5(array_to_string(t[pos:pos+{L}-1], ' ')) AS dg
+        FROM grams
+    ), dup AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY dg) AS c FROM dgt
+        ) WHERE c >= 2
+    ), isl AS MATERIALIZED (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + {L}) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM dup
+        )
+    ), spans AS MATERIALIZED (
+        SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + {L} AS en
+        FROM isl GROUP BY doc_id, island
+    ), tokpos AS MATERIALIZED (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS idx, t FROM toks
+    ), tokv AS (
+        SELECT doc_id, idx, t[idx] AS tok FROM tokpos
+    ), covered AS (
+        SELECT DISTINCT v.doc_id, v.idx
+        FROM tokv v JOIN spans s
+          ON s.doc_id = v.doc_id AND v.idx >= s.st AND v.idx < s.en
+    ), kept AS (
+        SELECT v.doc_id, v.idx, v.tok
+        FROM tokv v LEFT JOIN covered c ON c.doc_id = v.doc_id AND c.idx = v.idx
+        WHERE c.idx IS NULL
+    ), rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.t) AS BIGINT) AS n_tokens,
+           CAST(len(s.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(r.cleaned_text, '')) AS cleaned_md5
+    FROM toks s LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@register(
+    "l19_span_removal",
+    oracle=_l19_oracle_sql(),
+    doc=(
+        "L19 ExactSubstr dedup APPLIED (Lee et al. 2022 §3.1: remove "
+        "EVERY occurrence of every duplicated span >= {L} tokens — the "
+        "paper's policy, reported lossless for model quality): the "
+        "rewrite pass the L17 detector only scores. Covered token "
+        "indices flag by a doc-local interval join against the span "
+        "table (fan-out bounded by spans per doc, not pairs), "
+        "survivors reassemble in exact positional order via a sorted "
+        "struct aggregation — cleaned text value-checked by md5 "
+        "per document, fully-removed docs collapse to the empty "
+        "string. Oracle replays detection AND removal"
+        .format(L=_L17_LEN)
+    ),
+)
+def l19_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "text", "doc_id", min_len=_L17_LEN)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )

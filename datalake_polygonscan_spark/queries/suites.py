@@ -273,6 +273,20 @@ _suite(
                 "CAST(flagged AS INT)", "CAST(flagged AS INTEGER)",
             ),
         }),
+        # round 8: L19 ExactSubstr removal APPLIED — cleaned-text md5
+        # graded as two 28-bit int slices (layout has no string slot)
+        ("span_removal", "l19_span_removal", {
+            "doc_a": "doc_id", "doc_b": "n_removed",
+            "n_vectors": "n_tokens",
+            "pairs_verified": (
+                "CAST(conv(substring(cleaned_md5, 1, 7), 16, 10) AS INT)",
+                "CAST(CAST('0x' || substr(cleaned_md5, 1, 7) AS BIGINT) AS INTEGER)",
+            ),
+            "recall_ok": (
+                "CAST(conv(substring(cleaned_md5, 8, 7), 16, 10) AS INT)",
+                "CAST(CAST('0x' || substr(cleaned_md5, 8, 7) AS BIGINT) AS INTEGER)",
+            ),
+        }),
         # round 8: L17 token-exact duplicate spans (ExactSubstr) —
         # per-doc maximal-span stats graded (VERDICT r7 #6)
         ("exact_spans", "l17_duplicate_spans", {

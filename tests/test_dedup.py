@@ -321,3 +321,24 @@ def test_duplicate_token_spans_exact_boundaries(spark):
     # scale shape: never a cartesian product
     plan = duplicate_token_spans(df, "text", "doc_id", min_len=20)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    """L19: every occurrence of a duplicated span is cut (the paper's
+    policy), survivors keep exact positional order, fully-duplicated
+    docs collapse to empty."""
+    from datalake_polygonscan_spark.operators.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"x{i}" for i in range(20))
+    d1 = "a1 a2 " + shared + " a3"
+    d2 = "b1 " + shared
+    d3 = " ".join(f"u{i}" for i in range(25))
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id", min_len=20).collect()}
+    assert out[1].cleaned_text == "a1 a2 a3" and out[1].n_removed == 20
+    assert out[2].cleaned_text == "b1" and out[2].n_removed == 20
+    assert out[3].n_removed == 0 and out[3].cleaned_text == d3
+    # a doc that IS the shared span exactly vanishes
+    df2 = spark.createDataFrame([(1, shared), (2, shared)], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in remove_duplicate_spans(df2, "text", "doc_id", min_len=20).collect()}
+    assert out2[1].cleaned_text == "" and out2[1].n_removed == 20
