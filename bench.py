@@ -294,6 +294,7 @@ HEADLINE = [
     "l18_bpe_train",
     "l19_span_removal",
     "e20_tws_typed_state",
+    "e21_tws_event_timers",
     "s48_iceberg_reader",
 ]
 

@@ -1207,3 +1207,116 @@ def e20_tws_typed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("typed_state_ran"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E21: EVENT-TIME TIMERS through the typed-state API (the protocol's
+# timer family: RegisterTimer/DeleteTimer/ListTimers/ExpiryTimerRequest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e21_tws_event_timers",
+    oracle="""
+    SELECT user_id, n_events, 1 AS closed FROM (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+        UNION ALL
+        SELECT user_id + 10000, CAST(count(*) AS BIGINT)
+        FROM events WHERE event_id % 3 = 1 GROUP BY user_id
+    )
+    """,
+    doc=(
+        "E21 EVENT-TIME TIMER sessionization via "
+        "transformWithStateInPandas — the capability tier "
+        "applyInPandasWithState cannot express at all: a key's session "
+        "closes on WATERMARK PROGRESS with no input for that key "
+        "(handleExpiredTimer), not on its next batch. Each batch "
+        "re-arms a per-key timer at max-event-time + 60 s gap "
+        "(listTimers -> deleteTimer -> registerTimer), so the graded "
+        "result exercises the ENTIRE timer protocol family through "
+        "the from-scratch state runtime (streaming/state_protocol.py): "
+        "RegisterTimer, DeleteTimer, ListTimers, ExpiryTimerRequest "
+        "paging, GetWatermark — all parsed by the JVM's genuine "
+        "protobuf. Fixture: batch A (events with event_id%%3=0, "
+        "T0-epoch seconds), batch B (disjoint key space at T0+10 min, "
+        "whose arrival closes batch A's sessions), a sentinel at "
+        "T0+20 min (its own session stays OPEN — watermark never "
+        "passes its gap — proving emission is timer-driven, not "
+        "close-driven). Every closed session must equal the batch "
+        "count per key; the open sentinel must be ABSENT"
+    ),
+)
+def e21_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from datalake_polygonscan_spark.streaming.transform_with_state import (
+        transform_timer_sessions,
+        tws_available,
+    )
+
+    if not tws_available():
+        raise NotImplementedError("typed-state protocol unavailable")
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("e21_timers", "batches")
+    chk = _scratch("e21_timers", "chk")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    def with_times(df, offset_expr):
+        ts = t0 + offset_expr
+        return df.select(
+            "user_id", ts.alias("ts"),
+            F.expr(
+                "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000) AS LONG)"
+            ).alias("ts_ms"),
+        ).select("user_id", "ts", "ts_ms")
+
+    b0 = with_times(
+        ev.filter(F.col("event_id") % 3 == 0).select("user_id", "event_id"),
+        F.make_interval(secs=(F.col("event_id") % 50).cast("int")),
+    )
+    b1 = with_times(
+        ev.filter(F.col("event_id") % 3 == 1)
+        .select((F.col("user_id") + 10000).alias("user_id"), "event_id"),
+        F.make_interval(mins=F.lit(10), secs=(F.col("event_id") % 50).cast("int")),
+    )
+    b2 = with_times(
+        spark.range(1).select(F.lit(-1).cast("long").alias("user_id"),
+                              F.lit(0).alias("event_id")),
+        F.make_interval(mins=F.lit(20)),
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = "e21_" + _uuid.uuid4().hex[:10]
+    try:
+        q = (
+            transform_timer_sessions(stream, gap_ms=60_000)
+            .writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.select("user_id", "n_events", "closed")

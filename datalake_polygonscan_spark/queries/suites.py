@@ -684,6 +684,14 @@ _suite(
             "event_type": ("CAST(typed_state_ran AS STRING)",
                            "CAST(typed_state_ran AS VARCHAR)"),
         }),
+        # round 8: E21 event-time TIMERS — sessions close on watermark
+        # progress with no input for the key; the whole timer protocol
+        # family rides the hash
+        ("tws_timers", "e21_tws_event_timers", {
+            "user_id": "user_id", "n_events": "n_events",
+            "session_value": ("CAST(closed AS DOUBLE)",
+                              "CAST(closed AS DOUBLE)"),
+        }),
     ],
 )
 

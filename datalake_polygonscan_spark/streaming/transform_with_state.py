@@ -129,3 +129,76 @@ def transform_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def make_session_timer_processor(gap_ms: int):
+    """StatefulProcessor for E21: EVENT-TIME TIMER sessionization —
+    the API tier applyInPandasWithState cannot express at all (its
+    only wake-up is input for the key; timers fire on WATERMARK
+    progress with no input). Each batch re-arms a per-key timer at
+    (max event time + gap): listTimers -> deleteTimer -> registerTimer
+    (exercising the timer protocol family end-to-end), and the session
+    closes from ``handleExpiredTimer`` when the watermark passes the
+    gap — emitting (user_id, n_events, closed=1) and clearing state.
+
+    Input rows carry a precomputed ``ts_ms`` long (epoch millis) so no
+    timezone interpretation happens Python-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._agg = handle.getValueState("agg", "n long, last_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last = self._agg.get() if self._agg.exists() else (0, 0)
+            mx = int(last)
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, int(pdf["ts_ms"].max()))
+            for t in self._handle.listTimers():  # re-arm: drop stale timers
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(mx + gap_ms)
+            self._agg.update((n, mx))
+            return iter(())  # sessions emit only on timer expiry
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._agg.exists():
+                return
+            n, _last = self._agg.get()
+            self._agg.clear()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [int(n)], "closed": [1]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    proc = SessionTimers()
+    proc._state_protocol = _StateProtocolHandle()  # worker-side shim install
+    return proc
+
+
+def transform_timer_sessions(stream: DataFrame, gap_ms: int = 60_000,
+                             watermark: str = "10 seconds") -> DataFrame:
+    """Wire the timer sessionizer onto a stream carrying (user_id, ts,
+    ts_ms). Event-time mode requires a watermark on ``ts``."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf state protocol"
+        )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_session_timer_processor(gap_ms),
+            outputStructType="user_id long, n_events long, closed int",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -615,3 +615,63 @@ def test_transform_with_state_module_matches_batch(spark):
         F.countDistinct("event_type").alias("n_types"),
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """E21: sessions close from handleExpiredTimer on WATERMARK
+    progress (no input for the key) — the timer protocol family
+    through the from-scratch state runtime. The sentinel's session
+    stays open: emission is timer-driven, not stream-end-driven."""
+    import datetime
+    import os
+
+    import pytest
+
+    from datalake_polygonscan_spark.streaming.transform_with_state import (
+        transform_timer_sessions,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime and the state-protocol shim failed")
+
+    T0 = datetime.datetime(2024, 1, 1)
+    sec = lambda s: T0 + datetime.timedelta(seconds=s)  # noqa: E731
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, "user_id long, ts0 timestamp_ntz")
+        df.select(
+            "user_id", F.col("ts0").cast("timestamp").alias("ts"),
+            F.expr("CAST(floor(unix_micros(CAST(ts0 AS TIMESTAMP))/1000) AS LONG)").alias("ts_ms"),
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    mk([(1, sec(0)), (1, sec(10)), (2, sec(0)), (2, sec(10)), (2, sec(20))], "b0")
+    mk([(101, sec(600))], "b1")
+    mk([(-1, sec(1200))], "b2")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, ts_ms long")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            transform_timer_sessions(stream, gap_ms=60_000)
+            .writeStream.outputMode("append").format("memory").queryName("e21_test")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = sorted(map(tuple, spark.table("e21_test").collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == [(1, 2, 1), (2, 3, 1), (101, 1, 1)]  # sentinel -1 absent
