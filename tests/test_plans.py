@@ -1000,3 +1000,63 @@ def test_s44_upsert_plan_has_no_cartesian(spark, tmp_path):
     rl_create(base, path, "k")
     plan = _plan(rl_read(spark, path))
     assert "CartesianProduct" not in plan
+
+
+def test_l17_span_plan_no_cartesian_single_digest_exchange(spark):
+    """L17 exact duplicate spans: the corpus-sized exchange is ONE hash
+    partition by digest (window count); no cartesian anywhere, and the
+    per-doc island windows reuse a doc_id exchange."""
+    from datalake_polygonscan_spark.operators.dedup import duplicate_token_spans
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(duplicate_token_spans(docs, "text", "doc_id", min_len=20))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # digest exchange present, and no more than 4 shuffles end-to-end
+    # (parallelize gate, digest window, doc window, final agg/join)
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_l18_bpe_pair_count_is_partial_agg(spark):
+    """L18 BPE: the per-round pair count must be map-side combinable
+    (two HashAggregates around one exchange), and the merge application
+    itself adds NO exchange (broadcast-literal replace)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= 12))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    seq = words.withColumn(
+        "s", F.concat(F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" </w>"))
+    )
+    pairs = seq.select("cnt", F.explode(F.expr(
+        "transform(sequence(0, size(split(s,' '))-2),"
+        " i -> concat_ws(' ', split(s,' ')[i], split(s,' ')[i+1]))"
+    )).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.sum("cnt"))
+    plan = _plan(counted)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # merge application: a pure projection over the checkpointed state
+    merged = seq.select(F.replace(
+        F.concat(F.lit(" "), F.col("s"), F.lit(" ")), F.lit(" a b "), F.lit(" ab ")
+    ).alias("s2"))
+    assert "Exchange" not in _plan(merged)
+
+
+def test_avro_scan_parallelism_follows_bytes(spark, tmp_path):
+    """S45: one container file fans out into byte-range partitions —
+    reader parallelism follows bytes, not files."""
+    from datalake_polygonscan_spark.io.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    df = spark.range(20000).selectExpr("id", "repeat('x', 30) AS pad")
+    path = str(tmp_path / "container")
+    df.coalesce(1).write.format("avro_scratch").mode("overwrite").save(path)
+    few = spark.read.format("avro_scratch").load(path)
+    many = spark.read.format("avro_scratch").option("split_size", 64 * 1024).load(path)
+    assert few.rdd.getNumPartitions() == 1
+    assert many.rdd.getNumPartitions() > 2
+    assert many.count() == few.count() == 20000
