@@ -135,23 +135,26 @@ _SPARK_TO_AVRO = {
 }
 
 
-def _avro_type_of(spark_type) -> object:
+def _avro_type_of(spark_type, name_seq: list | None = None) -> object:
     from pyspark.sql import types as T
 
+    if name_seq is None:
+        name_seq = []
     if isinstance(spark_type, T.ArrayType):
-        return {"type": "array", "items": _avro_type_of(spark_type.elementType)}
+        return {"type": "array", "items": _avro_type_of(spark_type.elementType, name_seq)}
     if isinstance(spark_type, T.MapType):
         if not isinstance(spark_type.keyType, T.StringType):
             raise ValueError("avro_scratch: avro maps require string keys")
-        return {"type": "map", "values": _avro_type_of(spark_type.valueType)}
+        return {"type": "map", "values": _avro_type_of(spark_type.valueType, name_seq)}
     if isinstance(spark_type, T.StructType):
+        name_seq.append(1)  # unique per occurrence: Avro names may not repeat
         return {
             "type": "record",
-            "name": f"r{abs(hash(spark_type.simpleString())) % 10**8}",
+            "name": f"r{len(name_seq)}",
             "fields": [
                 {"name": f.name,
-                 "type": (["null", _avro_type_of(f.dataType)] if f.nullable
-                          else _avro_type_of(f.dataType))}
+                 "type": (["null", _avro_type_of(f.dataType, name_seq)] if f.nullable
+                          else _avro_type_of(f.dataType, name_seq))}
                 for f in spark_type.fields
             ],
         }
@@ -164,8 +167,9 @@ def _avro_type_of(spark_type) -> object:
 def schema_to_avro_json(schema) -> str:
     """StructType -> Avro record schema (nullables become unions)."""
     fields = []
+    name_seq: list = []
     for f in schema.fields:
-        t = _avro_type_of(f.dataType)
+        t = _avro_type_of(f.dataType, name_seq)
         if f.nullable:
             t = ["null", t]
         fields.append({"name": f.name, "type": t})

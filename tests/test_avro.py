@@ -159,3 +159,18 @@ def test_truncated_block_fails_loudly(avro_spark, tmp_path):
     open(f, "wb").write(data[: len(data) - 40])  # chop mid-block
     with pytest.raises(Exception, match="truncated|sync"):
         avro_spark.read.format("avro_scratch").load(path).collect()
+
+
+def test_nested_struct_map_roundtrip(avro_spark, tmp_path):
+    """Round 8 extension: avro records/maps both directions — the
+    capability the Iceberg manifest layer is built on."""
+    df = avro_spark.createDataFrame(
+        [(1, {"a": 2, "b": "x"}, {"k1": 1.5, "k2": -0.5}, [{"a": 3, "b": None}]),
+         (2, None, None, None),
+         (3, {"a": None, "b": ""}, {}, [])],
+        "id long, s struct<a:int,b:string>, m map<string,double>, "
+        "arr array<struct<a:int,b:string>>",
+    )
+    back = _roundtrip(avro_spark, df, str(tmp_path / "nested"), codec="deflate")
+    assert back.schema == df.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
