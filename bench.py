@@ -286,15 +286,18 @@ HEADLINE = [
     "s46_transform_parity",
     "e19_stream_listener_metrics",
     # round-10 additions: from-scratch Avro DataSource round trip,
-    # foreign Delta-log reader, exact duplicate spans, BPE training,
-    # typed-state streaming through the scratch protobuf runtime
+    # foreign Delta-log reader, Iceberg reader, exact duplicate spans
+    # + removal, BPE training. e20/e21 (typed-state streams through
+    # the scratch protobuf runtime) stay OUT of the headline for the
+    # same reason as r10s: their cost is fixed micro-batch + state-
+    # protocol round-trip latency (~34 s at ANY sf), which would read
+    # as data-scale regression; both are correctness-graded in the
+    # driver window instead
     "s45_avro_scratch_roundtrip",
     "s47_delta_log_reader",
     "l17_duplicate_spans",
     "l18_bpe_train",
     "l19_span_removal",
-    "e20_tws_typed_state",
-    "e21_tws_event_timers",
     "s48_iceberg_reader",
 ]
 
