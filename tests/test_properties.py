@@ -179,3 +179,106 @@ def test_feistel_pure_python_roundtrip_and_domain(key, seed):
     for r in range(4, 0, -1):
         hi, lo = lo ^ fr(hi, r), hi
     assert (hi << half_bits) | lo == key
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Avro binary codec + DEFLATE encoders + state-protocol runtime
+# ---------------------------------------------------------------------------
+
+_AVRO_ROW_SCHEMA = {
+    "type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": ["null", "bytes"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": ["null", {"type": "map", "values": "long"}]},
+    ],
+}
+
+_avro_rows = st.fixed_dictionaries({
+    "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "s": st.one_of(st.none(), st.text(max_size=40)),
+    "d": st.one_of(st.none(), st.floats(allow_nan=False)),
+    "b": st.booleans(),
+    "raw": st.one_of(st.none(), st.binary(max_size=60)),
+    "arr": st.lists(st.integers(-(2**31), 2**31), max_size=8),
+    "m": st.one_of(
+        st.none(),
+        st.dictionaries(st.text(max_size=8), st.integers(-(2**31), 2**31), max_size=4),
+    ),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_avro_rows, max_size=12))
+def test_avro_binary_codec_roundtrips_any_rows(rows):
+    """Property: the from-scratch Avro binary codec inverts itself on
+    arbitrary rows of the full supported type lattice (nullable unions,
+    arrays, maps, 64-bit extremes, NaN-free doubles, empty payloads)."""
+    import json
+
+    from datalake_polygonscan_spark.io.avro import _decoder_of, _encoder_of
+
+    schema = json.loads(json.dumps(_AVRO_ROW_SCHEMA))
+    enc, dec = _encoder_of(schema), _decoder_of(schema)
+    out = bytearray()
+    for r in rows:
+        enc(r, out)
+    buf, pos = bytes(out), 0
+    back = []
+    for _ in rows:
+        row, pos = dec(buf, pos)
+        back.append(row)
+    assert pos == len(buf)
+    assert back == rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=5000))
+def test_deflate_encoders_inverted_by_both_decoders(payload):
+    """Property: both from-scratch DEFLATE encoders produce streams
+    that stdlib zlib AND the from-scratch inflate decode back exactly."""
+    import zlib
+
+    from datalake_polygonscan_spark.operators.deflate import (
+        deflate_fixed,
+        deflate_stored,
+        inflate,
+    )
+
+    for enc in (deflate_stored, deflate_fixed):
+        c = enc(payload)
+        assert zlib.decompress(c, -15) == payload
+        assert inflate(c) == payload
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.text(max_size=30),
+    st.binary(max_size=50),
+    st.booleans(),
+)
+def test_state_protocol_message_roundtrip(code, err, val, rnf):
+    """Property: the hand-rolled protobuf runtime inverts itself on the
+    response shapes the state clients parse."""
+    from datalake_polygonscan_spark.streaming.state_protocol import build_module
+
+    m = _STATE_PB2
+    r = m.StateResponseWithListGet(
+        statusCode=code, errorMessage=err, value=[val, b"", val * 2],
+        requireNextFetch=rnf,
+    )
+    back = m.StateResponseWithListGet()
+    back.ParseFromString(r.SerializeToString())
+    assert back.statusCode == code
+    assert back.errorMessage == err
+    assert back.value == [val, b"", val * 2]
+    assert back.requireNextFetch == rnf
+
+
+from datalake_polygonscan_spark.streaming.state_protocol import build_module as _bm  # noqa: E402
+
+_STATE_PB2 = _bm()
