@@ -299,6 +299,7 @@ HEADLINE = [
     "l18_bpe_train",
     "l19_span_removal",
     "s48_iceberg_reader",
+    "ml19_isotonic_calibration",
 ]
 
 
@@ -480,6 +481,7 @@ WARMUP = [
     "l17_duplicate_spans",
     "l18_bpe_train",
     "l19_span_removal",
+    "ml19_isotonic_calibration",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -198,3 +198,71 @@ def boosted_regression_stumps(
         "sse0", "sse_final", "improved",
     )
     return out_rounds.unionByName(final)
+
+
+def isotonic_fit_grouped(
+    buckets: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "x",
+    weight_col: str = "w",
+    ysum_col: str = "s",
+) -> DataFrame:
+    """ML19 — EXACT isotonic regression per group by POOL-ADJACENT-
+    VIOLATORS (Ayer et al. 1955; the calibration mapping of Zadrozny &
+    Elkan 2002): fit the least-squares NON-DECREASING step function to
+    per-bucket (weight, y-sum) pairs ordered by ``x_col``.
+
+    Input is the already-collapsed bucket table (one partial-agg
+    shuffle upstream turns N rows into |groups x buckets| rows), so
+    the per-group PAV runs over a CONSTANT-size series inside ONE
+    applyInPandas shuffle — the TS15/DTW slot: per-group work is O(n)
+    with exact INTEGER block arithmetic (violator comparison by
+    cross-multiplication ``s_prev * w_cur > s_cur * w_prev`` — no
+    float drift can merge the wrong blocks), embarrassingly parallel
+    across groups, zero cross-group communication.
+
+    The fitted value of a bucket is its final block's s/w — emitted as
+    exact BIGINT (block_s, block_w) plus the IEEE-double ratio, which
+    is correctly-rounded division of exact integers and therefore
+    bit-identical in any engine evaluating the same rational (what
+    lets the max-min-formula SQL oracle replay the fit exactly:
+    fit_i = max_{j<=i} min_{k>=i} avg(y[j..k]) is the textbook
+    closed form of PAV).
+
+    Returns (group, x, w, s, block_s, block_w, fit).
+    """
+    import pandas as pd
+
+    def pav(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(x_col).reset_index(drop=True)
+        # blocks: [w, s, count] with exact ints; merge while decreasing
+        blocks: list[list[int]] = []
+        for w, s in zip(pdf[weight_col], pdf[ysum_col]):
+            blocks.append([int(w), int(s), 1])
+            while len(blocks) >= 2:
+                w2, s2, c2 = blocks[-1]
+                w1, s1, c1 = blocks[-2]
+                if s1 * w2 > s2 * w1:  # prev mean > cur mean: violator
+                    blocks[-2] = [w1 + w2, s1 + s2, c1 + c2]
+                    blocks.pop()
+                else:
+                    break
+        bs, bw = [], []
+        for w, s, c in blocks:
+            bs += [s] * c
+            bw += [w] * c
+        out = pdf.copy()
+        out["block_s"] = bs
+        out["block_w"] = bw
+        out["fit"] = [s / w for s, w in zip(bs, bw)]
+        return out
+
+    schema = (
+        f"{group_col} string, {x_col} long, {weight_col} long, {ysum_col} long, "
+        "block_s long, block_w long, fit double"
+    )
+    return (
+        buckets.select(group_col, x_col, weight_col, ysum_col)
+        .groupBy(group_col)
+        .applyInPandas(pav, schema=schema)
+    )

@@ -1805,3 +1805,105 @@ def ml18_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg20"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ML19: exact isotonic regression (PAV) with a max-min-formula oracle
+# ---------------------------------------------------------------------------
+
+_ISO_BUCKETS = 24
+
+
+@register(
+    "ml19_isotonic_calibration",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS grp,
+               CAST(event_id % {_ISO_BUCKETS} AS BIGINT) AS x,
+               CASE WHEN (event_id * 2654435761) % 97
+                         < 12 + 3 * (event_id % {_ISO_BUCKETS})
+                    THEN 1 ELSE 0 END AS y
+        FROM events
+    ), b AS MATERIALIZED (
+        SELECT grp, x, CAST(count(*) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS s
+        FROM ev GROUP BY grp, x
+    ), seg AS MATERIALIZED (
+        SELECT j.grp, j.x AS jx, k.x AS kx,
+               SUM(m.s) AS num, SUM(m.w) AS den
+        FROM b j
+        JOIN b k ON k.grp = j.grp AND j.x <= k.x
+        JOIN b m ON m.grp = j.grp AND m.x BETWEEN j.x AND k.x
+        GROUP BY j.grp, j.x, k.x
+    ), mins AS MATERIALIZED (
+        SELECT seg.grp, i.x AS ix, seg.jx,
+               MIN(CAST(seg.num AS DOUBLE) / seg.den) AS mn
+        FROM seg JOIN b i
+          ON i.grp = seg.grp AND seg.jx <= i.x AND i.x <= seg.kx
+        GROUP BY seg.grp, i.x, seg.jx
+    ), fit AS (
+        SELECT grp, ix AS x, MAX(mn) AS fit FROM mins GROUP BY grp, ix
+    ), mono AS (
+        SELECT grp,
+               CAST(bool_and(fit >= COALESCE(prev_fit, fit)) AS INTEGER) AS monotone
+        FROM (
+            SELECT grp, fit,
+                   LAG(fit) OVER (PARTITION BY grp ORDER BY x) AS prev_fit
+            FROM fit
+        ) GROUP BY grp
+    )
+    SELECT b.grp, b.x, b.w, b.s,
+           ROUND(f.fit, 9) AS fit,
+           (SELECT monotone FROM mono m2 WHERE m2.grp = b.grp) AS monotone
+    FROM b JOIN fit f ON f.grp = b.grp AND f.x = b.x
+    """,
+    doc=(
+        "ML19 EXACT isotonic regression per group by POOL-ADJACENT-"
+        "VIOLATORS (Ayer et al. 1955) — the calibration mapping of "
+        "Zadrozny-Elkan 2002, completing the evaluation tier beside "
+        "ML17's reliability diagram: fit the least-squares "
+        "NON-DECREASING step function to per-bucket positive rates. "
+        "Corpus collapses to |groups x {nb}| buckets in one partial-agg "
+        "shuffle, then PAV runs per group in one applyInPandas with "
+        "exact INTEGER block arithmetic (violator merge compared by "
+        "cross-multiplication, no float drift). The oracle replays the "
+        "fit through PAV's textbook closed form — fit_i = max over "
+        "j<=i of min over k>=i of avg(y[j..k]) — built from O(n^3) "
+        "segment sums over the tiny bucket table; fitted values agree "
+        "BIT-EXACTLY because both engines divide the same exact "
+        "integers (correctly-rounded IEEE division of equal rationals "
+        "is deterministic). Monotonicity rides as a graded verdict"
+        .format(nb=_ISO_BUCKETS)
+    ),
+)
+def ml19_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_polygonscan_spark.operators.regression import isotonic_fit_grouped
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.col("event_id") % _ISO_BUCKETS).cast("long").alias("x"),
+        F.when(
+            (F.col("event_id") * 2654435761) % 97
+            < 12 + 3 * (F.col("event_id") % _ISO_BUCKETS),
+            1,
+        ).otherwise(0).alias("y"),
+    )
+    b = ev.groupBy("grp", "x").agg(
+        F.count("*").cast("long").alias("w"), F.sum("y").cast("long").alias("s")
+    )
+    fitted = isotonic_fit_grouped(b, "grp", "x", "w", "s")
+    w_grp = Window.partitionBy("grp").orderBy("x")
+    mono = (
+        fitted.withColumn("prev_fit", F.lag("fit").over(w_grp))
+        .groupBy("grp")
+        .agg(
+            F.bool_and(
+                F.col("fit") >= F.coalesce("prev_fit", "fit")
+            ).cast("int").alias("monotone")
+        )
+    )
+    return (
+        fitted.join(mono, "grp")
+        .select("grp", "x", "w", "s", F.round("fit", 9).alias("fit"), "monotone")
+    )

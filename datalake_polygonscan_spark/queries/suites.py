@@ -460,6 +460,12 @@ _suite(
             "mean": "avg_precision", "w0": "dcg20", "w1": "idcg20",
             "variance": "ndcg20",
         }),
+        # round 8: ML19 exact isotonic regression (PAV) — fitted step
+        # function replayed by the max-min closed form; monotone verdict
+        ("isotonic", "ml19_isotonic_calibration", {
+            "lang": "grp", "n_vectors": "x", "dim": "w", "k": "s",
+            "mean": "fit", "correct": "monotone",
+        }),
         # round 9: ML17 calibration eval — reliability bins, exact
         # integer-micro ECE + Brier
         ("calibration", "ml17_calibration_eval", {

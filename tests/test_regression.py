@@ -194,3 +194,23 @@ def test_als_alternation_minimizes_regularized_objective(spark):
     # factors are finite micro-ints and at least one user has a
     # non-trivial solve (px or py != 0)
     assert any(r["px_micro"] != 0 or r["py_micro"] != 0 for r in out)
+
+
+def test_isotonic_pav_exact_semantics(spark):
+    """ML19 PAV: known fixture — decreasing pair pools to its weighted
+    mean, already-monotone tail untouched, exact integer block sums."""
+    from datalake_polygonscan_spark.operators.regression import isotonic_fit_grouped
+
+    b = spark.createDataFrame(
+        # rates 0.8, 0.2, 0.5, 0.9: (0.8,0.2) pool to 9/15=0.6, which
+        # still exceeds 0.5 -> CASCADING second pool to 14/25=0.56
+        [("g", 0, 10, 8), ("g", 1, 5, 1), ("g", 2, 10, 5), ("g", 3, 10, 9)],
+        "grp string, x long, w long, s long",
+    )
+    out = {r.x: r for r in isotonic_fit_grouped(b).collect()}
+    for i in range(3):
+        assert (out[i].block_s, out[i].block_w) == (14, 25)
+        assert out[i].fit == 14 / 25
+    assert (out[3].block_s, out[3].block_w) == (9, 10) and out[3].fit == 0.9
+    fits = [out[i].fit for i in range(4)]
+    assert fits == sorted(fits)  # non-decreasing by construction
