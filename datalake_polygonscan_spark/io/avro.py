@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -652,6 +653,9 @@ class AvroDataSource(DataSource):
     def reader(self, schema):
         return AvroReader(self.options)
 
+    def streamReader(self, schema):
+        return AvroStreamReader(self.options)
+
     def writer(self, schema, overwrite: bool):
         return AvroWriter(self.options, schema, overwrite)
 
@@ -713,3 +717,55 @@ def read_avro_file(path: str) -> tuple[dict, list]:
             raise ValueError(f"avro_scratch: sync mismatch in {path}")
         pos += 16
     return rec, rows
+
+
+# ---------------------------------------------------------------------------
+# Streaming source: incremental Avro file discovery (S49)
+# ---------------------------------------------------------------------------
+
+
+class AvroStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing directory of Avro container
+    files — readStream parity for the S45 source (new files arrive,
+    each batch scans exactly the newly discovered ones; Avro is an
+    append-only container, so file identity is the natural offset
+    unit).
+
+    - ``latestOffset`` is a sorted directory listing (metadata only);
+    - ``partitions(start, end)`` plans one :class:`_AvroSplit` per NEW
+      file (whole-file splits: a just-landed file is read once, and
+      sync-range splitting matters for backfill, not tailing);
+    - ``read`` reuses the batch reader's block decoder verbatim.
+
+    Offsets are the file-count frontier over the sorted name list —
+    files must arrive with monotonically sorting names (the standard
+    ingest contract; part-<uuid> from the writer satisfies it per
+    batch since replays re-list).
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def latestOffset(self):
+        return {"files": [os.path.basename(p) for p in _files_of(self.path)]}
+
+    def partitions(self, start, end):
+        seen = set((start or {}).get("files", ()))
+        parts = []
+        for name in (end or {}).get("files", ()):
+            if name in seen:
+                continue
+            p = os.path.join(self.path, name)
+            parts.append(_AvroSplit(p, 0, os.path.getsize(p)))
+        return parts or [_AvroSplit("", 0, 0)]  # empty batch placeholder
+
+    def read(self, partition: _AvroSplit):
+        if not partition.path:
+            return iter(())
+        return AvroReader({"path": self.path}).read(partition)
+
+    def commit(self, end):
+        pass

@@ -869,3 +869,81 @@ def s45_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").cast("long").alias("min_key"),
         F.max("c_custkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "s49_avro_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+           TRUE AS exactly_once,
+           TRUE AS second_batch_incremental
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "S49 the S45 Avro container source as a STREAMING DataSource "
+        "(io/avro.py:AvroStreamReader — readStream parity for the "
+        "from-scratch format, completing its batch-read/batch-write/"
+        "stream-read matrix): offsets are the sorted file-name "
+        "frontier (latestOffset is a directory listing, metadata "
+        "only), each micro-batch plans one whole-file split per NEWLY "
+        "arrived container and decodes its blocks with the batch "
+        "reader verbatim. Graded scenario: half of events lands as "
+        "Avro, a first AvailableNow run drains it to a parquet sink, "
+        "the second half lands, a SECOND run resumes from the "
+        "checkpoint — the final sink must hold every event exactly "
+        "once (no re-reads of already-committed files: "
+        "exactly_once = distinct event_ids == rows, "
+        "second_batch_incremental = run2 appended only the new half)"
+    ),
+)
+def s49_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from datalake_polygonscan_spark.io.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = _scratch("s49_avro_stream", "src")
+    chk = _scratch("s49_avro_stream", "chk")
+    out = _scratch("s49_avro_stream", "out")
+    for d in (src, chk, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("avro_scratch").option("path", src).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).write.format("avro_scratch").mode(
+        "append"
+    ).save(src)
+    run()
+    n_first = spark.read.parquet(out).count()
+    ev.filter(F.col("event_id") % 2 == 1).write.format("avro_scratch").mode(
+        "append"
+    ).save(src)
+    run()
+    sunk = spark.read.parquet(out)
+    n_total, n_distinct = sunk.agg(
+        F.count("*"), F.countDistinct("event_id")
+    ).collect()[0]
+    exactly_once = bool(n_total == n_distinct)
+    incremental = bool(0 < n_first < n_total)
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        _dbl_sum("value", "total"),
+    ).select(
+        "event_type", "n_rows", "total",
+        F.lit(exactly_once).alias("exactly_once"),
+        F.lit(incremental).alias("second_batch_incremental"),
+    )

@@ -2595,6 +2595,14 @@ _suite(
             "total_quantity": "total_value", "n_exports": "n_exports",
             "replay_ignored": "replay_ignored",
         }),
+        # round 8: S49 the Avro container source streaming — file-name
+        # frontier offsets, checkpoint-resumed exactly-once
+        ("avro_stream", "s49_avro_stream_source", {
+            "wallet_address": "event_type", "n_txs": "n_rows",
+            "total_quantity": "total",
+            "replay_ignored": "exactly_once",
+            "second_batch_incremental": "second_batch_incremental",
+        }),
     ],
 )
 

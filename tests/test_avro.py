@@ -174,3 +174,26 @@ def test_nested_struct_map_roundtrip(avro_spark, tmp_path):
     back = _roundtrip(avro_spark, df, str(tmp_path / "nested"), codec="deflate")
     assert back.schema == df.schema
     assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_stream_reader_incremental_exactly_once(avro_spark, tmp_path):
+    """S49: the streaming source resumes from the checkpoint and reads
+    each container file exactly once."""
+    src, chk, out = (str(tmp_path / d) for d in ("src", "chk", "out"))
+
+    def run():
+        q = (
+            avro_spark.readStream.format("avro_scratch").option("path", src).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", chk).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    avro_spark.range(10).selectExpr("id AS k").write.format("avro_scratch").mode("append").save(src)
+    run()
+    assert avro_spark.read.parquet(out).count() == 10
+    avro_spark.range(10, 25).selectExpr("id AS k").write.format("avro_scratch").mode("append").save(src)
+    run()
+    df = avro_spark.read.parquet(out)
+    assert df.count() == 25 and df.distinct().count() == 25
+    assert {r.k for r in df.collect()} == set(range(25))
