@@ -299,6 +299,8 @@ HEADLINE = [
     "l18_bpe_train",
     "l19_span_removal",
     "s48_iceberg_reader",
+    "s49_avro_stream_source",
+    "s50_hudi_reader",
     "ml19_isotonic_calibration",
 ]
 

@@ -3363,3 +3363,98 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(delete_gate_raises).alias("delete_gate_raises"),
         )
     )
+
+
+@register(
+    "s50_hudi_reader",
+    oracle="""
+    WITH sub AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_id % 5 < 2
+    ), p0 AS (
+        SELECT min(event_type) AS pv FROM sub
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CASE WHEN event_type = (SELECT pv FROM p0)
+                                THEN v * 2 ELSE v END) AS DOUBLE), 4) AS sum_live,
+           ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_v1,
+           CAST(2 AS BIGINT) AS n_commits,
+           TRUE AS inflight_invisible,
+           TRUE AS mor_gate_raises
+    FROM sub GROUP BY event_type
+    """,
+    doc=(
+        "S50 FOREIGN Apache Hudi Copy-on-Write reader "
+        "(io/hudi_reader.py — public Hudi tech spec only, no hudi "
+        "bundle): completes the open-table-format interop TRIPTYCH "
+        "beside S47 Delta and S48 Iceberg. Timeline = .hoodie/*.commit "
+        "instants (both naming generations parsed); CoW snapshot = "
+        "per (partition, fileId) file group, the base file with the "
+        "LATEST COMPLETED instant — an upsert's rewritten slice "
+        "shadows the old one, and a crash-leftover base file whose "
+        "instant only reached .inflight stays INVISIBLE (Hudi's "
+        "atomicity contract, graded: the zero-valued junk slice must "
+        "not leak). Time travel = the same resolution over a timeline "
+        "prefix (as_of '001' must return pre-upsert values — graded "
+        "sum_v1). Hudi meta columns travel inside the parquet files "
+        "and are projected out. Protocol gate: Merge-on-Read .log "
+        "deltas raise HudiProtocolError rather than silently serving "
+        "stale base files (graded)"
+    ),
+)
+def s50_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from datalake_polygonscan_spark.io.hudi_reader import (
+        HudiProtocolError,
+        read_hudi_table,
+        timeline_info,
+        write_foreign_hudi_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 < 2)
+        .select("event_id", "event_type", "value")
+    )
+    table = _scratch("s50_hudi", "foreign_events")
+    write_foreign_hudi_fixture(spark, sub, table, "event_type", "event_id")
+
+    live = read_hudi_table(spark, table)
+    v1 = read_hudi_table(spark, table, as_of="001")
+    info = timeline_info(table)
+    with_meta = read_hudi_table(spark, table, keep_meta=True)
+    inflight_invisible = bool(
+        with_meta.filter(F.col("_hoodie_commit_time") == "003").count() == 0
+    )
+
+    # MoR gate: a .log delta file must raise
+    gate = _scratch("s50_hudi", "mor_gate")
+    hdir = _os.path.join(gate, ".hoodie")
+    _os.makedirs(hdir, exist_ok=True)
+    open(_os.path.join(hdir, "001.commit"), "w").write("{}")
+    pdir = _os.path.join(gate, "event_type=x")
+    _os.makedirs(pdir, exist_ok=True)
+    open(_os.path.join(pdir, ".fid_001.log.1_0-1-0"), "w").write("")
+    try:
+        read_hudi_table(spark, gate)
+        mor_gate_raises = False
+    except HudiProtocolError:  # specifically the MoR refusal, nothing else
+        mor_gate_raises = True
+
+    live_agg = live.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v1_agg = v1.groupBy(F.col("event_type").alias("et1")).agg(
+        _dbl_sum("value", "sum_v1")
+    )
+    return (
+        live_agg.join(v1_agg, live_agg["event_type"] == v1_agg["et1"])
+        .select(
+            "event_type", "n_rows", "sum_live", "sum_v1",
+            F.lit(info["n_commits"]).cast("long").alias("n_commits"),
+            F.lit(inflight_invisible).alias("inflight_invisible"),
+            F.lit(mor_gate_raises).alias("mor_gate_raises"),
+        )
+    )

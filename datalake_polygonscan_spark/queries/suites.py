@@ -1089,6 +1089,15 @@ _suite(
             "source_isolated": "legacy_path_intact",
             "resolved_v0": "v0_time_travels",
         }),
+        # round 8: S50 foreign Hudi CoW reader — latest-completed-
+        # instant file-slice resolution, inflight invisibility, MoR gate
+        ("foreign_hudi", "s50_hudi_reader", {
+            "o_orderstatus": "event_type", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v1",
+            "n_versions_logged": "n_commits",
+            "bad_version_still_readable": "mor_gate_raises",
+            "resolved_v0": "inflight_invisible",
+        }),
         # round 8: S48 foreign Iceberg v2 reader — manifests decoded
         # by the from-scratch Avro layer; metadata-only COUNT(*) and
         # the delete-manifest gate graded
