@@ -484,6 +484,7 @@ WARMUP = [
     "l18_bpe_train",
     "l19_span_removal",
     "ml19_isotonic_calibration",
+    "ts17_changepoint",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -4481,3 +4481,107 @@ def ts16_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_max_abs_slope",
         F.max(F.abs("slope_micro")).over(Window.partitionBy("user_id")).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS17: exact single change-point localization (SSE-split argmax)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts17_changepoint",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS yc,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS i
+        FROM events
+    ), tot AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yc) AS BIGINT) AS s
+        FROM ev GROUP BY user_id
+    ), pre AS (
+        SELECT e.user_id, e.i,
+               SUM(e.yc) OVER (
+                   PARTITION BY e.user_id ORDER BY e.i
+               ) AS s1,
+               t.n, t.s
+        FROM ev e JOIN tot t USING (user_id)
+    ), scored AS (
+        SELECT user_id, i AS k, n, s, s1,
+               CAST(s1 * s1 AS DOUBLE) / i
+                 + CAST((s - s1) * (s - s1) AS DOUBLE) / (n - i) AS f
+        FROM pre WHERE i < n
+    ), best AS (
+        SELECT user_id, k, n, s1, f,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY f DESC, k ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT b.user_id,
+           b.n,
+           b.k AS cp_index,
+           ROUND(CAST(b.s1 AS DOUBLE) / b.k / 100, 6) AS mean_left,
+           ROUND(CAST(t.s - b.s1 AS DOUBLE) / (b.n - b.k) / 100, 6) AS mean_right,
+           ROUND(b.f, 4) AS split_score
+    FROM best b JOIN tot t USING (user_id)
+    WHERE b.rn = 1 AND b.n >= 2
+    """,
+    doc=(
+        "TS17 EXACT single change-point localization (the binary-"
+        "segmentation base step; Scott-Knott/CUSUM family): per key, "
+        "the split k maximizing the between-segment objective "
+        "S1^2/n1 + S2^2/n2 — equivalently minimizing total residual "
+        "SSE of a two-level step fit. Values centi-quantize to exact "
+        "BIGINT (explicit floor both engines), ONE ordered window "
+        "builds prefix sums, every k scores in a single IEEE-double "
+        "expression over exact integers (bit-identical cross-engine — "
+        "the round-9 discipline), argmax deterministic via (score "
+        "DESC, k ASC). One exchange for the per-key window + one "
+        "partial-agg join; no iteration, no UDF. Segment means at the "
+        "chosen split ride the hash alongside the score"
+    ),
+)
+def ts17_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pre = ev.withColumn("i", F.row_number().over(w_ord)).withColumn(
+        "s1", F.sum("yc").over(w_ord)
+    )
+    tot = pre.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"), F.sum("yc").cast("long").alias("s")
+    )
+    scored = (
+        pre.join(tot, "user_id")
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "user_id", "n", "s", F.col("i").alias("k"), "s1",
+            (
+                (F.col("s1") * F.col("s1")).cast("double") / F.col("i")
+                + ((F.col("s") - F.col("s1")) * (F.col("s") - F.col("s1"))).cast("double")
+                / (F.col("n") - F.col("i"))
+            ).alias("f"),
+        )
+    )
+    w_best = Window.partitionBy("user_id").orderBy(F.desc("f"), F.asc("k"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("n") >= 2))
+        .select(
+            "user_id", "n", F.col("k").alias("cp_index"),
+            F.round(F.col("s1").cast("double") / F.col("k") / 100, 6).alias("mean_left"),
+            F.round(
+                (F.col("s") - F.col("s1")).cast("double") / (F.col("n") - F.col("k")) / 100, 6
+            ).alias("mean_right"),
+            F.round("f", 4).alias("split_score"),
+        )
+    )

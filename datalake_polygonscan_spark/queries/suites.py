@@ -2864,6 +2864,13 @@ _suite(
         ("dtw", "ts15_dtw_distance", {
             "user_id": "user_id", "event_id": "dtw",
         }),
+        # round 8: TS17 single change-point localization — SSE-split
+        # argmax over exact prefix sums, deterministic tie-break
+        ("changepoint", "ts17_changepoint", {
+            "user_id": "user_id", "n_events": "n",
+            "event_id": "cp_index", "roll_mean": "mean_left",
+            "value": "mean_right", "z": "split_score",
+        }),
         # round 9: TS16 irregular-sampling rate of change (exact
         # integer micro-slopes)
         ("roc", "ts16_rate_of_change", {
