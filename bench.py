@@ -485,6 +485,7 @@ WARMUP = [
     "l19_span_removal",
     "ml19_isotonic_calibration",
     "ts17_changepoint",
+    "x16_variant_type",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -782,3 +782,77 @@ def x14_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("h & 16777215")).cast("long").alias("and_sum"),
         F.sum(F.expr("h | 255")).cast("long").alias("or_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X16: the Spark 4 VARIANT type (open semi-structured storage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x16_variant_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_v0,
+           CAST(SUM(event_id % 7) AS BIGINT) AS sum_v1,
+           ROUND(CAST(SUM(CASE WHEN event_id % 5 = 0
+                               THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+               AS sum_maybe,
+           CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe,
+           CAST(count(*) AS BIGINT) AS n_wrong_type_null,
+           'OBJECT<id: BIGINT, maybe: DEC, meta: OBJECT<t: STRING, vals: ARRAY<BIGINT>>>'
+               AS merged_schema
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "X16 the Spark 4 VARIANT type — the open-format semi-"
+        "structured tier beyond X5's string JSON functions: documents "
+        "parse ONCE into the binary variant encoding (parse_json), "
+        "then typed path extraction (variant_get '$.meta.vals[0]'), "
+        "lenient extraction (try_variant_get returns NULL on a type "
+        "mismatch — graded: asking for the string field as LONG must "
+        "null out on EVERY row), absent-path nulls (to_json drops "
+        "null fields, so '$.maybe' exists only on event_id%5=0 rows), "
+        "and schema_of_variant_agg merging per-row inferred schemas "
+        "across each group (graded with the inferred DECIMAL "
+        "precision normalized — width depends on the data, structure "
+        "does not). The oracle is the CLOSED FORM over the base "
+        "columns: every extracted value must equal what was encoded, "
+        "so a variant encode/decode bug anywhere value-fails. "
+        "Decimal-exact maybe-sum: JSON shortest-roundtrip printing "
+        "guarantees the double -> decimal -> double trip is lossless"
+    ),
+)
+def x16_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(F.struct(
+        F.col("event_id").alias("id"),
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.array(F.col("user_id"), F.col("event_id") % 7).alias("vals"),
+        ).alias("meta"),
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("maybe"),
+    ))
+    v = ev.select("event_type", F.parse_json(doc).alias("v"))
+    ex = v.select(
+        "event_type",
+        F.variant_get("v", "$.meta.vals[0]", "long").alias("v0"),
+        F.variant_get("v", "$.meta.vals[1]", "long").alias("v1"),
+        F.try_variant_get("v", "$.maybe", "decimal(18,6)").alias("maybe"),
+        F.try_variant_get("v", "$.meta.t", "long").alias("wrong"),
+        "v",
+    )
+    return ex.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v0").cast("long").alias("sum_v0"),
+        F.sum("v1").cast("long").alias("sum_v1"),
+        F.round(F.sum("maybe").cast("double"), 4).alias("sum_maybe"),
+        F.count("maybe").cast("long").alias("n_maybe"),
+        F.count_if(F.col("wrong").isNull()).cast("long").alias("n_wrong_type_null"),
+        F.regexp_replace(
+            F.schema_of_variant_agg("v"), r"DECIMAL\(\d+,\d+\)", "DEC"
+        ).alias("merged_schema"),
+    )

@@ -2298,6 +2298,14 @@ _suite(
             "n_building_ci": "xor_sum", "n_statuses": "and_sum",
             "open_cnt": "or_sum",
         }),
+        # round 8: X16 the Spark 4 VARIANT type — typed/lenient path
+        # extraction + merged schema inference, closed-form oracle
+        ("variant", "x16_variant_type", {
+            "str_key": "event_type", "n_events": "n",
+            "sum_k": "sum_v0", "max_k": "sum_v1",
+            "n_missing": "n_maybe", "n_customers": "n_wrong_type_null",
+            "val": "sum_maybe", "missing_val": "merged_schema",
+        }),
     ],
 )
 
