@@ -486,6 +486,8 @@ WARMUP = [
     "ml19_isotonic_calibration",
     "ts17_changepoint",
     "x16_variant_type",
+    "a20_hll_sketch_builtin",
+    "qla_lateral_column_alias",
 ]
 
 #: Reference calibration time (sec) for the normalization ratio: the

@@ -4585,3 +4585,67 @@ def ts17_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("f", 4).alias("split_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A20: the built-in Datasketches HLL surface (Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a20_hll_sketch_builtin",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact
+        FROM lineitem GROUP BY l_returnflag
+    ), gtot AS (
+        SELECT count(DISTINCT l_orderkey) AS exact_global FROM lineitem
+    )
+    SELECT g.l_returnflag,
+           CAST(g.exact AS BIGINT) AS exact,
+           CAST(1 AS INTEGER) AS est_ok,
+           CAST((SELECT exact_global FROM gtot) AS BIGINT) AS exact_global,
+           CAST(1 AS INTEGER) AS union_est_ok
+    FROM g
+    """,
+    doc=(
+        "A20 the BUILT-IN Apache DataSketches HLL surface (Spark "
+        "3.5+: hll_sketch_agg / hll_sketch_estimate / hll_union_agg) "
+        "— the production twin of the from-scratch A11 HLL: per-group "
+        "sketches built in one partial-agg shuffle (lgConfigK=14), "
+        "then MERGED with hll_union_agg into a global estimate "
+        "WITHOUT rescanning rows — the mergeability that makes "
+        "sketch columns materializable per partition/day and "
+        "unionable at query time (the MV4 strategy on the stock "
+        "primitive). Graded like A2/A11: per-group and merged-union "
+        "estimates must land within the sketch's published error "
+        "envelope of the EXACT distinct counts (2%% at lgK=14), the "
+        "exact counts ride the hash verbatim"
+    ),
+)
+def a20_hll_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact"),
+    )
+    per = g.select(
+        "l_returnflag", "exact", F.hll_sketch_estimate("sk").alias("est")
+    )
+    merged = g.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_global")
+    ).collect()[0]["est_global"]
+    exact_global = int(
+        li.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    )
+    union_ok = int(abs(merged - exact_global) <= max(2, 0.02 * exact_global))
+    return per.select(
+        "l_returnflag",
+        "exact",
+        (
+            F.abs(F.col("est") - F.col("exact"))
+            <= F.greatest(F.lit(2), F.col("exact") * 0.02)
+        ).cast("int").alias("est_ok"),
+        F.lit(exact_global).cast("long").alias("exact_global"),
+        F.lit(union_ok).cast("int").alias("union_est_ok"),
+    )

@@ -1360,3 +1360,36 @@ def qu_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (price, cust_band))
         """
     )
+
+
+_QLA_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       n * 2 AS n_doubled,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+       ROUND(total / n, 4) AS avg_price,
+       ROUND(avg_price / 1000, 4) AS avg_k
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "qla_lateral_column_alias",
+    oracle=_QLA_SQL,
+    doc=(
+        "QLA the LATERAL COLUMN ALIAS surface (Spark 3.4+, "
+        "SPARK-27561): a select-list expression referencing an alias "
+        "defined EARLIER IN THE SAME select list — including aliases "
+        "of aggregates (n * 2, total / n) and aliases chained off "
+        "other lateral aliases (avg_k from avg_price from total/n), "
+        "the spreadsheet-style derivation chain that previously "
+        "forced nested subqueries. The EXACT SAME text runs in DuckDB "
+        "(which resolves select-list aliases natively), so the two "
+        "analyzers must agree on every resolution step; the analyzer "
+        "lowers the chain onto one aggregate — no extra shuffle"
+    ),
+)
+def qla_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_QLA_SQL)

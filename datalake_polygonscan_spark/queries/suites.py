@@ -606,6 +606,13 @@ _suite(
             "rank_ok_p90": ("CAST(s4 % 1000000 AS INT)",
                             "CAST(s4 % 1000000 AS INTEGER)"),
         }),
+        # round 8: A20 the built-in DataSketches HLL surface — grouped
+        # sketches + no-rescan union merge, error-envelope graded
+        ("hll_builtin", "a20_hll_sketch_builtin", {
+            "l_returnflag": "l_returnflag", "n": "exact",
+            "key": "exact_global",
+            "rank_ok_p50": "est_ok", "rank_ok_p90": "union_est_ok",
+        }),
         # round 8: P4 DataFrame .pivot() with an explicit value list —
         # the last SURVEY §2.2 id outside the graded window (VERDICT r7
         # 'Next round' #4); decimal-exact sums, rounded-double boundary
@@ -1397,6 +1404,13 @@ _suite(
             "l_orderkey": "user_id", "order_count": "event_id",
             "numwait": "rnk", "revenue": "value",
             "n_small_lines": "n_user_events", "avg_yearly": "user_total",
+        }),
+        # round 8: QLA lateral column aliases — chained select-list
+        # derivations over aggregate aliases, identical text both engines
+        ("qla", "qla_lateral_column_alias", {
+            "o_orderpriority": "o_orderpriority", "order_count": "n",
+            "numwait": "n_doubled", "revenue": "total",
+            "avg_yearly": "avg_price", "avg_disc": "avg_k",
         }),
         # round 9: QU the SQL UNPIVOT clause (QV's parser twin)
         ("qu", "qu_sql_unpivot", {
