@@ -47,11 +47,13 @@ with Catalyst pushdown intact — partition columns re-enter as
 LITERALS per group, so a filter on one constant-folds to false and
 prunes the whole group's scan branch before any file opens (the
 union-of-literal-branches form of partition pruning). Checkpoint
-parquets (``_last_checkpoint``) are an
-O(1)-tail optimization of the SAME replay; this resolver reads the
-JSON tail directly, correct at any version, and the in-repo commit-log
-checkpoint machinery (io/branches.py S21) documents the compacted
-form.
+parquets ARE implemented (round 8): ``_last_checkpoint`` points at a
+parquet holding the replayed action state at its version, the resolver
+loads it (nested add/remove/metaData/protocol structs, pyarrow maps
+normalized) and replays only the JSON tail after it — so tables whose
+checkpointed JSON prefix was CLEANED UP by the writing engine still
+resolve, versions compacted away fail loudly, and a target older than
+the checkpoint falls back to the JSONs when they still exist.
 
 Reference parity note: the reference re-reads entire Redshift tables
 to sync state (resources/redshift.py:80,98-104); an open-format log
@@ -87,49 +89,89 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+class _State:
+    __slots__ = ("schema_json", "partition_cols", "live")
+
+    def __init__(self) -> None:
+        self.schema_json: str | None = None
+        self.partition_cols: list[str] = []
+        self.live: dict[str, dict] = {}
+
+
+def _apply_action(state: _State, action: dict) -> None:
+    if action.get("protocol") is not None:
+        proto = action["protocol"]
+        if (proto.get("minReaderVersion") or 1) > 1:
+            needed = set(proto.get("readerFeatures") or ())
+            unsupported = needed - _SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires reader features {sorted(unsupported)}"
+                )
+    elif action.get("metaData") is not None:
+        state.schema_json = action["metaData"]["schemaString"]
+        state.partition_cols = list(action["metaData"].get("partitionColumns") or ())
+    elif action.get("add") is not None:
+        add = dict(action["add"])
+        pv = add.get("partitionValues")
+        if isinstance(pv, list):  # pyarrow maps surface as (k, v) tuples
+            add["partitionValues"] = dict(pv)
+        state.live[add["path"]] = add
+    elif action.get("remove") is not None:
+        state.live.pop(action["remove"]["path"], None)
+
+
+def _checkpoint_state(table_path: str, version: int | None):
+    """Load the _last_checkpoint parquet if one exists and does not
+    overshoot the requested version (protocol "Checkpoints": a single
+    parquet holding the replayed action state at its version, letting
+    readers skip — and engines DELETE — the JSON prefix)."""
+    lc = os.path.join(table_path, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    cpv = int(json.load(open(lc))["version"])
+    if version is not None and cpv > int(version):
+        return None  # target predates the checkpoint: use the JSONs
+    path = os.path.join(table_path, "_delta_log", f"{cpv:020d}.checkpoint.parquet")
+    import pyarrow.parquet as pq
+
+    state = _State()
+    for row in pq.read_table(path).to_pylist():
+        _apply_action(state, row)
+    return state, cpv
+
+
 def _replay(table_path: str, version: int | None):
     """-> (schema: StructType, partition_cols, live: {path: add-action},
-    resolved_version)."""
-    commits = _commit_files(table_path)
-    if not commits:
+    resolved_version). Resolution = checkpoint state (if usable) plus
+    the JSON commits after it."""
+    state = _State()
+    start_v = -1
+    cp = _checkpoint_state(table_path, version)
+    if cp is not None:
+        state, start_v = cp
+    commits = [
+        (v, p) for v, p in _commit_files(table_path)
+        if v > start_v and (version is None or v <= version)
+    ]
+    if start_v < 0 and not commits and version is None:
         raise FileNotFoundError(f"no _delta_log commits under {table_path}")
-    if version is not None:
-        commits = [(v, p) for v, p in commits if v <= version]
-        if not commits or commits[-1][0] != version:
-            raise ValueError(
-                f"delta_reader: version {version} not in log "
-                f"(have {[v for v, _ in _commit_files(table_path)]})"
-            )
-    schema_json: str | None = None
-    partition_cols: list[str] = []
-    live: dict[str, dict] = {}
-    for v, path in commits:
+    resolved = max([start_v] + [v for v, _ in commits])
+    if version is not None and resolved != int(version):
+        raise ValueError(
+            f"delta_reader: version {version} not reachable "
+            f"(checkpoint at {start_v}, commits {[v for v, _ in commits]})"
+        )
+    for _v, path in commits:
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    proto = action["protocol"]
-                    if proto.get("minReaderVersion", 1) > 1:
-                        needed = set(proto.get("readerFeatures") or ())
-                        unsupported = needed - _SUPPORTED_READER_FEATURES
-                        if unsupported:
-                            raise DeltaProtocolError(
-                                f"table requires reader features {sorted(unsupported)}"
-                            )
-                elif "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
-                    partition_cols = list(action["metaData"].get("partitionColumns") or ())
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-    if schema_json is None:
+                if line:
+                    _apply_action(state, json.loads(line))
+    if state.schema_json is None:
         raise ValueError(f"delta_reader: no metaData action in {table_path}")
-    schema = T.StructType.fromJson(json.loads(schema_json))
-    return schema, partition_cols, live, commits[-1][0]
+    schema = T.StructType.fromJson(json.loads(state.schema_json))
+    return schema, state.partition_cols, state.live, resolved
 
 
 def _partition_literal(raw: str | None, dtype: T.DataType):

@@ -107,3 +107,65 @@ def test_version_errors(spark, tmp_path):
         read_delta_table(spark, table, version=9)
     with pytest.raises(FileNotFoundError):
         read_delta_table(spark, str(tmp_path / "nope"))
+
+
+def test_checkpoint_parquet_replaces_json_prefix(spark, tmp_path):
+    """Protocol 'Checkpoints': a _last_checkpoint parquet carries the
+    replayed state at its version, and engines may DELETE the JSON
+    prefix — the reader must resolve from checkpoint + JSON tail, and
+    versions compacted away must fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.range(40).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    table = str(tmp_path / "t")
+    write_foreign_delta_fixture(spark, df, table, "part", "k")
+    before = read_delta_table(spark, table)
+    n_live, = before.agg({"*": "count"}).collect()[0]
+
+    # compose the v1 checkpoint from the protocol's column layout
+    schema_str = df.schema.json()
+    log = os.path.join(table, "_delta_log")
+    v1_adds = []
+    for ver in (0, 1):
+        for line in open(os.path.join(log, f"{ver:020d}.json")):
+            a = json.loads(line)
+            if "add" in a:
+                v1_adds.append(a["add"])
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "readerFeatures": None},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None,
+         "metaData": {"schemaString": schema_str, "partitionColumns": ["part"]},
+         "add": None, "remove": None},
+    ] + [
+        {"protocol": None, "metaData": None, "remove": None,
+         "add": {"path": a["path"],
+                 "partitionValues": list(a["partitionValues"].items()),
+                 "size": a["size"], "dataChange": True}}
+        for a in v1_adds
+    ]
+    pa_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("readerFeatures", pa.list_(pa.string()))])),
+        ("metaData", pa.struct([("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string()))])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", pa.map_(pa.string(), pa.string())),
+                           ("size", pa.int64()), ("dataChange", pa.bool_())])),
+        ("remove", pa.struct([("path", pa.string())])),
+    ])
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa_schema),
+                   os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    json.dump({"version": 1, "size": len(rows)},
+              open(os.path.join(log, "_last_checkpoint"), "w"))
+    # engines may clean the checkpointed JSON prefix
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    after = read_delta_table(spark, table)  # checkpoint + v2 JSON tail
+    assert after.count() == n_live
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+    assert read_delta_table(spark, table, version=1).count() == 40  # pure checkpoint
+    with pytest.raises(ValueError, match="not reachable"):
+        read_delta_table(spark, table, version=0)  # compacted away
