@@ -117,7 +117,10 @@ def _resolve_path(table_path: str, p: str) -> str:
     return p
 
 
-def _live_files(table_path: str, meta: dict, snapshot_id: int | None):
+def _live_files(
+    table_path: str, meta: dict, snapshot_id: int | None,
+    partition_filter: dict | None = None,
+):
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", ())}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
@@ -132,8 +135,16 @@ def _live_files(table_path: str, meta: dict, snapshot_id: int | None):
             )
         _, entries = read_avro_file(_resolve_path(table_path, m["manifest_path"]))
         for e in entries:
-            if e["status"] in (0, 1):  # EXISTING / ADDED
-                files.append(e["data_file"])
+            if e["status"] not in (0, 1):  # EXISTING / ADDED only
+                continue
+            df_rec = e["data_file"]
+            if partition_filter:
+                part = df_rec.get("partition") or {}
+                # identity-transform pruning: the manifest entry's
+                # partition tuple decides BEFORE any file is opened
+                if any(part.get(k) != v for k, v in partition_filter.items()):
+                    continue
+            files.append(df_rec)
     return sid, files
 
 
@@ -141,13 +152,19 @@ def read_iceberg_table(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Scan the live snapshot (or the given ``snapshot_id``) of a
-    foreign Iceberg v2 table."""
+    foreign Iceberg v2 table. ``partition_filter`` (identity-transform
+    equality, e.g. ``{"part": "0"}``) prunes file slices from the
+    MANIFEST ENTRIES' partition tuples — zero data files opened for
+    pruned partitions, which is what Iceberg manifests exist to
+    provide; exactness is unaffected because Iceberg data files carry
+    all columns (pruning is a strict subset of a post-scan filter)."""
     meta = _load_metadata(table_path)
     schemas = {s["schema-id"]: s for s in meta.get("schemas", ())}
     schema = _spark_schema(schemas[meta["current-schema-id"]])
-    _, files = _live_files(table_path, meta, snapshot_id)
+    _, files = _live_files(table_path, meta, snapshot_id, partition_filter)
     if not files:
         return spark.createDataFrame([], schema)
     paths = [_resolve_path(table_path, f["file_path"]) for f in files]
@@ -186,6 +203,11 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps({
                 {"name": "content", "type": "int"},
                 {"name": "file_path", "type": "string"},
                 {"name": "file_format", "type": "string"},
+                # the spec's partition struct carries one field per
+                # spec field; the fixture flattens it to a string map
+                # (the reader consumes dicts either way)
+                {"name": "partition",
+                 "type": ["null", {"type": "map", "values": "string"}]},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
             ]}},
@@ -238,12 +260,13 @@ def write_foreign_iceberg_fixture(
             raise ValueError(f"fixture: unsupported type {f.dataType}")
         ice_fields.append({"id": i + 1, "name": f.name, "required": False, "type": tname})
 
-    def write_data(sub: DataFrame, name: str) -> dict:
+    def write_data(sub: DataFrame, name: str, partition: dict | None = None) -> dict:
         pdf = sub.toPandas()
         path = os.path.join(ddir, name)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         return {
             "content": 0, "file_path": path, "file_format": "PARQUET",
+            "partition": partition,
             "record_count": len(pdf),
             "file_size_in_bytes": os.path.getsize(path),
         }

@@ -102,3 +102,66 @@ def test_relocated_table_path_rerooting(spark, ice_table, tmp_path):
     os.makedirs(os.path.dirname(moved))
     shutil.move(t, moved)
     assert read_iceberg_table(spark, moved).count() == snapshot_info(moved)["record_count"]
+
+
+def test_partition_pruning_skips_files_before_open(spark, tmp_path):
+    """Identity-transform partition pruning: the manifest entries'
+    partition tuples prune file slices — the pruned scan opens a
+    strict subset of files yet returns exactly the filtered rows."""
+    import json as _json
+
+    from datalake_polygonscan_spark.io.avro import write_avro_file
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    df = spark.range(90).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS part", "CAST(id AS DOUBLE) AS v"
+    )
+    t = str(tmp_path / "ptab")
+    ddir, mdir = os.path.join(t, "data"), os.path.join(t, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entries = []
+    for pv in ("0", "1", "2"):
+        pdf = df.filter(f"part = '{pv}'").toPandas()
+        path = os.path.join(ddir, f"f-{pv}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        entries.append({"status": 1, "snapshot_id": 1, "data_file": {
+            "content": 0, "file_path": path, "file_format": "PARQUET",
+            "partition": {"part": pv},
+            "record_count": len(pdf), "file_size_in_bytes": os.path.getsize(path),
+        }})
+    mpath = os.path.join(mdir, "m1.avro")
+    msize = write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    ml = os.path.join(mdir, "snap-1.avro")
+    write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
+        "manifest_path": mpath, "manifest_length": msize,
+        "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+    }])
+    _json.dump({
+        "format-version": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "part", "type": "string"},
+            {"id": 3, "name": "v", "type": "double"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "part", "transform": "identity", "source-id": 2, "field-id": 1000},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
+    }, open(os.path.join(mdir, "v1.metadata.json"), "w"))
+    open(os.path.join(mdir, "version-hint.text"), "w").write("1")
+
+    full = read_iceberg_table(spark, t)
+    pruned = read_iceberg_table(spark, t, partition_filter={"part": "1"})
+    assert len(full.inputFiles()) == 3
+    assert len(pruned.inputFiles()) == 1  # two files never opened
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.filter("part = '1'").collect())
+    )
