@@ -294,6 +294,7 @@ HEADLINE = [
     # as data-scale regression; both are correctness-graded in the
     # driver window instead
     "s45_avro_scratch_roundtrip",
+    "s51_avro_schema_resolution",
     "s47_delta_log_reader",
     "l17_duplicate_spans",
     "l18_bpe_train",

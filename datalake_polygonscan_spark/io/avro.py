@@ -544,9 +544,13 @@ def _files_of(path: str) -> list[str]:
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, reader_schema=None):
         self.path = options["path"]
         self.split_size = int(options.get("split_size") or 32 * 1024 * 1024)
+        #: Spark-side schema (user .schema() or the inferred default);
+        #: decoded via the spec's SCHEMA RESOLUTION rules against each
+        #: file's writer schema, so evolved readers serve old files
+        self.reader_schema = reader_schema
 
     def partitions(self):
         parts = []
@@ -567,10 +571,15 @@ class AvroReader(DataSourceReader):
             head = f.read(_HEADER_PROBE)
             meta, sync, header_end = parse_header(head)
             codec = meta.get("avro.codec", b"null").decode("ascii")
-            rec = json.loads(meta["avro.schema"].decode("utf-8"))
-            decoders = [_decoder_of(fl["type"]) for fl in rec["fields"]]
+            writer_rec = json.loads(meta["avro.schema"].decode("utf-8"))
+            if self.reader_schema is not None:
+                reader_rec = json.loads(schema_to_avro_json(self.reader_schema))
+            else:
+                reader_rec = writer_rec
+            row_dec = _resolved_decoder_of(writer_rec, reader_rec)
+            names = [fl["name"] for fl in reader_rec["fields"]]
             arrow_schema = pa.schema(
-                [(fl["name"], _arrow_type_of(fl["type"])) for fl in rec["fields"]]
+                [(fl["name"], _arrow_type_of(fl["type"])) for fl in reader_rec["fields"]]
             )
 
             # position on the first sync this split OWNS: the header's
@@ -598,12 +607,12 @@ class AvroReader(DataSourceReader):
                     payload = inflate(payload)
                 elif codec != "null":
                     raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
-                cols: list[list] = [[] for _ in decoders]
+                cols: list[list] = [[] for _ in names]
                 pos = 0
                 for _ in range(n_rows):
-                    for dec, col in zip(decoders, cols):
-                        v, pos = dec(payload, pos)
-                        col.append(v)
+                    row, pos = row_dec(payload, pos)
+                    for j, name in enumerate(names):
+                        cols[j].append(row[name])
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(c, type=fld.type) for c, fld in zip(cols, arrow_schema)],
                     schema=arrow_schema,
@@ -651,7 +660,7 @@ class AvroDataSource(DataSource):
         return avro_json_to_ddl(meta["avro.schema"].decode("utf-8"))
 
     def reader(self, schema):
-        return AvroReader(self.options)
+        return AvroReader(self.options, reader_schema=schema)
 
     def streamReader(self, schema):
         return AvroStreamReader(self.options)
@@ -769,3 +778,143 @@ class AvroStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Schema RESOLUTION (spec "Schema Resolution"): decode writer data
+# under a different reader schema — the contract that lets old files
+# serve evolved consumers (S51)
+# ---------------------------------------------------------------------------
+
+#: legal writer -> reader promotions (spec table)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _kind_of(t: object) -> str:
+    base, _ = _base_of(t)
+    if isinstance(base, dict):
+        return base.get("type")
+    return base
+
+
+def _promote(v, wk: str, rk: str):
+    if v is None or wk == rk:
+        return v
+    if (wk, rk) not in _PROMOTIONS:
+        raise ValueError(f"avro_scratch: cannot resolve writer {wk} as reader {rk}")
+    if rk in ("long",):
+        return int(v)
+    if rk in ("float", "double"):
+        return float(v)
+    if rk == "bytes":
+        return v.encode("utf-8")
+    if rk == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def _resolved_decoder_of(writer_t: object, reader_t: object):
+    """Decoder reading WRITER-encoded bytes, yielding READER-shaped
+    values (spec 'Schema Resolution' subset: records matched by field
+    name, writer-only fields decoded-and-discarded, reader-only fields
+    defaulting to NULL when nullable, numeric/string-bytes promotions,
+    nested arrays/maps/records)."""
+    wbase, _ = _base_of(writer_t)
+    rbase, r_nullable = _base_of(reader_t)
+    wk = _kind_of(writer_t)
+    rk = _kind_of(reader_t)
+    if wk == "record" and rk == "record":
+        r_fields = {f["name"]: f["type"] for f in rbase["fields"]}
+        order = [f["name"] for f in rbase["fields"]]
+        steps = []  # (writer field name, decoder or skip, reader name or None)
+        for wf in wbase["fields"]:
+            name = wf["name"]
+            if name in r_fields:
+                steps.append((_resolved_decoder_of(wf["type"], r_fields[name]), name))
+            else:
+                steps.append((_decoder_of(wf["type"]), None))  # skip
+        missing = [
+            (f["name"], f["type"]) for f in rbase["fields"]
+            if f["name"] not in {wf["name"] for wf in wbase["fields"]}
+        ]
+        for name, t in missing:
+            if not _base_of(t)[1]:
+                raise ValueError(
+                    f"avro_scratch: reader field {name!r} absent in writer "
+                    "schema and not nullable (no default)"
+                )
+
+        def dec_rec(buf: bytes, pos: int):
+            row: dict = {}
+            for step, rname in steps:
+                v, pos = step(buf, pos)
+                if rname is not None:
+                    row[rname] = v
+            for name, _t in missing:
+                row[name] = None
+            return {n: row[n] for n in order}, pos
+
+        base_dec = dec_rec
+    elif wk == "array" and rk == "array":
+        item = _resolved_decoder_of(wbase["items"], rbase["items"])
+
+        def base_dec(buf: bytes, pos: int):
+            vals = []
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    return vals, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    vals.append(v)
+    elif wk == "map" and rk == "map":
+        val = _resolved_decoder_of(wbase["values"], rbase["values"])
+
+        def base_dec(buf: bytes, pos: int):
+            vals = {}
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    return vals, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    k2, pos = _dec_bytes(buf, pos)
+                    v2, pos = val(buf, pos)
+                    vals[k2.decode("utf-8")] = v2
+    else:
+        wdec = _decoder_of(_base_of(writer_t)[0])
+
+        def base_dec(buf: bytes, pos: int):
+            v, pos = wdec(buf, pos)
+            return _promote(v, wk, rk), pos
+
+    w_nullable = _base_of(writer_t)[1]
+    if not w_nullable:
+        return base_dec
+    if not r_nullable and wk != "record":
+        # writer may emit null the reader can't hold; fail at decode time
+        def dec_strict(buf: bytes, pos: int):
+            idx, pos = _dec_long(buf, pos)
+            if idx == 0:
+                raise ValueError("avro_scratch: writer null for non-nullable reader field")
+            return base_dec(buf, pos)
+
+        return dec_strict
+
+    def dec(buf: bytes, pos: int):
+        idx, pos = _dec_long(buf, pos)
+        if idx == 0:
+            return None, pos
+        return base_dec(buf, pos)
+
+    return dec

@@ -947,3 +947,57 @@ def s49_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(exactly_once).alias("exactly_once"),
         F.lit(incremental).alias("second_batch_incremental"),
     )
+
+
+@register(
+    "s51_avro_schema_resolution",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+           CAST(count(*) AS BIGINT) AS n_null_added,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "S51 Avro SCHEMA RESOLUTION on read (spec 'Schema "
+        "Resolution'): the S45 source decodes writer bytes under a "
+        "DIFFERENT reader schema — the evolution contract that lets "
+        "years of old container files serve today's consumers without "
+        "rewriting. Graded path: customer written with the full "
+        "schema, read back with an EVOLVED one — c_name DROPPED "
+        "(writer field decoded-and-skipped), c_nationkey PROMOTED "
+        "int -> long (spec promotion table), a new nullable "
+        "loyalty_tier column arriving as NULL on every old row "
+        "(graded n_null_added == n_rows), fields reordered and "
+        "matched BY NAME. Aggregates must equal the parquet original "
+        "exactly, so any mis-skip / mis-promotion / misalignment in "
+        "the resolver value-fails"
+    ),
+)
+def s51_avro_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal", "c_mktsegment",
+    )
+    path = _scratch("s51_avro_res", "customer_avro")
+    c.write.format("avro_scratch").mode("overwrite").save(path)
+    evolved = (
+        spark.read.format("avro_scratch")
+        .schema(
+            "c_mktsegment string, c_nationkey long, "
+            "loyalty_tier string, c_acctbal double, c_custkey long"
+        )
+        .load(path)
+    )
+    return evolved.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("c_nationkey").cast("long").alias("sum_nation"),
+        F.count_if(F.col("loyalty_tier").isNull()).cast("long").alias("n_null_added"),
+        _dbl_sum("c_acctbal", "total_bal"),
+    )

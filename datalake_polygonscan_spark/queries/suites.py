@@ -2974,6 +2974,12 @@ _suite(
             "grp": "c_mktsegment", "n_rows": "n_rows", "total": "total_bal",
             "sum_price": "CAST(min_key * 1000000 + max_key AS DOUBLE)",
         }),
+        # round 8: S51 Avro schema RESOLUTION — evolved reader over old
+        # writer bytes (skip/add/promote/reorder), closed-form graded
+        ("avro_evolve", "s51_avro_schema_resolution", {
+            "grp": "c_mktsegment", "n_rows": "n_rows", "total": "total_bal",
+            "sum_price": "CAST(sum_nation * 1000000 + n_null_added AS DOUBLE)",
+        }),
     ],
 )
 

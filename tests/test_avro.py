@@ -197,3 +197,33 @@ def test_stream_reader_incremental_exactly_once(avro_spark, tmp_path):
     df = avro_spark.read.parquet(out)
     assert df.count() == 25 and df.distinct().count() == 25
     assert {r.k for r in df.collect()} == set(range(25))
+
+
+def test_schema_resolution_evolved_reader(avro_spark, tmp_path):
+    """S51 (spec 'Schema Resolution'): an EVOLVED reader schema serves
+    old files — dropped writer fields are skipped, new nullable reader
+    fields arrive as NULL, int->long / string->bytes promotions apply,
+    and field reordering resolves by NAME."""
+    old_df = avro_spark.createDataFrame(
+        [(1, "x", 10, "keepme"), (2, None, -5, "also")],
+        "a int, gone string, b int, s string",
+    )
+    path = str(tmp_path / "evolved")
+    old_df.write.format("avro_scratch").mode("overwrite").save(path)
+    back = (
+        avro_spark.read.format("avro_scratch")
+        .schema("s binary, a long, added double, b long")  # reorder + evolve
+        .load(path)
+    )
+    assert back.schema.simpleString() == "struct<s:binary,a:bigint,added:double,b:bigint>"
+    rows = {r.a: r for r in back.collect()}
+    assert rows[1].s == b"keepme" and rows[1].b == 10 and rows[1].added is None
+    assert rows[2].s == b"also" and rows[2].b == -5 and rows[2].added is None
+    # non-nullable reader field absent in the writer must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="absent in writer"):
+        (avro_spark.read.format("avro_scratch")
+         .schema(__import__("pyspark.sql.types", fromlist=["StructType"]).StructType()
+                 .add("a", "long").add("required_new", "long", nullable=False))
+         .load(path).collect())
