@@ -1393,3 +1393,85 @@ GROUP BY o_orderpriority
 def qla_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_QLA_SQL)
+
+
+@register(
+    "qa1_ansi_mode",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cast_null,
+           CAST(SUM(CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           ROUND(CAST(SUM(CASE WHEN o_custkey % 10 <> 0 THEN
+                 CAST(floor(o_totalprice * 100 / (o_custkey % 10)) AS BIGINT)
+               END) AS DOUBLE), 1) AS sum_div_ticks,
+           TRUE AS strict_cast_raises,
+           TRUE AS strict_div_raises,
+           TRUE AS strict_overflow_raises
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "QA1 the ANSI SQL mode surface (spark.sql.ansi.enabled — the "
+        "correctness switch a production deployment sets): under ANSI, "
+        "invalid casts, division by zero and integer overflow RAISE "
+        "instead of silently returning NULL/wrapping — and the try_* "
+        "family (try_cast / try_divide / try_multiply) is the "
+        "explicitly-lenient escape hatch whose semantics do NOT depend "
+        "on the mode. Graded both ways: three strict expressions are "
+        "PROVEN to raise under ANSI (cast('1-URGENT' as int), "
+        "x/0, bigint*bigint overflow — each verdict TRUE only if "
+        "SparkArithmeticException/NumberFormatException actually "
+        "surfaced), while the try_ forms compute the lenient result "
+        "over the same rows — null counts and the exact tick-quantized "
+        "division sum value-checked closed-form. Conf scoped to the "
+        "entry and restored; the returned plan uses only "
+        "mode-independent try_ expressions so later evaluation is safe"
+    ),
+)
+def qa1_ansi_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+
+    def raises(expr: str) -> bool:
+        try:
+            o.limit(50).select(F.expr(expr)).collect()
+            return False
+        except Exception as e:
+            # ONLY the ANSI error classes count as the documented raise
+            msg = str(e)
+            return any(tag in msg for tag in (
+                "CAST_INVALID_INPUT", "DIVIDE_BY_ZERO", "ARITHMETIC_OVERFLOW",
+            ))
+
+    try:
+        strict_cast = raises("CAST(o_orderpriority AS INT)")
+        strict_div = raises("o_totalprice / (o_custkey % 10 - o_custkey % 10)")
+        strict_overflow = raises("o_orderkey * 9223372036854775807")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.expr("try_cast(o_orderpriority AS INT)").isNull())
+        .cast("long").alias("n_cast_null"),
+        F.count_if(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 10).isNull()
+        ).cast("long").alias("n_div_null"),
+        F.round(
+            F.sum(
+                F.floor(
+                    F.try_divide(F.col("o_totalprice") * 100, F.col("o_custkey") % 10)
+                ).cast("long")
+            ).cast("double"),
+            1,
+        ).alias("sum_div_ticks"),
+        F.lit(strict_cast).alias("strict_cast_raises"),
+        F.lit(strict_div).alias("strict_div_raises"),
+        F.lit(strict_overflow).alias("strict_overflow_raises"),
+    )

@@ -1405,6 +1405,21 @@ _suite(
             "numwait": "rnk", "revenue": "value",
             "n_small_lines": "n_user_events", "avg_yearly": "user_total",
         }),
+        # round 8: QA1 the ANSI mode surface — strict raises proven,
+        # try_* lenient results value-checked closed-form
+        ("qa1", "qa1_ansi_mode", {
+            "o_orderpriority": "o_orderstatus", "order_count": "n",
+            "numwait": "n_cast_null", "n_small_lines": "n_div_null",
+            "revenue": "sum_div_ticks",
+            "n_above": (
+                "CAST(strict_cast_raises AS LONG)",
+                "CAST(strict_cast_raises AS BIGINT)",
+            ),
+            "n_above_total": (
+                "CAST(strict_div_raises AS LONG) + CAST(strict_overflow_raises AS LONG)",
+                "CAST(strict_div_raises AS BIGINT) + CAST(strict_overflow_raises AS BIGINT)",
+            ),
+        }),
         # round 8: QLA lateral column aliases — chained select-list
         # derivations over aggregate aliases, identical text both engines
         ("qla", "qla_lateral_column_alias", {
