@@ -901,7 +901,7 @@ def _resolved_decoder_of(writer_t: object, reader_t: object):
     w_nullable = _base_of(writer_t)[1]
     if not w_nullable:
         return base_dec
-    if not r_nullable and wk != "record":
+    if not r_nullable:
         # writer may emit null the reader can't hold; fail at decode time
         def dec_strict(buf: bytes, pos: int):
             idx, pos = _dec_long(buf, pos)

@@ -101,7 +101,17 @@ class _State:
 def _apply_action(state: _State, action: dict) -> None:
     if action.get("protocol") is not None:
         proto = action["protocol"]
-        if (proto.get("minReaderVersion") or 1) > 1:
+        mrv = proto.get("minReaderVersion") or 1
+        if mrv == 2:
+            # legacy column-mapping protocol: v2 tables carry NO
+            # readerFeatures list, the version number IS the feature
+            # demand (PROTOCOL.md "Column Mapping") — gate on it
+            # directly or the physical col-<uuid> parquet names would
+            # silently resolve to all-null logical columns
+            raise DeltaProtocolError(
+                "minReaderVersion=2 (column mapping) not supported by this reader"
+            )
+        if mrv > 2:
             needed = set(proto.get("readerFeatures") or ())
             unsupported = needed - _SUPPORTED_READER_FEATURES
             if unsupported:
@@ -109,6 +119,14 @@ def _apply_action(state: _State, action: dict) -> None:
                     f"table requires reader features {sorted(unsupported)}"
                 )
     elif action.get("metaData") is not None:
+        conf = action["metaData"].get("configuration") or {}
+        if isinstance(conf, list):  # pyarrow maps surface as (k, v) tuples
+            conf = dict(conf)
+        cm_mode = conf.get("delta.columnMapping.mode", "none")
+        if cm_mode not in ("none", ""):
+            raise DeltaProtocolError(
+                f"delta.columnMapping.mode={cm_mode!r} not supported by this reader"
+            )
         state.schema_json = action["metaData"]["schemaString"]
         state.partition_cols = list(action["metaData"].get("partitionColumns") or ())
     elif action.get("add") is not None:
@@ -121,23 +139,70 @@ def _apply_action(state: _State, action: dict) -> None:
         state.live.pop(action["remove"]["path"], None)
 
 
+def _checkpoint_files(log_dir: str, cpv: int, parts: int | None) -> list[str]:
+    """Resolve the checkpoint parquet(s) at version ``cpv`` across the
+    protocol's three naming shapes: classic single-file
+    ``{v}.checkpoint.parquet``, multi-part
+    ``{v}.checkpoint.{i}.{n}.parquet`` (the ``parts`` field of
+    ``_last_checkpoint``), and UUID-named V2
+    ``{v}.checkpoint.{uuid}.parquet``."""
+    classic = os.path.join(log_dir, f"{cpv:020d}.checkpoint.parquet")
+    if parts:
+        multi = [
+            os.path.join(log_dir, f"{cpv:020d}.checkpoint.{i:010d}.{parts:010d}.parquet")
+            for i in range(1, parts + 1)
+        ]
+        missing = [p for p in multi if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"multi-part checkpoint at v{cpv} incomplete: missing {missing}"
+            )
+        return multi
+    if os.path.exists(classic):
+        return [classic]
+    # V2 spec checkpoint: UUID-named; find by listing (the protocol's
+    # own discovery rule — _last_checkpoint need not carry the UUID)
+    cands = [
+        p for p in glob.glob(os.path.join(log_dir, f"{cpv:020d}.checkpoint.*.parquet"))
+        if len(os.path.basename(p).split(".")) == 4  # excludes multi-part i.n shape
+    ]
+    if cands:
+        return [sorted(cands)[-1]]
+    raise FileNotFoundError(f"no checkpoint parquet found at v{cpv} under {log_dir}")
+
+
 def _checkpoint_state(table_path: str, version: int | None):
-    """Load the _last_checkpoint parquet if one exists and does not
-    overshoot the requested version (protocol "Checkpoints": a single
-    parquet holding the replayed action state at its version, letting
-    readers skip — and engines DELETE — the JSON prefix)."""
-    lc = os.path.join(table_path, "_delta_log", "_last_checkpoint")
+    """Load the _last_checkpoint parquet(s) if present and not
+    overshooting the requested version (protocol "Checkpoints": parquet
+    holding the replayed action state at its version, letting readers
+    skip — and engines DELETE — the JSON prefix). Handles classic,
+    multi-part, and UUID-named V2 checkpoints; V2 ``sidecar`` actions
+    are followed into ``_delta_log/_sidecars/``."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
         return None
-    cpv = int(json.load(open(lc))["version"])
+    lc_doc = json.load(open(lc))
+    cpv = int(lc_doc["version"])
     if version is not None and cpv > int(version):
         return None  # target predates the checkpoint: use the JSONs
-    path = os.path.join(table_path, "_delta_log", f"{cpv:020d}.checkpoint.parquet")
     import pyarrow.parquet as pq
 
     state = _State()
-    for row in pq.read_table(path).to_pylist():
-        _apply_action(state, row)
+    sidecars: list[str] = []
+    for path in _checkpoint_files(log_dir, cpv, lc_doc.get("parts")):
+        for row in pq.read_table(path).to_pylist():
+            sc = row.get("sidecar")
+            if sc is not None:
+                sidecars.append(sc["path"])
+            else:
+                _apply_action(state, row)
+    for sc_path in sidecars:
+        full = sc_path if os.path.isabs(sc_path) else os.path.join(
+            log_dir, "_sidecars", sc_path
+        )
+        for row in pq.read_table(full).to_pylist():
+            _apply_action(state, row)
     return state, cpv
 
 

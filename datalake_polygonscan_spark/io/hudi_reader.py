@@ -70,19 +70,26 @@ def _completed_instants(table_path: str) -> list[str]:
             out.append(instant)
     if not out:
         raise FileNotFoundError(f"no completed commits under {table_path}/.hoodie")
-    return sorted(out)
+    return sorted(out, key=int)
 
 
 def _live_slices(table_path: str, as_of: str | None) -> list[str]:
     done = set(_completed_instants(table_path))
     if as_of is not None:
-        done = {i for i in done if i <= str(as_of)}
+        # numeric comparison: instants are 14-digit (second) or
+        # 17-digit (millisecond) timestamps depending on Hudi version;
+        # lexicographic compare misorders mixed widths
+        done = {i for i in done if int(i) <= int(as_of)}
         if not done:
             raise ValueError(f"hudi_reader: no commits at or before {as_of}")
     # MoR delta logs may be HIDDEN dot-files (.<fileId>_<instant>.log.N);
-    # glob skips leading dots, so walk explicitly
-    for root, _dirs, names in os.walk(table_path):
+    # glob skips leading dots, so walk explicitly. Prune the .hoodie
+    # subtree IN PLACE: Hudi's internal metadata table
+    # (.hoodie/metadata, default-enabled in modern Hudi) is itself MoR
+    # with .log files and must not trip the gate for a CoW data table.
+    for root, dirs, names in os.walk(table_path):
         if os.path.basename(root) == ".hoodie":
+            dirs[:] = []
             continue
         for n in names:
             if ".log." in n:
@@ -103,7 +110,7 @@ def _live_slices(table_path: str, as_of: str | None) -> list[str]:
             continue
         key = (os.path.dirname(rel), m.group("fid"))
         cur = latest.get(key)
-        if cur is None or instant > cur[0]:
+        if cur is None or int(instant) > int(cur[0]):
             latest[key] = (instant, p)
     return [p for _i, p in latest.values()]
 

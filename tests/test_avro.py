@@ -227,3 +227,33 @@ def test_schema_resolution_evolved_reader(avro_spark, tmp_path):
          .schema(__import__("pyspark.sql.types", fromlist=["StructType"]).StructType()
                  .add("a", "long").add("required_new", "long", nullable=False))
          .load(path).collect())
+
+
+def test_writer_null_record_vs_nonnull_reader_raises(avro_spark, tmp_path):
+    """ADVICE r8: a writer-NULLABLE record resolved against a
+    non-nullable reader record must fail loudly on a null branch —
+    the same strictness scalars get — not silently leak None."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    df = avro_spark.createDataFrame(
+        [(1, (7, "x")), (2, None)],
+        "k int, rec struct<a:int,b:string>",
+    )
+    path = str(tmp_path / "nullrec")
+    df.write.format("avro_scratch").mode("overwrite").save(path)
+
+    strict = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("rec", T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]), nullable=False),
+    ])
+    with _pytest.raises(Exception, match="writer null for non-nullable"):
+        (avro_spark.read.format("avro_scratch").schema(strict)
+         .load(path).collect())
+    # and the non-null rows still resolve under a NULLABLE reader
+    back = avro_spark.read.format("avro_scratch").schema(df.schema).load(path)
+    rows = {r.k: r.rec for r in back.collect()}
+    assert rows[1].a == 7 and rows[1].b == "x" and rows[2] is None

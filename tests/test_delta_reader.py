@@ -169,3 +169,140 @@ def test_checkpoint_parquet_replaces_json_prefix(spark, tmp_path):
     assert read_delta_table(spark, table, version=1).count() == 40  # pure checkpoint
     with pytest.raises(ValueError, match="not reachable"):
         read_delta_table(spark, table, version=0)  # compacted away
+
+
+def test_legacy_column_mapping_gates(spark, tmp_path):
+    """ADVICE r8: minReaderVersion=2 tables carry NO readerFeatures —
+    the version number itself demands column mapping, and the physical
+    col-<uuid> parquet names would silently read as all-null logical
+    columns. Must raise; same for metaData's columnMapping.mode."""
+    schema = spark.range(0).selectExpr("id AS k").schema
+    v2 = str(tmp_path / "v2legacy")
+    _commit(os.path.join(v2, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "schemaString": schema.json(), "partitionColumns": []}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        read_delta_table(spark, v2)
+
+    cm = str(tmp_path / "cmmode")
+    _commit(os.path.join(cm, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "schemaString": schema.json(), "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        read_delta_table(spark, cm)
+
+
+def _checkpoint_rows(adds, schema_str):
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "readerFeatures": None},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None,
+         "metaData": {"schemaString": schema_str, "partitionColumns": ["part"]},
+         "add": None, "remove": None},
+    ] + [
+        {"protocol": None, "metaData": None, "remove": None,
+         "add": {"path": a["path"],
+                 "partitionValues": list(a["partitionValues"].items()),
+                 "size": a["size"], "dataChange": True}}
+        for a in adds
+    ]
+    return rows
+
+
+def _checkpoint_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("readerFeatures", pa.list_(pa.string()))])),
+        ("metaData", pa.struct([("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string()))])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", pa.map_(pa.string(), pa.string())),
+                           ("size", pa.int64()), ("dataChange", pa.bool_())])),
+        ("remove", pa.struct([("path", pa.string())])),
+    ])
+
+
+def _collect_adds(log, versions):
+    adds = []
+    for ver in versions:
+        for line in open(os.path.join(log, f"{ver:020d}.json")):
+            a = json.loads(line)
+            if "add" in a:
+                adds.append(a["add"])
+    return adds
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """ADVICE r8: _last_checkpoint with a 'parts' field points at
+    {v}.checkpoint.{i:010d}.{n:010d}.parquet shards; all must load,
+    a missing shard must fail loudly (not scan a partial state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.range(40).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    table = str(tmp_path / "t")
+    write_foreign_delta_fixture(spark, df, table, "part", "k")
+    before = sorted(map(tuple, read_delta_table(spark, table).collect()))
+
+    log = os.path.join(table, "_delta_log")
+    rows = _checkpoint_rows(_collect_adds(log, (0, 1)), df.schema.json())
+    half = len(rows) // 2
+    sch = _checkpoint_pa_schema()
+    pq.write_table(pa.Table.from_pylist(rows[:half], schema=sch),
+                   os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows[half:], schema=sch),
+                   os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    json.dump({"version": 1, "size": len(rows), "parts": 2},
+              open(os.path.join(log, "_last_checkpoint"), "w"))
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    assert sorted(map(tuple, read_delta_table(spark, table).collect())) == before
+    # a lost shard must not resolve to a partial snapshot
+    os.remove(os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        read_delta_table(spark, table)
+
+
+def test_v2_uuid_checkpoint_with_sidecar(spark, tmp_path):
+    """ADVICE r8: UUID-named V2 checkpoints ({v}.checkpoint.{uuid}
+    .parquet) resolve by listing, and their 'sidecar' actions are
+    followed into _delta_log/_sidecars/ for the add/remove state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.range(40).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    table = str(tmp_path / "t")
+    write_foreign_delta_fixture(spark, df, table, "part", "k")
+    before = sorted(map(tuple, read_delta_table(spark, table).collect()))
+
+    log = os.path.join(table, "_delta_log")
+    rows = _checkpoint_rows(_collect_adds(log, (0, 1)), df.schema.json())
+    head, adds = rows[:2], rows[2:]
+
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir)
+    pq.write_table(pa.Table.from_pylist(adds, schema=_checkpoint_pa_schema()),
+                   os.path.join(side_dir, "sc-1.parquet"))
+
+    pa_v2 = pa.unify_schemas([_checkpoint_pa_schema(),
+                              pa.schema([("sidecar", pa.struct([("path", pa.string())]))])])
+    top = [dict(r, sidecar=None) for r in head] + [
+        {"protocol": None, "metaData": None, "add": None, "remove": None,
+         "sidecar": {"path": "sc-1.parquet"}}]
+    pq.write_table(pa.Table.from_pylist(top, schema=pa_v2),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"01234567-89ab-cdef-0123-456789abcdef.parquet"))
+    json.dump({"version": 1, "size": len(top)},
+              open(os.path.join(log, "_last_checkpoint"), "w"))
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    assert sorted(map(tuple, read_delta_table(spark, table).collect())) == before

@@ -74,3 +74,48 @@ def test_mor_log_files_refused(spark, hudi_table):
     open(log, "w").write("")
     with pytest.raises(HudiProtocolError, match="Merge-on-Read"):
         read_hudi_table(spark, t)
+
+
+def test_hoodie_metadata_table_does_not_trip_mor_gate(spark, hudi_table):
+    """ADVICE r8: .hoodie/metadata (Hudi's internal metadata table,
+    default-enabled) is itself MoR with .log files — it must be pruned
+    from the gate walk, not flag the DATA table as MoR."""
+    t, df = hudi_table
+    mdt = os.path.join(t, ".hoodie", "metadata", "files")
+    os.makedirs(mdt)
+    open(os.path.join(mdt, ".files-0000_00000000000000.log.1_0-0-0"), "w").write("")
+    assert read_hudi_table(spark, t).count() == df.count()
+
+
+def test_mixed_width_instants_order_numerically(spark, tmp_path):
+    """ADVICE r8: 14-digit (second) and 17-digit (ms) instants coexist
+    across Hudi versions; lexicographic compare would order
+    '20240101000000000' (17-digit, older day) vs '9999...' wrongly.
+    Both slice resolution and as_of must compare numerically."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "mixed")
+    hdir = os.path.join(t, ".hoodie")
+    os.makedirs(hdir)
+    open(os.path.join(hdir, "hoodie.properties"), "w").write(
+        "hoodie.table.type=COPY_ON_WRITE\n")
+    pdir = os.path.join(t, "part=0")
+    os.makedirs(pdir)
+    fid = "00000000-0000-0000-0000-000000000001-0"
+    # 14-digit instant 20240102000000 is NUMERICALLY SMALLER than the
+    # 17-digit 20240101000000999 (an earlier wall-clock day at ms
+    # precision) — numeric order must pick the 17-digit slice as latest
+    old14, new17 = "20240102000000", "20240101000000999"
+    for instant, val in ((old14, 1.0), (new17, 2.0)):
+        pq.write_table(
+            pa.table({"k": [1], "value": [val]}),
+            os.path.join(pdir, f"{fid}_0-1-0_{instant}.parquet"))
+        _json.dump({}, open(os.path.join(hdir, f"{instant}.commit"), "w"))
+    live = read_hudi_table(spark, t).collect()
+    assert [r.value for r in live] == [2.0]
+    asof = read_hudi_table(spark, t, as_of=old14).collect()
+    assert [r.value for r in asof] == [1.0]
+    assert timeline_info(t)["latest_instant"] == new17
