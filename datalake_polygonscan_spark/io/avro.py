@@ -700,6 +700,21 @@ def write_avro_file(path: str, schema_json: str, rows: list, codec: str = "null"
     return len(out)
 
 
+def encode_datum(schema_json: str, row) -> bytes:
+    """Encode ONE record as bare Avro binary (no container framing) —
+    the 'single object'/datum form embedded in other formats (e.g.
+    Hudi log data blocks)."""
+    out = bytearray()
+    _encoder_of(json.loads(schema_json))(row, out)
+    return bytes(out)
+
+
+def datum_decoder(schema_json: str):
+    """-> dec(buf, pos) -> (row_dict, new_pos) for bare Avro binary
+    records of the given writer schema."""
+    return _decoder_of(json.loads(schema_json))
+
+
 def read_avro_file(path: str) -> tuple[dict, list]:
     """Read a whole Avro container file -> (writer schema record, rows
     as dicts). Plain Python, driver-side — the metadata-file tier, not

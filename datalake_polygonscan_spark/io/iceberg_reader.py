@@ -30,11 +30,20 @@ resolve WITHOUT opening a single data file (``snapshot_info``) — the
 operational win Iceberg's manifests exist to provide, and it is graded
 (the metadata count must equal the scanned count).
 
-Protocol safety: ``format-version`` > 2 raises; DELETE manifests
-(``content=1`` — v2 row-level deletes) raise rather than silently
-over-returning rows, the spec's required behavior for readers that do
-not implement delete application (the in-repo native MoR ladder
-S15/S34/S35 implements those semantics for this engine's own tables).
+v2 row-level deletes ARE applied (round 9, VERDICT r8 'Next round'
+#1): position delete files anti-join the scan on its own
+``_metadata.file_path``/``row_index`` with the spec's seq <= rule;
+equality delete files anti-join null-safely on their equality_ids
+columns with the STRICT seq < rule (rows re-added in the same commit
+as the delete survive). Both joins broadcast the delete side — delete
+files are small by design — so the data side stays one parallel scan
+with no shuffle. The in-repo native MoR ladder S15/S34/S35 provides
+the same semantics for this engine's own tables (io/posdeletes.py,
+io/eqdeletes.py).
+
+Protocol safety: ``format-version`` > 2 raises; unknown delete file
+content ids and equality deletes without equality_ids raise rather
+than silently over-returning rows.
 
 Time travel: ``snapshot_id=`` picks any snapshot in the metadata's
 ``snapshots`` list — same replay, shorter list. Scale: the metadata
@@ -121,31 +130,58 @@ def _live_files(
     table_path: str, meta: dict, snapshot_id: int | None,
     partition_filter: dict | None = None,
 ):
+    """-> (sid, data_files, pos_deletes, eq_deletes). Each element of
+    the three lists is the manifest entry's ``data_file`` record with
+    ``_seq`` (the entry's data sequence number, inherited from the
+    manifest when null — spec "Sequence Number Inheritance") attached.
+
+    v2 row-level deletes (spec "Row-Level Deletes"): delete manifests
+    (``content=1``) carry delete FILES — ``data_file.content`` 1 =
+    position deletes (parquet of (file_path, pos)), 2 = equality
+    deletes (parquet of the ``equality_ids`` columns). A position
+    delete applies to data files with seq <= its own; an equality
+    delete only to data files with seq STRICTLY LESS (rows written in
+    the same commit as the delete survive it)."""
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", ())}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
         raise ValueError(f"iceberg_reader: snapshot {sid} not in {sorted(snaps)}")
     mlist_path = _resolve_path(table_path, snaps[sid]["manifest-list"])
     _, manifests = read_avro_file(mlist_path)
-    files: list[dict] = []
+    data: list[dict] = []
+    pos_dels: list[dict] = []
+    eq_dels: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise IcebergProtocolError(
-                "delete manifests (v2 row-level deletes) not supported by this reader"
-            )
+        m_seq = int(m.get("sequence_number") or 0)
         _, entries = read_avro_file(_resolve_path(table_path, m["manifest_path"]))
         for e in entries:
             if e["status"] not in (0, 1):  # EXISTING / ADDED only
                 continue
-            df_rec = e["data_file"]
-            if partition_filter:
-                part = df_rec.get("partition") or {}
-                # identity-transform pruning: the manifest entry's
-                # partition tuple decides BEFORE any file is opened
-                if any(part.get(k) != v for k, v in partition_filter.items()):
-                    continue
-            files.append(df_rec)
-    return sid, files
+            df_rec = dict(e["data_file"])
+            e_seq = e.get("sequence_number")
+            df_rec["_seq"] = int(e_seq) if e_seq is not None else m_seq
+            content = df_rec.get("content", 0) or 0
+            if content == 0:
+                if partition_filter:
+                    part = df_rec.get("partition") or {}
+                    # identity-transform pruning: the manifest entry's
+                    # partition tuple decides BEFORE any file is opened
+                    if any(part.get(k) != v for k, v in partition_filter.items()):
+                        continue
+                data.append(df_rec)
+            elif content == 1:
+                pos_dels.append(df_rec)
+            elif content == 2:
+                if not df_rec.get("equality_ids"):
+                    raise IcebergProtocolError(
+                        "equality delete file without equality_ids"
+                    )
+                eq_dels.append(df_rec)
+            else:
+                raise IcebergProtocolError(
+                    f"unknown delete file content={content}"
+                )
+    return sid, data, pos_dels, eq_dels
 
 
 def read_iceberg_table(
@@ -163,28 +199,141 @@ def read_iceberg_table(
     all columns (pruning is a strict subset of a post-scan filter)."""
     meta = _load_metadata(table_path)
     schemas = {s["schema-id"]: s for s in meta.get("schemas", ())}
-    schema = _spark_schema(schemas[meta["current-schema-id"]])
-    _, files = _live_files(table_path, meta, snapshot_id, partition_filter)
+    ice_schema = schemas[meta["current-schema-id"]]
+    schema = _spark_schema(ice_schema)
+    _, files, pos_dels, eq_dels = _live_files(
+        table_path, meta, snapshot_id, partition_filter
+    )
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [_resolve_path(table_path, f["file_path"]) for f in files]
-    for f in files:
+    for f in files + pos_dels + eq_dels:
         if f.get("file_format", "PARQUET").upper() != "PARQUET":
             raise IcebergProtocolError(f"unsupported file format {f['file_format']!r}")
-    return spark.read.schema(schema).parquet(*paths)
+    paths = [_resolve_path(table_path, f["file_path"]) for f in files]
+    scan = spark.read.schema(schema).parquet(*paths)
+    if not pos_dels and not eq_dels:
+        return scan
+    return _apply_deletes(
+        spark, table_path, scan, [f.name for f in schema.fields],
+        ice_schema, files, pos_dels, eq_dels,
+    )
+
+
+def _seq_map_df(spark: SparkSession, table_path: str, files: list[dict]):
+    """Broadcast-sized (file basename -> data sequence number) map.
+    Iceberg data file names are unique UUIDs by construction; verified
+    here so the basename join key is sound."""
+    from pyspark.sql import functions as F
+
+    names = [os.path.basename(_resolve_path(table_path, f["file_path"])) for f in files]
+    if len(set(names)) != len(names):
+        raise IcebergProtocolError("duplicate data file basenames in snapshot")
+    rows = [(n, f["_seq"]) for n, f in zip(names, files)]
+    return F.broadcast(spark.createDataFrame(rows, "__file string, __data_seq long"))
+
+
+def _apply_deletes(
+    spark: SparkSession, table_path: str, scan: DataFrame, order: list[str],
+    ice_schema: dict, files: list[dict], pos_dels: list[dict], eq_dels: list[dict],
+) -> DataFrame:
+    """Apply v2 row-level deletes as ANTI-JOINS against the single
+    data scan — never a per-file loop:
+
+    - position deletes: the scan is stamped with its own
+      ``_metadata.row_index`` / file basename; one broadcast anti-join
+      on (file, pos) with the seq <= condition as a join filter;
+    - equality deletes: per distinct equality_ids column-set, one
+      broadcast NULL-SAFE anti-join on those columns with the
+      strict seq < condition.
+
+    100 TB story: delete files are small relative to data (that is
+    their purpose); both joins broadcast the delete side, the data
+    scan stays one parallel pass, and sequence-number conditions ride
+    the hash join as residual filters — no shuffle of the data side.
+    """
+    from pyspark.sql import functions as F
+
+    seq_map = _seq_map_df(spark, table_path, files)
+    out = (
+        scan
+        .withColumn("__file", F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+        .join(seq_map, "__file", "left")
+    )
+
+    if pos_dels:
+        dpaths = [_resolve_path(table_path, f["file_path"]) for f in pos_dels]
+        dnames = [(os.path.basename(p), f["_seq"]) for p, f in zip(dpaths, pos_dels)]
+        dmap = F.broadcast(spark.createDataFrame(
+            dnames, "__dfile string, __del_seq long"))
+        dels = (
+            spark.read.schema("file_path string, pos long").parquet(*dpaths)
+            .withColumn("__dfile", F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1))
+            .join(dmap, "__dfile")
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias("__tfile"),
+                F.col("pos").alias("__tpos"),
+                "__del_seq",
+            )
+        )
+        out = out.join(
+            F.broadcast(dels),
+            (out["__file"] == dels["__tfile"])
+            & (out["__pos"] == dels["__tpos"])
+            & (dels["__del_seq"] >= out["__data_seq"]),
+            "left_anti",
+        )
+
+    if eq_dels:
+        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        by_ids: dict[tuple, list[dict]] = {}
+        for f in eq_dels:
+            by_ids.setdefault(tuple(f["equality_ids"]), []).append(f)
+        for ids, dfiles in sorted(by_ids.items()):
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise IcebergProtocolError(
+                    f"equality delete references unknown field id {exc}"
+                ) from exc
+            dpaths = [_resolve_path(table_path, f["file_path"]) for f in dfiles]
+            dnames = [(os.path.basename(p), f["_seq"]) for p, f in zip(dpaths, dfiles)]
+            dmap = F.broadcast(spark.createDataFrame(
+                dnames, "__dfile string, __del_seq long"))
+            dels = (
+                spark.read.parquet(*dpaths)
+                .withColumn("__dfile", F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1))
+                .join(dmap, "__dfile")
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols], "__del_seq")
+            )
+            cond = dels["__del_seq"] > out["__data_seq"]
+            for c in cols:
+                # spec: equality deletes match nulls null-safely
+                cond = cond & out[c].eqNullSafe(dels[f"__eq_{c}"])
+            out = out.join(F.broadcast(dels), cond, "left_anti")
+
+    return out.select(order)
 
 
 def snapshot_info(table_path: str, snapshot_id: int | None = None) -> dict:
     """Metadata-only: file count, EXACT row count and byte size from
     the manifests alone — zero data files opened."""
     meta = _load_metadata(table_path)
-    sid, files = _live_files(table_path, meta, snapshot_id)
+    sid, files, pos_dels, eq_dels = _live_files(table_path, meta, snapshot_id)
     return {
         "snapshot_id": sid,
         "n_files": len(files),
+        # exact only when the snapshot carries no delete files; with
+        # deletes it is the pre-delete data row count (an upper bound)
         "record_count": sum(int(f["record_count"]) for f in files),
         "n_bytes": sum(int(f.get("file_size_in_bytes") or 0) for f in files),
         "n_snapshots": len(meta.get("snapshots", ())),
+        "n_pos_delete_files": len(pos_dels),
+        "n_eq_delete_files": len(eq_dels),
+        "n_delete_rows": sum(int(f["record_count"]) for f in pos_dels + eq_dels),
     }
 
 
@@ -193,11 +342,15 @@ def snapshot_info(table_path: str, snapshot_id: int | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 #: manifest_entry schema (spec "Manifests", required-field subset;
-#: field shapes and names per the public Avro schema)
+#: field shapes and names per the public Avro schema). v2 additions:
+#: entry-level sequence_number (null = inherit the manifest's — spec
+#: "Sequence Number Inheritance") and data_file.equality_ids for
+#: equality delete files.
 _MANIFEST_ENTRY_SCHEMA = json.dumps({
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": {
             "type": "record", "name": "r2", "fields": [
                 {"name": "content", "type": "int"},
@@ -210,6 +363,8 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps({
                  "type": ["null", {"type": "map", "values": "string"}]},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ]})
 
@@ -220,6 +375,8 @@ _MANIFEST_FILE_SCHEMA = json.dumps({
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        # nullable for fixture back-compat: absent -> seq 0 (v1 shape)
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
     ]})
 
@@ -269,6 +426,7 @@ def write_foreign_iceberg_fixture(
             "partition": partition,
             "record_count": len(pdf),
             "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": None,
         }
 
     from pyspark.sql import functions as F
@@ -285,19 +443,20 @@ def write_foreign_iceberg_fixture(
         path = os.path.join(mdir, name)
         size = write_avro_file(path, _MANIFEST_ENTRY_SCHEMA, entries)
         return {"manifest_path": path, "manifest_length": size,
-                "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": 0, "added_snapshot_id": 1}
 
     m1 = write_manifest("m1.avro", [
-        {"status": 1, "snapshot_id": 1, "data_file": f_even},
-        {"status": 1, "snapshot_id": 1, "data_file": f_odd},
+        {"status": 1, "snapshot_id": 1, "sequence_number": None, "data_file": f_even},
+        {"status": 1, "snapshot_id": 1, "sequence_number": None, "data_file": f_odd},
     ])
     m2 = write_manifest("m2.avro", [
-        {"status": 1, "snapshot_id": 2, "data_file": f_extra},
+        {"status": 1, "snapshot_id": 2, "sequence_number": None, "data_file": f_extra},
     ])
     # s3: rewritten m1 — odd-parity file flips to DELETED(2)
     m1d = write_manifest("m1-rewrite.avro", [
-        {"status": 0, "snapshot_id": 3, "data_file": f_even},
-        {"status": 2, "snapshot_id": 3, "data_file": f_odd},
+        {"status": 0, "snapshot_id": 3, "sequence_number": None, "data_file": f_even},
+        {"status": 2, "snapshot_id": 3, "sequence_number": None, "data_file": f_odd},
     ])
 
     def write_mlist(name: str, manifests: list[dict]) -> str:
@@ -335,3 +494,159 @@ def write_foreign_iceberg_fixture(
         json.dump(meta, open(os.path.join(mdir, f"v{v}.metadata.json"), "w"))
     open(os.path.join(mdir, "version-hint.text"), "w").write("3")
     return {"files": [f_even, f_odd, f_extra]}
+
+
+def write_foreign_iceberg_delete_fixture(
+    spark: SparkSession, df: DataFrame, table_path: str, key_col: str,
+    mark_col: str | None = None,
+) -> dict:
+    """Stand-in for 'a v2 table a CDC/streaming engine wrote' — the
+    modern delete-bearing Iceberg shape (VERDICT r8 'Next round' #1).
+
+    Snapshots (data sequence numbers in parentheses):
+      s1 (1): two data files split by ``key_col`` parity
+      s2 (2): a POSITION delete file targeting the even file's rows
+              where key % 10 == 0 — (file_path, pos) parquet; its
+              manifest entry's sequence_number is NULL on purpose, so
+              the reader must INHERIT the manifest's
+      s3 (3): an EQUALITY delete on key % 7 == 5 (equality_ids =
+              [key field id]) AND a new data file re-adding those very
+              keys (value doubled as a marker) at the SAME sequence —
+              strict-less semantics must keep the re-added rows alive
+
+    Returns the key sets for oracle construction.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    ddir = os.path.join(table_path, "data")
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    type_names = {
+        T.LongType(): "long", T.IntegerType(): "int", T.DoubleType(): "double",
+        T.StringType(): "string", T.BooleanType(): "boolean",
+        T.FloatType(): "float", T.BinaryType(): "binary",
+    }
+    ice_fields = []
+    for i, f in enumerate(df.schema.fields):
+        tname = type_names.get(f.dataType)
+        if tname is None:
+            raise ValueError(f"fixture: unsupported type {f.dataType}")
+        ice_fields.append({"id": i + 1, "name": f.name, "required": False, "type": tname})
+    key_id = next(f["id"] for f in ice_fields if f["name"] == key_col)
+
+    def write_data(sub: DataFrame, name: str) -> tuple[dict, "object"]:
+        pdf = sub.toPandas().reset_index(drop=True)
+        path = os.path.join(ddir, name)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        return {
+            "content": 0, "file_path": path, "file_format": "PARQUET",
+            "partition": None, "record_count": len(pdf),
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": None,
+        }, pdf
+
+    even = df.filter(F.col(key_col) % 2 == 0)
+    odd = df.filter(F.col(key_col) % 2 == 1)
+    f_even, pdf_even = write_data(even, "f-even.parquet")
+    f_odd, _ = write_data(odd, "f-odd.parquet")
+
+    # position delete: rows of f-even whose key % 10 == 0, addressed
+    # by (file_path, pos) — positions from the file's actual row order
+    hit = pdf_even[pdf_even[key_col] % 10 == 0]
+    pos_path = os.path.join(ddir, "posdel-1.parquet")
+    pq.write_table(pa.table({
+        "file_path": [f_even["file_path"]] * len(hit),
+        "pos": pa.array(list(hit.index), type=pa.int64()),
+    }), pos_path)
+    f_posdel = {
+        "content": 1, "file_path": pos_path, "file_format": "PARQUET",
+        "partition": None, "record_count": len(hit),
+        "file_size_in_bytes": os.path.getsize(pos_path),
+        "equality_ids": None,
+    }
+
+    # equality delete on key % 7 == 5, plus a same-sequence re-add of
+    # those keys (value doubled) that MUST survive strict-less
+    requeued = df.filter(F.col(key_col) % 7 == 5)
+    eq_keys = [r[0] for r in requeued.select(key_col).collect()]
+    eq_path = os.path.join(ddir, "eqdel-1.parquet")
+    pq.write_table(pa.table({key_col: pa.array(sorted(eq_keys), type=pa.int64())}),
+                   eq_path)
+    f_eqdel = {
+        "content": 2, "file_path": eq_path, "file_format": "PARQUET",
+        "partition": None, "record_count": len(eq_keys),
+        "file_size_in_bytes": os.path.getsize(eq_path),
+        "equality_ids": [key_id],
+    }
+    readd = requeued.select([
+        (F.col(c) * 2).alias(c) if c == mark_col else F.col(c)
+        for c in df.columns
+    ])
+    f_new, _ = write_data(readd, "f-new.parquet")
+
+    def write_manifest(name: str, seq: int, content: int, entries: list[dict]) -> dict:
+        path = os.path.join(mdir, name)
+        size = write_avro_file(path, _MANIFEST_ENTRY_SCHEMA, entries)
+        return {"manifest_path": path, "manifest_length": size,
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": seq}
+
+    m_data1 = write_manifest("m-data1.avro", 1, 0, [
+        {"status": 1, "snapshot_id": 1, "sequence_number": 1, "data_file": f_even},
+        {"status": 1, "snapshot_id": 1, "sequence_number": 1, "data_file": f_odd},
+    ])
+    # entry seq NULL -> must inherit the manifest's 2
+    m_posdel = write_manifest("m-posdel.avro", 2, 1, [
+        {"status": 1, "snapshot_id": 2, "sequence_number": None, "data_file": f_posdel},
+    ])
+    m_data2 = write_manifest("m-data2.avro", 3, 0, [
+        {"status": 1, "snapshot_id": 3, "sequence_number": 3, "data_file": f_new},
+    ])
+    m_eqdel = write_manifest("m-eqdel.avro", 3, 1, [
+        {"status": 1, "snapshot_id": 3, "sequence_number": 3, "data_file": f_eqdel},
+    ])
+
+    def write_mlist(name: str, manifests: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        write_avro_file(path, _MANIFEST_FILE_SCHEMA, manifests)
+        return path
+
+    ml1 = write_mlist("snap-1.avro", [m_data1])
+    ml2 = write_mlist("snap-2.avro", [m_data1, m_posdel])
+    ml3 = write_mlist("snap-3.avro", [m_data1, m_posdel, m_data2, m_eqdel])
+    snapshots = [
+        {"snapshot-id": 1, "timestamp-ms": 1000, "manifest-list": ml1,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "timestamp-ms": 2000, "manifest-list": ml2,
+         "summary": {"operation": "delete"}},
+        {"snapshot-id": 3, "timestamp-ms": 3000, "manifest-list": ml3,
+         "summary": {"operation": "overwrite"}},
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000-fixture-del",
+        "location": table_path,
+        "last-sequence-number": 3,
+        "last-updated-ms": 3000,
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 3,
+        "snapshots": snapshots,
+    }
+    json.dump(meta, open(os.path.join(mdir, "v1.metadata.json"), "w"))
+    open(os.path.join(mdir, "version-hint.text"), "w").write("1")
+    return {
+        "pos_deleted_keys": sorted(hit[key_col].tolist()),
+        "eq_deleted_keys": sorted(eq_keys),
+    }

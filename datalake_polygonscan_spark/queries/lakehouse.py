@@ -3291,9 +3291,10 @@ def s47_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metadata-only statistics: the manifests' record_count sum "
         "must equal the scanned live count WITHOUT opening data files "
         "(graded meta_count/meta_count_matches). Protocol gates: "
-        "format-version > 2 and content=1 DELETE manifests raise "
+        "format-version > 2 and UNKNOWN delete content ids raise "
         "IcebergProtocolError rather than silently over-returning "
-        "rows (graded delete_gate_raises). Fixture manifests are "
+        "rows (graded delete_gate_raises; v2 position/equality "
+        "deletes themselves are READ — see s48d). Fixture manifests are "
         "composed by the from-scratch Avro ENCODER, so a green hash "
         "certifies encoder and decoder against each other on the "
         "spec's nested-record schemas"
@@ -3325,14 +3326,27 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     info = snapshot_info(table)
     meta_count_matches = bool(info["record_count"] == live.count())
 
-    # delete-manifest gate: a content=1 manifest list must raise
-    gate = _scratch("s48_iceberg", "with_deletes")
+    # capability gate: v2 deletes are READ now (round 9, s48d), so the
+    # graded refusal is an UNKNOWN delete content id (3) — the spec's
+    # required loud failure for shapes beyond the reader
+    from datalake_polygonscan_spark.io.iceberg_reader import _MANIFEST_ENTRY_SCHEMA
+
+    gate = _scratch("s48_iceberg", "with_unknown_deletes")
     mdir = _os.path.join(gate, "metadata")
     _os.makedirs(mdir, exist_ok=True)
+    mpath = _os.path.join(mdir, "m1.avro")
+    msize = write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [{
+        "status": 1, "snapshot_id": 1, "sequence_number": 1,
+        "data_file": {
+            "content": 3, "file_path": _os.path.join(gate, "d.parquet"),
+            "file_format": "PARQUET", "partition": None,
+            "record_count": 0, "file_size_in_bytes": 0, "equality_ids": None,
+        }}])
     ml = _os.path.join(mdir, "snap-1.avro")
     write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
-        "manifest_path": _os.path.join(mdir, "nope.avro"), "manifest_length": 0,
-        "partition_spec_id": 0, "content": 1, "added_snapshot_id": 1,
+        "manifest_path": mpath, "manifest_length": msize,
+        "partition_spec_id": 0, "content": 1, "sequence_number": 1,
+        "added_snapshot_id": 1,
     }])
     _json.dump({
         "format-version": 2, "current-schema-id": 0,
@@ -3361,6 +3375,226 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(meta_count_matches).alias("meta_count_matches"),
             F.lit(info["n_snapshots"]).cast("long").alias("n_snapshots"),
             F.lit(delete_gate_raises).alias("delete_gate_raises"),
+        )
+    )
+
+
+@register(
+    "s50m_hudi_mor_reader",
+    oracle="""
+    WITH sub AS (
+        SELECT event_id AS k, event_type,
+               CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM events WHERE event_id % 5 < 2
+    ), p0 AS (
+        SELECT min(event_type) AS pv FROM sub
+    ), p1 AS (
+        SELECT min(event_type) AS pv FROM sub
+        WHERE event_type > (SELECT pv FROM p0)
+    ), live AS (
+        SELECT event_type,
+               CASE WHEN event_type = (SELECT pv FROM p0) AND event_id % 4 = 0
+                    THEN CAST(CAST(3 * CAST(value AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,6))
+                    ELSE CAST(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,6)) END AS v
+        FROM events
+        WHERE event_id % 5 < 2
+          AND NOT (event_type = (SELECT pv FROM p0) AND event_id % 6 = 0)
+        UNION ALL
+        SELECT (SELECT pv FROM p0), CAST(42.0 AS DECIMAL(20,6))
+        UNION ALL
+        SELECT (SELECT pv FROM p1), CAST(1000000000 + t.r AS DECIMAL(20,6))
+        FROM range(101, 106) t(r)
+    ), v2 AS (
+        SELECT event_type,
+               CASE WHEN event_type = (SELECT pv FROM p0) AND event_id % 4 = 0
+                    THEN CAST(CAST(3 * CAST(value AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,6))
+                    ELSE CAST(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(20,6)) END AS v
+        FROM events
+        WHERE event_id % 5 < 2
+        UNION ALL
+        SELECT (SELECT pv FROM p0), CAST(42.0 AS DECIMAL(20,6))
+        UNION ALL
+        SELECT (SELECT pv FROM p1), CAST(1000000000 + t.r AS DECIMAL(20,6))
+        FROM range(101, 106) t(r)
+    )
+    SELECT l.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2
+             WHERE v2.event_type = l.event_type) AS n_rows_v2,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM v2
+             WHERE v2.event_type = l.event_type) AS sum_v2,
+           CAST(2 AS BIGINT) AS n_log_files,
+           TRUE AS inflight_block_invisible,
+           TRUE AS log_only_group_read
+    FROM live l GROUP BY l.event_type
+    """,
+    doc=(
+        "S50m FOREIGN Apache Hudi MERGE-ON-READ reader (round 9, "
+        "VERDICT r8 'Next round' #3 — MoR is Hudi's default for "
+        "streaming ingest): the fixture composes spec-faithful .log "
+        "delta files (io/hudi_log.py frame format; avro data blocks "
+        "encoded by the in-repo from-scratch Avro layer) over CoW "
+        "base files. Graded semantics: per (file group, record key) "
+        "LATEST-WINS merge across base + log blocks ordered by "
+        "(instant, log version, block, record) — updates (value*3) "
+        "shadow base rows, an insert lands in an existing group, a "
+        "LOG-ONLY file group (MoR insert-into-log, no base parquet) "
+        "resolves, _hoodie_is_deleted marker rows DROP (the "
+        "payload-level delete convention), a junk block whose "
+        "deltacommit never completed stays INVISIBLE, and as_of "
+        "snapshot-2 time travel shows updates without the later "
+        "deletes. Scale shape: log files decode EXECUTOR-side (one "
+        "task per log file out of mapInPandas), and base files of "
+        "groups WITHOUT logs bypass the merge window entirely — the "
+        "merge shuffle is proportional to log-bearing groups, not "
+        "table size. Native-table MoR twins: S15/S18/S34/S35"
+    ),
+)
+def s50m_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.hudi_reader import (
+        read_hudi_table,
+        timeline_info,
+        write_foreign_hudi_mor_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 < 2)
+        .select("event_id", "event_type", F.col("value").cast("double").alias("value"))
+        .withColumnRenamed("event_id", "k")
+    )
+    table = _scratch("s50m_hudi", "foreign_events_mor")
+    # keys far above any real event_id at any tested SF: the inserted
+    # records must not collide with existing record keys
+    write_foreign_hudi_mor_fixture(
+        spark, sub, table, "event_type", "k",
+        insert_key=10**9 + 1, log_only_keys=(10**9 + 101, 10**9 + 106),
+    )
+
+    live = read_hudi_table(spark, table)
+    v2 = read_hudi_table(spark, table, as_of="002")
+    info = timeline_info(table)
+
+    # the 004 junk block zeroed partition-0 values; none may leak
+    with_meta = read_hudi_table(spark, table, keep_meta=True)
+    inflight_block_invisible = bool(
+        with_meta.filter(F.col("_hoodie_commit_time") == "004").count() == 0
+    )
+    log_only_group_read = bool(
+        live.filter(F.col("k") >= 10**9 + 101).count() == 5
+    )
+
+    live_agg = live.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v2_agg = v2.groupBy(F.col("event_type").alias("et2")).agg(
+        F.count("*").alias("n_rows_v2"), _dbl_sum("value", "sum_v2")
+    )
+    return (
+        live_agg.join(v2_agg, live_agg["event_type"] == v2_agg["et2"], "left")
+        .select(
+            "event_type", "n_rows", "sum_live", "n_rows_v2", "sum_v2",
+            F.lit(info["n_log_files"]).cast("long").alias("n_log_files"),
+            F.lit(inflight_block_invisible).alias("inflight_block_invisible"),
+            F.lit(log_only_group_read).alias("log_only_group_read"),
+        )
+    )
+
+
+@register(
+    "s48d_iceberg_v2_deletes",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), live AS (
+        SELECT k, o_orderstatus, v FROM sub WHERE k % 7 <> 5 AND k % 10 <> 0
+        UNION ALL
+        SELECT k, o_orderstatus, v * 2 AS v FROM sub WHERE k % 7 = 5
+    ), s2 AS (
+        SELECT * FROM sub WHERE k % 10 <> 0
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2
+             WHERE s2.o_orderstatus = l.o_orderstatus) AS n_rows_s2,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM s2
+             WHERE s2.o_orderstatus = l.o_orderstatus) AS sum_s2,
+           CAST(2 AS BIGINT) AS n_delete_files,
+           TRUE AS seq_inheritance_ok,
+           TRUE AS readd_survives
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S48d FOREIGN Iceberg v2 ROW-LEVEL DELETES (round 9, VERDICT "
+        "r8 'Next round' #1 — converts the most common modern foreign "
+        "shape, CDC/streaming-written delete-bearing tables, from "
+        "'raises' to 'reads'): the fixture composes position AND "
+        "equality delete files per the spec. Graded semantics: (a) a "
+        "(file_path, pos) POSITION delete file removes exactly its "
+        "targeted rows — snapshot 2 aggregates; its manifest entry's "
+        "sequence_number is NULL on purpose, so inheritance from the "
+        "manifest is load-bearing; (b) an EQUALITY delete "
+        "(equality_ids) at sequence 3 kills matching rows from "
+        "sequence-1 data files but NOT the same-sequence re-added "
+        "file — the spec's STRICT-less rule; the re-added rows carry "
+        "a doubled marker riding the hash. Plan: position deletes "
+        "anti-join the single data scan on its own "
+        "_metadata.file_path/row_index, equality deletes anti-join "
+        "null-safely on their columns; both broadcast the delete side "
+        "(delete files are small by design) so the data side never "
+        "shuffles. Native-table twins: S34 io/posdeletes.py, S35 "
+        "io/eqdeletes.py"
+    ),
+)
+def s48d_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        read_iceberg_table,
+        snapshot_info,
+        write_foreign_iceberg_delete_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    table = _scratch("s48d_iceberg", "foreign_orders_del")
+    write_foreign_iceberg_delete_fixture(spark, sub, table, "k", mark_col="value")
+
+    live = read_iceberg_table(spark, table)
+    s2 = read_iceberg_table(spark, table, snapshot_id=2)
+    info = snapshot_info(table)
+    n_delete_files = info["n_pos_delete_files"] + info["n_eq_delete_files"]
+
+    n_sub = sub.count()
+    n_pos = sub.filter(F.col("k") % 10 == 0).count()
+    # the pos-delete manifest entry's NULL seq must inherit the
+    # manifest's (=2): proven by snapshot 2 resolving the delete
+    seq_inheritance_ok = bool(s2.count() == n_sub - n_pos)
+    n_eq = sub.filter(F.col("k") % 7 == 5).count()
+    readd_survives = bool(live.filter(F.col("k") % 7 == 5).count() == n_eq)
+
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    s2_agg = s2.groupBy(F.col("o_orderstatus").alias("st2")).agg(
+        F.count("*").alias("n_rows_s2"), _dbl_sum("value", "sum_s2")
+    )
+    return (
+        live_agg.join(s2_agg, live_agg["o_orderstatus"] == s2_agg["st2"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_s2", "sum_s2",
+            F.lit(n_delete_files).cast("long").alias("n_delete_files"),
+            F.lit(seq_inheritance_ok).alias("seq_inheritance_ok"),
+            F.lit(readd_survives).alias("readd_survives"),
         )
     )
 
@@ -3398,9 +3632,10 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "not leak). Time travel = the same resolution over a timeline "
         "prefix (as_of '001' must return pre-upsert values — graded "
         "sum_v1). Hudi meta columns travel inside the parquet files "
-        "and are projected out. Protocol gate: Merge-on-Read .log "
-        "deltas raise HudiProtocolError rather than silently serving "
-        "stale base files (graded)"
+        "and are projected out. Protocol gate: unsupported log BLOCK "
+        "TYPES (hfile) raise HudiProtocolError rather than silently "
+        "serving stale base files (graded; MoR avro logs themselves "
+        "are READ — see s50m)"
     ),
 )
 def s50_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3429,18 +3664,22 @@ def s50_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_meta.filter(F.col("_hoodie_commit_time") == "003").count() == 0
     )
 
-    # MoR gate: a .log delta file must raise
+    # capability gate: MoR avro logs are READ now (round 9, s50m) —
+    # the graded refusal is an unsupported log BLOCK TYPE (hfile)
+    from datalake_polygonscan_spark.io.hudi_log import write_log_block
+
     gate = _scratch("s50_hudi", "mor_gate")
     hdir = _os.path.join(gate, ".hoodie")
     _os.makedirs(hdir, exist_ok=True)
     open(_os.path.join(hdir, "001.commit"), "w").write("{}")
     pdir = _os.path.join(gate, "event_type=x")
     _os.makedirs(pdir, exist_ok=True)
-    open(_os.path.join(pdir, ".fid_001.log.1_0-1-0"), "w").write("")
+    with open(_os.path.join(pdir, ".fid_001.log.1_0-1-0"), "wb") as f:
+        f.write(write_log_block(4, {0: "001"}, b""))  # HFILE block
     try:
         read_hudi_table(spark, gate)
         mor_gate_raises = False
-    except HudiProtocolError:  # specifically the MoR refusal, nothing else
+    except HudiProtocolError:  # specifically the block-type refusal
         mor_gate_raises = True
 
     live_agg = live.groupBy("event_type").agg(

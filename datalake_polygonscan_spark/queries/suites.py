@@ -1096,6 +1096,16 @@ _suite(
             "source_isolated": "legacy_path_intact",
             "resolved_v0": "v0_time_travels",
         }),
+        # round 9: S50m foreign Hudi MERGE-ON-READ reader — log-block
+        # latest-wins merge, deletes, log-only groups, inflight blocks
+        ("foreign_hudi_mor", "s50m_hudi_mor_reader", {
+            "o_orderstatus": "event_type", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v2",
+            "n_vacuumed": "n_rows_v2",
+            "n_versions_logged": "n_log_files",
+            "resolved_v0": "inflight_block_invisible",
+            "bad_version_still_readable": "log_only_group_read",
+        }),
         # round 8: S50 foreign Hudi CoW reader — latest-completed-
         # instant file-slice resolution, inflight invisibility, MoR gate
         ("foreign_hudi", "s50_hudi_reader", {
@@ -1104,6 +1114,17 @@ _suite(
             "n_versions_logged": "n_commits",
             "bad_version_still_readable": "mor_gate_raises",
             "resolved_v0": "inflight_invisible",
+        }),
+        # round 9: S48d foreign Iceberg v2 ROW-LEVEL DELETES —
+        # position deletes (seq-inherited), equality deletes with the
+        # strict-less rule vs a same-sequence re-add
+        ("foreign_iceberg_del", "s48d_iceberg_v2_deletes", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_s2",
+            "n_vacuumed": "n_rows_s2",
+            "n_versions_logged": "n_delete_files",
+            "resolved_v0": "seq_inheritance_ok",
+            "bad_version_still_readable": "readd_survives",
         }),
         # round 8: S48 foreign Iceberg v2 reader — manifests decoded
         # by the from-scratch Avro layer; metadata-only COUNT(*) and

@@ -68,11 +68,16 @@ def test_meta_columns_and_timeline_info(spark, hudi_table):
     assert timeline_info(t)["latest_instant"] == "002"
 
 
-def test_mor_log_files_refused(spark, hudi_table):
+def test_unsupported_log_block_types_refused(spark, hudi_table):
+    """MoR logs ARE read now; the capability gate moved down a level —
+    block types beyond avro-data/rollback-command (hfile, parquet,
+    kryo delete blocks) must raise at PLANNING time."""
+    from datalake_polygonscan_spark.io.hudi_log import write_log_block
+
     t, _ = hudi_table
     log = os.path.join(t, "part=0", ".somefile_001.log.1_0-1-0")
-    open(log, "w").write("")
-    with pytest.raises(HudiProtocolError, match="Merge-on-Read"):
+    open(log, "wb").write(write_log_block(4, {0: "001"}, b""))  # hfile
+    with pytest.raises(HudiProtocolError, match="unsupported log block type"):
         read_hudi_table(spark, t)
 
 
@@ -119,3 +124,99 @@ def test_mixed_width_instants_order_numerically(spark, tmp_path):
     asof = read_hudi_table(spark, t, as_of=old14).collect()
     assert [r.value for r in asof] == [1.0]
     assert timeline_info(t)["latest_instant"] == new17
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-Read (round 9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    from datalake_polygonscan_spark.io.hudi_reader import (
+        write_foreign_hudi_mor_fixture,
+    )
+
+    df = spark.range(60).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS part", "CAST(id AS DOUBLE) AS value"
+    )
+    t = str(tmp_path / "mortab")
+    info = write_foreign_hudi_mor_fixture(spark, df, t, "part", "k")
+    return t, df, info
+
+
+def test_mor_merge_updates_inserts_deletes(spark, mor_table):
+    """Live snapshot: updates win over base, inserts appear (both in
+    an existing group and a LOG-ONLY group), _hoodie_is_deleted rows
+    drop, and the never-completed 004 junk block stays invisible."""
+    t, df, info = mor_table
+    live = read_hudi_table(spark, t)
+    rows = {r.k: r.value for r in live.collect()}
+    # partition 0 = k%3==0; updates k%4==0 -> *3; deletes k%6==0
+    for k in range(60):
+        if k % 3 == 0:
+            if k % 6 == 0:
+                assert k not in rows          # deleted at 003
+            elif k % 4 == 0:
+                assert rows[k] == 3.0 * k     # updated at 002
+            else:
+                assert rows[k] == float(k)    # untouched in-group
+        else:
+            assert rows[k] == float(k)        # untouched groups bypass
+    assert rows[9001] == 42.0                 # insert into existing group
+    for k in range(9100, 9105):
+        assert rows[k] == float(k)            # log-only group insert
+    # junk 004 values (zeroed) leaked nowhere
+    assert 0.0 not in [v for k, v in rows.items() if k != 0]
+
+
+def test_mor_time_travel(spark, mor_table):
+    t, df, info = mor_table
+    # as_of 002: updates + inserts applied, deletes (003) not yet
+    v2 = {r.k: r.value for r in read_hudi_table(spark, t, as_of="002").collect()}
+    assert v2[12] == 36.0          # k%4==0 update applied
+    assert v2[6] == 6.0            # k%6==0 delete NOT yet applied
+    assert v2[9001] == 42.0 and len(v2) == 60 + 1 + 5
+    # as_of 001: pristine base
+    v1 = {r.k: r.value for r in read_hudi_table(spark, t, as_of="001").collect()}
+    assert len(v1) == 60 and all(v1[k] == float(k) for k in range(60))
+    assert 9001 not in v1
+
+
+def test_mor_untouched_groups_bypass_merge_shuffle(spark, mor_table):
+    """Plan shape: groups without logs must not enter the window —
+    the merged branch unions a plain scan of untouched base files."""
+    t, _, info = mor_table
+    live = read_hudi_table(spark, t)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Union" in plan
+    n = live.count()
+    assert n == 60 - 10 + 1 + 5  # 60 rows - deleted k%6==0 (10) + 9001 + 5 log-only
+
+
+def test_mor_rollback_block_invalidates_target(spark, tmp_path):
+    """Unit: a rollback command block hides earlier blocks of its
+    target instant even when that instant shows completed."""
+    from datalake_polygonscan_spark.io.hudi_log import (
+        read_log_records,
+        write_avro_data_block,
+        write_rollback_block,
+    )
+
+    schema = ('{"type":"record","name":"r","fields":['
+              '{"name":"k","type":"long"},{"name":"v","type":"double"}]}')
+    data = (
+        write_avro_data_block("002", schema, [{"k": 1, "v": 1.0}])
+        + write_avro_data_block("003", schema, [{"k": 1, "v": 99.0}])
+        + write_rollback_block("004", "003")
+    )
+    recs = read_log_records(data, {"002", "003", "004"})
+    assert [(i, r["v"]) for i, _b, _r, r in recs] == [("002", 1.0)]
+
+
+def test_mor_timeline_info_counts_logs(mor_table):
+    t, _, _ = mor_table
+    info = timeline_info(t)
+    assert info["n_commits"] == 3  # 001 commit + 002/003 deltacommits
+    assert info["n_log_files"] == 2
+    assert info["n_live_slices"] == 4  # 3 base groups + 1 log-only

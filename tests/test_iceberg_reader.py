@@ -71,24 +71,39 @@ def test_protocol_gates(spark, tmp_path):
     with pytest.raises(IcebergProtocolError, match="format-version"):
         read_iceberg_table(spark, t)
 
-    # delete manifests (content=1) refused
-    t2 = str(tmp_path / "deltab")
-    mdir2 = os.path.join(t2, "metadata")
-    os.makedirs(mdir2)
-    ml = os.path.join(mdir2, "snap-1.avro")
-    write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
-        "manifest_path": os.path.join(mdir2, "x.avro"), "manifest_length": 0,
-        "partition_spec_id": 0, "content": 1, "added_snapshot_id": 1,
-    }])
-    json.dump({
-        "format-version": 2, "current-schema-id": 0,
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
-        "current-snapshot-id": 1,
-        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
-    }, open(os.path.join(mdir2, "v1.metadata.json"), "w"))
-    open(os.path.join(mdir2, "version-hint.text"), "w").write("1")
-    with pytest.raises(IcebergProtocolError, match="delete manifests"):
-        read_iceberg_table(spark, t2)
+    # unknown delete content id (3) refused; eq delete without
+    # equality_ids refused
+    from datalake_polygonscan_spark.io.iceberg_reader import _MANIFEST_ENTRY_SCHEMA
+
+    for sub, content, match in (("c3", 3, "unknown delete"),
+                                ("noids", 2, "without equality_ids")):
+        t2 = str(tmp_path / f"deltab_{sub}")
+        mdir2 = os.path.join(t2, "metadata")
+        os.makedirs(mdir2)
+        mpath = os.path.join(mdir2, "m1.avro")
+        msize = write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [{
+            "status": 1, "snapshot_id": 1, "sequence_number": 1,
+            "data_file": {
+                "content": content, "file_path": os.path.join(t2, "d.parquet"),
+                "file_format": "PARQUET", "partition": None,
+                "record_count": 0, "file_size_in_bytes": 0,
+                "equality_ids": None,
+            }}])
+        ml = os.path.join(mdir2, "snap-1.avro")
+        write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": mpath, "manifest_length": msize,
+            "partition_spec_id": 0, "content": 1, "sequence_number": 1,
+            "added_snapshot_id": 1,
+        }])
+        json.dump({
+            "format-version": 2, "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
+        }, open(os.path.join(mdir2, "v1.metadata.json"), "w"))
+        open(os.path.join(mdir2, "version-hint.text"), "w").write("1")
+        with pytest.raises(IcebergProtocolError, match=match):
+            read_iceberg_table(spark, t2)
 
 
 def test_relocated_table_path_rerooting(spark, ice_table, tmp_path):
@@ -165,3 +180,72 @@ def test_partition_pruning_skips_files_before_open(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, full.filter("part = '1'").collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# v2 row-level deletes (round 9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def del_table(spark, tmp_path):
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        write_foreign_iceberg_delete_fixture,
+    )
+
+    df = spark.range(140).selectExpr("id AS k", "CAST(id AS DOUBLE) AS value")
+    t = str(tmp_path / "deltab")
+    info = write_foreign_iceberg_delete_fixture(spark, df, t, "k", mark_col="value")
+    return t, df, info
+
+
+def test_position_deletes_apply(spark, del_table):
+    """Snapshot 2: a (file_path, pos) delete file removes exactly the
+    targeted rows of the even-parity file."""
+    t, df, info = del_table
+    s2 = read_iceberg_table(spark, t, snapshot_id=2)
+    gone = set(info["pos_deleted_keys"])
+    assert gone == {k for k in range(140) if k % 10 == 0}
+    assert s2.count() == 140 - len(gone)
+    assert {r.k for r in s2.collect()} == set(range(140)) - gone
+
+
+def test_equality_deletes_respect_sequence_order(spark, del_table):
+    """Snapshot 3: the equality delete (seq 3) kills k%7==5 rows from
+    the seq-1 data files but NOT the same-sequence re-added file —
+    strict-less semantics; re-added rows carry the doubled marker."""
+    t, df, info = del_table
+    live = read_iceberg_table(spark, t)
+    rows = {r.k: r.value for r in live.collect()}
+    pos_gone = set(info["pos_deleted_keys"])
+    eq_keys = set(info["eq_deleted_keys"])
+    # every eq-deleted key survives ONLY through the re-add (value*2)
+    for k in eq_keys - pos_gone:
+        assert rows[k] == 2.0 * k
+    # pos-deleted keys not in the re-add are fully gone
+    assert all(k not in rows for k in pos_gone - eq_keys)
+    # untouched rows keep their original value
+    for k in set(range(140)) - eq_keys - pos_gone:
+        assert rows[k] == float(k)
+    expected = (set(range(140)) - pos_gone - eq_keys) | eq_keys
+    assert set(rows) == expected
+
+
+def test_snapshot1_undeleted_and_stats(spark, del_table):
+    t, df, info = del_table
+    assert read_iceberg_table(spark, t, snapshot_id=1).count() == 140
+    info3 = snapshot_info(t)
+    assert info3["n_pos_delete_files"] == 1
+    assert info3["n_eq_delete_files"] == 1
+    assert info3["n_delete_rows"] == len(info["pos_deleted_keys"]) + len(
+        info["eq_deleted_keys"])
+
+
+def test_delete_plan_is_single_scan_broadcast_antijoins(spark, del_table):
+    """100 TB story: delete application must not shuffle the data side
+    — one data scan, broadcast anti-joins only."""
+    t, _, _ = del_table
+    live = read_iceberg_table(spark, t)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
