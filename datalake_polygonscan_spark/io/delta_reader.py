@@ -35,10 +35,14 @@ Delta engine's scan node does. Hive-style NULL partitions arrive as
 missing keys/nulls in ``partitionValues`` and surface as typed NULLs.
 
 Protocol safety: tables demanding reader capabilities this resolver
-does not implement (minReaderVersion > 1 with reader features beyond
-the always-safe ones, e.g. ``deletionVectors`` or ``columnMapping``)
-raise loudly instead of silently mis-reading — the protocol's own
-required behavior for unsupported readers.
+does not implement (legacy minReaderVersion=2 column mapping, v3
+reader features beyond the supported set) raise loudly instead of
+silently mis-reading — the protocol's own required behavior for
+unsupported readers. ``deletionVectors`` ARE supported (round 9):
+descriptors decode executor-side through the from-scratch 64-bit
+portable RoaringBitmapArray codec (io/roaring.py — storageType
+'u'/'p'/'i', offsets, CRC-32), and one broadcast anti-join against
+the scan's ``_metadata`` row positions drops the deleted rows.
 
 Scale: the log replay is METADATA work — O(commits + live files)
 driver-side JSON, the same cost every Delta engine pays; the data scan
@@ -71,8 +75,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: reader features we genuinely implement (protocol v3 tables list the
-#: features they REQUIRE; anything outside this set must raise)
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
+#: features they REQUIRE; anything outside this set must raise).
+#: deletionVectors: round 9 — io/roaring.py decodes the 64-bit
+#: portable RoaringBitmapArray sidecars and the scan anti-joins them.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "deletionVectors"}
 
 
 class DeltaProtocolError(RuntimeError):
@@ -320,17 +326,35 @@ def read_delta_table(
     order = [f.name for f in schema.fields]
     adds = list(live.values())
     all_paths = [os.path.join(table_path, a["path"]) for a in adds]
+    dv_adds = {
+        os.path.basename(a["path"]): dict(a["deletionVector"])
+        for a in adds if a.get("deletionVector")
+    }
+
+    def _stamp(df: DataFrame) -> DataFrame:
+        """Row-position stamps for deletion-vector application, taken
+        from the scan's own metadata columns."""
+        if not dv_adds:
+            return df
+        return df.withColumn(
+            "__dv_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if dv_adds:
+            df = _apply_deletion_vectors(spark, table_path, df, dv_adds)
+        return df.select(order)
 
     if not partition_cols:
-        return spark.read.schema(schema).parquet(*all_paths).select(order)
+        return _finish(_stamp(spark.read.schema(schema).parquet(*all_paths)))
 
     if all(_is_hive_layout(a, partition_cols) for a in adds):
-        return (
+        return _finish(_stamp(
             spark.read.option("basePath", table_path)
             .schema(schema)
             .parquet(*all_paths)
-            .select(order)
-        )
+        ))
 
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
     data_schema = T.StructType(data_fields)
@@ -348,15 +372,15 @@ def read_delta_table(
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in partition_cols]
         )
         pv_df = F.broadcast(spark.createDataFrame(map_rows, map_schema))
-        scan = spark.read.schema(data_schema).parquet(*all_paths).withColumn(
+        scan = _stamp(spark.read.schema(data_schema).parquet(*all_paths)).withColumn(
             "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         )
         joined = scan.join(pv_df, "__file_name", "inner")
-        return joined.select([
+        return _finish(joined.select([
             F.col(f"__pv_{c}").cast(ptypes[c]).alias(c) if c in partition_cols
             else F.col(c)
             for c in order
-        ])
+        ] + (["__dv_file", "__dv_pos"] if dv_adds else [])))
 
     # pathological duplicate-basename fallback: per-partition branches
     by_partition: dict[tuple, list[str]] = {}
@@ -365,15 +389,77 @@ def read_delta_table(
         key = tuple(pv.get(c) for c in partition_cols)
         by_partition.setdefault(key, []).append(os.path.join(table_path, add["path"]))
     parts: list[DataFrame] = []
+    sel = order + (["__dv_file", "__dv_pos"] if dv_adds else [])
     for key, paths in sorted(by_partition.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = _stamp(spark.read.schema(data_schema).parquet(*paths))
         for col, raw in zip(partition_cols, key):
             df = df.withColumn(col, F.lit(raw).cast(ptypes[col]))
-        parts.append(df.select(order))
+        parts.append(df.select(sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _finish(out)
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, table_path: str, df: DataFrame, dv_adds: dict
+) -> DataFrame:
+    """Drop the rows named by each live file's deletion vector:
+    descriptors decode EXECUTOR-side (io/roaring.py — the 64-bit
+    portable RoaringBitmapArray from the public format spec) into
+    (file, position) rows, then ONE broadcast anti-join against the
+    scan's own ``_metadata`` row positions. DV bytes are compact by
+    design, so the delete side broadcasts and the data side never
+    shuffles — the same plan shape as the Iceberg position-delete
+    path (iceberg_reader._apply_deletes)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    desc_rows = [
+        (
+            fname,
+            d["storageType"],
+            d["pathOrInlineDv"],
+            int(d.get("offset") or 0),
+            int(d.get("sizeInBytes") or 0),
+        )
+        for fname, d in sorted(dv_adds.items())
+    ]
+    desc_schema = (
+        "__file string, storageType string, pathOrInlineDv string, "
+        "offset long, sizeInBytes long"
+    )
+    descs = spark.createDataFrame(desc_rows, desc_schema).repartition(
+        len(desc_rows)
+    )
+    out_schema = T.StructType([
+        T.StructField("__file", T.StringType()),
+        T.StructField("__pos", T.LongType()),
+    ])
+
+    def _decode(batches):
+        from datalake_polygonscan_spark.io.roaring import read_dv
+
+        for pdf in batches:
+            for fname, st, enc, off, size in pdf.itertuples(index=False):
+                desc = {
+                    "storageType": st, "pathOrInlineDv": enc,
+                    "offset": int(off), "sizeInBytes": int(size),
+                }
+                positions = read_dv(desc, table_path)
+                if positions:
+                    yield pd.DataFrame(
+                        {"__file": fname, "__pos": positions},
+                        columns=["__file", "__pos"],
+                    )
+
+    dels = descs.mapInPandas(_decode, out_schema)
+    return df.join(
+        F.broadcast(dels),
+        (df["__dv_file"] == dels["__file"]) & (df["__dv_pos"] == dels["__pos"]),
+        "left_anti",
+    )
 
 
 def snapshot_info(spark: SparkSession, table_path: str, version: int | None = None) -> dict:
@@ -467,3 +553,101 @@ def write_foreign_delta_fixture(spark: SparkSession, df: DataFrame, table_path: 
     commit(2, [{"remove": {"path": removed, "deletionTimestamp": 0, "dataChange": True}}])
     return {"v0_adds": len(adds0), "v1_adds": len(adds1), "removed_path": removed,
             "partitions": [str(v) for v in pvals]}
+
+
+def write_foreign_delta_dv_fixture(
+    spark: SparkSession, df: DataFrame, table_path: str, key_col: str
+) -> dict:
+    """Stand-in for 'a deletion-vector table a modern Delta engine
+    wrote' (VERDICT r8 'Next round' #4): plain parquet data files plus
+    a protocol-v3 ``deletionVectors`` log whose DV sidecars are
+    composed by the from-scratch io/roaring.py encoder.
+
+    Commits:
+      v0: protocol (minReaderVersion 3, readerFeatures
+          [deletionVectors]) + metaData + three data files split by
+          ``key_col`` % 3
+      v1: re-adds file-0 with a UUID-named ('u') DV killing its rows
+          where key % 10 == 0, and file-1 with an INLINE ('i') DV
+          killing its rows where key % 7 == 1 — file-2 keeps no DV
+
+    Returns the deleted key lists for oracle construction.
+    """
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_polygonscan_spark.io.roaring import (
+        make_uuid_dv_name,
+        serialize_rbm64,
+        write_dv_file,
+        z85_encode,
+    )
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    log_dir = os.path.join(table_path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    adds = []
+    frames = []
+    for i in range(3):
+        pdf = (
+            df.filter(F.col(key_col) % 3 == i)
+            .toPandas().reset_index(drop=True)
+        )
+        frames.append(pdf)
+        name = f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(table_path, name))
+        adds.append({"add": {
+            "path": name, "partitionValues": {}, "dataChange": True,
+            "size": os.path.getsize(os.path.join(table_path, name)),
+        }})
+    commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-fixture",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": df.schema.json(),
+                      "partitionColumns": [], "configuration": {}}},
+        *adds,
+    ])
+
+    # file-0: UUID-named DV file
+    pos0 = [int(i) for i in frames[0].index[frames[0][key_col] % 10 == 0]]
+    u = _uuid.UUID(int=424242)
+    write_dv_file(os.path.join(table_path, f"deletion_vector_{u}.bin"), [pos0])
+    dv0 = {
+        "storageType": "u", "pathOrInlineDv": make_uuid_dv_name(u),
+        "offset": 1, "sizeInBytes": len(serialize_rbm64(pos0)),
+        "cardinality": len(pos0),
+    }
+    # file-1: inline DV (z85 needs length % 4 == 0 — pad; the decoder
+    # reads structurally and ignores trailing pad bytes)
+    pos1 = [int(i) for i in frames[1].index[frames[1][key_col] % 7 == 1]]
+    body = serialize_rbm64(pos1)
+    body += b"\x00" * (-len(body) % 4)
+    dv1 = {
+        "storageType": "i", "pathOrInlineDv": z85_encode(body),
+        "offset": 0, "sizeInBytes": len(body), "cardinality": len(pos1),
+    }
+    commit(1, [
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "dataChange": False, "size": adds[0]["add"]["size"],
+                 "deletionVector": dv0}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {},
+                 "dataChange": False, "size": adds[1]["add"]["size"],
+                 "deletionVector": dv1}},
+    ])
+    return {
+        "uuid_deleted_keys": sorted(frames[0][key_col][frames[0][key_col] % 10 == 0].tolist()),
+        "inline_deleted_keys": sorted(frames[1][key_col][frames[1][key_col] % 7 == 1].tolist()),
+    }

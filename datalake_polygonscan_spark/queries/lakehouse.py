@@ -3186,7 +3186,7 @@ def s44_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-enter as typed literals per add.partitionValues. Graded: "
         "live snapshot content, VERSION AS OF 0 content, live-file "
         "count from metadata alone, and the protocol CAPABILITY GATE "
-        "(a minReaderVersion=3 table requiring deletionVectors must "
+        "(a minReaderVersion=3 table requiring columnMapping must "
         "raise DeltaProtocolError, not silently mis-scan). VERDICT r7 "
         "'Next round' #3; Iceberg manifests follow via S45's Avro"
     ),
@@ -3221,7 +3221,7 @@ def s47_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(_os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
         f.write(_json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["columnMapping"],
         }}) + "\n")
         f.write(_json.dumps({"metaData": {
             "id": "x", "schemaString": sub.schema.json(), "partitionColumns": [],
@@ -3375,6 +3375,97 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(meta_count_matches).alias("meta_count_matches"),
             F.lit(info["n_snapshots"]).cast("long").alias("n_snapshots"),
             F.lit(delete_gate_raises).alias("delete_gate_raises"),
+        )
+    )
+
+
+@register(
+    "s47d_delta_deletion_vectors",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), live AS (
+        SELECT * FROM sub
+        WHERE NOT (k % 3 = 0 AND k % 10 = 0)
+          AND NOT (k % 3 = 1 AND k % 7 = 1)
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM sub s
+             WHERE s.o_orderstatus = l.o_orderstatus) AS n_rows_v0,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM sub s
+             WHERE s.o_orderstatus = l.o_orderstatus) AS sum_v0,
+           (SELECT CAST(count(*) AS BIGINT) FROM sub
+             WHERE (k % 3 = 0 AND k % 10 = 0)
+                OR (k % 3 = 1 AND k % 7 = 1)) AS n_deleted,
+           TRUE AS uuid_dv_applied,
+           TRUE AS inline_dv_applied
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S47d Delta DELETION VECTORS read (round 9, VERDICT r8 'Next "
+        "round' #4): the fixture writes a protocol-v3 deletionVectors "
+        "table whose DV sidecars are composed by the FROM-SCRATCH "
+        "io/roaring.py encoder — the public 64-bit portable "
+        "RoaringBitmapArray layout (delta magic 1681511377, "
+        "RoaringFormatSpec no-run cookie 12346, array + 8 KiB bitset "
+        "containers, offset headers) inside the protocol's DV file "
+        "frame (version byte, per-vector BE size + CRC-32), plus the "
+        "0MQ Z85 codec for UUID-relative ('u') naming and inline "
+        "('i') vectors — both storage types graded. Rows named by a "
+        "DV drop via ONE broadcast anti-join against the scan's own "
+        "_metadata row positions (decoded executor-side out of "
+        "mapInPandas); files without DVs are untouched; VERSION AS OF "
+        "0 (pre-DV) still reads everything (graded v0 aggregates). "
+        "The round-8 capability gate for this feature is retired by "
+        "implementation; columnMapping remains honestly gated"
+    ),
+)
+def s47d_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.delta_reader import (
+        read_delta_table,
+        write_foreign_delta_dv_fixture,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    table = _scratch("s47d_delta_dv", "foreign_orders_dv")
+    info = write_foreign_delta_dv_fixture(spark, sub, table, "k")
+    uuid_keys = set(info["uuid_deleted_keys"])
+    inline_keys = set(info["inline_deleted_keys"])
+
+    live = read_delta_table(spark, table)
+    v0 = read_delta_table(spark, table, version=0)
+    uuid_dv_applied = bool(
+        live.filter(F.col("k").isin(sorted(uuid_keys))).count() == 0
+    ) and bool(uuid_keys)
+    inline_dv_applied = bool(
+        live.filter(F.col("k").isin(sorted(inline_keys))).count() == 0
+    ) and bool(inline_keys)
+
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v0_agg = v0.groupBy(F.col("o_orderstatus").alias("st0")).agg(
+        F.count("*").alias("n_rows_v0"), _dbl_sum("value", "sum_v0")
+    )
+    return (
+        live_agg.join(v0_agg, live_agg["o_orderstatus"] == v0_agg["st0"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v0", "sum_v0",
+            F.lit(len(uuid_keys) + len(inline_keys)).cast("long").alias("n_deleted"),
+            F.lit(uuid_dv_applied).alias("uuid_dv_applied"),
+            F.lit(inline_dv_applied).alias("inline_dv_applied"),
         )
     )
 

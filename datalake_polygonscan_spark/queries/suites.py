@@ -1115,6 +1115,16 @@ _suite(
             "bad_version_still_readable": "mor_gate_raises",
             "resolved_v0": "inflight_invisible",
         }),
+        # round 9: S47d Delta DELETION VECTORS — from-scratch roaring
+        # codec, 'u' and 'i' storage types, v0 time travel intact
+        ("foreign_delta_dv", "s47d_delta_deletion_vectors", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v0",
+            "n_vacuumed": "n_rows_v0",
+            "n_versions_logged": "n_deleted",
+            "resolved_v0": "uuid_dv_applied",
+            "bad_version_still_readable": "inline_dv_applied",
+        }),
         # round 9: S48d foreign Iceberg v2 ROW-LEVEL DELETES —
         # position deletes (seq-inherited), equality deletes with the
         # strict-less rule vs a same-sequence re-add
