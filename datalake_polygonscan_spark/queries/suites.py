@@ -1115,6 +1115,16 @@ _suite(
             "bad_version_still_readable": "mor_gate_raises",
             "resolved_v0": "inflight_invisible",
         }),
+        # round 9: S52 WRITE-side Delta interop — emitted _delta_log
+        # round-trips through the foreign reader + validates
+        ("delta_export", "s52_delta_export_interop", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v0",
+            "n_vacuumed": "n_rows_v0",
+            "n_versions_logged": "n_versions",
+            "resolved_v0": "log_validates",
+            "bad_version_still_readable": "overwrite_is_atomic",
+        }),
         # round 9: S47d Delta DELETION VECTORS — from-scratch roaring
         # codec, 'u' and 'i' storage types, v0 time travel intact
         ("foreign_delta_dv", "s47d_delta_deletion_vectors", {

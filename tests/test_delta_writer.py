@@ -1,0 +1,84 @@
+"""Write-side Delta interop (io/delta_writer.py): the emitted
+_delta_log round-trips through the S47 foreign READER alone and
+validates against the protocol doc's required fields."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from datalake_polygonscan_spark.io.delta_reader import read_delta_table
+from datalake_polygonscan_spark.io.delta_writer import (
+    validate_delta_log,
+    write_delta_table,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id % 4 AS STRING) AS part", "CAST(id AS DOUBLE) AS v"
+    )
+
+
+def test_roundtrip_create_append_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    r0 = write_delta_table(spark, _df(spark, 0, 40), t, ["part"])
+    assert r0["version"] == 0 and r0["n_added"] >= 4 and r0["n_removed"] == 0
+    assert read_delta_table(spark, t).count() == 40
+
+    r1 = write_delta_table(spark, _df(spark, 40, 70), t, ["part"], mode="append")
+    assert r1["version"] == 1 and r1["n_removed"] == 0
+    live = read_delta_table(spark, t)
+    assert {r.k for r in live.collect()} == set(range(70))
+    # partition columns re-enter typed through the log, not the files
+    assert live.schema["part"].dataType.simpleString() == "string"
+    assert read_delta_table(spark, t, version=0).count() == 40  # time travel
+
+    r2 = write_delta_table(spark, _df(spark, 100, 110), t, ["part"])
+    assert r2["version"] == 2 and r2["n_removed"] == r0["n_added"] + r1["n_added"]
+    assert {r.k for r in read_delta_table(spark, t).collect()} == set(range(100, 110))
+    # old snapshots still resolve after the overwrite (atomic replace)
+    assert read_delta_table(spark, t, version=1).count() == 70
+
+    summary = validate_delta_log(t)
+    assert summary["n_versions"] == 3 and summary["n_live_files"] == r2["n_added"]
+
+
+def test_unpartitioned_and_validation_catches_corruption(spark, tmp_path):
+    t = str(tmp_path / "u")
+    write_delta_table(spark, _df(spark, 0, 10).drop("part"), t)
+    assert read_delta_table(spark, t).count() == 10
+    validate_delta_log(t)
+
+    # drop a required field -> the validator must refuse
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log0)]
+    for a in lines:
+        if "add" in a:
+            del a["add"]["modificationTime"]
+            break
+    with open(log0, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="missing required"):
+        validate_delta_log(t)
+
+
+def test_log_declares_universally_readable_protocol(spark, tmp_path):
+    """No optional feature is used, so the emitted protocol must be
+    (1, 2) — readable by every Delta reader in existence."""
+    t = str(tmp_path / "p")
+    write_delta_table(spark, _df(spark, 0, 5), t, ["part"])
+    first = [json.loads(x) for x in
+             open(os.path.join(t, "_delta_log", f"{0:020d}.json"))]
+    proto = next(a["protocol"] for a in first if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in first if "metaData" in a)
+    assert meta["partitionColumns"] == ["part"]
+    # schemaString is Spark's own schema JSON (Delta's dialect)
+    from pyspark.sql.types import StructType
+
+    assert StructType.fromJson(json.loads(meta["schemaString"])).fieldNames() == [
+        "k", "part", "v"]
