@@ -37,9 +37,14 @@ export sink (io/export_sink.py):
 
 Type coverage (both directions, nullable via ["null", T] unions):
 boolean, int, long, float, double, string, bytes(binary), date
-(logical date/int), timestamp (logical timestamp-micros/long), and
-one-level arrays of the primitive types — the surface the testdata
-tables need (embeddings.embedding is array<float>).
+(logical date/int), timestamp (logical timestamp-micros/long),
+DECIMAL (logical decimal over bytes: two's-complement big-endian
+unscaled int, precision/scale carried in the schema, exact resolution
+gated on identical precision/scale), arrays, string-keyed maps, and
+records NESTED TO ANY DEPTH (record-in-record, array<struct<...>>,
+temporal fields inside nested positions convert per value). Codec
+gate: anything beyond null/deflate (e.g. snappy) raises with a clear
+message instead of decoding garbage.
 
 Scale notes: the sync-range splitter means reader parallelism follows
 BYTES, not files — a 100 GB container fans out into ~3000 32-MiB
@@ -147,6 +152,11 @@ def _avro_type_of(spark_type, name_seq: list | None = None) -> object:
         if not isinstance(spark_type.keyType, T.StringType):
             raise ValueError("avro_scratch: avro maps require string keys")
         return {"type": "map", "values": _avro_type_of(spark_type.valueType, name_seq)}
+    if isinstance(spark_type, T.DecimalType):
+        # spec "Logical Types / decimal": two's-complement big-endian
+        # unscaled integer in a bytes field
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": spark_type.precision, "scale": spark_type.scale}
     if isinstance(spark_type, T.StructType):
         name_seq.append(1)  # unique per occurrence: Avro names may not repeat
         return {
@@ -191,6 +201,8 @@ def _ddl_of(t: object) -> str:
     base, _ = _base_of(t)
     if isinstance(base, dict):
         lt = base.get("logicalType")
+        if lt == "decimal":
+            return f"decimal({base['precision']},{base['scale']})"
         if lt == "date":
             return "date"
         if lt == "timestamp-micros":
@@ -264,9 +276,41 @@ def _encoder_of(t: object):
             else:
                 for (fname, fe), item in zip(subs, v):
                     fe(item, out)
-    elif kind in ("long", "int") or lt in (
-        "date", "timestamp-micros", "local-timestamp-micros"
-    ):
+    elif lt == "decimal":
+        import decimal as _decimal
+
+        scale = base["scale"]
+        quantum = _decimal.Decimal(1).scaleb(-scale)
+
+        def enc_base(v, out: bytearray) -> None:
+            if not isinstance(v, _decimal.Decimal):
+                v = _decimal.Decimal(str(v))
+            unscaled = int(v.quantize(quantum).scaleb(scale))
+            width = max(1, (unscaled.bit_length() + 8) // 8)
+            _enc_bytes(unscaled.to_bytes(width, "big", signed=True), out)
+    elif lt in ("date", "timestamp-micros", "local-timestamp-micros"):
+        # values may arrive pre-cast as ints (the Arrow fast path) or,
+        # from NESTED positions where no column cast ran, as
+        # datetime/date objects — convert per value
+        import datetime as _dt
+
+        _EPOCH_D = _dt.date(1970, 1, 1)
+        _EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        is_date = lt == "date"
+
+        def enc_base(v, out: bytearray) -> None:
+            if isinstance(v, int):
+                _enc_long(v, out)
+            elif is_date:
+                _enc_long((v - _EPOCH_D).days, out)
+            else:
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                delta = v - _EPOCH_TS
+                _enc_long(
+                    (delta.days * 86400 + delta.seconds) * 1_000_000
+                    + delta.microseconds, out)
+    elif kind in ("long", "int"):
         def enc_base(v, out: bytearray) -> None:
             _enc_long(v, out)
     elif kind == "double":
@@ -344,6 +388,15 @@ def _decoder_of(t: object):
             for fname, fd in subs:
                 row[fname], pos = fd(buf, pos)
             return row, pos
+    elif lt == "decimal":
+        import decimal as _decimal
+
+        scale = base["scale"]
+
+        def dec_base(buf: bytes, pos: int):
+            b, pos = _dec_bytes(buf, pos)
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(-scale), pos
     elif kind in ("long", "int") or lt in (
         "date", "timestamp-micros", "local-timestamp-micros"
     ):
@@ -384,6 +437,8 @@ def _arrow_type_of(t: object):
     base, _ = _base_of(t)
     lt = base.get("logicalType") if isinstance(base, dict) else None
     kind = base.get("type") if isinstance(base, dict) else base
+    if lt == "decimal":
+        return pa.decimal128(base["precision"], base["scale"])
     if lt == "date":
         return pa.date32()
     if lt == "timestamp-micros":
@@ -722,6 +777,12 @@ def read_avro_file(path: str) -> tuple[dict, list]:
     data = open(path, "rb").read()
     meta, sync, pos = parse_header(data)
     codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"avro_scratch: unsupported codec {codec!r} in {path} — this "
+            "reader implements null and deflate; recompress the file "
+            "(e.g. snappy requires a codec this engine does not ship)"
+        )
     rec = json.loads(meta["avro.schema"].decode("utf-8"))
     dec = _decoder_of(rec)
     rows: list = []
@@ -843,6 +904,18 @@ def _resolved_decoder_of(writer_t: object, reader_t: object):
     rbase, r_nullable = _base_of(reader_t)
     wk = _kind_of(writer_t)
     rk = _kind_of(reader_t)
+    w_lt = wbase.get("logicalType") if isinstance(wbase, dict) else None
+    r_lt = rbase.get("logicalType") if isinstance(rbase, dict) else None
+    if "decimal" in (w_lt, r_lt):
+        # the spec resolves decimals only when precision/scale agree;
+        # anything else would silently rescale values
+        if (w_lt, r_lt) != ("decimal", "decimal") or (
+            wbase["precision"], wbase["scale"]
+        ) != (rbase["precision"], rbase["scale"]):
+            raise ValueError(
+                "avro_scratch: decimal resolution requires identical "
+                f"precision/scale (writer {wbase}, reader {rbase})"
+            )
     if wk == "record" and rk == "record":
         r_fields = {f["name"]: f["type"] for f in rbase["fields"]}
         order = [f["name"] for f in rbase["fields"]]

@@ -872,6 +872,70 @@ def s45_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s45n_avro_nested_decimal",
+    oracle="""
+    SELECT l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_d,
+           CAST(SUM(l_orderkey % 100 + l_linenumber) AS BIGINT) AS nested_total,
+           TRUE AS decimal_exact
+    FROM lineitem WHERE l_orderkey % 20 = 3
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "S45n Avro DEPTH round-trip (round 9, VERDICT r8 missing #5): "
+        "a DECIMAL logical-type column (spec 'decimal' over bytes — "
+        "two's-complement big-endian unscaled int, precision/scale in "
+        "the schema) and a NESTED RECORD TREE (array<struct<a, "
+        "inner:struct<b>>>) cross encode -> deflate -> inflate -> "
+        "decode through the from-scratch DataSource. Graded: group "
+        "aggregates over the decimal (boundary-cast to double per the "
+        "no-decimal-boundary discipline), an aggregate computed FROM "
+        "the nested fields after read-back (element_at/struct access "
+        "— JVM codegen, no UDF), and a decimal_exact verdict holding "
+        "the EXACT Decimal sums equal pre- vs post-round-trip. "
+        "Resolution to a different precision/scale raises "
+        "(tests/test_avro.py); snappy-coded files fail loudly"
+    ),
+)
+def s45n_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 3)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("decimal(18,6)").alias("d"),
+            F.array(F.struct(
+                (F.col("l_orderkey") % 100).alias("a"),
+                F.struct(F.col("l_linenumber").alias("b")).alias("inner"),
+            )).alias("items"),
+        )
+    )
+    path = _scratch("s45n_avro", "lineitem_nested_avro")
+    li.write.format("avro_scratch").option("codec", "deflate").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("avro_scratch").load(path)
+
+    exact_before = li.agg(F.sum("d")).collect()[0][0]
+    exact_after = back.agg(F.sum("d")).collect()[0][0]
+    decimal_exact = bool(exact_before == exact_after and exact_after is not None)
+
+    one = F.element_at(F.col("items"), 1)
+    return back.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n_rows"),
+        _dbl_sum("d", "sum_d"),
+        F.sum(one["a"] + one["inner"]["b"]).cast("long").alias("nested_total"),
+    ).select(
+        "grp", "n_rows", "sum_d", "nested_total",
+        F.lit(decimal_exact).alias("decimal_exact"),
+    )
+
+
+@register(
     "s49_avro_stream_source",
     oracle="""
     SELECT event_type,

@@ -3023,6 +3023,14 @@ _suite(
             "o_orderstatus": "content_md5",
             "codec_verified": "length_col_consistent",
         }),
+        # round 9: S45n Avro DEPTH — decimal logical type + nested
+        # record trees (array<struct<struct>>) through the round-trip
+        ("avro_nested", "s45n_avro_nested_decimal", {
+            "grp": "grp", "n_rows": "n_rows", "total": "sum_d",
+            "sum_price": ("CAST(nested_total AS DOUBLE)",
+                          "CAST(nested_total AS DOUBLE)"),
+            "codec_verified": "decimal_exact",
+        }),
         # round 8: S45 from-scratch Avro container DataSource (deflate
         # codec, sync-split parallel read) — min/max keys packed into
         # one double so the round-trip's key range is graded too
