@@ -32,6 +32,12 @@ from datalake_polygonscan_spark.queries.scalar_funcs import _XA_COLS, _XB_COLS
 Layout = list[tuple[str, str, str]]  # (col, spark type, duckdb type)
 Arm = tuple[str | None, str, dict[str, str | tuple[str, str]]]
 
+#: suite name -> the registry entries its arms reuse verbatim; the
+#: graded-coverage guard (tests/test_oracle_sweep.py) walks this map
+#: transitively from GRADED_PREFIX, so an entry that silently drops
+#: out of every graded suite fails the build
+SUITE_ARMS: dict[str, tuple[str, ...]] = {}
+
 
 def _spark_expr(e: str | tuple[str, str]) -> str:
     return e[0] if isinstance(e, tuple) else e
@@ -42,6 +48,7 @@ def _duck_expr(e: str | tuple[str, str]) -> str:
 
 
 def _suite(name: str, doc: str, layout: Layout, arms: list[Arm]) -> None:
+    SUITE_ARMS[name] = tuple(entry for _mode, entry, _mapping in arms)
     parts = []
     for mode, entry, mapping in arms:
         inner = REGISTRY[entry].oracle

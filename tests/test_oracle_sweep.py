@@ -65,3 +65,87 @@ def test_graded_window_is_pinned():
         "r5_r7_wallet_pipeline", "s4_s5_atomic_partitioned",
     }
     assert promoted <= set(GRADED_PREFIX)
+
+
+def test_every_survey_id_maps_to_a_graded_slot():
+    """VERDICT r8 'Next round' #8 — the inverse of the pinned-window
+    test: every operator ID in SURVEY §2 must resolve to a GRADED slot
+    (a GRADED_PREFIX entry, or an entry transitively reachable through
+    a composed suite's arms). A new §2 row without graded coverage, or
+    an entry silently dropping out of every graded suite, fails here —
+    this would have caught the round-7 P4 holdout automatically."""
+    import os
+    import re
+
+    from datalake_polygonscan_spark.queries import GRADED_PREFIX
+    from datalake_polygonscan_spark.queries.suites import SUITE_ARMS
+
+    survey = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")).read()
+    start = survey.index("### 2.1")
+    end = survey.index("\n## ", start)
+    ids: list[str] = []
+    for line in survey[start:end].splitlines():
+        m = re.match(r"\|\s*([A-Z][A-Za-z0-9-]{0,11})\s*\|", line)
+        if m and m.group(1) != "ID":
+            ids.append(m.group(1))
+    ids = sorted(set(ids))
+    assert len(ids) >= 300  # the §2 surface only grows
+
+    # transitive closure of graded coverage through composed suites
+    reach: set[str] = set()
+    stack = list(GRADED_PREFIX)
+    while stack:
+        n = stack.pop()
+        if n in reach:
+            continue
+        reach.add(n)
+        stack.extend(SUITE_ARMS.get(n, ()))
+    tokens = {t for n in reach for t in n.split("_")}
+
+    # IDs whose graded slot is not derivable from entry names: ranges
+    # inside directly-registered suite names (w1_w3 covers w2), fold
+    # rows (host carries them), and reference-pipeline singles
+    ALIASES = {
+        "R2": "r1_r1s_source_suite", "R3": "r1_r1s_source_suite",
+        "R4": "r1_r1s_source_suite",
+        "R6": "r5_r7_wallet_pipeline", "R8": "r5_r7_wallet_pipeline",
+        "R9": "r5_r7_wallet_pipeline", "R13": "entry_flagship",
+        "R10w": "r10_export_sink", "R10r": "r10_export_sink",
+        "W-RETRY": "r10_export_sink",
+        "R11": "s4_s5_atomic_partitioned", "R12": "s4_s5_atomic_partitioned",
+        "CAS": "s4_s5_atomic_partitioned", "CAS-R": "s6_s10_s6v_merge_suite",
+        "P2": "p1_p3_project_cast_derive", "F2": "f1_f3_filter_predicates",
+        "W2": "w1_w3_window_suite", "W4": "w1_w3_window_suite",
+        "W6": "w1_w3_window_suite", "W7": "w1_w3_window_suite",
+        "W10": "w1_w3_window_suite",
+        "U2": "u1_u5_python_fn_suite", "M2": "m1_m6_media_decode_suite",
+        "L5a": "l5_l6_curation_suite", "L5b": "l5_sampling_suite",
+        "L5c": "l5_text_ops_suite", "L5d": "l5_text_ops_suite",
+        "L5e": "l5_text_ops_suite", "L5f": "l5_text_ops_suite",
+        "L5g": "l5_text_ops_suite", "L5h": "l5_text_ops_suite",
+        "L5i": "l5_sampling_suite", "L5j": "l5_text_ops_suite",
+        "L5k": "l5_sampling_suite", "L5m": "l5_sampling_suite",
+        "L5n": "l5_sampling_suite",
+        "S17b": "s17_change_data_feed",
+        "S43": "s13_s14_s16_skipping_suite",
+        "E8-RDB": "e5_e8_stateful_stream_suite",
+    }
+    for alias_id, slot in ALIASES.items():
+        assert slot in reach, f"alias target {slot!r} for {alias_id} is not graded"
+
+    def covered(id_: str) -> bool:
+        if id_ in ALIASES:
+            return True
+        lid = id_.lower().replace("-", "_")
+        for n in reach:
+            if n == lid or n.startswith(lid + "_") or f"_{lid}_" in n \
+                    or n.endswith("_" + lid):
+                return True
+        return all(t in tokens for t in lid.split("_"))
+
+    uncovered = [i for i in ids if not covered(i)]
+    assert not uncovered, (
+        f"SURVEY §2 IDs without a graded slot: {uncovered} — add them as "
+        "arms of a graded suite (or to ALIASES with the slot that "
+        "carries them)"
+    )
