@@ -303,6 +303,14 @@ HEADLINE = [
     "s49_avro_stream_source",
     "s50_hudi_reader",
     "ml19_isotonic_calibration",
+    # round-11 additions: v2 row-level deletes in the foreign Iceberg
+    # reader, Hudi Merge-on-Read log merge, Delta deletion vectors,
+    # write-side Delta interop round trip, Avro decimal + nested trees
+    "s48d_iceberg_v2_deletes",
+    "s50m_hudi_mor_reader",
+    "s47d_delta_deletion_vectors",
+    "s52_delta_export_interop",
+    "s45n_avro_nested_decimal",
 ]
 
 

@@ -53,6 +53,39 @@ def run_headline_sf01() -> dict:
     return json.loads(line)
 
 
+def run_headline_medians(n_runs: int = 3) -> dict:
+    """VERDICT r8 'Next round' #7: same-day run noise is 5-8%, which
+    hides <20% regressions in a single run — run the whole headline
+    sweep ``n_runs`` times and report per-query MEDIANS. Each run keeps
+    its own before/after calibration; cross-round comparisons should
+    use the medians, never a single run."""
+    import statistics
+
+    runs = [run_headline_sf01() for _ in range(n_runs)]
+    names = runs[0]["queries"].keys()
+    medians = {
+        name: round(statistics.median(r["queries"][name] for r in runs), 3)
+        for name in names
+    }
+    return {
+        "n_runs": n_runs,
+        "sf": runs[0]["sf"],
+        "query_medians": medians,
+        "median_total_sec": round(sum(medians.values()), 3),
+        "per_run": [
+            {
+                "value": r["value"],
+                "calibration_sec": r.get("calibration_sec"),
+                "calibration_ratio": r.get("calibration_ratio"),
+                "per_query_mean_sec": r.get("per_query_mean_sec"),
+                "per_query_mean_normalized": r.get("per_query_mean_normalized"),
+            }
+            for r in runs
+        ],
+        "last_run_full": runs[-1],
+    }
+
+
 def ensure_sf1() -> None:
     probe = os.path.join(SF1_DIR, "lineitem.parquet")
     if os.path.isdir(probe):
@@ -89,15 +122,18 @@ def run_iterative_sf1(sf01_queries: dict[str, float]) -> dict:
 
 
 def main() -> None:
-    out_path = "BENCH_SELF_r08.json"
+    out_path = "BENCH_SELF_r09.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
-    headline = run_headline_sf01()
+    n_runs = 3
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    headline = run_headline_medians(n_runs)
     ensure_sf1()
-    iterative = run_iterative_sf1(headline["queries"])
+    iterative = run_iterative_sf1(headline["query_medians"])
     artifact = {
         "kind": "self_bench",
-        "headline_sf0.1": headline,
+        "headline_sf0.1_medians": headline,
         "iterative_sf1.0": iterative,
     }
     with open(out_path, "w") as f:
@@ -105,9 +141,11 @@ def main() -> None:
     print(json.dumps({
         "metric": "self_bench",
         "out": out_path,
-        "sf0.1_total": headline["value"],
-        "sf0.1_n_queries": headline["n_queries"],
-        "per_query_mean_normalized": headline["per_query_mean_normalized"],
+        "n_runs": n_runs,
+        "sf0.1_median_total": headline["median_total_sec"],
+        "sf0.1_n_queries": len(headline["query_medians"]),
+        "per_run_normalized_means": [
+            r["per_query_mean_normalized"] for r in headline["per_run"]],
         "sf1.0_iterative_total": iterative["total_sec"],
         "scale_ratios": iterative["scale_ratio_vs_sf0.1"],
     }))
