@@ -35,10 +35,15 @@ Delta engine's scan node does. Hive-style NULL partitions arrive as
 missing keys/nulls in ``partitionValues`` and surface as typed NULLs.
 
 Protocol safety: tables demanding reader capabilities this resolver
-does not implement (legacy minReaderVersion=2 column mapping, v3
-reader features beyond the supported set) raise loudly instead of
-silently mis-reading — the protocol's own required behavior for
-unsupported readers. ``deletionVectors`` ARE supported (round 9):
+does not implement (columnMapping mode='id', v3 reader features beyond
+the supported set) raise loudly instead of silently mis-reading — the
+protocol's own required behavior for unsupported readers.
+``columnMapping`` mode='name' IS supported (round 9): the schemaString
+fields carry ``delta.columnMapping.physicalName`` metadata through the
+whole type tree; the scan reads under the PHYSICAL schema and a single
+positional struct cast renames every level back to the logical names
+(add.partitionValues and hive path segments are keyed by physical
+names, per the protocol). ``deletionVectors`` ARE supported (round 9):
 descriptors decode executor-side through the from-scratch 64-bit
 portable RoaringBitmapArray codec (io/roaring.py — storageType
 'u'/'p'/'i', offsets, CRC-32), and one broadcast anti-join against
@@ -78,7 +83,9 @@ from pyspark.sql import types as T
 #: features they REQUIRE; anything outside this set must raise).
 #: deletionVectors: round 9 — io/roaring.py decodes the 64-bit
 #: portable RoaringBitmapArray sidecars and the scan anti-joins them.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping",
+}
 
 
 class DeltaProtocolError(RuntimeError):
@@ -96,27 +103,22 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
 
 
 class _State:
-    __slots__ = ("schema_json", "partition_cols", "live")
+    __slots__ = ("schema_json", "partition_cols", "live", "cm_mode")
 
     def __init__(self) -> None:
         self.schema_json: str | None = None
         self.partition_cols: list[str] = []
         self.live: dict[str, dict] = {}
+        self.cm_mode: str = "none"
 
 
 def _apply_action(state: _State, action: dict) -> None:
     if action.get("protocol") is not None:
         proto = action["protocol"]
         mrv = proto.get("minReaderVersion") or 1
-        if mrv == 2:
-            # legacy column-mapping protocol: v2 tables carry NO
-            # readerFeatures list, the version number IS the feature
-            # demand (PROTOCOL.md "Column Mapping") — gate on it
-            # directly or the physical col-<uuid> parquet names would
-            # silently resolve to all-null logical columns
-            raise DeltaProtocolError(
-                "minReaderVersion=2 (column mapping) not supported by this reader"
-            )
+        # minReaderVersion=2 is the legacy column-mapping protocol
+        # (no readerFeatures list); supported since round 9 for
+        # mode='name' — the metaData check below gates mode='id'
         if mrv > 2:
             needed = set(proto.get("readerFeatures") or ())
             unsupported = needed - _SUPPORTED_READER_FEATURES
@@ -128,11 +130,14 @@ def _apply_action(state: _State, action: dict) -> None:
         conf = action["metaData"].get("configuration") or {}
         if isinstance(conf, list):  # pyarrow maps surface as (k, v) tuples
             conf = dict(conf)
-        cm_mode = conf.get("delta.columnMapping.mode", "none")
-        if cm_mode not in ("none", ""):
+        cm_mode = conf.get("delta.columnMapping.mode", "none") or "none"
+        if cm_mode not in ("none", "name"):
+            # 'id' mode matches by parquet field id, which needs a
+            # lower-level parquet reader than Spark's name-based one
             raise DeltaProtocolError(
                 f"delta.columnMapping.mode={cm_mode!r} not supported by this reader"
             )
+        state.cm_mode = cm_mode
         state.schema_json = action["metaData"]["schemaString"]
         state.partition_cols = list(action["metaData"].get("partitionColumns") or ())
     elif action.get("add") is not None:
@@ -242,7 +247,7 @@ def _replay(table_path: str, version: int | None):
     if state.schema_json is None:
         raise ValueError(f"delta_reader: no metaData action in {table_path}")
     schema = T.StructType.fromJson(json.loads(state.schema_json))
-    return schema, state.partition_cols, state.live, resolved
+    return schema, state.partition_cols, state.live, resolved, state.cm_mode
 
 
 def _hive_unescape(seg: str) -> str:
@@ -320,7 +325,9 @@ def read_delta_table(
       UUIDs; verified, with the correct-but-slow per-partition union
       kept only for the pathological duplicate-basename case).
     """
-    schema, partition_cols, live, _ = _replay(table_path, version)
+    schema, partition_cols, live, _, cm_mode = _replay(table_path, version)
+    if cm_mode == "name":
+        return _read_column_mapped(spark, table_path, schema, partition_cols, live)
     if not live:
         return spark.createDataFrame([], schema)
     order = [f.name for f in schema.fields]
@@ -465,7 +472,7 @@ def _apply_deletion_vectors(
 def snapshot_info(spark: SparkSession, table_path: str, version: int | None = None) -> dict:
     """Metadata-only summary (no data scan): live-file count/bytes,
     resolved version, partition columns — the log-listing operation."""
-    schema, partition_cols, live, resolved = _replay(table_path, version)
+    schema, partition_cols, live, resolved, _cm = _replay(table_path, version)
     return {
         "version": resolved,
         "n_files": len(live),
@@ -651,3 +658,105 @@ def write_foreign_delta_dv_fixture(
         "uuid_deleted_keys": sorted(frames[0][key_col][frames[0][key_col] % 10 == 0].tolist()),
         "inline_deleted_keys": sorted(frames[1][key_col][frames[1][key_col] % 7 == 1].tolist()),
     }
+
+
+def _physical_type(dtype: T.DataType) -> T.DataType:
+    """Rename every struct field in a type tree to its
+    ``delta.columnMapping.physicalName`` (the protocol stores the map
+    as field metadata through the WHOLE schema tree)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType([
+            T.StructField(
+                f.metadata.get("delta.columnMapping.physicalName", f.name),
+                _physical_type(f.dataType), f.nullable,
+            )
+            for f in dtype.fields
+        ])
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_physical_type(dtype.elementType), dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            _physical_type(dtype.keyType), _physical_type(dtype.valueType),
+            dtype.valueContainsNull,
+        )
+    return dtype
+
+
+def _logical_type(dtype: T.DataType) -> T.DataType:
+    """The logical tree with metadata stripped (cast target)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _logical_type(f.dataType), f.nullable)
+            for f in dtype.fields
+        ])
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_logical_type(dtype.elementType), dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            _logical_type(dtype.keyType), _logical_type(dtype.valueType),
+            dtype.valueContainsNull,
+        )
+    return dtype
+
+
+def _read_column_mapped(
+    spark: SparkSession, table_path: str,
+    schema: T.StructType, partition_cols: list[str], live: dict,
+) -> DataFrame:
+    """columnMapping mode='name' scan: data files carry PHYSICAL
+    column names (col-<uuid>), add.partitionValues is keyed by
+    physical names. Read under the physical schema, then ONE
+    positional struct cast per column renames the whole tree back to
+    logical names — a zero-copy projection, no Python in the path."""
+    if not live:
+        return spark.createDataFrame([], T.StructType(
+            [T.StructField(f.name, _logical_type(f.dataType), f.nullable)
+             for f in schema.fields]))
+    phys_of = {
+        f.name: f.metadata.get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+    adds = list(live.values())
+    all_paths = [os.path.join(table_path, a["path"]) for a in adds]
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    phys_data_schema = T.StructType([
+        T.StructField(phys_of[f.name], _physical_type(f.dataType), f.nullable)
+        for f in data_fields
+    ])
+    scan = spark.read.schema(phys_data_schema).parquet(*all_paths)
+
+    order = [f.name for f in schema.fields]
+    ltypes = {f.name: _logical_type(f.dataType) for f in schema.fields}
+    if not partition_cols:
+        return scan.select([
+            F.col(phys_of[n]).cast(ltypes[n]).alias(n) for n in order
+        ])
+
+    # partitionValues keyed by PHYSICAL names -> broadcast map join on
+    # the scan's file basename (same plan shape as the non-hive path)
+    names = [os.path.basename(a["path"]) for a in adds]
+    if len(set(names)) != len(names):
+        raise DeltaProtocolError(
+            "column-mapped table with duplicate data file basenames"
+        )
+    map_rows = []
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        map_rows.append((
+            os.path.basename(a["path"]),
+            *[pv.get(phys_of[c]) for c in partition_cols],
+        ))
+    map_schema = T.StructType(
+        [T.StructField("__file_name", T.StringType())]
+        + [T.StructField(f"__pv_{c}", T.StringType()) for c in partition_cols]
+    )
+    pv_df = F.broadcast(spark.createDataFrame(map_rows, map_schema))
+    scan = scan.withColumn(
+        "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    )
+    joined = scan.join(pv_df, "__file_name", "inner")
+    return joined.select([
+        F.col(f"__pv_{c}").cast(ltypes[c]).alias(c) if c in partition_cols
+        else F.col(phys_of[c]).cast(ltypes[c]).alias(c)
+        for c in order
+    ])

@@ -66,7 +66,7 @@ def _live_before(table_path: str) -> dict[str, dict]:
     from datalake_polygonscan_spark.io.delta_reader import _replay
 
     try:
-        _schema, _pcols, live, _v = _replay(table_path, None)
+        _schema, _pcols, live, _v, _cm = _replay(table_path, None)
         return live
     except FileNotFoundError:
         return {}

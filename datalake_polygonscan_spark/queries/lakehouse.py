@@ -3186,7 +3186,7 @@ def s44_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-enter as typed literals per add.partitionValues. Graded: "
         "live snapshot content, VERSION AS OF 0 content, live-file "
         "count from metadata alone, and the protocol CAPABILITY GATE "
-        "(a minReaderVersion=3 table requiring columnMapping must "
+        "(a minReaderVersion=3 table requiring variantType must "
         "raise DeltaProtocolError, not silently mis-scan). VERDICT r7 "
         "'Next round' #3; Iceberg manifests follow via S45's Avro"
     ),
@@ -3221,7 +3221,7 @@ def s47_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(_os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
         f.write(_json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping"],
+            "readerFeatures": ["variantType"],
         }}) + "\n")
         f.write(_json.dumps({"metaData": {
             "id": "x", "schemaString": sub.schema.json(), "partitionColumns": [],
@@ -3526,7 +3526,8 @@ def s52_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mapInPandas); files without DVs are untouched; VERSION AS OF "
         "0 (pre-DV) still reads everything (graded v0 aggregates). "
         "The round-8 capability gate for this feature is retired by "
-        "implementation; columnMapping remains honestly gated"
+        "implementation; columnMapping mode=name reads too (physical-"
+        "name tree rename), mode=id remains honestly gated"
     ),
 )
 def s47d_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,10 +84,10 @@ def test_protocol_gate_and_supported_v3(spark, tmp_path):
     bad = str(tmp_path / "bad")
     _commit(os.path.join(bad, "_delta_log"), 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["columnMapping"]}},
+                      "readerFeatures": ["variantType"]}},
         {"metaData": {"id": "t", "schemaString": schema.json(), "partitionColumns": []}},
     ])
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         read_delta_table(spark, bad)
 
     ok = str(tmp_path / "ok")
@@ -171,27 +171,75 @@ def test_checkpoint_parquet_replaces_json_prefix(spark, tmp_path):
         read_delta_table(spark, table, version=0)  # compacted away
 
 
-def test_legacy_column_mapping_gates(spark, tmp_path):
-    """ADVICE r8: minReaderVersion=2 tables carry NO readerFeatures —
-    the version number itself demands column mapping, and the physical
-    col-<uuid> parquet names would silently read as all-null logical
-    columns. Must raise; same for metaData's columnMapping.mode."""
-    schema = spark.range(0).selectExpr("id AS k").schema
-    v2 = str(tmp_path / "v2legacy")
-    _commit(os.path.join(v2, "_delta_log"), 0, [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {"id": "t", "schemaString": schema.json(), "partitionColumns": []}},
-    ])
-    with pytest.raises(DeltaProtocolError, match="column mapping"):
-        read_delta_table(spark, v2)
+def _cm_schema_json():
+    """A column-mapped schemaString: logical names with
+    delta.columnMapping.physicalName metadata through the tree."""
+    return json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-ppp"}},
+        {"name": "nest", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-nnn"},
+         "type": {"type": "struct", "fields": [
+             {"name": "v", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-vvv"}},
+         ]}},
+    ]})
 
-    cm = str(tmp_path / "cmmode")
-    _commit(os.path.join(cm, "_delta_log"), 0, [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": {"id": "t", "schemaString": schema.json(), "partitionColumns": [],
-                      "configuration": {"delta.columnMapping.mode": "name"}}},
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """columnMapping mode='name' (round 9, was the ADVICE r8 gate):
+    data files carry col-<uuid> PHYSICAL names — including nested
+    struct fields — and add.partitionValues is keyed by physical
+    names; the reader must return logical names with correct values,
+    never silent nulls."""
+    table = str(tmp_path / "cmtab")
+    os.makedirs(table)
+    phys = spark.range(10).selectExpr(
+        "id AS `col-aaa`", "named_struct('col-vvv', CAST(id AS DOUBLE)) AS `col-nnn`")
+    f1 = _write_parquet(spark, phys.filter("`col-aaa` < 5"),
+                        os.path.join(table, "f1.parquet"))
+    f2 = _write_parquet(spark, phys.filter("`col-aaa` >= 5"),
+                        os.path.join(table, "f2.parquet"))
+    _commit(os.path.join(table, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "schemaString": _cm_schema_json(),
+                      "partitionColumns": ["part"],
+                      "configuration": {"delta.columnMapping.mode": "name",
+                                        "delta.columnMapping.maxColumnId": "4"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {"col-ppp": "lo"},
+                 "size": f1, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {"col-ppp": "hi"},
+                 "size": f2, "dataChange": True}},
     ])
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    out = read_delta_table(spark, table)
+    assert out.columns == ["k", "part", "nest"]
+    rows = {r.k: (r.part, r.nest.v) for r in out.collect()}
+    assert rows == {i: ("lo" if i < 5 else "hi", float(i)) for i in range(10)}
+    # v3 feature-flagged variant also reads
+    _commit(os.path.join(table, "_delta_log"), 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+    ])
+    assert read_delta_table(spark, table).count() == 10
+
+
+def test_column_mapping_id_mode_gates(spark, tmp_path):
+    """mode='id' matches by parquet field id — beyond Spark's
+    name-based reader; must raise, not silently mis-read."""
+    cm = str(tmp_path / "cmid")
+    _commit(os.path.join(cm, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "schemaString": _cm_schema_json(),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="columnMapping.mode='id'"):
         read_delta_table(spark, cm)
 
 
