@@ -57,6 +57,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -82,13 +83,41 @@ _ICE_TO_SPARK = {
 }
 
 
+def _spark_type(t) -> T.DataType:
+    """Iceberg schema-JSON type -> Spark type (spec 'Schemas': nested
+    struct/list/map objects, decimal(P,S)/fixed[N] parameterized
+    strings, plus the primitive table)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(f["name"], _spark_type(f["type"]),
+                              not f.get("required", False))
+                for f in t["fields"]
+            ])
+        if kind == "list":
+            return T.ArrayType(_spark_type(t["element"]),
+                               not t.get("element-required", False))
+        if kind == "map":
+            return T.MapType(_spark_type(t["key"]), _spark_type(t["value"]),
+                             not t.get("value-required", False))
+        raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        m = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if re.match(r"^fixed\[\d+\]$", t):
+            return T.BinaryType()
+    raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
+
+
 def _spark_schema(ice_schema: dict) -> T.StructType:
     fields = []
     for f in ice_schema["fields"]:
-        t = f["type"]
-        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
-            raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
-        fields.append(T.StructField(f["name"], _ICE_TO_SPARK[t], not f.get("required", False)))
+        fields.append(T.StructField(
+            f["name"], _spark_type(f["type"]), not f.get("required", False)))
     return T.StructType(fields)
 
 

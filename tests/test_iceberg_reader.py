@@ -249,3 +249,78 @@ def test_delete_plan_is_single_scan_broadcast_antijoins(spark, del_table):
     plan = live._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_nested_and_decimal_schema_types(spark, tmp_path):
+    """Round 9: the metadata schema mapper covers the spec's nested
+    struct/list/map JSON objects and decimal(P,S)/fixed[N] strings —
+    a table with nested columns reads under the right Spark types."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_polygonscan_spark.io.avro import write_avro_file
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    t = str(tmp_path / "nesttab")
+    ddir, mdir = os.path.join(t, "data"), os.path.join(t, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    from decimal import Decimal
+
+    tbl = pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "amount": pa.array([Decimal("12.345"), Decimal("-0.001")],
+                           type=pa.decimal128(10, 3)),
+        "nest": pa.array([{"a": 1, "tags": ["x", "y"]}, {"a": 2, "tags": []}],
+                         type=pa.struct([("a", pa.int32()),
+                                         ("tags", pa.list_(pa.string()))])),
+        "m": pa.array([{"p": 1.5}, {"q": 2.5}],
+                      type=pa.map_(pa.string(), pa.float64())),
+    })
+    dpath = os.path.join(ddir, "f1.parquet")
+    pq.write_table(tbl, dpath)
+    mpath = os.path.join(mdir, "m1.avro")
+    msize = write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [{
+        "status": 1, "snapshot_id": 1, "sequence_number": 1,
+        "data_file": {"content": 0, "file_path": dpath,
+                      "file_format": "PARQUET", "partition": None,
+                      "record_count": 2,
+                      "file_size_in_bytes": os.path.getsize(dpath),
+                      "equality_ids": None}}])
+    ml = os.path.join(mdir, "snap-1.avro")
+    write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
+        "manifest_path": mpath, "manifest_length": msize,
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "added_snapshot_id": 1}])
+    _json.dump({
+        "format-version": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": True, "type": "long"},
+            {"id": 2, "name": "amount", "type": "decimal(10, 3)"},
+            {"id": 3, "name": "nest", "type": {"type": "struct", "fields": [
+                {"id": 4, "name": "a", "type": "int"},
+                {"id": 5, "name": "tags", "type": {
+                    "type": "list", "element-id": 6, "element": "string",
+                    "element-required": True}},
+            ]}},
+            {"id": 7, "name": "m", "type": {
+                "type": "map", "key-id": 8, "key": "string",
+                "value-id": 9, "value": "double", "value-required": True}},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
+    }, open(os.path.join(mdir, "v1.metadata.json"), "w"))
+    open(os.path.join(mdir, "version-hint.text"), "w").write("1")
+
+    out = read_iceberg_table(spark, t)
+    assert [f.dataType.simpleString() for f in out.schema] == [
+        "bigint", "decimal(10,3)", "struct<a:int,tags:array<string>>",
+        "map<string,double>"]
+    rows = {r.k: r for r in out.collect()}
+    assert str(rows[1].amount) == "12.345" and rows[1].nest.tags == ["x", "y"]
+    assert rows[2].m == {"q": 2.5} and rows[2].nest.a == 2
