@@ -121,6 +121,135 @@ def _spark_schema(ice_schema: dict) -> T.StructType:
     return T.StructType(fields)
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm, Appendix B of
+    the Iceberg spec names it for the bucket transform)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n4:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(value, n: int) -> int:
+    """Iceberg bucket[N] (spec 'Bucket Transform Details'): int/long/
+    date hash as the 8-byte little-endian LONG, strings as UTF-8;
+    bucket = (murmur3 & Integer.MAX_VALUE) % N."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        raise IcebergProtocolError("bucket transform undefined for boolean")
+    if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        value = (value - _dt.date(1970, 1, 1)).days
+    if isinstance(value, int):
+        data = value.to_bytes(8, "little", signed=True)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, bytes):
+        data = value
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform unsupported for {type(value).__name__}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def transform_value(transform: str, value):
+    """Apply one partition transform to a SOURCE value (spec
+    'Partition Transforms') — identity, bucket[N], truncate[W] for
+    strings (prefix) and ints (floor-to-width), and the date family
+    (year/month/day as offsets from epoch, the spec's integer forms).
+    Used to derive the manifest partition tuple a filtered source
+    value must land in."""
+    import datetime as _dt
+
+    if transform == "identity":
+        return value
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if m:
+        return _bucket_of(value, int(m.group(1)))
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, int):
+            return value - (value % w)
+        raise IcebergProtocolError(
+            f"truncate transform unsupported for {type(value).__name__}")
+    if transform in ("year", "month", "day"):
+        if isinstance(value, str):
+            value = _dt.date.fromisoformat(value[:10])
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if not isinstance(value, _dt.date):
+            raise IcebergProtocolError(
+                f"{transform} transform needs a date/timestamp value")
+        if transform == "year":
+            return value.year - 1970
+        if transform == "month":
+            return (value.year - 1970) * 12 + value.month - 1
+        return (value - _dt.date(1970, 1, 1)).days
+    raise IcebergProtocolError(f"unsupported partition transform {transform!r}")
+
+
+def _resolve_partition_filter(meta: dict, partition_filter: dict) -> dict:
+    """Source-column equality filter -> the partition-tuple equality
+    it implies under the default partition spec. A key that already
+    names a PARTITION FIELD passes through unchanged (the pre-round-9
+    identity behavior); a key naming a SOURCE column is transformed
+    per its spec field. Values compare stringified — the fixture
+    manifests carry string-map partition tuples."""
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", ())}
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    by_field_name = {f["name"]: f for f in spec["fields"]}
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", ())}
+    schema = schemas.get(meta.get("current-schema-id", 0), {"fields": []})
+    by_source_id = {}
+    for f in spec["fields"]:
+        by_source_id.setdefault(f["source-id"], []).append(f)
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    out = {}
+    for col, val in partition_filter.items():
+        if col in by_field_name and by_field_name[col]["transform"] == "identity":
+            out[col] = str(val)
+            continue
+        sid = name_to_id.get(col)
+        fields = by_source_id.get(sid, [])
+        if not fields:
+            raise IcebergProtocolError(
+                f"partition_filter column {col!r} matches no partition field "
+                "or source column of the default spec"
+            )
+        for f in fields:
+            out[f["name"]] = str(transform_value(f["transform"], val))
+    return out
+
+
 def _load_metadata(table_path: str) -> dict:
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
@@ -193,9 +322,12 @@ def _live_files(
             if content == 0:
                 if partition_filter:
                     part = df_rec.get("partition") or {}
-                    # identity-transform pruning: the manifest entry's
+                    # transform-aware pruning: the manifest entry's
                     # partition tuple decides BEFORE any file is opened
-                    if any(part.get(k) != v for k, v in partition_filter.items()):
+                    # (filter values pre-resolved by
+                    # _resolve_partition_filter; stringified compare)
+                    if any(str(part.get(k)) != str(v)
+                           for k, v in partition_filter.items()):
                         continue
                 data.append(df_rec)
             elif content == 1:
@@ -230,6 +362,8 @@ def read_iceberg_table(
     schemas = {s["schema-id"]: s for s in meta.get("schemas", ())}
     ice_schema = schemas[meta["current-schema-id"]]
     schema = _spark_schema(ice_schema)
+    if partition_filter:
+        partition_filter = _resolve_partition_filter(meta, partition_filter)
     _, files, pos_dels, eq_dels = _live_files(
         table_path, meta, snapshot_id, partition_filter
     )

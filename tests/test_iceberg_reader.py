@@ -324,3 +324,92 @@ def test_nested_and_decimal_schema_types(spark, tmp_path):
     rows = {r.k: r for r in out.collect()}
     assert str(rows[1].amount) == "12.345" and rows[1].nest.tags == ["x", "y"]
     assert rows[2].m == {"q": 2.5} and rows[2].nest.a == 2
+
+
+def test_transform_partition_pruning(spark, tmp_path):
+    """Round 9: pruning through NON-identity transforms — a filter on
+    the SOURCE column resolves to the bucket[4]/truncate[2] partition
+    tuple via the spec's transforms (murmur3 bucket verified against
+    the spec's Appendix-B vectors), so pruned partitions never open a
+    data file."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_polygonscan_spark.io.avro import write_avro_file
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _bucket_of,
+        _murmur3_32,
+    )
+
+    # the spec's own bucket-hash vectors pin the murmur3 implementation
+    assert _murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert _murmur3_32(b"iceberg") == 1210000089
+
+    t = str(tmp_path / "btab")
+    ddir, mdir = os.path.join(t, "data"), os.path.join(t, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    rows = [(k, f"u{k % 7}") for k in range(40)]
+    entries = []
+    by_part = {}
+    for k, name in rows:
+        key = (_bucket_of(k, 4), name[:2])
+        by_part.setdefault(key, []).append((k, name))
+    for (b, pre), prows in sorted(by_part.items()):
+        path = os.path.join(ddir, f"f-{b}-{pre}.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([r[0] for r in prows], type=pa.int64()),
+            "name": pa.array([r[1] for r in prows]),
+        }), path)
+        entries.append({"status": 1, "snapshot_id": 1, "sequence_number": 1,
+                        "data_file": {
+                            "content": 0, "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": {"k_bucket": str(b), "name_trunc": pre},
+                            "record_count": len(prows),
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "equality_ids": None}})
+    mpath = os.path.join(mdir, "m1.avro")
+    msize = write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    ml = os.path.join(mdir, "snap-1.avro")
+    write_avro_file(ml, _MANIFEST_FILE_SCHEMA, [{
+        "manifest_path": mpath, "manifest_length": msize,
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "added_snapshot_id": 1}])
+    _json.dump({
+        "format-version": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "name", "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "k_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000},
+            {"name": "name_trunc", "transform": "truncate[2]",
+             "source-id": 2, "field-id": 1001},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": ml}],
+    }, open(os.path.join(mdir, "v1.metadata.json"), "w"))
+    open(os.path.join(mdir, "version-hint.text"), "w").write("1")
+
+    full = read_iceberg_table(spark, t)
+    assert len(full.inputFiles()) == len(by_part)
+    # filter on the SOURCE integer column: only the bucket's files open
+    pruned = read_iceberg_table(spark, t, partition_filter={"k": 17})
+    want_files = sum(1 for (b, _p) in by_part if b == _bucket_of(17, 4))
+    assert len(pruned.inputFiles()) == want_files < len(by_part)
+    assert 17 in {r.k for r in pruned.collect()}
+    # filter on the SOURCE string column through truncate[2]
+    pruned2 = read_iceberg_table(spark, t, partition_filter={"name": "u3"})
+    assert {r.name for r in pruned2.collect()} >= {"u3"}
+    assert len(pruned2.inputFiles()) == sum(1 for (_b, p) in by_part if p == "u3")
+    # unknown column refuses rather than silently scanning everything
+    from datalake_polygonscan_spark.io.iceberg_reader import IcebergProtocolError
+    with pytest.raises(IcebergProtocolError, match="matches no partition"):
+        read_iceberg_table(spark, t, partition_filter={"nope": 1})
