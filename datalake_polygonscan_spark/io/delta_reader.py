@@ -718,19 +718,35 @@ def _read_column_mapped(
     }
     adds = list(live.values())
     all_paths = [os.path.join(table_path, a["path"]) for a in adds]
+    dv_adds = {
+        os.path.basename(a["path"]): dict(a["deletionVector"])
+        for a in adds if a.get("deletionVector")
+    }
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
     phys_data_schema = T.StructType([
         T.StructField(phys_of[f.name], _physical_type(f.dataType), f.nullable)
         for f in data_fields
     ])
     scan = spark.read.schema(phys_data_schema).parquet(*all_paths)
+    if dv_adds:
+        scan = scan.withColumn(
+            "__dv_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
 
     order = [f.name for f in schema.fields]
     ltypes = {f.name: _logical_type(f.dataType) for f in schema.fields}
+    stamps = ["__dv_file", "__dv_pos"] if dv_adds else []
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if dv_adds:
+            df = _apply_deletion_vectors(spark, table_path, df, dv_adds)
+        return df.select(order)
+
     if not partition_cols:
-        return scan.select([
+        return _finish(scan.select([
             F.col(phys_of[n]).cast(ltypes[n]).alias(n) for n in order
-        ])
+        ] + stamps))
 
     # partitionValues keyed by PHYSICAL names -> broadcast map join on
     # the scan's file basename (same plan shape as the non-hive path)
@@ -755,8 +771,8 @@ def _read_column_mapped(
         "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     )
     joined = scan.join(pv_df, "__file_name", "inner")
-    return joined.select([
+    return _finish(joined.select([
         F.col(f"__pv_{c}").cast(ltypes[c]).alias(c) if c in partition_cols
         else F.col(phys_of[c]).cast(ltypes[c]).alias(c)
         for c in order
-    ])
+    ] + stamps))

@@ -479,3 +479,41 @@ def test_roaring_codec_shapes(tmp_path):
     body = struct.pack("<Iq", 1681511377, 1) + struct.pack("<I", 0) + struct.pack("<I", 12347)
     with _pytest.raises(RoaringFormatError, match="run-container"):
         deserialize_rbm64(body)
+
+
+def test_column_mapping_with_deletion_vectors(spark, tmp_path):
+    """A modern table can carry BOTH columnMapping=name and deletion
+    vectors; the cm scan path must apply the DV anti-join too (review
+    round 9: it silently skipped them before this test existed)."""
+    from datalake_polygonscan_spark.io.roaring import (
+        serialize_rbm64,
+        z85_encode,
+    )
+
+    table = str(tmp_path / "cmdv")
+    os.makedirs(table)
+    phys = spark.range(10).selectExpr(
+        "id AS `col-aaa`", "named_struct('col-vvv', CAST(id AS DOUBLE)) AS `col-nnn`")
+    f1 = _write_parquet(spark, phys, os.path.join(table, "f1.parquet"))
+    body = serialize_rbm64([2, 5])  # drop positions 2 and 5 (k=2, k=5)
+    body += b"\x00" * (-len(body) % 4)
+    schema_json = _cm_schema_json()
+    # drop the partition column from the cm schema for this table
+    doc = json.loads(schema_json)
+    doc["fields"] = [f for f in doc["fields"] if f["name"] != "part"]
+    _commit(os.path.join(table, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping", "deletionVectors"]}},
+        {"metaData": {"id": "t", "schemaString": json.dumps(doc),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": f1,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "i",
+                                    "pathOrInlineDv": z85_encode(body),
+                                    "offset": 0, "sizeInBytes": len(body),
+                                    "cardinality": 2}}},
+    ])
+    out = read_delta_table(spark, table)
+    assert out.columns == ["k", "nest"]
+    assert {r.k for r in out.collect()} == set(range(10)) - {2, 5}
