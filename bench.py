@@ -310,6 +310,7 @@ HEADLINE = [
     "s50m_hudi_mor_reader",
     "s47d_delta_deletion_vectors",
     "s52_delta_export_interop",
+    "s53_iceberg_export_interop",
     "s45n_avro_nested_decimal",
 ]
 

@@ -3577,6 +3577,105 @@ def s47d_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s53_iceberg_export_interop",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), v1 AS (
+        SELECT * FROM sub WHERE k % 2 = 0
+    )
+    SELECT s.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(s.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM v1
+             WHERE v1.o_orderstatus = s.o_orderstatus) AS n_rows_v1,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM v1
+             WHERE v1.o_orderstatus = s.o_orderstatus) AS sum_v1,
+           CAST(2 AS BIGINT) AS n_snapshots,
+           TRUE AS meta_count_matches,
+           TRUE AS prune_works
+    FROM sub s GROUP BY s.o_orderstatus
+    """,
+    doc=(
+        "S53 WRITE-side Apache Iceberg v2 interop (round 9 — the "
+        "Iceberg twin of S52, so foreign interop goes BOTH directions "
+        "for both major formats): io/iceberg_writer.py emits a "
+        "conformant metadata tree — metadata.json with schemas/"
+        "partition-specs/snapshot history, manifest + manifest-list "
+        "Avro composed by the in-repo from-scratch encoder, per-file "
+        "record_count taken from the parquet FOOTER alone, identity "
+        "partition spec fields, append keeps prior manifests, "
+        "overwrite is the REPLACE commit (prior snapshots still "
+        "time-travel), metadata.json + version-hint published by "
+        "atomic rename — over Spark's own parallel partitioned "
+        "parquet write. Graded ROUND-TRIP through the S48 FOREIGN "
+        "READER alone: live + snapshot-1 aggregates after an append, "
+        "the spec's metadata-only COUNT(*) agreeing with the scan "
+        "(meta_count_matches), and manifest partition PRUNING working "
+        "on our own export (prune_works: the pruned scan opens "
+        "strictly fewer files yet returns exactly the partition)"
+    ),
+)
+def s53_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        read_iceberg_table,
+        snapshot_info,
+    )
+    from datalake_polygonscan_spark.io.iceberg_writer import write_iceberg_table
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    table = _scratch("s53_iceberg_export", "exported_orders")
+    _shutil.rmtree(table, ignore_errors=True)
+    r1 = write_iceberg_table(spark, sub.filter(F.col("k") % 2 == 0), table,
+                             ["o_orderstatus"])
+    write_iceberg_table(spark, sub.filter(F.col("k") % 2 == 1), table,
+                        ["o_orderstatus"], mode="append")
+
+    live = read_iceberg_table(spark, table)
+    v1 = read_iceberg_table(spark, table, snapshot_id=r1["snapshot_id"])
+    info = snapshot_info(table)
+    meta_count_matches = bool(info["record_count"] == live.count())
+
+    one_status = sub.select(F.min("o_orderstatus")).collect()[0][0]
+    pruned = read_iceberg_table(
+        spark, table, partition_filter={"o_orderstatus": str(one_status)}
+    )
+    prune_works = bool(
+        0 < len(pruned.inputFiles()) < len(live.inputFiles())
+        and pruned.count()
+        == sub.filter(F.col("o_orderstatus") == one_status).count()
+    )
+
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v1_agg = v1.groupBy(F.col("o_orderstatus").alias("st1")).agg(
+        F.count("*").alias("n_rows_v1"), _dbl_sum("value", "sum_v1")
+    )
+    return (
+        live_agg.join(v1_agg, live_agg["o_orderstatus"] == v1_agg["st1"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v1", "sum_v1",
+            F.lit(info["n_snapshots"]).cast("long").alias("n_snapshots"),
+            F.lit(meta_count_matches).alias("meta_count_matches"),
+            F.lit(prune_works).alias("prune_works"),
+        )
+    )
+
+
+@register(
     "s50m_hudi_mor_reader",
     oracle="""
     WITH sub AS (

@@ -1122,6 +1122,17 @@ _suite(
             "bad_version_still_readable": "mor_gate_raises",
             "resolved_v0": "inflight_invisible",
         }),
+        # round 9: S53 WRITE-side Iceberg interop — emitted metadata
+        # tree round-trips through the foreign reader; manifest
+        # pruning works on our own export
+        ("iceberg_export", "s53_iceberg_export_interop", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v1",
+            "n_vacuumed": "n_rows_v1",
+            "n_versions_logged": "n_snapshots",
+            "resolved_v0": "meta_count_matches",
+            "bad_version_still_readable": "prune_works",
+        }),
         # round 9: S52 WRITE-side Delta interop — emitted _delta_log
         # round-trips through the foreign reader + validates
         ("delta_export", "s52_delta_export_interop", {
