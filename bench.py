@@ -303,7 +303,7 @@ HEADLINE = [
     "s49_avro_stream_source",
     "s50_hudi_reader",
     "ml19_isotonic_calibration",
-    # round-11 additions: v2 row-level deletes in the foreign Iceberg
+    # round-9 additions: v2 row-level deletes in the foreign Iceberg
     # reader, Hudi Merge-on-Read log merge, Delta deletion vectors,
     # write-side Delta interop round trip, Avro decimal + nested trees
     "s48d_iceberg_v2_deletes",

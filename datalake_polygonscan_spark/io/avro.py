@@ -13,9 +13,12 @@ Wire format (spec "Object Container Files"):
               length-prefixed bytes/strings, union = branch index then
               value), optionally DEFLATE-compressed (raw RFC 1951)
 
-Codec family is entirely in-repo: reads decode via
+Codec family is entirely in-repo: deflate reads decode via
 ``operators/deflate.py:inflate`` (from-scratch INFLATE), writes encode
-via ``deflate_fixed`` (fixed-Huffman LZ77, also from scratch).
+via ``deflate_fixed`` (fixed-Huffman LZ77, also from scratch); snappy
+(round 10) via ``io/snappy.py`` (raw snappy block format + the Avro
+frame's big-endian CRC-32 of the uncompressed bytes, per the Avro
+spec's Required Codecs).
 
 Spark integration is the Spark 4 Python DataSource API, same tier as
 the paginated wallet source (io/paginated_source.py) and the CSV
@@ -43,7 +46,7 @@ unscaled int, precision/scale carried in the schema, exact resolution
 gated on identical precision/scale), arrays, string-keyed maps, and
 records NESTED TO ANY DEPTH (record-in-record, array<struct<...>>,
 temporal fields inside nested positions convert per value). Codec
-gate: anything beyond null/deflate (e.g. snappy) raises with a clear
+gate: anything beyond null/deflate/snappy raises with a clear
 message instead of decoding garbage.
 
 Scale notes: the sync-range splitter means reader parallelism follows
@@ -74,6 +77,10 @@ from pyspark.sql.datasource import (
 )
 
 from datalake_polygonscan_spark.operators.deflate import deflate_fixed, inflate
+from datalake_polygonscan_spark.io.snappy import (
+    avro_snappy_decode,
+    avro_snappy_encode,
+)
 
 MAGIC = b"Obj\x01"
 
@@ -511,7 +518,7 @@ class AvroWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.root = options["path"]
         self.codec = (options.get("codec") or "null").lower()
-        if self.codec not in ("null", "deflate"):
+        if self.codec not in ("null", "deflate", "snappy"):
             raise ValueError(f"avro_scratch: unsupported codec {self.codec!r}")
         self.schema_json = schema_to_avro_json(schema)
         self.overwrite = overwrite
@@ -551,6 +558,8 @@ class AvroWriter(DataSourceArrowWriter):
                         enc(col[i], payload)
                 if self.codec == "deflate":
                     payload = deflate_fixed(bytes(payload))
+                elif self.codec == "snappy":
+                    payload = avro_snappy_encode(bytes(payload))
                 block = bytearray()
                 _enc_long(batch.num_rows, block)
                 _enc_long(len(payload), block)
@@ -660,6 +669,8 @@ class AvroReader(DataSourceReader):
                     raise ValueError(f"avro_scratch: truncated block in {partition.path}")
                 if codec == "deflate":
                     payload = inflate(payload)
+                elif codec == "snappy":
+                    payload = avro_snappy_decode(payload)
                 elif codec != "null":
                     raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
                 cols: list[list] = [[] for _ in names]
@@ -742,6 +753,8 @@ def write_avro_file(path: str, schema_json: str, rows: list, codec: str = "null"
         enc(r, payload)
     if codec == "deflate":
         payload = bytearray(deflate_fixed(bytes(payload)))
+    elif codec == "snappy":
+        payload = bytearray(avro_snappy_encode(bytes(payload)))
     elif codec != "null":
         raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
     out = bytearray(write_header(schema_json, codec, sync))
@@ -777,11 +790,11 @@ def read_avro_file(path: str) -> tuple[dict, list]:
     data = open(path, "rb").read()
     meta, sync, pos = parse_header(data)
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(
             f"avro_scratch: unsupported codec {codec!r} in {path} — this "
-            "reader implements null and deflate; recompress the file "
-            "(e.g. snappy requires a codec this engine does not ship)"
+            "reader implements null, deflate, and snappy; recompress the "
+            "file to one of those"
         )
     rec = json.loads(meta["avro.schema"].decode("utf-8"))
     dec = _decoder_of(rec)
@@ -794,6 +807,8 @@ def read_avro_file(path: str) -> tuple[dict, list]:
         pos += n_bytes
         if codec == "deflate":
             payload = inflate(payload)
+        elif codec == "snappy":
+            payload = avro_snappy_decode(payload)
         p2 = 0
         for _ in range(n_rows):
             row, p2 = dec(payload, p2)

@@ -333,20 +333,48 @@ def read_delta_table(
     order = [f.name for f in schema.fields]
     adds = list(live.values())
     all_paths = [os.path.join(table_path, a["path"]) for a in adds]
-    dv_adds = {
-        os.path.basename(a["path"]): dict(a["deletionVector"])
-        for a in adds if a.get("deletionVector")
-    }
+    names = [os.path.basename(a["path"]) for a in adds]
+    unique_basenames = len(set(names)) == len(names)
+    dv_present = any(a.get("deletionVector") for a in adds)
+    if dv_present and unique_basenames:
+        # Delta writers name files with UUIDs, so basenames are unique
+        # in practice and the cheapest stable file key is the basename.
+        dv_adds = {
+            os.path.basename(a["path"]): dict(a["deletionVector"])
+            for a in adds if a.get("deletionVector")
+        }
+        dv_key_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    elif dv_present:
+        # Duplicate basenames across partition dirs (ADVICE r9: keying
+        # by basename alone silently deleted positions from BOTH
+        # files). Key by the full RELATIVE path instead — recoverable
+        # from the scan's file_path when every live file sits at the
+        # same directory depth; mixed depths gate loudly.
+        depths = {a["path"].count("/") for a in adds}
+        if len(depths) != 1:
+            raise DeltaProtocolError(
+                "deletion vectors over duplicate data-file basenames at "
+                "mixed path depths — cannot key rows to files safely"
+            )
+        dv_adds = {
+            a["path"]: dict(a["deletionVector"])
+            for a in adds if a.get("deletionVector")
+        }
+        dv_key_expr = F.substring_index(
+            F.col("_metadata.file_path"), "/", -(depths.pop() + 1)
+        )
+    else:
+        dv_adds = {}
+        dv_key_expr = None
 
     def _stamp(df: DataFrame) -> DataFrame:
         """Row-position stamps for deletion-vector application, taken
         from the scan's own metadata columns."""
         if not dv_adds:
             return df
-        return df.withColumn(
-            "__dv_file",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        return df.withColumn("__dv_file", dv_key_expr).withColumn(
+            "__dv_pos", F.col("_metadata.row_index")
+        )
 
     def _finish(df: DataFrame) -> DataFrame:
         if dv_adds:
@@ -366,8 +394,7 @@ def read_delta_table(
     data_fields = [f for f in schema.fields if f.name not in partition_cols]
     data_schema = T.StructType(data_fields)
     ptypes = {f.name: f.dataType for f in schema.fields}
-    names = [os.path.basename(a["path"]) for a in adds]
-    if len(set(names)) == len(names):
+    if unique_basenames:
         map_rows = []
         for a in adds:
             pv = a.get("partitionValues") or {}

@@ -222,8 +222,10 @@ def _resolve_partition_filter(meta: dict, partition_filter: dict) -> dict:
     it implies under the default partition spec. A key that already
     names a PARTITION FIELD passes through unchanged (the pre-round-9
     identity behavior); a key naming a SOURCE column is transformed
-    per its spec field. Values compare stringified — the fixture
-    manifests carry string-map partition tuples."""
+    per its spec field. Values stay TYPED here — entry-level pruning
+    compares stringified (fixture manifests carry string-map partition
+    tuples), manifest-LIST summary pruning compares typed against the
+    decoded field_summary bounds."""
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", ())}
     spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
     by_field_name = {f["name"]: f for f in spec["fields"]}
@@ -236,7 +238,7 @@ def _resolve_partition_filter(meta: dict, partition_filter: dict) -> dict:
     out = {}
     for col, val in partition_filter.items():
         if col in by_field_name and by_field_name[col]["transform"] == "identity":
-            out[col] = str(val)
+            out[col] = val
             continue
         sid = name_to_id.get(col)
         fields = by_source_id.get(sid, [])
@@ -246,8 +248,83 @@ def _resolve_partition_filter(meta: dict, partition_filter: dict) -> dict:
                 "or source column of the default spec"
             )
         for f in fields:
-            out[f["name"]] = str(transform_value(f["transform"], val))
+            out[f["name"]] = transform_value(f["transform"], val)
     return out
+
+
+def _partition_result_kinds(meta: dict) -> list[tuple[str, str | None]]:
+    """Default-spec partition fields in SPEC ORDER (the order
+    field_summary lists follow, spec 'Manifest Lists') as
+    (field_name, result_type) — bucket/year/month/day yield 'int',
+    identity/truncate the source column's primitive type, None when
+    the result type is not a bound-comparable primitive."""
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", ())}
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", ())}
+    schema = schemas.get(meta.get("current-schema-id", 0), {"fields": []})
+    src_type = {f["id"]: f["type"] for f in schema["fields"]}
+    out = []
+    for f in spec["fields"]:
+        tr = f["transform"]
+        if tr.startswith("bucket[") or tr in ("year", "month", "day"):
+            rt = "int"
+        else:  # identity / truncate keep the source type
+            rt = src_type.get(f["source-id"])
+            if not isinstance(rt, str):
+                rt = None
+        out.append((f["name"], rt))
+    return out
+
+
+def _decode_bound(b, t: str | None):
+    """Iceberg single-value binary (spec Appendix D) -> comparable
+    Python value; None = bound not decodable for pruning (keep the
+    manifest — pruning must only ever SKIP provably-excluded ones)."""
+    if b is None or t is None:
+        return None
+    b = bytes(b)
+    if t in ("int", "date"):
+        return int.from_bytes(b[:4], "little", signed=True) if len(b) >= 4 else None
+    if t in ("long", "timestamp", "timestamptz"):
+        return int.from_bytes(b[:8], "little", signed=True) if len(b) >= 8 else None
+    if t == "string":
+        return b.decode("utf-8", "replace")
+    return None
+
+
+def _manifest_matches(m: dict, filt_slots: list[tuple[int, object, str | None]]) -> bool:
+    """Manifest-list pruning (spec 'Manifest Lists'): a data manifest
+    whose per-field ``partitions`` summaries provably exclude the
+    filter value is skipped WITHOUT opening the manifest file — the
+    step that keeps planning sublinear in manifest count on big
+    tables. Absent/short summaries keep the manifest (safe)."""
+    sums = m.get("partitions")
+    if not sums:
+        return True
+    for pos, val, rt in filt_slots:
+        if pos >= len(sums):
+            continue
+        s = sums[pos] or {}
+        if val is None:
+            if s.get("contains_null") is False:
+                return False
+            continue
+        lo = _decode_bound(s.get("lower_bound"), rt)
+        hi = _decode_bound(s.get("upper_bound"), rt)
+        try:
+            if rt in ("int", "long", "date", "timestamp", "timestamptz"):
+                val = int(val)
+            elif rt == "string":
+                val = str(val)
+            if lo is not None and val < lo:
+                return False
+            # string upper bounds may be writer-truncated-and-rounded-
+            # up (spec): comparing <= the rounded bound is still safe
+            if hi is not None and val > hi:
+                return False
+        except (TypeError, ValueError):
+            continue
+    return True
 
 
 def _load_metadata(table_path: str) -> dict:
@@ -284,9 +361,82 @@ def _resolve_path(table_path: str, p: str) -> str:
     return p
 
 
+#: decode manifests EXECUTOR-side (one task per manifest, the
+#: io/hudi_log.py pattern) when at least this many survive
+#: manifest-list pruning; below it the driver decodes serially — a
+#: distributed job has fixed latency a 2-manifest fixture shouldn't
+#: pay, while a million-file table's planning must not be interpreted
+#: Python on one core (VERDICT r9's named scale-killer).
+DISTRIBUTED_MANIFEST_THRESHOLD = 8
+
+
+def _decode_manifests_distributed(
+    spark: SparkSession, table_path: str, manifests: list[dict],
+    partition_filter: dict | None,
+) -> list[dict]:
+    """Fan the surviving manifests out as one Spark task each; every
+    task Avro-decodes its manifest with the in-repo codec, applies the
+    entry-level partition filter locally, and returns only the LIVE
+    entries' planner fields (JSON rows — tiny relative to the decoded
+    manifests). The driver collects O(live files), which any planner
+    must hold anyway; the O(total entries) decode work is the part
+    that distributes."""
+    import pandas as pd
+
+    rows = [
+        (m["manifest_path"], int(m.get("sequence_number") or 0))
+        for m in manifests
+    ]
+    filt_str = {k: str(v) for k, v in (partition_filter or {}).items()}
+    tp = table_path
+
+    def _decode(batches):
+        import json as _json
+
+        from datalake_polygonscan_spark.io.avro import read_avro_file as _raf
+        from datalake_polygonscan_spark.io.iceberg_reader import (
+            _resolve_path as _rp,
+        )
+
+        for pdf in batches:
+            out = []
+            for mpath, m_seq in pdf.itertuples(index=False):
+                _, entries = _raf(_rp(tp, mpath))
+                for e in entries:
+                    if e["status"] not in (0, 1):  # EXISTING / ADDED
+                        continue
+                    d = e["data_file"]
+                    content = d.get("content", 0) or 0
+                    part = d.get("partition") or {}
+                    if content == 0 and filt_str and any(
+                        str(part.get(k)) != v for k, v in filt_str.items()
+                    ):
+                        continue
+                    e_seq = e.get("sequence_number")
+                    out.append(_json.dumps({
+                        "content": content,
+                        "file_path": d["file_path"],
+                        "file_format": d.get("file_format", "PARQUET"),
+                        "record_count": int(d.get("record_count") or 0),
+                        "file_size_in_bytes": int(d.get("file_size_in_bytes") or 0),
+                        "equality_ids": d.get("equality_ids"),
+                        "_seq": int(e_seq) if e_seq is not None else int(m_seq),
+                    }))
+            yield pd.DataFrame({"entry": out})
+
+    df = spark.createDataFrame(
+        rows, "manifest_path string, m_seq long"
+    ).repartition(len(rows))
+    return [
+        json.loads(r.entry)
+        for r in df.mapInPandas(_decode, "entry string").collect()
+    ]
+
+
 def _live_files(
     table_path: str, meta: dict, snapshot_id: int | None,
     partition_filter: dict | None = None,
+    spark: SparkSession | None = None,
 ):
     """-> (sid, data_files, pos_deletes, eq_deletes). Each element of
     the three lists is the manifest entry's ``data_file`` record with
@@ -306,21 +456,40 @@ def _live_files(
         raise ValueError(f"iceberg_reader: snapshot {sid} not in {sorted(snaps)}")
     mlist_path = _resolve_path(table_path, snaps[sid]["manifest-list"])
     _, manifests = read_avro_file(mlist_path)
-    data: list[dict] = []
-    pos_dels: list[dict] = []
-    eq_dels: list[dict] = []
-    for m in manifests:
-        m_seq = int(m.get("sequence_number") or 0)
-        _, entries = read_avro_file(_resolve_path(table_path, m["manifest_path"]))
-        for e in entries:
-            if e["status"] not in (0, 1):  # EXISTING / ADDED only
-                continue
-            df_rec = dict(e["data_file"])
-            e_seq = e.get("sequence_number")
-            df_rec["_seq"] = int(e_seq) if e_seq is not None else m_seq
-            content = df_rec.get("content", 0) or 0
-            if content == 0:
-                if partition_filter:
+
+    if partition_filter:
+        # manifest-LIST pruning: skip whole DATA manifests whose
+        # field_summary bounds exclude the filter value, before
+        # opening a single manifest file (delete manifests always
+        # load — deletes apply across partitions)
+        kinds = _partition_result_kinds(meta)
+        slot_of = {name: i for i, (name, _rt) in enumerate(kinds)}
+        filt_slots = [
+            (slot_of[k], v, kinds[slot_of[k]][1])
+            for k, v in partition_filter.items() if k in slot_of
+        ]
+        manifests = [
+            m for m in manifests
+            if (m.get("content") or 0) != 0 or _manifest_matches(m, filt_slots)
+        ]
+
+    if spark is not None and len(manifests) >= DISTRIBUTED_MANIFEST_THRESHOLD:
+        recs = _decode_manifests_distributed(
+            spark, table_path, manifests, partition_filter
+        )
+    else:
+        recs = []
+        for m in manifests:
+            m_seq = int(m.get("sequence_number") or 0)
+            _, entries = read_avro_file(_resolve_path(table_path, m["manifest_path"]))
+            for e in entries:
+                if e["status"] not in (0, 1):  # EXISTING / ADDED only
+                    continue
+                df_rec = dict(e["data_file"])
+                e_seq = e.get("sequence_number")
+                df_rec["_seq"] = int(e_seq) if e_seq is not None else m_seq
+                content = df_rec.get("content", 0) or 0
+                if content == 0 and partition_filter:
                     part = df_rec.get("partition") or {}
                     # transform-aware pruning: the manifest entry's
                     # partition tuple decides BEFORE any file is opened
@@ -329,19 +498,27 @@ def _live_files(
                     if any(str(part.get(k)) != str(v)
                            for k, v in partition_filter.items()):
                         continue
-                data.append(df_rec)
-            elif content == 1:
-                pos_dels.append(df_rec)
-            elif content == 2:
-                if not df_rec.get("equality_ids"):
-                    raise IcebergProtocolError(
-                        "equality delete file without equality_ids"
-                    )
-                eq_dels.append(df_rec)
-            else:
+                recs.append(df_rec)
+
+    data: list[dict] = []
+    pos_dels: list[dict] = []
+    eq_dels: list[dict] = []
+    for df_rec in recs:
+        content = df_rec.get("content", 0) or 0
+        if content == 0:
+            data.append(df_rec)
+        elif content == 1:
+            pos_dels.append(df_rec)
+        elif content == 2:
+            if not df_rec.get("equality_ids"):
                 raise IcebergProtocolError(
-                    f"unknown delete file content={content}"
+                    "equality delete file without equality_ids"
                 )
+            eq_dels.append(df_rec)
+        else:
+            raise IcebergProtocolError(
+                f"unknown delete file content={content}"
+            )
     return sid, data, pos_dels, eq_dels
 
 
@@ -365,7 +542,7 @@ def read_iceberg_table(
     if partition_filter:
         partition_filter = _resolve_partition_filter(meta, partition_filter)
     _, files, pos_dels, eq_dels = _live_files(
-        table_path, meta, snapshot_id, partition_filter
+        table_path, meta, snapshot_id, partition_filter, spark=spark
     )
     if not files:
         return spark.createDataFrame([], schema)
@@ -531,7 +708,10 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps({
             ]}},
     ]})
 
-#: manifest_file schema (spec "Manifest Lists", required subset)
+#: manifest_file schema (spec "Manifest Lists", required subset).
+#: ``partitions`` is the spec's per-spec-field field_summary list —
+#: the bounds that let a planner skip whole manifests before opening
+#: them (consumed by _manifest_matches).
 _MANIFEST_FILE_SCHEMA = json.dumps({
     "type": "record", "name": "manifest_file", "fields": [
         {"name": "manifest_path", "type": "string"},
@@ -541,7 +721,28 @@ _MANIFEST_FILE_SCHEMA = json.dumps({
         # nullable for fixture back-compat: absent -> seq 0 (v1 shape)
         {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "r508", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "contains_nan", "type": ["null", "boolean"]},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]},
+                ]}}]},
     ]})
+
+
+def encode_bound(value, t: str) -> bytes:
+    """Iceberg single-value binary (spec Appendix D) for the bound
+    types _decode_bound consumes — used by the fixture/export writers
+    to emit field_summary bounds."""
+    if t in ("int", "date"):
+        return int(value).to_bytes(4, "little", signed=True)
+    if t in ("long", "timestamp", "timestamptz"):
+        return int(value).to_bytes(8, "little", signed=True)
+    if t == "string":
+        return str(value).encode("utf-8")
+    raise IcebergProtocolError(f"no single-value encoding for type {t!r}")
 
 
 def write_foreign_iceberg_fixture(

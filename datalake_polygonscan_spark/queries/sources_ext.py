@@ -895,7 +895,8 @@ def s45_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— JVM codegen, no UDF), and a decimal_exact verdict holding "
         "the EXACT Decimal sums equal pre- vs post-round-trip. "
         "Resolution to a different precision/scale raises "
-        "(tests/test_avro.py); snappy-coded files fail loudly"
+        "(tests/test_avro.py); unknown codecs fail loudly (snappy "
+        "implemented from scratch in round 10 — io/snappy.py, s45s)"
     ),
 )
 def s45n_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,4 +1065,75 @@ def s51_avro_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_nationkey").cast("long").alias("sum_nation"),
         F.count_if(F.col("loyalty_tier").isNull()).cast("long").alias("n_null_added"),
         _dbl_sum("c_acctbal", "total_bal"),
+    )
+
+
+@register(
+    "s45s_avro_snappy_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           TRUE AS foreign_ok
+    FROM orders WHERE o_orderkey % 10 = 7
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "S45s Avro SNAPPY codec (round 10, VERDICT r9 'Next round' "
+        "#3): the from-scratch raw-snappy codec (io/snappy.py — "
+        "varint preamble + literal/copy tag stream from the public "
+        "format description, no python-snappy, no native lib) wrapped "
+        "in the Avro spec's snappy frame (big-endian CRC-32 of the "
+        "uncompressed block). orders writes through the DataSource "
+        "with codec=snappy into ONE container file, reads back "
+        "through the sync-split parallel reader (64 KiB splits), and "
+        "the aggregate must match the parquet original exactly — "
+        "every byte crosses encode -> snappy-compress -> CRC-frame -> "
+        "decompress -> decode. foreign_ok additionally decodes a "
+        "hand-composed stream using the 1-byte-offset overlapping-"
+        "copy form our encoder never emits (the foreign-bytes arm; "
+        "bit-exactness pinned harder in tests/test_avro.py). Unblocks "
+        "the most common real-world Avro files the round-9 codec "
+        "gate refused"
+    ),
+)
+def s45s_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_polygonscan_spark.io.avro import AvroDataSource
+    from datalake_polygonscan_spark.io.snappy import decompress
+
+    spark.dataSource.register(AvroDataSource)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+    path = _scratch("s45s_avro", "orders_snappy_avro")
+    (
+        o.coalesce(1)  # ONE container file: the read-side split fans out
+        .write.format("avro_scratch")
+        .option("codec", "snappy")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("avro_scratch")
+        .option("split_size", 64 * 1024)
+        .load(path)
+    )
+    # foreign-bytes check: literal 'abcd' + len-8 copy at offset 4
+    # (tag type 1, overlapping) -> 'abcdabcdabcd'
+    foreign = bytes([12, 3 << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+    foreign_ok = decompress(foreign) == b"abcdabcdabcd"
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dbl_sum("o_totalprice", "total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .withColumn("foreign_ok", F.lit(bool(foreign_ok)))
     )

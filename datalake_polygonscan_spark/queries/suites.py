@@ -3041,6 +3041,13 @@ _suite(
             "o_orderstatus": "content_md5",
             "codec_verified": "length_col_consistent",
         }),
+        # round 10: S45s from-scratch SNAPPY codec — raw-snappy block
+        # format + the Avro frame's CRC-32, foreign-bytes arm included
+        ("avro_snappy", "s45s_avro_snappy_roundtrip", {
+            "grp": "grp", "n_rows": "n_rows", "total": "total_price",
+            "sum_price": "CAST(min_key * 1000000 + max_key AS DOUBLE)",
+            "codec_verified": "foreign_ok",
+        }),
         # round 9: S45n Avro DEPTH — decimal logical type + nested
         # record trees (array<struct<struct>>) through the round-trip
         ("avro_nested", "s45n_avro_nested_decimal", {

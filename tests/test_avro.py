@@ -311,8 +311,9 @@ def test_decimal_logical_type_roundtrip_and_resolution(avro_spark, tmp_path):
 
 
 def test_unknown_codec_clear_error(avro_spark, tmp_path):
-    """A snappy-coded container must fail LOUDLY with a clear message
-    on both read paths — never silently decode garbage."""
+    """A container coded with something we don't implement must fail
+    LOUDLY with a clear message on both read paths — never silently
+    decode garbage (snappy graduated from this gate in round 10)."""
     import pytest as _pytest
 
     from datalake_polygonscan_spark.io.avro import (
@@ -320,12 +321,69 @@ def test_unknown_codec_clear_error(avro_spark, tmp_path):
         write_avro_file,
     )
 
-    path = str(tmp_path / "snappy.avro")
+    path = str(tmp_path / "brotli.avro")
     write_avro_file(path, '{"type":"record","name":"r","fields":'
                           '[{"name":"k","type":"long"}]}', [{"k": 1}])
     raw = open(path, "rb").read()
-    open(path, "wb").write(raw.replace(b"\x08null", b"\x0csnappy"))
-    with _pytest.raises(ValueError, match="snappy"):
+    open(path, "wb").write(raw.replace(b"\x08null", b"\x0cbrotli"))
+    with _pytest.raises(ValueError, match="brotli"):
         read_avro_file(path)
     with _pytest.raises(Exception, match="unsupported codec"):
         avro_spark.read.format("avro_scratch").load(path).collect()
+
+
+def test_snappy_codec_roundtrip_and_gates(avro_spark, tmp_path):
+    """Round 10 (VERDICT r9 #3): snappy-coded containers round-trip
+    through BOTH the driver-side helpers and the parallel DataSource,
+    a corrupt block fails the Avro frame's CRC loudly, and a
+    hand-composed foreign stream (1-byte-offset overlapping copy — a
+    form our encoder never emits) decodes bit-exact."""
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.io.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from datalake_polygonscan_spark.io.snappy import (
+        SnappyFormatError,
+        compress,
+        decompress,
+    )
+
+    # driver-side container round-trip
+    schema = ('{"type":"record","name":"r","fields":'
+              '[{"name":"k","type":"long"},{"name":"s","type":"string"}]}')
+    rows = [{"k": i, "s": f"value-{i % 7}" * 3} for i in range(500)]
+    path = str(tmp_path / "s.avro")
+    write_avro_file(path, schema, rows, codec="snappy")
+    rec, back = read_avro_file(path)
+    assert back == rows
+    # compressed: repetitive strings shrink the block
+    plain = str(tmp_path / "p.avro")
+    write_avro_file(plain, schema, rows, codec="null")
+    import os as _os
+    assert _os.path.getsize(path) < _os.path.getsize(plain)
+
+    # DataSource round-trip (parallel write, sync-split read)
+    df = avro_spark.range(2000).selectExpr(
+        "id AS k", "repeat(CAST(id % 9 AS STRING), 20) AS s")
+    d = str(tmp_path / "ds")
+    df.write.format("avro_scratch").option("codec", "snappy").mode(
+        "overwrite").save(d)
+    got = avro_spark.read.format("avro_scratch").option(
+        "split_size", 16 * 1024).load(d)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+    # corrupt payload -> CRC / format error, never garbage
+    raw = bytearray(open(path, "rb").read())
+    raw[-20] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError):
+        read_avro_file(path)
+
+    # foreign stream: literal + tag-1 overlapping copy, bit-exact
+    foreign = bytes([12, 3 << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+    assert decompress(foreign) == b"abcdabcdabcd"
+    # truncated stream gates loudly
+    with _pytest.raises(SnappyFormatError):
+        decompress(compress(b"hello world, hello world")[:-3])

@@ -517,3 +517,52 @@ def test_column_mapping_with_deletion_vectors(spark, tmp_path):
     out = read_delta_table(spark, table)
     assert out.columns == ["k", "nest"]
     assert {r.k for r in out.collect()} == set(range(10)) - {2, 5}
+
+
+def test_deletion_vector_duplicate_basenames(spark, tmp_path):
+    """ADVICE r9 (silent wrong data): two live files in DIFFERENT
+    partition dirs sharing a basename, DV on exactly one — keying the
+    anti-join by basename alone deleted those positions from BOTH
+    files. The fix keys by the full relative path; rows of the un-DV'd
+    twin must survive."""
+    from datalake_polygonscan_spark.io.roaring import (
+        serialize_rbm64,
+        z85_encode,
+    )
+
+    table = str(tmp_path / "dupdv")
+    schema_json = json.dumps({
+        "type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+    adds = []
+    for p in ("1", "2"):
+        os.makedirs(os.path.join(table, f"p={p}"), exist_ok=True)
+        sub = spark.range(10).selectExpr(f"id + {int(p) * 100} AS k")
+        size = _write_parquet(
+            spark, sub, os.path.join(table, f"p={p}", "part-x.parquet"))
+        adds.append({"add": {
+            "path": f"p={p}/part-x.parquet", "partitionValues": {"p": p},
+            "size": size, "dataChange": True,
+        }})
+    # DV killing positions 0..4 of the p=1 file ONLY
+    body = serialize_rbm64([0, 1, 2, 3, 4])
+    body += b"\x00" * (-len(body) % 4)
+    adds[0]["add"]["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": z85_encode(body),
+        "offset": 0, "sizeInBytes": len(body), "cardinality": 5,
+    }
+    _commit(os.path.join(table, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "schemaString": schema_json,
+                      "partitionColumns": ["p"], "configuration": {}}},
+        *adds,
+    ])
+    out = read_delta_table(spark, table)
+    keys = {r.k for r in out.collect()}
+    # p=1 loses 100..104; p=2 keeps ALL of 200..209 (the old bug
+    # deleted 200..204 too)
+    assert keys == set(range(105, 110)) | set(range(200, 210))
