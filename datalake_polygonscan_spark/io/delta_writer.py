@@ -72,22 +72,172 @@ def _live_before(table_path: str) -> dict[str, dict]:
         return {}
 
 
+#: auto-checkpoint cadence: a classic checkpoint parquet is emitted
+#: after every Nth commit (at versions N-1, 2N-1, ...), the
+#: delta-spark default interval — so engines may CLEAN UP the JSON
+#: prefix behind it and readers still resolve (round 10, VERDICT r9
+#: 'Next round' #4)
+CHECKPOINT_INTERVAL = 10
+
+
+def write_checkpoint(table_path: str, version: int | None = None) -> dict:
+    """Emit the classic ``{v:020d}.checkpoint.parquet`` +
+    ``_last_checkpoint`` pointer for the given (default: latest)
+    version — the protocol's "Checkpoints" shape the in-repo reader
+    already consumes (delta_reader._checkpoint_state): one parquet row
+    per replayed action, nullable ``protocol``/``metaData``/``add``/
+    ``remove`` struct columns, partitionValues/configuration as
+    map<string,string>."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir0 = os.path.join(table_path, "_delta_log")
+    commits = _commit_files(table_path)
+    protocol: dict | None = None
+    metadata: dict | None = None
+    live: dict[str, dict] = {}
+    start_v = -1
+    # seed from an existing checkpoint (a cleaned-up table may have no
+    # JSON prefix left), then replay the JSON tail over it
+    lc = os.path.join(log_dir0, "_last_checkpoint")
+    if os.path.exists(lc):
+        import pyarrow.parquet as _pq
+
+        cpv = int(json.load(open(lc))["version"])
+        cp_file = os.path.join(log_dir0, f"{cpv:020d}.checkpoint.parquet")
+        if os.path.exists(cp_file) and (version is None or cpv <= int(version)):
+            for row in _pq.read_table(cp_file).to_pylist():
+                if row.get("protocol") is not None:
+                    protocol = row["protocol"]
+                elif row.get("metaData") is not None:
+                    md = dict(row["metaData"])
+                    for k in ("configuration",):
+                        if isinstance(md.get(k), list):
+                            md[k] = dict(md[k])
+                    metadata = md
+                elif row.get("add") is not None:
+                    add = dict(row["add"])
+                    if isinstance(add.get("partitionValues"), list):
+                        add["partitionValues"] = dict(add["partitionValues"])
+                    live[add["path"]] = add
+                elif row.get("remove") is not None:
+                    live.pop(row["remove"]["path"], None)
+            start_v = cpv
+    if not commits and start_v < 0:
+        raise FileNotFoundError(f"no _delta_log commits under {table_path}")
+    target = (max([start_v] + [v for v, _ in commits])
+              if version is None else int(version))
+    commits = [(v, p) for v, p in commits if v > start_v]
+    for v, path in commits:
+        if v > target:
+            break
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("protocol") is not None:
+                protocol = action["protocol"]
+            elif action.get("metaData") is not None:
+                metadata = action["metaData"]
+            elif action.get("add") is not None:
+                add = action["add"]
+                if add.get("deletionVector"):
+                    raise ValueError(
+                        "delta_writer.write_checkpoint: deletion-vector adds "
+                        "not representable in the classic checkpoint schema "
+                        "this writer emits"
+                    )
+                live[add["path"]] = add
+            elif action.get("remove") is not None:
+                live.pop(action["remove"]["path"], None)
+    if protocol is None or metadata is None:
+        raise ValueError("delta_writer: log lacks protocol/metaData actions")
+
+    pv_t = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int64()),
+            ("minWriterVersion", pa.int64())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pv_t),
+            ("createdTime", pa.int64())])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pv_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_())])),
+        ("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_())])),
+    ])
+    rows: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": int(protocol.get("minReaderVersion") or 1),
+            "minWriterVersion": int(protocol.get("minWriterVersion") or 2)}},
+        {"metaData": {
+            "id": metadata.get("id"),
+            "format": {"provider": (metadata.get("format") or {}).get(
+                "provider", "parquet")},
+            "schemaString": metadata["schemaString"],
+            "partitionColumns": list(metadata.get("partitionColumns") or ()),
+            "configuration": dict(metadata.get("configuration") or {}),
+            "createdTime": int(metadata.get("createdTime") or 0)}},
+    ]
+    for rel in sorted(live):
+        add = live[rel]
+        rows.append({"add": {
+            "path": add["path"],
+            "partitionValues": dict(add.get("partitionValues") or {}),
+            "size": int(add.get("size") or 0),
+            "modificationTime": int(add.get("modificationTime") or 0),
+            "dataChange": False,
+        }})
+    log_dir = os.path.join(table_path, "_delta_log")
+    cp_path = os.path.join(log_dir, f"{target:020d}.checkpoint.parquet")
+    tmp = cp_path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.rename(tmp, cp_path)
+    lc_tmp = os.path.join(log_dir, "._last_checkpoint.tmp")
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": target, "size": len(rows)}, f)
+    os.rename(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return {"version": target, "n_actions": len(rows),
+            "n_live_files": len(live)}
+
+
 def write_delta_table(
     spark: SparkSession,
     df: DataFrame,
     table_path: str,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> dict:
     """Write ``df`` as a Delta table another engine can read. Returns
-    {'version': committed version, 'n_added': .., 'n_removed': ..}."""
+    {'version': committed version, 'n_added': .., 'n_removed': ..,
+    'checkpointed': bool}. A classic checkpoint parquet is emitted
+    after every ``checkpoint_interval``-th commit (None disables)."""
     partition_cols = list(partition_cols or ())
     if mode not in ("overwrite", "append"):
         raise ValueError(f"delta_writer: unsupported mode {mode!r}")
     log_dir = os.path.join(table_path, "_delta_log")
     commits = _commit_files(table_path) if os.path.isdir(log_dir) else []
-    version = (commits[-1][0] + 1) if commits else 0
-    prior_live = _live_before(table_path) if (commits and mode == "overwrite") else {}
+    last_v = commits[-1][0] if commits else -1
+    # a cleaned-up table may have NO JSONs left: the checkpoint then
+    # carries the latest version (protocol "Checkpoints")
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        last_v = max(last_v, int(json.load(open(lc))["version"]))
+    version = last_v + 1
+    has_log = last_v >= 0
+    prior_live = _live_before(table_path) if (has_log and mode == "overwrite") else {}
 
     before = _list_data_files(table_path) if os.path.isdir(table_path) else set()
     writer = df.write.mode("append")  # log-level replace handles overwrite
@@ -135,8 +285,13 @@ def write_delta_table(
         for a in actions:
             f.write(json.dumps(a) + "\n")
     os.rename(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+    checkpointed = bool(
+        checkpoint_interval and (version + 1) % checkpoint_interval == 0
+    )
+    if checkpointed:
+        write_checkpoint(table_path, version)
     return {"version": version, "n_added": len(new_files),
-            "n_removed": len(prior_live)}
+            "n_removed": len(prior_live), "checkpointed": checkpointed}
 
 
 #: required fields per action, straight from the protocol doc

@@ -3417,8 +3417,14 @@ def s48_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every commit against the protocol doc's required-field list "
         "plus on-disk size agreement (graded verdict). The v2 "
         "overwrite's atomicity is graded by the pre-overwrite "
-        "snapshot still resolving. Reference parity: the R11/R12 "
-        "TRUNCATE+COPY replacement, now in an open format"
+        "snapshot still resolving, AND (round 10) by checkpoint "
+        "survival: write_checkpoint emits the classic "
+        "{v:020d}.checkpoint.parquet + _last_checkpoint, the JSON "
+        "prefix is deleted outright, and the foreign reader must "
+        "still resolve the exact snapshot from the checkpoint alone "
+        "(the cleanup posture real engines run with). Reference "
+        "parity: the R11/R12 TRUNCATE+COPY replacement, now in an "
+        "open format"
     ),
 )
 def s52_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3451,6 +3457,21 @@ def s52_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ["o_orderstatus"], mode="overwrite")
     overwrite_is_atomic = bool(
         read_delta_table(spark, table, version=1).count() == sub.count()
+    )
+    # round 10 (VERDICT r9 #4): checkpoint the 3-commit table, DELETE
+    # the whole JSON prefix, and the foreign reader must still resolve
+    # the exact snapshot from the checkpoint parquet alone
+    import glob as _glob
+    import os as _os
+
+    from datalake_polygonscan_spark.io.delta_writer import write_checkpoint
+
+    write_checkpoint(table)
+    for p in _glob.glob(_os.path.join(table, "_delta_log", "*.json")):
+        _os.remove(p)
+    n_odd = sub.filter(F.col("k") % 2 == 1).count()
+    overwrite_is_atomic = overwrite_is_atomic and bool(
+        read_delta_table(spark, table).count() == n_odd
     )
     # rebuild the graded two-version table
     _shutil.rmtree(table, ignore_errors=True)

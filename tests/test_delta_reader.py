@@ -229,18 +229,94 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert read_delta_table(spark, table).count() == 10
 
 
-def test_column_mapping_id_mode_gates(spark, tmp_path):
-    """mode='id' matches by parquet field id — beyond Spark's
-    name-based reader; must raise, not silently mis-read."""
-    cm = str(tmp_path / "cmid")
-    _commit(os.path.join(cm, "_delta_log"), 0, [
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """mode='id' (round 10, VERDICT r9 #5): columns match by PARQUET
+    FIELD ID. The fixture's physical column names are deliberately
+    MISLEADING (the file's 'col-ppp' holds the k data under field id
+    1, 'col-aaa' holds the nested struct under id 3) so name-based
+    matching would return garbage — only id-based resolution yields
+    the right values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "cmid")
+    os.makedirs(table)
+
+    def fid(i):
+        return {b"PARQUET:field_id": str(i).encode()}
+
+    # field ids: 1 -> k(long), 3 -> nest(struct<4: v double>) — names
+    # swapped relative to the schemaString's physicalName hints
+    pa_schema = pa.schema([
+        pa.field("col-ppp", pa.int64(), metadata=fid(1)),
+        pa.field("col-aaa", pa.struct([
+            pa.field("anything", pa.float64(), metadata=fid(4)),
+        ]), metadata=fid(3)),
+    ])
+    tbl = pa.Table.from_pylist(
+        [{"col-ppp": i, "col-aaa": {"anything": float(i) * 2}}
+         for i in range(10)],
+        schema=pa_schema)
+    pq.write_table(tbl, os.path.join(table, "f1.parquet"))
+    size = os.path.getsize(os.path.join(table, "f1.parquet"))
+
+    doc = json.loads(_cm_schema_json())
+    doc["fields"] = [f for f in doc["fields"] if f["name"] != "part"]
+    _commit(os.path.join(table, "_delta_log"), 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {"id": "t", "schemaString": _cm_schema_json(),
+        {"metaData": {"id": "t", "schemaString": json.dumps(doc),
                       "partitionColumns": [],
                       "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": size,
+                 "dataChange": True}},
     ])
-    with pytest.raises(DeltaProtocolError, match="columnMapping.mode='id'"):
-        read_delta_table(spark, cm)
+    out = read_delta_table(spark, table)
+    assert out.columns == ["k", "nest"]
+    assert {r.k: r.nest.v for r in out.collect()} == {
+        i: float(i) * 2 for i in range(10)}
+
+
+def test_column_mapping_id_mode_partitioned(spark, tmp_path):
+    """id mode with partition columns: partitionValues stay keyed by
+    PHYSICAL name; the data columns resolve by field id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "cmidp")
+    os.makedirs(table)
+
+    def fid(i):
+        return {b"PARQUET:field_id": str(i).encode()}
+
+    adds = []
+    for part, lo in (("lo", 0), ("hi", 5)):
+        pa_schema = pa.schema([
+            pa.field("whatever", pa.int64(), metadata=fid(1)),
+            pa.field("col-nnn", pa.struct([
+                pa.field("col-vvv", pa.float64(), metadata=fid(4)),
+            ]), metadata=fid(3)),
+        ])
+        tbl = pa.Table.from_pylist(
+            [{"whatever": i, "col-nnn": {"col-vvv": float(i)}}
+             for i in range(lo, lo + 5)],
+            schema=pa_schema)
+        name = f"f-{part}.parquet"
+        pq.write_table(tbl, os.path.join(table, name))
+        adds.append({"add": {
+            "path": name, "partitionValues": {"col-ppp": part},
+            "size": os.path.getsize(os.path.join(table, name)),
+            "dataChange": True}})
+    _commit(os.path.join(table, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "schemaString": _cm_schema_json(),
+                      "partitionColumns": ["part"],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        *adds,
+    ])
+    out = read_delta_table(spark, table)
+    assert out.columns == ["k", "part", "nest"]
+    assert {r.k: (r.part, r.nest.v) for r in out.collect()} == {
+        i: ("lo" if i < 5 else "hi", float(i)) for i in range(10)}
 
 
 def _checkpoint_rows(adds, schema_str):

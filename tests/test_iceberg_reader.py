@@ -530,3 +530,35 @@ def test_distributed_manifest_decode_matches_serial(
         spark, t, partition_filter={"part": 7}).collect()))
     assert dist_all == ser_all and len(dist_all) == 200
     assert dist_f == ser_f and len(dist_f) == 20
+
+
+def test_delete_broadcast_gate_falls_back_to_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #6: with the broadcast budget forced to zero the
+    delete anti-joins must plan WITHOUT a broadcast of the delete
+    side (shuffled hash join instead) and stay value-identical."""
+    from datalake_polygonscan_spark.io import iceberg_reader as IR
+    from datalake_polygonscan_spark.io.iceberg_reader import (
+        write_foreign_iceberg_delete_fixture,
+    )
+
+    df = spark.range(140).selectExpr("id AS k", "CAST(id AS DOUBLE) AS value")
+    t = str(tmp_path / "gatetab")
+    write_foreign_iceberg_delete_fixture(spark, df, t, "k", mark_col="value")
+
+    normal = IR.read_iceberg_table(spark, t)
+    want = sorted(map(tuple, normal.collect()))
+    plan_b = normal._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b  # default: delete side broadcast
+
+    monkeypatch.setattr(IR, "DELETE_BROADCAST_MAX_BYTES", 0)
+    gated = IR.read_iceberg_table(spark, t)
+    got = sorted(map(tuple, gated.collect()))
+    plan_g = gated._jdf.queryExecution().executedPlan().toString()
+    assert got == want
+    # the DELETE anti-joins must not broadcast; the tiny seq-map
+    # broadcast (left join) is fine and expected
+    import re as _re
+    anti = [seg for seg in plan_g.splitlines() if "LeftAnti" in seg]
+    assert anti and all("Broadcast" not in seg for seg in anti), plan_g
