@@ -171,7 +171,17 @@ def _resolve_slices(table_path: str, as_of: str | None):
     slices: list[_Slice] = []
     for (part, fid), (instant, path) in bases.items():
         s = _Slice(f"{part}/{fid}", instant, path)
-        s.logs = sorted(logs.pop((part, fid, instant), []))
+        collected = list(logs.pop((part, fid, instant), []))
+        # ADVICE r9: logs keyed to a NEWER base instant than the
+        # chosen COMPLETED one belong to a PENDING compaction (their
+        # base parquet is not yet committed) — their records must
+        # merge onto the completed base, not silently vanish. Logs
+        # keyed OLDER stay dropped: genuinely compacted away.
+        for key in [k for k in list(logs)
+                    if k[0] == part and k[1] == fid
+                    and int(k[2]) > int(instant)]:
+            collected.extend(logs.pop(key))
+        s.logs = sorted(collected)
         slices.append(s)
     for (part, fid, base_instant), lpaths in logs.items():
         if (part, fid) in bases:

@@ -3697,6 +3697,124 @@ def s53_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s54_hudi_export_interop",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), ms AS (
+        SELECT min(o_orderstatus) AS m FROM sub
+    ), live AS (
+        SELECT k, o_orderstatus,
+               CASE WHEN k % 10 = 0 AND o_orderstatus = (SELECT m FROM ms)
+                    THEN v * 2 ELSE v END AS v
+        FROM sub
+    ), v1 AS (
+        SELECT * FROM sub WHERE k % 2 = 0
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM v1
+             WHERE v1.o_orderstatus = l.o_orderstatus) AS n_rows_v1,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM v1
+             WHERE v1.o_orderstatus = l.o_orderstatus) AS sum_v1,
+           CAST(2 AS BIGINT) AS n_commits,
+           TRUE AS untouched_files_intact,
+           TRUE AS meta_cols_travel
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S54 WRITE-side Apache Hudi Copy-on-Write interop (round 10, "
+        "VERDICT r9 'Next round' #8 — closes the write matrix for all "
+        "three open formats beside S52 Delta and S53 Iceberg): "
+        "io/hudi_writer.py emits hoodie.properties, completed-instant "
+        "timeline commits (data files first, {instant}.commit marker "
+        "last — atomic visibility under the reader's completed-"
+        "instant gate) and spec-layout CoW file slices "
+        "(<fileId>_<token>_<instant>.parquet under hive partition "
+        "dirs, Hudi meta columns inside the files), group files "
+        "written EXECUTOR-side via applyInPandas. Graded ROUND-TRIP "
+        "through the S50 FOREIGN READER alone: create (one file "
+        "group per partition), then an UPSERT that rewrites ONLY the "
+        "touched partition's group in place (same fileId, new "
+        "instant) while inserting unmatched keys as new groups; live "
+        "+ as-of-create aggregates, timeline commit count, an "
+        "untouched-files verdict (CoW write amplification stays "
+        "proportional to touched groups: every pre-upsert file "
+        "survives byte-identical and non-touched partitions gain "
+        "only INSERT groups) and meta-columns-travel verdict"
+    ),
+)
+def s54_hudi_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.hudi_reader import (
+        read_hudi_table,
+        timeline_info,
+    )
+    from datalake_polygonscan_spark.io.hudi_writer import write_hudi_table
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    table = _scratch("s54_hudi_export", "exported_orders")
+    _shutil.rmtree(table, ignore_errors=True)
+    r1 = write_hudi_table(spark, sub.filter(F.col("k") % 2 == 0), table,
+                          "o_orderstatus", "k")
+    before = set(_glob.glob(_os.path.join(table, "*", "*.parquet")))
+    v1_fids = {_os.path.basename(p).split("_")[0] for p in before}
+
+    min_status = sub.select(F.min("o_orderstatus")).collect()[0][0]
+    upd = sub.filter(
+        (F.col("k") % 10 == 0) & (F.col("o_orderstatus") == min_status)
+    ).withColumn("value", F.col("value") * 2)
+    write_hudi_table(spark, sub.filter(F.col("k") % 2 == 1).unionByName(upd),
+                     table, "o_orderstatus", "k", mode="upsert")
+
+    after = set(_glob.glob(_os.path.join(table, "*", "*.parquet")))
+    marker = f"o_orderstatus={min_status}"
+    untouched_files_intact = bool(
+        before <= after
+        and all(
+            (marker in p)
+            or (_os.path.basename(p).split("_")[0] not in v1_fids)
+            for p in after - before
+        )
+    )
+    meta_cols_travel = "_hoodie_record_key" in read_hudi_table(
+        spark, table, keep_meta=True).columns
+
+    live = read_hudi_table(spark, table)
+    v1 = read_hudi_table(spark, table, as_of=r1["instant"])
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v1_agg = v1.groupBy(F.col("o_orderstatus").alias("st1")).agg(
+        F.count("*").alias("n_rows_v1"), _dbl_sum("value", "sum_v1")
+    )
+    n_commits = timeline_info(table)["n_commits"]
+    return (
+        live_agg.join(v1_agg, live_agg["o_orderstatus"] == v1_agg["st1"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v1", "sum_v1",
+            F.lit(n_commits).cast("long").alias("n_commits"),
+            F.lit(untouched_files_intact).alias("untouched_files_intact"),
+            F.lit(meta_cols_travel).alias("meta_cols_travel"),
+        )
+    )
+
+
+@register(
     "s50m_hudi_mor_reader",
     oracle="""
     WITH sub AS (

@@ -1133,6 +1133,17 @@ _suite(
             "resolved_v0": "meta_count_matches",
             "bad_version_still_readable": "prune_works",
         }),
+        # round 10: S54 WRITE-side Hudi CoW interop — timeline +
+        # file slices round-trip through the foreign reader; upsert
+        # rewrites only touched groups
+        ("hudi_export", "s54_hudi_export_interop", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v1",
+            "n_vacuumed": "n_rows_v1",
+            "n_versions_logged": "n_commits",
+            "resolved_v0": "untouched_files_intact",
+            "bad_version_still_readable": "meta_cols_travel",
+        }),
         # round 9: S52 WRITE-side Delta interop — emitted _delta_log
         # round-trips through the foreign reader + validates
         ("delta_export", "s52_delta_export_interop", {

@@ -3,9 +3,12 @@ timeline travel, inflight invisibility, MoR gate."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
+
+from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.io.hudi_reader import (
     HudiProtocolError,
@@ -220,3 +223,46 @@ def test_mor_timeline_info_counts_logs(mor_table):
     assert info["n_commits"] == 3  # 001 commit + 002/003 deltacommits
     assert info["n_log_files"] == 2
     assert info["n_live_slices"] == 4  # 3 base groups + 1 log-only
+
+
+def test_pending_compaction_logs_merge_onto_completed_base(spark, mor_table):
+    """ADVICE r9: logs whose filename base-instant points at a
+    PENDING (inflight) compaction — newer than the group's latest
+    COMPLETED base instant — must merge onto the completed base, not
+    silently vanish from the snapshot."""
+    import uuid as _uuid
+
+    from datalake_polygonscan_spark.io.avro import schema_to_avro_json
+    from datalake_polygonscan_spark.io.hudi_log import write_avro_data_block
+    from datalake_polygonscan_spark.io.hudi_reader import read_hudi_table
+
+    t, df, info = mor_table
+    pv0 = info["updated_partition"]
+    fid0 = f"{_uuid.UUID(int=1)}-0"
+    hdir = os.path.join(t, ".hoodie")
+
+    before = {r.k: r.value for r in read_hudi_table(spark, t).collect()}
+    # a compaction was SCHEDULED at instant 005 (never completed); the
+    # next deltacommit (006, completed) wrote its log against base 005
+    open(os.path.join(hdir, "005.commit.inflight"), "w").write("")
+    full_schema = (
+        df.selectExpr("k", "part", "value")
+        .withColumn("_hoodie_commit_time", F.lit("006"))
+        .withColumn("_hoodie_record_key", F.col("k").cast("string"))
+        .withColumn("_hoodie_partition_path", F.concat(F.lit("part="), F.col("part")))
+        .withColumn("_hoodie_is_deleted", F.lit(False))
+    )
+    schema_json = schema_to_avro_json(full_schema.schema)
+    # update k=3 (lives in partition 0, untouched by fixture logs)
+    row = [r.asDict() for r in full_schema.filter("k = 3")
+           .withColumn("value", F.lit(777.0)).collect()]
+    log = os.path.join(t, f"part={pv0}", f".{fid0}_005.log.1_0-1-0")
+    open(log, "wb").write(write_avro_data_block("006", schema_json, row))
+    json.dump({"operationType": "UPSERT"},
+              open(os.path.join(hdir, "006.deltacommit"), "w"))
+
+    after = {r.k: r.value for r in read_hudi_table(spark, t).collect()}
+    assert after[3] == 777.0          # the pending-compaction log applied
+    assert after.keys() == before.keys()
+    assert {k: v for k, v in after.items() if k != 3} == {
+        k: v for k, v in before.items() if k != 3}
