@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: l14 MMR, e16 checkpointed stream resume)
 ITERATIVE_TIER = [
     "ml11_dbscan",
+    "ml11c_dbscan_const_density",
     "g7_cc_largestar",
     "g8_sssp",
     "g10_kcore",

@@ -442,6 +442,12 @@ _suite(
             "n_vectors": "id", "dim": "x", "k": "y",
             "lang": "role", "n_docs": "cluster",
         }),
+        # round 10: ML11c constant-density DBSCAN — same blocked plan
+        # over an area-scaling fixture (the near-linear-scaling arm)
+        ("dbscan_const", "ml11c_dbscan_const_density", {
+            "n_vectors": "id", "dim": "x", "k": "y",
+            "lang": "role", "n_docs": "cluster",
+        }),
         ("kfold_cv", "ml12_kfold_cv", {
             "lang": "event_type", "dim": "fold",
             "n_vectors": "n_train", "n_docs": "n_test",

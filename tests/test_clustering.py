@@ -356,3 +356,50 @@ def test_ranking_metrics_match_textbook_recompute(spark):
     ).collect()[0]
     assert abs(float(got2["dcg"]) - dcg) < 1e-6
     assert idcg >= dcg
+
+
+class TestDBSCANDensityCap:
+    """Round 10 (VERDICT r9 #7): the per-cell candidate cap bounds
+    hot-cell work and reports the downgrade loudly."""
+
+    def test_cap_reports_and_preserves_dense_cores(self, spark):
+        from datalake_polygonscan_spark.operators.clustering import dbscan_planar
+
+        # one pathological hot cell: 400 points piled into a 60x60 box
+        # (eps=100 -> all in one grid cell), plus a far tight blob and
+        # a noise point
+        pts = (
+            [(i, (i * 7) % 60, (i * 13) % 60) for i in range(400)]
+            + [(1000 + i, 50_000 + dx, dy) for i, (dx, dy) in enumerate(
+                [(0, 0), (50, 0), (-50, 0), (0, 50), (0, -50)])]
+            + [(2000, 90_000, 90_000)]
+        )
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        exact = {r["id"]: (r["role"], r["cluster"]) for r in
+                 dbscan_planar(df, eps=100, min_pts=4).collect()}
+
+        capped_df = dbscan_planar(df, eps=100, min_pts=4,
+                                  max_cell_candidates=50)
+        assert "n_capped_cells" in capped_df.columns
+        rows = capped_df.collect()
+        assert all(r["n_capped_cells"] == 1 for r in rows)  # loud report
+        capped = {r["id"]: (r["role"], r["cluster"]) for r in rows}
+        # hot-cell points: every one still core (50 candidates >> min_pts)
+        for i in range(400):
+            assert capped[i][0] == "core"
+        # untouched cells identical to the exact run
+        for i in list(range(1000, 1005)) + [2000]:
+            assert capped[i] == exact[i]
+
+    def test_cap_above_cell_size_is_exact_and_silent_zero(self, spark):
+        from datalake_polygonscan_spark.operators.clustering import dbscan_planar
+
+        pts = [(i, (i * 31) % 500, (i * 17) % 500) for i in range(80)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        exact = sorted(map(tuple, dbscan_planar(df, eps=150, min_pts=4)
+                           .collect()))
+        wide = dbscan_planar(df, eps=150, min_pts=4,
+                             max_cell_candidates=10_000)
+        rows = wide.collect()
+        assert all(r["n_capped_cells"] == 0 for r in rows)
+        assert sorted((r["id"], r["role"], r["cluster"]) for r in rows) == exact
