@@ -353,3 +353,158 @@ def validate_delta_log(table_path: str) -> dict:
             raise ValueError(f"live add {rel!r} size mismatch")
     return {"n_versions": len(commits), "n_actions": n_actions,
             "n_live_files": len(live)}
+
+
+def delete_where(spark: SparkSession, table_path: str, predicate: str) -> dict:
+    """Row-level DELETE via DELETION VECTORS (round 10 — the modern
+    Delta shape): matching rows are recorded as per-file roaring
+    bitmaps (io/roaring.py, storageType 'u' sidecars) instead of
+    rewriting any data file — write amplification is O(deleted-row
+    positions), not O(touched-file bytes).
+
+    Mechanics (protocol "Deletion Vectors"):
+
+    - one scan finds matching rows' ``_metadata.row_index`` per live
+      file (Catalyst pushes ``predicate`` into the scan);
+    - per touched file, ONE executor task merges the file's existing
+      DV positions (if any) and writes a fresh
+      ``deletion_vector_<uuid>.bin`` via the from-scratch codec —
+      the driver only sees descriptors;
+    - the commit emits ``remove`` + re-``add`` (same path, new
+      ``deletionVector``) per touched file, upgrading the protocol to
+      minReaderVersion 3 / readerFeatures [deletionVectors] on first
+      use — exactly the action shape delta-spark emits.
+
+    Returns {'version', 'n_deleted', 'n_dv_files'}; no-op (no commit)
+    when nothing matches.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datalake_polygonscan_spark.io.delta_reader import _replay
+    from datalake_polygonscan_spark.io.roaring import read_dv
+
+    schema, partition_cols, live, version, cm_mode = _replay(table_path, None)
+    if cm_mode != "none":
+        raise ValueError(
+            "delta_writer.delete_where: column-mapped tables not supported")
+    # key rows to files by RELATIVE path — Spark's parquet writer
+    # reuses task filenames across partition dirs, so basenames alone
+    # collide on this writer's own layout (the round-10 delta_reader
+    # lesson). Uniform depth holds for every layout this writer emits.
+    depths = {p.count("/") for p in live} or {0}
+    if len(depths) != 1:
+        raise ValueError(
+            "delta_writer.delete_where: mixed data-path depths")
+    rel_of = {p: p for p in live}
+
+    # one scan, predicate pushed down, positions stamped from the
+    # scan's own metadata columns; partition columns re-enter via the
+    # broadcast file->partitionValues map so the predicate may name
+    # them. Rows an existing DV already deleted may re-match — the
+    # set union below makes that idempotent.
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    scan = (
+        spark.read.schema(T.StructType(data_fields))
+        .parquet(*[os.path.join(table_path, p) for p in live])
+        .withColumn("__file", F.substring_index(
+            F.col("_metadata.file_path"), "/", -(depths.pop() + 1)))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if partition_cols:
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        map_rows = [
+            (p,
+             *[(a.get("partitionValues") or {}).get(c) for c in partition_cols])
+            for p, a in live.items()
+        ]
+        map_schema = T.StructType(
+            [T.StructField("__file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType())
+               for c in partition_cols]
+        )
+        scan = scan.join(
+            F.broadcast(spark.createDataFrame(map_rows, map_schema)), "__file")
+        for c in partition_cols:
+            scan = scan.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+    hits = scan.filter(predicate).select("__file", "__pos")
+    # existing DV positions merge in executor tasks; decode driver-side
+    # once (DV bytes are small by design) and ship via the task rows
+    old_positions = {
+        p: read_dv(dict(a["deletionVector"]), table_path)
+        for p, a in live.items() if a.get("deletionVector")
+    }
+    tp = table_path
+    run_token = _uuid.uuid4().hex
+
+    def _write_dvs(pdf):
+        import pandas as _pd
+        import uuid as _u
+
+        from datalake_polygonscan_spark.io.roaring import (
+            make_uuid_dv_name as _mk,
+            write_dv_file as _wdv,
+        )
+
+        fname = pdf["__file"].iloc[0]
+        new = set(int(p) for p in pdf["__pos"])
+        old = set(old_positions.get(fname, ()))
+        positions = sorted(new | old)
+        u = _u.uuid5(_u.NAMESPACE_URL, run_token + "/" + fname)
+        [desc] = _wdv(
+            os.path.join(tp, f"deletion_vector_{u}.bin"), [positions])
+        return _pd.DataFrame({
+            "file": [fname],
+            "path_or_inline": [_mk(u)],
+            "offset": [desc["offset"]],
+            "size_bytes": [desc["sizeInBytes"]],
+            "cardinality": [desc["cardinality"]],
+            "n_new": [int(len(new - old))],
+        })
+
+    descs = hits.groupBy("__file").applyInPandas(
+        _write_dvs,
+        "file string, path_or_inline string, offset long, size_bytes long, "
+        "cardinality long, n_new long",
+    ).collect()
+    if not descs:
+        return {"version": version, "n_deleted": 0, "n_dv_files": 0}
+
+    now_ms = int(__import__("time").time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }},
+        {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                        "operationParameters": {"predicate": predicate}}},
+    ]
+    for d in sorted(descs, key=lambda r: r.file):
+        rel = rel_of[d.file]
+        add = dict(live[rel])
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": True}})
+        add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": d.path_or_inline,
+            "offset": int(d.offset),
+            "sizeInBytes": int(d.size_bytes),
+            "cardinality": int(d.cardinality),
+        }
+        add["dataChange"] = True
+        actions.append({"add": add})
+    log_dir = os.path.join(table_path, "_delta_log")
+    new_v = version + 1
+    tmp = os.path.join(log_dir, f".{new_v:020d}.json.tmp")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.rename(tmp, os.path.join(log_dir, f"{new_v:020d}.json"))
+    return {
+        "version": new_v,
+        "n_deleted": int(sum(d.n_new for d in descs)),
+        "n_dv_files": len(descs),
+    }

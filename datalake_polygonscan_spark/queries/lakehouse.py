@@ -3506,6 +3506,107 @@ def s52_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s55_delta_dv_export",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)) AS v
+        FROM orders WHERE o_orderkey % 10 < 3
+    ), live AS (
+        SELECT * FROM sub WHERE k % 7 <> 3 AND k % 9 <> 5
+    )
+    SELECT l.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(l.v) AS DOUBLE), 4) AS sum_live,
+           (SELECT CAST(count(*) AS BIGINT) FROM sub
+             WHERE sub.o_orderstatus = l.o_orderstatus) AS n_rows_v0,
+           (SELECT ROUND(CAST(SUM(v) AS DOUBLE), 4) FROM sub
+             WHERE sub.o_orderstatus = l.o_orderstatus) AS sum_v0,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS no_data_rewrite,
+           TRUE AS log_validates
+    FROM live l GROUP BY l.o_orderstatus
+    """,
+    doc=(
+        "S55 WRITE-side Delta DELETION VECTORS (round 10 — the "
+        "modern row-level DELETE completing the S52 write story): "
+        "delete_where records matching rows as per-file roaring "
+        "bitmaps (io/roaring.py sidecars, storageType 'u') composed "
+        "by one executor task per touched file — NO data file is "
+        "rewritten, so delete write amplification is O(deleted "
+        "positions), not O(touched-file bytes). The commit emits "
+        "remove + re-add (same path, new deletionVector) and "
+        "upgrades the protocol to minReaderVersion 3 / "
+        "readerFeatures [deletionVectors] on first use — the action "
+        "shape delta-spark itself emits. Graded: two successive "
+        "predicate deletes (the second MERGES positions into "
+        "existing DVs through the set union), live + v0 aggregates "
+        "through the S47 foreign reader, a no-data-rewrite verdict "
+        "(every data file's mtime+size unchanged across both "
+        "deletes) and validate_delta_log on the emitted log"
+    ),
+)
+def s55_delta_dv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from datalake_polygonscan_spark.io.delta_reader import read_delta_table
+    from datalake_polygonscan_spark.io.delta_writer import (
+        delete_where,
+        validate_delta_log,
+        write_delta_table,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    table = _scratch("s55_delta_dv", "exported_orders")
+    _shutil.rmtree(table, ignore_errors=True)
+    write_delta_table(spark, sub, table, ["o_orderstatus"])
+
+    def file_state():
+        return {
+            p: (_os.path.getmtime(p), _os.path.getsize(p))
+            for p in _glob.glob(_os.path.join(table, "*", "*.parquet"))
+        }
+
+    before = file_state()
+    delete_where(spark, table, "k % 7 = 3")
+    r2 = delete_where(spark, table, "k % 9 = 5")
+    no_data_rewrite = bool(file_state() == before)
+    try:
+        validate_delta_log(table)
+        log_validates = True
+    except ValueError:
+        log_validates = False
+
+    live = read_delta_table(spark, table)
+    v0 = read_delta_table(spark, table, version=0)
+    live_agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
+    )
+    v0_agg = v0.groupBy(F.col("o_orderstatus").alias("st0")).agg(
+        F.count("*").alias("n_rows_v0"), _dbl_sum("value", "sum_v0")
+    )
+    return (
+        live_agg.join(v0_agg, live_agg["o_orderstatus"] == v0_agg["st0"], "left")
+        .select(
+            "o_orderstatus", "n_rows", "sum_live", "n_rows_v0", "sum_v0",
+            F.lit(r2["version"] + 1).cast("long").alias("n_versions"),
+            F.lit(no_data_rewrite).alias("no_data_rewrite"),
+            F.lit(log_validates).alias("log_validates"),
+        )
+    )
+
+
+@register(
     "s47d_delta_deletion_vectors",
     oracle="""
     WITH sub AS (

@@ -1160,6 +1160,16 @@ _suite(
             "resolved_v0": "log_validates",
             "bad_version_still_readable": "overwrite_is_atomic",
         }),
+        # round 10: S55 WRITE-side Delta deletion vectors — predicate
+        # DELETE emits roaring sidecars, no data file rewritten
+        ("delta_dv_export", "s55_delta_dv_export", {
+            "o_orderstatus": "o_orderstatus", "n_rows": "n_rows",
+            "sum_live": "sum_live", "sum_v0": "sum_v0",
+            "n_vacuumed": "n_rows_v0",
+            "n_versions_logged": "n_versions",
+            "resolved_v0": "no_data_rewrite",
+            "bad_version_still_readable": "log_validates",
+        }),
         # round 9: S47d Delta DELETION VECTORS — from-scratch roaring
         # codec, 'u' and 'i' storage types, v0 time travel intact
         ("foreign_delta_dv", "s47d_delta_deletion_vectors", {

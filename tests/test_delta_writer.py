@@ -132,3 +132,51 @@ def test_checkpoint_emission_and_json_prefix_cleanup(spark, tmp_path):
     for p in glob.glob(os.path.join(log, "*.json")):
         os.remove(p)
     assert read_delta_table(spark, t).count() == 120
+
+
+def test_delete_where_emits_deletion_vectors(spark, tmp_path):
+    """Round 10: row-level DELETE emits roaring DV sidecars — no data
+    file rewritten — with remove+re-add actions and the v3 protocol
+    upgrade; a second delete on the same file MERGES positions; the
+    pre-delete version still time-travels."""
+    import glob
+
+    from datalake_polygonscan_spark.io.delta_reader import read_delta_table
+    from datalake_polygonscan_spark.io.delta_writer import (
+        delete_where,
+        write_delta_table,
+    )
+
+    t = str(tmp_path / "dvw")
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS part", "CAST(id AS DOUBLE) AS v")
+    write_delta_table(spark, df, t, ["part"])
+    data_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(t, "part=*", "*.parquet"))
+    }
+
+    r = delete_where(spark, t, "k % 7 = 3")
+    gone = {k for k in range(100) if k % 7 == 3}
+    assert r["n_deleted"] == len(gone) and r["version"] == 1
+    assert r["n_dv_files"] >= 3  # every partition holds a k%7==3 row
+    live = {row.k for row in read_delta_table(spark, t).collect()}
+    assert live == set(range(100)) - gone
+    # no data file touched
+    assert {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(t, "part=*", "*.parquet"))
+    } == data_before
+    # time travel to the pre-delete version
+    assert read_delta_table(spark, t, version=0).count() == 100
+
+    # second delete on a PARTITION predicate merges with existing DVs
+    r2 = delete_where(spark, t, "part = '1' AND k < 10")
+    newly = {k for k in range(10) if k % 3 == 1 and k % 7 != 3}
+    assert r2["n_deleted"] == len(newly)
+    live2 = {row.k for row in read_delta_table(spark, t).collect()}
+    assert live2 == set(range(100)) - gone - {k for k in range(10) if k % 3 == 1}
+
+    # nothing-matches is a no-op: no new commit
+    r3 = delete_where(spark, t, "k > 100000")
+    assert r3["n_deleted"] == 0 and r3["version"] == r2["version"]
