@@ -313,10 +313,12 @@ HEADLINE = [
     "s53_iceberg_export_interop",
     "s45n_avro_nested_decimal",
     # round-10 additions: from-scratch Avro snappy codec, write-side
-    # Hudi CoW interop, constant-density DBSCAN
+    # Hudi CoW interop, constant-density DBSCAN, write-side Delta
+    # deletion vectors
     "s45s_avro_snappy_roundtrip",
     "s54_hudi_export_interop",
     "ml11c_dbscan_const_density",
+    "s55_delta_dv_export",
 ]
 
 
