@@ -989,14 +989,20 @@ def s49_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    ev.filter(F.col("event_id") % 2 == 0).write.format("avro_scratch").mode(
-        "append"
-    ).save(src)
+    # writer parallelism follows cores, not the source's file count:
+    # events.parquet is one <128 MB file -> ONE input partition, which
+    # would serialize the per-row Avro encode in a single Python task
+    # (and the stream read back, whole-file splits, with it). Capped so
+    # low-core runs don't fragment the landing dir (guide §2.6).
+    n_out = max(1, min(8, spark.sparkContext.defaultParallelism))
+    ev.filter(F.col("event_id") % 2 == 0).repartition(n_out).write.format(
+        "avro_scratch"
+    ).mode("append").save(src)
     run()
     n_first = spark.read.parquet(out).count()
-    ev.filter(F.col("event_id") % 2 == 1).write.format("avro_scratch").mode(
-        "append"
-    ).save(src)
+    ev.filter(F.col("event_id") % 2 == 1).repartition(n_out).write.format(
+        "avro_scratch"
+    ).mode("append").save(src)
     run()
     sunk = spark.read.parquet(out)
     n_total, n_distinct = sunk.agg(
