@@ -211,15 +211,32 @@ def read_changes(
 
 def _enforce_checks(batch: DataFrame, checks: dict[str, str]) -> None:
     """Reject the batch if any row strictly fails a CHECK (SQL
-    semantics: NULL passes). One filter job over the BATCH — table
-    size never enters the cost."""
-    for name, expr in checks.items():
-        bad = batch.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(3).collect()
-        if bad:
-            raise ConstraintViolation(
-                f"CHECK constraint {name!r} ({expr}) violated by "
-                f"{[r.asDict() for r in bad]} — nothing committed"
-            )
+    semantics: NULL passes). ONE filter job over the BATCH for ALL
+    constraints (any-violation predicate; guide §1.2 — N checks used
+    to mean N driver jobs) — table size never enters the cost."""
+    items = list(checks.items())
+    fails = [~F.coalesce(F.expr(expr), F.lit(True)) for _, expr in items]
+    any_fail = fails[0]
+    for f in fails[1:]:
+        any_fail = any_fail | f
+    bad = (
+        batch.filter(any_fail)
+        .select(
+            F.array(
+                *[F.when(f, F.lit(name)) for (name, _), f in zip(items, fails)]
+            ).alias("_failed"),
+            F.struct(*batch.columns).alias("_row"),
+        )
+        .limit(3)
+        .collect()
+    )
+    if bad:
+        failed = sorted({n for r in bad for n in r["_failed"] if n is not None})
+        name = failed[0]
+        raise ConstraintViolation(
+            f"CHECK constraint {name!r} ({checks[name]}) violated by "
+            f"{[r['_row'].asDict() for r in bad]} — nothing committed"
+        )
 
 
 def _dedup_batch(updates: DataFrame, keys: list[str], version_col: str | None) -> DataFrame:
@@ -325,6 +342,7 @@ def change_feed(
     version_col: str | None = None,
     deletes: DataFrame | None = None,
     retractions: bool = False,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """CDC: the typed change rows a merge batch produces against
     ``current`` (Delta's table change feed). One row per net change:
@@ -346,8 +364,11 @@ def change_feed(
     schema + ``_change_type``. With a ``version_col``, batch rows that
     LOSE the conditional merge (a matched current row carries a
     strictly newer version) are no-ops and produce no change row —
-    the feed describes exactly what :func:`merge_upsert` would do."""
-    b = _dedup_batch(updates, keys, version_col)
+    the feed describes exactly what :func:`merge_upsert` would do.
+    ``pre_deduped=True`` (internal fast path) promises ``updates`` is
+    already the :func:`_dedup_batch` output — the merge path passes its
+    checkpointed batch so the window doesn't recompute."""
+    b = updates if pre_deduped else _dedup_batch(updates, keys, version_col)
     if version_col is not None:
         cv = current.select(*keys, F.col(version_col).alias("_cv"))
         b = (
@@ -417,6 +438,12 @@ def _merge_once(
     # table constraints persist in the metadata; callers can add new
     # ones but never silently drop inherited ones
     all_checks = {**((base or {}).get("checks") or {}), **(checks or {})}
+    # NOTE (optimization round 10): a localCheckpoint of the deduped
+    # batch here was A/B-measured and REJECTED — reuse across the
+    # merge's jobs saved less than the materialization cost (micro-
+    # batch merges regressed ~40%: e16 10.4 -> 14.8 s at sf0.1). The
+    # batch plans feeding merges are cheap scans; recomputing them
+    # beats caching them.
     deduped = _dedup_batch(updates, keys, version_col)
     if all_checks:
         # validate the rows that can actually land: within-batch
@@ -439,7 +466,8 @@ def _merge_once(
             return None
         version = snapshot_version(base) + 1
         feed = change_feed(
-            current_logical, updates, keys, version_col=version_col, deletes=deletes
+            current_logical, deduped, keys, version_col=version_col,
+            deletes=deletes, pre_deduped=True,
         ).withColumn("_commit_version", F.lit(version).cast("long"))
         staged = _pending_feed_dir(table_path, snap_name)
         feed.write.mode("overwrite").parquet(staged)
