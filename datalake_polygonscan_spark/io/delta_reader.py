@@ -633,17 +633,20 @@ def write_foreign_delta_dv_fixture(
             for a in actions:
                 f.write(json.dumps(a) + "\n")
 
+    # ONE Spark job: a single Arrow transfer of the fixture input,
+    # sliced driver-side (the previous shape re-scanned the source once
+    # per data file — optimization round 10)
+    pdf_full = df.toPandas()
+    arrow_schema = pa.Schema.from_pandas(pdf_full, preserve_index=False)
     adds = []
     frames = []
     for i in range(3):
-        pdf = (
-            df.filter(F.col(key_col) % 3 == i)
-            .toPandas().reset_index(drop=True)
-        )
+        pdf = pdf_full[pdf_full[key_col] % 3 == i].reset_index(drop=True)
         frames.append(pdf)
         name = f"part-{i}.parquet"
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                       os.path.join(table_path, name))
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            os.path.join(table_path, name))
         adds.append({"add": {
             "path": name, "partitionValues": {}, "dataChange": True,
             "size": os.path.getsize(os.path.join(table_path, name)),

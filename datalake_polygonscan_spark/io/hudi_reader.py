@@ -478,6 +478,7 @@ def write_foreign_hudi_mor_fixture(
     """
     import shutil
 
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -504,79 +505,102 @@ def write_foreign_hudi_mor_fixture(
     schema_json = schema_to_avro_json(full.schema)
     cols = full.schema.fieldNames()
 
-    pvals = sorted(
-        (r[0] for r in df.select(partition_col).distinct().collect()), key=str
-    )
+    # ONE Spark job: the whole fixture input lands driver-side as a
+    # single Arrow transfer, and every base file / log block derives
+    # from pandas slices of it (optimization round 10: the previous
+    # shape ran one filtered scan per partition for the base files plus
+    # one collect per log block — ~12 jobs re-scanning the source; a
+    # fixture builder's cost is all fixed overhead, so it is all
+    # driver-side by design).
+    pdf_full = full.toPandas()
+    pvals = sorted(pdf_full[partition_col].drop_duplicates().tolist(), key=str)
     import uuid as _uuid
 
     file_ids = {pv: f"{_uuid.UUID(int=i + 1)}-0" for i, pv in enumerate(pvals)}
 
+    arrow_schema = pa.Schema.from_pandas(pdf_full, preserve_index=False)
     for pv in pvals:
         part_dir = os.path.join(table_path, f"{partition_col}={pv}")
         os.makedirs(part_dir, exist_ok=True)
-        pdf = full.filter(F.col(partition_col) == pv).toPandas()
+        part_pdf = pdf_full[pdf_full[partition_col] == pv]
         pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
+            pa.Table.from_pandas(
+                part_pdf, schema=arrow_schema, preserve_index=False
+            ),
             os.path.join(part_dir, f"{file_ids[pv]}_0-1-0_001.parquet"),
         )
     json.dump({"operationType": "UPSERT"},
               open(os.path.join(hdir, "001.commit"), "w"))
 
-    def rows_of(sub_df):
-        return [r.asDict(recursive=True) for r in sub_df.select(cols).collect()]
+    def rows_of(sub_pdf, **overrides):
+        """pandas slice -> avro-encodable row dicts (numpy scalars to
+        python natives; NaN/NaT to None), with column overrides applied
+        per row."""
+        recs = []
+        for rec in sub_pdf[cols].to_dict("records"):
+            out = {}
+            for c, v in rec.items():
+                if v is None or (not isinstance(v, (list, tuple, dict))
+                                 and pd.isna(v)):
+                    out[c] = None
+                elif isinstance(v, pd.Timestamp):
+                    out[c] = v.to_pydatetime()
+                elif hasattr(v, "item"):
+                    out[c] = v.item()
+                else:
+                    out[c] = v
+            out.update(overrides)
+            recs.append(out)
+        return recs
+
+    other_cols = [
+        c for c in df.columns if c not in (key_col, partition_col, "value")
+    ]
+
+    def synth_row(key: int, pv, value: float, commit: str) -> dict:
+        return {
+            key_col: key,
+            **{c: None for c in other_cols},
+            partition_col: pv,
+            "value": value,
+            "_hoodie_commit_time": commit,
+            "_hoodie_record_key": str(key),
+            "_hoodie_partition_path": f"{partition_col}={pv}",
+            "_hoodie_is_deleted": False,
+        }
 
     pv0, pv1 = pvals[0], pvals[1]
-    p0 = full.filter(F.col(partition_col) == pv0)
+    p0 = pdf_full[pdf_full[partition_col] == pv0]
     # 002: updates (value*3 on key%4==0) + one insert, one avro block
-    upd = p0.filter(F.col(key_col) % 4 == 0).withColumn(
-        "value", F.col("value") * 3
-    ).withColumn("_hoodie_commit_time", F.lit("002"))
-    ins = spark.createDataFrame(
-        [(insert_key,)], f"{key_col} long"
-    ).select(
-        F.col(key_col),
-        *[F.lit(None).cast(full.schema[c].dataType).alias(c)
-          for c in df.columns if c not in (key_col, partition_col, "value")],
-        F.lit(str(pv0)).cast(full.schema[partition_col].dataType).alias(partition_col),
-        F.lit(42.0).alias("value"),
-    ).select(df.columns).withColumn(
-        "_hoodie_commit_time", F.lit("002")
-    ).withColumn("_hoodie_record_key", F.col(key_col).cast("string")).withColumn(
-        "_hoodie_partition_path", F.lit(f"{partition_col}={pv0}")
-    ).withColumn("_hoodie_is_deleted", F.lit(False))
-    blk_002 = write_avro_data_block("002", schema_json,
-                                    rows_of(upd) + rows_of(ins))
+    upd = p0[p0[key_col] % 4 == 0].assign(value=lambda x: x["value"] * 3)
+    blk_002 = write_avro_data_block(
+        "002", schema_json,
+        rows_of(upd, _hoodie_commit_time="002")
+        + [synth_row(insert_key, pv0, 42.0, "002")],
+    )
     # 003: deletes (key%6==0) as _hoodie_is_deleted markers
-    dels = p0.filter(F.col(key_col) % 6 == 0).withColumn(
-        "_hoodie_commit_time", F.lit("003")
-    ).withColumn("_hoodie_is_deleted", F.lit(True))
-    blk_003 = write_avro_data_block("003", schema_json, rows_of(dels))
+    blk_003 = write_avro_data_block(
+        "003", schema_json,
+        rows_of(p0[p0[key_col] % 6 == 0],
+                _hoodie_commit_time="003", _hoodie_is_deleted=True),
+    )
     # 004: junk that must stay invisible (deltacommit only inflight)
-    junk = p0.withColumn("value", F.lit(0.0)).withColumn(
-        "_hoodie_commit_time", F.lit("004"))
-    blk_004 = write_avro_data_block("004", schema_json, rows_of(junk))
+    blk_004 = write_avro_data_block(
+        "004", schema_json,
+        rows_of(p0.assign(value=0.0), _hoodie_commit_time="004"),
+    )
     log0 = os.path.join(table_path, f"{partition_col}={pv0}",
                         f".{file_ids[pv0]}_001.log.1_0-1-0")
     open(log0, "wb").write(blk_002 + blk_003 + blk_004)
 
     # log-only file group in partition 1 (MoR insert-into-log)
     fid_new = f"{_uuid.UUID(int=99)}-0"
-    ins2 = spark.createDataFrame(
-        [(k,) for k in range(*log_only_keys)], f"{key_col} long"
-    ).select(
-        F.col(key_col),
-        *[F.lit(None).cast(full.schema[c].dataType).alias(c)
-          for c in df.columns if c not in (key_col, partition_col, "value")],
-        F.lit(str(pv1)).cast(full.schema[partition_col].dataType).alias(partition_col),
-        (F.col(key_col) * 1.0).alias("value"),
-    ).select(df.columns).withColumn(
-        "_hoodie_commit_time", F.lit("002")
-    ).withColumn("_hoodie_record_key", F.col(key_col).cast("string")).withColumn(
-        "_hoodie_partition_path", F.lit(f"{partition_col}={pv1}")
-    ).withColumn("_hoodie_is_deleted", F.lit(False))
+    ins2 = [
+        synth_row(k, pv1, k * 1.0, "002") for k in range(*log_only_keys)
+    ]
     log1 = os.path.join(table_path, f"{partition_col}={pv1}",
                         f".{fid_new}_002.log.1_0-1-0")
-    open(log1, "wb").write(write_avro_data_block("002", schema_json, rows_of(ins2)))
+    open(log1, "wb").write(write_avro_data_block("002", schema_json, ins2))
 
     json.dump({"operationType": "UPSERT"},
               open(os.path.join(hdir, "002.deltacommit"), "w"))

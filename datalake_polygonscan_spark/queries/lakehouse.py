@@ -3674,12 +3674,14 @@ def s47d_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     live = read_delta_table(spark, table)
     v0 = read_delta_table(spark, table, version=0)
-    uuid_dv_applied = bool(
-        live.filter(F.col("k").isin(sorted(uuid_keys))).count() == 0
-    ) and bool(uuid_keys)
-    inline_dv_applied = bool(
-        live.filter(F.col("k").isin(sorted(inline_keys))).count() == 0
-    ) and bool(inline_keys)
+    # both leak probes in ONE pass over the DV-resolved read (two
+    # filtered counts previously recomputed it twice)
+    n_uuid_leaked, n_inline_leaked = live.agg(
+        F.sum(F.when(F.col("k").isin(sorted(uuid_keys)), 1).otherwise(0)),
+        F.sum(F.when(F.col("k").isin(sorted(inline_keys)), 1).otherwise(0)),
+    ).collect()[0]
+    uuid_dv_applied = bool((n_uuid_leaked or 0) == 0) and bool(uuid_keys)
+    inline_dv_applied = bool((n_inline_leaked or 0) == 0) and bool(inline_keys)
 
     live_agg = live.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")
