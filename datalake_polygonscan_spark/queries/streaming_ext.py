@@ -579,12 +579,20 @@ def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = _scratch("e14_stream", "joined_out")
     shutil.rmtree(out_dir, ignore_errors=True)
-    q = (
-        joined.writeStream.format("parquet").option("path", out_dir)
-        .outputMode("append").trigger(availableNow=True)
-        .option("checkpointLocation", chk).start()
-    )
-    q.awaitTermination()
+    # stream-stream join state stores: 8 per side per micro-batch, not
+    # 32 (the e13 local right-sizing precedent; conf restored below) —
+    # the retained-state volume here is a few thousand rows
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", chk).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.parquet(out_dir)
 
     # every audit below is DISTRIBUTED — the state tables and both
@@ -601,25 +609,33 @@ def e14_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _audit(state, side):
-        stray, n_state, min_ts = (
-            state.join(side.select("event_id"), "event_id", "left_anti")
-            .agg(F.count("*"))
-            .collect()[0][0],
-            state.count(),
-            state.agg(F.min("ts")).collect()[0][0],
+        # stray probe + state count + eviction frontier in ONE job
+        # (was three: an anti-join count, a count and a min — each
+        # re-reading the state store; guide §1.2). The left join on
+        # DISTINCT side ids keeps the row count of `state` intact.
+        row = (
+            state.join(
+                side.select("event_id").distinct().withColumn("_m", F.lit(1)),
+                "event_id",
+                "left",
+            )
+            .agg(
+                F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0)).alias("stray"),
+                F.count("*").alias("n"),
+                F.min("ts").alias("min_ts"),
+            )
+            .collect()[0]
         )
-        return stray, n_state, min_ts
+        return int(row["stray"] or 0), int(row["n"]), row["min_ts"]
 
     l_stray, n_l_state, l_min_ts = _audit(l_state, clicks)
     r_stray, n_r_state, r_min_ts = _audit(r_state, errors)
-    n_clicks = clicks.count()
-    n_errors = errors.count()
+    # per side: row count + max event time in ONE pass (was two)
+    n_clicks, clicks_max = clicks.agg(F.count("*"), F.max("ts")).collect()[0]
+    n_errors, errors_max = errors.agg(F.count("*"), F.max("ts")).collect()[0]
     # the query's global watermark derives from the SLOWEST side's max
     # event time (min over sides), not the whole corpus max
-    wm_base = min(
-        clicks.agg(F.max("ts")).collect()[0][0],
-        errors.agg(F.max("ts")).collect()[0][0],
-    )
+    wm_base = min(clicks_max, errors_max)
     import datetime
 
     cutoff = wm_base - datetime.timedelta(hours=3, minutes=30)  # 1h wm + 30m + 2h margin
@@ -890,19 +906,31 @@ def e17_output_mode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         return spark.table(name)
 
-    up = run("update", "e17_up").cache()
-    ap = run("append", "e17_ap").cache()
+    # daily-window agg state is a handful of windows: 8 state stores
+    # per micro-batch, not 32 (the e13 local right-sizing precedent —
+    # a real deployment sizes shuffle partitions to state volume).
+    # Restored in finally: the session conf is shared across entries.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        up = run("update", "e17_up").cache()
+        ap = run("append", "e17_ap").cache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     truth = ev.groupBy(
         (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long").alias("window_start_s")
     ).agg(F.count("*").cast("long").alias("n_events"))
 
-    n_up_rows = up.count()
-    n_up_windows = up.select("window_start_s").distinct().count()
+    # rows + distinct windows per sink log in ONE job each (was two)
+    n_up_rows, n_up_windows = up.agg(
+        F.count("*"), F.countDistinct("window_start_s")
+    ).collect()[0]
     update_intermediates = n_up_rows > n_up_windows
 
-    n_ap_rows = ap.count()
-    n_ap_windows = ap.select("window_start_s").distinct().count()
+    n_ap_rows, n_ap_windows = ap.agg(
+        F.count("*"), F.countDistinct("window_start_s")
+    ).collect()[0]
     append_once = n_ap_rows == n_ap_windows and n_ap_rows > 0
     truth_r = truth.withColumnRenamed("n_events", "n_true")
     append_correct = (
