@@ -54,7 +54,7 @@ def build_aggregate(
     base: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """One-time full build of the aggregate MV (``n_rows`` +
     ``sum_<col>`` per group) — the only scan of the base table the MV
@@ -77,7 +77,7 @@ def refresh_aggregate(
     feed: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int = 16,
     txn_id: int | None = None,
 ) -> DataFrame:
     """Fold one merge batch's retraction-shaped change feed
@@ -152,7 +152,7 @@ def build_minmax(
     base: DataFrame,
     group_cols: list[str],
     value_col: str,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """One-time build of a MIN/MAX MV (``n_rows``, ``min_v``, ``max_v``
     per group). Values are quantized to ``DECIMAL(18,6)`` so the MV and
@@ -172,7 +172,7 @@ def refresh_minmax(
     base_after: DataFrame,
     group_cols: list[str],
     value_col: str,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> tuple[DataFrame, dict]:
     """Fold one merge batch's retraction-shaped change feed into a
     MIN/MAX MV. Unlike count/sum (MV1), MIN/MAX is NOT self-maintainable
@@ -325,7 +325,7 @@ def build_distinct_sketch(
     base: DataFrame,
     group_cols: list[str],
     distinct_col: str,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Approx-DISTINCT MV: per group, a DataSketches HLL sketch of the
     values seen plus its estimate. COUNT(DISTINCT) is the canonical
@@ -347,7 +347,7 @@ def refresh_distinct_sketch(
     batch: DataFrame,
     group_cols: list[str],
     distinct_col: str,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Fold an insert batch into the approx-distinct MV: sketch the
     batch (one hash agg, map-side combined — HLL partials merge on the
@@ -418,7 +418,7 @@ def build_join(
     dim: DataFrame,
     fact_keys: list[str],
     join_keys: list[str],
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """One-time full build of a fact⋈dim JOIN MV — the denormalized
     view ``fact LEFT JOIN dim ON join_keys`` stored as a keyed lakehouse
@@ -442,7 +442,7 @@ def refresh_join(
     fact_feed: DataFrame | None = None,
     dim_feed: DataFrame | None = None,
     dim_current: DataFrame | None = None,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Fold change feeds of the join's inputs into the MV — classic
     delta-join view maintenance (ΔV = ΔR ⋈ S, then R' ⋈ ΔS), each side
