@@ -2876,23 +2876,36 @@ def s35_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     live = read_with_equality_deletes(spark, table)
     n_reinserted_expected = reinsert.filter(F.col("c_custkey") % 20 != 0).count()
-    n_building = live.filter(F.col("c_mktsegment") == "BUILDING").count()
-    reinsert_survives = n_building == n_reinserted_expected and n_building > 0
-    # every surviving %10 (but not %20) BUILDING row must carry the
-    # seq2 price (+777), proving the seq1 delete removed ALL seq0 copies
-    seq_held = (
-        live.filter(
-            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 20 != 0)
-        )
-        .join(c.filter(F.col("c_mktsegment") == "BUILDING")
-              .select("c_custkey", F.col("bal").alias("orig_bal")), "c_custkey")
-        # decimal-exact comparison: + 777.0 as a double drifts one ulp
-        .filter(
-            F.col("bal")
-            != (F.col("orig_bal") + F.lit("777.0").cast("decimal(18,6)"))
-        )
-        .count() == 0
+    # BOTH verdicts in ONE pass over the eq-delete-resolved read (was
+    # two filtered jobs, each re-applying the per-sequence anti-joins):
+    # count of surviving BUILDING rows, and of surviving %10-not-%20
+    # rows NOT carrying the seq2 price (+777; decimal-exact — as a
+    # double it drifts one ulp). Every surviving BUILDING row came
+    # from `c`'s BUILDING slice, so the broadcast lookup always hits.
+    orig = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.col("bal").alias("orig_bal")
     )
+    row = (
+        live.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(orig), "c_custkey", "left")
+        .agg(
+            F.count("*").alias("nb"),
+            F.sum(
+                F.when(
+                    (F.col("c_custkey") % 20 != 0)
+                    & (
+                        F.col("bal")
+                        != (F.col("orig_bal") + F.lit("777.0").cast("decimal(18,6)"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nviol"),
+        )
+        .collect()[0]
+    )
+    n_building = int(row["nb"])
+    reinsert_survives = n_building == n_reinserted_expected and n_building > 0
+    seq_held = int(row["nviol"] or 0) == 0
     return (
         live.groupBy("c_mktsegment")
         .agg(F.count("*").cast("long").alias("n_rows"), _dbl_sum("bal", "sum_bal"))

@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scalar @udf data crosses the Python boundary as Arrow batches
+        # instead of pickled rows (guide §4.3; off by default only for
+        # legacy type-coercion compat — the full registry is
+        # oracle-verified under it)
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # NOTE (optimization round 10): preferSortMergeJoin=false +
+        # adaptive.maxShuffledHashJoinLocalMapThreshold were A/B-tested
+        # and REJECTED: the multi-join TPC-H entries regressed ~2x
+        # (q5 1.2 -> 3.1 s, q9 1.6 -> 2.7 s at sf0.1) — at these
+        # post-broadcast sizes sort-merge's codegen path beat the
+        # shuffled-hash builds it replaced.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
