@@ -501,7 +501,10 @@ def sssp(
             )
             .localCheckpoint(eager=True)
         )
-        frontier = merged.filter("_improved").select("node", "dist").localCheckpoint(eager=True)
+        # frontier is a cheap filter over the just-checkpointed merged
+        # state — a second materialization per round bought nothing
+        # (optimization round 10: one checkpoint per round, not two)
+        frontier = merged.filter("_improved").select("node", "dist")
         dist = merged.select("node", "dist")
         if frontier.isEmpty():
             return dist

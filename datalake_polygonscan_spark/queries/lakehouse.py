@@ -4023,18 +4023,25 @@ def s50m_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_key=10**9 + 1, log_only_keys=(10**9 + 101, 10**9 + 106),
     )
 
-    live = read_hudi_table(spark, table)
+    # ONE MoR resolve serves the live aggregate and both verdicts: the
+    # meta-kept read is checkpointed (log-frame decode + merge window
+    # run once, ~40k rows), `live` is a column projection of it, and
+    # the two probe counts fuse into one aggregate (was three separate
+    # MoR resolves: live x2 + with_meta)
+    with_meta = read_hudi_table(spark, table, keep_meta=True).localCheckpoint(
+        eager=True
+    )
+    live = with_meta.select("k", "event_type", "value")
     v2 = read_hudi_table(spark, table, as_of="002")
     info = timeline_info(table)
 
-    # the 004 junk block zeroed partition-0 values; none may leak
-    with_meta = read_hudi_table(spark, table, keep_meta=True)
-    inflight_block_invisible = bool(
-        with_meta.filter(F.col("_hoodie_commit_time") == "004").count() == 0
-    )
-    log_only_group_read = bool(
-        live.filter(F.col("k") >= 10**9 + 101).count() == 5
-    )
+    probe = with_meta.agg(
+        # the 004 junk block zeroed partition-0 values; none may leak
+        F.sum(F.when(F.col("_hoodie_commit_time") == "004", 1).otherwise(0)),
+        F.sum(F.when(F.col("k") >= 10**9 + 101, 1).otherwise(0)),
+    ).collect()[0]
+    inflight_block_invisible = bool(int(probe[0] or 0) == 0)
+    log_only_group_read = bool(int(probe[1] or 0) == 5)
 
     live_agg = live.groupBy("event_type").agg(
         F.count("*").alias("n_rows"), _dbl_sum("value", "sum_live")

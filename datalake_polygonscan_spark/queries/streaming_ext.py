@@ -1002,6 +1002,11 @@ def e18_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(2).write.mode("overwrite").parquet(src)
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    # 8 RocksDB instances per micro-batch, not 32: each store pays a
+    # real native-db open/snapshot cost, so instance count should track
+    # state volume (the e13 right-sizing precedent; conf restored below)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1013,6 +1018,7 @@ def e18_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         updates = updates.localCheckpoint()  # pin results before conf restore
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
