@@ -47,11 +47,19 @@ def main() -> None:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
+            import contextlib
+            import io
+
             df = fn(spark, args.sf_dir)
             path = os.path.join(args.explain_dir, f"{name}_{args.explain_suffix}.txt")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(path, "w") as f:
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(buf.getvalue())
             print(f"EXPLAIN {name} -> {path}", flush=True)
+        if args.reps <= 0:
+            continue
         ts = []
         for rep in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name}:rep{rep}")
