@@ -80,6 +80,11 @@ def run_headline_medians(n_runs: int = 3) -> dict:
                 "calibration_ratio": r.get("calibration_ratio"),
                 "per_query_mean_sec": r.get("per_query_mean_sec"),
                 "per_query_mean_normalized": r.get("per_query_mean_normalized"),
+                # full per-query map per run (round 10): medians can be
+                # re-pooled over additional runs when a measurement
+                # window is degraded — this host's run-level variance is
+                # ±20% (r9's own record spans 441-622 s)
+                "queries": r["queries"],
             }
             for r in runs
         ],
