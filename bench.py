@@ -555,8 +555,7 @@ def main() -> None:
     calibration = round(min(cal_before, _calibrate(), _calibrate()), 3)
     total = round(sum(timings.values()), 3)
     ratio = round(calibration / CALIBRATION_REF, 3)
-    print(
-        json.dumps(
+    result = (
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
@@ -579,8 +578,19 @@ def main() -> None:
                 ) if ratio > 0 else round(total / len(timings), 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
-        )
     )
+    line = json.dumps(result)
+    # insurance against stdout tail truncation in the capture layer
+    # (VERDICT r10 #10: the r09 line was lost downstream and the
+    # round-over-round table came up empty) — the SAME JSON object is
+    # also written to a file. stdout contract unchanged: ONE line.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def run_headline_medians(n_runs: int = 3) -> dict:
                 # re-pooled over additional runs when a measurement
                 # window is degraded — this host's run-level variance is
                 # ±20% (r9's own record spans 441-622 s)
-                "queries": r["queries"],
+                "queries": r.get("queries", {}),
             }
             for r in runs
         ],

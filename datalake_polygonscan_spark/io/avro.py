@@ -455,6 +455,211 @@ def _decoder_of(t: object):
     return dec
 
 
+# ---------------------------------------------------------------------------
+# exec-compiled block codecs (optimization round 11, guide §4.2): the
+# closure-per-field codecs above cost 2-3 Python calls per FIELD per
+# row. For the hot container scan/write path the per-schema code below
+# compiles ONE function per block whose body inlines the varint /
+# struct.unpack work for every simple top-level field (complex fields
+# — nested records/arrays/maps/decimals, promotions — drop to their
+# closure within the same generated body). Byte-for-byte the same
+# encoding and value-for-value the same decoding as the closure path;
+# the closure path remains the general fallback and the subject of the
+# schema-resolution entries.
+# ---------------------------------------------------------------------------
+
+#: kinds whose encode/decode is inlined (logical date/timestamp ride
+#: their int/long base: the arrow write path pre-casts them to ints)
+_SIMPLE_KINDS = {"boolean", "int", "long", "float", "double", "string", "bytes"}
+#: logical types that keep a field inline-eligible (decimal does NOT:
+#: its kind is "bytes" but values are Decimal objects)
+_SIMPLE_LOGICAL = {None, "date", "timestamp-micros", "local-timestamp-micros"}
+
+
+def _is_simple(t: object) -> bool:
+    base, _ = _base_of(t)
+    lt = base.get("logicalType") if isinstance(base, dict) else None
+    return _kind_of(t) in _SIMPLE_KINDS and lt in _SIMPLE_LOGICAL
+
+_DEC_VARINT = """
+        _b = payload[{p}]; {p} += 1
+        if _b < 0x80:
+            _u = _b
+        else:
+            _u = _b & 0x7F
+            _s = 7
+            while True:
+                _b = payload[{p}]; {p} += 1
+                _u |= (_b & 0x7F) << _s
+                if _b < 0x80:
+                    break
+                _s += 7
+        {v} = (_u >> 1) ^ -(_u & 1)
+"""
+
+
+def _gen_simple_decode(kind: str, v: str) -> str:
+    """Code block leaving the decoded value in ``v`` and advancing
+    ``pos`` (payload is the bytes buffer)."""
+    if kind in ("int", "long"):
+        return _DEC_VARINT.format(p="pos", v=v)
+    if kind == "double":
+        return f"        {v} = _ud(payload, pos)[0]; pos += 8\n"
+    if kind == "float":
+        return f"        {v} = _uf(payload, pos)[0]; pos += 4\n"
+    if kind == "boolean":
+        return f"        {v} = payload[pos] != 0; pos += 1\n"
+    if kind == "string":
+        return (_DEC_VARINT.format(p="pos", v="_n")
+                + f"        {v} = payload[pos:pos + _n].decode('utf-8'); pos += _n\n")
+    if kind == "bytes":
+        return (_DEC_VARINT.format(p="pos", v="_n")
+                + f"        {v} = bytes(payload[pos:pos + _n]); pos += _n\n")
+    raise AssertionError(kind)
+
+
+def compiled_top_decoder(writer_rec: dict, reader_rec: dict):
+    """exec-compiled columnar block decoder for the top-level record,
+    resolution-aware (same rules as :func:`_resolved_top_steps`) —
+    ``(decode_block(payload, n_rows, cols) -> end_pos, missing_idx)``.
+    Complex or promoted fields call their closure decoder inside the
+    generated body; everything else is inlined. Raises the same
+    resolution errors as the closure path (delegated to
+    ``_resolved_top_steps`` for validation)."""
+    steps, missing_idx = _resolved_top_steps(writer_rec, reader_rec)
+    r_fields = {f["name"]: (i, f["type"]) for i, f in enumerate(reader_rec["fields"])}
+    env: dict = {
+        "_ud": struct.Struct("<d").unpack_from,
+        "_uf": struct.Struct("<f").unpack_from,
+    }
+    body = ["def _decode_block(payload, n_rows, cols):\n", "    pos = 0\n"]
+    appends = []
+    for i, ((dec, j), wf) in enumerate(zip(steps, writer_rec["fields"])):
+        if j is not None:
+            body.append(f"    _a{i} = cols[{j}].append\n")
+            appends.append(i)
+    body.append("    for _ in range(n_rows):\n")
+    emitted = False
+    for i, ((dec, j), wf) in enumerate(zip(steps, writer_rec["fields"])):
+        wt = wf["type"]
+        wk = _kind_of(wt)
+        rt = r_fields.get(wf["name"], (None, None))[1]
+        rk = _kind_of(rt) if rt is not None else wk
+        w_null = _base_of(wt)[1]
+        r_null = _base_of(rt)[1] if rt is not None else True
+        simple = (_is_simple(wt) and wk == rk
+                  and (rt is None or _is_simple(rt)))
+        tgt = f"_a{i}(" if j is not None else None
+        if not simple:
+            # closure fallback inside the compiled body (1 call/field)
+            env[f"_d{i}"] = dec
+            if j is not None:
+                body.append(f"        _v, pos = _d{i}(payload, pos)\n"
+                            f"        _a{i}(_v)\n")
+            else:
+                body.append(f"        _v, pos = _d{i}(payload, pos)\n")
+            emitted = True
+            continue
+        if w_null:
+            body.append("        _b = payload[pos]; pos += 1\n")
+            body.append("        if _b == 0:\n")
+            if j is None:
+                body.append("            pass\n")
+            elif r_null:
+                body.append(f"            _a{i}(None)\n")
+            else:
+                body.append(
+                    "            raise ValueError('avro_scratch: writer null "
+                    "for non-nullable reader field')\n")
+            body.append("        else:\n")
+            body.append("            if _b != 2:\n")
+            body.append("                raise ValueError('avro_scratch: bad union index')\n")
+            inner = _gen_simple_decode(wk, "_v").replace("        ", "            ")
+            body.append(inner)
+            if j is not None:
+                body.append(f"            _a{i}(_v)\n")
+        else:
+            body.append(_gen_simple_decode(wk, "_v"))
+            if j is not None:
+                body.append(f"        _a{i}(_v)\n")
+        emitted = True
+    if not emitted:
+        body.append("        pass\n")
+    body.append("    return pos\n")
+    exec("".join(body), env)
+    return env["_decode_block"], missing_idx
+
+
+_ENC_VARINT = """
+        _u = ({v} << 1) ^ ({v} >> 63)
+        while _u > 0x7F:
+            _ap(0x80 | (_u & 0x7F))
+            _u >>= 7
+        _ap(_u)
+"""
+
+
+def _gen_simple_encode(kind: str, v: str) -> str:
+    if kind in ("int", "long"):
+        return _ENC_VARINT.format(v=v)
+    if kind == "double":
+        return f"        out += _pd({v})\n"
+    if kind == "float":
+        return f"        out += _pf({v})\n"
+    if kind == "boolean":
+        return f"        _ap(1 if {v} else 0)\n"
+    if kind == "string":
+        return (f"        _bb = {v}.encode('utf-8')\n"
+                + "        _n = len(_bb)\n"
+                + _ENC_VARINT.format(v="_n")
+                + "        out += _bb\n")
+    if kind == "bytes":
+        return (f"        _bb = bytes({v})\n"
+                + "        _n = len(_bb)\n"
+                + _ENC_VARINT.format(v="_n")
+                + "        out += _bb\n")
+    raise AssertionError(kind)
+
+
+def compiled_top_encoder(rec: dict):
+    """exec-compiled block encoder for the top-level record:
+    ``encode_block(cols, n_rows, out)`` appending the Avro binary of
+    ``n_rows`` rows (``cols`` = one Python list per field, writer
+    order, temporal values pre-cast to ints as the Arrow write path
+    does). Byte-identical to the closure path. Complex fields call
+    their closure encoder inside the generated body."""
+    env: dict = {
+        "_pd": struct.Struct("<d").pack,
+        "_pf": struct.Struct("<f").pack,
+    }
+    body = ["def _encode_block(cols, n_rows, out):\n",
+            "    _ap = out.append\n"]
+    for i in range(len(rec["fields"])):
+        body.append(f"    _c{i} = cols[{i}]\n")
+    body.append("    for _r in range(n_rows):\n")
+    if not rec["fields"]:
+        body.append("        pass\n")
+    for i, f in enumerate(rec["fields"]):
+        t = f["type"]
+        kind = _kind_of(t)
+        nullable = _base_of(t)[1]
+        body.append(f"        _v = _c{i}[_r]\n")
+        if not _is_simple(t):
+            env[f"_e{i}"] = _encoder_of(t)
+            body.append(f"        _e{i}(_v, out)\n")
+            continue
+        if nullable:
+            body.append("        if _v is None:\n")
+            body.append("            _ap(0)\n")
+            body.append("        else:\n")
+            body.append("            _ap(2)\n")
+            body.append(_gen_simple_encode(kind, "_v").replace("        ", "            "))
+        else:
+            body.append(_gen_simple_encode(kind, "_v"))
+    exec("".join(body), env)
+    return env["_encode_block"]
+
+
 def _arrow_type_of(t: object):
     import pyarrow as pa
 
@@ -545,6 +750,9 @@ class AvroWriter(DataSourceArrowWriter):
 
         rec = json.loads(self.schema_json)
         encoders = [(_encoder_of(f["type"]), f["name"]) for f in rec["fields"]]
+        # one compiled block encoder per task (simple fields inlined,
+        # complex fields drop to their closure inside the same body)
+        enc_block = compiled_top_encoder(rec)
         logical = {
             f["name"]: (_base_of(f["type"])[0].get("logicalType")
                         if isinstance(_base_of(f["type"])[0], dict) else None)
@@ -570,12 +778,10 @@ class AvroWriter(DataSourceArrowWriter):
                         arr = arr.cast(pa.int32())
                     cols.append(arr.to_pylist())
                 payload = bytearray()
-                # row-major interleave via zip (C-level iteration) with
-                # the per-field encoder list hoisted out of the row loop
-                encs = [enc for enc, _ in encoders]
-                for row in zip(*cols):
-                    for enc, v in zip(encs, row):
-                        enc(v, payload)
+                # exec-compiled block encode: the whole batch in ONE
+                # Python call, varint/struct work inlined per field
+                # (byte-identical to the closure path)
+                enc_block(cols, batch.num_rows, payload)
                 if self.codec == "deflate":
                     payload = _deflate_raw(bytes(payload))
                 elif self.codec == "snappy":
@@ -660,7 +866,7 @@ class AvroReader(DataSourceReader):
                 reader_rec = json.loads(schema_to_avro_json(self.reader_schema))
             else:
                 reader_rec = writer_rec
-            steps, missing_idx = _resolved_top_steps(writer_rec, reader_rec)
+            dec_block, missing_idx = compiled_top_decoder(writer_rec, reader_rec)
             names = [fl["name"] for fl in reader_rec["fields"]]
             arrow_schema = pa.schema(
                 [(fl["name"], _arrow_type_of(fl["type"])) for fl in reader_rec["fields"]]
@@ -693,21 +899,13 @@ class AvroReader(DataSourceReader):
                     payload = avro_snappy_decode(payload)
                 elif codec != "null":
                     raise ValueError(f"avro_scratch: unsupported codec {codec!r}")
-                # COLUMNAR top-level decode: each writer field decodes
-                # straight into its reader column's list (positional
-                # append — no per-row dict build/lookup, the prior
-                # shape's dominant Python cost)
+                # COLUMNAR top-level decode, exec-compiled (round 11):
+                # the whole block decodes in ONE Python call with the
+                # varint/struct work inlined per simple field (complex
+                # fields drop to their closure inside the body) —
+                # value-identical to the closure path
                 cols: list[list] = [[] for _ in names]
-                appends = [
-                    (dec, cols[j].append if j is not None else None)
-                    for dec, j in steps
-                ]
-                pos = 0
-                for _ in range(n_rows):
-                    for dec, app in appends:
-                        v, pos = dec(payload, pos)
-                        if app is not None:
-                            app(v)
+                dec_block(payload, n_rows, cols)
                 for j in missing_idx:
                     cols[j] = [None] * n_rows
                 yield pa.RecordBatch.from_arrays(

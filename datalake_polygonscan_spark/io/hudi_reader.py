@@ -483,6 +483,7 @@ def write_foreign_hudi_mor_fixture(
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from datalake_polygonscan_spark.io.avro import schema_to_avro_json
     from datalake_polygonscan_spark.io.hudi_log import write_avro_data_block
@@ -532,21 +533,35 @@ def write_foreign_hudi_mor_fixture(
     json.dump({"operationType": "UPSERT"},
               open(os.path.join(hdir, "001.commit"), "w"))
 
+    int_cols = {
+        f.name for f in full.schema.fields
+        if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType))
+    }
+
     def rows_of(sub_pdf, **overrides):
         """pandas slice -> avro-encodable row dicts (numpy scalars to
         python natives; NaN/NaT to None), with column overrides applied
-        per row."""
+        per row. Container-valued cells (list/tuple/dict/ndarray) skip
+        the pd.isna scalar check, and integer-typed Avro fields are
+        coerced back from the float64 that Arrow toPandas produces for
+        nullable long columns containing NULLs."""
         recs = []
         for rec in sub_pdf[cols].to_dict("records"):
             out = {}
             for c, v in rec.items():
-                if v is None or (not isinstance(v, (list, tuple, dict))
-                                 and pd.isna(v)):
+                if (isinstance(v, (list, tuple, dict))
+                        or getattr(v, "ndim", 0) > 0):
+                    out[c] = v
+                elif v is None or pd.isna(v):
                     out[c] = None
                 elif isinstance(v, pd.Timestamp):
                     out[c] = v.to_pydatetime()
                 elif hasattr(v, "item"):
-                    out[c] = v.item()
+                    v = v.item()
+                    out[c] = int(v) if c in int_cols and isinstance(v, float) else v
+                elif c in int_cols and isinstance(v, float):
+                    out[c] = int(v)
                 else:
                     out[c] = v
             out.update(overrides)

@@ -214,6 +214,8 @@ def _enforce_checks(batch: DataFrame, checks: dict[str, str]) -> None:
     semantics: NULL passes). ONE filter job over the BATCH for ALL
     constraints (any-violation predicate; guide §1.2 — N checks used
     to mean N driver jobs) — table size never enters the cost."""
+    if not checks:
+        return
     items = list(checks.items())
     fails = [~F.coalesce(F.expr(expr), F.lit(True)) for _, expr in items]
     any_fail = fails[0]
@@ -232,10 +234,17 @@ def _enforce_checks(batch: DataFrame, checks: dict[str, str]) -> None:
     )
     if bad:
         failed = sorted({n for r in bad for n in r["_failed"] if n is not None})
-        name = failed[0]
+        samples = [
+            {
+                "failed": [n for n in r["_failed"] if n is not None],
+                "row": r["_row"].asDict(),
+            }
+            for r in bad
+        ]
         raise ConstraintViolation(
-            f"CHECK constraint {name!r} ({checks[name]}) violated by "
-            f"{[r['_row'].asDict() for r in bad]} — nothing committed"
+            f"CHECK constraint(s) {failed} violated "
+            f"({ {n: checks[n] for n in failed} }); sample rows with their "
+            f"failed checks: {samples} — nothing committed"
         )
 
 

@@ -387,3 +387,86 @@ def test_snappy_codec_roundtrip_and_gates(avro_spark, tmp_path):
     # truncated stream gates loudly
     with _pytest.raises(SnappyFormatError):
         decompress(compress(b"hello world, hello world")[:-3])
+
+
+def test_compiled_block_codec_matches_closure_path():
+    """Round 11: the exec-compiled block encoder/decoder must be
+    byte-identical (encode) and value-identical (decode, including
+    schema resolution skip/missing/strict-null) to the closure path
+    it replaces on the container scan/write hot loop."""
+    import decimal
+
+    from datalake_polygonscan_spark.io.avro import (
+        _decoder_of,
+        _encoder_of,
+        compiled_top_decoder,
+        compiled_top_encoder,
+    )
+
+    rec = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": ["null", "float"]},
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "by", "type": ["null", "bytes"]},
+        {"name": "i", "type": "int"},
+        {"name": "dt", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        {"name": "dec", "type": ["null", {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 18, "scale": 6}]},
+        {"name": "arr", "type": ["null", {
+            "type": "array", "items": ["null", "long"]}]},
+    ]}
+    rows = [
+        (1, "héllo", 3.14, 1.5, True, b"\x00\xff", -3, 19000,
+         decimal.Decimal("12.345678"), [1, None, -5]),
+        (None, None, -2.5, None, None, None, 0, None, None, None),
+        (-(1 << 62), "", 0.0, -0.0, False, b"", 2147483647, 0,
+         decimal.Decimal("-0.000001"), []),
+    ]
+    cols = [list(c) for c in zip(*rows)]
+    encs = [_encoder_of(f["type"]) for f in rec["fields"]]
+    closure = bytearray()
+    for row in rows:
+        for e, v in zip(encs, row):
+            e(v, closure)
+    compiled = bytearray()
+    compiled_top_encoder(rec)(cols, len(rows), compiled)
+    assert bytes(closure) == bytes(compiled)
+
+    dec_block, missing = compiled_top_decoder(rec, rec)
+    assert missing == []
+    out = [[] for _ in rec["fields"]]
+    end = dec_block(bytes(compiled), len(rows), out)
+    assert end == len(compiled)
+    assert [tuple(r) for r in zip(*out)] == rows
+
+    # resolution: writer-only field skipped, reader-only nullable
+    # field missing, long->double promotion through the closure arm
+    reader = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": ["null", "double"]},
+        {"name": "d", "type": "double"},
+        {"name": "extra", "type": ["null", "string"]},
+    ]}
+    dec2, missing2 = compiled_top_decoder(rec, reader)
+    out2 = [[] for _ in reader["fields"]]
+    dec2(bytes(compiled), len(rows), out2)
+    for j in missing2:
+        out2[j] = [None] * len(rows)
+    assert out2[0] == [1.0, None, float(-(1 << 62))]
+    assert out2[1] == [3.14, -2.5, 0.0]
+    assert out2[2] == [None] * 3
+
+    # writer null into a non-nullable reader field raises (same
+    # contract as the closure dec_strict)
+    strict = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "long"}]}
+    w1 = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": ["null", "long"]}]}
+    buf = bytearray()
+    compiled_top_encoder(w1)([[None]], 1, buf)
+    d_strict, _ = compiled_top_decoder(w1, strict)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        d_strict(bytes(buf), 1, [[]])
