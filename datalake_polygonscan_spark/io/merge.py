@@ -476,22 +476,58 @@ def _merge_once(
     new_snap = os.path.join(table_path, snap_name)
     batch_fields = [f for f in batch.schema.fields if f.name != "_bucket"]
 
-    def _stage_feed(current_logical: DataFrame) -> str | None:
-        """Write this commit's change feed to a hidden staging dir
-        (never visible to readers); returns the staging path."""
-        if not write_changes:
-            return None
+    def _feed_of(current_logical: DataFrame) -> DataFrame:
         version = snapshot_version(base) + 1
-        feed = change_feed(
+        return change_feed(
             current_logical, deduped, keys, version_col=version_col,
             deletes=deletes, pre_deduped=True,
         ).withColumn("_commit_version", F.lit(version).cast("long"))
+
+    def _write_snapshot_and_feed(
+        merged: DataFrame, current_logical: DataFrame
+    ) -> str | None:
+        """Write the new snapshot buckets AND (when CDF is on) the
+        commit's staged change feed in ONE Spark job (round 11, guide
+        §1.2 — the two-pass shape recomputed the batch plan for the
+        feed): feed rows ride the same partitioned write in the
+        reserved ``_bucket=-1`` slot and the directory is renamed into
+        the hidden staging slot right after. Snapshot files gain two
+        always-NULL columns (``_change_type``/``_commit_version``)
+        that every reader prunes via the log-tracked schema. Returns
+        the staged feed path (None when CDF is off). Schema-evolving
+        batches keep the two-pass write: their feed schema is the
+        batch's, not the table's."""
+        if not write_changes:
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+            return None
+        feed = _feed_of(current_logical)
         staged = _pending_feed_dir(table_path, snap_name)
-        feed.write.mode("overwrite").parquet(staged)
+        if {f.name for f in batch_fields} != {
+            c for c in merged.columns if c != "_bucket"
+        }:
+            # schema-evolving batch: feed columns (batch schema) differ
+            # from the snapshot's target schema — two-pass write
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+            feed.write.mode("overwrite").parquet(staged)
+            return staged
+        merged_x = merged.withColumn(
+            "_change_type", F.lit(None).cast("string")
+        ).withColumn("_commit_version", F.lit(None).cast("long"))
+        feed_x = feed.withColumn("_bucket", F.lit(-1)).select(*merged_x.columns)
+        merged_x.unionByName(feed_x).write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(new_snap)
+        fused_dir = os.path.join(new_snap, "_bucket=-1")
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        if os.path.isdir(fused_dir):
+            os.replace(fused_dir, staged)
+        else:
+            # empty feed (empty batch, vacuous deletes): stage a real
+            # parquet dir so the version is present with a schema
+            feed.limit(0).write.mode("overwrite").parquet(staged)
         return staged
 
-    def _commit_with_feed(current_logical: DataFrame, meta: dict, rebasable: bool = False) -> None:
-        staged = _stage_feed(current_logical)
+    def _commit_with_feed(staged: str | None, meta: dict, rebasable: bool = False) -> None:
         try:
             commit_snapshot(table_path, snap_name, base, meta)
         except SnapshotConflict:
@@ -523,8 +559,8 @@ def _merge_once(
             **({"cdf_enabled": True} if write_changes else {}),
             **(extra_meta or {}),
         }
-        batch.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
-        _commit_with_feed(batch.drop("_bucket").limit(0), meta)
+        staged = _write_snapshot_and_feed(batch, batch.drop("_bucket").limit(0))
+        _commit_with_feed(staged, meta)
         return
 
     prev_snap = os.path.join(table_path, base["snapshot"])
@@ -612,12 +648,14 @@ def _merge_once(
         current_logical = read_table(spark, table_path)
         current = current_logical.withColumn("_bucket", _bucket_col(keys, n_buckets))
         merged = _merge_arms(current)
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
-        _commit_with_feed(current_logical, meta)
+        staged = _write_snapshot_and_feed(merged, current_logical)
+        _commit_with_feed(staged, meta)
         return
 
-    # pruned path: touch only the buckets present in the batch/deletes
-    touch_src = batch.select("_bucket")
+    # pruned path: touch only the buckets present in the batch/deletes.
+    # Buckets derive from RAW updates, not the deduped batch — same key
+    # set, so the probe job skips the dedup window's shuffle (round 11)
+    touch_src = updates.select(_bucket_col(keys, n_buckets).alias("_bucket"))
     if del_keys is not None:
         touch_src = touch_src.unionByName(
             del_keys.select(_bucket_col(keys, n_buckets).alias("_bucket"))
@@ -628,16 +666,16 @@ def _merge_once(
         read_snapshot(spark, prev_snap, base).filter(F.col("_bucket").isin(touched))
     )
     merged = _merge_arms(current_touched)
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(new_snap)
+    # feed derivation is bucket-pruned too: rows matching batch/delete
+    # keys can only live in the touched buckets
+    staged = _write_snapshot_and_feed(merged, current_touched.drop("_bucket"))
     _link_bucket_dirs(prev_snap, new_snap, skip={f"_bucket={b}" for b in touched})
     _carry_tombstones(spark, prev_snap, new_snap, batch, keys, meta)
     # the touched-bucket set rides the commit metadata: a concurrent
     # writer that lost the CAS can prove bucket-disjointness against
     # every intermediate commit and REBASE instead of recomputing
     meta["touched_buckets"] = [int(b) for b in touched]
-    # feed derivation is bucket-pruned too: rows matching batch/delete
-    # keys can only live in the touched buckets
-    _commit_with_feed(current_touched.drop("_bucket"), meta, rebasable=True)
+    _commit_with_feed(staged, meta, rebasable=True)
 
 
 def _carry_tombstones(

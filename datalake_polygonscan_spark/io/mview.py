@@ -488,7 +488,17 @@ def refresh_join(
         touched_dim = dim_current.join(
             F.broadcast(upserts_fact.select(*join_keys).distinct()), join_keys, "leftsemi"
         )
-        upserts = upserts_fact.join(F.broadcast(touched_dim), join_keys, "left")
+        # localCheckpoint (lazy): the feed-derived batch plan is a
+        # window + several joins over base scans, and the merge runs
+        # 2 jobs over it (bucket probe, snapshot write) — truncating
+        # the lineage computes it once (round 11, guide §5; unlike the
+        # r10-rejected checkpoint of CHEAP batches inside _merge_once,
+        # these frames are expensive and batch-sized)
+        upserts = (
+            upserts_fact.join(F.broadcast(touched_dim), join_keys, "left")
+            .localCheckpoint(eager=False)
+        )
+        deletes = deletes.localCheckpoint(eager=False)
         live = merge_upsert(
             spark, mv_path, upserts, keys=fact_keys, n_buckets=n_buckets, deletes=deletes
         )
@@ -500,7 +510,12 @@ def refresh_join(
         mv_now = read_table(spark, mv_path)
         dim_cols = [c for c in post.columns if c not in join_keys]
         affected = mv_now.join(F.broadcast(changed_keys), join_keys, "leftsemi")
-        refreshed = affected.drop(*dim_cols).join(F.broadcast(post), join_keys, "left")
+        # same lineage truncation as the fact side: the fan-out rejoin
+        # feeds 2 merge jobs
+        refreshed = (
+            affected.drop(*dim_cols).join(F.broadcast(post), join_keys, "left")
+            .localCheckpoint(eager=False)
+        )
         live = merge_upsert(spark, mv_path, refreshed, keys=fact_keys, n_buckets=n_buckets)
     if live is None:
         raise ValueError("refresh_join called with no feed")

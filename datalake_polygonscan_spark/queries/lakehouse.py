@@ -101,19 +101,22 @@ def _content_equal(a: DataFrame, b: DataFrame) -> bool:
     overflow-proof and exact under any partitioning/order; the XOR
     is an independent commutative accumulator (ADVICE r5), so a
     collision needs two row multisets agreeing on count AND sum AND
-    XOR of 64-bit hashes simultaneously."""
+    XOR of 64-bit hashes simultaneously. Both sides ride ONE union +
+    grouped-agg job (round 11 — two separate agg jobs before)."""
     cols = a.columns
-
-    def fp(df: DataFrame):
-        h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
-        row = df.agg(
+    h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    u = a.withColumn("_side", F.lit(0)).unionByName(
+        b.select(*cols).withColumn("_side", F.lit(1))
+    )
+    rows = {
+        r["_side"]: (r["n"], r["h"], r["x"])
+        for r in u.groupBy("_side").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(h.cast("decimal(38,0)")).alias("h"),
             F.bit_xor(h).alias("x"),
-        ).collect()[0]
-        return row["n"], row["h"], row["x"]
-
-    return fp(a) == fp(b.select(*cols))
+        ).collect()
+    }
+    return rows.get(0) == rows.get(1)
 
 
 @register(
@@ -578,7 +581,7 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey % 9 <> 0
     GROUP BY o_orderstatus
     """,
-    doc="S17 persisted Change Data Feed + streaming CDC replication (io/merge.py:write_changes/read_changes/changes_glob; Delta CDF): three merges (bootstrap inserts keys%3=0, then +1000 repricing of %6=0 plus %3=1 inserts, then %3=2 inserts with a %9=0 DELETE arm) each persist their typed feed under _changes/<version>/ in the commit flow; a DOWNSTREAM CONSUMER then rebuilds the table from the feed ALONE — readStream over changes_glob, foreachBatch applying each version's upserts+deletes in order to a replica — and the replica must equal the source exactly (replica_matches_source rides the value hash); the aggregates state the closed-form final state",
+    doc="S17 persisted Change Data Feed + streaming CDC replication (io/merge.py:write_changes/read_changes/changes_glob; Delta CDF): three merges (bootstrap inserts keys%3=0, then +1000 repricing of %6=0 plus %3=1 inserts, then %3=2 inserts with a %9=0 DELETE arm) each persist their typed feed under _changes/<version>/ in the commit flow; a DOWNSTREAM CONSUMER then rebuilds the table from the feed ALONE — readStream over changes_glob, foreachBatch folding each batch's versions into one net merge per key (highest version wins; provably equal to in-order replay) — and the replica must equal the source exactly (replica_matches_source rides the value hash); the aggregates state the closed-form final state",
 )
 def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -614,22 +617,37 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _apply(bdf, _bid):
-        versions = sorted(r[0] for r in bdf.select("_commit_version").distinct().collect())
-        for v in versions:
-            sub = bdf.filter(F.col("_commit_version") == v)
-            ups = sub.filter(F.col("_change_type") != "delete").drop("_change_type", "_commit_version")
-            dels = sub.filter(F.col("_change_type") == "delete").select("o_orderkey")
-            # dels passes through unconditionally: an empty delete
-            # frame is a no-op inside the merge (no extra touched
-            # buckets, vacuous anti-join) — probing emptiness here
-            # cost one driver job per replayed version
-            merge_upsert(spark, rep_tbl, ups, ["o_orderkey"], n_buckets=8, deletes=dels)
+        # Net-effect replication (round 11, guide §1.2 — the previous
+        # one-merge-PER-VERSION loop cost 2 jobs x versions per batch):
+        # within a batch, per key only the HIGHEST version's change can
+        # survive sequential replay (change_feed emits at most one row
+        # per key per version, and delete rows never coexist with that
+        # version's upsert of the same key), so the batch folds into
+        # ONE merge whose upsert arm is each key's latest non-delete
+        # change and whose delete arm is each key's latest delete.
+        # The final replica state is identical to the in-order loop.
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("o_orderkey").orderBy(F.col("_commit_version").desc())
+        latest = (
+            bdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ups = latest.filter(F.col("_change_type") != "delete").drop(
+            "_change_type", "_commit_version"
+        )
+        # dels passes through unconditionally: an empty delete frame is
+        # a no-op inside the merge (no extra touched buckets, vacuous
+        # anti-join) — probing emptiness here would cost a driver job
+        dels = latest.filter(F.col("_change_type") == "delete").select("o_orderkey")
+        merge_upsert(spark, rep_tbl, ups, ["o_orderkey"], n_buckets=8, deletes=dels)
 
     # NOTE: no maxFilesPerTrigger=1 — a commit's feed spans several
     # parquet files, and one replica merge per FILE (not per version)
-    # multiplied the replication cost ~6x for nothing: _apply already
-    # orders and applies whole versions within a batch, and per-batch
-    # incremental feed-following is proven in tests/test_stream_ingest
+    # multiplied the replication cost ~6x for nothing: _apply folds
+    # whole batches (versions net per key), and per-batch incremental
+    # feed-following is proven in tests/test_stream_ingest
     from datalake_polygonscan_spark.streaming.ingest import subscribe_changes
 
     q = (
