@@ -75,6 +75,8 @@ scan replaces that with an engine-neutral snapshot read.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 import glob
 import json
 import os
@@ -409,7 +411,7 @@ def read_delta_table(
             [T.StructField("__file_name", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in partition_cols]
         )
-        pv_df = F.broadcast(spark.createDataFrame(map_rows, map_schema))
+        pv_df = F.broadcast(tiny_df(spark, map_rows, map_schema))
         scan = _stamp(spark.read.schema(data_schema).parquet(*all_paths)).withColumn(
             "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         )
@@ -468,9 +470,7 @@ def _apply_deletion_vectors(
         "__file string, storageType string, pathOrInlineDv string, "
         "offset long, sizeInBytes long"
     )
-    descs = spark.createDataFrame(desc_rows, desc_schema).repartition(
-        len(desc_rows)
-    )
+    descs = tiny_df(spark, desc_rows, desc_schema, slices=len(desc_rows))
     out_schema = T.StructType([
         T.StructField("__file", T.StringType()),
         T.StructField("__pos", T.LongType()),
@@ -847,7 +847,7 @@ def _read_column_mapped_id(
         [T.StructField("__file_name", T.StringType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in partition_cols]
     )
-    pv_df = F.broadcast(spark.createDataFrame(map_rows, map_schema))
+    pv_df = F.broadcast(tiny_df(spark, map_rows, map_schema))
     scan = scan.withColumn(
         "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     )
@@ -926,7 +926,7 @@ def _read_column_mapped(
         [T.StructField("__file_name", T.StringType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in partition_cols]
     )
-    pv_df = F.broadcast(spark.createDataFrame(map_rows, map_schema))
+    pv_df = F.broadcast(tiny_df(spark, map_rows, map_schema))
     scan = scan.withColumn(
         "__file_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     )

@@ -29,6 +29,8 @@ doc's required-field list, independently of the writer.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 import glob
 import json
 import os
@@ -426,7 +428,7 @@ def delete_where(spark: SparkSession, table_path: str, predicate: str) -> dict:
                for c in partition_cols]
         )
         scan = scan.join(
-            F.broadcast(spark.createDataFrame(map_rows, map_schema)), "__file")
+            F.broadcast(tiny_df(spark, map_rows, map_schema)), "__file")
         for c in partition_cols:
             scan = scan.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
     hits = scan.filter(predicate).select("__file", "__pos")

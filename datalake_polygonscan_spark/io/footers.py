@@ -17,6 +17,8 @@ agree field-for-field.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -69,5 +71,6 @@ def footer_profile(spark: SparkSession, paths: list[str], parallelism: int = 8) 
                 "row_group_num_rows",
             ])
 
-    files = spark.createDataFrame([(p,) for p in sorted(paths)], ["path"])
-    return files.repartition(min(parallelism, len(paths))).mapInPandas(scan, FOOTER_SCHEMA)
+    files = tiny_df(spark, [(p,) for p in sorted(paths)], "path string",
+                    slices=min(parallelism, len(paths)))
+    return files.mapInPandas(scan, FOOTER_SCHEMA)

@@ -52,6 +52,8 @@ projected out unless ``keep_meta=True``.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 import glob
 import json
 import os
@@ -286,9 +288,9 @@ def _merge_on_read(spark: SparkSession, done: set, slices: list) -> DataFrame:
         for s in log_slices
         for v, p in s.logs
     ]
-    units_df = spark.createDataFrame(
-        units, "path string, group string, version long"
-    ).repartition(len(units))
+    units_df = tiny_df(
+        spark, units, "path string, group string, version long", slices=len(units)
+    )
     done_set = frozenset(done)
     colnames = list(out_schema.fieldNames())
 
@@ -328,7 +330,8 @@ def _merge_on_read(spark: SparkSession, done: set, slices: list) -> DataFrame:
             ~F.col("__bn").isin(sorted(touched_bns))
         ).select(cols)
         if touched_bns:
-            bm = F.broadcast(spark.createDataFrame(
+            bm = F.broadcast(tiny_df(
+                spark,
                 [r for r in bn_rows if r[0] in touched_bns],
                 "__bn string, __group string, __i long",
             ))

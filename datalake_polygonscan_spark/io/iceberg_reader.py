@@ -62,6 +62,8 @@ parquet.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 import glob
 import json
 import os
@@ -432,9 +434,9 @@ def _decode_manifests_distributed(
                     }))
             yield pd.DataFrame({"entry": out})
 
-    df = spark.createDataFrame(
-        rows, "manifest_path string, m_seq long"
-    ).repartition(len(rows))
+    df = tiny_df(
+        spark, rows, "manifest_path string, m_seq long", slices=len(rows)
+    )
     return [
         json.loads(r.entry)
         for r in df.mapInPandas(_decode, "entry string").collect()
@@ -598,7 +600,7 @@ def _seq_map_df(spark: SparkSession, table_path: str, files: list[dict]):
     if len(set(names)) != len(names):
         raise IcebergProtocolError("duplicate data file basenames in snapshot")
     rows = [(n, f["_seq"]) for n, f in zip(names, files)]
-    return F.broadcast(spark.createDataFrame(rows, "__file string, __data_seq long"))
+    return F.broadcast(tiny_df(spark, rows, "__file string, __data_seq long"))
 
 
 def _apply_deletes(
@@ -634,8 +636,8 @@ def _apply_deletes(
     if pos_dels:
         dpaths = [_resolve_path(table_path, f["file_path"]) for f in pos_dels]
         dnames = [(os.path.basename(p), f["_seq"]) for p, f in zip(dpaths, pos_dels)]
-        dmap = F.broadcast(spark.createDataFrame(
-            dnames, "__dfile string, __del_seq long"))
+        dmap = F.broadcast(tiny_df(
+            spark, dnames, "__dfile string, __del_seq long"))
         dels = (
             spark.read.schema("file_path string, pos long").parquet(*dpaths)
             .withColumn("__dfile", F.element_at(
@@ -669,8 +671,8 @@ def _apply_deletes(
                 ) from exc
             dpaths = [_resolve_path(table_path, f["file_path"]) for f in dfiles]
             dnames = [(os.path.basename(p), f["_seq"]) for p, f in zip(dpaths, dfiles)]
-            dmap = F.broadcast(spark.createDataFrame(
-                dnames, "__dfile string, __del_seq long"))
+            dmap = F.broadcast(tiny_df(
+                spark, dnames, "__dfile string, __del_seq long"))
             dels = (
                 spark.read.parquet(*dpaths)
                 .withColumn("__dfile", F.element_at(

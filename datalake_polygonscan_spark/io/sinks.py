@@ -35,6 +35,8 @@ API here is shaped so that swap is one line.
 
 from __future__ import annotations
 
+from datalake_polygonscan_spark.tables import tiny_df  # noqa: E402
+
 import json
 import os
 import shutil
@@ -800,7 +802,7 @@ def table_history_df(spark: SparkSession, table_path: str) -> DataFrame:
         )
         for e in entries
     ]
-    return spark.createDataFrame(rows, schema)
+    return tiny_df(spark, rows, schema)
 
 
 def table_files_df(spark: SparkSession, table_path: str) -> DataFrame:
@@ -831,7 +833,7 @@ def table_files_df(spark: SparkSession, table_path: str) -> DataFrame:
             T.StructField("partition", T.StringType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return tiny_df(spark, rows, schema)
 
 
 def migrate_in_place(spark: SparkSession, source_dir: str, table_path: str) -> DataFrame:

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_polygonscan_spark.tables import tiny_df
+
 
 def connected_components(
     edges: DataFrame,
@@ -315,7 +317,7 @@ def bfs_hops(
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
-    dist = spark.createDataFrame([(int(source), 0)], "node long, dist int").localCheckpoint(
+    dist = tiny_df(spark, [(int(source), 0)], "node long, dist int").localCheckpoint(
         eager=True
     )
     frontier = dist
@@ -478,7 +480,7 @@ def sssp(
         F.col(dst).cast("long").alias("dst"),
         F.col(weight).cast("long").alias("w"),
     ).localCheckpoint(eager=True)
-    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long").localCheckpoint(
+    dist = tiny_df(spark, [(int(source), 0)], "node long, dist long").localCheckpoint(
         eager=True
     )
     frontier = dist

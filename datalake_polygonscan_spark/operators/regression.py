@@ -29,6 +29,8 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datalake_polygonscan_spark.tables import tiny_df
+
 #: learning rate as an exact decimal: weight updates stay exact
 #: rationals (scale 12 + 3 = 15, stable across iterations)
 LR = Decimal("0.001")
@@ -179,7 +181,8 @@ def boosted_regression_stumps(
         ).localCheckpoint(eager=True)
 
     sse_final = int(d.agg(F.sum("ss")).collect()[0][0])
-    out_rounds = spark.createDataFrame(
+    out_rounds = tiny_df(
+        spark,
         round_rows,
         "round_no long, thr long, u_l long, u_r long, n_left long, n_right long",
     ).select(
@@ -189,7 +192,8 @@ def boosted_regression_stumps(
         F.lit(None).cast("long").alias("sse_final"),
         F.lit(None).cast("boolean").alias("improved"),
     )
-    final = spark.createDataFrame(
+    final = tiny_df(
+        spark,
         [(sse0, sse_final, sse_final <= sse0)], "sse0 long, sse_final long, improved boolean"
     ).select(
         F.lit("final").alias("mode"),

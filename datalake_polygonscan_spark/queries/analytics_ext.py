@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.operators.temporal import asof_join, resample_forward_fill
 from datalake_polygonscan_spark.queries.registry import register
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 DEC = T.DecimalType(18, 6)
 
@@ -886,7 +886,8 @@ def dq2_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("single_scan", T.BooleanType()),
         ]
     )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [
             (
                 m["n_rows"],
@@ -1331,8 +1332,8 @@ def an3_ab_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(term, 9).cast("decimal(28,9)")).cast("double").alias("chi2"))
         .collect()[0]["chi2"]
     )
-    return spark.createDataFrame(
-        [(na, nb)], ["n_a", "n_b"]
+    return tiny_df(
+        spark, [(na, nb)], "n_a long, n_b long"
     ).select(
         F.col("n_a").cast("long"),
         F.col("n_b").cast("long"),
@@ -1853,7 +1854,7 @@ def a12_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = 2048
     li = load_table(spark, sf_dir, "lineitem")
     cms = cms_build(li, "l_partkey", depth=4, width=width)
-    keys = spark.createDataFrame([(int(k),) for k in _CMS_KEYS], "l_partkey long")
+    keys = tiny_df(spark, [(int(k),) for k in _CMS_KEYS], "l_partkey long")
     est = cms_point_estimates(cms, keys, "l_partkey", depth=4, width=width)
     exact = (
         li.filter(F.col("l_partkey").isin(*_CMS_KEYS))
@@ -2687,8 +2688,8 @@ def geo3_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (x1, y1) in enumerate(ring):
             x2, y2 = ring[(i + 1) % len(ring)]
             edge_rows.append((zone_id, zone, x1, y1, x2, y2))
-    edges = spark.createDataFrame(
-        edge_rows, "zone_id int, zone string, x1 long, y1 long, x2 long, y2 long"
+    edges = tiny_df(
+        spark, edge_rows, "zone_id int, zone string, x1 long, y1 long, x2 long, y2 long"
     )
     crossing = (
         ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from datalake_polygonscan_spark.operators import curation as C
 from datalake_polygonscan_spark.operators.curation import SAMPLE_DENOM
 from datalake_polygonscan_spark.queries.registry import register
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -835,7 +835,8 @@ def l18_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_len=_BPE_MAXLEN, replace_passes=_BPE_PASSES,
     )
     all_ok = bool(words.agg(F.bool_and("ok")).collect()[0][0])
-    merges_df = spark.createDataFrame(
+    merges_df = tiny_df(
+        spark,
         [(r, a, b, m, c) for r, a, b, m, c in merges],
         "rank long, left_sym string, right_sym string, merged string, cnt long",
     ).select(

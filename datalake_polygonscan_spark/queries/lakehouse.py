@@ -88,7 +88,7 @@ from datalake_polygonscan_spark.streaming.ingest import (
 from datalake_polygonscan_spark.io.sinks import atomic_overwrite, read_table, read_version
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 
 def _content_equal(a: DataFrame, b: DataFrame) -> bool:
@@ -725,7 +725,8 @@ def mv3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literals: a lazy plan over the v0 snapshot would be evaluated
     # after v2 commits, when retention has pruned v0's files.
     prios = sorted(r[0] for r in base_after1.select("o_orderpriority").distinct().collect())
-    ins = spark.createDataFrame(
+    ins = tiny_df(
+        spark,
         [(-(i + 1), p, 1.0) for i, p in enumerate(prios)],
         "o_orderkey long, o_orderpriority string, o_totalprice double",
     ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1302,7 +1303,8 @@ def mv1_mv3(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, mm_mv, feed1, base_after1, ["o_orderpriority"], "o_totalprice", n_buckets=16
     )
     prios = sorted(r[0] for r in base_after1.select("o_orderpriority").distinct().collect())
-    ins = spark.createDataFrame(
+    ins = tiny_df(
+        spark,
         [(-(i + 1), p, 1.0) for i, p in enumerate(prios)],
         "o_orderkey long, o_orderpriority string, o_totalprice double",
     ).withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1981,7 +1983,7 @@ def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (default retain=2 pruned v0 — the history row says so)
     avail = [int(r.version) for r in hist.filter("available").collect()]
     counts = [(v, read_version(spark, table, v).count()) for v in avail]
-    counts_df = spark.createDataFrame(counts, "version long, n_rows long")
+    counts_df = tiny_df(spark, counts, "version long, n_rows long")
     files = table_files_df(spark, table)
     files_ok = (
         files.filter((F.col("bytes") <= 0) | ~F.col("partition").startswith("_bucket=")).count() == 0
@@ -2878,8 +2880,8 @@ def s35_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     inodes_before = _seq0_inodes()
 
     # seq 1: BLIND segment retirement — one delete tuple, no table read
-    eq_delete(spark, table, spark.createDataFrame(
-        [("BUILDING",)], "c_mktsegment string"))
+    eq_delete(spark, table, tiny_df(
+        spark, [("BUILDING",)], "c_mktsegment string"))
     # seq 2: re-insert a slice of the retired segment, repriced
     reinsert = c.filter(
         (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 10 == 0)
@@ -3025,7 +3027,8 @@ def s43_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_total = sum(d["files_read"] for d in reads["hilbert"])
     z_total = sum(d["files_read"] for d in reads["zorder"])
     n_files = sum(d["files_total"] for d in reads["hilbert"])
-    vs = spark.createDataFrame(
+    vs = tiny_df(
+        spark,
         [("vs_zorder", n_files, None, bool(h_total <= z_total))],
         "dim string, n_rows long, sum_price double, verdict boolean",
     )

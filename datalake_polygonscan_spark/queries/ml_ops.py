@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.queries.registry import register
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 _K = 8
 
@@ -43,8 +43,9 @@ def ml1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # independent re-derivation of the nearest-centroid distance with
     # pure codegen (no numpy): centroids as ONE broadcast array row
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
+    cent_df = tiny_df(
+        spark, [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>"
     )
     cent_arr = cent_df.agg(F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents"))
     sq_dist = lambda v, c: F.aggregate(  # noqa: E731
@@ -923,7 +924,8 @@ def ml10_sparkml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_positive = scored.filter(F.col("label") == 1.0).count()
 
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(int(n_scored), int(n_positive), bool(accuracy_ok), bool(rerun_identical))],
         "n_scored long, n_positive long, accuracy_ok boolean, rerun_identical boolean",
     )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.queries.registry import register
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 
 @register(
@@ -604,7 +604,7 @@ def x11_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             + oct_.getItem(3).cast("long")
         ).alias("ip_int"),
     )
-    rt = spark.createDataFrame(_X11_CIDRS, "cidr string, prefix_len int, lo long, hi long")
+    rt = tiny_df(spark, _X11_CIDRS, "cidr string, prefix_len int, lo long, hi long")
     return (
         parsed.join(
             F.broadcast(rt),

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from datalake_polygonscan_spark.queries.registry import register
 from datalake_polygonscan_spark.queries.sources_sinks import _dbl_sum, _scratch
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 DEC = T.DecimalType(18, 6)
 
@@ -575,7 +575,7 @@ def cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bhj_with_stats", F.lit(bhj_with_stats))
         )
         rows = out.collect()  # materialize under the CBO confs
-        return spark.createDataFrame(rows, out.schema)
+        return tiny_df(spark, rows, out.schema)
     finally:
         for k, v in saved.items():
             if v is None:

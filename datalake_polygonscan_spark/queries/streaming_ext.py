@@ -20,7 +20,7 @@ from datalake_polygonscan_spark.streaming.windows import (
     run_stream_available_now,
     stateful_running_totals,
 )
-from datalake_polygonscan_spark.tables import load_table
+from datalake_polygonscan_spark.tables import load_table, tiny_df
 
 
 @register(
@@ -119,8 +119,11 @@ def e8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-1, hi + dt.timedelta(hours=24), -1, "sentinel", 0.0, "{}"),
         (-2, hi + dt.timedelta(hours=48), -1, "sentinel", 0.0, "{}"),
     ]
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    sdf = spark.createDataFrame([dict(zip(cols, s)) for s in sent], EVENTS_SCHEMA)
+    # rows are already in EVENTS_SCHEMA field order; tiny_df keeps the
+    # 2-row frame single-partition (arrow createDataFrame would slice
+    # it defaultParallelism ways and the coalesce(1) writes below
+    # would serialize that many Python conversions)
+    sdf = tiny_df(spark, sent, EVENTS_SCHEMA)
     _one_file(sdf.filter(F.col("event_id") == -1), "f4.parquet", 1_000_000_300)
     _one_file(sdf.filter(F.col("event_id") == -2), "f5.parquet", 1_000_000_400)
 
@@ -218,8 +221,8 @@ def e9(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel_ts = max_ts + datetime.timedelta(hours=24)  # watermark passes ALL real rows
 
     def _stage(df, eid, path):
-        sent = df.sparkSession.createDataFrame(
-            [(eid, sentinel_ts, -1, "sentinel", 0.0, "{}")], df.schema
+        sent = tiny_df(
+            df.sparkSession, [(eid, sentinel_ts, -1, "sentinel", 0.0, "{}")], df.schema
         )
         df.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -475,9 +478,10 @@ def _e13_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
     mx = ev.agg(F.max("ts")).collect()[0][0]
     for i, days in enumerate([30, 60], start=2):
-        sent = spark.createDataFrame(
+        sent = tiny_df(
+            spark,
             [(990000000 + i, mx + datetime.timedelta(days=days), 0, "__sentinel__", 0.0, "{}")],
-            schema=EVENTS_SCHEMA,
+            EVENTS_SCHEMA,
         )
         sent.coalesce(1).write.parquet(os.path.join(src, f"f{i}.parquet"))
 
@@ -1154,7 +1158,8 @@ def e19_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, rows in enumerate(sizes)
     ]
     total_row = [("total", None, None, len(sizes), int(sum(sizes)), complete)]
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         batch_rows + total_row,
         "mode string, size_rank long, input_rows long, n_batches long, "
         "total_rows long, listener_complete boolean",

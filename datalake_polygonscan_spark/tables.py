@@ -34,6 +34,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def tiny_df(spark: SparkSession, rows: list, schema, slices: int = 1) -> DataFrame:
+    """DataFrame from a SMALL local row list with an explicit partition
+    count (default 1).
+
+    Arrow-enabled ``createDataFrame`` slices even a one-row list into
+    ``defaultParallelism`` partitions, so every consumer pays that many
+    near-empty Python-worker conversions — and a later ``coalesce(1)``
+    funnels them through ONE task serially (~5 s per sentinel write at
+    local[32], measured round 11). Tiny fixture/lookup/sentinel frames
+    belong in one partition from birth; task-per-row dispatch frames
+    (one file decode per row) pass ``slices=len(rows)`` and skip the
+    repartition shuffle."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, slices)), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
