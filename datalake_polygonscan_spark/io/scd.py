@@ -36,7 +36,7 @@ def scd2_init(
     base: DataFrame,
     key: str,
     version: int = 1,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> None:
     """Seed the dimension: every base row becomes version 1, open."""
     merge_upsert(
@@ -57,7 +57,7 @@ def scd2_apply(
     key: str,
     tracked: list[str],
     version: int,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> dict:
     """Apply one batch of candidate states (key + tracked columns,
     ABSOLUTE new values) at ``version``. Returns counts

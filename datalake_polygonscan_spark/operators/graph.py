@@ -31,7 +31,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_polygonscan_spark.tables import tiny_df
@@ -386,36 +386,42 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    # Round shape (optimization round 11, guide §2.4): each star used
+    # to be a groupBy(u) THEN a join back on u (min-neighbor lookup) —
+    # two operators over one exchange — plus its own distinct exchange.
+    # A window min over the same partitioning computes m(u) in the SAME
+    # pass as the emission, removing the join entirely; and large-star
+    # SKIPS its distinct (its duplicate emissions cannot change
+    # small-star's per-u min, and small-star's distinct dedups the
+    # final edge set), so one alternation is 3 exchanges —
+    # Exchange(u)+window, Exchange(u)+window, Exchange(u,v) distinct —
+    # instead of 4 with two joins.
+    _wu = Window.partitionBy("u")
+
     def _large_star(ed: DataFrame) -> DataFrame:
         # symmetric neighborhoods; m(u) = min(Γ(u) ∪ {u})
         sym = ed.select("u", "v").union(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
-            "u", F.least("_mn", "u").alias("m")
-        )
-        out = (
-            sym.join(m, "u")
+        return (
+            sym.withColumn("m", F.least(F.min("v").over(_wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))  # strictly-greater neighbors re-attach
             .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        return out
 
     def _small_star(ed: DataFrame) -> DataFrame:
-        # edges already oriented u > v: connect v-neighborhood ∪ {u}
-        # to the minimum smaller neighbor
-        m = ed.groupBy("u").agg(F.min("v").alias("m"))
-        with_m = ed.join(m, "u")
-        out = (
+        # edges oriented u > v: connect v-neighborhood ∪ {u} to the
+        # minimum smaller neighbor. (u, m) is emitted once per edge
+        # row rather than once per u; the distinct collapses them.
+        with_m = ed.withColumn("m", F.min("v").over(_wu))
+        return (
             with_m.select(F.col("v").alias("n"), F.col("m"))
-            .union(m.select(F.col("u").alias("n"), F.col("m")))
+            .union(with_m.select(F.col("u").alias("n"), F.col("m")))
             .filter(F.col("n") != F.col("m"))
             .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
             .distinct()
         )
-        return out
 
     def _sig(ed: DataFrame) -> tuple[int, int]:
         # one partial-agg scan: (count, order-insensitive hash sum) —

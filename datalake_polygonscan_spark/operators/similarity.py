@@ -435,13 +435,32 @@ def pq_train_codebooks(
 
 def _all_books_lit(codebooks: list[list[list[float]]]):
     """The full codebook set as one nested array literal:
-    array<array<array<double>>> indexed [subspace][word][component]."""
+    array<array<array<double>>> indexed [subspace][word][component].
+    (Kept for reference/tests; the query paths attach the codebooks
+    via :func:`_with_books_col` instead — see its docstring.)"""
     return F.array(
         *[
             F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in bj])
             for bj in codebooks
         ]
     )
+
+
+def _with_books_col(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Attach the full codebook set as ONE broadcast COLUMN
+    (``_all_books array<array<array<double>>>``) via a 1-row cross
+    join. The value crosses as DATA, not as an expression tree: the
+    nested literal form is ~m*ksub*dsub Literal nodes (1024 for the
+    L3pq defaults) that Catalyst re-analyzes and Janino re-compiles at
+    every use site — the dominant cost of l3pq at bench scale
+    (round 11, guide §4.1). Same doubles, same lambda fold order, so
+    results are bit-identical to the literal form."""
+    from datalake_polygonscan_spark.tables import tiny_df
+
+    cb = tiny_df(
+        df.sparkSession, [(codebooks,)], "_all_books array<array<array<double>>>"
+    )
+    return df.crossJoin(F.broadcast(cb))
 
 
 def _hof_dot(a, b):
@@ -477,8 +496,10 @@ def pq_encode(
         dists = F.transform(bj, lambda w: _hof_l2sq(F.slice(v, jdx * dsub + 1, dsub), w))
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    codes = F.transform(_all_books_lit(codebooks), per_subspace)
-    return corpus.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+    codes = F.transform(F.col("_all_books"), per_subspace)
+    return _with_books_col(corpus, codebooks).select(
+        F.col(id_col).alias("vec_id"), codes.alias("codes")
+    )
 
 
 def pq_topk(
@@ -506,12 +527,12 @@ def pq_topk(
 
     qv = F.col("query_vec")
     luts = F.transform(
-        _all_books_lit(codebooks),
+        F.col("_all_books"),
         lambda bj, jdx: F.transform(
             bj, lambda w: _hof_dot(F.slice(qv, jdx * dsub + 1, dsub), w)
         ),
     )
-    q = queries_n.withColumn("lut", luts)
+    q = _with_books_col(queries_n, codebooks).withColumn("lut", luts)
 
     scored = enc.crossJoin(F.broadcast(q.select("query_id", "lut"))).withColumn(
         "adc",
@@ -606,15 +627,18 @@ def ivf_pq_topk(
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
     qv = F.col("query_vec")
     luts = F.transform(
-        _all_books_lit(codebooks),
+        F.col("_all_books"),
         lambda bj, jdx: F.transform(
             bj, lambda w: _hof_dot(F.slice(qv, jdx * dsub + 1, dsub), w)
         ),
     )
     probed = (
-        probe_scored.withColumn("_cr", F.row_number().over(wq))
-        .filter(F.col("_cr") <= nprobe)
-        .select("query_id", "query_vec", F.col("centroid_id").alias("list_id"))
+        _with_books_col(
+            probe_scored.withColumn("_cr", F.row_number().over(wq))
+            .filter(F.col("_cr") <= nprobe)
+            .select("query_id", "query_vec", F.col("centroid_id").alias("list_id")),
+            codebooks,
+        )
         .withColumn("lut", luts)
         .select("query_id", "list_id", "lut")
     )

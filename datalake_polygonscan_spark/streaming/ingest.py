@@ -40,7 +40,7 @@ def stream_merge_ingest(
     keys: list[str],
     version_col: str | None = None,
     schema: StructType = EVENTS_SCHEMA,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     max_files_per_trigger: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -92,7 +92,7 @@ def stream_merge_ingest_with_mv(
     sum_cols: list[str],
     version_col: str | None = None,
     schema: StructType = EVENTS_SCHEMA,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     max_files_per_trigger: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
